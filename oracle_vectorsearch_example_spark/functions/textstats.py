@@ -1,0 +1,93 @@
+"""Text analysis for large-scale training-data pipelines (extension
+surface): token counting, language-ID heuristic, quality scoring, document
+fingerprinting. All pure column expressions (JVM codegen) — these run over
+every document at 100 TB, so no Python in the hot path.
+
+Frozen specs (DuckDB-reimplementable for the oracle harness):
+- ws_token_count: count of whitespace tokens (empties dropped).
+- bpe_ish_token_count: matches of ``[a-z]+|[0-9]+|[^a-z0-9\\s]`` over
+  lower(text) — a BPE-ish pre-tokenizer proxy.
+- lang_id: stopword-hit heuristic over a tiny per-language marker set;
+  deterministic tie-break by fixed language order (en, es, unk).
+- quality_score: 0.4·cap(avg_word_len/8) + 0.3·stopword_ratio
+  + 0.3·(1 − punct_ratio), rounded downstream.
+- fingerprint: first 16 hex chars of md5 of the whitespace-normalized
+  lowercase text (content-defined doc identity for dedup bookkeeping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EN_MARKERS = ["the", "and", "of", "to", "a"]
+ES_MARKERS = ["el", "la", "de", "y", "que"]
+
+_PUNCT_RE = r"[.!?,;:]"
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit(""))
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(_BPE_RE), F.lit(0))).cast("long")
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language guess; 'unk' when no markers hit. Punctuation is
+    stripped from tokens before matching."""
+    toks = F.transform(tokens(text), lambda t: F.regexp_replace(t, _PUNCT_RE, ""))
+    en = _marker_hits(toks, EN_MARKERS)
+    es = _marker_hits(toks, ES_MARKERS)
+    return (
+        F.when((en >= es) & (en > 0), F.lit("en"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.size(F.regexp_extract_all(text, F.lit(_PUNCT_RE), F.lit(0)))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.transform(tokens(text), lambda t: F.regexp_replace(t, _PUNCT_RE, ""))
+    n = F.size(toks)
+    hits = _marker_hits(toks, EN_MARKERS + ES_MARKERS)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]."""
+    wl = F.least(avg_word_len(text) / F.lit(8.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * wl
+        + F.lit(0.3) * stopword_ratio(text)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio(text), F.lit(1.0)))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """16-hex-char md5 fingerprint of normalized text."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, 16)

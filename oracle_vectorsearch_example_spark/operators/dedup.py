@@ -1,0 +1,223 @@
+"""Deduplication family for training-data pipelines (X1/X2 + extensions):
+
+- ``exact_dedup``: sha2 of normalized text, keep lowest id — deterministic
+  (unlike dropDuplicates, which keeps an arbitrary row).
+- ``minhash_signatures`` / ``minhash_lsh_pairs``: SQL-native MinHash over
+  word shingles with universal hashing, banded LSH candidate pairs. Pure
+  column expressions — deterministic and oracle-checkable, and the banding
+  join is an equi-join on (band, band_hash): shuffle scales with candidate
+  buckets, never all-pairs.
+- ``mllib_minhash_pairs``: the MLlib MinHashLSH variant (approx, rows-only
+  check) for parity with the standard Spark API.
+- ``jaccard_neardup_pairs``: exact n-gram Jaccard via shingle equi-join —
+  the ground truth the approx paths are measured against.
+- ``simhash``: 60-bit SimHash over token md5s (bit-majority), as column
+  expressions; near-dup = small hamming distance.
+
+Shingle hashing spec (frozen, DuckDB-reimplementable): shingle string =
+``w_i w_i+1 w_i+2`` (space-joined, lowercased); shingle int x = value of
+first 8 hex chars of md5 (0..2^32); h_s(x) = (x·(2s+3) + 1009·s) mod
+4294967311 for seed s — products stay < 2^63, no overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MERSENNE_P = 4294967311  # prime > 2^32
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X1: keep the lowest-id row per sha2(normalized text) group."""
+    h = F.sha2(normalized_text(F.col(text_col)), 256)
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram strings of lower(text)."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit(""))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 1)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array())
+    return F.array_distinct(grams)
+
+
+def _shingle_int(s: Column) -> Column:
+    # first 8 md5 hex chars → 32-bit int (safe in long arithmetic)
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """One row per (id, distinct shingle int)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), n)).alias("__shingle"),
+    ).select(F.col(id_col), _shingle_int(F.col("__shingle")).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature, exploded shape: (id, seed, minhash).
+
+    min over shingles of h_seed(shingle); docs with < shingle_n words get no
+    rows (no shingles → undefined signature)."""
+    sh = shingle_df(df, text_col, id_col, shingle_n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select(F.col(id_col), F.col("shingle"), seeds).withColumn(
+        "__h",
+        (F.col("shingle") * (F.lit(2) * F.col("seed") + 3) + F.lit(1009) * F.col("seed"))
+        % F.lit(_MERSENNE_P),
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("__h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: signatures split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash are candidates.
+
+    Returns distinct (id_a < id_b). The band join is an equi-join on
+    (band, band_hash) — broadcastable/shuffle-bounded, never all-pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.array_join(F.array_sort(F.collect_list(
+            F.format_string("%d:%d", F.col("seed"), F.col("minhash"))
+        )), ",")).alias("band_hash"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def mllib_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    threshold: float = 0.4,
+    shingle_n: int = 3,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MLlib MinHashLSH approxSimilarityJoin variant (X2). Distance is
+    1 − estimated Jaccard; non-deterministic across Spark versions → checked
+    by tolerance (precision/recall vs jaccard_neardup_pairs), not by hash."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit(""))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)) - 1)
+    grams = F.when(
+        F.size(toks) >= shingle_n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " ")),
+    ).otherwise(F.array(F.lit("")))
+    feat = df.select(F.col(id_col), F.array_distinct(grams).alias("__grams"))
+    tf = HashingTF(inputCol="__grams", outputCol="__features", numFeatures=num_features, binary=True)
+    vecs = tf.transform(feat)
+    lsh = MinHashLSH(inputCol="__features", outputCol="__hashes", numHashTables=num_hashes, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, threshold, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def jaccard_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold, via shingle equi-join:
+    |A∩B| from the join, |A|,|B| from per-doc counts, J = c/(|A|+|B|−c)."""
+    sh = shingle_df(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__c").cast("double")
+            / (F.col("__sa") + F.col("__sb") - F.col("__c")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(text: Column, bits: int = 60) -> Column:
+    """SimHash over whitespace tokens: token hash = first bits/4 md5 hex
+    chars as an int; output bit j is 1 iff Σ_tokens (2·bit_j(tok) − 1) > 0.
+    60 bits keeps all arithmetic inside a signed long."""
+    nhex = bits // 4
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit(""))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long")
+    )
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
+        )
+    return F.when(F.size(toks) == 0, F.lit(0).cast("long")).otherwise(
+        sum(
+            (F.when(bit_sum(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << j))
+            for j in range(bits)
+        )
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")

@@ -1,0 +1,164 @@
+"""IVF (inverted-file) approximate nearest neighbor index — the Spark
+analog of the reference's vector index:
+
+    CREATE VECTOR INDEX ... ORGANIZATION NEIGHBOR PARTITIONS
+    DISTANCE COSINE WITH TARGET ACCURACY 95   (01_pdf_to_vector.sql:93-97)
+
+"Neighbor partitions" is IVF-flat: rows clustered around KMeans centroids;
+queries probe only the ``nprobe`` nearest clusters. Spark-native build:
+
+- build: MLlib KMeans over the (unit-normalized) vectors → small centroid
+  table on the driver + an assignment table ``(id, vector, cluster_id)``
+  written ``partitionBy("cluster_id")`` — so at search time the cluster
+  filter becomes **partition pruning** at the parquet scan: a 1000-executor
+  job reads nprobe/k of the data, no custom index structure needed.
+- search: centroid distances are computed driver-side (centroids are tiny),
+  pruned scan + exact re-rank within the probed clusters via topk_search.
+
+Recall is tuned with nprobe; the recall@k ≥ 0.95 harness (DQ-37*) mirrors
+TARGET ACCURACY 95.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.search import topk_search
+
+
+def _normalize_rows(df: DataFrame, vec_col: str) -> DataFrame:
+    from oracle_vectorsearch_example_spark.functions.vectors import normalize_l2
+
+    return df.withColumn(vec_col, normalize_l2(F.col(vec_col)))
+
+
+class IvfIndex:
+    """KMeans-partitioned ANN index with cosine distance.
+
+    Cosine on unit vectors == monotone in euclidean distance, so we L2-
+    normalize once at build/query time and cluster in euclidean space —
+    exactly how cosine IVF indexes are built in practice.
+    """
+
+    def __init__(
+        self,
+        assignments: DataFrame,
+        centroids: list[tuple[int, list[float]]],
+        id_col: str,
+        vec_col: str,
+        path: str | None = None,
+    ):
+        self.assignments = assignments
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.path = path
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_clusters: int | None = None,
+        path: str | None = None,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        """Fit KMeans and materialize the cluster-assignment table.
+
+        ``n_clusters`` defaults to ~sqrt(N) (the classic IVF heuristic;
+        the reference's engine picks this internally)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        spark = df.sparkSession
+        n = df.count()
+        k = n_clusters or max(2, int(math.sqrt(n)))
+        norm = _normalize_rows(df.select(id_col, vec_col), vec_col)
+        feats = norm.withColumn("__features", array_to_vector(F.col(vec_col)))
+        model = KMeans(k=k, seed=seed, featuresCol="__features", predictionCol="cluster_id").fit(
+            feats
+        )
+        assigned = model.transform(feats).select(
+            id_col, vec_col, F.col("cluster_id").cast("int")
+        )
+        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        if path:
+            # partitionBy(cluster_id): probe-time cluster filters become
+            # parquet partition pruning — the scale path.
+            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+            assigned = spark.read.parquet(path)
+        return cls(assigned, centroids, id_col, vec_col, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, centroids: list[tuple[int, list[float]]],
+             id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+        return cls(spark.read.parquet(path), centroids, id_col, vec_col, path)
+
+    def _nearest_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
+        nrm = math.sqrt(sum(x * x for x in qvec)) or 1.0
+        qn = [x / nrm for x in qvec]
+        scored = sorted(
+            (sum((a - b) ** 2 for a, b in zip(c, qn)), cid) for cid, c in self.centroids
+        )
+        return [cid for _, cid in scored[:nprobe]]
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """ANN top-k: per-query centroid prune (driver-side, centroids are
+        tiny) → pruned scan of the probed clusters → exact re-rank.
+
+        The probed-cluster filter is pushed into the scan; with a
+        materialized index (``path``) it prunes parquet partitions."""
+        qrows = queries.select(query_id, query_vec).collect()  # queries are small by contract
+        probe_pairs = [
+            (r[query_id], cid) for r in qrows for cid in self._nearest_clusters(r[query_vec], nprobe)
+        ]
+        spark = queries.sparkSession
+        probes = spark.createDataFrame(probe_pairs, f"{query_id} long, cluster_id int")
+        # restrict assignment table to probed clusters (partition-prunable),
+        # then tag each base row with the querying qid via broadcast join
+        pruned = self.assignments.join(
+            F.broadcast(probes), "cluster_id"
+        ).select(query_id, self.id_col, self.vec_col)
+        qnorm = _normalize_rows(queries.select(query_id, query_vec), query_vec)
+        scored = pruned.join(F.broadcast(qnorm), query_id)
+        from pyspark.sql import Window
+        from oracle_vectorsearch_example_spark.functions.distances import vector_distance
+
+        if exclude_self:
+            scored = scored.filter(F.col(self.id_col) != F.col(query_id))
+        dist = vector_distance(F.col(self.vec_col), F.col(query_vec), "cosine")
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("__dist").asc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("__dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col(query_id),
+                F.col("rank").cast("long"),
+                F.col(self.id_col),
+                F.col("__dist").alias("distance"),
+            )
+        )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, query_id: str = "qid", base_id: str = "vec_id") -> float:
+    """recall@k of an ANN result against the exact top-k (DQ-37*)."""
+    e = exact.select(query_id, base_id)
+    a = approx.select(query_id, base_id)
+    hit = e.join(a, [query_id, base_id], "inner").count()
+    total = e.count()
+    return hit / total if total else 1.0

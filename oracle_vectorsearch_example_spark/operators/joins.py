@@ -1,0 +1,90 @@
+"""Range and as-of joins (J5–J9 extension surface).
+
+- ``range_join``: equi-key + time-interval condition. Catalyst executes the
+  equi part as a hash/sort-merge join and the interval as a post-filter, so
+  the shuffle is on the key only. For skewed keys at scale, AQE skew-join
+  handles splitting (enabled in the session factory).
+- ``asof_join``: "latest right row at or before each left row" per key.
+  Implemented with the union + window last-value trick: ONE shuffle on
+  (key, ts) total, instead of a per-key O(n·m) non-equi join — the
+  sort-merge-friendly formulation that survives 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 5 MINUTES",
+) -> DataFrame:
+    """Rows (l, r) with matching keys and r.ts in [l.ts + lower, l.ts + upper]."""
+    l = left.select(*[F.col(c) for c in left.columns])
+    r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
+    cond = [l[c] == r[f"r_{c}"] for c in on]
+    cond.append(F.col(f"r_{right_ts}") >= F.expr(f"{left_ts} + {lower}"))
+    cond.append(F.col(f"r_{right_ts}") <= F.expr(f"{left_ts} + {upper}"))
+    return l.join(r, cond)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right.ts <= left.ts (direction='backward'; 'forward' mirrors it), per
+    key. Left rows with no prior right row keep nulls.
+
+    Union-based plan: tag sides, sort by (key, ts, side) and carry the last
+    right value forward with a window — one shuffle, no non-equi join.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    )
+    u = l.unionByName(r)
+    if direction == "backward":
+        # right rows sort before left rows at the same ts (<= semantics)
+        w = Window.partitionBy("__k").orderBy(F.col("__ts").asc(), F.col("__is_left").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    else:
+        w = Window.partitionBy("__k").orderBy(F.col("__ts").desc(), F.col("__is_left").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    filled = u.select(
+        "__k",
+        "__is_left",
+        "__lrow",
+        *[F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}") for c in value_cols],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__rv_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing (extension surface).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+(schemas.MEDIA) — the same column shape as the reference's BLOB
+``pdf_content`` (01_pdf_to_vector.sql:52). The Spark-side plumbing (schema,
+Arrow batch shape, partitioning) is real and tested; the actual byte
+decoding is stubbed: image/audio libs are absent in this environment, so
+``decode=fake`` derives deterministic pseudo-features from the bytes and
+``decode=real`` raises NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for image decode: dims and features derived
+    from the sha256 of the payload. Replaced by a real decoder (PIL/ffmpeg)
+    on clusters that ship those libs."""
+    h = hashlib.sha256(payload or b"").digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    feats = [round(b / 255.0, 6) for b in h[2 : 2 + FEATURE_DIM]]
+    return width, height, feats
+
+
+def extract_media_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Decode/feature-extract media rows via Arrow-batched ``mapInPandas``.
+
+    Input: schemas.MEDIA shape (media_id, kind, payload, meta). The batch
+    iterator shape is the real production plumbing; only the per-payload
+    decode call is a stub.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real media decoding requires PIL/torchaudio/ffmpeg, not present "
+            "in this environment; use decode='fake' for plumbing tests"
+        )
+    if decode != "fake":
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                width, height, feats = _fake_decode(payload)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "byte_len": len(payload),
+                        "digest": hashlib.sha256(payload).hexdigest()[:16],
+                        "width": width,
+                        "height": height,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+def binary_stats(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """JVM-side binary column ops (no Python): length + md5 digest —
+    the fast-path subset of media introspection."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(payload_col)).cast("long").alias("byte_len"),
+        F.md5(F.col(payload_col)).alias("digest"),
+    )

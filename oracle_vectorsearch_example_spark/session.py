@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Local-mode knobs mirror the cluster posture we design for: AQE on (runtime
+re-planning / skew handling), shuffle partitions sized to cores (not the
+200 default), Arrow enabled for the Pandas-UDF boundary, UTC session time
+zone so timestamp math is reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "oracle_vectorsearch_example_spark") -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` (default: all cores) for ``local[N]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle_parts = cpus if cpus != "*" else str(os.cpu_count() or 8)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert (sources.io.read_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conventions to an externally created
+    session (e.g. the verify driver's). Idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; AQE-off is correctness-neutral
+    return spark

@@ -1,0 +1,15 @@
+from oracle_vectorsearch_example_spark.sources.io import (
+    TABLES,
+    read_binary_files,
+    read_table,
+    validate_constraints,
+)
+from oracle_vectorsearch_example_spark.sources.registry import ModelRegistry
+
+__all__ = [
+    "TABLES",
+    "read_table",
+    "read_binary_files",
+    "validate_constraints",
+    "ModelRegistry",
+]

@@ -1,0 +1,112 @@
+"""Sources & sinks.
+
+- ``read_table``: parquet reader for the driver test tables, with the one
+  physical quirk handled centrally: ``events.ts`` is TIMESTAMP(NANOS) in
+  parquet, which Spark's reader rejects outright; we read it as long
+  (``spark.sql.legacy.parquet.nanosAsLong``) and convert ns→µs with integer
+  division — bit-identical to DuckDB's ns→µs truncation (verified).
+- ``read_binary_files``: the reference's external-file scan
+  (``BFILENAME``/``TO_BLOB``, 01_pdf_to_vector.sql:111-115) as Spark's
+  ``binaryFile`` source.
+- ``validate_constraints``: PK/FK/NOT NULL as violation-count queries —
+  Spark doesn't enforce constraints at write (SURVEY.md §1.3).
+- ``write_table``: parquet sink with optional partitioning; the reference's
+  per-statement COMMIT (01_pdf_to_vector.sql:116) maps to per-table job
+  atomicity, documented gap for multi-table transactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table; normalizes ``events.ts`` to TIMESTAMP (µs).
+
+    Sets the runtime-settable legacy conf + UTC session tz so behavior is
+    identical whether the session came from :func:`get_spark` or from the
+    external verify driver.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div (not float /): ns values ~1.7e18 overflow double's
+        # 53-bit mantissa and would corrupt microseconds.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register the test tables as temp views for the SQL API path."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """External binary-file scan (S1): ``binaryFile`` source.
+
+    Output columns ``path, modificationTime, length, content:binary`` — the
+    Spark shape of the reference's BFILENAME→TO_BLOB load
+    (01_pdf_to_vector.sql:111-115; directory object 01_init.sql:33-34).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` drives partition pruning downstream
+    (e.g. IVF assignment tables partitioned by cluster_id)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def validate_constraints(
+    df: DataFrame,
+    pk: list[str] | None = None,
+    not_null: list[str] | None = None,
+    fk: tuple[DataFrame, list[str], list[str]] | None = None,
+) -> dict[str, int]:
+    """Constraint checks as violation counts (0 == holds).
+
+    Mirrors the reference's declared-but-engine-enforced constraints:
+    PK (01_pdf_to_vector.sql:50, :75), FK (:76), NOT NULL (:51, :68).
+    """
+    out: dict[str, int] = {}
+    if pk:
+        dup = df.groupBy(*pk).count().filter(F.col("count") > 1)
+        out["pk_violations"] = dup.count()
+    for c in not_null or []:
+        out[f"null_{c}"] = df.filter(F.col(c).isNull()).count()
+    if fk is not None:
+        parent, child_cols, parent_cols = fk
+        cond = [df[c] == parent[p] for c, p in zip(child_cols, parent_cols)]
+        out["fk_violations"] = df.join(parent, cond, "left_anti").count()
+    return out

@@ -1,0 +1,13 @@
+from oracle_vectorsearch_example_spark.streaming.ingest import (
+    sessionized_counts_stream,
+    sliding_counts,
+    tumbling_counts,
+    tumbling_counts_stream,
+)
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "tumbling_counts_stream",
+    "sessionized_counts_stream",
+]

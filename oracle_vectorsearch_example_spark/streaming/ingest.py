@@ -1,0 +1,77 @@
+"""Structured Streaming ingestion (SURVEY.md §2.10).
+
+The reference has no streaming; this is the extension surface. Streaming is
+scoped to ingestion over event streams: watermarked tumbling/sliding
+windows, session windows, and dedup-within-watermark. The batch twins
+(same ``F.window`` on a static DataFrame) are what the DuckDB oracle
+checks — identical logical plans modulo the incremental execution, which is
+exactly Structured Streaming's contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(df: DataFrame, ts_col: str = "ts", width: str = "10 minutes") -> DataFrame:
+    """Batch twin of the streaming tumbling-window count (DQ-38)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), width).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str = "ts", width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Batch twin of the streaming sliding-window count (DQ-39)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def tumbling_counts_stream(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window count with late-data watermark; feed any
+    readStream source, write with ``writeStream`` (append/update)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionized_counts_stream(
+    stream_df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows (``F.session_window``) — the streaming twin
+    of operators.sessionize."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(key, F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_stream(stream_df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "30 minutes") -> DataFrame:
+    """Streaming dedup bounded by watermark state."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
