@@ -32,24 +32,60 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _bucket(tok: Column, dim: int) -> Column:
-    # int value of the first two md5 hex chars (0..255), mod dim.
-    return F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("int") % dim
+def _embed_batch(texts: "pd.Series", dim: int) -> "pd.Series":
+    """Vectorized hashing-embed of one Arrow batch (the frozen spec above).
+
+    Token md5s are memoized per batch — synthetic/web corpora repeat tokens
+    heavily, so the md5 count is ~distinct-tokens, not total-tokens.
+    """
+    import hashlib
+
+    import numpy as np
+
+    cache: dict[str, int] = {}
+
+    def bucket(tok: str) -> int:
+        b = cache.get(tok)
+        if b is None:
+            b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:2], 16) % dim
+            cache[tok] = b
+        return b
+
+    def embed(text: str | None) -> list[float]:
+        toks = (text or "").lower().split()
+        if not toks:
+            return [0.0] * dim
+        counts = np.bincount([bucket(t) for t in toks], minlength=dim).astype(np.float64)
+        nrm = float(np.sqrt((counts * counts).sum()))
+        return (counts / nrm).tolist() if nrm > 0 else counts.tolist()
+
+    return texts.map(embed)
 
 
 def hashing_embedding(text: Column, dim: int = 64) -> Column:
-    """Deterministic hashing embedding as a single column expression.
+    """Deterministic hashing embedding as an Arrow-batched pandas UDF.
 
     Returns array<double> of length ``dim``, L2-normalized.
+
+    Why a UDF and not column expressions: the histogram needs a per-token
+    fold, and Spark evaluates higher-order-function lambdas *interpreted*
+    (never whole-stage codegen) — a pure-expression formulation measured
+    ~0.4 s/row. Embedding is the engine's designated Python boundary anyway
+    (the production provider is ONNX inside a pandas UDF, mirroring the
+    reference's in-DB inference, 01_pdf_to_vector.sql:156-157); the hashing
+    double rides the same Arrow-batched fast path with numpy ``bincount``.
+
+    ``str.split()`` (any-whitespace, empties dropped) and
+    ``md5(token)[:2] as int mod dim`` keep the spec reproducible in SQL:
+    DuckDB ``('0x' || substr(md5(tok), 1, 2))::INT % dim``.
     """
-    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit(""))
-    buckets = F.transform(toks, lambda t: _bucket(t, dim))
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: F.size(F.filter(buckets, lambda b: b == d)).cast("double"),
-    )
-    nrm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x))
-    return F.when(nrm > 0, F.transform(counts, lambda x: x / nrm)).otherwise(counts)
+    dim_ = int(dim)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return _embed_batch(texts, dim_)
+
+    return _embed(text)
 
 
 class HashingEmbedder:

@@ -58,20 +58,23 @@ def search_text(
     spark = doc_chunks.sparkSession
     q = spark.createDataFrame([(i, t) for i, t in enumerate(query_texts)], "qid long, qtext string")
     q = q.withColumn("qvec", embedder.embed_col(F.col("qtext")))
+    # numeric composite key (doc_id · 2^20 + chunk_id): distance ties break on
+    # (doc_id, chunk_id) numerically — reproducible in plain SQL oracles,
+    # unlike a string key whose lexicographic order differs ("10:2" < "2:1").
     base = doc_chunks.withColumn(
         "__chunk_key",
-        F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")),
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")).cast("long"),
     )
     hits = topk_search(
         base, q, k=k, metric=metric, base_id="__chunk_key", base_vec="embedding",
         query_id="qid", query_vec="qvec",
     )
-    parts = F.split(F.col("__chunk_key"), ":")
+    key = F.col("__chunk_key")
     return hits.select(
         "qid",
         "rank",
-        parts.getItem(0).cast("long").alias("doc_id"),
-        parts.getItem(1).cast("int").alias("chunk_id"),
+        F.shiftright(key, 20).cast("long").alias("doc_id"),
+        (key % F.lit(1 << 20)).cast("int").alias("chunk_id"),
         "distance",
     )
 
