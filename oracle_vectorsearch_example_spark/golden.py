@@ -1,0 +1,1187 @@
+"""Golden query surface: every operator claim from SURVEY.md §2 as a pair
+(Spark DataFrame query, DuckDB-runnable ANSI-SQL oracle) over the driver's
+parquet tables. ``__spark_entry__.py`` re-exports QUERIES / ORACLE.
+
+Conventions that make the driver's order-insensitive value-hash match:
+
+- **Names**: every computed column is aliased identically on both sides.
+- **Integers**: Spark int outputs are cast to long; DuckDB counts/len are
+  already BIGINT (``CAST`` added where DuckDB would widen to HUGEINT).
+- **Floats**: never hash a naively summed double. Sums of fractional
+  doubles go through ``DECIMAL(18, 4..6)`` (exact accumulation, identical
+  in both engines), are rounded, then cast back to double. Sums of
+  integer-valued doubles (quantities) are exact in double and left alone.
+  Pure per-row double arithmetic (distances, ratios) is deterministic
+  IEEE math in both engines; rounded to 6 dp only to absorb engine
+  differences in the last ulp of multi-term folds.
+- **Timestamps**: formatted to strings (`yyyy-MM-dd HH:mm:ss`) at the
+  output boundary; all sessions run in UTC.
+- **Ties**: every rank/top-k orders by a unique key suffix so both
+  engines agree on the surviving rows.
+
+The reference executes its pipeline as SQL over Oracle's engine
+(scripts/01_pdf_to_vector.sql); this module is the analogous declared-SQL
+contract for the Spark engine, checked against DuckDB at sf=0.01.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_words
+from oracle_vectorsearch_example_spark.functions.distances import (
+    cosine_distance,
+    dot_product,
+    l1_distance,
+    l2_distance,
+)
+from oracle_vectorsearch_example_spark.functions.embedding import HashingEmbedder, hashing_embedding
+from oracle_vectorsearch_example_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    ws_token_count,
+)
+from oracle_vectorsearch_example_spark.functions.vectors import parse_vector
+from oracle_vectorsearch_example_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_neardup_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
+from oracle_vectorsearch_example_spark.operators.search import topk_search
+from oracle_vectorsearch_example_spark.operators.sessionize import session_stats
+from oracle_vectorsearch_example_spark.plans.pipeline import ingest_documents, search_text
+from oracle_vectorsearch_example_spark.sources.io import read_table
+from oracle_vectorsearch_example_spark.streaming.ingest import sliding_counts, tumbling_counts
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def golden(name: str, sql: str | None = None):
+    def dec(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return dec
+
+
+def _dec_sum(col: str, scale: int = 4, round_to: int = 2) -> F.Column:
+    """Exact decimal sum of a double column, rounded, back to double."""
+    return F.round(F.sum(F.col(col).cast(f"decimal(18,{scale})")), round_to).cast("double")
+
+
+def _sql_dec_sum(col: str, scale: int = 4, round_to: int = 2) -> str:
+    return f"CAST(round(sum(CAST({col} AS DECIMAL(18,{scale}))), {round_to}) AS DOUBLE)"
+
+
+def _ts_str(col) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# DuckDB fragments. Spark's words_of splits trim(text) on \s+ and drops
+# empties; tokens() additionally lowercases.
+_SQL_WORDS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+_SQL_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+_SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------- scans (S11)
+@golden("scan_region", "SELECT * FROM region")
+def q_scan_region(spark, sf):
+    """Parquet scan, full projection (DQ-02; scan surface S11)."""
+    return read_table(spark, sf, "region")
+
+
+# ------------------------------------------------------- projection / filter
+@golden(
+    "projection",
+    """
+    SELECT doc_id, upper(lang) AS lang_u, n_chars * 2 AS n_chars_x2,
+           source FROM documents
+    """,
+)
+def q_projection(spark, sf):
+    """Projection/rename/compute (DQ-03; P1, 01_pdf_to_vector.sql:133-144)."""
+    return read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        (F.col("n_chars") * 2).alias("n_chars_x2"),
+        "source",
+    )
+
+
+@golden(
+    "filter_agg",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {_sql_dec_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_filter_agg(spark, sf):
+    """Predicate surface (DQ-04; P2): range + conjunction, pushed to scan."""
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24))
+        .agg(F.count("*").alias("n"), _dec_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
+# ------------------------------------------------------------ lateral shapes
+@golden(
+    "explode_words",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, least(2, len(words) - 1))) AS BIGINT) AS pos,
+           words[unnest(generate_series(0, least(2, len(words) - 1))) + 1] AS word
+    FROM w WHERE len(words) > 0
+    """,
+)
+def q_explode_words(spark, sf):
+    """Lateral/generator shape (DQ-05; J1): first 3 words per doc via
+    posexplode — Spark's lateral-table-function equivalent."""
+    docs = read_table(spark, sf, "documents")
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
+    return (
+        docs.select("doc_id", F.posexplode(F.slice(words, 1, 3)).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+    )
+
+
+@golden(
+    "json_shred",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+    """,
+)
+def q_json_shred(spark, sf):
+    """JSON shredding (DQ-06; J2/F4 — the JSON_TABLE analog,
+    01_pdf_to_vector.sql:249-256)."""
+    ev = read_table(spark, sf, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+# --------------------------------------------------------------------- joins
+@golden(
+    "fk_violations",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS violations FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def q_fk_violations(spark, sf):
+    """FK containment as anti-join (DQ-07; J3, 01_pdf_to_vector.sql:76)."""
+    li, orders = read_table(spark, sf, "lineitem"), read_table(spark, sf, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+    )
+
+
+@golden(
+    "anti_join",
+    """
+    SELECT s_suppkey FROM supplier s
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    """,
+)
+def q_anti_join(spark, sf):
+    """Anti-join / set difference on keys (DQ-08; J4, drop_models.py:121-122)."""
+    s, li = read_table(spark, sf, "supplier"), read_table(spark, sf, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_anti").select("s_suppkey")
+
+
+@golden(
+    "join_agg",
+    f"""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           {_sql_dec_sum('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_agg(spark, sf):
+    """Inner equi-join + aggregation (DQ-09; J5). customer is the small
+    side — broadcast explicitly, the 100 TB-safe shape."""
+    o, c = read_table(spark, sf, "orders"), read_table(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), _dec_sum("o_totalprice").alias("sum_price"))
+    )
+
+
+@golden(
+    "left_join_zero_orders",
+    """
+    SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL GROUP BY c.c_nationkey
+    """,
+)
+def q_left_join(spark, sf):
+    """Left-outer join, null-probe filter (DQ-10; J6)."""
+    c, o = read_table(spark, sf, "customer"), read_table(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@golden(
+    "semi_join",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q_semi_join(spark, sf):
+    """Left-semi join (DQ-11; J7)."""
+    c, o = read_table(spark, sf, "customer"), read_table(spark, sf, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "F"), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@golden(
+    "cross_join",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_cross_join(spark, sf):
+    """Bounded cross join (DQ-12; J8)."""
+    r, n = read_table(spark, sf, "region"), read_table(spark, sf, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@golden(
+    "range_join",
+    """
+    SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    GROUP BY e1.user_id
+    """,
+)
+def q_range_join(spark, sf):
+    """Range join (DQ-13; J9): equi-key shuffle + interval post-filter."""
+    ev = read_table(spark, sf, "events")
+    pairs = range_join(
+        ev.select("user_id", "ts"),
+        ev.select("user_id", "ts"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 5 MINUTES",
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@golden(
+    "asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+         r AS (SELECT user_id, ts, max(value) AS value FROM events
+               WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT l.event_id, r.value AS asof_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def q_asof_join(spark, sf):
+    """As-of join (J9 ext): latest click value at or before each view,
+    per user. One shuffle on (key, ts) via the union+window plan."""
+    ev = read_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    j = asof_join(views, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"])
+    return j.select("event_id", F.col("asof_value"))
+
+
+# -------------------------------------------------------------- aggregations
+@golden(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           {_sql_dec_sum('l_extendedprice')} AS sum_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf):
+    """Hash group-by aggregation (DQ-15; A1) — TPC-H Q1 shape. Partial
+    (map-side) aggregation is automatic; quantities are integer-valued so
+    their double sum is exact, price goes through decimal."""
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        _dec_sum("l_extendedprice").alias("sum_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+@golden(
+    "count_distinct",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct(spark, sf):
+    """Exact distinct aggregation (DQ-16; A2)."""
+    ev = read_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@golden(
+    "rollup",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           {_sql_dec_sum('o_totalprice')} AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark, sf):
+    """Rollup with grouping id (DQ-18; A4)."""
+    o = read_table(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        _dec_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@golden(
+    "cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf):
+    """Cube aggregation (A4 ext)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@golden(
+    "collect_sorted_words",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents WHERE doc_id <= 20)
+    SELECT doc_id, array_to_string(list_sort(words), '|') AS words_sorted FROM w
+    """,
+)
+def q_collect_sorted(spark, sf):
+    """Deterministic re-nesting (DQ-19; A5): sorted word array per doc —
+    the inverse of the chunk explode (J1)."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") <= 20)
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
+    return docs.select(
+        "doc_id", F.array_join(F.array_sort(words), "|").alias("words_sorted")
+    )
+
+
+# ------------------------------------------------------------------- windows
+@golden(
+    "window_funcs",
+    f"""
+    SELECT o_orderkey,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+           strftime(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey), '{_SQL_TS_FMT}') AS prev_date,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll_sum
+    FROM orders
+    """,
+)
+def q_window_funcs(spark, sf):
+    """Ranking, analytic, frame aggregate windows (DQ-21; §2.5)."""
+    o = read_table(spark, sf, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = by_date.rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        F.rank().over(by_price).cast("long").alias("rnk"),
+        _ts_str(F.lag("o_orderdate").over(by_date)).alias("prev_date"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(frame), 2)
+        .cast("double")
+        .alias("roll_sum"),
+    )
+
+
+@golden(
+    "chunk_ids",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    n AS (SELECT doc_id, words,
+                 CASE WHEN len(words) <= 0 THEN 0
+                      ELSE greatest(1, (len(words) - 5 + 14) // 15) END AS n_chunks
+          FROM w),
+    k AS (SELECT doc_id, words, unnest(generate_series(0, n_chunks - 1)) AS k
+          FROM n WHERE n_chunks > 0)
+    SELECT doc_id, CAST(k + 1 AS BIGINT) AS chunk_id,
+           CAST(len(array_to_string(list_slice(words, k * 15 + 1, k * 15 + 20), ' '))
+                AS BIGINT) AS chunk_len
+    FROM k
+    """,
+)
+def q_chunk_ids(spark, sf):
+    """1-based contiguous chunk ids (DQ-20; §2.5 — the chunk_id sequence of
+    01_pdf_to_vector.sql:69)."""
+    docs = read_table(spark, sf, "documents")
+    ch = chunk_by_words(docs, max_words=20, overlap=5)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_length").cast("long").alias("chunk_len"),
+    )
+
+
+# ------------------------------------------------------------- sorts / top-k
+@golden(
+    "topk_rows",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def q_topk_rows(spark, sf):
+    """Global top-k (DQ-22; §2.6) — optimizes to TakeOrderedAndProject,
+    no full sort at any scale."""
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- set ops
+@golden(
+    "union_all",
+    """
+    SELECT nk, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk
+    """,
+)
+def q_union_all(spark, sf):
+    """Union-all (DQ-23; §2.7)."""
+    c, s = read_table(spark, sf, "customer"), read_table(spark, sf, "supplier")
+    u = c.select(F.col("c_nationkey").alias("nk")).unionAll(
+        s.select(F.col("s_nationkey").alias("nk"))
+    )
+    return u.groupBy("nk").agg(F.count("*").alias("n"))
+
+
+@golden(
+    "intersect_keys",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_intersect(spark, sf):
+    """Set intersection (DQ-24; §2.7)."""
+    c, s = read_table(spark, sf, "customer"), read_table(spark, sf, "supplier")
+    return c.select(F.col("c_nationkey").alias("nk")).intersect(
+        s.select(F.col("s_nationkey").alias("nk"))
+    )
+
+
+@golden(
+    "except_keys",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 6000
+    """,
+)
+def q_except(spark, sf):
+    """Set difference (DQ-25; §2.7 — the orphan-models shape,
+    drop_models.py:121-122): nations with customers but no wealthy
+    supplier. ``subtract`` is SQL EXCEPT (set semantics)."""
+    c, s = read_table(spark, sf, "customer"), read_table(spark, sf, "supplier")
+    return c.select(F.col("c_nationkey").alias("nk")).subtract(
+        s.filter(F.col("s_acctbal") > 6000).select(F.col("s_nationkey").alias("nk"))
+    )
+
+
+# ------------------------------------------------------------ scalar functions
+@golden(
+    "parse_vector",
+    """
+    SELECT doc_id,
+           CAST(concat('[', doc_id, '.25, ', n_chars, '.5]') AS DOUBLE[])[1]
+           + CAST(concat('[', doc_id, '.25, ', n_chars, '.5]') AS DOUBLE[])[2]
+           AS vec_sum
+    FROM documents
+    """,
+)
+def q_parse_vector(spark, sf):
+    """TO_VECTOR analog (DQ-26; F1, 01_pdf_to_vector.sql:141-144): JSON
+    array string → vector; values exact in double (x.25 / x.5)."""
+    docs = read_table(spark, sf, "documents")
+    s = F.concat(F.lit("["), F.col("doc_id"), F.lit(".25, "), F.col("n_chars"), F.lit(".5]"))
+    v = parse_vector(s)
+    return docs.select(
+        "doc_id", (F.element_at(v, 1) + F.element_at(v, 2)).alias("vec_sum")
+    )
+
+
+@golden(
+    "strings",
+    r"""
+    SELECT p_partkey, upper(substr(p_name, 1, 5)) AS head,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, '#', p_type) AS brand_type,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+    FROM part
+    """,
+)
+def q_strings(spark, sf):
+    """String scalar surface (DQ-32; F8)."""
+    p = read_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 5)).alias("head"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+    )
+
+
+@golden(
+    "dates",
+    f"""
+    SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           strftime(date_trunc('month', o_orderdate), '{_SQL_TS_FMT}') AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-06-01') AS BIGINT)
+               AS days_to_cut
+    FROM orders
+    """,
+)
+def q_dates(spark, sf):
+    """Date/time scalar surface (DQ-33; F8)."""
+    o = read_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        _ts_str(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        F.datediff(F.lit("1995-06-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_cut"),
+    )
+
+
+@golden(
+    "math",
+    """
+    SELECT c_custkey, round(c_acctbal, 1) AS bal_r,
+           abs(c_acctbal) AS bal_abs,
+           round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+           round(ln(abs(c_acctbal) + 1.0), 6) AS bal_ln
+    FROM customer
+    """,
+)
+def q_math(spark, sf):
+    """Math scalar surface (DQ-34; F8)."""
+    c = read_table(spark, sf, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(bal, 1).alias("bal_r"),
+        F.abs(bal).alias("bal_abs"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1.0), 6).alias("bal_ln"),
+    )
+
+
+@golden(
+    "arrays",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents)
+    SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+           array_to_string(list_slice(words, 1, 5), ' ') AS first5,
+           list_contains(words, 'the') AS has_the,
+           array_to_string(list_slice(list_sort(words), 1, 3), '|') AS sorted3
+    FROM w
+    """,
+)
+def q_arrays(spark, sf):
+    """Array scalar surface (DQ-35; F8)."""
+    docs = read_table(spark, sf, "documents")
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.array_join(F.slice(words, 1, 5), " ").alias("first5"),
+        F.array_contains(words, "the").alias("has_the"),
+        F.array_join(F.slice(F.array_sort(words), 1, 3), "|").alias("sorted3"),
+    )
+
+
+# --------------------------------------------------- document pipeline (D2)
+_CHUNK_SQL = f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents WHERE doc_id < 50),
+    n AS (SELECT doc_id, words,
+                 CASE WHEN len(words) <= 0 THEN 0
+                      ELSE greatest(1, (len(words) - 5 + 14) // 15) END AS n_chunks
+          FROM w),
+    k AS (SELECT doc_id, words, unnest(generate_series(0, n_chunks - 1)) AS k
+          FROM n WHERE n_chunks > 0)
+    SELECT doc_id,
+           CAST(k + 1 AS BIGINT) AS chunk_id,
+           CAST(CASE WHEN k = 0 THEN 0
+                ELSE len(array_to_string(list_slice(words, 1, k * 15), ' ')) + 1
+                END AS BIGINT) AS chunk_offset,
+           CAST(len(array_to_string(list_slice(words, k * 15 + 1, k * 15 + 20), ' '))
+                AS BIGINT) AS chunk_length,
+           array_to_string(list_slice(words, k * 15 + 1, k * 15 + 20), ' ') AS chunk_text
+    FROM k
+"""
+
+
+@golden("chunker_conformance", _CHUNK_SQL)
+def q_chunker(spark, sf):
+    """Full chunker spec (DQ-36; D2 — UTL_TO_CHUNKS analog with the frozen
+    word-window spec, 01_pdf_to_vector.sql:188-240): max=20 words,
+    overlap=5, on 50 fixed docs."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    ch = chunk_by_words(docs, max_words=20, overlap=5)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+        F.col("chunk_length").cast("long").alias("chunk_length"),
+        "chunk_text",
+    )
+
+
+_EMBED_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents WHERE doc_id < 10
+    ), b AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 2))::INTEGER % 64 AS bucket FROM toks
+    ), c AS (
+      SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt FROM b GROUP BY doc_id, bucket
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(64 AS BIGINT) AS dim,
+           round(coalesce(max(CASE WHEN bucket = 0 THEN cnt END), 0) / max(nrm.nrm), 6) AS c0,
+           round(coalesce(max(CASE WHEN bucket = 1 THEN cnt END), 0) / max(nrm.nrm), 6) AS c1,
+           round(coalesce(max(CASE WHEN bucket = 2 THEN cnt END), 0) / max(nrm.nrm), 6) AS c2
+    FROM c JOIN nrm ON c.doc_id = nrm.doc_id GROUP BY c.doc_id
+"""
+
+
+@golden("embed_double", _EMBED_SQL)
+def q_embed_double(spark, sf):
+    """Deterministic hashing embedder (DQ-27; F6/D3 — VECTOR_EMBEDDING
+    test double, SURVEY.md §5.2): dim + first three components on 10 docs."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 10)
+    v = hashing_embedding(F.col("text"), 64)
+    d = docs.select("doc_id", v.alias("v"))
+    return d.select(
+        "doc_id",
+        F.size("v").cast("long").alias("dim"),
+        F.round(F.element_at("v", 1), 6).alias("c0"),
+        F.round(F.element_at("v", 2), 6).alias("c1"),
+        F.round(F.element_at("v", 3), 6).alias("c2"),
+    )
+
+
+# --------------------------------------------------------- vector distances
+_DIST_SQL = """
+    WITH pairs AS (
+      SELECT a.vec_id, CAST(a.embedding AS DOUBLE[]) AS va, CAST(b.embedding AS DOUBLE[]) AS vb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 100
+    ), comps AS (
+      SELECT vec_id, unnest(va) AS x, unnest(vb) AS y FROM pairs
+    ), s AS (
+      SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS aa, sum(y * y) AS bb,
+             sum((x - y) * (x - y)) AS sq, sum(abs(x - y)) AS l1
+      FROM comps GROUP BY vec_id
+    )
+    SELECT vec_id,
+           round(1.0 - dot / (sqrt(aa) * sqrt(bb)), 6) AS cos_dist,
+           round(sqrt(sq), 6) AS l2_dist,
+           round(dot, 6) AS dot_prod,
+           round(l1, 6) AS l1_dist
+    FROM s
+"""
+
+
+@golden("vector_distances", _DIST_SQL)
+def q_vector_distances(spark, sf):
+    """All four VECTOR_DISTANCE metrics (DQ-28..31; F7,
+    01_pdf_to_vector.sql:86-92) between consecutive fixture vectors."""
+    e = read_table(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("va")).filter(F.col("vec_id") < 100)
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb"))
+    j = a.join(b, "vec_id")
+    va, vb = F.col("va"), F.col("vb")
+    return j.select(
+        "vec_id",
+        F.round(cosine_distance(va, vb), 6).alias("cos_dist"),
+        F.round(l2_distance(va, vb), 6).alias("l2_dist"),
+        F.round(dot_product(va, vb), 6).alias("dot_prod"),
+        F.round(l1_distance(va, vb), 6).alias("l1_dist"),
+    )
+
+
+_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, b.vec_id,
+             1.0 - list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv) AS dist
+      FROM embeddings b CROSS JOIN q WHERE b.vec_id <> q.qid
+    )
+    SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS BIGINT)
+               AS rank, vec_id
+    FROM scored QUALIFY rank <= 5
+"""
+
+
+@golden("vector_topk_exact", _TOPK_SQL)
+def q_vector_topk(spark, sf):
+    """Exact vector top-k (DQ-14; J10 — the query the reference's vector
+    index serves, 01_pdf_to_vector.sql:84-97): k=5 cosine neighbors for 10
+    fixed query vectors, self excluded."""
+    e = read_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = topk_search(e, q, k=5, metric="cosine", exclude_self=True)
+    return hits.select("qid", "rank", "vec_id")
+
+
+# --------------------------------------------------------- streaming twins
+@golden(
+    "tumbling_window",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts, TIMESTAMP '1970-01-01'),
+                    '{_SQL_TS_FMT}') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_sql_dec_sum('value', 6, 4)} AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_tumbling(spark, sf):
+    """Tumbling window counts (DQ-38; §2.10) — batch twin of the
+    streaming ingestion query."""
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), _dec_sum("value", 6, 4).alias("sum_value"))
+        .select(_ts_str(F.col("w.start")).alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@golden(
+    "sliding_window",
+    f"""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts, TIMESTAMP '1970-01-01')
+             - unnest([INTERVAL '0 minutes', INTERVAL '5 minutes']) AS ws
+      FROM events
+    )
+    SELECT strftime(ws, '{_SQL_TS_FMT}') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM slid GROUP BY 1
+    """,
+)
+def q_sliding(spark, sf):
+    """Sliding window counts (DQ-39; §2.10): width 10 min, slide 5 min —
+    every event lands in exactly two windows."""
+    ev = read_table(spark, sf, "events")
+    s = sliding_counts(ev, width="10 minutes", slide="5 minutes")
+    return s.select(_ts_str(F.col("window_start")).alias("window_start"), "n_events")
+
+
+@golden(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), tagged AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
+    FROM tagged GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf):
+    """Batch sessionization (DQ-40; gaps-and-islands, 30-min gap)."""
+    ev = read_table(spark, sf, "events")
+    return session_stats(ev, key="user_id", ts_col="ts", gap_minutes=30.0)
+
+
+# ------------------------------------------------------------- dedup family
+@golden(
+    "exact_dedup",
+    r"""
+    SELECT min(doc_id) AS doc_id FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    """,
+)
+def q_exact_dedup(spark, sf):
+    """Exact dedup (DQ-41; X1): sha2-keyed keep-lowest-id survivors."""
+    docs = read_table(spark, sf, "documents")
+    return exact_dedup(docs).select("doc_id")
+
+
+_JACCARD_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, unnest(generate_series(1, len(t) - 2)),
+                             unnest(generate_series(1, len(t) - 2)) + 2), ' ') AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+"""
+
+
+@golden("jaccard_neardup", _JACCARD_SQL)
+def q_jaccard_neardup(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs (DQ-42 ground truth; X2):
+    3-shingles, threshold 0.2, collision-free string shingles."""
+    docs = read_table(spark, sf, "documents")
+    pairs = jaccard_neardup_pairs(docs, threshold=0.2, shingle_n=3, hashed=False)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_MINHASH_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, unnest(generate_series(1, len(t) - 2)),
+                             unnest(generate_series(1, len(t) - 2)) + 2), ' ') AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), ints AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS shingle FROM grams
+    ), seeded AS (
+      SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM ints
+    ), sig AS (
+      SELECT doc_id, seed,
+             min((shingle * (2 * seed + 3) + 1009 * seed) % 4294967311) AS minhash
+      FROM seeded GROUP BY doc_id, seed
+    ), banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(array_to_string(list_sort(list(concat(seed, ':', minhash))), ',')) AS band_hash
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+@golden("minhash_lsh", _MINHASH_SQL)
+def q_minhash_lsh(spark, sf):
+    """SQL-native MinHash + banded LSH candidate pairs (X2): 16 hashes,
+    4 bands — deterministic, equi-join on (band, band_hash)."""
+    docs = read_table(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+
+
+# ---------------------------------------------------------------- text stats
+@golden(
+    "text_stats",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf):
+    """Corpus stats per language (DQ-43; X3)."""
+    docs = read_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_DOCSTATS_SQL = rf"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+             list_transform({_SQL_TOKENS},
+                            s -> regexp_replace(s, '[.!?,;:]', '', 'g')) AS clean
+      FROM documents WHERE doc_id < 50
+    ), m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tok,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+             len(list_filter(clean, t -> list_contains(['the','and','of','to','a'], t)))
+                 AS en_hits,
+             len(list_filter(clean, t -> list_contains(['el','la','de','y','que'], t)))
+                 AS es_hits,
+             len(list_filter(clean, t -> list_contains(
+                 ['the','and','of','to','a','el','la','de','y','que'], t))) AS stop_hits,
+             len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+             length(text) AS n_char,
+             list_sum(list_transform(toks, t -> length(t))) AS tok_chars
+      FROM base
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS ws_tokens, CAST(n_bpe AS BIGINT) AS bpe_tokens,
+           substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+               AS fp,
+           CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits > 0 THEN 'es' ELSE 'unk' END AS lang_guess,
+           round(0.4 * least((CASE WHEN n_tok > 0
+                                   THEN CAST(tok_chars AS DOUBLE) / n_tok ELSE 0 END) / 8.0,
+                             1.0)
+                 + 0.3 * (CASE WHEN n_tok > 0
+                               THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0 END)
+                 + 0.3 * (1.0 - least(CASE WHEN n_char > 0
+                                           THEN CAST(n_punct AS DOUBLE) / n_char
+                                           ELSE 0 END, 1.0)), 6) AS quality
+    FROM m
+"""
+
+
+@golden("doc_stats", _DOCSTATS_SQL)
+def q_doc_stats(spark, sf):
+    """Per-document text analysis (X3): token counts, fingerprint,
+    language-ID heuristic, composite quality score."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ws_token_count(t).alias("ws_tokens"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+        fingerprint(t).alias("fp"),
+        lang_id(t).alias("lang_guess"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+@golden(
+    "simhash_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents WHERE doc_id < 50
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+    ), bits AS (
+      SELECT doc_id, j,
+             CASE WHEN sum(((th >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS j) js
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS sh
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_simhash(spark, sf):
+    """60-bit SimHash fingerprints (X2 family) on 50 fixed docs."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", simhash(F.col("text"), 60).alias("sh"))
+
+
+# ------------------------------------------------------- multimodal / binary
+@golden(
+    "binary_stats",
+    """
+    SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS byte_len,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q_binary_stats(spark, sf):
+    """JVM-side binary column ops (X4): byte length + digest over an
+    opaque payload column (documents text re-encoded as bytes — ASCII, so
+    char length == byte length in the oracle)."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import binary_stats
+
+    docs = read_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_stats(media)
+
+
+@golden(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           substr(sha256(text), 1, 16) AS digest,
+           CAST(16 + ('0x' || substr(sha256(text), 1, 2))::INTEGER % 240 AS INTEGER) AS width,
+           CAST(16 + ('0x' || substr(sha256(text), 3, 2))::INTEGER % 240 AS INTEGER) AS height
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_multimodal_features(spark, sf):
+    """Multimodal decode plumbing (X4): Arrow-batched mapInPandas feature
+    extraction over binary payloads; decode itself is the deterministic
+    stub (sha256-derived dims), per the no-media-libs environment."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import extract_media_features
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast(
+            "struct<mime:string,width:int,height:int,duration_ms:bigint>"
+        ).alias("meta"),
+    )
+    feats = extract_media_features(media, decode="fake")
+    return feats.select("media_id", "kind", "byte_len", "digest", "width", "height")
+
+
+# ----------------------------------------------- flagship: ingest + search
+_FLAGSHIP_QUERIES = [
+    "fast key order sort merge",
+    "stream batch window dup",
+    "customer line value table",
+]
+
+_FLAGSHIP_SQL = f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    n AS (SELECT doc_id, words,
+                 CASE WHEN len(words) <= 0 THEN 0
+                      ELSE greatest(1, (len(words) - 10 + 89) // 90) END AS n_chunks
+          FROM w),
+    ch AS (SELECT doc_id, words, unnest(generate_series(0, n_chunks - 1)) AS k
+           FROM n WHERE n_chunks > 0),
+    chunks AS (SELECT doc_id, CAST(k + 1 AS INTEGER) AS chunk_id,
+                      array_to_string(list_slice(words, k * 90 + 1, k * 90 + 100), ' ')
+                          AS chunk_text
+               FROM ch),
+    ctok AS (SELECT doc_id, chunk_id,
+                    unnest(list_filter(string_split_regex(lower(trim(chunk_text)), '\\s+'),
+                           x -> x <> '')) AS tok
+             FROM chunks),
+    cbuck AS (SELECT doc_id, chunk_id,
+                     ('0x' || substr(md5(tok), 1, 2))::INTEGER % 64 AS bucket,
+                     CAST(count(*) AS DOUBLE) AS cnt
+              FROM ctok GROUP BY doc_id, chunk_id, bucket),
+    cnrm AS (SELECT doc_id, chunk_id, sqrt(sum(cnt * cnt)) AS nrm
+             FROM cbuck GROUP BY doc_id, chunk_id),
+    q(qid, qtext) AS (VALUES (0, '{_FLAGSHIP_QUERIES[0]}'),
+                             (1, '{_FLAGSHIP_QUERIES[1]}'),
+                             (2, '{_FLAGSHIP_QUERIES[2]}')),
+    qtok AS (SELECT qid, unnest(list_filter(string_split_regex(lower(trim(qtext)), '\\s+'),
+                    x -> x <> '')) AS tok
+             FROM q),
+    qbuck AS (SELECT qid, ('0x' || substr(md5(tok), 1, 2))::INTEGER % 64 AS bucket,
+                     CAST(count(*) AS DOUBLE) AS cnt
+              FROM qtok GROUP BY qid, bucket),
+    qnrm AS (SELECT qid, sqrt(sum(cnt * cnt)) AS nrm FROM qbuck GROUP BY qid),
+    dots AS (SELECT c.doc_id, c.chunk_id, qb.qid, sum(c.cnt * qb.cnt) AS dot
+             FROM cbuck c JOIN qbuck qb ON c.bucket = qb.bucket
+             GROUP BY c.doc_id, c.chunk_id, qb.qid),
+    scored AS (
+      SELECT qn.qid, cn.doc_id, cn.chunk_id,
+             1.0 - coalesce(d.dot, 0) / (cn.nrm * qn.nrm) AS dist
+      FROM cnrm cn CROSS JOIN qnrm qn
+      LEFT JOIN dots d ON d.doc_id = cn.doc_id AND d.chunk_id = cn.chunk_id
+                      AND d.qid = qn.qid
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY dist, doc_id * 1048576 + chunk_id) AS BIGINT) AS rank,
+           doc_id, CAST(chunk_id AS INTEGER) AS chunk_id
+    FROM scored QUALIFY rank <= 5
+"""
+
+
+@golden("flagship_search", _FLAGSHIP_SQL)
+def q_flagship(spark, sf):
+    """EP1 + EP3 end-to-end (SURVEY.md §3): documents → chunk(100/10) →
+    hashing-embed → cosine top-5 chunks for 3 query strings — the whole
+    reference pipeline (01_pdf_to_vector.sql:121-128 + models/README.md:40)
+    as one lazy DataFrame."""
+    docs = read_table(spark, sf, "documents")
+    dc = ingest_documents(docs)
+    hits = search_text(dc, _FLAGSHIP_QUERIES, k=5)
+    return hits.select("qid", "rank", "doc_id", "chunk_id")
+
+
+# ---------------------------------------- approx / ANN (no SQL oracle — the
+# driver records the weaker rows-only check; SURVEY.md §5: never hash-check
+# approximate operators)
+@golden("approx_count_distinct")
+def q_approx_count_distinct(spark, sf):
+    """HLL++ approximate distinct (DQ-17*; A3) — tolerance-only."""
+    ev = read_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@golden("ivf_search")
+def q_ivf_search(spark, sf):
+    """IVF ANN search (DQ-37*; D5 — the NEIGHBOR PARTITIONS index analog,
+    01_pdf_to_vector.sql:93-97): KMeans clusters + nprobe-pruned exact
+    re-rank. Recall vs exact is gated in tests, not hash-checked."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    e = read_table(spark, sf, "embeddings")
+    idx = IvfIndex.build(e, n_clusters=16, seed=42)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return idx.search(q, k=10, nprobe=4, exclude_self=True).select("qid", "rank", "vec_id")

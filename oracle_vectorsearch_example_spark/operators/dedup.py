@@ -47,9 +47,9 @@ def exact_dedup(
 
 
 def _shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram strings of lower(text)."""
+    """Distinct word n-gram strings of lower(text): m tokens → m-n+1 grams."""
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit(""))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 1)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
@@ -62,12 +62,18 @@ def _shingle_int(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
-def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """One row per (id, distinct shingle int)."""
-    return df.select(
+def shingle_df(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, hashed: bool = True
+) -> DataFrame:
+    """One row per (id, distinct shingle). ``hashed=True`` maps each shingle
+    to a 32-bit int (the MinHash input); ``hashed=False`` keeps the raw
+    shingle string — collision-free, for exact-Jaccard paths."""
+    sh = df.select(
         F.col(id_col),
         F.explode(_shingles(F.col(text_col), n)).alias("__shingle"),
-    ).select(F.col(id_col), _shingle_int(F.col("__shingle")).alias("shingle"))
+    )
+    key = _shingle_int(F.col("__shingle")) if hashed else F.col("__shingle")
+    return sh.select(F.col(id_col), key.alias("shingle"))
 
 
 def minhash_signatures(
@@ -137,13 +143,12 @@ def mllib_minhash_pairs(
     by tolerance (precision/recall vs jaccard_neardup_pairs), not by hash."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit(""))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)) - 1)
-    grams = F.when(
-        F.size(toks) >= shingle_n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " ")),
-    ).otherwise(F.array(F.lit("")))
-    feat = df.select(F.col(id_col), F.array_distinct(grams).alias("__grams"))
+    sh = _shingles(F.col(text_col), shingle_n)
+    # HashingTF needs ≥1 term; shingle-less docs get a sentinel empty gram
+    feat = df.select(
+        F.col(id_col),
+        F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit(""))).alias("__grams"),
+    )
     tf = HashingTF(inputCol="__grams", outputCol="__features", numFeatures=num_features, binary=True)
     vecs = tf.transform(feat)
     lsh = MinHashLSH(inputCol="__features", outputCol="__hashes", numHashTables=num_hashes, seed=42)
@@ -165,10 +170,11 @@ def jaccard_neardup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_n: int = 3,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold, via shingle equi-join:
     |A∩B| from the join, |A|,|B| from per-doc counts, J = c/(|A|+|B|−c)."""
-    sh = shingle_df(df, text_col, id_col, shingle_n)
+    sh = shingle_df(df, text_col, id_col, shingle_n, hashed=hashed)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
