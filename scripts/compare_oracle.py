@@ -7,33 +7,13 @@ Prints one line per query: PASS / FAIL with a diff sample.
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def normalize(rows, cols):
-    """Rows → sorted list of value-tuples with columns sorted by name,
-    floats repr'd (exact — the driver hashes exact values)."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def norm(v):
-        if v is None:
-            return "\0NULL"
-        if isinstance(v, bool):
-            return f"b:{v}"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "f:nan"
-            return f"f:{v!r}"
-        if isinstance(v, int):
-            return f"i:{v}"
-        return f"s:{v}"
-
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+from oracle_vectorsearch_example_spark.testing import normalize  # noqa: E402
 
 
 def main():

@@ -1,0 +1,85 @@
+"""Chunker spec tests — mirrors the reference's chunking contract
+(01_pdf_to_vector.sql:209-238): bounded sizes, exact overlap, 1-based
+contiguous ids, monotone offsets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.chunker import (
+    chunk_by_chars,
+    chunk_by_sentences_udf,
+    chunk_by_words,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "one two three four five six seven eight nine ten eleven twelve"),
+        (2, "single"),
+        (3, ""),
+        (4, "   "),
+        (5, " spaced   out   words here  "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_chunks_spec(spark, docs):
+    out = chunk_by_words(docs, max_words=5, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty/whitespace docs emit no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+    # doc 2: one word -> one chunk
+    assert [r.chunk_text for r in by_doc[2]] == ["single"]
+    # doc 1: 12 words, stride 3 -> ceil((12-2)/3) = 4 chunks
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in chunks] == [1, 2, 3, 4]
+    texts = [r.chunk_text.split() for r in chunks]
+    assert all(len(t) <= 5 for t in texts)
+    # overlap: chunk k starts 3 words after chunk k-1
+    words = "one two three four five six seven eight nine ten eleven twelve".split()
+    for i, t in enumerate(texts):
+        assert t == words[i * 3 : i * 3 + 5]
+    # offsets are char positions in the space-normalized text
+    norm = " ".join(words)
+    for r in chunks:
+        assert norm[r.chunk_offset : r.chunk_offset + r.chunk_length] == r.chunk_text
+
+
+def test_word_chunker_normalizes_whitespace(docs):
+    out = chunk_by_words(docs.filter(F.col("doc_id") == 5), max_words=3, overlap=1).collect()
+    assert out[0].chunk_text == "spaced out words"
+
+
+def test_char_chunks_spec(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    out = sorted(chunk_by_chars(df, max_chars=4, overlap_chars=1).collect(),
+                 key=lambda r: r.chunk_id)
+    # stride 3: ceil((10-1)/3) = 3 chunks cover all 10 chars
+    assert [r.chunk_text for r in out] == ["abcd", "defg", "ghij"]
+    assert [r.chunk_offset for r in out] == [0, 3, 6]
+
+
+def test_chunker_rejects_bad_params(docs):
+    with pytest.raises(ValueError):
+        chunk_by_words(docs, max_words=5, overlap=5)
+    with pytest.raises(ValueError):
+        chunk_by_chars(docs, max_chars=10, overlap_chars=10)
+
+
+def test_sentence_chunker(spark):
+    df = spark.createDataFrame(
+        [(1, "Short one. A second sentence here! Third? Yes. " * 3)],
+        "doc_id long, text string",
+    )
+    out = sorted(chunk_by_sentences_udf(df, max_words=8, overlap=2).collect(),
+                 key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in out] == list(range(1, len(out) + 1))
+    assert all(len(r.chunk_text.split()) <= 8 + 2 for r in out)
+    # every sentence's words appear in order across chunks
+    all_words = " ".join(r.chunk_text for r in out).split()
+    assert "Short" in all_words and "Yes." in all_words

@@ -1,0 +1,46 @@
+"""Golden-query correctness: every oracle-paired query in
+``golden.QUERIES`` must match its DuckDB oracle exactly (row count, column
+names, order-insensitive values) — the local mirror of the driver's gate.
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
+for the driver's scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle_vectorsearch_example_spark import golden
+from oracle_vectorsearch_example_spark.testing import duckdb_connect_views, normalize
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connect_views(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(golden.ORACLE))
+def test_matches_oracle(spark, sf_dir, con, name):
+    sdf = golden.QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = con.execute(golden.ORACLE[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    sn, dn = normalize(srows, scols), normalize(drows, dcols)
+    assert len(sn) == len(dn), f"{name}: row counts differ {len(sn)} vs {len(dn)}"
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        raise AssertionError(f"{name}: values differ; first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", sorted(set(golden.QUERIES) - set(golden.ORACLE)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = golden.QUERIES[name](spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 0

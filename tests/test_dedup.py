@@ -1,0 +1,79 @@
+"""Dedup family (X1/X2): exact, Jaccard, MinHash-LSH, SimHash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    jaccard_neardup_pairs,
+    minhash_lsh_pairs,
+    mllib_minhash_pairs,
+    shingle_df,
+    simhash,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = BASE.replace("today", "tonight")
+OTHER = "completely different words about spark partitions and shuffles at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                       # exact dup of 1
+        (3, "  The   QUICK brown fox jumps over the lazy dog near the river bank today "),
+        (4, NEAR),                       # near dup of 1
+        (5, OTHER),
+        (6, "tiny"),                     # too short for 3-shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    # 2 and 3 normalize to doc 1's text (case+whitespace) -> only 1 survives
+    assert kept == [1, 4, 5, 6]
+
+
+def test_shingles(docs):
+    sh = shingle_df(docs, "text", "doc_id", n=3, hashed=False)
+    counts = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    n_words = len(BASE.split())
+    assert counts[1] == n_words - 2  # m - n + 1 distinct shingles
+    assert 6 not in counts           # no shingles for short docs
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_neardup_pairs(docs, threshold=0.5, hashed=False).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert (1, 4) in pairs and 0.5 < pairs[(1, 4)] < 1.0
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_neardups(docs):
+    got = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got     # exact dups always collide
+    assert not any(5 in p for p in got)
+
+
+def test_mllib_minhash_pairs(docs):
+    got = {(r.id_a, r.id_b) for r in mllib_minhash_pairs(docs, threshold=0.5).collect()}
+    assert {(1, 2), (1, 3)} <= got
+    assert not any(5 in p for p in got)
+
+
+def test_simhash_hamming(docs):
+    sh = {r.doc_id: r.s for r in docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    assert sh[1] == sh[2] == sh[3]
+    df = docs.sparkSession.createDataFrame(
+        [(sh[1], sh[4]), (sh[1], sh[5])], "a long, b long"
+    )
+    ham = [r.h for r in df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()]
+    assert ham[0] < ham[1]  # near-dup closer than unrelated

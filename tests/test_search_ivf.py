@@ -1,0 +1,113 @@
+"""Vector search: exact top-k (J10), IVF recall (DQ-37*, mirroring the
+reference's TARGET ACCURACY 95, 01_pdf_to_vector.sql:97), embedding
+providers, near-dup pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.embedding import (
+    HashingEmbedder,
+    OnnxEmbedder,
+    get_provider,
+)
+from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex, recall_at_k
+from oracle_vectorsearch_example_spark.operators.search import (
+    cosine_neardup_pairs,
+    topk_search,
+)
+from oracle_vectorsearch_example_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries10(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_topk_exact_small(spark):
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
+    hits = topk_search(base, q, k=2).collect()
+    assert [(r.rank, r.vec_id) for r in hits] == [(1, 1), (2, 3)]
+
+
+def test_topk_two_phase_matches_single_phase(emb, queries10):
+    a = topk_search(emb, queries10, k=5, two_phase=True).collect()
+    b = topk_search(emb, queries10, k=5, two_phase=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_recall(emb, queries10):
+    """Recall@10 ≥ 0.95 at some nprobe < n_clusters, monotone in nprobe —
+    the TARGET ACCURACY 95 contract (01_pdf_to_vector.sql:97). The fixture
+    vectors are uniform-random (worst case for IVF), so the operating
+    point needs more probes than a clustered corpus would."""
+    exact = topk_search(emb, queries10, k=10, exclude_self=True)
+    idx = IvfIndex.build(emb, n_clusters=16, seed=42)
+    r_low = recall_at_k(exact, idx.search(queries10, k=10, nprobe=4, exclude_self=True))
+    r_high = recall_at_k(exact, idx.search(queries10, k=10, nprobe=12, exclude_self=True))
+    assert r_high >= max(r_low, 0.95), f"recall@10 {r_low} -> {r_high}"
+    # probing every cluster is exhaustive -> exact
+    full = idx.search(queries10, k=10, nprobe=16, exclude_self=True)
+    assert recall_at_k(exact, full) == 1.0
+
+
+def test_ivf_materialized_roundtrip(emb, queries10, tmp_path):
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(emb, n_clusters=8, seed=42, path=path)
+    loaded = IvfIndex.load(emb.sparkSession, path, idx.centroids)
+    a = idx.search(queries10, k=5, nprobe=4).collect()
+    b = loaded.search(queries10, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cosine_neardup_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = cosine_neardup_pairs(df, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_hashing_embedder_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world hello")], "id long, text string")
+    e = HashingEmbedder(dim=16)
+    v1 = df.select(e.embed_col(F.col("text")).alias("v")).collect()[0].v
+    v2 = df.select(e.embed_col(F.col("text")).alias("v")).collect()[0].v
+    assert v1 == v2 and len(v1) == 16
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-9
+
+
+def test_provider_registry():
+    assert isinstance(get_provider("hashing", dim=8), HashingEmbedder)
+    assert isinstance(get_provider("onnx", model_path="/nope.onnx"), OnnxEmbedder)
+    with pytest.raises(NotImplementedError):
+        get_provider("openai")
+    with pytest.raises(ValueError):
+        get_provider("bogus")
+
+
+def test_onnx_gated(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    emb = OnnxEmbedder("/nonexistent/model.onnx")
+    try:
+        import onnxruntime  # noqa: F401
+        pytest.skip("onnxruntime present; gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        emb.embed_df(df, "text")

@@ -1,0 +1,88 @@
+"""Sources/sinks: parquet reader quirks, binaryFile scan (S1), constraint
+validators (§1.3), model registry (EP2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.sources.io import (
+    read_binary_files,
+    read_table,
+    register_views,
+    validate_constraints,
+    write_table,
+)
+from oracle_vectorsearch_example_spark.sources.registry import ModelRegistry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_ts_is_timestamp(spark):
+    ev = read_table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_register_views_sql_path(spark):
+    register_views(spark, SF, ["region", "nation"])
+    n = spark.sql(
+        "SELECT count(*) AS n FROM region JOIN nation ON r_regionkey = n_regionkey"
+    ).collect()[0].n
+    assert n == 25
+
+
+def test_binary_file_scan(spark):
+    df = read_binary_files(spark, os.path.dirname(os.path.abspath(__file__)), "*.py")
+    rows = df.select("path", "length", "content").collect()
+    assert rows and all(r.length == len(r.content) for r in rows)
+
+
+def test_validate_constraints(spark):
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+    # the synthetic lineitem does NOT have a unique (orderkey, linenumber);
+    # orders.o_orderkey is the clean PK and the FK target
+    out = validate_constraints(
+        orders,
+        pk=["o_orderkey"],
+        not_null=["o_custkey"],
+    )
+    assert out == {"pk_violations": 0, "null_o_custkey": 0}
+    fk = validate_constraints(li, fk=(orders, ["l_orderkey"], ["o_orderkey"]))
+    assert fk == {"fk_violations": 0}
+
+
+def test_validate_constraints_catches_violations(spark):
+    df = spark.createDataFrame([(1, None), (1, "x")], "id long, v string")
+    out = validate_constraints(df, pk=["id"], not_null=["v"])
+    assert out["pk_violations"] == 1 and out["null_v"] == 1
+
+
+def test_write_table_partitioned(spark, tmp_path):
+    df = read_table(spark, SF, "region")
+    path = str(tmp_path / "region_by_key")
+    write_table(df, path, partition_by=["r_regionkey"])
+    back = spark.read.parquet(path)
+    assert back.count() == 5
+    assert any("r_regionkey=" in d for d in os.listdir(path))
+
+
+def test_model_registry_lifecycle(tmp_path):
+    wh = str(tmp_path / "wh")
+    model = tmp_path / "m.onnx"
+    model.write_bytes(b"fake-onnx")
+    reg = ModelRegistry(wh)
+    assert reg.list_models() == []
+    assert reg.load("minilm", str(model), model_id="m1", dim=384)
+    assert not reg.load("minilm", str(model))          # skip when loaded
+    assert reg.load("minilm", str(model), model_id="m1", dim=384, force=True)
+    assert reg.list_models() == ["minilm"] and reg.is_loaded("minilm")
+    e = reg.get("minilm")
+    assert e.dim == 384 and os.path.exists(e.file_path)
+    assert reg.orphans({"other"}) == ["minilm"]
+    assert reg.drop("minilm")
+    assert not reg.drop("minilm")
+    assert reg.list_models() == []

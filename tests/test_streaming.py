@@ -1,0 +1,94 @@
+"""Structured Streaming ingestion (§2.10): batch twins hash-checked in
+test_correctness; here the actual streaming path runs on a file source
+with Trigger.AvailableNow and must agree with its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.sources.io import read_table
+from oracle_vectorsearch_example_spark.streaming.ingest import (
+    dedup_stream,
+    sessionized_counts_stream,
+    tumbling_counts,
+    tumbling_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "events")
+    read_table(spark, SF, "events").write.parquet(p)
+    return p
+
+
+def _run_stream(spark, stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    """``complete`` output emits every window regardless of watermark, so
+    the streaming result must equal the batch twin exactly; in ``append``
+    mode windows newer than (max_ts - watermark) are still open by design."""
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    got = _run_stream(
+        spark, tumbling_counts_stream(stream, watermark="30 minutes"),
+        "t_tumbling", mode="complete",
+    ).collect()
+    want = tumbling_counts(static).select("window_start", "n_events").collect()
+    assert sorted((r.window_start, r.n_events) for r in got) == sorted(
+        (r.window_start, r.n_events) for r in want
+    )
+
+
+def test_streaming_append_holds_back_open_windows(spark, events_dir):
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    got = {r.window_start: r.n_events for r in _run_stream(
+        spark, tumbling_counts_stream(stream, watermark="30 minutes"),
+        "t_tumbling_append", mode="append",
+    ).collect()}
+    want = {r.window_start: r.n_events
+            for r in tumbling_counts(static).select("window_start", "n_events").collect()}
+    # emitted windows match the batch twin; only the watermark tail is held
+    assert all(want[k] == v for k, v in got.items())
+    missing = set(want) - set(got)
+    cut = max(want) if want else None
+    from datetime import timedelta
+
+    assert all(k >= cut - timedelta(minutes=40) for k in missing)
+
+
+def test_streaming_session_windows(spark, events_dir):
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    got = _run_stream(
+        spark, sessionized_counts_stream(stream, gap="30 minutes", watermark="2 hours"),
+        "t_sessions", mode="complete",
+    )
+    assert got.count() > 0
+    # complete mode flushes every session: totals reconcile exactly
+    assert got.agg(F.sum("n_events")).collect()[0][0] == static.count()
+
+
+def test_streaming_dedup(spark, events_dir):
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    got = _run_stream(
+        spark, dedup_stream(stream, keys=["user_id"], watermark="10 years"),
+        "t_dedup", mode="append",
+    )
+    n_users = static.select("user_id").distinct().count()
+    assert got.count() == n_users

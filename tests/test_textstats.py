@@ -1,0 +1,76 @@
+"""Text analysis functions (X3) and sessionization invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    ws_token_count,
+)
+from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
+from oracle_vectorsearch_example_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (1, "the cat and the dog went to a house"),
+        (2, "el perro y la casa de que"),
+        (3, "zzz qqq xxx"),
+        (4, ""),
+        (5, "Hello, world! One2three."),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _col(df, col):
+    return {r.id: r.v for r in df.select("id", col.alias("v")).collect()}
+
+
+def test_token_counts(texts):
+    ws = _col(texts, ws_token_count(F.col("text")))
+    assert ws[1] == 9 and ws[4] == 0
+    bpe = _col(texts, bpe_ish_token_count(F.col("text")))
+    # "Hello, world! One2three." -> hello , world ! one 2 three . = 8
+    assert bpe[5] == 8
+
+
+def test_lang_id(texts):
+    lang = _col(texts, lang_id(F.col("text")))
+    assert lang[1] == "en" and lang[2] == "es" and lang[3] == "unk" and lang[4] == "unk"
+
+
+def test_quality_score_bounds(texts):
+    q = _col(texts, quality_score(F.col("text")))
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[1] > q[3]  # stopword-rich english beats gibberish
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "A  B\tC"), (2, "a b c"), (3, "a b d")], "id long, text string"
+    )
+    fp = _col(df, fingerprint(F.col("text")))
+    assert fp[1] == fp[2] != fp[3]
+    assert len(fp[1]) == 16
+
+
+def test_sessionize_invariants(spark):
+    ev = read_table(spark, SF, "events")
+    s = sessionize(ev, gap_minutes=30.0)
+    # session ids start at 1 and are contiguous per user
+    agg = s.groupBy("user_id").agg(
+        F.min("session_id").alias("lo"),
+        F.max("session_id").alias("hi"),
+        F.countDistinct("session_id").alias("n"),
+    )
+    bad = agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count()
+    assert bad == 0
+    assert s.count() == ev.count()
