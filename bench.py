@@ -1,0 +1,101 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): one query per heavy category, wall-clock seconds,
+median of 3 warm runs after 1 warmup, executed to the noop sink (full
+computation, no driver collect). The IVF index build is timed once as its
+own entry; searches run against the built index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "filter_agg",          # DQ-04 filter + agg
+    "join_agg",            # DQ-09 broadcast join + agg
+    "range_join",          # DQ-13 interval self-join
+    "vector_topk_exact",   # DQ-14 exact vector top-k
+    "tpch_q1",             # DQ-15 group-by agg
+    "window_funcs",        # DQ-21 window functions
+    "chunker_conformance", # DQ-36 chunker
+    "sessionize",          # DQ-40 gaps-and-islands
+    "exact_dedup",         # DQ-41 hash dedup
+    "flagship_search",     # EP1+EP3 end-to-end
+]
+
+N_RUNS = 3
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_runs(fn, n=N_RUNS, warmup=1):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark import golden
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.session import get_spark
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    spark = get_spark("bench")
+    results: dict[str, float] = {}
+
+    for name in BENCH_QUERIES:
+        q = golden.QUERIES[name]
+        results[name] = round(_time_runs(lambda: _execute(q(spark, sf_dir))), 3)
+
+    # IVF: build once (timed), then bench the pruned search
+    emb = read_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    idx = IvfIndex.build(emb, seed=42)
+    results["ivf_build"] = round(time.time() - t0, 3)
+    q10 = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    results["ivf_search"] = round(
+        _time_runs(lambda: _execute(idx.search(q10, k=10, nprobe=8, exclude_self=True))), 3
+    )
+
+    total = round(sum(results.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "config": {
+            "spark": spark.version,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "runs": N_RUNS,
+            "stat": "median",
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,11 @@ class IvfIndex:
 
         The probed-cluster filter is pushed into the scan; with a
         materialized index (``path``) it prunes parquet partitions."""
+        import math as _math
+        from typing import Iterator
+
+        import pandas as pd
+
         qrows = queries.select(query_id, query_vec).collect()  # queries are small by contract
         probe_pairs = [
             (r[query_id], cid) for r in qrows for cid in self._nearest_clusters(r[query_vec], nprobe)
@@ -131,25 +136,58 @@ class IvfIndex:
         pruned = self.assignments.join(
             F.broadcast(probes), "cluster_id"
         ).select(query_id, self.id_col, self.vec_col)
-        qnorm = _normalize_rows(queries.select(query_id, query_vec), query_vec)
-        scored = pruned.join(F.broadcast(qnorm), query_id)
-        from pyspark.sql import Window
-        from oracle_vectorsearch_example_spark.functions.distances import vector_distance
 
-        if exclude_self:
-            scored = scored.filter(F.col(self.id_col) != F.col(query_id))
-        dist = vector_distance(F.col(self.vec_col), F.col(query_vec), "cosine")
-        w = Window.partitionBy(query_id).orderBy(
-            F.col("__dist").asc(), F.col(self.id_col).asc()
-        )
+        # unit-normalized query matrix; scoring is one row-wise einsum per
+        # Arrow batch + per-partition top-k (same scale shape as
+        # operators.search._numpy_candidates: shuffle is P·Q·k rows)
+        qvecs = {}
+        for r in qrows:
+            v = list(r[query_vec])
+            nrm = _math.sqrt(sum(x * x for x in v)) or 1.0
+            qvecs[int(r[query_id])] = [x / nrm for x in v]
+        id_col, vec_col = self.id_col, self.vec_col
+        k_ = k
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            qindex = {q: i for i, q in enumerate(qvecs)}
+            qmat = np.array([qvecs[q] for q in qindex], dtype=np.float64)
+            cand = []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                qid_arr = pdf[query_id].to_numpy(dtype=np.int64)
+                bids = pdf[id_col].to_numpy(dtype=np.int64)
+                vmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                vn = np.linalg.norm(vmat, axis=1)
+                vn[vn == 0] = 1.0
+                qidx = np.vectorize(qindex.__getitem__)(qid_arr)
+                sim = np.einsum("ij,ij->i", vmat, qmat[qidx]) / vn
+                d = 1.0 - sim
+                if exclude_self:
+                    keep = bids != qid_arr
+                    qid_arr, bids, d = qid_arr[keep], bids[keep], d[keep]
+                df_ = pd.DataFrame({"__qid": qid_arr, "__bid": bids, "__dist": d})
+                df_ = df_.sort_values(["__qid", "__dist", "__bid"], kind="mergesort")
+                cand.append(df_.groupby("__qid", sort=False).head(k_))
+            if cand:
+                allc = pd.concat(cand).sort_values(
+                    ["__qid", "__dist", "__bid"], kind="mergesort"
+                )
+                yield allc.groupby("__qid", sort=False).head(k_)
+
+        scored = pruned.mapInPandas(run, schema="__qid long, __bid long, __dist double")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
         return (
-            scored.withColumn("__dist", dist)
-            .withColumn("rank", F.row_number().over(w))
+            scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(
-                F.col(query_id),
+                F.col("__qid").alias(query_id),
                 F.col("rank").cast("long"),
-                F.col(self.id_col),
+                F.col("__bid").alias(self.id_col),
                 F.col("__dist").alias("distance"),
             )
         )

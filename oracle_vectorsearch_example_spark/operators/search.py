@@ -3,19 +3,114 @@ reference's vector index (ORDER BY VECTOR_DISTANCE ... FETCH FIRST k,
 01_pdf_to_vector.sql:84-97).
 
 Scale design: queries are broadcast (small side); the base table is scanned
-once, partition-local. A naive window-over-everything would shuffle
-N_base × N_query rows on query id; instead we do **two-phase top-k**:
-per-partition top-k first (cheap, local sort bounded by k), then a final
-top-k over P·k·Q survivor rows. At 1000 executors the shuffle is
-Q·k·P rows, not N·Q.
+once, partition-local. Two implementations:
+
+- ``impl="numpy"`` (default): ``mapInPandas`` scores each Arrow batch
+  against the broadcast query matrix with one BLAS matmul and keeps a
+  per-partition top-k, so the shuffle is P·Q·k candidate rows — never
+  N·Q. Spark's column higher-order functions (``zip_with``/``aggregate``)
+  run interpreted (no codegen), which makes per-pair expression math the
+  bottleneck at scale; Arrow + BLAS is 10-100× faster per row.
+- ``impl="expr"``: pure column expressions (distances.vector_distance) +
+  window top-k. JVM-only, no Python workers — the cross-check path and
+  the right choice when Python workers are unavailable.
+
+Both break distance ties by base id, so results are identical and
+deterministic.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oracle_vectorsearch_example_spark.functions.distances import vector_distance
+
+_NUMPY_METRICS = ("cosine", "euclidean", "l2", "dot", "dot_product", "manhattan", "l1")
+
+
+def _numpy_candidates(
+    base: DataFrame,
+    qrows: list[tuple],
+    k: int,
+    metric: str,
+    base_id: str,
+    base_vec: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Per-partition top-k candidates: (qid, bid, dist), ≤ Q·k rows per
+    partition. Ties at the boundary kept by (dist, bid) lexicographic order
+    so the global reduce is exact."""
+    import numpy as np
+
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    m = metric.lower()
+    if m in ("cosine",):
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qnorm[qnorm == 0] = 1.0
+    k_ = k
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf[base_id].to_numpy(dtype=np.int64)
+            vmat = np.array(list(pdf[base_vec]), dtype=np.float64)
+            if m == "cosine":
+                vn = np.linalg.norm(vmat, axis=1)
+                vn[vn == 0] = 1.0
+                sim = (vmat @ qmat.T) / vn[:, None] / qnorm[None, :]
+                dist = 1.0 - sim.T  # (Q, B)
+            elif m in ("l2", "euclidean"):
+                vv = (vmat * vmat).sum(axis=1)
+                qq = (qmat * qmat).sum(axis=1)
+                d2 = qq[:, None] + vv[None, :] - 2.0 * (qmat @ vmat.T)
+                dist = np.sqrt(np.clip(d2, 0.0, None))
+            elif m in ("dot", "dot_product"):
+                dist = -(qmat @ vmat.T)
+            else:  # l1 / manhattan: chunk the broadcast to bound memory
+                chunks = []
+                step = max(1, 1_000_000 // max(1, qmat.shape[0] * qmat.shape[1]))
+                for i in range(0, vmat.shape[0], step):
+                    chunks.append(
+                        np.abs(qmat[:, None, :] - vmat[None, i : i + step, :]).sum(-1)
+                    )
+                dist = np.concatenate(chunks, axis=1)
+            rows = []
+            for qi in range(len(qids)):
+                d = dist[qi]
+                b = bids
+                if exclude_self:
+                    keep = b != qids[qi]
+                    d, b = d[keep], b[keep]
+                if len(d) == 0:
+                    continue
+                # full lexsort: exact under mass ties (duplicate texts give
+                # exactly equal distances); Q is small so B·log B per batch
+                # is cheap next to the matmul
+                order = np.lexsort((b, d))[:k_]
+                rows.append(
+                    pd.DataFrame(
+                        {"__qid": qids[qi], "__bid": b[order], "__dist": d[order]}
+                    )
+                )
+            if rows:
+                cand.append(pd.concat(rows))
+        if not cand:
+            return
+        allc = pd.concat(cand)
+        # reduce the partition's candidates to top-k per query
+        allc = allc.sort_values(["__qid", "__dist", "__bid"], kind="mergesort")
+        yield allc.groupby("__qid", sort=False).head(k_)
+
+    return base.select(
+        F.col(base_id).cast("long").alias(base_id), base_vec
+    ).mapInPandas(run, schema="__qid long, __bid long, __dist double")
 
 
 def topk_search(
@@ -29,33 +124,47 @@ def topk_search(
     query_vec: str = "qvec",
     exclude_self: bool = False,
     two_phase: bool = True,
+    impl: str = "numpy",
 ) -> DataFrame:
     """For each query vector, the k nearest base rows.
 
     Returns (query_id, rank, base_id, distance); rank is 1-based, ties
-    broken by base id so results are deterministic.
+    broken by base id so results are deterministic. Queries are collected
+    to the driver (small by contract — the reference's search is likewise
+    one query vector at a time, models/README.md:40).
     """
-    q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
-    )
-    joined = base.select(base_id, base_vec).join(F.broadcast(q))
-    if exclude_self:
-        joined = joined.filter(F.col(base_id) != F.col("__qid"))
-    dist = vector_distance(F.col(base_vec), F.col("__qvec"), metric)
-    scored = joined.select(
-        F.col("__qid"), F.col(base_id).alias("__bid"), dist.alias("__dist")
-    )
-
     order = [F.col("__dist").asc(), F.col("__bid").asc()]
-    if two_phase:
-        # phase 1: top-k within each input partition (no shuffle)
-        part_w = Window.partitionBy("__qid", F.spark_partition_id()).orderBy(*order)
-        scored = (
-            scored.withColumn("__pr", F.row_number().over(part_w))
-            .filter(F.col("__pr") <= k)
-            .drop("__pr")
+    if impl == "numpy" and metric.lower() in _NUMPY_METRICS:
+        qrows = [
+            (r[0], list(r[1]))
+            for r in queries.select(query_id, query_vec).collect()
+        ]
+        scored = _numpy_candidates(
+            base, qrows, k, metric, base_id, base_vec, exclude_self
         )
-    # phase 2: global top-k per query (shuffle bounded by P·k rows/query)
+    elif impl in ("numpy", "expr"):
+        q = queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+        joined = base.select(base_id, base_vec).join(F.broadcast(q))
+        if exclude_self:
+            joined = joined.filter(F.col(base_id) != F.col("__qid"))
+        dist = vector_distance(F.col(base_vec), F.col("__qvec"), metric)
+        scored = joined.select(
+            F.col("__qid"), F.col(base_id).alias("__bid"), dist.alias("__dist")
+        )
+        if two_phase:
+            # phase 1: top-k within each input partition (no shuffle)
+            part_w = Window.partitionBy("__qid", F.spark_partition_id()).orderBy(*order)
+            scored = (
+                scored.withColumn("__pr", F.row_number().over(part_w))
+                .filter(F.col("__pr") <= k)
+                .drop("__pr")
+            )
+    else:
+        raise ValueError(f"unknown impl {impl!r}; one of numpy, expr")
+
+    # global top-k per query (shuffle bounded by P·k rows/query)
     final_w = Window.partitionBy("__qid").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(final_w))

@@ -44,9 +44,20 @@ def test_topk_exact_small(spark):
     assert [(r.rank, r.vec_id) for r in hits] == [(1, 1), (2, 3)]
 
 
-def test_topk_two_phase_matches_single_phase(emb, queries10):
-    a = topk_search(emb, queries10, k=5, two_phase=True).collect()
-    b = topk_search(emb, queries10, k=5, two_phase=False).collect()
+def test_topk_impls_agree(emb, queries10):
+    """numpy (BLAS batch) and expr (column fold) paths return the same
+    neighbors in the same order for every metric."""
+    for metric in ("cosine", "l2", "dot", "l1"):
+        a = topk_search(emb, queries10, k=5, metric=metric, impl="numpy").collect()
+        b = topk_search(emb, queries10, k=5, metric=metric, impl="expr").collect()
+        assert [(r.qid, r.rank, r.vec_id) for r in a] == [
+            (r.qid, r.rank, r.vec_id) for r in b
+        ], metric
+
+
+def test_topk_expr_two_phase_matches_single_phase(emb, queries10):
+    a = topk_search(emb, queries10, k=5, impl="expr", two_phase=True).collect()
+    b = topk_search(emb, queries10, k=5, impl="expr", two_phase=False).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
