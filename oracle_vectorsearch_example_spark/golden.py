@@ -54,7 +54,10 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
     simhash,
 )
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
-from oracle_vectorsearch_example_spark.operators.search import topk_search
+from oracle_vectorsearch_example_spark.operators.search import (
+    cosine_neardup_pairs_sparse,
+    topk_search,
+)
 from oracle_vectorsearch_example_spark.operators.sessionize import session_stats
 from oracle_vectorsearch_example_spark.plans.pipeline import ingest_documents, search_text
 from oracle_vectorsearch_example_spark.sources.io import read_table
@@ -790,6 +793,49 @@ def q_vector_topk(spark, sf):
     )
     hits = topk_search(e, q, k=5, metric="cosine", exclude_self=True)
     return hits.select("qid", "rank", "vec_id")
+
+
+# The oracle mirrors the hashing-embedder spec (embed_double) but keeps the
+# sparse (doc_id, bucket, cnt) shape: cos(a,b) = Σ cnt_a·cnt_b / (‖a‖·‖b‖)
+# over shared buckets — an equi-join on bucket, never a dense cross product.
+_NEARDUP_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ), b AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 2))::INTEGER % 64 AS bucket FROM toks
+    ), c AS (
+      SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt FROM b GROUP BY doc_id, bucket
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, sum(a.cnt * b2.cnt) AS dot
+      FROM c a JOIN c b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.95
+"""
+
+
+@golden("embedding_neardup", _NEARDUP_SQL)
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (X2 family): hashing embeddings
+    of documents.text, exact cosine ≥ 0.95 via the sparse component
+    equi-join (JVM hash-join/agg, no per-pair fold); IvfIndex bucketing is
+    the dense-embedding 100 TB path. Both engines filter on the
+    6-dp-rounded similarity so boundary pairs agree."""
+    docs = read_table(spark, sf, "documents")
+    d = docs.select("doc_id", hashing_embedding(F.col("text"), 64).alias("embedding"))
+    pairs = cosine_neardup_pairs_sparse(
+        d, id_col="doc_id", vec_col="embedding", threshold=0.94
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round("cos_sim", 6))
+        .filter(F.col("cos_sim") >= 0.95)
+    )
 
 
 # --------------------------------------------------------- streaming twins

@@ -178,6 +178,44 @@ def topk_search(
     )
 
 
+def cosine_neardup_pairs_sparse(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via a sparse component equi-join:
+    explode to (id, i, x), drop zeros, join on i, Σ xa·xb per pair, divide
+    by the norms. Exact — same result as ``cosine_neardup_pairs`` — but all
+    JVM hash-join/agg (no interpreted per-pair fold), and work scales with
+    co-occurring non-zeros instead of N²·d pair evaluations. Right choice
+    for sparse embeddings (hashing/TF); for dense embeddings at scale use
+    IvfIndex cluster bucketing to bound the candidate set first."""
+    comp = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("__i", "__x")
+    ).filter(F.col("__x") != 0.0)
+    nrm = comp.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__x") * F.col("__x"))).alias("__nrm")
+    )
+    a = comp.select(F.col(id_col).alias("id_a"), "__i", F.col("__x").alias("__xa"))
+    b = comp.select(F.col(id_col).alias("id_b"), "__i", F.col("__x").alias("__xb"))
+    dots = (
+        a.join(b, "__i")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__xa") * F.col("__xb")).alias("__dot"))
+    )
+    na = nrm.select(F.col(id_col).alias("id_a"), F.col("__nrm").alias("__na"))
+    nb = nrm.select(F.col(id_col).alias("id_b"), F.col("__nrm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", F.col("__dot") / (F.col("__na") * F.col("__nb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

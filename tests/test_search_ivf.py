@@ -15,6 +15,7 @@ from oracle_vectorsearch_example_spark.functions.embedding import (
 from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex, recall_at_k
 from oracle_vectorsearch_example_spark.operators.search import (
     cosine_neardup_pairs,
+    cosine_neardup_pairs_sparse,
     topk_search,
 )
 from oracle_vectorsearch_example_spark.sources.io import read_table
@@ -92,6 +93,23 @@ def test_cosine_neardup_pairs(spark):
     )
     pairs = cosine_neardup_pairs(df, threshold=0.95).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_cosine_neardup_sparse_matches_dense(emb):
+    """The sparse component-join formulation is exact: same pairs and
+    similarities (to fp tolerance) as the all-pairs expression path."""
+    sub = emb.filter(F.col("vec_id") < 60)
+    dense = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_neardup_pairs(sub, threshold=0.2).collect()
+    }
+    sparse = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_neardup_pairs_sparse(sub, threshold=0.2).collect()
+    }
+    assert set(dense) == set(sparse) and len(dense) > 0
+    for k, v in dense.items():
+        assert abs(v - sparse[k]) < 1e-6  # summation order differs
 
 
 def test_hashing_embedder_deterministic(spark):
