@@ -35,6 +35,64 @@ def _normalize_rows(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, normalize_l2(F.col(vec_col)))
 
 
+def _lloyd_kmeans(x, k: int, seed: int, max_iter: int = 25, tol: float = 1e-6):
+    """Driver-side Lloyd's KMeans with kmeans++ init (numpy, deterministic).
+    Input is a bounded sample by construction, so O(sample·k·d) per
+    iteration is driver-cheap regardless of table size."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(x)
+    # kmeans++ seeding
+    cents = [x[rng.randint(n)]]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents.append(x[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
+    c = np.array(cents)
+    for _ in range(max_iter):
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant for argmin
+        assign = (-2.0 * x @ c.T + (c * c).sum(axis=1)[None, :]).argmin(axis=1)
+        newc = c.copy()
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                newc[j] = x[mask].mean(axis=0)
+        shift = float(((newc - c) ** 2).sum())
+        c = newc
+        if shift < tol:
+            break
+    return c
+
+
+def _assign_clusters(norm: DataFrame, cmat, id_col: str, vec_col: str) -> DataFrame:
+    """One distributed pass: nearest-centroid id per row, BLAS per batch."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    centroids = cmat.tolist()
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        c = np.array(centroids, dtype=np.float64)
+        cc = (c * c).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pdf["cluster_id"] = (-2.0 * v @ c.T + cc[None, :]).argmin(axis=1).astype("int32")
+            yield pdf
+
+    schema = f"{id_col} long, {vec_col} array<double>, cluster_id int"
+    return norm.select(
+        F.col(id_col).cast("long"),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).mapInPandas(run, schema=schema)
+
+
 class IvfIndex:
     """KMeans-partitioned ANN index with cosine distance.
 
@@ -66,26 +124,58 @@ class IvfIndex:
         n_clusters: int | None = None,
         path: str | None = None,
         seed: int = 42,
+        fit: str = "sample",
+        sample_per_cluster: int = 256,
     ) -> "IvfIndex":
         """Fit KMeans and materialize the cluster-assignment table.
 
         ``n_clusters`` defaults to ~sqrt(N) (the classic IVF heuristic;
-        the reference's engine picks this internally)."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
+        the reference's engine picks this internally).
 
+        ``fit="sample"`` (default) trains Lloyd's KMeans driver-side on a
+        seeded sample of ≤ ``sample_per_cluster``·k vectors, then assigns
+        the full table in ONE distributed pass (BLAS argmin per Arrow
+        batch). This is how production IVF builds work (e.g. FAISS trains
+        on a sample): at 100 TB an iterative full-data KMeans re-scans the
+        corpus per iteration, while sample-train + single-pass assign
+        scans it once. ``fit="mllib"`` keeps the MLlib full-data path."""
         spark = df.sparkSession
         n = df.count()
         k = n_clusters or max(2, int(math.sqrt(n)))
         norm = _normalize_rows(df.select(id_col, vec_col), vec_col)
-        feats = norm.withColumn("__features", array_to_vector(F.col(vec_col)))
-        model = KMeans(k=k, seed=seed, featuresCol="__features", predictionCol="cluster_id").fit(
-            feats
-        )
-        assigned = model.transform(feats).select(
-            id_col, vec_col, F.col("cluster_id").cast("int")
-        )
-        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+        if fit == "mllib":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            feats = norm.withColumn("__features", array_to_vector(F.col(vec_col)))
+            model = KMeans(
+                k=k, seed=seed, featuresCol="__features", predictionCol="cluster_id"
+            ).fit(feats)
+            assigned = model.transform(feats).select(
+                id_col, vec_col, F.col("cluster_id").cast("int")
+            )
+            centroids = [
+                (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+            ]
+        elif fit == "sample":
+            import numpy as np
+
+            target = sample_per_cluster * k
+            frac = min(1.0, target / max(1, n))
+            sample = np.array(
+                [list(r[0]) for r in norm.select(vec_col).sample(frac, seed=seed).collect()],
+                dtype=np.float64,
+            )
+            if len(sample) < k:  # tiny tables: sample can't seed k clusters
+                sample = np.array(
+                    [list(r[0]) for r in norm.select(vec_col).collect()], dtype=np.float64
+                )
+            cmat = _lloyd_kmeans(sample, k, seed)
+            centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cmat)]
+            assigned = _assign_clusters(norm, cmat, id_col, vec_col)
+        else:
+            raise ValueError(f"unknown fit {fit!r}; one of sample, mllib")
         if path:
             # partitionBy(cluster_id): probe-time cluster filters become
             # parquet partition pruning — the scale path.
@@ -105,6 +195,56 @@ class IvfIndex:
             (sum((a - b) ** 2 for a, b in zip(c, qn)), cid) for cid, c in self.centroids
         )
         return [cid for _, cid in scored[:nprobe]]
+
+    def calibrate(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        target_recall: float = 0.95,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        exclude_self: bool = False,
+    ) -> int:
+        """Minimal ``nprobe`` achieving ``target_recall`` on the given
+        calibration queries — the TARGET ACCURACY 95 knob of the
+        reference's index (01_pdf_to_vector.sql:97), made explicit.
+
+        One exact top-k pass gives ground truth; a true neighbor is
+        recalled at probe depth p iff its cluster ranks ≤ p in the query's
+        centroid ordering, so the minimal p is the ``target_recall``
+        quantile of those cluster ranks — no repeated searches. Run on a
+        small query sample; reuse the returned nprobe for production
+        searches on the same index."""
+        qrows = queries.select(query_id, query_vec).collect()
+        exact = topk_search(
+            self.assignments,
+            queries,
+            k=k,
+            metric="cosine",
+            base_id=self.id_col,
+            base_vec=self.vec_col,
+            query_id=query_id,
+            query_vec=query_vec,
+            exclude_self=exclude_self,
+        )
+        hits = (
+            exact.join(
+                self.assignments.select(self.id_col, "cluster_id"), self.id_col
+            )
+            .select(query_id, "cluster_id")
+            .collect()
+        )
+        if not hits:
+            return 1
+        order = {
+            r[query_id]: self._nearest_clusters(r[query_vec], len(self.centroids))
+            for r in qrows
+        }
+        ranks = sorted(
+            order[h[query_id]].index(h["cluster_id"]) + 1 for h in hits
+        )
+        q_idx = max(0, math.ceil(target_recall * len(ranks)) - 1)
+        return ranks[q_idx]
 
     def search(
         self,

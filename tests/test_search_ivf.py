@@ -77,6 +77,24 @@ def test_ivf_recall(emb, queries10):
     assert recall_at_k(exact, full) == 1.0
 
 
+def test_ivf_calibrate_hits_target(emb, queries10):
+    """calibrate() returns an nprobe whose measured recall meets the
+    target — TARGET ACCURACY made explicit (01_pdf_to_vector.sql:97)."""
+    idx = IvfIndex.build(emb, n_clusters=16, seed=42)
+    exact = topk_search(emb, queries10, k=10, exclude_self=True)
+    for target in (0.8, 0.95):
+        npb = idx.calibrate(queries10, k=10, target_recall=target, exclude_self=True)
+        assert 1 <= npb <= 16
+        got = recall_at_k(
+            exact, idx.search(queries10, k=10, nprobe=npb, exclude_self=True)
+        )
+        assert got >= target, (target, npb, got)
+    # higher target can't need fewer probes
+    lo = idx.calibrate(queries10, k=10, target_recall=0.5, exclude_self=True)
+    hi = idx.calibrate(queries10, k=10, target_recall=1.0, exclude_self=True)
+    assert lo <= hi
+
+
 def test_ivf_materialized_roundtrip(emb, queries10, tmp_path):
     path = str(tmp_path / "ivf")
     idx = IvfIndex.build(emb, n_clusters=8, seed=42, path=path)
