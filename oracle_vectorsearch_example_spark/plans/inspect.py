@@ -37,7 +37,18 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_wholestage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in explain_str(df)
+    # under AQE the physical plan is not final pre-execution and codegen
+    # mode reports 0 subtrees; plan with AQE off (physical planning happens
+    # at explain time, so toggling the conf around the call is enough)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = explain_str(df, mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", out)
+    return bool(m and int(m.group(1)) > 0)
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:

@@ -1,0 +1,76 @@
+"""Plan-shape discipline (SURVEY.md §4): we write no Catalyst rules, so
+these tests verify the built-ins actually fired for our query shapes —
+filter pushdown and column pruning reach the parquet scan, small dims go
+broadcast, hot relational paths stay in whole-stage codegen, and the
+ingest pipeline is shuffle-free from scan to sink.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    has_wholestage_codegen,
+    pushed_filters,
+    scan_read_schema,
+)
+from oracle_vectorsearch_example_spark.plans.pipeline import ingest_documents
+from oracle_vectorsearch_example_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = read_table(spark, SF, "lineitem")
+    q = li.filter((F.col("l_quantity") < 24) & (F.col("l_discount") >= 0.05)).select(
+        "l_orderkey"
+    )
+    pushed = " ".join(pushed_filters(q))
+    assert "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = read_table(spark, SF, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(q)
+    assert schemas, "no ReadSchema in plan"
+    # a 2-column projection must not read the 16-column table
+    assert all(s.count(":") <= 3 for s in schemas), schemas
+
+
+def test_small_dim_join_goes_broadcast(spark):
+    orders = read_table(spark, SF, "orders")
+    cust = read_table(spark, SF, "customer")
+    q = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert has_broadcast_join(q)
+
+
+def test_agg_path_is_codegen(spark):
+    li = read_table(spark, SF, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert has_wholestage_codegen(q)
+
+
+def test_ingest_pipeline_is_shuffle_free(spark):
+    """EP1's scan → chunk → embed never shuffles: chunking is a row-local
+    generator, embedding an Arrow-batched projection (SURVEY.md §3 EP1)."""
+    docs = read_table(spark, SF, "documents")
+    dc = ingest_documents(docs, max_words=20, overlap=5)
+    plan = explain_str(dc)
+    assert "Exchange" not in plan, plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Map-side combine: the plan must carry a partial HashAggregate below
+    the exchange, so the shuffle moves pre-aggregated rows."""
+    li = read_table(spark, SF, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = explain_str(q, mode="simple")
+    n_agg = len(re.findall(r"HashAggregate", plan))
+    assert n_agg >= 2, plan  # partial + final
