@@ -78,8 +78,9 @@ def golden(name: str, sql: str | None = None):
 
 
 def _dec_sum(col: str, scale: int = 4, round_to: int = 2) -> F.Column:
-    """Exact decimal sum of a double column, rounded, back to double."""
-    return F.round(F.sum(F.col(col).cast(f"decimal(18,{scale})")), round_to).cast("double")
+    """Exact decimal sum of a double column/expression, rounded, back to
+    double."""
+    return F.round(F.sum(F.expr(col).cast(f"decimal(18,{scale})")), round_to).cast("double")
 
 
 def _sql_dec_sum(col: str, scale: int = 4, round_to: int = 2) -> str:
@@ -317,6 +318,94 @@ def q_asof_join(spark, sf):
     )
     j = asof_join(views, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"])
     return j.select("event_id", F.col("asof_value"))
+
+
+@golden(
+    "tpch_q3",
+    f"""
+    SELECT l.l_orderkey,
+           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6, 2)} AS revenue,
+           strftime(o.o_orderdate, '{_SQL_TS_FMT}') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape (J5 multi-join + A1 + top-k): 3-table join with
+    selective filters on both fact sides, revenue agg, global top-10.
+    customer is dim-sized → broadcast; both filters reach the parquet
+    scans (plan-shape tests verify the pattern)."""
+    c = read_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dec_sum("l_extendedprice * (1 - l_discount)", 6, 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            _ts_str(F.col("o_orderdate")).alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@golden(
+    "tpch_q5",
+    f"""
+    SELECT n.n_name,
+           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6, 2)} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape (J5 ×5): six-table local-supplier join. All dims
+    (region/nation/customer/supplier) broadcast; the only shuffle joins
+    the two fact tables on orderkey. Catalyst join reordering + AQE pick
+    the physical order."""
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf, "nation")
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)", 6, 2).alias("revenue"))
+    )
 
 
 # -------------------------------------------------------------- aggregations
