@@ -408,6 +408,39 @@ def q_tpch_q5(spark, sf):
     )
 
 
+@golden(
+    "salted_join_agg",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           sum(l.l_quantity) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted_join_agg(spark, sf):
+    """Skew-mitigated join + two-phase agg (operators.skew): hot fact keys
+    spread over 8 deterministic salts, dim replicated 8×, partial agg on
+    (key, salt) merged on key. Semantics-preserving — the oracle is the
+    plain unsalted SQL."""
+    from oracle_vectorsearch_example_spark.operators.skew import salted_agg, salted_join
+
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(
+        li, o, on="l_orderkey", n_salt=8, salt_from=["l_orderkey", "l_linenumber"]
+    )
+    return salted_agg(
+        j,
+        ["o_orderpriority"],
+        [F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty")],
+        [F.sum("n_items").alias("n_items"), F.sum("sum_qty").alias("sum_qty")],
+        n_salt=8,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+
+
 # -------------------------------------------------------------- aggregations
 @golden(
     "tpch_q1",
