@@ -92,3 +92,31 @@ def test_streaming_dedup(spark, events_dir):
     )
     n_users = static.select("user_id").distinct().count()
     assert got.count() == n_users
+
+
+def test_stateful_sessions_match_batch(spark, events_dir):
+    """applyInPandasWithState sessionizer: every emitted (closed) session
+    equals a batch gaps-and-islands session; only each key's trailing
+    open session is withheld."""
+    from oracle_vectorsearch_example_spark.operators.sessionize import session_stats
+    from oracle_vectorsearch_example_spark.streaming.stateful import (
+        stateful_sessions_stream,
+    )
+
+    static = read_table(spark, SF, "events")
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    got = _run_stream(
+        spark, stateful_sessions_stream(stream, gap_minutes=30.0), "stateful_sessions"
+    )
+    streamed = {
+        (r.user_id, r.n_events, round(r.duration_sec, 3)) for r in got.collect()
+    }
+
+    batch = session_stats(static, gap_minutes=30.0)
+    last = batch.groupBy("user_id").agg(F.max("session_id").alias("session_id"))
+    closed_batch = batch.join(last, ["user_id", "session_id"], "left_anti")
+    expected = {
+        (r.user_id, r.n_events, round(r.duration_sec, 3)) for r in closed_batch.collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == expected
