@@ -88,6 +88,28 @@ def write_table(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (catalog-registered, external at ``path``).
+
+    Two tables bucketed by the same columns into the same bucket count
+    join with NO exchange — each task zips matching buckets (sort-merge
+    with the sort already on disk when ``sort_cols`` == join keys). The
+    co-located fact-fact join strategy for repeated large joins
+    (orders ⋈ lineitem every run): pay the shuffle once at write time.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.option("path", path).format("parquet").saveAsTable(table)
+
+
 def validate_constraints(
     df: DataFrame,
     pk: list[str] | None = None,

@@ -66,6 +66,34 @@ def test_ingest_pipeline_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join without a shuffle: the write paid it once
+    (sources.io.write_bucketed), the join zips buckets in place."""
+    from oracle_vectorsearch_example_spark.sources.io import write_bucketed
+
+    o = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    write_bucketed(o, "b_orders", str(tmp_path / "o"), ["o_orderkey"], 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        str(tmp_path / "l"),
+        ["o_orderkey"],
+        8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = explain_str(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_partial_aggregation_before_shuffle(spark):
     """Map-side combine: the plan must carry a partial HashAggregate below
     the exchange, so the shuffle moves pre-aggregated rows."""
