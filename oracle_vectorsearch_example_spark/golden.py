@@ -501,6 +501,63 @@ def q_rollup(spark, sf):
 
 
 @golden(
+    "percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles (A-surface): Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` (both linear interpolation on the sorted
+    set). The approx path at 100 TB is ``percentile_approx`` — same call
+    shape, tolerance-checked not hash-checked, so the exact form is the
+    declared query."""
+    o = read_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@golden(
+    "tpch_q14",
+    """
+    SELECT CAST(round(
+             100.0 * sum(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0 END AS DECIMAL(18,6)))
+             / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))),
+             4) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 shape: fact ⋈ broadcast dim with conditional aggregation
+    (promo revenue share)."""
+    p = read_table(spark, sf, "part")
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    rev = F.expr("l_extendedprice * (1 - l_discount)").cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@golden(
     "grouping_sets",
     """
     SELECT o_orderstatus, o_orderpriority,
