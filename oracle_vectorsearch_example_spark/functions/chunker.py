@@ -38,21 +38,41 @@ def words_of(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != F.lit(""))
 
 
+_VOCAB_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def vocab_tokens_of(text: Column) -> Column:
+    """BPE-ish pre-tokenizer units (letters / digits / single punctuation)
+    — the ``by=vocabulary`` proxy (01_pdf_to_vector.sql:222-225): chunk
+    budgets count model-tokenizer units, not whitespace words."""
+    return F.regexp_extract_all(text, F.lit(_VOCAB_TOKEN_RE), F.lit(0))
+
+
 def chunk_by_words(
     df: DataFrame,
     text_col: str = "text",
     id_cols: list[str] | None = None,
     max_words: int = 100,
     overlap: int = 10,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Word-window chunker (D2 exercised config: max=100/overlap=10,
-    01_pdf_to_vector.sql:239). See module docstring for the frozen spec."""
+    01_pdf_to_vector.sql:239). See module docstring for the frozen spec.
+
+    ``tokenizer="whitespace"`` is ``by=words``; ``tokenizer="vocabulary"``
+    counts BPE-ish units instead (``by=vocabulary``, :222-225) — same
+    window/overlap/id scheme, token joins normalize to single spaces."""
     if overlap >= max_words:
         raise ValueError("overlap must be < max_words")
     id_cols = id_cols or ["doc_id"]
     stride = max_words - overlap
 
-    w = words_of(F.col(text_col))
+    if tokenizer == "whitespace":
+        w = words_of(F.col(text_col))
+    elif tokenizer == "vocabulary":
+        w = vocab_tokens_of(F.col(text_col))
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}; whitespace or vocabulary")
     base = df.select(*id_cols, w.alias("__words"))
     n = F.size(F.col("__words"))
     # integer ceil((n-overlap)/stride); 0 chunks for empty text
@@ -142,14 +162,20 @@ def chunk_by_chars(
 _SENTENCE_RE = re.compile(r"(?<=[.!?])\s+")
 
 
-def _pack_sentences(text: str, max_words: int, overlap: int) -> list[tuple[int, int, int, str]]:
-    """Greedy sentence packing: accumulate whole sentences up to max_words;
-    a sentence longer than max_words is split at word boundaries; each new
-    chunk carries the previous chunk's last ``overlap`` words. Offsets are
+def _pack_sentences(
+    text: str,
+    max_words: int,
+    overlap: int,
+    split_re: "re.Pattern[str]" = _SENTENCE_RE,
+) -> list[tuple[int, int, int, str]]:
+    """Greedy segment packing: accumulate whole segments (sentences by
+    default, or any ``split_re`` delimitation) up to max_words; a segment
+    longer than max_words is split at word boundaries; each new chunk
+    carries the previous chunk's last ``overlap`` words. Offsets are
     word indices into the whitespace token stream."""
     words: list[str] = []
-    sent_bounds: list[int] = []  # word index where each sentence starts
-    for sent in _SENTENCE_RE.split(text.strip()):
+    sent_bounds: list[int] = []  # word index where each segment starts
+    for sent in split_re.split(text.strip()):
         toks = sent.split()
         if toks:
             sent_bounds.append(len(words))
@@ -237,6 +263,52 @@ def chunk_by_sentences_udf(
                     "chunk_text": txt,
                 }
                 for cid, off, ln, txt in _pack_sentences(t or "", max_words, overlap)
+            ]
+        )
+
+    return df.select(*id_cols, F.inline(_chunk(F.col(text_col))))
+
+
+def chunk_by_custom_udf(
+    df: DataFrame,
+    separators: list[str],
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    max_words: int = 100,
+    overlap: int = 10,
+) -> DataFrame:
+    """``split=custom`` with a custom separator list
+    (01_pdf_to_vector.sql:231-233): segments are delimited by any literal
+    separator (e.g. ``["\\n\\n", "<p>"]``), then greedy-packed to
+    ``max_words`` with the same overlap/id scheme as the sentence chunker."""
+    if not separators:
+        raise ValueError("separators must be non-empty")
+    id_cols = id_cols or ["doc_id"]
+    split_re = re.compile("|".join(re.escape(s) for s in separators))
+    out_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("chunk_id", T.IntegerType()),
+                T.StructField("chunk_offset", T.LongType()),
+                T.StructField("chunk_length", T.IntegerType()),
+                T.StructField("chunk_text", T.StringType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_t)
+    def _chunk(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [
+                {
+                    "chunk_id": cid,
+                    "chunk_offset": off,
+                    "chunk_length": ln,
+                    "chunk_text": txt,
+                }
+                for cid, off, ln, txt in _pack_sentences(
+                    t or "", max_words, overlap, split_re
+                )
             ]
         )
 

@@ -83,3 +83,32 @@ def test_sentence_chunker(spark):
     # every sentence's words appear in order across chunks
     all_words = " ".join(r.chunk_text for r in out).split()
     assert "Short" in all_words and "Yes." in all_words
+
+
+def test_vocabulary_tokenizer_chunks(spark):
+    """by=vocabulary proxy: budgets count BPE-ish units, so punctuation
+    consumes budget ("a,b" = 3 units vs 1 whitespace word)."""
+    from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_words
+
+    df = spark.createDataFrame([(1, "a,b c d e")], "doc_id long, text string")
+    ws = chunk_by_words(df, max_words=4, overlap=0).collect()
+    vocab = chunk_by_words(df, max_words=4, overlap=0, tokenizer="vocabulary").collect()
+    assert len(ws) == 1  # 4 whitespace words fit one chunk
+    assert len(vocab) == 2  # 6 vocab units (a , b c d e) need two
+    assert vocab[0].chunk_text == "a , b c"
+
+
+def test_custom_split_chunker(spark):
+    """split=custom: segments break only at the given separators."""
+    from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_custom_udf
+
+    text = "first para words here\n\nsecond para more words\n\nthird one"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_by_custom_udf(df, ["\n\n"], max_words=5, overlap=0).collect()
+    # each paragraph fits the budget -> packed greedily, never split mid-para
+    assert [r.chunk_id for r in out] == list(range(1, len(out) + 1))
+    joined = " ".join(r.chunk_text for r in out)
+    assert "first para words here" in joined and "third one" in joined
+    # a separator that never matches -> one giant segment, word-split
+    one = chunk_by_custom_udf(df, ["<never>"], max_words=5, overlap=0).collect()
+    assert all(len(r.chunk_text.split()) <= 5 for r in one)
