@@ -82,6 +82,101 @@ def extract_media_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     return df.mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, target_w: int, target_h: int, decode: str = "fake"
+) -> DataFrame:
+    """Resize plumbing: one output row per input, payload re-encoded at
+    (target_w, target_h). Arrow-batched ``mapInPandas``; with ``fake``
+    decode the output payload is a deterministic digest-stream of
+    ~w·h/64 bytes standing in for the re-encoded image."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real resize requires PIL/ffmpeg, absent here; use decode='fake'"
+        )
+    if decode != "fake":
+        raise ValueError("decode must be 'fake' or 'real'")
+    n_bytes = max(16, target_w * target_h // 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
+                buf = bytearray()
+                while len(buf) < n_bytes:
+                    seed = hashlib.sha256(seed).digest()
+                    buf.extend(seed)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "width": target_w,
+                        "height": target_h,
+                        "payload": bytes(buf[:n_bytes]),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=_RESIZED_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_sec", T.DoubleType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, fps: float = 1.0, max_frames: int = 16, decode: str = "fake"
+) -> DataFrame:
+    """Frame sampling plumbing: one input video row → N frame rows (the
+    generator/UDTF shape, like chunking). With ``fake`` decode the frame
+    count derives deterministically from the payload digest and each
+    frame payload is a per-index digest."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg, absent here; use decode='fake'"
+        )
+    if decode != "fake":
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                h = hashlib.sha256(payload).digest()
+                n = min(max_frames, 1 + h[0] % max_frames)
+                for i in range(n):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "ts_sec": i / fps,
+                            "payload": hashlib.sha256(payload + bytes([i])).digest(),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in _FRAMES_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=_FRAMES_SCHEMA)
+
+
 def binary_stats(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
     """JVM-side binary column ops (no Python): length + md5 digest —
     the fast-path subset of media introspection."""

@@ -56,3 +56,48 @@ def test_binary_stats_jvm_side(media):
     assert out[1].digest == hashlib.md5(b"payload-one").hexdigest()
     plan = binary_stats(media)._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan  # stays JVM-side
+
+
+def test_resize_plumbing(media):
+    from oracle_vectorsearch_example_spark.operators.multimodal import resize_media
+
+    out = resize_media(media, 64, 48).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r.width, r.height) == (64, 48)
+        assert len(r.payload) == max(16, 64 * 48 // 64)
+    # deterministic: same inputs -> same payload bytes
+    again = resize_media(media, 64, 48).collect()
+    assert sorted(r.payload for r in out) == sorted(r.payload for r in again)
+    # different target -> different payload
+    other = resize_media(media, 32, 32).collect()
+    assert sorted(r.payload for r in out) != sorted(r.payload for r in other)
+
+
+def test_frame_sampling_generator_shape(media):
+    from oracle_vectorsearch_example_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(media, fps=2.0, max_frames=8).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {1, 2, 3}
+    for mid, frames in by_id.items():
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))  # contiguous 0-based
+        assert 1 <= len(frames) <= 8
+        for f in frames:
+            assert f.ts_sec == f.frame_idx / 2.0
+            assert len(f.payload) == 32  # sha256 frame stand-in
+
+
+def test_resize_gates_real_decode(media):
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 8, 8, decode="real")
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, decode="real")
