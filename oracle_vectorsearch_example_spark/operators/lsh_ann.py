@@ -1,0 +1,123 @@
+"""Random-hyperplane (cosine) LSH approximate nearest neighbor — the
+LSH-bucketed alternative to the IVF index (operators/ivf.py) for the same
+query the reference's vector index serves (01_pdf_to_vector.sql:84-97).
+
+Build: L hash tables × b seeded hyperplanes; a vector's bucket in table t
+is the b-bit sign pattern of its projections. One narrow assignment table
+(id, table, bucket) — computed in one distributed pass, no iterations, no
+training (the advantage over IVF for fast-changing corpora).
+
+Search: per query, its L buckets; candidates = base rows sharing any
+bucket (equi-join on (table, bucket) — shuffle scales with bucket
+occupancy, never N·Q); exact cosine re-rank of the deduped candidates.
+Recall tunes with L (more tables = more candidates), precision of the
+candidate set with b (more bits = smaller buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.distances import cosine_distance
+
+
+class CosineLshIndex:
+    def __init__(self, assignments: DataFrame, planes, id_col: str, vec_col: str):
+        self.assignments = assignments  # (id, vec, table, bucket)
+        self.planes = planes  # numpy (L, b, dim)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        dim: int,
+        n_tables: int = 8,
+        n_bits: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+    ) -> "CosineLshIndex":
+        """One distributed pass: signatures via a per-batch matmul against
+        the broadcast (L·b, dim) plane matrix."""
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((n_tables, n_bits, dim))
+        flat = planes.reshape(n_tables * n_bits, dim).tolist()
+        weights = [1 << j for j in range(n_bits)]
+
+        def run(batches):
+            import pandas as pd
+
+            p = np.array(flat)  # (L*b, dim)
+            w = np.array(weights, dtype=np.int64)
+            L, b = n_tables, n_bits
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.array(list(pdf[vec_col]), dtype=np.float64)
+                bits = (v @ p.T) > 0  # (N, L*b)
+                bk = bits.reshape(len(v), L, b) @ w  # (N, L) bucket ints
+                out = pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), L),
+                        vec_col: [x for x in pdf[vec_col] for _ in range(L)],
+                        "table": np.tile(np.arange(L, dtype=np.int32), len(v)),
+                        "bucket": bk.reshape(-1).astype(np.int64),
+                    }
+                )
+                yield out
+
+        schema = f"{id_col} long, {vec_col} array<double>, table int, bucket long"
+        assignments = df.select(
+            F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+        ).mapInPandas(run, schema=schema)
+        return cls(assignments, planes, id_col, vec_col)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Bucket-join candidates → exact cosine re-rank → top-k.
+        Returns (query_id, rank, base_id, distance), ties broken by id."""
+        import numpy as np
+
+        L, b, _ = self.planes.shape
+        w = np.array([1 << j for j in range(b)], dtype=np.int64)
+        qrows = queries.select(query_id, query_vec).collect()
+        probe = [
+            (int(r[0]), list(r[1]), t, int(((np.array(r[1]) @ self.planes[t].T) > 0) @ w))
+            for r in qrows
+            for t in range(L)
+        ]
+        spark = queries.sparkSession
+        probes = spark.createDataFrame(
+            probe, f"{query_id} long, __qvec array<double>, table int, bucket long"
+        )
+        cand = (
+            self.assignments.join(F.broadcast(probes), ["table", "bucket"])
+            .select(query_id, "__qvec", self.id_col, self.vec_col)
+            .dropDuplicates([query_id, self.id_col])
+        )
+        if exclude_self:
+            cand = cand.filter(F.col(self.id_col) != F.col(query_id))
+        scored = cand.select(
+            query_id,
+            F.col(self.id_col),
+            cosine_distance(F.col(self.vec_col), F.col("__qvec")).alias("distance"),
+        )
+        win = Window.partitionBy(query_id).orderBy(
+            F.col("distance").asc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col("rank").cast("long"), self.id_col, "distance")
+        )

@@ -158,3 +158,26 @@ def test_onnx_gated(spark):
         pass
     with pytest.raises(NotImplementedError):
         emb.embed_df(df, "text")
+
+
+def test_lsh_ann_recall_and_determinism(emb, queries10):
+    """Cosine-LSH bucketed ANN: decent recall at modest L, deterministic
+    under a fixed seed, exact re-rank means every hit's distance is true."""
+    from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
+
+    exact = topk_search(emb, queries10, k=10, exclude_self=True)
+    # uniform-random vectors are LSH's worst case (true neighbors sit at
+    # wide angles): short signatures + many tables is the operating point
+    idx = CosineLshIndex.build(emb, dim=64, n_tables=16, n_bits=4, seed=42)
+    got = idx.search(queries10, k=10, exclude_self=True)
+    r = recall_at_k(exact, got)
+    assert r >= 0.6, r
+    # determinism: same seed, same result
+    idx2 = CosineLshIndex.build(emb, dim=64, n_tables=16, n_bits=4, seed=42)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, idx2.search(queries10, k=10, exclude_self=True).collect()))
+    assert a == b
+    # more tables -> recall can only improve (supersets of candidates)
+    idx_small = CosineLshIndex.build(emb, dim=64, n_tables=2, n_bits=4, seed=42)
+    r_small = recall_at_k(exact, idx_small.search(queries10, k=10, exclude_self=True))
+    assert r >= r_small
