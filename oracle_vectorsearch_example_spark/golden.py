@@ -1042,6 +1042,36 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+@golden("sql_vector_topk", _TOPK_SQL)
+def q_sql_vector_topk(spark, sf):
+    """The same exact top-k as vector_topk_exact but through the PURE SQL
+    surface (functions/sql.py): registered vector_distance SQL UDF +
+    window — the reference's query shape verbatim
+    (ORDER BY VECTOR_DISTANCE ... FETCH FIRST k, 01_pdf_to_vector.sql:84-97)."""
+    from oracle_vectorsearch_example_spark.functions.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    read_table(spark, sf, "embeddings").createOrReplaceTempView("embeddings_sqlv")
+    return spark.sql(
+        """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings_sqlv WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, b.vec_id,
+                 vector_distance(b.embedding, q.qv, 'cosine') AS dist
+          FROM embeddings_sqlv b CROSS JOIN q WHERE b.vec_id <> q.qid
+        ),
+        ranked AS (
+          SELECT qid, vec_id,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                      AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT qid, rank, vec_id FROM ranked WHERE rank <= 5
+        """
+    )
+
+
 # --------------------------------------------------------- streaming twins
 @golden(
     "tumbling_window",
