@@ -1296,6 +1296,63 @@ def q_doc_stats(spark, sf):
     )
 
 
+_CORPUS_FILTER_SQL = rf"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    ), base AS (
+      SELECT d.doc_id, d.text, {_SQL_TOKENS.replace('text', 'd.text')} AS toks,
+             list_transform({_SQL_TOKENS.replace('text', 'd.text')},
+                            s -> regexp_replace(s, '[.!?,;:]', '', 'g')) AS clean
+      FROM documents d JOIN surv USING (doc_id)
+    ), m AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             len(list_filter(clean, t -> list_contains(['the','and','of','to','a'], t)))
+                 AS en_hits,
+             len(list_filter(clean, t -> list_contains(['el','la','de','y','que'], t)))
+                 AS es_hits,
+             len(list_filter(clean, t -> list_contains(
+                 ['the','and','of','to','a','el','la','de','y','que'], t))) AS stop_hits,
+             len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+             length(text) AS n_char,
+             list_sum(list_transform(toks, t -> length(t))) AS tok_chars
+      FROM base
+    ), scored AS (
+      SELECT doc_id,
+             CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                  WHEN es_hits > 0 THEN 'es' ELSE 'unk' END AS lang_guess,
+             round(0.4 * least((CASE WHEN n_tok > 0
+                                     THEN CAST(tok_chars AS DOUBLE) / n_tok ELSE 0 END) / 8.0,
+                               1.0)
+                   + 0.3 * (CASE WHEN n_tok > 0
+                                 THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0 END)
+                   + 0.3 * (1.0 - least(CASE WHEN n_char > 0
+                                             THEN CAST(n_punct AS DOUBLE) / n_char
+                                             ELSE 0 END, 1.0)), 6) AS quality
+      FROM m
+    )
+    SELECT doc_id, lang_guess, quality FROM scored
+    WHERE lang_guess = 'en' AND quality >= 0.55
+"""
+
+
+@golden("corpus_filter", _CORPUS_FILTER_SQL)
+def q_corpus_filter(spark, sf):
+    """Composite training-corpus filter — the realistic pre-training
+    pipeline shape: exact dedup (keep lowest id) → language gate → quality
+    gate, in ONE shuffle-light plan (dedup's window + per-row column
+    expressions). Both engines filter on the 6-dp-rounded score."""
+    docs = read_table(spark, sf, "documents")
+    t = F.col("text")
+    surv = exact_dedup(docs)
+    scored = surv.select(
+        "doc_id",
+        lang_id(t).alias("lang_guess"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+    return scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.55))
+
+
 @golden(
     "simhash_fingerprint",
     f"""
