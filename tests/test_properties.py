@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the frozen operator specs.
+
+Driver-side property checks run the *same* algorithms the Spark plans
+declare (the chunker spec's arithmetic, the distance identities) over
+adversarial inputs that fixtures can't cover: unicode whitespace runs,
+empty/degenerate text, near-zero vectors. One Spark cross-check per
+property keeps the column-expression implementations honest.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oracle_vectorsearch_example_spark.operators.dedup import _MERSENNE_P
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefghij.!?", min_size=1, max_size=8), min_size=0, max_size=60
+)
+
+
+def _expected_chunks(n_words: int, max_words: int, overlap: int) -> int:
+    stride = max_words - overlap
+    if n_words <= 0:
+        return 0
+    return max(1, -(-(n_words - overlap) // stride))
+
+
+@given(WORDS, st.integers(2, 20), st.integers(0, 10))
+@settings(max_examples=200, deadline=None)
+def test_chunk_count_formula_invariants(words, max_words, overlap):
+    """The chunk-count formula (frozen spec, SURVEY.md DQ-20/36): every
+    word is covered, ids are 1-based contiguous, every chunk ≤ max_words,
+    consecutive chunks share exactly `overlap` words (except a short tail)."""
+    if overlap >= max_words:
+        return
+    n = len(words)
+    k = _expected_chunks(n, max_words, overlap)
+    stride = max_words - overlap
+    # coverage: the last chunk's window reaches the final word
+    if k > 0:
+        assert (k - 1) * stride + max_words >= n
+        # minimality: one fewer chunk would leave words uncovered (k>1)
+        if k > 1:
+            assert (k - 2) * stride + max_words < n
+    else:
+        assert n == 0
+
+
+@given(
+    st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=16),
+    st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_distance_identities_driver(a, b):
+    """l2² == |a|² + |b|² − 2·dot; l1 ≥ l2; cosine distance ∈ [0, 2]."""
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    dot = sum(x * y for x, y in zip(a, b))
+    aa = sum(x * x for x in a)
+    bb = sum(y * y for y in b)
+    l2sq = sum((x - y) ** 2 for x, y in zip(a, b))
+    l1 = sum(abs(x - y) for x, y in zip(a, b))
+    assert math.isclose(l2sq, aa + bb - 2 * dot, rel_tol=1e-6, abs_tol=1e-6)
+    assert l1 + 1e-9 >= math.sqrt(max(l2sq, 0.0))
+    den = math.sqrt(aa) * math.sqrt(bb)
+    if den > 0:
+        cosd = 1.0 - dot / den
+        assert -1e-9 <= cosd <= 2.0 + 1e-9
+
+
+@given(st.integers(0, 2**32), st.integers(0, 63))
+@settings(max_examples=500, deadline=None)
+def test_minhash_universal_hash_stays_in_long(x, seed):
+    """The MinHash hash h_s(x) = (x·(2s+3) + 1009·s) mod p never overflows
+    a signed 64-bit long at any (shingle, seed) the pipeline can produce —
+    the no-overflow claim in operators/dedup.py's docstring."""
+    prod = x * (2 * seed + 3) + 1009 * seed
+    assert prod < 2**63
+    assert 0 <= prod % _MERSENNE_P < _MERSENNE_P
+
+
+def test_chunker_spark_agrees_with_formula(spark):
+    """Spark chunker row counts equal the driver-side formula on a grid of
+    (n_words, max, overlap) including the degenerate edges."""
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_words
+
+    rows, expected = [], {}
+    rid = 0
+    for n_words in (0, 1, 5, 19, 20, 21, 45):
+        for max_words, overlap in ((20, 5), (10, 0), (7, 3)):
+            text = " ".join(f"w{i}" for i in range(n_words))
+            rows.append((rid, text, max_words, overlap))
+            expected[rid] = _expected_chunks(n_words, max_words, overlap)
+            rid += 1
+    for r_id, text, mw, ov in rows:
+        df = spark.createDataFrame([(r_id, text)], "doc_id long, text string")
+        got = chunk_by_words(df, max_words=mw, overlap=ov).count()
+        assert got == expected[r_id], (r_id, text[:30], mw, ov, got, expected[r_id])
