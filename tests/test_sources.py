@@ -86,3 +86,53 @@ def test_model_registry_lifecycle(tmp_path):
     assert reg.drop("minilm")
     assert not reg.drop("minilm")
     assert reg.list_models() == []
+
+
+def test_models_cli_roundtrip(tmp_path, capsys):
+    """EP2 CLI parity: load [id] [--force] / list / drop / orphans."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from models_cli import main
+
+    wh = str(tmp_path / "wh")
+    f1, f2 = tmp_path / "a.onnx", tmp_path / "b.onnx"
+    f1.write_bytes(b"model-a")
+    f2.write_bytes(b"model-b")
+    cfg = tmp_path / "models.json"
+    cfg.write_text(json.dumps([
+        {"id": "a", "name": "A", "db_model_name": "MODEL_A", "file": str(f1), "dim": 8},
+        {"id": "b", "name": "B", "db_model_name": "MODEL_B", "file": str(f2), "dim": 16},
+    ]))
+
+    assert main(["-w", wh, "load", "-c", str(cfg)]) == 0
+    out = capsys.readouterr().out
+    assert "2 loaded, 0 skipped" in out
+
+    # re-load without force -> all skipped (load_models.py:161-167 semantics)
+    assert main(["-w", wh, "load", "-c", str(cfg)]) == 0
+    assert "0 loaded, 2 skipped" in capsys.readouterr().out
+
+    assert main(["-w", wh, "list"]) == 0
+    assert capsys.readouterr().out.split() == ["MODEL_A", "MODEL_B"]
+
+    # single-id load with force
+    assert main(["-w", wh, "load", "-c", str(cfg), "a", "--force"]) == 0
+    assert "1 loaded" in capsys.readouterr().out
+
+    # unknown id errors
+    assert main(["-w", wh, "load", "-c", str(cfg), "zz"]) == 1
+
+    # orphan = loaded but no longer configured (drop_models.py:120-126)
+    cfg.write_text(json.dumps([
+        {"id": "a", "name": "A", "db_model_name": "MODEL_A", "file": str(f1)},
+    ]))
+    assert main(["-w", wh, "orphans", "-c", str(cfg)]) == 0
+    assert capsys.readouterr().out.split() == ["MODEL_B"]
+
+    assert main(["-w", wh, "drop", "MODEL_B"]) == 0
+    assert main(["-w", wh, "drop", "MODEL_B"]) == 1  # already gone
+    capsys.readouterr()
+    assert main(["-w", wh, "list"]) == 0
+    assert capsys.readouterr().out.split() == ["MODEL_A"]
