@@ -282,7 +282,9 @@ def q_cross_join(spark, sf):
     """,
 )
 def q_range_join(spark, sf):
-    """Range join (DQ-13; J9): equi-key shuffle + interval post-filter."""
+    """Range join (DQ-13; J9), time-bucketed plan: join on (key, interval
+    bucket) so hot keys pair per-bucket, not per-key² — the 100 TB shape
+    (operators.joins.range_join strategy='bucket')."""
     ev = read_table(spark, sf, "events")
     pairs = range_join(
         ev.select("user_id", "ts"),
@@ -292,6 +294,7 @@ def q_range_join(spark, sf):
         right_ts="ts",
         lower="INTERVAL 0 SECONDS",
         upper="INTERVAL 5 MINUTES",
+        strategy="bucket",
     )
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 

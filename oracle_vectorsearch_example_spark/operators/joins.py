@@ -24,14 +24,56 @@ def range_join(
     right_ts: str,
     lower: str = "INTERVAL 0 SECONDS",
     upper: str = "INTERVAL 5 MINUTES",
+    strategy: str = "filter",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
-    """Rows (l, r) with matching keys and r.ts in [l.ts + lower, l.ts + upper]."""
+    """Rows (l, r) with matching keys and r.ts in [l.ts + lower, l.ts + upper].
+
+    - ``strategy="filter"``: equi-join on the keys, interval as a post
+      filter. Right plan when keys are selective (few rows per key): one
+      shuffle on the key, filter is free.
+    - ``strategy="bucket"``: adds a time-bucket column to the join key —
+      right rows land in bucket floor(ts/w); each left row probes only the
+      buckets its interval overlaps. On hot keys (one user = millions of
+      events) this bounds the per-task pair count to rows-per-bucket
+      instead of rows-per-key²; the standard interval-bin plan for
+      100 TB event joins. ``bucket_seconds`` defaults to the interval
+      width (every interval then spans ≤ 2 buckets).
+    """
     l = left.select(*[F.col(c) for c in left.columns])
     r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
-    cond = [l[c] == r[f"r_{c}"] for c in on]
-    cond.append(F.col(f"r_{right_ts}") >= F.expr(f"{left_ts} + {lower}"))
-    cond.append(F.col(f"r_{right_ts}") <= F.expr(f"{left_ts} + {upper}"))
-    return l.join(r, cond)
+    lo_expr = f"{left_ts} + {lower}"
+    hi_expr = f"{left_ts} + {upper}"
+    interval_cond = [
+        F.col(f"r_{right_ts}") >= F.expr(lo_expr),
+        F.col(f"r_{right_ts}") <= F.expr(hi_expr),
+    ]
+    if strategy == "filter":
+        cond = [l[c] == r[f"r_{c}"] for c in on]
+        return l.join(r, cond + interval_cond)
+    if strategy != "bucket":
+        raise ValueError(f"unknown strategy {strategy!r}; filter or bucket")
+
+    width_s = bucket_seconds or int(
+        l.sparkSession.sql(
+            f"SELECT CAST(unix_micros(TIMESTAMP '1970-01-01' + {upper}) "
+            f"- unix_micros(TIMESTAMP '1970-01-01' + {lower}) AS LONG)"
+        ).collect()[0][0]
+        // 1_000_000
+    )
+    width_s = max(1, width_s)
+    rb = r.withColumn("__bucket", F.expr(f"unix_seconds(r_{right_ts}) div {width_s}"))
+    lb = l.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_seconds({lo_expr}) div {width_s}"),
+                F.expr(f"unix_seconds({hi_expr}) div {width_s}"),
+            )
+        ),
+    )
+    cond = [lb[c] == rb[f"r_{c}"] for c in on] + [lb["__bucket"] == rb["__bucket"]]
+    return lb.join(rb, cond + interval_cond).drop("__bucket")
 
 
 def asof_join(

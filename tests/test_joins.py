@@ -73,3 +73,26 @@ def test_range_join(trades, quotes):
     assert (2, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00")) in pairs
     # nothing outside the window
     assert all(r.r_ts >= r.ts for r in got)
+
+
+def test_range_join_bucket_strategy_matches_filter(spark):
+    """The time-bucketed plan is semantics-preserving: identical pairs to
+    the equi-join + filter plan."""
+    from oracle_vectorsearch_example_spark.operators.joins import range_join
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    kw = dict(on=["user_id"], left_ts="ts", right_ts="ts",
+              lower="INTERVAL 1 SECONDS", upper="INTERVAL 5 MINUTES")
+    a = range_join(ev, ev, **kw, strategy="filter").select("event_id", "r_event_id")
+    b = range_join(ev, ev, **kw, strategy="bucket").select("event_id", "r_event_id")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    # custom bucket width also preserves semantics
+    c = range_join(ev, ev, **kw, strategy="bucket", bucket_seconds=37).select(
+        "event_id", "r_event_id"
+    )
+    assert sorted(map(tuple, c.collect())) == ra
