@@ -91,3 +91,68 @@ def fingerprint(text: Column) -> Column:
     """16-hex-char md5 fingerprint of normalized text."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.substring(F.md5(norm), 1, 16)
+
+
+def gram_hashes(text: Column, k: int = 8) -> Column:
+    """Rolling k-gram hash stream of the normalized text: 32-bit md5-prefix
+    ints, one per character position. Empty for texts shorter than k."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    gram_hash = lambda i: F.conv(  # noqa: E731 - local lambda reads clearer inline
+        F.substring(F.md5(F.substring(norm, i + 1, F.lit(k))), F.lit(1), F.lit(8)),
+        16,
+        10,
+    ).cast("bigint")
+    return F.when(
+        F.length(norm) >= k,
+        F.transform(F.sequence(F.lit(0), F.length(norm) - k), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def select_winnow(hashes: Column, w: int = 4) -> Column:
+    """Winnowing selection: min of each w-wide hash window, deduped.
+
+    Single-pass ``aggregate`` fold with a (ring of last w−1, selections)
+    accumulator, NOT a windows-by-index ``transform``: the index form
+    references the hash stream in two places, and when Catalyst's project
+    collapsing inlines the (O(n)-md5) stream into each, the interpreted
+    lambda re-evaluates it per window — measured 100× slower. The fold
+    touches the stream exactly once, so it stays O(n·w) cheap ops no
+    matter how the surrounding projections are rewritten."""
+    empty = F.array().cast("array<bigint>")
+    folded = F.aggregate(
+        hashes,
+        F.struct(empty.alias("ring"), empty.alias("sel")),
+        lambda acc, x: F.struct(
+            F.when(
+                F.size(acc["ring"]) < w - 1, F.concat(acc["ring"], F.array(x))
+            )
+            .otherwise(F.concat(F.slice(acc["ring"], 2, w - 2), F.array(x)))
+            .alias("ring"),
+            F.when(
+                F.size(acc["ring"]) == w - 1,
+                F.concat(
+                    acc["sel"],
+                    F.array(F.array_min(F.concat(acc["ring"], F.array(x)))),
+                ),
+            )
+            .otherwise(acc["sel"])
+            .alias("sel"),
+        ),
+        lambda acc: F.array_distinct(acc["sel"]),
+    )
+    return F.when(F.size(hashes) >= w, folded).otherwise(empty)
+
+
+def winnow_fingerprints_df(
+    df, text_col: str = "text", k: int = 8, w: int = 4, out_col: str = "fingerprints"
+):
+    """Winnowing document fingerprints (the rolling-hash scheme): hash
+    every k-char gram of the normalized text, slide a w-hash window, keep
+    each window's minimum, dedupe. Near-identical documents share most
+    selected fingerprints even under local edits — unlike the whole-doc
+    md5, which any edit changes. Texts shorter than k + w − 1 chars yield
+    an empty set. Two projections by design (see :func:`select_winnow`)."""
+    staged = df.withColumn("__gram_hashes", gram_hashes(F.col(text_col), k))
+    return staged.withColumn(out_col, select_winnow(F.col("__gram_hashes"), w)).drop(
+        "__gram_hashes"
+    )

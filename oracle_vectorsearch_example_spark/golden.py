@@ -44,6 +44,7 @@ from oracle_vectorsearch_example_spark.functions.textstats import (
     fingerprint,
     lang_id,
     quality_score,
+    winnow_fingerprints_df,
     ws_token_count,
 )
 from oracle_vectorsearch_example_spark.functions.vectors import parse_vector
@@ -1354,6 +1355,53 @@ def q_corpus_filter(spark, sf):
         F.round(quality_score(t), 6).alias("quality"),
     )
     return scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.55))
+
+
+_WINNOW_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents WHERE doc_id < 50
+    ), h AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, length(norm) - 8),
+                 i -> ('0x' || substr(md5(substr(norm, i + 1, 8)), 1, 8))::BIGINT)
+                 AS hashes
+      FROM base WHERE length(norm) >= 11
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           substr(md5(array_to_string(list_sort(fps), ',')), 1, 16) AS fp_digest
+    FROM (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(0, len(hashes) - 4),
+                     j -> list_min(hashes[j + 1: j + 4]))) AS fps
+          FROM h) w
+"""
+
+
+@golden("winnow_fingerprints", _WINNOW_SQL)
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing rolling-hash fingerprints (X3 family): k=8 char grams,
+    window w=4 minima, per-doc distinct set — summarized as (count, digest
+    of the sorted set) so the full selection is hash-checked."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    out = (
+        winnow_fingerprints_df(docs, "text", k=8, w=4, out_col="__fps")
+        .filter(F.size("__fps") > 0)
+        .select("doc_id", "__fps")
+    )
+    return out.select(
+        "doc_id",
+        F.size("__fps").cast("long").alias("n_fp"),
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort("__fps"), lambda x: x.cast("string")), ","
+                )
+            ),
+            1,
+            16,
+        ).alias("fp_digest"),
+    )
 
 
 @golden(

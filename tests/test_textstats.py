@@ -74,3 +74,30 @@ def test_sessionize_invariants(spark):
     bad = agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count()
     assert bad == 0
     assert s.count() == ev.count()
+
+
+def test_winnow_fingerprints_edit_stability(spark):
+    """A local edit perturbs only nearby fingerprints: the surviving
+    overlap stays high — the property whole-doc hashing lacks."""
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        winnow_fingerprints_df,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = base.replace("jumps over", "leaps past", 1)  # one local edit
+    df = spark.createDataFrame([(1, base), (2, edited)], "id long, text string")
+    rows = {
+        r.id: set(r.fps)
+        for r in winnow_fingerprints_df(df, "text", out_col="fps")
+        .select("id", "fps")
+        .collect()
+    }
+    inter = len(rows[1] & rows[2])
+    union = len(rows[1] | rows[2])
+    assert inter / union > 0.5, (inter, union)
+    # degenerate inputs yield empty sets, not errors
+    tiny = spark.createDataFrame([(1, "short"), (2, ""), (3, None)], "id long, text string")
+    out = winnow_fingerprints_df(tiny, "text", out_col="fps").collect()
+    assert all(r.fps == [] for r in out)
