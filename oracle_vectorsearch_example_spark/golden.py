@@ -445,6 +445,51 @@ def q_salted_join_agg(spark, sf):
     )
 
 
+@golden(
+    "tpch_q18",
+    f"""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '{_SQL_TS_FMT}') AS orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           sum(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape: HAVING-filtered aggregate drives a semi-join into
+    a 3-table join. The big-order key set is small after the HAVING, so
+    it broadcasts; quantities are integer-valued doubles (exact sums)."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            _ts_str(F.col("o_orderdate")).alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
 # -------------------------------------------------------------- aggregations
 @golden(
     "tpch_q1",

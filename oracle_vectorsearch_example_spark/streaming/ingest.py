@@ -75,3 +75,13 @@ def sessionized_counts_stream(
 def dedup_stream(stream_df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "30 minutes") -> DataFrame:
     """Streaming dedup bounded by watermark state."""
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the (small,
+    broadcast) static dimension — no streaming state, the standard
+    ingestion-time lookup. The dim side is re-read per batch, so slowly
+    changing dimensions pick up updates between batches."""
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim_df), on, how)

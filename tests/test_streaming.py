@@ -120,3 +120,23 @@ def test_stateful_sessions_match_batch(spark, events_dir):
     }
     assert len(streamed) > 0
     assert streamed == expected
+
+
+def test_stream_static_enrichment(spark, events_dir):
+    """Stream-static join: every streamed event picks up its dimension row;
+    result equals the batch join."""
+    from oracle_vectorsearch_example_spark.streaming.ingest import enrich_stream
+
+    static = read_table(spark, SF, "events")
+    dim = (
+        static.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    got = _run_stream(
+        spark,
+        enrich_stream(stream, dim, on="user_id").select("event_id", "segment"),
+        "enriched",
+    )
+    want = static.join(dim, "user_id").select("event_id", "segment")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
