@@ -8,13 +8,23 @@ from oracle_vectorsearch_example_spark.functions.distances import (
 )
 from oracle_vectorsearch_example_spark.functions.chunker import (
     chunk_by_chars,
-    chunk_by_words,
+    chunk_by_custom_udf,
     chunk_by_sentences_udf,
+    chunk_by_words,
 )
 from oracle_vectorsearch_example_spark.functions.embedding import (
     HashingEmbedder,
     OnnxEmbedder,
     hashing_embedding,
+)
+from oracle_vectorsearch_example_spark.functions.sql import register_sql_functions
+from oracle_vectorsearch_example_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    winnow_fingerprints_df,
+    ws_token_count,
 )
 from oracle_vectorsearch_example_spark.functions.vectors import (
     normalize_l2,
@@ -29,11 +39,19 @@ __all__ = [
     "l2_distance",
     "vector_distance",
     "chunk_by_chars",
-    "chunk_by_words",
+    "chunk_by_custom_udf",
     "chunk_by_sentences_udf",
+    "chunk_by_words",
     "HashingEmbedder",
     "OnnxEmbedder",
     "hashing_embedding",
+    "register_sql_functions",
+    "bpe_ish_token_count",
+    "fingerprint",
+    "lang_id",
+    "quality_score",
+    "winnow_fingerprints_df",
+    "ws_token_count",
     "normalize_l2",
     "parse_vector",
 ]

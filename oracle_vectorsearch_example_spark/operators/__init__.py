@@ -1,8 +1,10 @@
 from oracle_vectorsearch_example_spark.operators.search import (
     cosine_neardup_pairs,
+    cosine_neardup_pairs_sparse,
     topk_search,
 )
-from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex, recall_at_k
+from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
 from oracle_vectorsearch_example_spark.operators.dedup import (
     exact_dedup,
     jaccard_neardup_pairs,
@@ -12,11 +14,21 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
 )
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
 from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
+from oracle_vectorsearch_example_spark.operators.skew import salted_agg, salted_join
+from oracle_vectorsearch_example_spark.operators.multimodal import (
+    binary_stats,
+    extract_media_features,
+    resize_media,
+    sample_frames,
+)
 
 __all__ = [
     "topk_search",
     "cosine_neardup_pairs",
+    "cosine_neardup_pairs_sparse",
     "IvfIndex",
+    "CosineLshIndex",
+    "recall_at_k",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -25,4 +37,10 @@ __all__ = [
     "asof_join",
     "range_join",
     "sessionize",
+    "salted_agg",
+    "salted_join",
+    "binary_stats",
+    "extract_media_features",
+    "resize_media",
+    "sample_frames",
 ]
