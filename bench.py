@@ -19,9 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    # original baseline set (BASELINE.md, frozen)
     "filter_agg",          # DQ-04 filter + agg
     "join_agg",            # DQ-09 broadcast join + agg
-    "range_join",          # DQ-13 interval self-join
+    "range_join",          # DQ-13 interval self-join (bucketed)
     "vector_topk_exact",   # DQ-14 exact vector top-k
     "tpch_q1",             # DQ-15 group-by agg
     "window_funcs",        # DQ-21 window functions
@@ -29,6 +30,11 @@ BENCH_QUERIES = [
     "sessionize",          # DQ-40 gaps-and-islands
     "exact_dedup",         # DQ-41 hash dedup
     "flagship_search",     # EP1+EP3 end-to-end
+    # headliners added at r1 close (not in the frozen baseline total)
+    "tpch_q5",             # six-table broadcast join
+    "minhash_lsh",         # banded-LSH dedup candidates
+    "corpus_filter",       # dedup + lang + quality composite
+    "winnow_fingerprints", # rolling-hash fingerprints
 ]
 
 N_RUNS = 3

@@ -181,3 +181,31 @@ def test_lsh_ann_recall_and_determinism(emb, queries10):
     idx_small = CosineLshIndex.build(emb, dim=64, n_tables=2, n_bits=4, seed=42)
     r_small = recall_at_k(exact, idx_small.search(queries10, k=10, exclude_self=True))
     assert r >= r_small
+
+
+def test_cosine_neardup_lsh_finds_exact_pairs(spark):
+    """LSH-blocked near-dup: finds every exact pair at threshold 0.95 on
+    hashing embeddings of documents (near-dups collide with prob > 0.999),
+    with exact similarities (precision 1.0 by construction)."""
+    from oracle_vectorsearch_example_spark.functions.embedding import hashing_embedding
+    from oracle_vectorsearch_example_spark.operators.search import (
+        cosine_neardup_pairs_lsh,
+        cosine_neardup_pairs_sparse,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    d = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        hashing_embedding(F.col("text"), 64).alias("embedding"),
+    ).cache()
+    exact = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in cosine_neardup_pairs_sparse(d, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in cosine_neardup_pairs_lsh(d, dim=64, threshold=0.95).collect()
+    }
+    assert len(exact) > 0
+    assert lsh == exact  # full recall on this fixture, identical sims
+    d.unpersist()
