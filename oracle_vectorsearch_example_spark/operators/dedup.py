@@ -63,17 +63,38 @@ def _shingle_int(s: Column) -> Column:
 
 
 def shingle_df(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, hashed: bool = True
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, hashed: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
-    """One row per (id, distinct shingle). ``hashed=True`` maps each shingle
-    to a 32-bit int (the MinHash input); ``hashed=False`` keeps the raw
-    shingle string — collision-free, for exact-Jaccard paths."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(_shingles(F.col(text_col), n)).alias("__shingle"),
+    """One row per (id, shingle) — distinct by default. ``hashed=True``
+    maps each shingle to a 32-bit int (the MinHash input); ``hashed=False``
+    keeps the raw shingle string — collision-free, for exact-Jaccard paths.
+
+    Plan shape: tokens materialize in their own projection (interpreted
+    lambdas re-evaluate inlined inputs per element — the winnowing lesson,
+    functions/textstats.select_winnow); grams are built with element_at
+    (no per-gram slice allocation); dedup happens post-explode as a
+    hash-based dropDuplicates, not an O(m²) array_distinct per row.
+    ``distinct=False`` skips dedup where multiset semantics are fine
+    (MinHash minima)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    tcol = F.col("__toks")
+    grams = F.when(
+        F.size(tcol) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tcol) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tcol, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = staged.select(F.col(id_col), F.explode(grams).alias("__shingle"))
     key = _shingle_int(F.col("__shingle")) if hashed else F.col("__shingle")
-    return sh.select(F.col(id_col), key.alias("shingle"))
+    out = sh.select(F.col(id_col), key.alias("shingle"))
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def minhash_signatures(
@@ -86,15 +107,26 @@ def minhash_signatures(
     """MinHash signature, exploded shape: (id, seed, minhash).
 
     min over shingles of h_seed(shingle); docs with < shingle_n words get no
-    rows (no shingles → undefined signature)."""
-    sh = shingle_df(df, text_col, id_col, shingle_n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select(F.col(id_col), F.col("shingle"), seeds).withColumn(
-        "__h",
-        (F.col("shingle") * (F.lit(2) * F.col("seed") + 3) + F.lit(1009) * F.col("seed"))
-        % F.lit(_MERSENNE_P),
-    )
-    return hashed.groupBy(id_col, "seed").agg(F.min("__h").alias("minhash"))
+    rows (no shingles → undefined signature).
+
+    One aggregation computes every seed's min as a separate aggregate over
+    the singly-exploded shingle rows — NOT an explode of (shingle × seed),
+    which multiplies the shuffle by num_hashes. The (id, seed, minhash)
+    shape comes from a cheap post-agg unpivot of the num_hashes columns.
+    Duplicate shingles don't change a min, so the dedup shuffle is skipped."""
+    sh = shingle_df(df, text_col, id_col, shingle_n, distinct=False)
+    mins = [
+        F.min(
+            (F.col("shingle") * F.lit(2 * s + 3) + F.lit(1009 * s)) % F.lit(_MERSENNE_P)
+        ).alias(f"__m{s}")
+        for s in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*mins)
+    stack = ", ".join(f"{s}L, __m{s}" for s in range(num_hashes))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({num_hashes}, {stack}) AS (seed, minhash)"),
+    ).select(id_col, F.col("seed").cast("int"), "minhash")
 
 
 def minhash_lsh_pairs(
