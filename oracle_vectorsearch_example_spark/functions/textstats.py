@@ -93,6 +93,46 @@ def fingerprint(text: Column) -> Column:
     return F.substring(F.md5(norm), 1, 16)
 
 
+def text_metrics_df(df, text_col: str = "text"):
+    """All per-document text metrics in one staged pass: tokenize ONCE into
+    materialized columns, then compute counts/lang/quality from the arrays.
+    Same outputs as the per-column functions above (which re-tokenize per
+    metric when composed — fine for one metric, 5× the work for five).
+    Adds: ws_tokens, bpe_tokens, fp, lang_guess, quality."""
+    t = F.col(text_col)
+    staged = df.withColumn("__toks", tokens(t)).withColumn(
+        "__clean", F.transform(F.col("__toks"), lambda x: F.regexp_replace(x, _PUNCT_RE, ""))
+    )
+    toks, clean = F.col("__toks"), F.col("__clean")
+    n_tok = F.size(toks)
+    en = _marker_hits(clean, EN_MARKERS)
+    es = _marker_hits(clean, ES_MARKERS)
+    stop_hits = _marker_hits(clean, EN_MARKERS + ES_MARKERS)
+    n = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(_PUNCT_RE), F.lit(0)))
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    awl = F.when(n_tok > 0, tok_chars.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    sr = F.when(n_tok > 0, stop_hits.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    pr = F.when(n > 0, n_punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return staged.withColumns(
+        {
+            "ws_tokens": n_tok.cast("long"),
+            "bpe_tokens": bpe_ish_token_count(t),
+            "fp": fingerprint(t),
+            "lang_guess": (
+                F.when((en >= es) & (en > 0), F.lit("en"))
+                .when(es > 0, F.lit("es"))
+                .otherwise(F.lit("unk"))
+            ),
+            "quality": (
+                F.lit(0.4) * F.least(awl / F.lit(8.0), F.lit(1.0))
+                + F.lit(0.3) * sr
+                + F.lit(0.3) * (F.lit(1.0) - F.least(pr, F.lit(1.0)))
+            ),
+        }
+    ).drop("__toks", "__clean")
+
+
 def gram_hashes(text: Column, k: int = 8) -> Column:
     """Rolling k-gram hash stream of the normalized text: 32-bit md5-prefix
     ints, one per character position. Empty for texts shorter than k."""

@@ -40,12 +40,8 @@ from oracle_vectorsearch_example_spark.functions.distances import (
 )
 from oracle_vectorsearch_example_spark.functions.embedding import HashingEmbedder, hashing_embedding
 from oracle_vectorsearch_example_spark.functions.textstats import (
-    bpe_ish_token_count,
-    fingerprint,
-    lang_id,
-    quality_score,
+    text_metrics_df,
     winnow_fingerprints_df,
-    ws_token_count,
 )
 from oracle_vectorsearch_example_spark.functions.vectors import parse_vector
 from oracle_vectorsearch_example_spark.operators.dedup import (
@@ -1332,16 +1328,17 @@ _DOCSTATS_SQL = rf"""
 @golden("doc_stats", _DOCSTATS_SQL)
 def q_doc_stats(spark, sf):
     """Per-document text analysis (X3): token counts, fingerprint,
-    language-ID heuristic, composite quality score."""
+    language-ID heuristic, composite quality score — one tokenize pass
+    (textstats.text_metrics_df)."""
     docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
-    t = F.col("text")
-    return docs.select(
+    m = text_metrics_df(docs, "text")
+    return m.select(
         "doc_id",
-        ws_token_count(t).alias("ws_tokens"),
-        bpe_ish_token_count(t).alias("bpe_tokens"),
-        fingerprint(t).alias("fp"),
-        lang_id(t).alias("lang_guess"),
-        F.round(quality_score(t), 6).alias("quality"),
+        "ws_tokens",
+        "bpe_tokens",
+        "fp",
+        "lang_guess",
+        F.round("quality", 6).alias("quality"),
     )
 
 
@@ -1392,12 +1389,9 @@ def q_corpus_filter(spark, sf):
     gate, in ONE shuffle-light plan (dedup's window + per-row column
     expressions). Both engines filter on the 6-dp-rounded score."""
     docs = read_table(spark, sf, "documents")
-    t = F.col("text")
     surv = exact_dedup(docs)
-    scored = surv.select(
-        "doc_id",
-        lang_id(t).alias("lang_guess"),
-        F.round(quality_score(t), 6).alias("quality"),
+    scored = text_metrics_df(surv, "text").select(
+        "doc_id", "lang_guess", F.round("quality", 6).alias("quality")
     )
     return scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.55))
 
