@@ -116,3 +116,35 @@ class ModelRegistry:
     def get(self, model_name: str) -> ModelEntry | None:
         e = self._read().get(model_name)
         return ModelEntry(**e) if e else None
+
+
+def download_model(url: str, dest_dir: str, extract_suffix: str = ".onnx") -> list[str]:
+    """S10: fetch a model archive and extract matching members — the
+    download_models.py:18-49 pattern (urllib fetch, zipfile extract of
+    ``*.onnx`` members; plain files are copied through). Driver-side
+    utility; returns the extracted file paths. ``file://`` URLs work for
+    air-gapped/warehouse sources (and tests)."""
+    import urllib.request
+    import zipfile
+
+    os.makedirs(dest_dir, exist_ok=True)
+    name = os.path.basename(url.rstrip("/")) or "model.bin"
+    tmp = os.path.join(dest_dir, name + ".part")
+    urllib.request.urlretrieve(url, tmp)
+
+    out: list[str] = []
+    if zipfile.is_zipfile(tmp):
+        with zipfile.ZipFile(tmp) as zf:
+            for member in zf.namelist():
+                if member.endswith(extract_suffix):
+                    # flatten archive paths; never allow traversal outside dest
+                    target = os.path.join(dest_dir, os.path.basename(member))
+                    with zf.open(member) as src, open(target, "wb") as dst:
+                        shutil.copyfileobj(src, dst)
+                    out.append(target)
+        os.unlink(tmp)
+    else:
+        final = os.path.join(dest_dir, name)
+        os.replace(tmp, final)
+        out.append(final)
+    return sorted(out)

@@ -136,3 +136,29 @@ def test_models_cli_roundtrip(tmp_path, capsys):
     capsys.readouterr()
     assert main(["-w", wh, "list"]) == 0
     assert capsys.readouterr().out.split() == ["MODEL_A"]
+
+
+def test_download_model_zip_and_plain(tmp_path):
+    """S10 download/extract (download_models.py:18-49 pattern) via file://
+    URLs: zip archives extract only matching members, plain files copy."""
+    import zipfile
+
+    from oracle_vectorsearch_example_spark.sources.registry import download_model
+
+    src = tmp_path / "src"
+    src.mkdir()
+    z = src / "bundle.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("nested/dir/model.onnx", b"onnx-bytes")
+        zf.writestr("README.txt", b"skip me")
+    dest = tmp_path / "out"
+    got = download_model(z.as_uri(), str(dest))
+    assert [p.split("/")[-1] for p in got] == ["model.onnx"]
+    assert (dest / "model.onnx").read_bytes() == b"onnx-bytes"
+    assert not (dest / "README.txt").exists()
+
+    plain = src / "raw.onnx"
+    plain.write_bytes(b"raw-model")
+    got2 = download_model(plain.as_uri(), str(dest))
+    assert (dest / "raw.onnx").read_bytes() == b"raw-model"
+    assert got2 == [str(dest / "raw.onnx")]
