@@ -1087,6 +1087,23 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+@golden("ivf_exhaustive", _TOPK_SQL)
+def q_ivf_exhaustive(spark, sf):
+    """IVF index machinery, hash-checked: probing every cluster
+    (nprobe = n_clusters) is exhaustive, so build → probe → prune →
+    re-rank must reproduce the exact top-k — the deterministic
+    complement to the rows-only `ivf_search` (approx nprobe)."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    e = read_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = IvfIndex.build(e, seed=42)
+    hits = idx.search(q, k=5, nprobe=len(idx.centroids), exclude_self=True)
+    return hits.select("qid", "rank", "vec_id")
+
+
 @golden("sql_vector_topk", _TOPK_SQL)
 def q_sql_vector_topk(spark, sf):
     """The same exact top-k as vector_topk_exact but through the PURE SQL
