@@ -34,7 +34,15 @@ def stateful_sessions_stream(
     of ``last`` extends the session; a later event closes it and starts a
     new one. Batch-equivalent semantics: operators.sessionize — every
     closed session here equals a batch session; the per-key trailing
-    session is withheld (still open).
+    session is withheld (still open) and is stitched across micro-batch
+    boundaries by the state.
+
+    Ordering contract: events must arrive in non-decreasing event time
+    per key ACROSS micro-batches (within a batch they are sorted here).
+    That holds for time-ordered sources (file source oldest-first, Kafka
+    per-key partitions); for out-of-order sources, pre-bucket by event
+    time or use ``F.session_window`` + watermark (streaming/ingest.py),
+    which trades custom state for built-in late-data handling.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

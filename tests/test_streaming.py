@@ -140,3 +140,50 @@ def test_stream_static_enrichment(spark, events_dir):
     )
     want = static.join(dim, "user_id").select("event_id", "segment")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stateful_sessions_stitch_across_microbatches(spark, tmp_path):
+    """Sessions spanning micro-batch boundaries are stitched by the
+    per-key state: three time-sliced files processed oldest-first (one
+    per trigger) must yield the same closed sessions as one batch."""
+    import time as _time
+
+    from oracle_vectorsearch_example_spark.operators.sessionize import session_stats
+    from oracle_vectorsearch_example_spark.streaming.stateful import (
+        stateful_sessions_stream,
+    )
+
+    static = read_table(spark, SF, "events").select("user_id", "ts")
+    lo, hi = static.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    d = str(tmp_path / "sliced")
+    for i in range(3):  # sequential writes -> increasing modificationTime
+        part = static.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+        )
+        part.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mod times for oldest-first ordering
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = _run_stream(
+        spark, stateful_sessions_stream(stream, gap_minutes=30.0), "stitched_sessions"
+    )
+    streamed = {
+        (r.user_id, r.n_events, round(r.duration_sec, 3)) for r in got.collect()
+    }
+
+    # batch over the same (slightly clipped) data
+    clipped = static.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    batch = session_stats(clipped, gap_minutes=30.0)
+    last = batch.groupBy("user_id").agg(F.max("session_id").alias("session_id"))
+    closed = batch.join(last, ["user_id", "session_id"], "left_anti")
+    expected = {
+        (r.user_id, r.n_events, round(r.duration_sec, 3)) for r in closed.collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == expected
