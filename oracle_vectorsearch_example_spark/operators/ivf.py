@@ -271,9 +271,14 @@ class IvfIndex:
         ]
         spark = queries.sparkSession
         probes = spark.createDataFrame(probe_pairs, f"{query_id} long, cluster_id int")
-        # restrict assignment table to probed clusters (partition-prunable),
-        # then tag each base row with the querying qid via broadcast join
-        pruned = self.assignments.join(
+        # static IN-filter on the union of probed clusters FIRST: a literal
+        # predicate reaches the scan as a real PartitionFilter on the
+        # materialized (partitionBy cluster_id) index — a join alone gives
+        # only isnotnull, no pruning (verified in test_plans). The
+        # broadcast join then tags each surviving row with its qid.
+        probed_clusters = sorted({cid for _, cid in probe_pairs})
+        base = self.assignments.filter(F.col("cluster_id").isin(probed_clusters))
+        pruned = base.join(
             F.broadcast(probes), "cluster_id"
         ).select(query_id, self.id_col, self.vec_col)
 

@@ -102,3 +102,20 @@ def test_partial_aggregation_before_shuffle(spark):
     plan = explain_str(q, mode="simple")
     n_agg = len(re.findall(r"HashAggregate", plan))
     assert n_agg >= 2, plan  # partial + final
+
+
+def test_ivf_search_prunes_partitions(spark, tmp_path):
+    """A materialized IVF index scan carries a real cluster_id partition
+    filter at probe time — the index's entire point at 100 TB."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    emb = read_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = IvfIndex.build(emb, seed=42, path=str(tmp_path / "ivf"))
+    plan = explain_str(idx.search(q, k=5, nprobe=4))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and ("cluster_id" in m.group(1)) and (
+        "IN" in m.group(1).upper() or "in(" in m.group(1).lower()
+    ), m.group(1) if m else plan
