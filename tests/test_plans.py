@@ -119,3 +119,25 @@ def test_ivf_search_prunes_partitions(spark, tmp_path):
     assert m and ("cluster_id" in m.group(1)) and (
         "IN" in m.group(1).upper() or "in(" in m.group(1).lower()
     ), m.group(1) if m else plan
+
+
+def test_sessionize_is_single_shuffle(spark):
+    """Gaps-and-islands sessionization shuffles ONCE: the final per-session
+    aggregation reuses the window's hash partitioning on user_id."""
+    from oracle_vectorsearch_example_spark.operators.sessionize import session_stats
+
+    ev = read_table(spark, SF, "events")
+    plan = explain_str(session_stats(ev), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union+window as-of join shuffles ONCE on the key — never a
+    per-key non-equi join."""
+    from oracle_vectorsearch_example_spark.operators.joins import asof_join
+
+    ev = read_table(spark, SF, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    plan = explain_str(asof_join(views, clicks, on="user_id"), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
