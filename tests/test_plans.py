@@ -141,3 +141,18 @@ def test_asof_join_is_single_shuffle(spark):
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     plan = explain_str(asof_join(views, clicks, on="user_id"), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """write_table(partition_by=...) + a literal filter on the partition
+    column reaches the scan as a PartitionFilter."""
+    from oracle_vectorsearch_example_spark.sources.io import write_table
+
+    ev = read_table(spark, SF, "events")
+    p = str(tmp_path / "ev_by_type")
+    write_table(ev, p, partition_by=["event_type"])
+    q = spark.read.parquet(p).filter(F.col("event_type") == "click")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", explain_str(q))
+    assert m and "event_type" in m.group(1) and "click" in m.group(1), (
+        m.group(1) if m else explain_str(q)
+    )
