@@ -489,6 +489,48 @@ def q_tpch_q7(spark, sf):
 
 
 @golden(
+    "tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6, 2)} AS revenue,
+           CAST(round(CAST(c.c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 shape: returned-item revenue per customer over a date
+    window, global top-20 (TakeOrderedAndProject, no full sort)."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)", 6, 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@golden(
     "tpch_q18",
     f"""
     SELECT c.c_name, o.o_orderkey,
