@@ -38,7 +38,7 @@ from oracle_vectorsearch_example_spark.functions.distances import (
     l1_distance,
     l2_distance,
 )
-from oracle_vectorsearch_example_spark.functions.embedding import HashingEmbedder, hashing_embedding
+from oracle_vectorsearch_example_spark.functions.embedding import hashing_embedding
 from oracle_vectorsearch_example_spark.functions.textstats import (
     text_metrics_df,
     winnow_fingerprints_df,
@@ -58,7 +58,7 @@ from oracle_vectorsearch_example_spark.operators.search import (
 from oracle_vectorsearch_example_spark.operators.sessionize import session_stats
 from oracle_vectorsearch_example_spark.plans.pipeline import ingest_documents, search_text
 from oracle_vectorsearch_example_spark.sources.io import read_table
-from oracle_vectorsearch_example_spark.streaming.ingest import sliding_counts, tumbling_counts
+from oracle_vectorsearch_example_spark.streaming.ingest import sliding_counts
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

@@ -14,7 +14,7 @@ similarity search, exact or IVF-pruned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_words
