@@ -75,8 +75,10 @@ def chunk_by_words(
         raise ValueError(f"unknown tokenizer {tokenizer!r}; whitespace or vocabulary")
     base = df.select(*id_cols, w.alias("__words"))
     n = F.size(F.col("__words"))
-    # integer ceil((n-overlap)/stride); 0 chunks for empty text
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+    # integer ceil((n-overlap)/stride); 0 chunks for empty or NULL text
+    # (size(NULL) is NULL: `<= 0` alone would fall through to the
+    # otherwise-branch, where greatest(1, NULL) fabricates one chunk)
+    n_chunks = F.when(n.isNull() | (n <= 0), F.lit(0)).otherwise(
         F.greatest(
             F.lit(1).cast("long"),
             F.expr(f"(size(__words) - {overlap} + {stride} - 1) div {stride}"),
@@ -131,8 +133,8 @@ def chunk_by_chars(
     id_cols = id_cols or ["doc_id"]
     stride = max_chars - overlap_chars
 
-    n = F.length(F.col(text_col))
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+    n = F.length(F.col(text_col))  # NULL for NULL text, see word chunker
+    n_chunks = F.when(n.isNull() | (n <= 0), F.lit(0)).otherwise(
         F.greatest(
             F.lit(1),
             F.expr(f"(length({text_col}) - {overlap_chars} + {stride} - 1) div {stride}"),

@@ -1,0 +1,73 @@
+"""Degenerate-input robustness: empty tables, single rows, zero vectors.
+Operators must return empty/correct results, not throw."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_words
+from oracle_vectorsearch_example_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_neardup_pairs,
+    minhash_signatures,
+)
+from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+from oracle_vectorsearch_example_spark.operators.search import topk_search
+from oracle_vectorsearch_example_spark.operators.sessionize import session_stats
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_chunker_empty_and_null(spark):
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "   ")], "doc_id long, text string")
+    assert chunk_by_words(df, max_words=5, overlap=1).count() == 0
+    assert chunk_by_words(_empty_docs(spark), max_words=5, overlap=1).count() == 0
+    from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_chars
+
+    # char mode chunks RAW text (no trim, by=characters spec): NULL and ""
+    # give nothing, whitespace-only is one literal chunk
+    out = chunk_by_chars(df, max_chars=5, overlap_chars=1).collect()
+    assert [(r.doc_id, r.chunk_text) for r in out] == [(3, "   ")]
+
+
+def test_dedup_family_empty(spark):
+    e = _empty_docs(spark)
+    assert exact_dedup(e).count() == 0
+    assert minhash_signatures(e).count() == 0
+    assert jaccard_neardup_pairs(e).count() == 0
+
+
+def test_topk_empty_base_and_zero_vector(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
+    assert topk_search(empty, q, k=3).count() == 0
+    # zero base vector: cosine defined as similarity 0 -> distance 1, no NaN
+    base = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = topk_search(base, q, k=2).collect()
+    assert [r.vec_id for r in rows] == [2, 1]
+    assert all(not (r.distance != r.distance) for r in rows)  # no NaN
+
+
+def test_ivf_tiny_table(spark):
+    """n < default k: sample fallback still builds a valid index."""
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    idx = IvfIndex.build(tiny, seed=42)
+    q = tiny.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    hits = idx.search(q, k=2, nprobe=len(idx.centroids))
+    assert hits.groupBy("qid").count().collect()[0]["count"] == 2
+
+
+def test_sessionize_single_event_per_user(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    rows = session_stats(df).collect()
+    assert len(rows) == 2
+    assert all(r.n_events == 1 and r.duration_sec == 0.0 for r in rows)
