@@ -249,7 +249,7 @@ def simhash(text: Column, bits: int = 60) -> Column:
             F.lit(0).cast("long"),
             lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
         )
-    return F.when(F.size(toks) == 0, F.lit(0).cast("long")).otherwise(
+    return F.when(F.size(toks).isNull() | (F.size(toks) == 0), F.lit(0).cast("long")).otherwise(
         sum(
             (F.when(bit_sum(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << j))
             for j in range(bits)

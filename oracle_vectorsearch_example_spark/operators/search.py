@@ -108,9 +108,13 @@ def _numpy_candidates(
         allc = allc.sort_values(["__qid", "__dist", "__bid"], kind="mergesort")
         yield allc.groupby("__qid", sort=False).head(k_)
 
-    return base.select(
-        F.col(base_id).cast("long").alias(base_id), base_vec
-    ).mapInPandas(run, schema="__qid long, __bid long, __dist double")
+    return (
+        base.select(F.col(base_id).cast("long").alias(base_id), base_vec)
+        # a NULL vector row would poison the batch matrix; excluded by
+        # definition (no distance is defined for it)
+        .filter(F.col(base_vec).isNotNull())
+        .mapInPandas(run, schema="__qid long, __bid long, __dist double")
+    )
 
 
 def topk_search(

@@ -71,3 +71,21 @@ def test_sessionize_single_event_per_user(spark):
     rows = session_stats(df).collect()
     assert len(rows) == 2
     assert all(r.n_events == 1 and r.duration_sec == 0.0 for r in rows)
+
+
+def test_simhash_null_text_is_zero(spark):
+    from oracle_vectorsearch_example_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "hello")], "id long, text string")
+    rows = {r.id: r.sh for r in df.select("id", simhash(F.col("text")).alias("sh")).collect()}
+    assert rows[1] == 0 and rows[2] == 0 and rows[3] != 0
+
+
+def test_topk_skips_null_vectors(spark):
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
+    rows = topk_search(base, q, k=3).collect()
+    assert [r.vec_id for r in rows] == [1, 3]  # NULL row excluded, no crash
