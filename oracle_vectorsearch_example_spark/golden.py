@@ -1066,6 +1066,39 @@ def q_embed_double(spark, sf):
     )
 
 
+@golden(
+    "except_all_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_except_all(spark, sf):
+    """Multiset set difference (§2.7 exceptAll — keeps duplicate
+    cardinality, unlike EXCEPT)."""
+    c = read_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = read_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@golden(
+    "json_get",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS k_str
+    FROM events WHERE event_id < 200
+    """,
+)
+def q_json_get(spark, sf):
+    """JSON path extraction without full parsing (F8 surface:
+    get_json_object) — the point-lookup complement of json_shred's
+    from_json."""
+    ev = read_table(spark, sf, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_str")
+    )
+
+
 # --------------------------------------------------------- vector distances
 _DIST_SQL = """
     WITH pairs AS (
