@@ -17,6 +17,14 @@ from oracle_vectorsearch_example_spark.functions.embedding import (
     OnnxEmbedder,
     hashing_embedding,
 )
+from oracle_vectorsearch_example_spark.functions.extract import (
+    detect_format,
+    extract_text,
+    extract_text_bytes,
+    make_simple_html,
+    make_simple_pdf,
+    with_extracted_text,
+)
 from oracle_vectorsearch_example_spark.functions.sql import register_sql_functions
 from oracle_vectorsearch_example_spark.functions.textstats import (
     bpe_ish_token_count,
@@ -45,6 +53,12 @@ __all__ = [
     "HashingEmbedder",
     "OnnxEmbedder",
     "hashing_embedding",
+    "detect_format",
+    "extract_text",
+    "extract_text_bytes",
+    "make_simple_html",
+    "make_simple_pdf",
+    "with_extracted_text",
     "register_sql_functions",
     "bpe_ish_token_count",
     "fingerprint",

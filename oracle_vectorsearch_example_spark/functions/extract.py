@@ -1,0 +1,408 @@
+"""Text extraction — the ``UTL_TO_TEXT`` analog (D1).
+
+The reference's pipeline starts from raw document bytes and extracts plain
+text server-side: ``DBMS_VECTOR_CHAIN.UTL_TO_TEXT(p.pdf_content,
+JSON('{"plaintext": true, "charset": "UTF8"}'))`` — scripts/
+01_pdf_to_vector.sql:196-205 — covering ~150 formats inside Oracle's
+closed engine. This module is the Spark-side equivalent: format dispatch
+on magic bytes, executed as an Arrow-batched pandas UDF so extraction
+stays executor-local and shuffle-free (same plan position as the
+reference's in-DB call).
+
+Formats (the dispatch is extensible; these cover what this environment
+can exercise honestly):
+
+- **PDF** — ``pypdf`` when installed (the full-fidelity path for
+  real-world files); otherwise a built-in minimal parser (stdlib only):
+  Flate/uncompressed content streams, literal + hex string payloads of
+  ``Tj``/``TJ``/``'``/``"`` show operators. That covers digitally-born
+  single-byte-font documents — in particular everything this engine's own
+  fixture writer (:func:`make_simple_pdf`) produces. Scanned/CID-font
+  PDFs need ``pypdf`` (or OCR, out of scope).
+- **HTML/XML** — script/style blocks dropped, tags stripped, entities
+  unescaped.
+- **plain text** — charset decode, default UTF-8 (the reference's
+  ``charset: UTF8``), latin-1 fallback.
+
+Frozen output contract (the ``plaintext: true`` analog, which makes the
+DuckDB oracle expressible in SQL): every path returns **whitespace-
+normalized text** — runs of whitespace collapse to single spaces, ends
+trimmed — so ``extract_text_bytes(make_simple_pdf(t)) ==
+normalize_ws(t)`` exactly.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import textwrap
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "detect_format",
+    "extract_text_bytes",
+    "extract_text",
+    "with_extracted_text",
+    "make_simple_pdf",
+    "make_simple_html",
+]
+
+_WS = re.compile(r"\s+")
+
+
+def _normalize_ws(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+# ------------------------------------------------------------------ dispatch
+def detect_format(data: bytes) -> str:
+    """Sniff the payload format from magic bytes: ``pdf`` / ``html`` /
+    ``text`` / ``empty`` / ``binary``."""
+    if not data:
+        return "empty"
+    if data[:5] == b"%PDF-":
+        return "pdf"
+    head = data[:1024].lstrip()
+    low = head[:64].lower()
+    if low.startswith((b"<!doctype html", b"<html", b"<?xml")) or b"<html" in head[:256].lower():
+        return "html"
+    try:
+        data[:4096].decode("utf-8")
+        return "text"
+    except UnicodeDecodeError:
+        pass
+    # not UTF-8; still text if the head is free of non-whitespace control
+    # bytes (covers latin-1 and friends — decoded via the charset fallback)
+    if not any(b < 0x09 or 0x0E <= b < 0x20 for b in data[:4096]):
+        return "text"
+    return "binary"
+
+
+# ---------------------------------------------------------------- PDF parse
+_ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+
+
+def _decode_pdf_bytes(b: bytes) -> str:
+    if b[:2] == b"\xfe\xff":  # UTF-16BE text string (pypdf writes these)
+        return b[2:].decode("utf-16-be", errors="replace")
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def _read_literal(b: bytes, i: int) -> tuple[str, int]:
+    """Read a PDF literal string starting at ``b[i] == '('``; returns the
+    unescaped text and the index past the closing paren. Handles balanced
+    nesting, ``\\``-escapes, octal escapes, and line continuations."""
+    i += 1
+    depth = 1
+    buf = bytearray()
+    n = len(b)
+    while i < n and depth:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = b[i]
+            if e in _ESC:
+                buf.append(_ESC[e])
+                i += 1
+            elif e in (0x28, 0x29, 0x5C):
+                buf.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                val, nd = 0, 0
+                while i < n and nd < 3 and 0x30 <= b[i] <= 0x37:
+                    val = val * 8 + (b[i] - 0x30)
+                    i += 1
+                    nd += 1
+                buf.append(val & 0xFF)
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+            else:
+                buf.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            buf.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                buf.append(c)
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    return _decode_pdf_bytes(bytes(buf)), i
+
+
+def _read_hex(b: bytes, i: int) -> tuple[str, int]:
+    j = b.find(b">", i)
+    if j < 0:
+        j = len(b)
+    hx = bytes(ch for ch in b[i + 1 : j] if not chr(ch).isspace())
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        raw = bytes.fromhex(hx.decode("ascii"))
+    except ValueError:
+        raw = b""
+    return _decode_pdf_bytes(raw), j + 1
+
+
+def _content_strings(content: bytes) -> list[str]:
+    """All string payloads of a PDF content stream, in stream order.
+
+    Frozen-spec simplification: strings in content streams appear almost
+    exclusively as operands of the show operators (Tj/TJ/'/"); positioning
+    is ignored because the output contract collapses whitespace anyway.
+    """
+    out: list[str] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # (
+            s, i = _read_literal(content, i)
+            out.append(s)
+        elif c == 0x3C:  # < hex string, but << dict start
+            if i + 1 < n and content[i + 1] == 0x3C:
+                i += 2
+            else:
+                s, i = _read_hex(content, i)
+                out.append(s)
+        elif c == 0x25:  # % comment to EOL
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            i += 1
+    return out
+
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+
+
+def _pdf_extract_builtin(data: bytes) -> str:
+    parts: list[str] = []
+    for m in _STREAM_RE.finditer(data):
+        raw = m.group(1)
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            pass  # uncompressed (or a filter we don't handle — skipped below)
+        if b"BT" not in raw:
+            continue  # not a text content stream (image / font program / ...)
+        parts.extend(_content_strings(raw))
+    return _normalize_ws(" ".join(parts))
+
+
+def _pdf_extract_pypdf(data: bytes) -> str:  # pragma: no cover - needs pypdf
+    import io
+
+    from pypdf import PdfReader
+
+    reader = PdfReader(io.BytesIO(data))
+    return _normalize_ws(" ".join(page.extract_text() or "" for page in reader.pages))
+
+
+def _pdf_extract(data: bytes, engine: str) -> str:
+    if engine == "builtin":
+        return _pdf_extract_builtin(data)
+    try:
+        import pypdf  # noqa: F401
+
+        have_pypdf = True
+    except ImportError:
+        have_pypdf = False
+    if engine == "pypdf":
+        if not have_pypdf:
+            raise NotImplementedError(
+                "engine='pypdf' requires the pypdf package, which is not "
+                "installed in this environment; engine='builtin' handles "
+                "Flate/uncompressed text content streams with stdlib only"
+            )
+        return _pdf_extract_pypdf(data)
+    # auto: prefer pypdf (full fidelity), fall back to the builtin parser
+    return _pdf_extract_pypdf(data) if have_pypdf else _pdf_extract_builtin(data)
+
+
+# ---------------------------------------------------------------- HTML parse
+_HTML_DROP = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_HTML_TAG = re.compile(r"(?s)<[^>]*>")
+
+
+def _html_extract(s: str) -> str:
+    s = _HTML_DROP.sub(" ", s)
+    s = _HTML_TAG.sub(" ", s)
+    return _normalize_ws(_html.unescape(s))
+
+
+# ----------------------------------------------------------------- top level
+def extract_text_bytes(
+    data: bytes | None,
+    *,
+    fmt: str = "auto",
+    charset: str = "utf-8",
+    engine: str = "auto",
+    on_error: str = "null",
+) -> str | None:
+    """Extract whitespace-normalized plain text from one document payload.
+
+    The single-value core of the D1 operator (UTL_TO_TEXT,
+    01_pdf_to_vector.sql:196-205). ``fmt='auto'`` sniffs magic bytes;
+    ``engine`` selects the PDF backend (``auto``/``pypdf``/``builtin``);
+    ``on_error='null'`` maps undecodable payloads to NULL (callers filter),
+    ``'raise'`` mirrors the reference's hard error.
+    """
+    if data is None:
+        return None
+    f = detect_format(data) if fmt == "auto" else fmt
+    if f == "empty":
+        return ""
+    if f == "pdf":
+        return _pdf_extract(bytes(data), engine)
+    if f == "html":
+        try:
+            return _html_extract(bytes(data).decode(charset, errors="strict"))
+        except (UnicodeDecodeError, LookupError):
+            return _html_extract(bytes(data).decode("latin-1"))
+    if f == "text":
+        try:
+            return _normalize_ws(bytes(data).decode(charset, errors="strict"))
+        except (UnicodeDecodeError, LookupError):
+            return _normalize_ws(bytes(data).decode("latin-1"))
+    if on_error == "raise":
+        raise ValueError(f"unsupported document format {f!r}")
+    return None
+
+
+def extract_text(
+    content: Column,
+    *,
+    fmt: str = "auto",
+    charset: str = "utf-8",
+    engine: str = "auto",
+) -> Column:
+    """Column form: binary document payload → extracted plain text.
+
+    Arrow-batched pandas UDF — the designated Python boundary for this
+    operator (per-payload byte parsing has no column-expression form);
+    extraction is row-local, so the stage adds no shuffle.
+    """
+    fmt_, charset_, engine_ = fmt, charset, engine
+
+    @F.pandas_udf(T.StringType())
+    def _extract(payloads: pd.Series) -> pd.Series:
+        return payloads.map(
+            lambda d: extract_text_bytes(d, fmt=fmt_, charset=charset_, engine=engine_)
+        )
+
+    return _extract(content)
+
+
+def with_extracted_text(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """DataFrame form: add ``out_col`` with the text extracted from
+    ``content_col`` (binary). The first stage of the binary-input EP1
+    pipeline (see ``plans.pipeline.ingest_binary_documents``)."""
+    return df.withColumn(out_col, extract_text(F.col(content_col), **kwargs))
+
+
+# ------------------------------------------------------------ fixture writers
+def make_simple_pdf(text: str, *, compress: bool = True, wrap: int = 80) -> bytes:
+    """Write a small, valid single-page PDF containing ``text`` as Helvetica
+    ``Tj`` lines (Flate-compressed content stream by default).
+
+    Deterministic fixture generator for the D1 roundtrip contract:
+    ``extract_text_bytes(make_simple_pdf(t)) == normalize_ws(t)``. Pure
+    stdlib — this is how the test suite gets PDF fixtures without any PDF
+    library in the environment.
+    """
+    norm = _normalize_ws(text)
+    lines = textwrap.wrap(norm, wrap, break_long_words=False, break_on_hyphens=False) or [""]
+
+    def esc(s: str) -> bytes:
+        return (
+            s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)").encode("utf-8")
+        )
+
+    body = b"\n".join(b"(" + esc(line) + b") Tj T*" for line in lines)
+    content = b"BT /F1 12 Tf 14 TL 72 720 Td\n" + body + b"\nET"
+    if compress:
+        stream, filt = zlib.compress(content), b"/Filter /FlateDecode "
+    else:
+        stream, filt = content, b""
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< " + filt + b"/Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def render_document(text: str | None, fmt: str) -> bytes | None:
+    """Render plain text to ``fmt`` bytes with the matching fixture writer
+    (``pdf`` / ``html`` / ``text``) — the inverse of extraction under the
+    whitespace-normalized contract."""
+    if text is None:
+        return None
+    if fmt == "pdf":
+        return make_simple_pdf(text)
+    if fmt == "html":
+        return make_simple_html(text)
+    return text.encode("utf-8")
+
+
+def render_document_col(text: Column, fmt: Column) -> Column:
+    """Column form of :func:`render_document` (Arrow-batched)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _render(texts: pd.Series, fmts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [render_document(t, f) for t, f in zip(texts, fmts)], dtype=object
+        )
+
+    return _render(text, fmt)
+
+
+def make_simple_html(text: str) -> bytes:
+    """HTML fixture writer with the matching roundtrip contract."""
+    return (
+        "<!DOCTYPE html><html><head><title></title>"
+        "<style>p { color: red; }</style></head>"
+        f"<body><p>{_html.escape(text)}</p>"
+        "<script>var x = '<ignored>';</script></body></html>"
+    ).encode("utf-8")

@@ -1726,6 +1726,54 @@ def q_flagship(spark, sf):
     return hits.select("qid", "rank", "doc_id", "chunk_id")
 
 
+# ------------------------------------------------- text extraction (D1)
+# Roundtrip contract: documents.text rendered to PDF / HTML / plain bytes
+# by the engine's fixture writers, then extracted back. The frozen output
+# is whitespace-normalized, so the DuckDB oracle is the direct
+# normalization of the source text — no PDF code needed on the oracle side.
+_EXTRACT_SQL = r"""
+    WITH d AS (SELECT doc_id,
+                      regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+               FROM documents WHERE doc_id % 5 < 3)
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'pdf'
+                WHEN 1 THEN 'html' ELSE 'text' END AS fmt,
+           CAST(length(norm) AS BIGINT) AS n_chars_x,
+           substr(norm, 1, 40) AS prefix
+    FROM d
+"""
+
+
+@golden("extract_text", _EXTRACT_SQL)
+def q_extract_text(spark, sf):
+    """D1 — UTL_TO_TEXT (01_pdf_to_vector.sql:196-205): binary payload →
+    plain text, format-dispatched (PDF content-stream parse / HTML strip /
+    charset decode), Arrow-batched. Hash-checked via the roundtrip
+    ``extract(render(text)) == normalize_ws(text)``; a third of the rows
+    go through each format."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        extract_text,
+        render_document_col,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") % 5 < 3)
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("pdf"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("html"))
+        .otherwise(F.lit("text"))
+    )
+    rendered = docs.select(
+        "doc_id", fmt.alias("fmt"), render_document_col(F.col("text"), fmt).alias("payload")
+    )
+    extracted = rendered.withColumn("xtext", extract_text(F.col("payload"), engine="builtin"))
+    return extracted.select(
+        "doc_id",
+        "fmt",
+        F.length("xtext").cast("long").alias("n_chars_x"),
+        F.substring("xtext", 1, 40).alias("prefix"),
+    )
+
+
 # ---------------------------------------- approx / ANN (no SQL oracle — the
 # driver records the weaker rows-only check; SURVEY.md §5: never hash-check
 # approximate operators)

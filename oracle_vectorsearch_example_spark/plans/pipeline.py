@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_words
 from oracle_vectorsearch_example_spark.functions.embedding import HashingEmbedder
+from oracle_vectorsearch_example_spark.functions.extract import with_extracted_text
 from oracle_vectorsearch_example_spark.operators.search import topk_search
+
+# chunk-key packing limits (doc_id · 2^20 + chunk_id below); rows beyond
+# these raise at runtime instead of silently colliding
+MAX_CHUNK_ID = 1 << 20
+MAX_DOC_ID = 1 << 43
 
 
 def ingest_documents(
@@ -42,6 +48,33 @@ def ingest_documents(
     return embedder.embed_df(chunks, "chunk_text", "embedding")
 
 
+def ingest_binary_documents(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    fmt: str = "auto",
+    charset: str = "utf-8",
+    engine: str = "auto",
+    drop_unextractable: bool = True,
+    **ingest_kwargs,
+) -> DataFrame:
+    """EP1 from raw bytes: the reference's full chain UTL_TO_TEXT →
+    UTL_TO_CHUNKS → UTL_TO_EMBEDDINGS (01_pdf_to_vector.sql:196-242) —
+    text extraction (D1) prepended to :func:`ingest_documents`.
+
+    Extraction is an Arrow-batched row-local stage, so the binary pipeline
+    stays shuffle-free scan → sink like the text one. Payloads in
+    unsupported formats extract to NULL and are dropped by default
+    (``drop_unextractable=False`` keeps them for quarantine sinks).
+    """
+    txt = with_extracted_text(
+        docs, content_col=content_col, out_col="text", fmt=fmt, charset=charset, engine=engine
+    )
+    if drop_unextractable:
+        txt = txt.filter(F.col("text").isNotNull())
+    return ingest_documents(txt.drop(content_col), text_col="text", id_col=id_col, **ingest_kwargs)
+
+
 def search_text(
     doc_chunks: DataFrame,
     query_texts: list[str],
@@ -61,9 +94,26 @@ def search_text(
     # numeric composite key (doc_id · 2^20 + chunk_id): distance ties break on
     # (doc_id, chunk_id) numerically — reproducible in plain SQL oracles,
     # unlike a string key whose lexicographic order differs ("10:2" < "2:1").
+    # Packing overflows (≥2^20 chunks in one doc, doc_id ≥ 2^43) would
+    # silently collide keys, so out-of-range rows raise instead.
+    pack_ok = (
+        (F.col("chunk_id") >= 0)
+        & (F.col("chunk_id") < F.lit(MAX_CHUNK_ID))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(MAX_DOC_ID))
+    )
     base = doc_chunks.withColumn(
         "__chunk_key",
-        (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")).cast("long"),
+        F.when(pack_ok, (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")).cast("long")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("chunk key packing out of range: doc_id="),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" chunk_id="),
+                    F.col("chunk_id").cast("string"),
+                )
+            )
+        ),
     )
     hits = topk_search(
         base, q, k=k, metric=metric, base_id="__chunk_key", base_vec="embedding",
@@ -79,6 +129,26 @@ def search_text(
     )
 
 
-def write_doc_chunks(df: DataFrame, path: str) -> None:
-    """Sink with the created_at default (01_pdf_to_vector.sql:73)."""
+def write_doc_chunks(df: DataFrame, path: str, dim: int | None = None) -> None:
+    """Sink with the created_at default (01_pdf_to_vector.sql:73).
+
+    ``dim`` enforces the fixed vector width at write time — the
+    ``VECTOR(384, FLOAT32)`` declaration's analog (01_pdf_to_vector.sql:72):
+    any row whose embedding is NULL or of a different length raises,
+    mirroring Oracle rejecting a dimension-mismatched insert.
+    """
+    if dim is not None:
+        dim_ok = F.col("embedding").isNotNull() & (F.size("embedding") == F.lit(int(dim)))
+        df = df.withColumn(
+            "embedding",
+            F.when(dim_ok, F.col("embedding")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"embedding dimension violation (expected {int(dim)}, got "),
+                        F.coalesce(F.size("embedding").cast("string"), F.lit("NULL")),
+                        F.lit(")"),
+                    )
+                )
+            ),
+        )
     df.withColumn("created_at", F.current_timestamp()).write.mode("overwrite").parquet(path)

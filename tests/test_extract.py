@@ -1,0 +1,142 @@
+"""Text extraction (D1 — UTL_TO_TEXT, 01_pdf_to_vector.sql:196-205).
+
+Roundtrip contract: extract(render(text)) == whitespace-normalized text,
+for each of the three built-in formats, plus dispatch/edge behavior.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.extract import (
+    _content_strings,
+    detect_format,
+    extract_text_bytes,
+    make_simple_html,
+    make_simple_pdf,
+    with_extracted_text,
+)
+from oracle_vectorsearch_example_spark.plans.pipeline import (
+    ingest_binary_documents,
+    ingest_documents,
+)
+
+
+def norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+CASES = [
+    "hello world this is a test",
+    "parens (like this) and backslash \\ and )stray( chars",
+    "unicode: café 문서 über naïve",
+    "  multi   space\tand\nnewlines  ",
+    "x" * 500 + " tail words here",
+    "",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+@pytest.mark.parametrize("compress", [True, False])
+def test_pdf_roundtrip(text, compress):
+    pdf = make_simple_pdf(text, compress=compress)
+    assert detect_format(pdf) == "pdf"
+    assert extract_text_bytes(pdf, engine="builtin") == norm(text)
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_html_roundtrip(text):
+    h = make_simple_html(text)
+    assert detect_format(h) == "html"
+    assert extract_text_bytes(h) == norm(text)
+
+
+def test_plain_text_and_charsets():
+    assert extract_text_bytes("plain  text\nhere".encode()) == "plain text here"
+    # latin-1 fallback when the payload is not valid UTF-8
+    assert extract_text_bytes("café".encode("latin-1")) == "café"
+    # explicit charset
+    assert extract_text_bytes("café".encode("latin-1"), fmt="text", charset="latin-1") == "café"
+
+
+def test_dispatch_edges():
+    assert extract_text_bytes(None) is None
+    assert extract_text_bytes(b"") == ""
+    binary = bytes([0, 159, 146, 150])
+    assert detect_format(binary) == "binary"
+    assert extract_text_bytes(binary) is None
+    with pytest.raises(ValueError, match="unsupported document format"):
+        extract_text_bytes(binary, on_error="raise")
+
+
+def test_pypdf_engine_gated():
+    try:
+        import pypdf  # noqa: F401
+
+        pytest.skip("pypdf installed; gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        extract_text_bytes(make_simple_pdf("x"), engine="pypdf")
+
+
+def test_content_stream_parser_units():
+    # literal + hex strings; << dict >> must not parse as hex string
+    assert _content_strings(b"BT (lit) Tj <68656c6c6f> Tj ET") == ["lit", "hello"]
+    assert _content_strings(b"<< /x 1 >> BT (a) Tj ET") == ["a"]
+    # octal escapes, named escapes, balanced nesting
+    assert _content_strings(rb"(\110\151\)\n) Tj") == ["Hi)\n"]
+    assert _content_strings(b"(a (nested) b) Tj") == ["a (nested) b"]
+    # % comment swallowed to EOL
+    assert _content_strings(b"% (not a string)\n(real) Tj") == ["real"]
+
+
+def test_with_extracted_text_df(spark):
+    rows = [(i, make_simple_pdf(t) if t is not None else None) for i, t in enumerate(CASES + [None])]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in with_extracted_text(df, engine="builtin").select("doc_id", "text").collect()
+    }
+    for i, t in enumerate(CASES):
+        assert out[i] == norm(t)
+    assert out[len(CASES)] is None
+
+
+def test_ingest_binary_matches_text_pipeline(spark):
+    """Binary EP1 == text EP1 on the same corpus (PDF rendering is
+    lossless under the chunker's own whitespace handling)."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three. four five six! seven eight nine ten eleven twelve",
+    ]
+    docs_txt = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    docs_bin = spark.createDataFrame(
+        [(i, make_simple_pdf(t)) for i, t in enumerate(texts)], "doc_id long, content binary"
+    )
+    a = ingest_documents(docs_txt, max_words=5, overlap=2).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    b = ingest_binary_documents(docs_bin, engine="builtin", max_words=5, overlap=2).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ingest_binary_drops_unextractable(spark):
+    df = spark.createDataFrame(
+        [(0, make_simple_pdf("good words here")), (1, bytes([0, 159, 146, 150]))],
+        "doc_id long, content binary",
+    )
+    out = ingest_binary_documents(df, engine="builtin", max_words=5, overlap=0)
+    assert {r["doc_id"] for r in out.select("doc_id").distinct().collect()} == {0}
+    kept = ingest_binary_documents(
+        df.select("doc_id", "content"), engine="builtin", drop_unextractable=False,
+        max_words=5, overlap=0,
+    )
+    # unextractable doc yields no chunks either way (chunker emits nothing
+    # for NULL text) but the flag controls the explicit filter stage
+    assert {r["doc_id"] for r in kept.select("doc_id").distinct().collect()} == {0}
