@@ -285,6 +285,10 @@ def chunk_by_custom_udf(
     ``max_words`` with the same overlap/id scheme as the sentence chunker."""
     if not separators:
         raise ValueError("separators must be non-empty")
+    if any(s == "" for s in separators):
+        # re.escape('') contributes an empty alternation branch, degrading
+        # the split to per-character segmentation
+        raise ValueError("separators must not contain empty strings")
     id_cols = id_cols or ["doc_id"]
     split_re = re.compile("|".join(re.escape(s) for s in separators))
     out_t = T.ArrayType(

@@ -76,7 +76,10 @@ def shingle_df(
     (no per-gram slice allocation); dedup happens post-explode as a
     hash-based dropDuplicates, not an O(m²) array_distinct per row.
     ``distinct=False`` skips dedup where multiset semantics are fine
-    (MinHash minima)."""
+    (MinHash minima). Distinctness is always over the RAW shingle string —
+    dedup runs before hashing, so a 32-bit hash collision can't collapse
+    two distinct shingles out of the set (it still maps them to one key
+    downstream, which Jaccard-over-hashes tolerates by design)."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
@@ -92,9 +95,10 @@ def shingle_df(
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = staged.select(F.col(id_col), F.explode(grams).alias("__shingle"))
+    if distinct:
+        sh = sh.dropDuplicates([id_col, "__shingle"])
     key = _shingle_int(F.col("__shingle")) if hashed else F.col("__shingle")
-    out = sh.select(F.col(id_col), key.alias("shingle"))
-    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+    return sh.select(F.col(id_col), key.alias("shingle"))
 
 
 def minhash_signatures(

@@ -41,7 +41,18 @@ def salted_join(
     """Equi-join fact⋈dim on ``on`` with the hot-key rows of ``fact``
     spread over ``n_salt`` sub-keys. ``dim`` is replicated ``n_salt``×
     (keep it the small side). ``salt_from`` defaults to all fact columns —
-    any stable per-row spread works; pass fewer columns to cut hash cost."""
+    any stable per-row spread works; pass fewer columns to cut hash cost.
+
+    Only fact-side-preserving joins are supported: with the dim side
+    replicated, ``right``/``full`` would emit each unmatched dim row once
+    per salt — silently wrong — so those reject."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; got {how!r} — "
+            "the replicated dim side would duplicate unmatched dim rows "
+            "n_salt times under right/full outer joins"
+        )
     salted_fact = fact.withColumn("__salt", _salt_col(fact, n_salt, salt_from))
     # sequence of int literals yields array<int>: explode emits int directly
     # (a generator can't be nested inside cast)

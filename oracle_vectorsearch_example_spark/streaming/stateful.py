@@ -74,7 +74,8 @@ def stateful_sessions_stream(
                 start_ns, last_ns, n = t, t, 1
             else:
                 last_ns, n = t, n + 1
-        state.update((start_ns, last_ns, n))
+        if start_ns is not None:  # all-empty batch: don't write null state
+            state.update((start_ns, last_ns, n))
 
         if closed:
             yield pd.DataFrame(

@@ -112,3 +112,13 @@ def test_custom_split_chunker(spark):
     # a separator that never matches -> one giant segment, word-split
     one = chunk_by_custom_udf(df, ["<never>"], max_words=5, overlap=0).collect()
     assert all(len(r.chunk_text.split()) <= 5 for r in one)
+
+
+def test_custom_chunker_rejects_empty_separator(spark):
+    from oracle_vectorsearch_example_spark.functions.chunker import chunk_by_custom_udf
+
+    df = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        chunk_by_custom_udf(df, [], max_words=5)
+    with pytest.raises(ValueError, match="empty strings"):
+        chunk_by_custom_udf(df, ["\n\n", ""], max_words=5)

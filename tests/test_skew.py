@@ -69,3 +69,12 @@ def test_salt_actually_splits_keys(spark):
         .count()
     )
     assert n == 4
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, on="k", how=how)
