@@ -103,20 +103,190 @@ class HashingEmbedder:
         return df.withColumn(out_col, self.embed_col(F.col(text_col)))
 
 
+class WordPieceTokenizer:
+    """Minimal BERT-style tokenizer for MiniLM-family ONNX exports.
+
+    Basic tokenization (lowercase, whitespace split, punctuation isolated)
+    followed by greedy longest-match-first WordPiece with ``##``
+    continuation pieces — the scheme all-MiniLM-L12-v2's bundled
+    ``vocab.txt`` uses (reference ships the model via load_models.py:88-101;
+    query shape models/README.md:40). Pure Python, no external deps, so the
+    ONNX contract is unit-testable without onnxruntime."""
+
+    _PUNCT = set(r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")
+
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        unk_token: str = "[UNK]",
+        cls_token: str = "[CLS]",
+        sep_token: str = "[SEP]",
+        pad_token: str = "[PAD]",
+        max_len: int = 256,
+        lowercase: bool = True,
+    ):
+        self.vocab = vocab
+        self.unk_id = vocab[unk_token]
+        self.cls_id = vocab[cls_token]
+        self.sep_id = vocab[sep_token]
+        self.pad_id = vocab[pad_token]
+        self.max_len = max_len
+        self.lowercase = lowercase
+
+    @classmethod
+    def from_vocab_file(cls, path: str, **kwargs) -> "WordPieceTokenizer":
+        """Load a HuggingFace-format ``vocab.txt`` (one token per line,
+        id = line number)."""
+        with open(path, encoding="utf-8") as f:
+            vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        return cls(vocab, **kwargs)
+
+    def _basic_tokens(self, text: str) -> list[str]:
+        if self.lowercase:
+            text = text.lower()
+        out: list[str] = []
+        word: list[str] = []
+        for ch in text:
+            if ch.isspace():
+                if word:
+                    out.append("".join(word))
+                    word = []
+            elif ch in self._PUNCT:
+                if word:
+                    out.append("".join(word))
+                    word = []
+                out.append(ch)
+            else:
+                word.append(ch)
+        if word:
+            out.append("".join(word))
+        return out
+
+    def _wordpiece(self, word: str) -> list[int]:
+        ids: list[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            piece_id = None
+            while end > start:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                pid = self.vocab.get(piece)
+                if pid is not None:
+                    piece_id = pid
+                    break
+                end -= 1
+            if piece_id is None:
+                return [self.unk_id]  # whole word unknown
+            ids.append(piece_id)
+            start = end
+        return ids
+
+    def encode(self, text: str) -> list[int]:
+        """``[CLS] piece* [SEP]`` ids, truncated to ``max_len``."""
+        ids = [self.cls_id]
+        for word in self._basic_tokens(text):
+            ids.extend(self._wordpiece(word))
+            if len(ids) >= self.max_len - 1:
+                ids = ids[: self.max_len - 1]
+                break
+        ids.append(self.sep_id)
+        return ids
+
+
+def encode_onnx_batch(sess, tokenizer, texts: list[str]):
+    """Run one batch of texts through an ONNX session, returning a
+    (len(texts), dim) L2-normalized float32 matrix.
+
+    The session's declared inputs drive the feed shape
+    (``sess.get_inputs()`` introspection):
+
+    - a single ``tensor(string)`` input → the model bundles its own
+      tokenizer (Oracle's packaged ``all_MiniLM_L12_V2.onnx`` does this;
+      load_models.py:88-101) — feed raw strings;
+    - otherwise the standard transformer export contract —
+      ``input_ids`` / ``attention_mask`` (+ ``token_type_ids`` when
+      declared), int64, right-padded to the batch max length.
+
+    Output post-processing: a (batch, seq, hidden) last-hidden-state is
+    masked-mean-pooled over real tokens; a (batch, hidden) output is taken
+    as the sentence embedding. Rows are L2-normalized either way (the
+    sentence-transformers recipe for all-MiniLM)."""
+    import numpy as np
+
+    inputs = {i.name: getattr(i, "type", "") for i in sess.get_inputs()}
+    if len(inputs) == 1 and "string" in next(iter(inputs.values())):
+        name = next(iter(inputs))
+        out = sess.run(None, {name: np.asarray(texts, dtype=object)})[0]
+        mask = None
+    else:
+        encoded = [tokenizer.encode(t) for t in texts]
+        maxlen = max(len(e) for e in encoded)
+        ids = np.full((len(encoded), maxlen), tokenizer.pad_id, dtype=np.int64)
+        mask = np.zeros((len(encoded), maxlen), dtype=np.int64)
+        for r, e in enumerate(encoded):
+            ids[r, : len(e)] = e
+            mask[r, : len(e)] = 1
+        feeds = {}
+        for name in inputs:
+            if name == "input_ids":
+                feeds[name] = ids
+            elif name == "attention_mask":
+                feeds[name] = mask
+            elif name == "token_type_ids":
+                feeds[name] = np.zeros_like(ids)
+            else:
+                raise ValueError(f"unsupported ONNX model input {name!r}")
+        missing = {"input_ids", "attention_mask"} - set(feeds)
+        if missing:
+            raise ValueError(f"ONNX model missing expected inputs: {sorted(missing)}")
+        out = sess.run(None, feeds)[0]
+
+    out = np.asarray(out, dtype=np.float32)
+    if out.ndim == 3:  # (batch, seq, hidden) last_hidden_state → masked mean-pool
+        if mask is None:
+            pooled = out.mean(axis=1)
+        else:
+            m = mask[:, :, None].astype(np.float32)
+            pooled = (out * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1e-9)
+    elif out.ndim == 2:
+        pooled = out
+    else:
+        raise ValueError(f"unexpected ONNX output rank {out.ndim}")
+    norms = np.linalg.norm(pooled, axis=1, keepdims=True)
+    return pooled / np.maximum(norms, 1e-12)
+
+
 class OnnxEmbedder:
     """ONNX provider — the ``provider: database`` analog
     (01_pdf_to_vector.sql:154-158; model loaded via ModelRegistry, EP2).
 
     Lazily creates one onnxruntime session per Python worker (executor
     co-located inference, nothing leaves the cluster), Arrow-batched via
-    ``mapInPandas``. onnxruntime is not available in this environment, so
-    construction is gated behind an import-try; tests cover the gating.
-    """
+    ``mapInPandas``. The per-batch contract (tokenize → input_ids/
+    attention_mask → mean-pool → L2-normalize, or raw-string feed for
+    tokenizer-bundling exports) lives in :func:`encode_onnx_batch`, which
+    is structurally tested with a fake session; onnxruntime itself is not
+    available in this environment, so session construction is gated behind
+    an import-try and tests cover the gating.
 
-    def __init__(self, model_path: str, dim: int = 384, batch_size: int = 64):
+    ``vocab_path`` defaults to ``vocab.txt`` next to the model; it is only
+    read when the model declares id-tensor inputs."""
+
+    def __init__(
+        self,
+        model_path: str,
+        dim: int = 384,
+        batch_size: int = 64,
+        vocab_path: str | None = None,
+        max_len: int = 256,
+    ):
         self.model_path = model_path
         self.dim = dim
         self.batch_size = batch_size
+        self.vocab_path = vocab_path
+        self.max_len = max_len
 
     def _require_runtime(self):
         try:
@@ -130,21 +300,33 @@ class OnnxEmbedder:
                 "tests, or install onnxruntime for real inference."
             ) from e
 
+    def _load_tokenizer(self):  # pragma: no cover - needs model artifacts
+        import os
+
+        path = self.vocab_path or os.path.join(
+            os.path.dirname(self.model_path), "vocab.txt"
+        )
+        if os.path.exists(path):
+            return WordPieceTokenizer.from_vocab_file(path, max_len=self.max_len)
+        return None  # string-input model needs no tokenizer
+
     def embed_df(self, df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
         ort = self._require_runtime()  # pragma: no cover
-        model_path, dim, batch = self.model_path, self.dim, self.batch_size
+        model_path, batch = self.model_path, self.batch_size
+        load_tok = self._load_tokenizer
         schema = T.StructType(
             df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
         )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
             sess = ort.InferenceSession(model_path)
+            tok = load_tok()
             for pdf in batches:
                 texts = pdf[text_col].fillna("").tolist()
                 vecs = []
                 for i in range(0, len(texts), batch):
-                    out = sess.run(None, {"input": texts[i : i + batch]})[0]
-                    vecs.extend(out.tolist())
+                    mat = encode_onnx_batch(sess, tok, texts[i : i + batch])
+                    vecs.extend(mat.tolist())
                 pdf[out_col] = vecs
                 yield pdf
 
