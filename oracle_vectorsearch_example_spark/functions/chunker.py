@@ -21,6 +21,25 @@ repo, so we freeze OUR specs (SURVEY.md §7 hard parts):
 
 All return one row per chunk: input id columns + (chunk_id, chunk_offset,
 chunk_length, chunk_text).
+
+Reference knobs frozen to OUR specs (01_pdf_to_vector.sql:236-239):
+
+- ``normalize=all`` → :func:`normalize_text`: typographic punctuation
+  mapped to ASCII (curly quotes → ``'``/``"``, en/em dash and minus →
+  ``-``, ellipsis → ``...``, NBSP → space) then whitespace runs collapsed
+  to single spaces; ``whitespace`` / ``punctuation`` apply one half.
+- ``language=korean`` (the reference README's corpus) → CJK-safe
+  tokenization: each CJK codepoint (Hangul jamo+syllables, kana, CJK
+  unified+ext-A) is one token, non-CJK runs split on whitespace — matching
+  how subword tokenizers budget CJK text, where whitespace segmentation
+  quietly degrades. ``chunk_text`` stays the token-joined normalized form,
+  so CJK chunk text carries single spaces between codepoints (documented
+  spec, not a bug).
+- ``extended=true`` (32,767-byte chunk cap, :237) is intentionally NOT
+  implemented: the cap exists because Oracle's non-extended VARCHAR2 is
+  limited to 4,000 bytes; Spark strings have no such storage cap, and
+  chunk size is already bounded by ``max_words``/``max_chars``. A byte cap
+  would only re-introduce mid-word truncation.
 """
 
 from __future__ import annotations
@@ -48,6 +67,38 @@ def vocab_tokens_of(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(_VOCAB_TOKEN_RE), F.lit(0))
 
 
+_PUNCT_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u2212\u00a0"
+_PUNCT_TO = "''\"\"--- "
+_NORMALIZE_MODES = ("none", "whitespace", "punctuation", "all")
+
+
+def normalize_text(text: Column, mode: str = "all") -> Column:
+    """The ``normalize`` parameter analog (01_pdf_to_vector.sql:236).
+    Frozen spec in the module docstring; pure column expressions."""
+    if mode not in _NORMALIZE_MODES:
+        raise ValueError(f"normalize must be one of {_NORMALIZE_MODES}; got {mode!r}")
+    out = text
+    if mode in ("punctuation", "all"):
+        out = F.regexp_replace(
+            F.translate(out, _PUNCT_FROM, _PUNCT_TO), "\u2026", "..."
+        )
+    if mode in ("whitespace", "all"):
+        out = F.regexp_replace(F.trim(out), r"\s+", " ")
+    return out
+
+
+# Hangul jamo, kana, CJK ext-A, CJK unified, Hangul syllables
+_CJK_RANGES = "\u1100-\u11ff\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uac00-\ud7af"
+_CJK_TOKEN_RE = f"[{_CJK_RANGES}]|[^\\s{_CJK_RANGES}]+"
+_CJK_LANGS = frozenset({"korean", "chinese", "japanese", "cjk"})
+
+
+def cjk_tokens_of(text: Column) -> Column:
+    """CJK-safe tokens: one token per CJK codepoint, whitespace-delimited
+    runs otherwise (``language`` spec in the module docstring)."""
+    return F.regexp_extract_all(text, F.lit(_CJK_TOKEN_RE), F.lit(0))
+
+
 def chunk_by_words(
     df: DataFrame,
     text_col: str = "text",
@@ -55,22 +106,33 @@ def chunk_by_words(
     max_words: int = 100,
     overlap: int = 10,
     tokenizer: str = "whitespace",
+    normalize: str = "none",
+    language: str = "english",
 ) -> DataFrame:
     """Word-window chunker (D2 exercised config: max=100/overlap=10,
     01_pdf_to_vector.sql:239). See module docstring for the frozen spec.
 
     ``tokenizer="whitespace"`` is ``by=words``; ``tokenizer="vocabulary"``
     counts BPE-ish units instead (``by=vocabulary``, :222-225) — same
-    window/overlap/id scheme, token joins normalize to single spaces."""
+    window/overlap/id scheme, token joins normalize to single spaces.
+    ``normalize`` applies :func:`normalize_text` before tokenizing;
+    ``language`` in {korean, chinese, japanese, cjk} switches the
+    whitespace tokenizer to :func:`cjk_tokens_of` (the vocabulary
+    tokenizer already emits single non-alnum codepoints, CJK included)."""
     if overlap >= max_words:
         raise ValueError("overlap must be < max_words")
+    if language != "english" and language not in _CJK_LANGS:
+        raise ValueError(
+            f"language must be 'english' or one of {sorted(_CJK_LANGS)}; got {language!r}"
+        )
     id_cols = id_cols or ["doc_id"]
     stride = max_words - overlap
 
+    txt = normalize_text(F.col(text_col), normalize)
     if tokenizer == "whitespace":
-        w = words_of(F.col(text_col))
+        w = cjk_tokens_of(txt) if language in _CJK_LANGS else words_of(txt)
     elif tokenizer == "vocabulary":
-        w = vocab_tokens_of(F.col(text_col))
+        w = vocab_tokens_of(txt)
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}; whitespace or vocabulary")
     base = df.select(*id_cols, w.alias("__words"))

@@ -1032,6 +1032,133 @@ def q_chunker(spark, sf):
     )
 
 
+# normalize=all + chunk: messy typographic text is synthesized from the
+# fixture in BOTH engines, then normalized per the frozen spec
+# (chunker.normalize_text) and word-chunked at max=15/overlap=3.
+_MESSY_PREFIX = "\u00a0\u201cIntro\u2026\u201d \u2013 "
+_MESSY_SUFFIX = "  \u2014 fin\u2019s end "
+
+
+def _sq(s: str) -> str:
+    """Escape a Python string into a single-quoted DuckDB literal body."""
+    return s.replace("'", "''")
+
+
+_NORM_SQL = (
+    "regexp_replace(trim(replace(translate(messy, "
+    "'‘’“”–—−' || chr(160), "
+    "'''''\"\"--- '), '…', '...')), '\\s+', ' ', 'g')"
+)
+
+_CHUNK_NORM_SQL = f"""
+    WITH m AS (
+      SELECT doc_id,
+             chr(160) || '{_sq(_MESSY_PREFIX[1:])}' || text || '{_sq(_MESSY_SUFFIX)}' AS messy
+      FROM documents WHERE doc_id < 40
+    ),
+    w AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim({_NORM_SQL}), '\\s+'), x -> x <> '') AS words
+          FROM m),
+    n AS (SELECT doc_id, words,
+                 CASE WHEN len(words) <= 0 THEN 0
+                      ELSE greatest(1, (len(words) - 3 + 11) // 12) END AS n_chunks
+          FROM w),
+    k AS (SELECT doc_id, words, unnest(generate_series(0, n_chunks - 1)) AS k
+          FROM n WHERE n_chunks > 0)
+    SELECT doc_id,
+           CAST(k + 1 AS BIGINT) AS chunk_id,
+           CAST(CASE WHEN k = 0 THEN 0
+                ELSE len(array_to_string(list_slice(words, 1, k * 12), ' ')) + 1
+                END AS BIGINT) AS chunk_offset,
+           CAST(len(array_to_string(list_slice(words, k * 12 + 1, k * 12 + 15), ' '))
+                AS BIGINT) AS chunk_length,
+           array_to_string(list_slice(words, k * 12 + 1, k * 12 + 15), ' ') AS chunk_text
+    FROM k
+"""
+
+
+@golden("chunker_normalized", _CHUNK_NORM_SQL)
+def q_chunker_normalized(spark, sf):
+    """normalize=all chunker conformance (D2 knob, 01_pdf_to_vector.sql:236):
+    typographic punctuation → ASCII + whitespace collapse, then the frozen
+    word-window spec at max=15/overlap=3 on 40 fixed docs."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    messy = F.concat(F.lit(_MESSY_PREFIX), F.col("text"), F.lit(_MESSY_SUFFIX))
+    ch = chunk_by_words(
+        docs.withColumn("text", messy), max_words=15, overlap=3, normalize="all"
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+        F.col("chunk_length").cast("long").alias("chunk_length"),
+        "chunk_text",
+    )
+
+
+# language=korean chunking: CJK codepoints are single tokens (frozen spec,
+# chunker module docstring); korean prefixes synthesized from the fixture.
+_CJK_CLASS = "ᄀ-ᇿ぀-ヿ㐀-䶿一-鿿가-힯"
+_CHUNK_CJK_SQL = f"""
+    WITH m AS (
+      SELECT doc_id,
+             '문서 번호 ' || CAST(doc_id AS VARCHAR) || ' 제목은 “검색” — '
+               || substr(text, 1, 60) AS messy
+      FROM documents WHERE doc_id < 40
+    ),
+    w AS (SELECT doc_id,
+                 regexp_extract_all(
+                   regexp_replace(trim(replace(translate(messy,
+                     '‘’“”–—−' || chr(160), '''''\"\"--- '), '…', '...')),
+                     '\\s+', ' ', 'g'),
+                   '[{_CJK_CLASS}]|[^\\s{_CJK_CLASS}]+') AS words
+          FROM m),
+    n AS (SELECT doc_id, words,
+                 CASE WHEN len(words) <= 0 THEN 0
+                      ELSE greatest(1, (len(words) - 2 + 7) // 8) END AS n_chunks
+          FROM w),
+    k AS (SELECT doc_id, words, unnest(generate_series(0, n_chunks - 1)) AS k
+          FROM n WHERE n_chunks > 0)
+    SELECT doc_id,
+           CAST(k + 1 AS BIGINT) AS chunk_id,
+           CAST(CASE WHEN k = 0 THEN 0
+                ELSE len(array_to_string(list_slice(words, 1, k * 8), ' ')) + 1
+                END AS BIGINT) AS chunk_offset,
+           CAST(len(array_to_string(list_slice(words, k * 8 + 1, k * 8 + 10), ' '))
+                AS BIGINT) AS chunk_length,
+           array_to_string(list_slice(words, k * 8 + 1, k * 8 + 10), ' ') AS chunk_text
+    FROM k
+"""
+
+
+@golden("chunker_cjk", _CHUNK_CJK_SQL)
+def q_chunker_cjk(spark, sf):
+    """language=korean chunker conformance (D2 knob,
+    01_pdf_to_vector.sql:239's Korean-corpus README context): CJK-safe
+    per-codepoint tokens + normalize=all, max=10/overlap=2 on 40 docs."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    messy = F.concat(
+        F.lit("문서 번호 "),
+        F.col("doc_id").cast("string"),
+        F.lit(" 제목은 “검색” — "),
+        F.substring(F.col("text"), 1, 60),
+    )
+    ch = chunk_by_words(
+        docs.withColumn("text", messy),
+        max_words=10,
+        overlap=2,
+        normalize="all",
+        language="korean",
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+        F.col("chunk_length").cast("long").alias("chunk_length"),
+        "chunk_text",
+    )
+
+
 _EMBED_SQL = f"""
     WITH toks AS (
       SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents WHERE doc_id < 10
@@ -1831,6 +1958,7 @@ _PRIORITY = [
     "simhash_neardup",
     "extract_text",
     "chunker_normalized",
+    "chunker_cjk",
     "ivf_materialized",
     # approx/rows-only checks — weaker but worth recording
     "approx_count_distinct",

@@ -122,3 +122,53 @@ def test_custom_chunker_rejects_empty_separator(spark):
         chunk_by_custom_udf(df, [], max_words=5)
     with pytest.raises(ValueError, match="empty strings"):
         chunk_by_custom_udf(df, ["\n\n", ""], max_words=5)
+
+
+def test_normalize_text_modes(spark):
+    from oracle_vectorsearch_example_spark.functions.chunker import normalize_text
+
+    messy = " “Hi…” – it’s  a\ttest "
+    df = spark.createDataFrame([(messy,)], "t string")
+
+    def run(mode):
+        return df.select(normalize_text(F.col("t"), mode).alias("o")).collect()[0].o
+
+    assert run("none") == messy
+    # punctuation only: typographic -> ASCII, whitespace untouched
+    assert run("punctuation") == " \"Hi...\" - it's  a\ttest "
+    # whitespace only: trim + collapse (NBSP is not ASCII \s, survives)
+    assert run("whitespace") == " “Hi…” – it’s a test"
+    assert run("all") == '"Hi..." - it\'s a test'
+    with pytest.raises(ValueError, match="normalize must be"):
+        run("bogus")
+
+
+def test_cjk_language_tokenization(spark):
+    rows = [(1, "한국어 텍스트와 english words"), (2, "中文测试")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_by_words(df, max_words=4, overlap=0, language="korean").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: tokens = 한 국 어 | 텍 스 트 와 | english words -> 9 tokens, 3 chunks of <=4
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in c1] == ["한 국 어 텍", "스 트 와 english", "words"]
+    # doc 2: no whitespace at all still splits per codepoint
+    c2 = sorted(by_doc[2], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in c2] == ["中 文 测 试"]
+    # english default would have treated doc 2 as one giant token
+    eng = chunk_by_words(df.filter("doc_id = 2"), max_words=4, overlap=0).collect()
+    assert [r.chunk_text for r in eng] == ["中文测试"]
+
+
+def test_language_validation(spark, docs):
+    with pytest.raises(ValueError, match="language must be"):
+        chunk_by_words(docs, max_words=50, language="klingon")
+
+
+def test_normalize_composes_with_chunking(spark):
+    df = spark.createDataFrame(
+        [(1, "“quoted”  —  words   here")], "doc_id long, text string"
+    )
+    out = chunk_by_words(df, max_words=3, overlap=0, normalize="all").collect()
+    assert [r.chunk_text for r in out] == ['"quoted" - words', "here"]
