@@ -1353,6 +1353,28 @@ def q_ivf_exhaustive(spark, sf):
     return hits.select("qid", "rank", "vec_id")
 
 
+@golden("ivf_materialized", _TOPK_SQL)
+def q_ivf_materialized(spark, sf):
+    """The MATERIALIZED IVF path end-to-end (D5 scale story): build writes
+    the assignment table ``partitionBy(cluster_id)`` to parquet, search's
+    literal IN-filter prunes partitions at the scan (asserted in
+    test_plans), and probing all clusters makes the result exact — so the
+    same top-k oracle hash-checks the full build→write→pruned-scan→re-rank
+    path, not just the in-memory filter."""
+    import tempfile
+
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    e = read_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_golden_")
+    idx = IvfIndex.build(e, n_clusters=16, seed=42, path=path)
+    hits = idx.search(q, k=5, nprobe=len(idx.centroids), exclude_self=True)
+    return hits.select("qid", "rank", "vec_id")
+
+
 @golden("sql_vector_topk", _TOPK_SQL)
 def q_sql_vector_topk(spark, sf):
     """The same exact top-k as vector_topk_exact but through the PURE SQL
