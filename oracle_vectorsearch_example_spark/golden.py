@@ -49,6 +49,7 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
     jaccard_neardup_pairs,
     minhash_lsh_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
 from oracle_vectorsearch_example_spark.operators.search import (
@@ -1752,6 +1753,37 @@ def q_simhash(spark, sf):
     """60-bit SimHash fingerprints (X2 family) on 50 fixed docs."""
     docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
     return docs.select("doc_id", simhash(F.col("text"), 60).alias("sh"))
+
+
+_SIMHASH_NEARDUP_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents WHERE doc_id < 400
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+    ), bits AS (
+      SELECT doc_id, j,
+             CASE WHEN sum(((th >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS j) js
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS sh
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 6
+"""
+
+
+@golden("simhash_neardup", _SIMHASH_NEARDUP_SQL)
+def q_simhash_neardup(spark, sf):
+    """SimHash near-dup PAIRS at hamming ≤ 6 (X2 family) via the banded
+    bit-block candidate join (never all-pairs; pigeonhole over 7 blocks of
+    the 60-bit fingerprint) — the oracle brute-forces all pairs on the
+    same 400 docs, so the hash check proves the banding loses nothing."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    return simhash_neardup_pairs(docs, max_hamming=6)
 
 
 # ------------------------------------------------------- multimodal / binary

@@ -263,3 +263,66 @@ def simhash(text: Column, bits: int = 60) -> Column:
 
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at hamming distance ≤ ``max_hamming``
+    WITHOUT all-pairs: split the ``bits``-bit fingerprint into ``n_blocks``
+    contiguous bit blocks (default ``max_hamming + 1``) — by pigeonhole,
+    any pair differing in ≤ ``max_hamming`` bits matches EXACTLY on at
+    least one block — candidate-join on ``(block_id, block_value)``, then
+    verify candidates with the true :func:`hamming_distance`.
+
+    Scale shape: one row-local explode (×n_blocks), one equi-join whose
+    fan-out is per identical block value (near-dup clusters and small
+    2^width blocks), never N². Widening blocks (fewer, larger) cuts
+    collisions; the pigeonhole bound requires ``n_blocks ≥ max_hamming+1``.
+    Returns (id_a, id_b, hamming), id_a < id_b, one row per pair."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError("n_blocks must be >= max_hamming + 1 (pigeonhole bound)")
+    if n_blocks > bits:
+        raise ValueError("n_blocks must be <= bits")
+    base = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("__fp"))
+    # contiguous boundaries with widths differing by <= 1 bit
+    bounds = [round(i * bits / n_blocks) for i in range(n_blocks + 1)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                (
+                    F.shiftright(F.col("__fp"), bounds[i])
+                    % F.lit(1 << (bounds[i + 1] - bounds[i]))
+                ).alias("block_val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    exploded = base.select(
+        F.col(id_col), F.col("__fp"), F.explode(blocks).alias("__b")
+    ).select(id_col, "__fp", "__b.block_id", "__b.block_val")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa"), "block_id", "block_val"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb"), "block_id", "block_val"
+    )
+    cand = (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__fa", "__fb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance(F.col("__fa"), F.col("__fb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

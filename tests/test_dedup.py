@@ -13,6 +13,7 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
     mllib_minhash_pairs,
     shingle_df,
     simhash,
+    simhash_neardup_pairs,
 )
 
 BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
@@ -77,3 +78,39 @@ def test_simhash_hamming(docs):
     )
     ham = [r.h for r in df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()]
     assert ham[0] < ham[1]  # near-dup closer than unrelated
+
+
+def test_simhash_neardup_pairs_matches_bruteforce(docs):
+    """Banded candidate join finds exactly the pairs brute-force hamming
+    finds (pigeonhole guarantees no candidate is missed)."""
+    sh = {r.doc_id: r.s for r in docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    ids = sorted(sh)
+    for r in (0, 2, 6, 20):
+        want = {
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sh[a] ^ sh[b]).count("1") <= r
+        }
+        got = {
+            (x.id_a, x.id_b, x.hamming)
+            for x in simhash_neardup_pairs(docs, max_hamming=r).collect()
+        }
+        assert got == want, f"r={r}"
+
+
+def test_simhash_neardup_exact_dups_at_zero(docs):
+    got = {(r.id_a, r.id_b) for r in simhash_neardup_pairs(docs, max_hamming=0).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got  # identical fingerprints
+    assert not any(5 in p for p in got)
+
+
+def test_simhash_neardup_block_validation(docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(docs, max_hamming=3, n_blocks=3)
+    with pytest.raises(ValueError, match="n_blocks must be <= bits"):
+        simhash_neardup_pairs(docs, max_hamming=61, bits=60)
+    # wider-than-minimum block count is legal and still exact
+    a = {(r.id_a, r.id_b) for r in simhash_neardup_pairs(docs, max_hamming=2, n_blocks=6).collect()}
+    b = {(r.id_a, r.id_b) for r in simhash_neardup_pairs(docs, max_hamming=2).collect()}
+    assert a == b
