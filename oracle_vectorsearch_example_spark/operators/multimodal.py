@@ -61,23 +61,26 @@ def extract_media_features(df: DataFrame, decode: str = "fake") -> DataFrame:
         raise ValueError("decode must be 'fake' or 'real'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar batch processing: one list pass per column, no iterrows —
+        # the per-payload hash/decode call is inherently per-row, but the
+        # frame assembly is vectorized (the template real decoders follow)
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                width, height, feats = _fake_decode(payload)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "byte_len": len(payload),
-                        "digest": hashlib.sha256(payload).hexdigest()[:16],
-                        "width": width,
-                        "height": height,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in _FEATURES_SCHEMA.fields])
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"].tolist()
+            ]
+            decoded = [_fake_decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "byte_len": [len(p) for p in payloads],
+                    "digest": [hashlib.sha256(p).hexdigest()[:16] for p in payloads],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                },
+                columns=[f.name for f in _FEATURES_SCHEMA.fields],
+            )
 
     return df.mapInPandas(run, schema=_FEATURES_SCHEMA)
 
@@ -108,26 +111,32 @@ def resize_media(
         raise ValueError("decode must be 'fake' or 'real'")
     n_bytes = max(16, target_w * target_h // 64)
 
+    suffix = f"{target_w}x{target_h}".encode()
+
+    def _resize(payload: bytes) -> bytes:
+        seed = hashlib.sha256(payload + suffix).digest()
+        buf = bytearray()
+        while len(buf) < n_bytes:
+            seed = hashlib.sha256(seed).digest()
+            buf.extend(seed)
+        return bytes(buf[:n_bytes])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                seed = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
-                buf = bytearray()
-                while len(buf) < n_bytes:
-                    seed = hashlib.sha256(seed).digest()
-                    buf.extend(seed)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "width": target_w,
-                        "height": target_h,
-                        "payload": bytes(buf[:n_bytes]),
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in _RESIZED_SCHEMA.fields])
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"].tolist()
+            ]
+            n = len(payloads)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": [target_w] * n,
+                    "height": [target_h] * n,
+                    "payload": [_resize(p) for p in payloads],
+                },
+                columns=[f.name for f in _RESIZED_SCHEMA.fields],
+            )
 
     return df.mapInPandas(run, schema=_RESIZED_SCHEMA)
 
@@ -157,22 +166,24 @@ def sample_frames(
         raise ValueError("decode must be 'fake' or 'real'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # row → N frames is a generator expansion; iterate parallel column
+        # lists (not iterrows) and emit flat columns
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, p in zip(pdf["media_id"].tolist(), pdf["payload"].tolist()):
+                payload = bytes(p) if p is not None else b""
                 h = hashlib.sha256(payload).digest()
                 n = min(max_frames, 1 + h[0] % max_frames)
-                for i in range(n):
-                    out.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_idx": i,
-                            "ts_sec": i / fps,
-                            "payload": hashlib.sha256(payload + bytes([i])).digest(),
-                        }
-                    )
-            yield pd.DataFrame(out, columns=[f.name for f in _FRAMES_SCHEMA.fields])
+                ids.extend([mid] * n)
+                idxs.extend(range(n))
+                tss.extend(i / fps for i in range(n))
+                frames.extend(
+                    hashlib.sha256(payload + bytes([i])).digest() for i in range(n)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_sec": tss, "payload": frames},
+                columns=[f.name for f in _FRAMES_SCHEMA.fields],
+            )
 
     return df.mapInPandas(run, schema=_FRAMES_SCHEMA)
 
