@@ -179,14 +179,74 @@ class IvfIndex:
         if path:
             # partitionBy(cluster_id): probe-time cluster filters become
             # parquet partition pruning — the scale path.
-            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-            assigned = spark.read.parquet(path)
+            data_path = f"{path.rstrip('/')}/data"
+            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(data_path)
+            cls._write_meta(spark, path, centroids, id_col, vec_col)
+            assigned = spark.read.parquet(data_path)
         return cls(assigned, centroids, id_col, vec_col, path)
 
+    # ------------------------------------------------- index persistence
+    # The reference's index is a persistent database object (CREATE VECTOR
+    # INDEX); ours is a directory: data/ (assignment table, partitioned by
+    # cluster_id) + centroids.json (tiny driver-side metadata). load() needs
+    # only the path — no re-supplying centroids.
+    _META_NAME = "centroids.json"
+
+    @staticmethod
+    def _write_meta(spark, path, centroids, id_col, vec_col) -> None:
+        import json
+
+        meta = json.dumps(
+            {
+                "format": "ivf-flat-v1",
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "centroids": [[cid, vec] for cid, vec in centroids],
+            }
+        )
+        # Hadoop FS API: works on any supported filesystem (local, HDFS,
+        # object stores), not just the driver's local disk
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{IvfIndex._META_NAME}")
+        fs = p.getFileSystem(conf)
+        out = fs.create(p, True)
+        out.write(bytearray(meta.encode("utf-8")))
+        out.close()
+
+    @staticmethod
+    def _read_meta(spark, path) -> dict:
+        import json
+
+        # wholetext text scan: one row holding the whole JSON file; avoids
+        # py4j byte-buffer round-trips and works on any Hadoop filesystem
+        row = spark.read.text(
+            f"{path.rstrip('/')}/{IvfIndex._META_NAME}", wholetext=True
+        ).collect()[0]
+        return json.loads(row[0])
+
     @classmethod
-    def load(cls, spark: SparkSession, path: str, centroids: list[tuple[int, list[float]]],
-             id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
-        return cls(spark.read.parquet(path), centroids, id_col, vec_col, path)
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        centroids: list[tuple[int, list[float]]] | None = None,
+        id_col: str | None = None,
+        vec_col: str | None = None,
+    ) -> "IvfIndex":
+        """Reopen a materialized index from its directory alone; explicit
+        ``centroids``/column args override the persisted metadata (and are
+        the only option for pre-v1 indexes written without metadata)."""
+        if centroids is None or id_col is None or vec_col is None:
+            meta = cls._read_meta(spark, path)
+            centroids = centroids or [
+                (int(cid), [float(x) for x in vec]) for cid, vec in meta["centroids"]
+            ]
+            id_col = id_col or meta["id_col"]
+            vec_col = vec_col or meta["vec_col"]
+        return cls(
+            spark.read.parquet(f"{path.rstrip('/')}/data"), centroids, id_col, vec_col, path
+        )
 
     def _nearest_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
         nrm = math.sqrt(sum(x * x for x in qvec)) or 1.0

@@ -104,6 +104,20 @@ def test_ivf_materialized_roundtrip(emb, queries10, tmp_path):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_ivf_self_contained_load(emb, queries10, tmp_path):
+    """A materialized index reopens from its path ALONE — centroids and
+    column names come from the persisted metadata (the reference's index
+    is a persistent DB object; ours is a self-describing directory)."""
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(emb, n_clusters=8, seed=42, path=path)
+    loaded = IvfIndex.load(emb.sparkSession, path)
+    assert loaded.centroids == idx.centroids
+    assert loaded.id_col == idx.id_col and loaded.vec_col == idx.vec_col
+    a = idx.search(queries10, k=5, nprobe=4).collect()
+    b = loaded.search(queries10, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_cosine_neardup_pairs(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.0, 1.0])],
