@@ -5,6 +5,7 @@ from oracle_vectorsearch_example_spark.sources.io import (
     validate_constraints,
 )
 from oracle_vectorsearch_example_spark.sources.registry import ModelRegistry
+from oracle_vectorsearch_example_spark.sources.txn import CommitConflict, Warehouse
 
 __all__ = [
     "TABLES",
@@ -12,4 +13,6 @@ __all__ = [
     "read_binary_files",
     "validate_constraints",
     "ModelRegistry",
+    "Warehouse",
+    "CommitConflict",
 ]

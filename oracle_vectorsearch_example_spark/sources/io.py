@@ -10,9 +10,10 @@
   ``binaryFile`` source.
 - ``validate_constraints``: PK/FK/NOT NULL as violation-count queries —
   Spark doesn't enforce constraints at write (SURVEY.md §1.3).
-- ``write_table``: parquet sink with optional partitioning; the reference's
-  per-statement COMMIT (01_pdf_to_vector.sql:116) maps to per-table job
-  atomicity, documented gap for multi-table transactions.
+- ``write_table``: parquet sink with optional partitioning; per-table job
+  atomicity. For the reference's multi-statement transaction + single
+  COMMIT (01_pdf_to_vector.sql:116) use :class:`~.txn.Warehouse` — an
+  atomic multi-table snapshot commit (manifest log).
 """
 
 from __future__ import annotations

@@ -1,0 +1,199 @@
+"""Atomic multi-table commit (S6): a minimal manifest-log warehouse.
+
+The reference wraps its multi-statement load in one transaction and issues
+a single ``COMMIT`` (01_pdf_to_vector.sql:116) — every table the pipeline
+touches becomes visible at once or not at all. Spark's parquet sink only
+gives per-*job* atomicity (the ``_SUCCESS``/staging protocol covers one
+``save()``), so a pipeline writing chunks + embeddings + stats as three
+jobs can crash half-visible.
+
+:class:`Warehouse` closes that gap with the public snapshot-log pattern
+(the design popularized by Delta Lake's ``_delta_log`` and Iceberg's
+metadata tree, re-implemented here from first principles, minimally):
+
+- data files live under ``data/<table>/v<N>/`` — written first, invisible
+  until referenced;
+- a commit publishes ``_log/<N 20-digit>.json`` mapping every table to its
+  current data dir (unchanged tables carry forward from the parent
+  manifest, so a commit of a subset is still a full-snapshot manifest);
+- the publish uses HDFS ``create(overwrite=False)`` — atomic
+  create-if-absent — so two racing committers cannot both win version N;
+  the loser re-reads the new head and retries on top of it (optimistic
+  concurrency);
+- readers resolve the highest-numbered manifest and read only the data
+  dirs it names. A crash before publish leaves orphan ``v<N>`` dirs that
+  no reader can see; :meth:`vacuum` removes them.
+
+Scale notes: the manifest holds one path per table (not per file), so it
+stays tiny at any data size; listing ``_log`` is O(commits) — fine for
+pipeline cadence (compaction/checkpointing is the known extension and out
+of scope). ``create(overwrite=False)`` is atomic on HDFS and local
+filesystems; on S3-family object stores the real systems use a
+conditional-PUT or a coordination service — same contract, different
+primitive (documented limitation, as in open-source Delta's
+``LogStore`` abstraction).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another committer published this version first (after retries)."""
+
+
+class Warehouse:
+    """A directory of tables with atomic multi-table commits.
+
+    Usage::
+
+        wh = Warehouse(spark, "/path/to/wh")
+        wh.commit({"chunks": chunks_df, "embeddings": emb_df})  # all-or-nothing
+        wh.read("chunks")                 # latest committed snapshot
+        wh.read("chunks", version=1)      # time travel
+    """
+
+    _LOG = "_log"
+    _DATA = "data"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        jvm = spark._jvm
+        self._hpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._hpath(self.root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    # ------------------------------------------------------------ log I/O
+    def _log_dir(self) -> str:
+        return f"{self.root}/{self._LOG}"
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self._log_dir()}/{version:020d}.json"
+
+    def _list_versions(self) -> list[int]:
+        log = self._hpath(self._log_dir())
+        if not self._fs.exists(log):
+            return []
+        out = []
+        for st in self._fs.listStatus(log):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    pass  # foreign file in the log dir: ignore, don't crash
+        return sorted(out)
+
+    def _read_manifest(self, version: int) -> dict:
+        # wholetext scan: one row with the whole file; works on any Hadoop FS
+        row = self.spark.read.text(
+            self._manifest_path(version), wholetext=True
+        ).collect()[0]
+        return json.loads(row[0])
+
+    def _publish(self, version: int, manifest: dict) -> bool:
+        """Atomically create manifest ``version``; False if it already exists."""
+        p = self._hpath(self._manifest_path(version))
+        self._fs.mkdirs(p.getParent())
+        try:
+            out = self._fs.create(p, False)  # overwrite=False: atomic claim
+        except Exception as exc:  # py4j wraps FileAlreadyExistsException
+            if "exist" in str(exc).lower():
+                return False
+            raise
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    # ------------------------------------------------------------ public
+    def current_version(self) -> int | None:
+        vs = self._list_versions()
+        return vs[-1] if vs else None
+
+    def snapshot(self, version: int | None = None) -> dict[str, str]:
+        """table → data dir (relative to root) at ``version`` (default head)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                return {}
+        return dict(self._read_manifest(version)["tables"])
+
+    def commit(self, tables: dict[str, DataFrame], max_retries: int = 5) -> int:
+        """Write ``tables`` and publish them in ONE atomic step.
+
+        All data jobs run first (expensive, invisible); only the final tiny
+        manifest create is the commit point. Returns the new version.
+        """
+        if not tables:
+            raise ValueError("commit of zero tables")
+        head = self.current_version()
+        version = (head or 0) + 1
+        # 1. write data dirs for the new version — not yet visible
+        written = {
+            name: f"{self._DATA}/{name}/v{version}" for name in tables
+        }
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(f"{self.root}/{written[name]}")
+        # 2. publish: carry forward unchanged tables, claim the version file
+        for _ in range(max_retries):
+            parent = {} if head is None else self.snapshot(head)
+            manifest = {
+                "version": version,
+                "parent": head,
+                "tables": {**parent, **written},
+            }
+            if self._publish(version, manifest):
+                return version
+            # lost the race: rebase on the new head. Data dirs are keyed by
+            # OUR version number, so a retry must rewrite them under the new
+            # number only if the number changed — it did (head moved).
+            head = self.current_version()
+            new_version = (head or 0) + 1
+            if new_version != version:
+                moved = {}
+                for name in tables:
+                    src, dst = written[name], f"{self._DATA}/{name}/v{new_version}"
+                    self._fs.rename(
+                        self._hpath(f"{self.root}/{src}"),
+                        self._hpath(f"{self.root}/{dst}"),
+                    )
+                    moved[name] = dst
+                written, version = moved, new_version
+        raise CommitConflict(f"lost the commit race {max_retries} times")
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        if table not in snap:
+            raise KeyError(f"table {table!r} not in snapshot: {sorted(snap)}")
+        return self.spark.read.parquet(f"{self.root}/{snap[table]}")
+
+    def tables(self, version: int | None = None) -> list[str]:
+        return sorted(self.snapshot(version))
+
+    def vacuum(self) -> list[str]:
+        """Delete data dirs referenced by NO manifest (crash leftovers).
+
+        Keeps every dir referenced by any retained manifest, so time travel
+        to old versions still works after a vacuum.
+        """
+        referenced = set()
+        for v in self._list_versions():
+            referenced.update(self._read_manifest(v)["tables"].values())
+        removed: list[str] = []
+        data = self._hpath(f"{self.root}/{self._DATA}")
+        if not self._fs.exists(data):
+            return removed
+        for tdir in self._fs.listStatus(data):
+            for vdir in self._fs.listStatus(tdir.getPath()):
+                rel = f"{self._DATA}/{tdir.getPath().getName()}/{vdir.getPath().getName()}"
+                if rel not in referenced:
+                    self._fs.delete(vdir.getPath(), True)
+                    removed.append(rel)
+        return removed

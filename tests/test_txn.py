@@ -1,0 +1,97 @@
+"""S6: atomic multi-table commit via the manifest-log warehouse."""
+
+import pytest
+
+from oracle_vectorsearch_example_spark.sources.txn import CommitConflict, Warehouse
+
+
+@pytest.fixture
+def wh(spark, tmp_path):  # noqa: F811
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, val string")
+
+
+def test_commit_publishes_all_tables_at_once(spark, wh):
+    v = wh.commit({"a": _df(spark, [(1, "x")]), "b": _df(spark, [(2, "y")])})
+    assert v == 1
+    assert wh.tables() == ["a", "b"]
+    assert wh.read("a").collect()[0].val == "x"
+    assert wh.read("b").collect()[0].val == "y"
+
+
+def test_partial_commit_carries_forward_unchanged_tables(spark, wh):
+    wh.commit({"a": _df(spark, [(1, "x")]), "b": _df(spark, [(2, "y")])})
+    v = wh.commit({"a": _df(spark, [(1, "x2")])})
+    assert v == 2
+    # b carried forward into the v2 snapshot — still visible, unchanged
+    assert wh.tables() == ["a", "b"]
+    assert wh.read("a").collect()[0].val == "x2"
+    assert wh.read("b").collect()[0].val == "y"
+
+
+def test_time_travel_reads_old_snapshot(spark, wh):
+    wh.commit({"a": _df(spark, [(1, "old")])})
+    wh.commit({"a": _df(spark, [(1, "new")])})
+    assert wh.read("a", version=1).collect()[0].val == "old"
+    assert wh.read("a").collect()[0].val == "new"
+
+
+def test_crash_before_publish_is_invisible(spark, wh):
+    """Data jobs done, manifest never published → readers see the old head."""
+    wh.commit({"a": _df(spark, [(1, "committed")])})
+    # simulate the crash: step 1 of commit() ran (data dir exists), step 2
+    # (manifest publish) never did
+    _df(spark, [(1, "torn")]).write.parquet(f"{wh.root}/data/a/v2")
+    _df(spark, [(9, "torn")]).write.parquet(f"{wh.root}/data/new_table/v2")
+    assert wh.current_version() == 1
+    assert wh.tables() == ["a"]
+    assert wh.read("a").collect()[0].val == "committed"
+    # vacuum removes exactly the orphans, keeps every referenced dir
+    assert sorted(wh.vacuum()) == ["data/a/v2", "data/new_table/v2"]
+    assert wh.read("a").collect()[0].val == "committed"
+    assert wh.vacuum() == []
+
+
+def test_concurrent_commit_loser_rebases(spark, wh):
+    """Two warehouses race version 2; the loser lands intact on version 3."""
+    wh.commit({"a": _df(spark, [(1, "base")])})
+    other = Warehouse(spark, wh.root)
+    real_publish = wh._publish
+
+    def interleaved(version, manifest):
+        # the other committer sneaks in v2 right before our publish attempt
+        if other.current_version() == 1:
+            other.commit({"b": _df(spark, [(2, "winner")])})
+        return real_publish(version, manifest)
+
+    wh._publish = interleaved
+    v = wh.commit({"a": _df(spark, [(1, "loser-rebased")])})
+    assert v == 3
+    assert wh.tables() == ["a", "b"]  # both commits survived
+    assert wh.read("a").collect()[0].val == "loser-rebased"
+    assert wh.read("b").collect()[0].val == "winner"
+
+
+def test_publish_claim_is_exclusive(spark, wh):
+    wh.commit({"a": _df(spark, [(1, "x")])})
+    assert wh._publish(1, {"version": 1, "parent": None, "tables": {}}) is False
+
+
+def test_commit_conflict_after_retries(spark, wh):
+    wh._publish = lambda version, manifest: False
+    with pytest.raises(CommitConflict):
+        wh.commit({"a": _df(spark, [(1, "x")])}, max_retries=2)
+
+
+def test_empty_commit_rejected(wh):
+    with pytest.raises(ValueError):
+        wh.commit({})
+
+
+def test_read_missing_table_raises(spark, wh):
+    wh.commit({"a": _df(spark, [(1, "x")])})
+    with pytest.raises(KeyError):
+        wh.read("nope")
