@@ -59,7 +59,11 @@ from oracle_vectorsearch_example_spark.operators.search import (
 from oracle_vectorsearch_example_spark.operators.sessionize import session_stats
 from oracle_vectorsearch_example_spark.plans.pipeline import ingest_documents, search_text
 from oracle_vectorsearch_example_spark.sources.io import read_table
-from oracle_vectorsearch_example_spark.streaming.ingest import sliding_counts
+from oracle_vectorsearch_example_spark.streaming.ingest import (
+    dedup_events,
+    enrich_stream,
+    sliding_counts,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -1474,6 +1478,59 @@ def q_sessionize(spark, sf):
     """Batch sessionization (DQ-40; gaps-and-islands, 30-min gap)."""
     ev = read_table(spark, sf, "events")
     return session_stats(ev, key="user_id", ts_col="ts", gap_minutes=30.0)
+
+
+@golden(
+    "stream_dedup",
+    """
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, event_type FROM ranked WHERE rn = 1
+    """,
+)
+def q_stream_dedup(spark, sf):
+    """Batch twin of streaming dedup (§2.10): keep the earliest event per
+    (user_id, event_type) — the deterministic pin of
+    ``dropDuplicatesWithinWatermark``'s arbitrary-survivor semantics."""
+    ev = read_table(spark, sf, "events")
+    return dedup_events(ev).select("event_id", "user_id", "event_type")
+
+
+@golden(
+    "stream_enrich",
+    f"""
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_events,
+           {_sql_dec_sum('e.value', 6, 4)} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_stream_enrich(spark, sf):
+    """Batch twin of the stream-static enrichment join (§2.10): each event
+    looks up its user's nation via broadcast dims — the exact plan each
+    micro-batch runs (enrich_stream is the same join on a stream)."""
+    ev = read_table(spark, sf, "events")
+    cust = read_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    enriched = enrich_stream(
+        enrich_stream(ev, cust, on="user_id", how="inner"),
+        nat,
+        on="c_nationkey",
+        how="inner",
+    )
+    return enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_events"), _dec_sum("value", 6, 4).alias("sum_value")
+    )
 
 
 # ------------------------------------------------------------- dedup family

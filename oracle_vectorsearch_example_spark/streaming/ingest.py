@@ -77,6 +77,30 @@ def dedup_stream(stream_df: DataFrame, keys: list[str], ts_col: str = "ts", wate
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def dedup_events(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Deterministic batch twin of :func:`dedup_stream`.
+
+    ``dropDuplicates`` keeps an *arbitrary* row per key (whichever task
+    wins), which can't be oracle-checked; the twin pins the choice to the
+    earliest event — ``row_number`` over (ts, tiebreak). Single shuffle on
+    the keys, same as the streaming state partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    keys = keys or ["user_id", "event_type"]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on: str, how: str = "left") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins the (small,
     broadcast) static dimension — no streaming state, the standard

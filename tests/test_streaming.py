@@ -187,3 +187,28 @@ def test_stateful_sessions_stitch_across_microbatches(spark, tmp_path):
     }
     assert len(streamed) > 0
     assert streamed == expected
+
+
+def test_dedup_batch_twin_matches_stream(spark, events_dir):
+    """dedup_events (the oracle-checked batch twin) agrees with the real
+    dropDuplicatesWithinWatermark stream on the survivor KEY SET, and pins
+    the survivor deterministically to each key's earliest event."""
+    from oracle_vectorsearch_example_spark.streaming.ingest import dedup_events
+
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    got = _run_stream(
+        spark,
+        dedup_stream(stream, keys=["user_id", "event_type"], watermark="10 years"),
+        "t_dedup_twin", mode="append",
+    )
+    twin = dedup_events(static)
+    assert got.count() == twin.count()
+    stream_keys = {(r.user_id, r.event_type)
+                   for r in got.select("user_id", "event_type").collect()}
+    twin_keys = {(r.user_id, r.event_type)
+                 for r in twin.select("user_id", "event_type").collect()}
+    assert stream_keys == twin_keys
+    # the twin's survivor is each key's earliest event
+    earliest = static.groupBy("user_id", "event_type").agg(F.min("ts").alias("ts"))
+    assert twin.join(earliest, ["user_id", "event_type", "ts"]).count() == twin.count()
