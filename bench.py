@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "minhash_lsh",         # banded-LSH dedup candidates
     "corpus_filter",       # dedup + lang + quality composite
     "winnow_fingerprints", # rolling-hash fingerprints
+    # headliners added in round 2
+    "simhash_neardup",     # banded hamming-distance pair join
+    "stream_enrich",       # stream-static broadcast enrichment (batch twin)
 ]
 
 N_RUNS = 3

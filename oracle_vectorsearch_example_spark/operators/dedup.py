@@ -247,18 +247,33 @@ def simhash(text: Column, bits: int = 60) -> Column:
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long")
     )
-    def bit_sum(j: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
-        )
-    return F.when(F.size(toks).isNull() | (F.size(toks) == 0), F.lit(0).cast("long")).otherwise(
-        sum(
-            (F.when(bit_sum(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << j))
-            for j in range(bits)
-        )
+    # ONE fold over the (md5-expensive) hash stream with an array-of-bit-sums
+    # accumulator — NOT one aggregate per bit: interpreted HOF lambdas
+    # re-evaluate their input per reference, so the per-bit form recomputes
+    # every token md5 `bits` times (same trap select_winnow documents;
+    # measured ~20× slower on the banded pair join).
+    zero = F.lit(0).cast("long")
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(zero, bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                powers,
+                lambda p: F.when(h.bitwiseAND(p) != zero, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, d: a + d,
+        ),
     )
+    fp = F.aggregate(
+        F.zip_with(sums, powers, lambda s, p: F.when(s > 0, p).otherwise(zero)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks).isNull() | (F.size(toks) == 0), zero).otherwise(fp)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
