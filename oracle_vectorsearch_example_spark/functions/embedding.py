@@ -102,6 +102,13 @@ class HashingEmbedder:
     def embed_df(self, df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
         return df.withColumn(out_col, self.embed_col(F.col(text_col)))
 
+    def embed_texts(self, texts: list[str]) -> list[list[float]]:
+        """Driver-side embed for small-by-contract inputs (query strings):
+        the same ``_embed_batch`` the UDF runs, so vectors are identical —
+        without launching a Spark job + Python worker for a handful of
+        rows."""
+        return _embed_batch(pd.Series(texts, dtype=object), self.dim).tolist()
+
 
 class WordPieceTokenizer:
     """Minimal BERT-style tokenizer for MiniLM-family ONNX exports.

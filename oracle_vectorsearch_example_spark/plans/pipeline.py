@@ -89,8 +89,12 @@ def search_text(
     """
     embedder = embedder or HashingEmbedder(dim=64)
     spark = doc_chunks.sparkSession
-    q = spark.createDataFrame([(i, t) for i, t in enumerate(query_texts)], "qid long, qtext string")
-    q = q.withColumn("qvec", embedder.embed_col(F.col("qtext")))
+    # queries are small by contract: embed driver-side (identical function
+    # to the distributed UDF) — no Spark job / Python worker for 3 strings
+    qvecs = embedder.embed_texts(query_texts)
+    q = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qvecs)], "qid long, qvec array<double>"
+    )
     # numeric composite key (doc_id · 2^20 + chunk_id): distance ties break on
     # (doc_id, chunk_id) numerically — reproducible in plain SQL oracles,
     # unlike a string key whose lexicographic order differs ("10:2" < "2:1").
