@@ -1,4 +1,8 @@
 from oracle_vectorsearch_example_spark.streaming.ingest import (
+    dedup_events,
+    dedup_stream,
+    enrich_stream,
+    ingest_documents_stream,
     sessionized_counts_stream,
     sliding_counts,
     tumbling_counts,
@@ -10,4 +14,8 @@ __all__ = [
     "sliding_counts",
     "tumbling_counts_stream",
     "sessionized_counts_stream",
+    "dedup_stream",
+    "dedup_events",
+    "enrich_stream",
+    "ingest_documents_stream",
 ]

@@ -101,6 +101,36 @@ def dedup_events(
     )
 
 
+def ingest_documents_stream(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 100,
+    overlap: int = 10,
+    embedder=None,
+) -> DataFrame:
+    """EP1 as a stream: documents arriving on any ``readStream`` source →
+    chunk → embed, continuously.
+
+    Reuses :func:`~..plans.pipeline.ingest_documents` verbatim — the chunker
+    is row-local column expressions and the embedder an Arrow-batched
+    projection, both stateless, so the exact batch plan runs incrementally
+    with no watermark or state store. This is the continuous-ingestion
+    deployment of the reference's pipeline (new PDFs landing in a
+    directory, embedded as they arrive) rather than its one-shot load.
+    """
+    from oracle_vectorsearch_example_spark.plans.pipeline import ingest_documents
+
+    return ingest_documents(
+        stream_docs,
+        text_col=text_col,
+        id_col=id_col,
+        max_words=max_words,
+        overlap=overlap,
+        embedder=embedder,
+    )
+
+
 def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on: str, how: str = "left") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins the (small,
     broadcast) static dimension — no streaming state, the standard

@@ -212,3 +212,32 @@ def test_dedup_batch_twin_matches_stream(spark, events_dir):
     # the twin's survivor is each key's earliest event
     earliest = static.groupBy("user_id", "event_type").agg(F.min("ts").alias("ts"))
     assert twin.join(earliest, ["user_id", "event_type", "ts"]).count() == twin.count()
+
+
+def test_streaming_document_ingest_matches_batch(spark, tmp_path_factory):
+    """EP1 as a stream: chunk+embed over a document stream produces exactly
+    the batch pipeline's rows (stateless stages run incrementally)."""
+    from oracle_vectorsearch_example_spark.plans.pipeline import ingest_documents
+    from oracle_vectorsearch_example_spark.streaming.ingest import (
+        ingest_documents_stream,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    docs_dir = str(tmp_path_factory.mktemp("stream") / "docs")
+    docs.write.parquet(docs_dir)
+    static = spark.read.parquet(docs_dir)
+
+    stream = spark.readStream.schema(static.schema).parquet(docs_dir)
+    got = _run_stream(spark, ingest_documents_stream(stream), "t_doc_ingest")
+    want = ingest_documents(static)
+
+    assert got.count() == want.count()
+    key = ["doc_id", "chunk_id"]
+    # full row agreement: chunk text and embeddings identical per key
+    joined = got.select(*key, F.col("chunk_text").alias("g_text"),
+                        F.col("embedding").alias("g_emb")).join(want, key)
+    n_match = joined.filter(
+        (F.col("g_text") == F.col("chunk_text"))
+        & (F.col("g_emb") == F.col("embedding"))
+    ).count()
+    assert n_match == want.count()
