@@ -70,30 +70,47 @@ def main():
     from oracle_vectorsearch_example_spark.sources.io import read_table
 
     spark = get_spark("bench")
-    results: dict[str, float] = {}
+    # Fault isolation (round-2 lesson: one broken query must not cost the
+    # round its entire performance record): each entry is timed in its own
+    # try/except; a failure records {"err": "..."} and the run continues.
+    results: dict[str, float | dict] = {}
+
+    def run_entry(name, fn):
+        try:
+            results[name] = round(_time_runs(fn), 3)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            results[name] = {"err": msg}
 
     for name in BENCH_QUERIES:
         q = golden.QUERIES[name]
-        results[name] = round(_time_runs(lambda: _execute(q(spark, sf_dir))), 3)
+        run_entry(name, lambda q=q: _execute(q(spark, sf_dir)))
 
     # IVF: build once (timed), then bench the pruned search
-    emb = read_table(spark, sf_dir, "embeddings")
-    t0 = time.time()
-    idx = IvfIndex.build(emb, seed=42)
-    results["ivf_build"] = round(time.time() - t0, 3)
-    q10 = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    results["ivf_search"] = round(
-        _time_runs(lambda: _execute(idx.search(q10, k=10, nprobe=8, exclude_self=True))), 3
-    )
+    try:
+        emb = read_table(spark, sf_dir, "embeddings")
+        t0 = time.time()
+        idx = IvfIndex.build(emb, seed=42)
+        results["ivf_build"] = round(time.time() - t0, 3)
+        q10 = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        run_entry(
+            "ivf_search",
+            lambda: _execute(idx.search(q10, k=10, nprobe=8, exclude_self=True)),
+        )
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("ivf_build", {"err": str(e).splitlines()[0][:200]})
 
-    total = round(sum(results.values()), 3)
+    ok = {k: v for k, v in results.items() if isinstance(v, (int, float))}
+    n_err = len(results) - len(ok)
+    total = round(sum(ok.values()), 3)
     print(json.dumps({
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "errors": n_err,
         "sf": sf,
         "config": {
             "spark": spark.version,

@@ -19,6 +19,10 @@ can exercise honestly):
   single-byte-font documents — in particular everything this engine's own
   fixture writer (:func:`make_simple_pdf`) produces. Scanned/CID-font
   PDFs need ``pypdf`` (or OCR, out of scope).
+- **DOCX** — stdlib ``zipfile`` + XML parse of ``word/document.xml``:
+  runs (``w:t``) concatenate within a paragraph, tabs/breaks and paragraph
+  boundaries become whitespace (collapsed by the output contract). The
+  most-requested format after PDF; no external deps.
 - **HTML/XML** — script/style blocks dropped, tags stripped, entities
   unescaped.
 - **plain text** — charset decode, default UTF-8 (the reference's
@@ -50,6 +54,7 @@ __all__ = [
     "with_extracted_text",
     "make_simple_pdf",
     "make_simple_html",
+    "make_simple_docx",
 ]
 
 _WS = re.compile(r"\s+")
@@ -67,6 +72,18 @@ def detect_format(data: bytes) -> str:
         return "empty"
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        # OOXML container — docx iff it holds word/document.xml
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(bytes(data))) as zf:
+                if "word/document.xml" in zf.namelist():
+                    return "docx"
+        except zipfile.BadZipFile:
+            pass
+        return "binary"
     head = data[:1024].lstrip()
     low = head[:64].lower()
     if low.startswith((b"<!doctype html", b"<html", b"<?xml")) or b"<html" in head[:256].lower():
@@ -235,6 +252,33 @@ def _pdf_extract(data: bytes, engine: str) -> str:
     return _pdf_extract_pypdf(data) if have_pypdf else _pdf_extract_builtin(data)
 
 
+# ---------------------------------------------------------------- DOCX parse
+_DOCX_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def _docx_extract(data: bytes) -> str:
+    """Text of ``word/document.xml``: per paragraph, runs concatenate
+    directly (DOCX run boundaries carry no implicit space), ``w:tab`` and
+    ``w:br`` contribute whitespace; paragraphs join with whitespace. The
+    whitespace-normalized output contract makes the exact separator moot."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = ElementTree.fromstring(zf.read("word/document.xml"))
+    paras: list[str] = []
+    for p in root.iter(f"{_DOCX_NS}p"):
+        buf: list[str] = []
+        for el in p.iter():
+            if el.tag == f"{_DOCX_NS}t":
+                buf.append(el.text or "")
+            elif el.tag in (f"{_DOCX_NS}tab", f"{_DOCX_NS}br"):
+                buf.append(" ")
+        paras.append("".join(buf))
+    return _normalize_ws("\n".join(paras))
+
+
 # ---------------------------------------------------------------- HTML parse
 _HTML_DROP = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
 _HTML_TAG = re.compile(r"(?s)<[^>]*>")
@@ -270,6 +314,13 @@ def extract_text_bytes(
         return ""
     if f == "pdf":
         return _pdf_extract(bytes(data), engine)
+    if f == "docx":
+        try:
+            return _docx_extract(bytes(data))
+        except Exception:
+            if on_error == "raise":
+                raise
+            return None
     if f == "html":
         try:
             return _html_extract(bytes(data).decode(charset, errors="strict"))
@@ -383,6 +434,8 @@ def render_document(text: str | None, fmt: str) -> bytes | None:
         return make_simple_pdf(text)
     if fmt == "html":
         return make_simple_html(text)
+    if fmt == "docx":
+        return make_simple_docx(text)
     return text.encode("utf-8")
 
 
@@ -396,6 +449,66 @@ def render_document_col(text: Column, fmt: Column) -> Column:
         )
 
     return _render(text, fmt)
+
+
+def make_simple_docx(text: str, *, wrap: int = 80) -> bytes:
+    """Write a minimal valid DOCX (OOXML zip) containing ``text`` as
+    wrapped paragraphs, split into multiple ``w:r`` runs to exercise the
+    run-concatenation path. Deterministic bytes: fixed zip timestamps, no
+    compression-level variance (stored entries). Same roundtrip contract as
+    :func:`make_simple_pdf`."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    norm = _normalize_ws(text)
+    lines = textwrap.wrap(norm, wrap, break_long_words=False, break_on_hyphens=False) or [""]
+
+    def para(line: str) -> str:
+        # split each paragraph into two runs at a word boundary to keep the
+        # extractor honest about run concatenation (no implicit space)
+        mid = line.find(" ", len(line) // 2)
+        runs = [line] if mid < 0 else [line[: mid + 1], line[mid + 1 :]]
+        body = "".join(
+            f'<w:r><w:t xml:space="preserve">{escape(r)}</w:t></w:r>' for r in runs
+        )
+        return f"<w:p>{body}</w:p>"
+
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + "".join(para(ln) for ln in lines)
+        + "</w:body></w:document>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType='
+        '"application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.wordprocessingml.'
+        'document.main+xml"/></Types>'
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, payload in [
+            ("[Content_Types].xml", content_types),
+            ("_rels/.rels", rels),
+            ("word/document.xml", document),
+        ]:
+            # fixed timestamp => byte-deterministic fixtures (zipfile stamps
+            # wall-clock time otherwise)
+            zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
+    return buf.getvalue()
 
 
 def make_simple_html(text: str) -> bytes:

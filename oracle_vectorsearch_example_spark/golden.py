@@ -1974,8 +1974,8 @@ _EXTRACT_SQL = r"""
                       regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
                FROM documents WHERE doc_id % 5 < 3)
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'pdf'
-                WHEN 1 THEN 'html' ELSE 'text' END AS fmt,
+           CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'pdf'
+                WHEN 1 THEN 'html' WHEN 2 THEN 'docx' ELSE 'text' END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars_x,
            substr(norm, 1, 40) AS prefix
     FROM d
@@ -1985,10 +1985,10 @@ _EXTRACT_SQL = r"""
 @golden("extract_text", _EXTRACT_SQL)
 def q_extract_text(spark, sf):
     """D1 — UTL_TO_TEXT (01_pdf_to_vector.sql:196-205): binary payload →
-    plain text, format-dispatched (PDF content-stream parse / HTML strip /
-    charset decode), Arrow-batched. Hash-checked via the roundtrip
-    ``extract(render(text)) == normalize_ws(text)``; a third of the rows
-    go through each format."""
+    plain text, format-dispatched (PDF content-stream parse / DOCX zip+XML
+    parse / HTML strip / charset decode), Arrow-batched. Hash-checked via
+    the roundtrip ``extract(render(text)) == normalize_ws(text)``; a
+    quarter of the rows go through each format."""
     from oracle_vectorsearch_example_spark.functions.extract import (
         extract_text,
         render_document_col,
@@ -1996,8 +1996,9 @@ def q_extract_text(spark, sf):
 
     docs = read_table(spark, sf, "documents").filter(F.col("doc_id") % 5 < 3)
     fmt = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("pdf"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("html"))
+        F.when(F.col("doc_id") % 4 == 0, F.lit("pdf"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("html"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("docx"))
         .otherwise(F.lit("text"))
     )
     rendered = docs.select(
@@ -2056,7 +2057,6 @@ _PRIORITY = [
     "exact_dedup",
     "minhash_lsh",
     "jaccard_neardup",
-    "simhash_fingerprint",
     "embedding_neardup",
     "doc_stats",
     "text_stats",
@@ -2064,17 +2064,22 @@ _PRIORITY = [
     "winnow_fingerprints",
     "binary_stats",
     "multimodal_features",
-    # new-this-round golden queries (registered by later modules/sections;
-    # missing names are skipped, so this list is safe to extend early)
     "simhash_neardup",
     "extract_text",
     "chunker_normalized",
-    "chunker_cjk",
     "ivf_materialized",
-    # approx/rows-only checks — weaker but worth recording
-    "approx_count_distinct",
-    "ivf_search",
-    # one representative per remaining operator family
+    # one representative per remaining operator family. Round-3 window
+    # allocation (the driver records the first 50 only): sessionize (DQ-40
+    # bench representative), stream_dedup/stream_enrich (§2.10 runtime twins)
+    # and tpch_q1 (DQ-15 bench representative) are IN; evicted to make room:
+    # simhash_fingerprint (subsumed by simhash_neardup), chunker_cjk
+    # (chunker_normalized covers the normalize path; CJK stays in pytest),
+    # approx_count_distinct + ivf_search (recorded only as no_oracle err rows
+    # — their tolerance gates live in pytest, the slots buy nothing).
+    "sessionize",
+    "stream_dedup",
+    "stream_enrich",
+    "tpch_q1",
     "scan_region",
     "projection",
     "filter_agg",
@@ -2106,7 +2111,9 @@ _PRIORITY = [
     "sql_vector_topk",
     "tumbling_window",
     "sliding_window",
-    "sessionize",
+    # past-window extras still registered (pytest + compare_oracle cover
+    # them): simhash_fingerprint, chunker_cjk, approx_count_distinct,
+    # ivf_search, tpch_q5/q7/q10/q14/q18, cube, grouping_sets, json_get, ...
 ]
 
 

@@ -12,8 +12,44 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_INTERVAL_UNIT_S = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Parse ``INTERVAL n UNIT [n UNIT ...]`` to whole seconds, driver-side.
+
+    The bucket width is a plan-time constant; computing it must not launch a
+    Spark job. Sub-second or calendar (month/year) units aren't meaningful
+    bucket widths — pass ``bucket_seconds`` explicitly for those.
+    """
+    body = re.sub(r"^\s*INTERVAL\s+", "", interval.strip(), flags=re.I)
+    pairs = re.findall(r"([+-]?\d+)\s+([A-Za-z]+)", body)
+    if not pairs or re.sub(r"[+-]?\d+\s+[A-Za-z]+\s*", "", body).strip():
+        raise ValueError(
+            f"cannot parse {interval!r} as INTERVAL n UNIT [...]; "
+            "pass bucket_seconds explicitly"
+        )
+    total = 0
+    for n, unit in pairs:
+        u = unit.lower().rstrip("s")
+        if u not in _INTERVAL_UNIT_S:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {interval!r}; "
+                "pass bucket_seconds explicitly"
+            )
+        total += int(n) * _INTERVAL_UNIT_S[u]
+    return total
 
 
 def range_join(
@@ -40,13 +76,17 @@ def range_join(
       100 TB event joins. ``bucket_seconds`` defaults to the interval
       width (every interval then spans ≤ 2 buckets).
     """
+    # cast(... as timestamp) everywhere a ts operand is consumed: no-op on
+    # TIMESTAMP inputs (Catalyst folds it), and keeps the operator working
+    # for external callers handing in TIMESTAMP_NTZ frames.
     l = left.select(*[F.col(c) for c in left.columns])
     r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
-    lo_expr = f"{left_ts} + {lower}"
-    hi_expr = f"{left_ts} + {upper}"
+    lo_expr = f"CAST({left_ts} AS TIMESTAMP) + {lower}"
+    hi_expr = f"CAST({left_ts} AS TIMESTAMP) + {upper}"
+    r_ts_expr = f"CAST(r_{right_ts} AS TIMESTAMP)"
     interval_cond = [
-        F.col(f"r_{right_ts}") >= F.expr(lo_expr),
-        F.col(f"r_{right_ts}") <= F.expr(hi_expr),
+        F.expr(r_ts_expr) >= F.expr(lo_expr),
+        F.expr(r_ts_expr) <= F.expr(hi_expr),
     ]
     if strategy == "filter":
         cond = [l[c] == r[f"r_{c}"] for c in on]
@@ -54,15 +94,10 @@ def range_join(
     if strategy != "bucket":
         raise ValueError(f"unknown strategy {strategy!r}; filter or bucket")
 
-    width_s = bucket_seconds or int(
-        l.sparkSession.sql(
-            f"SELECT CAST(unix_micros(TIMESTAMP '1970-01-01' + {upper}) "
-            f"- unix_micros(TIMESTAMP '1970-01-01' + {lower}) AS LONG)"
-        ).collect()[0][0]
-        // 1_000_000
-    )
+    # plan-time constant, computed driver-side (no Spark job)
+    width_s = bucket_seconds or (_interval_seconds(upper) - _interval_seconds(lower))
     width_s = max(1, width_s)
-    rb = r.withColumn("__bucket", F.expr(f"unix_seconds(r_{right_ts}) div {width_s}"))
+    rb = r.withColumn("__bucket", F.expr(f"unix_seconds({r_ts_expr}) div {width_s}"))
     lb = l.withColumn(
         "__bucket",
         F.explode(
@@ -96,16 +131,17 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
 
+    # cast: unify TIMESTAMP/TIMESTAMP_NTZ sides so the union resolves
     l = left.select(
         F.col(on).alias("__k"),
-        F.col(left_ts).alias("__ts"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in value_cols],
     )
     r = right.select(
         F.col(on).alias("__k"),
-        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(f"__rv_{c}") for c in value_cols],

@@ -19,12 +19,15 @@ def sessionize(
     gap_minutes: float = 30.0,
 ) -> DataFrame:
     """Tag each row with a 1-based ``session_id`` per key."""
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    # cast: no-op on TIMESTAMP, keeps NTZ inputs working (unix_micros
+    # requires TIMESTAMP; session tz is UTC so the cast is deterministic)
+    ts = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(key).orderBy(ts.asc())
     gap_s = gap_minutes * 60.0
-    prev = F.lag(ts_col).over(w)
+    prev = F.lag(ts).over(w)
     new_sess = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > int(gap_s * 1_000_000)),
+        | (F.unix_micros(ts) - F.unix_micros(prev) > int(gap_s * 1_000_000)),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("__new", new_sess).withColumn(
@@ -40,9 +43,10 @@ def session_stats(
 ) -> DataFrame:
     """Per-session event count and duration (seconds)."""
     s = sessionize(df, key, ts_col, gap_minutes)
+    ts = F.col(ts_col).cast("timestamp")
     return s.groupBy(key, "session_id").agg(
         F.count("*").alias("n_events"),
         (
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1_000_000.0
+            (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))) / 1_000_000.0
         ).alias("duration_sec"),
     )

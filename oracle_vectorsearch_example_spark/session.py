@@ -30,8 +30,10 @@ def get_spark(app_name: str = "oracle_vectorsearch_example_spark") -> SparkSessi
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as long and convert (sources.io.read_table).
+        # Test-data timestamp encodings have drifted between generations
+        # (TIMESTAMP(NANOS) in round 1, tz-less µs/NTZ since round 2);
+        # sources.io.read_table absorbs all variants. This conf keeps the
+        # NANOS variant readable (as long) should it return.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )

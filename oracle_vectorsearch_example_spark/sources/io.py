@@ -1,10 +1,14 @@
 """Sources & sinks.
 
-- ``read_table``: parquet reader for the driver test tables, with the one
-  physical quirk handled centrally: ``events.ts`` is TIMESTAMP(NANOS) in
-  parquet, which Spark's reader rejects outright; we read it as long
-  (``spark.sql.legacy.parquet.nanosAsLong``) and convert ns→µs with integer
-  division — bit-identical to DuckDB's ns→µs truncation (verified).
+- ``read_table``: parquet reader for the driver test tables. ALL physical
+  type drift is absorbed here, centrally, against the canonical logical
+  schema (``schemas.CANONICAL_TEST_TABLES``); operators downstream assume
+  canonical types. Known drift across test-data generations:
+  TIMESTAMP(NANOS) readable only as bigint (``nanosAsLong``, ns→µs integer
+  division — bit-identical to DuckDB's truncation), and tz-less µs
+  timestamps that Spark 4 infers as TIMESTAMP_NTZ (cast to TIMESTAMP; the
+  session tz is pinned UTC so the cast is deterministic and
+  DuckDB-hash-identical). Unknown drift raises with the column named.
 - ``read_binary_files``: the reference's external-file scan
   (``BFILENAME``/``TO_BLOB``, 01_pdf_to_vector.sql:111-115) as Spark's
   ``binaryFile`` source.
@@ -35,8 +39,68 @@ TABLES = [
 ]
 
 
+# Physical-encoding coercions to a canonical dtype, keyed by
+# (canonical, observed). Each maps a known historical parquet encoding of the
+# test data to the canonical logical type; anything not listed is unknown
+# drift and fails loudly in normalize_table.
+_COERCIONS = {
+    # tz-less parquet µs timestamps read as NTZ under Spark 4's
+    # inferTimestampNTZ; session tz is pinned UTC so this cast is a pure
+    # re-tag (identical µs value, DuckDB-hash-identical).
+    ("timestamp", "timestamp_ntz"): lambda c: F.col(c).cast("timestamp"),
+    # TIMESTAMP(NANOS) read as long via nanosAsLong. Integer div (not
+    # float /): ns values ~1.7e18 overflow double's 53-bit mantissa and
+    # would corrupt microseconds.
+    ("timestamp", "bigint"): lambda c: F.expr(f"timestamp_micros({c} div 1000)"),
+    # benign width drift for keys/labels
+    ("int", "bigint"): lambda c: F.col(c).cast("int"),
+    ("bigint", "int"): lambda c: F.col(c).cast("bigint"),
+}
+
+
+def normalize_table(df: DataFrame, name: str) -> DataFrame:
+    """Coerce a test table to its canonical logical schema.
+
+    Unknown tables pass through with only the generic NTZ→TIMESTAMP fix (so
+    user-supplied frames still work); known tables are checked column by
+    column and unknown drift raises a clear error instead of surfacing as a
+    DATATYPE_MISMATCH deep inside some operator.
+    """
+    from oracle_vectorsearch_example_spark.schemas import CANONICAL_TEST_TABLES
+
+    canonical = CANONICAL_TEST_TABLES.get(name)
+    dtypes = dict(df.dtypes)
+    if canonical is None:
+        for col, dt in dtypes.items():
+            if dt == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
+        return df
+
+    missing = [c for c in canonical if c not in dtypes]
+    if missing:
+        raise ValueError(
+            f"table {name!r}: test data drift — expected column(s) {missing} "
+            f"absent; found {sorted(dtypes)}. Update schemas.CANONICAL_TEST_TABLES "
+            "if the contract changed intentionally."
+        )
+    for col, want in canonical.items():
+        got = dtypes[col]
+        if got == want:
+            continue
+        coerce = _COERCIONS.get((want, got))
+        if coerce is None:
+            raise ValueError(
+                f"table {name!r}: test data drift — column {col!r} reads as "
+                f"{got!r}, canonical type is {want!r}, and no coercion is "
+                "registered. Add one to sources.io._COERCIONS or update "
+                "schemas.CANONICAL_TEST_TABLES."
+            )
+        df = df.withColumn(col, coerce(col))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table; normalizes ``events.ts`` to TIMESTAMP (µs).
+    """Read one test table, normalized to its canonical logical schema.
 
     Sets the runtime-settable legacy conf + UTC session tz so behavior is
     identical whether the session came from :func:`get_spark` or from the
@@ -45,11 +109,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer div (not float /): ns values ~1.7e18 overflow double's
-        # 53-bit mantissa and would corrupt microseconds.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_table(df, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -14,6 +14,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` requires TIMESTAMP event time and rejects
+    TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Re-tag NTZ inputs;
+    no-op otherwise. Session tz is pinned UTC so the cast is deterministic."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_counts(df: DataFrame, ts_col: str = "ts", width: str = "10 minutes") -> DataFrame:
     """Batch twin of the streaming tumbling-window count (DQ-38)."""
     return (
@@ -48,7 +57,7 @@ def tumbling_counts_stream(
     """Streaming tumbling-window count with late-data watermark; feed any
     readStream source, write with ``writeStream`` (append/update)."""
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        _ensure_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), width).alias("w"))
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
@@ -65,7 +74,7 @@ def sessionized_counts_stream(
     """Streaming session windows (``F.session_window``) — the streaming twin
     of operators.sessionize."""
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        _ensure_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("w"))
         .agg(F.count("*").alias("n_events"))
         .select(key, F.col("w.start").alias("session_start"), "n_events")
@@ -74,7 +83,11 @@ def sessionized_counts_stream(
 
 def dedup_stream(stream_df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "30 minutes") -> DataFrame:
     """Streaming dedup bounded by watermark state."""
-    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        _ensure_event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def dedup_events(

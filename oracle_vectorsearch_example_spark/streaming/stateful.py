@@ -88,8 +88,12 @@ def stateful_sessions_stream(
                 }
             )
 
+    from pyspark.sql import functions as F
+
     return (
-        stream_df.select(key, ts_col)
+        # cast: NTZ→TIMESTAMP re-tag (UTC session) so Arrow hands the UDF
+        # the same ns-since-epoch values for either input flavor
+        stream_df.select(key, F.col(ts_col).cast("timestamp").alias(ts_col))
         .groupBy(key)
         .applyInPandasWithState(
             fn,

@@ -15,6 +15,7 @@ from oracle_vectorsearch_example_spark.functions.extract import (
     _content_strings,
     detect_format,
     extract_text_bytes,
+    make_simple_docx,
     make_simple_html,
     make_simple_pdf,
     with_extracted_text,
@@ -52,6 +53,48 @@ def test_html_roundtrip(text):
     h = make_simple_html(text)
     assert detect_format(h) == "html"
     assert extract_text_bytes(h) == norm(text)
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_docx_roundtrip(text):
+    d = make_simple_docx(text)
+    assert detect_format(d) == "docx"
+    assert extract_text_bytes(d) == norm(text)
+
+
+def test_docx_fixture_is_deterministic():
+    assert make_simple_docx("same text") == make_simple_docx("same text")
+
+
+def test_docx_run_concatenation_and_breaks():
+    """Runs within a paragraph concatenate with no implicit space; w:tab and
+    w:br contribute whitespace; paragraphs separate words."""
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        "<w:p><w:r><w:t>con</w:t></w:r><w:r><w:t>catenated</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    assert extract_text_bytes(buf.getvalue()) == "concatenated a b c"
+
+
+def test_zip_without_document_xml_is_binary():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.txt", "not a docx")
+    assert detect_format(buf.getvalue()) == "binary"
+    assert extract_text_bytes(buf.getvalue()) is None
 
 
 def test_plain_text_and_charsets():

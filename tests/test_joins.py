@@ -75,6 +75,55 @@ def test_range_join(trades, quotes):
     assert all(r.r_ts >= r.ts for r in got)
 
 
+def test_interval_seconds_parses_driver_side():
+    """Bucket width is a plan-time constant — parsed driver-side, no Spark
+    job (round-2 verdict item 6)."""
+    from oracle_vectorsearch_example_spark.operators.joins import _interval_seconds
+
+    assert _interval_seconds("INTERVAL 0 SECONDS") == 0
+    assert _interval_seconds("INTERVAL 5 MINUTES") == 300
+    assert _interval_seconds("interval 2 hours") == 7200
+    assert _interval_seconds("INTERVAL 1 DAY") == 86400
+    assert _interval_seconds("INTERVAL 1 HOUR 30 MINUTES") == 5400
+    assert _interval_seconds("INTERVAL -1 MINUTE") == -60
+    with pytest.raises(ValueError):
+        _interval_seconds("INTERVAL 3 MONTHS")
+    with pytest.raises(ValueError):
+        _interval_seconds("not an interval")
+
+
+def test_range_and_asof_accept_ntz_inputs(trades, quotes):
+    """Operators survive TIMESTAMP_NTZ frames from external callers (the
+    round-2 regression class), matching the TIMESTAMP-input results."""
+    from pyspark.sql import functions as F
+
+    t_ntz = trades.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    q_ntz = quotes.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    for strat in ("filter", "bucket"):
+        got = range_join(
+            t_ntz, q_ntz, on=["k"], left_ts="ts", right_ts="ts",
+            lower="INTERVAL 0 SECONDS", upper="INTERVAL 5 MINUTES",
+            strategy=strat,
+        ).count()
+        assert got == 2, strat
+    out = {(r.k, r.asof_bid) for r in
+           asof_join(t_ntz, q_ntz, on="k", value_cols=["bid"]).collect()}
+    assert (1, 100.5) in out
+
+
+def test_sessionize_accepts_ntz_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    ntz = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    a = sorted((r.event_id, r.session_id) for r in sessionize(ev).collect())
+    b = sorted((r.event_id, r.session_id) for r in sessionize(ntz).collect())
+    assert a == b and len(a) == 500
+
+
 def test_range_join_bucket_strategy_matches_filter(spark):
     """The time-bucketed plan is semantics-preserving: identical pairs to
     the equi-join + filter plan."""

@@ -26,6 +26,48 @@ def test_events_ts_is_timestamp(spark):
     assert ev.filter(F.col("ts").isNull()).count() == 0
 
 
+def test_all_tables_read_canonical(spark):
+    """Every test table reads to its canonical logical schema, whatever the
+    physical parquet encoding of this test-data generation."""
+    from oracle_vectorsearch_example_spark.schemas import CANONICAL_TEST_TABLES
+    from oracle_vectorsearch_example_spark.sources.io import TABLES
+
+    for name in TABLES:
+        got = dict(read_table(spark, SF, name).dtypes)
+        assert got == CANONICAL_TEST_TABLES[name], name
+
+
+def test_normalize_coerces_ntz_parquet(spark, tmp_path):
+    """A regenerated events.parquet carrying TIMESTAMP_NTZ must come back as
+    TIMESTAMP with identical µs values (the round-2 regression)."""
+    ev = read_table(spark, SF, "events")
+    drifted = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    drifted.write.parquet(str(tmp_path / "events.parquet"))
+    back = read_table(spark, str(tmp_path), "events")
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    want = ev.select(F.sum(F.unix_micros("ts"))).collect()[0][0]
+    got = back.select(F.sum(F.unix_micros("ts"))).collect()[0][0]
+    assert got == want
+
+
+def test_normalize_unknown_drift_fails_loudly(spark, tmp_path):
+    """Un-coercible drift raises at read with the column named, instead of a
+    DATATYPE_MISMATCH deep inside an operator."""
+    ev = read_table(spark, SF, "events").limit(10)
+    ev.withColumn("ts", F.date_format("ts", "yyyy-MM-dd")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    with pytest.raises(ValueError, match="'ts'.*reads as 'string'"):
+        read_table(spark, str(tmp_path), "events")
+
+
+def test_normalize_missing_column_fails_loudly(spark, tmp_path):
+    ev = read_table(spark, SF, "events").limit(10)
+    ev.drop("value").write.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="value"):
+        read_table(spark, str(tmp_path), "events")
+
+
 def test_register_views_sql_path(spark):
     register_views(spark, SF, ["region", "nation"])
     n = spark.sql(

@@ -53,6 +53,26 @@ def test_streaming_tumbling_matches_batch(spark, events_dir):
     )
 
 
+def test_streaming_tumbling_accepts_ntz_event_time(spark, events_dir, tmp_path_factory):
+    """withWatermark rejects TIMESTAMP_NTZ event time; the ingest helpers
+    must re-tag NTZ inputs (the round-2 regression class) and produce the
+    same windows as the TIMESTAMP flavor."""
+    static = spark.read.parquet(events_dir)
+    ntz_dir = str(tmp_path_factory.mktemp("stream_ntz") / "events")
+    static.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(ntz_dir)
+    ntz_static = spark.read.parquet(ntz_dir)
+    assert dict(ntz_static.dtypes)["ts"] == "timestamp_ntz"
+    stream = spark.readStream.schema(ntz_static.schema).parquet(ntz_dir)
+    got = _run_stream(
+        spark, tumbling_counts_stream(stream, watermark="30 minutes"),
+        "t_tumbling_ntz", mode="complete",
+    ).collect()
+    want = tumbling_counts(static).select("window_start", "n_events").collect()
+    assert sorted((r.window_start, r.n_events) for r in got) == sorted(
+        (r.window_start, r.n_events) for r in want
+    )
+
+
 def test_streaming_append_holds_back_open_windows(spark, events_dir):
     static = spark.read.parquet(events_dir)
     stream = spark.readStream.schema(static.schema).parquet(events_dir)
