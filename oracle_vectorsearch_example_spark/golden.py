@@ -48,8 +48,13 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
     exact_dedup,
     jaccard_neardup_pairs,
     minhash_lsh_pairs,
+    neardup_components,
     simhash,
     simhash_neardup_pairs,
+)
+from oracle_vectorsearch_example_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
 )
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
 from oracle_vectorsearch_example_spark.operators.search import (
@@ -1611,6 +1616,98 @@ def q_minhash_lsh(spark, sf):
     4 bands — deterministic, equi-join on (band, band_hash)."""
     docs = read_table(spark, sf, "documents")
     return minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+
+
+# The component closure over the same pair graph: DuckDB computes the exact
+# transitive closure with a recursive CTE (fine at oracle scale); Spark runs
+# the distributed min-label-propagation + pointer-jumping fixed point.
+_COMPONENTS_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_SQL.strip().removeprefix("WITH").rsplit("SELECT DISTINCT", 1)[0]
+    + """, pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component_id
+    FROM reach GROUP BY u
+    """
+)
+
+
+@golden("neardup_clusters", _COMPONENTS_SQL)
+def q_neardup_clusters(spark, sf):
+    """X2 closure: LSH candidate pairs → connected components → one
+    deterministic cluster id (min member) per doc. The fuzzy-dedup step
+    that decides which documents are THE SAME, not just similar-looking."""
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+    return neardup_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
+# ------------------------------------------- deterministic splits & sampling
+_BUCKET_SQL = "(('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 10000)"
+
+_HASH_SPLIT_SQL = f"""
+    WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM b GROUP BY 1
+"""
+
+
+@golden("hash_split", _HASH_SPLIT_SQL)
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test split by content-hash bucket (§2.12
+    sampling family): assignment is a pure function of doc_id — stable
+    across runs, engines, and partition layouts, unlike df.sample's
+    per-partition RNG streams. sum_ids pins the exact membership."""
+    docs = read_table(spark, sf, "documents")
+    return (
+        hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+_STRATIFIED_SQL = f"""
+    WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM b
+    WHERE bucket < (CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000
+                              ELSE 10000 END)
+    GROUP BY lang
+"""
+
+
+@golden("stratified_sample", _STRATIFIED_SQL)
+def q_stratified_sample(spark, sf):
+    """Corpus mixture re-weighting (§2.12 sampling family): downsample the
+    dominant languages (en→25%, zh→50%), keep the rest whole — per-stratum
+    deterministic hash-cutoff sampling, zero shuffles before the final agg."""
+    docs = read_table(spark, sf, "documents")
+    sampled = stratified_sample(
+        docs, {"en": 0.25, "zh": 0.5}, strata_col="lang", default_fraction=1.0
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
 
 
 # ---------------------------------------------------------------- text stats

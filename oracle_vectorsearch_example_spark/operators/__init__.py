@@ -6,11 +6,19 @@ from oracle_vectorsearch_example_spark.operators.search import (
 from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex, recall_at_k
 from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
 from oracle_vectorsearch_example_spark.operators.dedup import (
+    dedup_by_components,
     exact_dedup,
     jaccard_neardup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    neardup_components,
     simhash,
+)
+from oracle_vectorsearch_example_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    stratified_sample,
 )
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
 from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
@@ -34,6 +42,12 @@ __all__ = [
     "minhash_lsh_pairs",
     "jaccard_neardup_pairs",
     "simhash",
+    "neardup_components",
+    "dedup_by_components",
+    "hash_bucket",
+    "hash_split",
+    "hash_sample",
+    "stratified_sample",
     "asof_join",
     "range_join",
     "sessionize",

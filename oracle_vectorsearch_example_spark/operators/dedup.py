@@ -13,6 +13,9 @@
   the ground truth the approx paths are measured against.
 - ``simhash``: 60-bit SimHash over token md5s (bit-majority), as column
   expressions; near-dup = small hamming distance.
+- ``neardup_components`` / ``dedup_by_components``: the closure step —
+  pairwise candidates → connected components (min-label propagation with
+  pointer jumping) → one canonical doc per cluster.
 
 Shingle hashing spec (frozen, DuckDB-reimplementable): shingle string =
 ``w_i w_i+1 w_i+2`` (space-joined, lowercased); shingle int x = value of
@@ -341,3 +344,86 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: the closure step
+    that turns pairwise candidates (minhash/simhash/jaccard/embedding) into
+    dedup CLUSTERS. Returns ``(id, component_id)`` for every vertex in
+    ``pairs``, where ``component_id`` = min id reachable — deterministic.
+
+    Distributed algorithm: min-label propagation with pointer jumping.
+    Each round (a) every vertex takes the min label over itself and its
+    neighbors (one equi-join + groupBy-min on vertex id), then (b) jumps to
+    its label's label (one self-join) — the doubling step that collapses
+    label chains, giving O(log diameter) rounds instead of O(diameter) on
+    path-shaped clusters. Per-round shuffles are keyed by vertex id only;
+    nothing is ever all-pairs. Lineage is truncated per round
+    (localCheckpoint) so the iterative plan can't snowball; on a cluster
+    with a checkpoint dir, ``DataFrame.checkpoint`` is the durable variant.
+    Published pattern: Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (the star-contraction family); min-propagation + jumping is
+    its simpler fixed-point cousin, adequate because near-dup graphs are
+    unions of small-diameter clusters (LSH buckets are near-cliques).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["u"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["comp"], F.coalesce(nbr["nmin"], labels["comp"])).alias("comp"),
+            )
+        )
+        # pointer jumping: comp <- comp's current label (labels are vertex
+        # ids, so every comp value has a row)
+        ptr = stepped.select(F.col("id").alias("cid"), F.col("comp").alias("ccomp"))
+        jumped = (
+            stepped.join(ptr, stepped["comp"] == ptr["cid"])
+            .select(stepped["id"], F.col("ccomp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component_id"))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus-level near-dup removal: keep one canonical row (the min id)
+    per connected component of ``pairs``; rows in no pair survive untouched.
+    The standard LLM-corpus fuzzy-dedup shape: candidate pairs from any X2
+    operator → component closure → anti-join of the losers (skinny id-only
+    frame) back onto the full corpus — document payloads never shuffle."""
+    comp = neardup_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("id") != F.col("component_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,115 @@
+"""Deterministic corpus splitting & sampling (training-data pipeline
+extension surface, SURVEY.md §2.12 family).
+
+A 100 TB training pipeline needs splits and samples that are (a) exactly
+reproducible across runs, engines, and re-partitions, (b) pure map-side —
+no shuffle, no driver state, no RNG sequence coupling to partition layout
+(`df.sample`/`sampleBy` draw per-partition RNG streams, so adding one input
+file reshuffles every assignment). The standard fix is content-hash
+bucketing: bucket = hash(seed, id) mod B; assignment is a pure function of
+the row's id.
+
+Hash spec (frozen, engine-portable — same convention as the dedup shingle
+spec): bucket = int(first 8 hex chars of md5("<seed>:<id>")) mod B, with
+B = 10_000 (basis-point granularity). DuckDB side:
+``('0x' || substr(md5(seed || ':' || id), 1, 8))::BIGINT % 10000``.
+
+- ``hash_bucket``: the bucket column itself.
+- ``hash_split``: named splits from cumulative weight ranges
+  (train/val/test and friends).
+- ``hash_sample``: Bernoulli-by-hash sampling at a fixed rate.
+- ``stratified_sample``: per-stratum rates (e.g. downsample dominant
+  languages/sources to a target mixture) — the mixture-weighting primitive.
+
+All are single projections/filters: no Exchange in any plan (asserted in
+tests/test_sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, seed: int = 42, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from md5("<seed>:<id>")."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a named split by cumulative bucket ranges.
+
+    ``weights`` maps split name → fraction (must sum to ~1; the last split
+    absorbs rounding). Insertion order defines the ranges, so the same
+    weights dict always yields the same assignment.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col), seed)
+    expr: Column | None = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        cond = b < int(round(hi * BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows (exact bucket cutoff —
+    repeated runs return the identical row set; smaller fractions are
+    strict subsets of larger ones at the same seed)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(hash_bucket(F.col(id_col), seed) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus mixture-weighting
+    primitive (downsample dominant sources, keep rare ones whole).
+
+    ``fractions`` maps stratum value → keep rate; strata not listed keep
+    ``default_fraction``. Same map-side hash-cutoff as :func:`hash_sample`,
+    so the output is reproducible and plan-shape shuffle-free (the
+    per-stratum cutoff is a literal CASE, not a join).
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0,1], got {v}")
+    cutoff: Column | None = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        lit = F.lit(int(round(v * BUCKETS)))
+        cutoff = F.when(cond, lit) if cutoff is None else cutoff.when(cond, lit)
+    cutoff = (
+        F.lit(int(round(default_fraction * BUCKETS)))
+        if cutoff is None
+        else cutoff.otherwise(F.lit(int(round(default_fraction * BUCKETS))))
+    )
+    return df.filter(hash_bucket(F.col(id_col), seed) < cutoff)

@@ -114,3 +114,41 @@ def test_simhash_neardup_block_validation(docs):
     a = {(r.id_a, r.id_b) for r in simhash_neardup_pairs(docs, max_hamming=2, n_blocks=6).collect()}
     b = {(r.id_a, r.id_b) for r in simhash_neardup_pairs(docs, max_hamming=2).collect()}
     assert a == b
+
+
+# ------------------------------------------------- component closure (X2)
+def _components(spark, edges):
+    from oracle_vectorsearch_example_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.id: r.component_id for r in neardup_components(pairs).collect()
+    }
+
+
+def test_components_basic_clusters(spark):
+    got = _components(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_components_long_path_converges(spark):
+    """A 40-node path is the adversarial diameter case: pointer jumping must
+    collapse it well inside max_iter (O(log n) rounds)."""
+    got = _components(spark, [(i, i + 1) for i in range(40)])
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_components_direction_and_self_loops_ignored(spark):
+    got = _components(spark, [(5, 4), (4, 4), (3, 4)])
+    assert got == {3: 3, 4: 3, 5: 3}
+
+
+def test_dedup_by_components_keeps_canonical(spark, docs):
+    from oracle_vectorsearch_example_spark.operators.dedup import dedup_by_components
+
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+    out = dedup_by_components(docs, pairs)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # 1,2,3,4 form one near-dup cluster (min id 1 survives); 5 and 6 are
+    # in no pair and must pass through untouched
+    assert kept == {1, 5, 6}
