@@ -104,6 +104,38 @@ def shingle_df(
     return sh.select(F.col(id_col), key.alias("shingle"))
 
 
+def _signature_wide(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, __m0..__m{n-1}) — the MinHash signature as wide columns.
+
+    One aggregation computes every seed's min as a separate aggregate over
+    the singly-exploded shingle rows — NOT an explode of (shingle × seed),
+    which multiplies the shuffle by num_hashes. Duplicate shingles don't
+    change a min, so the dedup shuffle is skipped.
+
+    Formulation note: a fully row-local variant (per-seed ``array_min`` over
+    an in-row hash array) has zero shuffles but runs the hash math through
+    interpreted higher-order functions — measured ~8× slower than this
+    explode + groupBy shape, whose per-row expressions all stay inside
+    whole-stage codegen. The shuffle it pays moves (id, 8-byte shingle)
+    rows once; Tungsten handles that far better than the interpreter
+    handles num_hashes × |shingles| lambda evaluations per doc.
+    """
+    sh = shingle_df(df, text_col, id_col, shingle_n, distinct=False)
+    mins = [
+        F.min(
+            (F.col("shingle") * F.lit(2 * s + 3) + F.lit(1009 * s)) % F.lit(_MERSENNE_P)
+        ).alias(f"__m{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -114,21 +146,9 @@ def minhash_signatures(
     """MinHash signature, exploded shape: (id, seed, minhash).
 
     min over shingles of h_seed(shingle); docs with < shingle_n words get no
-    rows (no shingles → undefined signature).
-
-    One aggregation computes every seed's min as a separate aggregate over
-    the singly-exploded shingle rows — NOT an explode of (shingle × seed),
-    which multiplies the shuffle by num_hashes. The (id, seed, minhash)
-    shape comes from a cheap post-agg unpivot of the num_hashes columns.
-    Duplicate shingles don't change a min, so the dedup shuffle is skipped."""
-    sh = shingle_df(df, text_col, id_col, shingle_n, distinct=False)
-    mins = [
-        F.min(
-            (F.col("shingle") * F.lit(2 * s + 3) + F.lit(1009 * s)) % F.lit(_MERSENNE_P)
-        ).alias(f"__m{s}")
-        for s in range(num_hashes)
-    ]
-    wide = sh.groupBy(id_col).agg(*mins)
+    rows (no shingles → undefined signature). The (id, seed, minhash) shape
+    is a cheap row-local unpivot of :func:`_signature_wide`'s columns."""
+    wide = _signature_wide(df, text_col, id_col, num_hashes, shingle_n)
     stack = ", ".join(f"{s}L, __m{s}" for s in range(num_hashes))
     return wide.select(
         F.col(id_col),
@@ -147,17 +167,43 @@ def minhash_lsh_pairs(
     """Banded-LSH candidate pairs: signatures split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band hash are candidates.
 
-    Returns distinct (id_a < id_b). The band join is an equi-join on
-    (band, band_hash) — broadcastable/shuffle-bounded, never all-pairs."""
+    Returns distinct (id_a < id_b). One shuffle builds the signature
+    (:func:`_signature_wide`); band digests are then ROW-LOCAL column
+    expressions over the wide signature columns (sorted "seed:min" strings
+    → md5) exploded ×bands — no second aggregation, unlike the exploded
+    signature shape which needed a groupBy(id, band) to re-assemble bands.
+    The remaining shuffles are the (band, band_hash) equi-join and the
+    final distinct — shuffle-bounded by candidate buckets, never all-pairs."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.array_join(F.array_sort(F.collect_list(
-            F.format_string("%d:%d", F.col("seed"), F.col("minhash"))
-        )), ",")).alias("band_hash"))
+    wide = _signature_wide(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.array_sort(
+                            F.array(
+                                *[
+                                    F.format_string(
+                                        "%d:%d", F.lit(s), F.col(f"__m{s}")
+                                    )
+                                    for s in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ]
+                            )
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     )
+    banded = wide.select(
+        F.col(id_col), F.explode(band_structs).alias("__b")
+    ).select(id_col, "__b.band", "__b.band_hash")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
