@@ -429,10 +429,13 @@ def neardup_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nmin"))
         )
+        # carry the previous label through the round so convergence is a
+        # column predicate on the checkpointed frame, not an extra join
         stepped = (
             labels.join(nbr, labels["id"] == nbr["u"], "left")
             .select(
                 labels["id"],
+                labels["comp"].alias("prev"),
                 F.least(labels["comp"], F.coalesce(nbr["nmin"], labels["comp"])).alias("comp"),
             )
         )
@@ -441,16 +444,11 @@ def neardup_components(
         ptr = stepped.select(F.col("id").alias("cid"), F.col("comp").alias("ccomp"))
         jumped = (
             stepped.join(ptr, stepped["comp"] == ptr["cid"])
-            .select(stepped["id"], F.col("ccomp").alias("comp"))
+            .select(stepped["id"], stepped["prev"], F.col("ccomp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("comp") != F.col("prev")).count()
+        labels = jumped.select("id", "comp")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("comp").alias("component_id"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -101,3 +103,54 @@ def test_chunker_spark_agrees_with_formula(spark):
         df = spark.createDataFrame([(r_id, text)], "doc_id long, text string")
         got = chunk_by_words(df, max_words=mw, overlap=ov).count()
         assert got == expected[r_id], (r_id, text[:30], mw, ov, got, expected[r_id])
+
+
+# ---------------------------------------------------- component closure
+def _union_find_components(n_nodes, edges):
+    """Driver-side ground truth: textbook union-find, min-id labels."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {}
+    for v in {v for e in edges for v in e}:
+        r = find(v)
+        while parent[r] != r:
+            r = parent[r]
+        labels[v] = r
+    # canonicalize to min member per root
+    roots = {}
+    for v, r in labels.items():
+        roots.setdefault(r, v if v < r else r)
+        roots[r] = min(roots[r], v)
+    return {v: roots[r] for v, r in labels.items()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_components_match_union_find_on_random_graphs(spark, seed):
+    """The distributed min-propagation fixed point equals textbook
+    union-find on random graphs (sparse chains through denser blobs)."""
+    import random
+
+    from oracle_vectorsearch_example_spark.operators.dedup import neardup_components
+
+    rng = random.Random(seed)
+    n = 40
+    n_edges = rng.choice([15, 40, 90])
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(n_edges)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    want = _union_find_components(n, edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component_id for r in neardup_components(pairs).collect()}
+    assert got == want
