@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1992,6 +1993,93 @@ def q_multimodal_features(spark, sf):
     return feats.select("media_id", "kind", "byte_len", "digest", "width", "height")
 
 
+# Real-decode goldens: the fixture writers emit analytically predictable
+# payloads (solid-color BMPs, ±A square-wave WAVs), so the DuckDB oracle is
+# pure arithmetic on media_id while Spark actually parses headers and
+# decodes pixels/samples. This hash-checks the REAL decode path end-to-end.
+@golden(
+    "image_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           CAST(8 + doc_id % 8 AS INTEGER) AS height,
+           CAST(doc_id * 37 % 256 AS DOUBLE) AS mean_r,
+           CAST(doc_id * 59 % 256 AS DOUBLE) AS mean_g,
+           CAST(doc_id * 83 % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 120
+    """,
+)
+def q_image_decode(spark, sf):
+    """X4 real image decode: 24-bpp BMP struct parse + numpy channel means
+    (no media libs). Solid-color fixtures make the oracle arithmetic."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        image_features,
+        make_simple_bmp,
+    )
+
+    @F.pandas_udf("binary")
+    def mk_bmp(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_simple_bmp(
+                    8 + int(i) % 16,
+                    8 + int(i) % 8,
+                    (int(i) * 37 % 256, int(i) * 59 % 256, int(i) * 83 % 256),
+                )
+                for i in ids
+            ],
+            dtype=object,
+        )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), mk_bmp("doc_id").alias("payload")
+    )
+    return image_features(media)
+
+
+@golden(
+    "audio_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(2000 + (doc_id % 50) * 40 AS BIGINT) AS n_samples,
+           CAST(1000 + (doc_id % 100) * 10 AS DOUBLE) AS rms,
+           CAST(1.0 AS DOUBLE) AS zero_cross_rate
+    FROM documents WHERE doc_id < 120
+    """,
+)
+def q_audio_decode(spark, sf):
+    """X4 real audio decode: PCM WAV via stdlib ``wave`` + int16 sample
+    stats. A ±A square wave has rms == A and zero-cross rate == 1.0
+    exactly, so the oracle is arithmetic while Spark decodes real frames."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        audio_features,
+        make_simple_wav,
+    )
+
+    @F.pandas_udf("binary")
+    def mk_wav(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_simple_wav(
+                    2000 + (int(i) % 50) * 40,
+                    1000 + (int(i) % 100) * 10,
+                    sample_rate=8000 * (1 + int(i) % 3),
+                )
+                for i in ids
+            ],
+            dtype=object,
+        )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), mk_wav("doc_id").alias("payload")
+    )
+    return audio_features(media)
+
+
 # ----------------------------------------------- flagship: ingest + search
 _FLAGSHIP_QUERIES = [
     "fast key order sort merge",
@@ -2160,7 +2248,8 @@ _PRIORITY = [
     "corpus_filter",
     "winnow_fingerprints",
     "binary_stats",
-    "multimodal_features",
+    "image_decode",  # r3: REAL BMP decode (multimodal_features' fake-decode
+    #                  plumbing row is subsumed; still in pytest + compare)
     "simhash_neardup",
     "extract_text",
     "chunker_normalized",

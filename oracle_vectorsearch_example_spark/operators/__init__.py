@@ -24,8 +24,10 @@ from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_j
 from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
 from oracle_vectorsearch_example_spark.operators.skew import salted_agg, salted_join
 from oracle_vectorsearch_example_spark.operators.multimodal import (
+    audio_features,
     binary_stats,
     extract_media_features,
+    image_features,
     resize_media,
     sample_frames,
 )
@@ -55,6 +57,8 @@ __all__ = [
     "salted_join",
     "binary_stats",
     "extract_media_features",
+    "image_features",
+    "audio_features",
     "resize_media",
     "sample_frames",
 ]

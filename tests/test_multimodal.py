@@ -44,8 +44,13 @@ def test_fake_decode_deterministic(media):
 
 
 def test_real_decode_gated(media):
-    with pytest.raises(NotImplementedError):
-        extract_media_features(media, decode="real")
+    """Real decode works for uncompressed formats (BMP/WAV, see below);
+    codec payloads raise AT DECODE TIME with the boundary named."""
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)) as e:
+        extract_media_features(media, decode="real").collect()
+    assert "compressed" in str(e.value) or "BMP" in str(e.value)
     with pytest.raises(ValueError):
         extract_media_features(media, decode="maybe")
 
@@ -97,7 +102,123 @@ def test_resize_gates_real_decode(media):
         sample_frames,
     )
 
-    with pytest.raises(NotImplementedError):
-        resize_media(media, 8, 8, decode="real")
+    # real resize decodes BMP; the non-BMP fixture payloads fail inside the
+    # executor with the format boundary named
+    with pytest.raises(Exception, match="BMP|ValueError"):
+        resize_media(media, 8, 8, decode="real").collect()
+    # video frame sampling stays fully gated (no stdlib codec exists)
     with pytest.raises(NotImplementedError):
         sample_frames(media, decode="real")
+
+
+# ------------------------------------------- real decode (stdlib formats)
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 5), (16, 9), (33, 2)]:  # odd widths hit row padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = decode_bmp_pixels(encode_bmp(px))
+        assert back.shape == (h, w, 3)
+        assert (back == px).all(), (w, h)
+
+
+def test_bmp_solid_color_means():
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_bmp_bytes,
+        make_simple_bmp,
+    )
+
+    w, h, mr, mg, mb = decode_bmp_bytes(make_simple_bmp(13, 7, (200, 100, 50)))
+    assert (w, h) == (13, 7)
+    assert (mr, mg, mb) == (200.0, 100.0, 50.0)
+
+
+def test_wav_square_wave_stats():
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_wav_bytes,
+        make_simple_wav,
+    )
+
+    nch, rate, n, rms, zcr = decode_wav_bytes(
+        make_simple_wav(4000, 1500, sample_rate=16000, n_channels=2)
+    )
+    assert (nch, rate, n) == (2, 16000, 4000)
+    assert rms == 1500.0
+    assert zcr == 1.0
+
+
+def test_real_resize_bmp():
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        resize_bmp_bytes,
+    )
+
+    # top half red, bottom half blue: nearest-neighbor resize keeps halves
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:4, :, 0] = 255
+    px[4:, :, 2] = 255
+    from oracle_vectorsearch_example_spark.operators.multimodal import encode_bmp
+
+    small = decode_bmp_pixels(resize_bmp_bytes(encode_bmp(px), 4, 4))
+    assert small.shape == (4, 4, 3)
+    assert (small[:2, :, 0] == 255).all() and (small[2:, :, 2] == 255).all()
+
+
+def test_real_decode_rejects_compressed():
+    import pytest as _pytest
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import _real_decode
+
+    with _pytest.raises(NotImplementedError, match="JPEG"):
+        _real_decode(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_image_audio_features_spark(spark):
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        make_simple_bmp,
+        make_simple_wav,
+    )
+
+    img_rows = [(i, make_simple_bmp(4 + i, 3, (i * 40 % 256, 0, 255))) for i in range(3)]
+    imgs = spark.createDataFrame(img_rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in image_features(imgs).collect()}
+    assert got[2].width == 6 and got[2].mean_r == 80.0 and got[2].mean_b == 255.0
+
+    wav_rows = [(i, make_simple_wav(1000, 500 + i, sample_rate=8000)) for i in range(3)]
+    wavs = spark.createDataFrame(wav_rows, "media_id long, payload binary")
+    agot = {r.media_id: r for r in audio_features(wavs).collect()}
+    assert agot[1].rms == 501.0 and agot[1].n_samples == 1000
+    assert agot[0].zero_cross_rate == 1.0
+
+
+def test_extract_media_features_real_mode(spark):
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        extract_media_features,
+        make_simple_bmp,
+        make_simple_wav,
+    )
+
+    rows = [
+        (1, "image", make_simple_bmp(10, 5, (255, 0, 0)), None),
+        (2, "audio", make_simple_wav(800, 1000), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+    got = {r.media_id: r for r in extract_media_features(media, decode="real").collect()}
+    assert got[1].width == 10 and got[1].height == 5
+    assert got[1].features[0] == 1.0  # mean_r / 255
+    assert got[2].width is None and got[2].height is None
+    assert abs(got[2].features[3] - 1000 / 32768) < 1e-6  # rms / 32768
