@@ -1685,6 +1685,43 @@ def q_hash_split(spark, sf):
     )
 
 
+_PACK_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({_BUCKET_SQL} % 8 AS INTEGER) AS shard,
+             len({_SQL_TOKENS}) AS tok
+      FROM documents
+    ), c AS (
+      SELECT shard, doc_id, tok,
+             sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS cb
+      FROM t WHERE tok > 0
+    ), s AS (
+      SELECT shard, doc_id, tok, cb,
+             unnest(generate_series(CAST(cb // 512 AS BIGINT),
+                                    CAST((cb + tok - 1) // 512 AS BIGINT))) AS pack_id
+      FROM c
+    )
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+           CAST(greatest(cb, pack_id * 512) - pack_id * 512 AS BIGINT)
+               AS pack_offset,
+           CAST(least(cb + tok, (pack_id + 1) * 512)
+                - greatest(cb, pack_id * 512) AS BIGINT) AS n_tokens
+    FROM s
+"""
+
+
+@golden("pack_sequences", _PACK_SQL)
+def q_pack_sequences(spark, sf):
+    """Sequence packing (§2.12): concat-and-chunk docs into fixed 512-token
+    training packs across 8 deterministic shards — one window cumsum per
+    shard, docs spanning a boundary emit a row per pack touched."""
+    from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf, "documents")
+    return pack_sequences(docs, max_tokens=512, n_shards=8)
+
+
 _STRATIFIED_SQL = f"""
     WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

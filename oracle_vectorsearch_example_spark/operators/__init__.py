@@ -14,6 +14,7 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
     neardup_components,
     simhash,
 )
+from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
 from oracle_vectorsearch_example_spark.operators.sampling import (
     hash_bucket,
     hash_sample,
@@ -50,6 +51,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "stratified_sample",
+    "pack_sequences",
     "asof_join",
     "range_join",
     "sessionize",
