@@ -23,6 +23,10 @@ can exercise honestly):
   runs (``w:t``) concatenate within a paragraph, tabs/breaks and paragraph
   boundaries become whitespace (collapsed by the output contract). The
   most-requested format after PDF; no external deps.
+- **RTF** — control-word tokenizer: destination groups (fonttbl,
+  stylesheet, pict, ...) are skipped whole, ``\\'hh`` hex and ``\\uN``
+  unicode escapes decode, ``\\par``/``\\tab``/``\\line`` become
+  whitespace, ``{}\\`` literals unescape.
 - **HTML/XML** — script/style blocks dropped, tags stripped, entities
   unescaped.
 - **plain text** — charset decode, default UTF-8 (the reference's
@@ -55,6 +59,7 @@ __all__ = [
     "make_simple_pdf",
     "make_simple_html",
     "make_simple_docx",
+    "make_simple_rtf",
 ]
 
 _WS = re.compile(r"\s+")
@@ -84,6 +89,8 @@ def detect_format(data: bytes) -> str:
         except zipfile.BadZipFile:
             pass
         return "binary"
+    if data[:5] == b"{\\rtf":
+        return "rtf"
     head = data[:1024].lstrip()
     low = head[:64].lower()
     if low.startswith((b"<!doctype html", b"<html", b"<?xml")) or b"<html" in head[:256].lower():
@@ -279,6 +286,112 @@ def _docx_extract(data: bytes) -> str:
     return _normalize_ws("\n".join(paras))
 
 
+# ----------------------------------------------------------------- RTF parse
+# destinations whose entire group is formatting/meta, not document text
+_RTF_SKIP = frozenset(
+    "fonttbl colortbl stylesheet info pict object header footer footnote "
+    "generator operator themedata colorschememapping listtable listoverridetable "
+    "latentstyles datastore rsidtbl xmlnstbl".split()
+)
+_RTF_SPACE = {"par", "line", "tab", "cell", "row", "sect", "page"}
+
+
+def _rtf_extract(data: bytes) -> str:
+    """Token-walk an RTF group tree: skip destination groups whole, decode
+    ``\\'hh`` / ``\\uN`` escapes, map paragraph-ish control words to
+    whitespace, pass plain text through."""
+    out: list[str] = []
+    i, n = 0, len(data)
+    skip_depth = 0  # >0 while inside a skipped destination group
+    depth = 0
+    while i < n:
+        c = data[i]
+        if c == 0x7B:  # {
+            depth += 1
+            i += 1
+            # lookahead for a destination control word right after the brace
+            j = i
+            if j < n and data[j : j + 2] == b"\\*":
+                j += 2
+            if j < n and data[j] == 0x5C:  # backslash
+                m = re.match(rb"\\([a-z]+)", data[j : j + 32])
+                if m and m.group(1).decode() in _RTF_SKIP and not skip_depth:
+                    skip_depth = depth
+            continue
+        if c == 0x7D:  # }
+            if skip_depth and depth == skip_depth:
+                skip_depth = 0
+            depth -= 1
+            i += 1
+            continue
+        if c == 0x5C:  # backslash
+            if i + 1 < n and data[i + 1] in (0x7B, 0x7D, 0x5C):  # \{ \} \\
+                if not skip_depth:
+                    out.append(chr(data[i + 1]))
+                i += 2
+                continue
+            if data[i + 1 : i + 2] == b"'":
+                if i + 3 < n and not skip_depth:
+                    try:
+                        out.append(bytes([int(data[i + 2 : i + 4], 16)]).decode("latin-1"))
+                    except ValueError:
+                        pass
+                i += 4
+                continue
+            m = re.match(rb"\\([a-z]+)(-?\d+)? ?", data[i : i + 32])
+            if m:
+                word = m.group(1).decode()
+                if not skip_depth:
+                    if word == "u" and m.group(2):
+                        out.append(chr(int(m.group(2)) & 0xFFFF))
+                    elif word in _RTF_SPACE:
+                        out.append(" ")
+                i += m.end()
+                if word == "u" and m.group(2):
+                    # skip the ANSI fallback that follows \uN (\uc1 default):
+                    # either a \'hh escape or one literal character
+                    if data[i : i + 2] == b"\\'":
+                        i += 4
+                    elif i < n and data[i] not in (0x5C, 0x7B, 0x7D):
+                        i += 1
+                continue
+            i += 2  # \~ and other symbol controls
+            continue
+        if c in (0x0A, 0x0D):
+            i += 1
+            continue
+        if not skip_depth:
+            out.append(chr(c) if c < 0x80 else bytes([c]).decode("latin-1"))
+        i += 1
+    return _normalize_ws("".join(out))
+
+
+def make_simple_rtf(text: str) -> bytes:
+    """RTF fixture writer with the matching roundtrip contract: a font
+    table (must be skipped), escaped specials, non-ASCII as \\'hh where
+    latin-1 suffices else \\uN."""
+    body: list[str] = []
+    for ch in text:
+        if ch in "{}\\":
+            body.append("\\" + ch)
+        elif ch == "\n":
+            body.append("\\line ")  # raw newlines are ignorable in RTF source
+        elif ch == "\t":
+            body.append("\\tab ")
+        elif ch == "\r":
+            continue
+        elif ord(ch) < 0x80:
+            body.append(ch)
+        elif ord(ch) < 0x100:
+            body.append(f"\\'{ord(ch):02x}")
+        else:
+            body.append(f"\\u{ord(ch)}?")
+    return (
+        r"{\rtf1\ansi\deff0{\fonttbl{\f0 Helvetica;}}{\info{\author nobody}}"
+        r"\f0\fs24 " + "".join(body) + r"\par}"
+    ).encode("latin-1")
+
+
 # ---------------------------------------------------------------- HTML parse
 _HTML_DROP = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
 _HTML_TAG = re.compile(r"(?s)<[^>]*>")
@@ -321,6 +434,8 @@ def extract_text_bytes(
             if on_error == "raise":
                 raise
             return None
+    if f == "rtf":
+        return _rtf_extract(bytes(data))
     if f == "html":
         try:
             return _html_extract(bytes(data).decode(charset, errors="strict"))
@@ -436,6 +551,8 @@ def render_document(text: str | None, fmt: str) -> bytes | None:
         return make_simple_html(text)
     if fmt == "docx":
         return make_simple_docx(text)
+    if fmt == "rtf":
+        return make_simple_rtf(text)
     return text.encode("utf-8")
 
 

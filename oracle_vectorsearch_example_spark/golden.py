@@ -2196,8 +2196,9 @@ _EXTRACT_SQL = r"""
                       regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
                FROM documents WHERE doc_id % 5 < 3)
     SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'pdf'
-                WHEN 1 THEN 'html' WHEN 2 THEN 'docx' ELSE 'text' END AS fmt,
+           CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'pdf'
+                WHEN 1 THEN 'html' WHEN 2 THEN 'docx'
+                WHEN 3 THEN 'rtf' ELSE 'text' END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars_x,
            substr(norm, 1, 40) AS prefix
     FROM d
@@ -2218,9 +2219,10 @@ def q_extract_text(spark, sf):
 
     docs = read_table(spark, sf, "documents").filter(F.col("doc_id") % 5 < 3)
     fmt = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit("pdf"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("html"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("docx"))
+        F.when(F.col("doc_id") % 5 == 0, F.lit("pdf"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("html"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("docx"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("rtf"))
         .otherwise(F.lit("text"))
     )
     rendered = docs.select(

@@ -183,3 +183,25 @@ def test_ingest_binary_drops_unextractable(spark):
     # unextractable doc yields no chunks either way (chunker emits nothing
     # for NULL text) but the flag controls the explicit filter stage
     assert {r["doc_id"] for r in kept.select("doc_id").distinct().collect()} == {0}
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_rtf_roundtrip(text):
+    from oracle_vectorsearch_example_spark.functions.extract import make_simple_rtf
+
+    r = make_simple_rtf(text)
+    assert detect_format(r) == "rtf"
+    assert extract_text_bytes(r) == norm(text)
+
+
+def test_rtf_skips_destination_groups_and_decodes_escapes():
+    rtf = (
+        rb"{\rtf1\ansi{\fonttbl{\f0 Courier;}}{\stylesheet{\s1 Body;}}"
+        rb"{\info{\title secret meta}}"
+        rb"Hello \'e9t\'e9 \u8364? brace \{x\} end\par}"
+    )
+    got = extract_text_bytes(rtf)
+    assert got is not None
+    assert "Courier" not in got and "secret" not in got and "Body" not in got
+    # code point 8364 is the euro sign; its '?' ANSI fallback must be skipped
+    assert got == "Hello \u00e9t\u00e9 \u20ac brace {x} end"
