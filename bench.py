@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     # headliners added in round 2
     "simhash_neardup",     # banded hamming-distance pair join
     "stream_enrich",       # stream-static broadcast enrichment (batch twin)
+    # headliners added in round 3
+    "pack_sequences",      # sharded concat-and-chunk sequence packing
+    "image_decode",        # real BMP decode via Arrow-batched mapInPandas
 ]
 
 N_RUNS = 3
