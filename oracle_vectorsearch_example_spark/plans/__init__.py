@@ -1,3 +1,4 @@
+from oracle_vectorsearch_example_spark.plans.corpus import build_training_corpus
 from oracle_vectorsearch_example_spark.plans.pipeline import (
     ingest_documents,
     search_text,
@@ -9,6 +10,7 @@ from oracle_vectorsearch_example_spark.plans.inspect import (
 )
 
 __all__ = [
+    "build_training_corpus",
     "ingest_documents",
     "search_text",
     "explain_str",

@@ -1,0 +1,81 @@
+"""End-to-end training-corpus build (plans/corpus.py): the §2.12 operators
+composed — dedup closure → quality gate → split → pack → atomic publish."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.plans.corpus import build_training_corpus
+from oracle_vectorsearch_example_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+def test_full_build_invariants(spark, docs):
+    out = build_training_corpus(
+        docs, quality_min=0.3, max_tokens=256, n_shards=4
+    )
+    n_in = docs.count()
+    kept = out["documents"]
+    n_kept = kept.count()
+    assert 0 < n_kept < n_in  # dedup + gate removed something
+
+    # split is total over the kept docs and ~90/5/5
+    splits = {r.split: r.n_docs for r in out["stats"].collect()}
+    assert sum(splits.values()) == n_kept
+    assert splits["train"] > splits.get("val", 0)
+
+    # packs cover exactly the train split's tokens, every non-trailing
+    # pack full (per shard)
+    from oracle_vectorsearch_example_spark.functions.textstats import ws_token_count
+
+    train = kept.filter(F.col("split") == "train")
+    want_tokens = train.select(F.sum(ws_token_count(F.col("text")))).collect()[0][0]
+    got_tokens = out["packs"].select(F.sum("n_tokens")).collect()[0][0]
+    assert got_tokens == want_tokens
+    pack_ids = {r.doc_id for r in out["packs"].select("doc_id").distinct().collect()}
+    train_ids = {
+        r.doc_id
+        for r in train.filter(ws_token_count(F.col("text")) > 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert pack_ids == train_ids
+
+
+def test_language_gate(docs):
+    out = build_training_corpus(docs, langs=["en"], max_tokens=256)
+    kept = out["documents"]
+    # lang_guess gated docs to the n-gram heuristic's English
+    from oracle_vectorsearch_example_spark.functions.textstats import text_metrics_df
+
+    langs = {
+        r.lang_guess
+        for r in text_metrics_df(kept, "text").select("lang_guess").distinct().collect()
+    }
+    assert langs == {"en"}
+
+
+def test_atomic_publish_and_read_back(spark, docs, tmp_path):
+    from oracle_vectorsearch_example_spark.sources.txn import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    out = build_training_corpus(docs, max_tokens=256, warehouse=wh)
+    # read-back equals the returned tables; all three landed in ONE version
+    assert wh.read("stats").count() == out["stats"].count()
+    assert wh.read("packs").count() == out["packs"].count()
+    assert wh.read("documents").count() == out["documents"].count()
+
+
+def test_deterministic_rebuild(docs):
+    a = build_training_corpus(docs, max_tokens=256)
+    b = build_training_corpus(docs, max_tokens=256)
+    sa = sorted(map(tuple, a["packs"].collect()))
+    sb = sorted(map(tuple, b["packs"].collect()))
+    assert sa == sb
