@@ -83,3 +83,18 @@ def test_determinism_and_shard_stability(docs):
 def test_rejects_bad_max_tokens(docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, max_tokens=0)
+
+
+def test_plan_is_one_shuffle(docs):
+    """The packing plan pays exactly ONE Exchange (the per-shard window
+    cumsum); token counting, span explode, and offset math are all
+    map-side around it."""
+    # params differ from the cached `packed` fixture so the cache can't
+    # substitute an InMemoryTableScan for the real plan
+    plan = (
+        pack_sequences(docs, max_tokens=64, n_shards=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
