@@ -421,6 +421,10 @@ def neardup_components(
         F.col("u") != F.col("v")
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # materialize the edge frame ONCE: every round joins against it, and
+    # without this the whole upstream pair computation (e.g. the MinHash
+    # band pipeline) would re-execute per iteration
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
