@@ -63,6 +63,9 @@ def build_training_corpus(
     gated = deduped.join(kept_ids, id_col, "left_semi")
 
     split = hash_split(gated, split_weights, id_col=id_col, seed=seed)
+    # three outputs (documents, packs, stats) fan out from here; persist so
+    # the dedup+gate upstream runs once, not once per written table
+    split = split.persist()
     train = split.filter(F.col("split") == "train")
     packs = pack_sequences(
         train,
