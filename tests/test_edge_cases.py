@@ -89,3 +89,45 @@ def test_topk_skips_null_vectors(spark):
     q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
     rows = topk_search(base, q, k=3).collect()
     assert [r.vec_id for r in rows] == [1, 3]  # NULL row excluded, no crash
+
+
+def test_components_empty_and_singletons(spark):
+    from oracle_vectorsearch_example_spark.operators.dedup import (
+        dedup_by_components,
+        neardup_components,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert neardup_components(empty).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    # no pairs -> corpus passes through untouched
+    out = dedup_by_components(docs, empty)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_packing_empty_and_empty_text(spark):
+    from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(empty).count() == 0
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one token stream here")],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(blank, max_tokens=8)
+    assert {r.doc_id for r in out.collect()} == {3}  # zero-token docs dropped
+
+
+def test_sampling_empty(spark):
+    from oracle_vectorsearch_example_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+        stratified_sample,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    assert hash_split(empty).count() == 0
+    assert hash_sample(empty, 0.5).count() == 0
+    assert stratified_sample(empty, {"en": 0.5}).count() == 0
