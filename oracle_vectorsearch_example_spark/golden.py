@@ -1459,6 +1459,58 @@ def q_sliding(spark, sf):
     return s.select(_ts_str(F.col("window_start")).alias("window_start"), "n_events")
 
 
+_GAPFILL_SQL = f"""
+    WITH obs AS (
+      SELECT user_id,
+             make_timestamp(((epoch(ts)::BIGINT // 21600) * 21600) * 1000000) AS b,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18, 6))) AS v
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS b
+      FROM spans
+    ), filled AS (
+      SELECT g.user_id, g.b,
+             coalesce(o.n, 0) AS n,
+             last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+    )
+    SELECT user_id, strftime(b, '{_SQL_TS_FMT}') AS bucket_start,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(v AS DOUBLE), 6) AS value
+    FROM filled
+"""
+
+
+@golden("gapfill_locf", _GAPFILL_SQL)
+def q_gapfill_locf(spark, sf):
+    """Time-series resample (§2.10 batch family): 6-hour buckets per user
+    over each user's own event span, empty buckets carried forward (locf).
+    Epoch-aligned buckets match Spark's F.window origin exactly; decimal
+    accumulation keeps the carried sums hash-identical."""
+    from oracle_vectorsearch_example_spark.operators.resample import (
+        time_bucket_gapfill,
+    )
+
+    ev = (
+        read_table(spark, sf, "events")
+        .filter(F.col("user_id") < 40)
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
+    )
+    out = time_bucket_gapfill(
+        ev, "6 hours", key="user_id", ts_col="ts", value_col="value", fill="locf"
+    )
+    return out.select(
+        "user_id",
+        _ts_str(F.col("bucket_start")).alias("bucket_start"),
+        "n_events",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 @golden(
     "sessionize",
     """

@@ -22,6 +22,7 @@ from oracle_vectorsearch_example_spark.operators.sampling import (
     stratified_sample,
 )
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
+from oracle_vectorsearch_example_spark.operators.resample import time_bucket_gapfill
 from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
 from oracle_vectorsearch_example_spark.operators.skew import salted_agg, salted_join
 from oracle_vectorsearch_example_spark.operators.multimodal import (
@@ -55,6 +56,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "sessionize",
+    "time_bucket_gapfill",
     "salted_agg",
     "salted_join",
     "binary_stats",
