@@ -746,6 +746,34 @@ def q_cube(spark, sf):
 
 
 @golden(
+    "pivot",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+           CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark, sf):
+    """Pivot aggregation (A4 ext): priorities become columns. The explicit
+    value list keeps the plan a single pass (no distinct-scan for column
+    discovery) — the only pivot formulation that survives wide data."""
+    orders = read_table(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+            F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
+        )
+    )
+
+
+@golden(
     "collect_sorted_words",
     f"""
     WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents WHERE doc_id <= 20)

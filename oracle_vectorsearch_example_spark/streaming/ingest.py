@@ -144,6 +144,39 @@ def ingest_documents_stream(
     )
 
 
+def interval_join_streams(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 5 MINUTES",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition —
+    the streaming twin of ``operators.joins.range_join`` (filter
+    strategy): matching keys with r.ts in [l.ts + lower, l.ts + upper].
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so Spark can size the join state: each side
+    retains only rows inside watermark + interval, the requirement for
+    state cleanup in stream-stream joins. Right columns come back
+    ``r_``-prefixed, exactly like the batch operator.
+    """
+    l = _ensure_event_time(left_stream, left_ts).withWatermark(left_ts, watermark)
+    r = (
+        _ensure_event_time(right_stream, right_ts)
+        .select(*[F.col(c).alias(f"r_{c}") for c in right_stream.columns])
+        .withWatermark(f"r_{right_ts}", watermark)
+    )
+    cond = [l[c] == r[f"r_{c}"] for c in on] + [
+        F.col(f"r_{right_ts}") >= F.expr(f"{left_ts} + {lower}"),
+        F.col(f"r_{right_ts}") <= F.expr(f"{left_ts} + {upper}"),
+    ]
+    return l.join(r, cond, "inner")
+
+
 def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on: str, how: str = "left") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins the (small,
     broadcast) static dimension — no streaming state, the standard

@@ -261,3 +261,36 @@ def test_streaming_document_ingest_matches_batch(spark, tmp_path_factory):
         & (F.col("g_emb") == F.col("embedding"))
     ).count()
     assert n_match == want.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream inner interval join == batch range_join (filter
+    strategy) once availableNow has drained both sides."""
+    from oracle_vectorsearch_example_spark.operators.joins import range_join
+    from oracle_vectorsearch_example_spark.streaming.ingest import interval_join_streams
+
+    static = spark.read.parquet(events_dir).filter(F.col("user_id") < 40).select(
+        "event_id", "user_id", "ts"
+    )
+    ls = spark.readStream.schema(static.schema).parquet(events_dir).filter(
+        F.col("user_id") < 40
+    ).select("event_id", "user_id", "ts")
+    rs = spark.readStream.schema(static.schema).parquet(events_dir).filter(
+        F.col("user_id") < 40
+    ).select("event_id", "user_id", "ts")
+
+    joined = interval_join_streams(
+        ls, rs, on=["user_id"], lower="INTERVAL 1 SECONDS", upper="INTERVAL 5 MINUTES"
+    ).select("event_id", "r_event_id")
+    got = sorted(
+        (r.event_id, r.r_event_id)
+        for r in _run_stream(spark, joined, "t_ssjoin").collect()
+    )
+    want = sorted(
+        (r.event_id, r.r_event_id)
+        for r in range_join(
+            static, static, on=["user_id"], left_ts="ts", right_ts="ts",
+            lower="INTERVAL 1 SECONDS", upper="INTERVAL 5 MINUTES",
+        ).select("event_id", "r_event_id").collect()
+    )
+    assert got == want and len(got) > 0
