@@ -44,3 +44,28 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = golden.QUERIES[name](spark, sf_dir)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+def test_driver_window_composition():
+    """The external driver records correctness rows for the FIRST 50
+    registered queries only. Pin the window: _PRIORITY must hold exactly
+    50 existing queries, QUERIES must start with them in order, and the
+    must-record set (bench representatives + operator-family reps) must
+    all sit inside. Guards against a future registration silently pushing
+    a recorded query past the window."""
+    from oracle_vectorsearch_example_spark import golden
+
+    prio = golden._PRIORITY
+    names = list(golden.QUERIES)
+    assert len(prio) == 50
+    assert len(set(prio)) == 50
+    missing = [q for q in prio if q not in golden.QUERIES]
+    assert not missing, f"_PRIORITY entries not registered: {missing}"
+    assert names[:50] == prio
+    must_record = {
+        "flagship_search", "range_join", "sessionize", "tpch_q1",
+        "stream_dedup", "stream_enrich", "image_decode", "exact_dedup",
+        "minhash_lsh", "extract_text", "ivf_materialized",
+    }
+    outside = must_record - set(prio)
+    assert not outside, f"must-record queries outside the window: {outside}"
