@@ -745,6 +745,26 @@ def q_cube(spark, sf):
     )
 
 
+_CORR_SUBQ_SQL = """
+    SELECT o.o_orderkey, o.o_custkey,
+           round(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.8 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@golden("correlated_subquery", _CORR_SUBQ_SQL)
+def q_correlated_subquery(spark, sf):
+    """Correlated scalar subquery (§2.11 SQL surface): orders priced far
+    above their own customer's average. Catalyst de-correlates this into
+    an aggregate + join — same SQL text runs on both engines."""
+    read_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORR_SUBQ_SQL)
+
+
 @golden(
     "pivot",
     """
