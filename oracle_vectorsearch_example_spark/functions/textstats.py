@@ -17,6 +17,7 @@ Frozen specs (DuckDB-reimplementable for the oracle harness):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -91,6 +92,23 @@ def fingerprint(text: Column) -> Column:
     """16-hex-char md5 fingerprint of normalized text."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.substring(F.md5(norm), 1, 16)
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization (corpus-prep step: canonically-equivalent
+    byte sequences — e.g. precomposed vs combining accents — must hash,
+    dedup, and shingle identically). Arrow-batched pandas UDF over stdlib
+    ``unicodedata``; there is no JVM builtin for Unicode normalization in
+    the Spark function library."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+    return _nfc(text)
 
 
 def text_metrics_df(df, text_col: str = "text"):

@@ -745,6 +745,31 @@ def q_cube(spark, sf):
     )
 
 
+@golden(
+    "unicode_nfc",
+    """
+    SELECT doc_id,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+           substr(md5(nfc_normalize(text)), 1, 16) AS digest
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_unicode_nfc(spark, sf):
+    """Unicode NFC normalization (X3 corpus prep): canonically-equivalent
+    text must dedup/shingle identically. Spark runs stdlib unicodedata via
+    an Arrow-batched UDF; DuckDB's native nfc_normalize is the oracle —
+    two independent NFC implementations must agree byte-for-byte."""
+    from oracle_vectorsearch_example_spark.functions.textstats import nfc_normalize
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    n = nfc_normalize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(n).cast("long").alias("n_chars_nfc"),
+        F.substring(F.md5(n), 1, 16).alias("digest"),
+    )
+
+
 _CORR_SUBQ_SQL = """
     SELECT o.o_orderkey, o.o_custkey,
            round(o.o_totalprice, 2) AS totalprice

@@ -101,3 +101,18 @@ def test_winnow_fingerprints_edit_stability(spark):
     tiny = spark.createDataFrame([(1, "short"), (2, ""), (3, None)], "id long, text string")
     out = winnow_fingerprints_df(tiny, "text", out_col="fps").collect()
     assert all(r.fps == [] for r in out)
+
+
+def test_nfc_normalize_folds_combining_marks(spark):
+    import unicodedata
+
+    from oracle_vectorsearch_example_spark.functions.textstats import nfc_normalize
+
+    decomposed = "café über"   # e + combining acute, u + diaeresis
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert composed != decomposed  # fixture really is decomposed
+    df = spark.createDataFrame([(1, decomposed), (2, composed), (3, None)],
+                               "id long, text string")
+    out = {r.id: r.n for r in df.select("id", nfc_normalize(F.col("text")).alias("n")).collect()}
+    assert out[1] == out[2] == composed
+    assert out[3] is None
