@@ -7,12 +7,14 @@ active span, with empty buckets filled by a policy — ``null`` (explicit
 gap), ``locf`` (last observation carried forward), or ``linear``
 (interpolation between the neighboring observed buckets).
 
-Plan shape: one groupBy(key, bucket) aggregates the observed values; the
-missing buckets are generated ROW-LOCALLY per key (`sequence` + explode
-of that key's own [min, max] span — never a cross join against a global
-calendar); the fill is a window over (key, bucket) — co-partitioned with
-the aggregation, so the whole operator costs two shuffles on the same
-key. Skewed keys fall to AQE like any other keyed aggregation.
+Plan shape: one groupBy(key, bucket) aggregates the observed values; ONE
+window (`lead` over key) finds each observation's successor; every gap
+bucket between the two is then generated ROW-LOCALLY (`sequence` +
+explode) and every fill policy (locf carry, linear interpolation) is a
+row-local expression over (this obs, next obs) — no per-key span
+aggregate, no grid join, no global calendar. Total cost: two shuffles
+(bucket agg + key window), verified by a plan test. Skewed keys fall to
+AQE like any other keyed aggregation.
 """
 
 from __future__ import annotations
@@ -55,67 +57,41 @@ def time_bucket_gapfill(
     ts = F.col(ts_col).cast("timestamp")
     bucket = F.window(ts, bucket_width).getField("start")
     observed = (
-        df.select(F.col(key), bucket.alias("bucket_start"), F.col(value_col))
-        .groupBy(key, "bucket_start")
+        df.select(F.col(key), bucket.alias("__ob"), F.col(value_col))
+        .groupBy(key, "__ob")
         .agg(
-            F.count("*").alias("n_events"),
+            F.count("*").alias("__n"),
             agg_fn(value_col).alias("__v"),
         )
     )
 
-    # per-key bucket span, generated row-locally (no global calendar join)
-    spans = observed.groupBy(key).agg(
-        F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi")
+    # each observation owns the half-open range up to its successor: the
+    # gap buckets are generated row-locally from (this obs, next obs)
+    w = Window.partitionBy(key).orderBy("__ob")
+    width = F.expr(f"INTERVAL {bucket_width}")
+    staged = observed.withColumn("__nb", F.lead("__ob").over(w)).withColumn(
+        "__nv", F.lead("__v").over(w)
     )
-    grid = spans.select(
-        F.col(key),
-        F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {bucket_width}"))
-        ).alias("bucket_start"),
+    seq_end = F.coalesce(F.col("__nb") - width, F.col("__ob"))
+    spans = staged.withColumn(
+        "bucket_start", F.explode(F.sequence(F.col("__ob"), seq_end, width))
     )
-    full = grid.join(observed, [key, "bucket_start"], "left").select(
-        key,
-        "bucket_start",
-        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        F.col("__v"),
-    )
+    is_obs = F.col("bucket_start") == F.col("__ob")
 
-    w_past = (
-        Window.partitionBy(key)
-        .orderBy("bucket_start")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     if fill == "null":
-        out = full.withColumn("value", F.col("__v"))
+        value = F.when(is_obs, F.col("__v"))
     elif fill == "locf":
-        out = full.withColumn("value", F.last("__v", ignorenulls=True).over(w_past))
-    else:  # linear
-        w_next = (
-            Window.partitionBy(key)
-            .orderBy("bucket_start")
-            .rowsBetween(0, Window.unboundedFollowing)
+        value = F.col("__v")  # the owning observation carries forward
+    else:  # linear: position within [this obs, next obs], in bucket steps
+        step = (
+            F.unix_micros("bucket_start") - F.unix_micros("__ob")
+        ) / (F.unix_micros("__nb") - F.unix_micros("__ob"))
+        value = F.when(is_obs, F.col("__v")).otherwise(
+            F.col("__v") + (F.col("__nv") - F.col("__v")) * step
         )
-        pos = F.row_number().over(Window.partitionBy(key).orderBy("bucket_start"))
-        staged = (
-            full.withColumn("__pos", pos)
-            .withColumn("__pv", F.last("__v", ignorenulls=True).over(w_past))
-            .withColumn(
-                "__ppos",
-                F.last(F.when(F.col("__v").isNotNull(), pos), ignorenulls=True).over(w_past),
-            )
-            .withColumn("__nv", F.first("__v", ignorenulls=True).over(w_next))
-            .withColumn(
-                "__npos",
-                F.first(F.when(F.col("__v").isNotNull(), pos), ignorenulls=True).over(w_next),
-            )
-        )
-        frac = (F.col("__pos") - F.col("__ppos")) / (F.col("__npos") - F.col("__ppos"))
-        interp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
-        out = staged.withColumn(
-            "value",
-            F.when(F.col("__v").isNotNull(), F.col("__v"))
-            .when(F.col("__pv").isNull(), F.col("__nv"))  # before first obs
-            .when(F.col("__nv").isNull(), F.col("__pv"))  # after last obs
-            .otherwise(interp),
-        )
-    return out.select(key, "bucket_start", "n_events", "value")
+    return spans.select(
+        F.col(key),
+        "bucket_start",
+        F.when(is_obs, F.col("__n")).otherwise(F.lit(0)).cast("long").alias("n_events"),
+        value.alias("value"),
+    )

@@ -77,3 +77,16 @@ def test_ntz_input_accepted(events):
     a = grid(time_bucket_gapfill(events, "5 minutes", fill="locf"))
     b = grid(time_bucket_gapfill(ntz, "5 minutes", fill="locf"))
     assert a == b
+
+
+def test_plan_is_two_shuffles(events):
+    """Bucket aggregation + the key window — nothing else shuffles (no
+    span aggregate, no grid join)."""
+    for fill in ("null", "locf", "linear"):
+        plan = (
+            time_bucket_gapfill(events, "5 minutes", fill=fill)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 2, (fill, plan)
