@@ -22,6 +22,43 @@ from pyspark.sql import functions as F
 from oracle_vectorsearch_example_spark.functions.distances import cosine_distance
 
 
+def _lsh_signatures(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
+    """One distributed pass: (id, vec, table, bucket) rows via a per-batch
+    matmul against the broadcast (L·b, dim) plane matrix."""
+    import numpy as np
+
+    n_tables, n_bits, _dim = planes.shape
+    flat = planes.reshape(n_tables * n_bits, _dim).tolist()
+    weights = [1 << j for j in range(n_bits)]
+
+    def run(batches):
+        import pandas as pd
+
+        p = np.array(flat)  # (L*b, dim)
+        w = np.array(weights, dtype=np.int64)
+        L, b = n_tables, n_bits
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (v @ p.T) > 0  # (N, L*b)
+            bk = bits.reshape(len(v), L, b) @ w  # (N, L) bucket ints
+            out = pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), L),
+                    vec_col: [x for x in pdf[vec_col] for _ in range(L)],
+                    "table": np.tile(np.arange(L, dtype=np.int32), len(v)),
+                    "bucket": bk.reshape(-1).astype(np.int64),
+                }
+            )
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<double>, table int, bucket long"
+    return df.select(
+        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+    ).mapInPandas(run, schema=schema)
+
+
 class CosineLshIndex:
     def __init__(self, assignments: DataFrame, planes, id_col: str, vec_col: str):
         self.assignments = assignments  # (id, vec, table, bucket)
@@ -46,36 +83,18 @@ class CosineLshIndex:
 
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((n_tables, n_bits, dim))
-        flat = planes.reshape(n_tables * n_bits, dim).tolist()
-        weights = [1 << j for j in range(n_bits)]
-
-        def run(batches):
-            import pandas as pd
-
-            p = np.array(flat)  # (L*b, dim)
-            w = np.array(weights, dtype=np.int64)
-            L, b = n_tables, n_bits
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                v = np.array(list(pdf[vec_col]), dtype=np.float64)
-                bits = (v @ p.T) > 0  # (N, L*b)
-                bk = bits.reshape(len(v), L, b) @ w  # (N, L) bucket ints
-                out = pd.DataFrame(
-                    {
-                        id_col: np.repeat(pdf[id_col].to_numpy(), L),
-                        vec_col: [x for x in pdf[vec_col] for _ in range(L)],
-                        "table": np.tile(np.arange(L, dtype=np.int32), len(v)),
-                        "bucket": bk.reshape(-1).astype(np.int64),
-                    }
-                )
-                yield out
-
-        schema = f"{id_col} long, {vec_col} array<double>, table int, bucket long"
-        assignments = df.select(
-            F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
-        ).mapInPandas(run, schema=schema)
+        assignments = _lsh_signatures(df, planes, id_col, vec_col)
         return cls(assignments, planes, id_col, vec_col)
+
+    def add(self, df: DataFrame) -> "CosineLshIndex":
+        """Index maintenance without rebuild: the hyperplanes are fixed at
+        build time (training-free), so new vectors hash against the SAME
+        planes and simply union in — bucket membership of existing rows is
+        untouched. Callers own id uniqueness across adds."""
+        new = _lsh_signatures(df, self.planes, self.id_col, self.vec_col)
+        return CosineLshIndex(
+            self.assignments.unionByName(new), self.planes, self.id_col, self.vec_col
+        )
 
     def search(
         self,

@@ -278,3 +278,27 @@ def test_ivf_incremental_add_materialized(spark, tmp_path):
     reopened = IvfIndex.load(spark, p)
     assert reopened.assignments.count() == emb.count()
     assert sorted(reopened.centroids) == sorted(idx.centroids)
+
+
+def test_lsh_incremental_add_equals_full_build(spark):
+    """Hyperplanes are seed-fixed, so build(half)+add(half) must equal
+    build(all) exactly — same buckets, same search results."""
+    from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    grown = CosineLshIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), dim=64, n_tables=16, n_bits=4, seed=42
+    ).add(emb.filter(F.col("vec_id") % 2 == 1))
+    full = CosineLshIndex.build(emb, dim=64, n_tables=16, n_bits=4, seed=42)
+    assert sorted(
+        map(tuple, grown.assignments.select("vec_id", "table", "bucket").collect())
+    ) == sorted(
+        map(tuple, full.assignments.select("vec_id", "table", "bucket").collect())
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(map(tuple, grown.search(q, k=5).select("qid", "rank", "vec_id").collect()))
+    b = sorted(map(tuple, full.search(q, k=5).select("qid", "rank", "vec_id").collect()))
+    assert a == b and len(a) > 0
