@@ -746,6 +746,32 @@ def q_cube(spark, sf):
 
 
 @golden(
+    "percentile_gate",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE pr >= 0.25
+    """,
+)
+def q_percentile_gate(spark, sf):
+    """Quantile-based corpus pruning (X3 ext): drop each language's
+    shortest quartile — the per-stratum percentile gate corpus filters
+    use. percent_rank with a doc_id tiebreak is deterministic, so the
+    gate is exact and hash-checkable (unlike approx-quantile cutoffs)."""
+    docs = read_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@golden(
     "unicode_nfc",
     """
     SELECT doc_id,
