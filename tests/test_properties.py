@@ -154,3 +154,34 @@ def test_components_match_union_find_on_random_graphs(spark, seed):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.component_id for r in neardup_components(pairs).collect()}
     assert got == want
+
+
+# ---------------------------------------------------- sequence packing
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    st.integers(1, 256),
+)
+@settings(max_examples=200, deadline=None)
+def test_packing_segment_arithmetic(tokens, L):
+    """The span formula (operators/packing.py): driver-side re-derivation
+    over random doc-length streams — segments tile the token stream with
+    no loss, overlap, or over-full pack."""
+    cb = 0
+    packs: dict[int, int] = {}
+    covered = 0
+    for tok in tokens:
+        first, last = cb // L, (cb + tok - 1) // L
+        for p in range(first, last + 1):
+            seg_start = max(cb, p * L)
+            seg_end = min(cb + tok, (p + 1) * L)
+            n = seg_end - seg_start
+            assert n > 0
+            off = seg_start - p * L
+            assert 0 <= off < L and off + n <= L
+            assert packs.get(p, 0) == off  # contiguous tiling per pack
+            packs[p] = off + n
+            covered += n
+        cb += tok
+    assert covered == sum(tokens)
+    assert set(packs) == set(range(len(packs)))  # pack ids are dense
+    assert all(v == L for p, v in packs.items() if p < len(packs) - 1)
