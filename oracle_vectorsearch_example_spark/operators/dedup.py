@@ -125,8 +125,20 @@ def _signature_wide(
     whole-stage codegen. The shuffle it pays moves (id, 8-byte shingle)
     rows once; Tungsten handles that far better than the interpreter
     handles num_hashes × |shingles| lambda evaluations per doc.
+
+    The shingle explode + md5 (the expensive map stage) runs BEFORE the
+    first shuffle, so its parallelism equals the source's split count.
+    When the source offers fewer splits than cores (one small parquet
+    file — the local degenerate case), a round-robin repartition of the
+    skinny (id, text) projection restores full parallelism for ~nothing;
+    with splits ≥ cores (any real corpus) it's a no-op.
     """
-    sh = shingle_df(df, text_col, id_col, shingle_n, distinct=False)
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    src = df.select(id_col, text_col)
+    if src.rdd.getNumPartitions() < max(2, cores // 2):
+        src = src.repartition(cores)
+    sh = shingle_df(src, text_col, id_col, shingle_n, distinct=False)
     mins = [
         F.min(
             (F.col("shingle") * F.lit(2 * s + 3) + F.lit(1009 * s)) % F.lit(_MERSENNE_P)
