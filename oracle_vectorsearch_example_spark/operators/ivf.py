@@ -433,6 +433,132 @@ class IvfIndex:
         )
 
 
+    def search_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Fully DISTRIBUTED ANN top-k for LARGE query frames
+        (corpus-vs-corpus retrieval) — no ``collect()`` anywhere.
+
+        ``search`` mirrors the reference's one-query-at-a-time shape
+        (models/README.md:40) and collects the query frame driver-side —
+        fine for EP3 where queries are small by contract, an OOM cliff for
+        a 100M-row query table. This is the scale path:
+
+        1. queries are cluster-assigned with the SAME per-batch BLAS pass
+           used at build time (``_assign_clusters`` shape), keeping the
+           top-``nprobe`` centroids each → exploded probe rows
+           ``(qid, qvec, cluster_id)`` — all inside ``mapInPandas``;
+        2. probe rows equi-join the assignment table on ``cluster_id``
+           (shuffle hash/sort-merge join — a BLOCKED join, work ∝
+           Σ_c |Q_c|·|B_c|, never all-pairs);
+        3. per-partition BLAS re-rank keeps k candidates per query before
+           the final window, so the last shuffle is P·Q·k rows.
+
+        With nprobe = n_clusters the result is exact (hash-checked in the
+        ``ivf_search_df`` golden); at nprobe < n_clusters recall is gated
+        in tests like ``search``. Queries carry their (unit-normalized)
+        vector through the probe explosion: nprobe × |Q| duplicated
+        vectors through one shuffle beats a second join to re-attach them.
+        """
+        from typing import Iterator
+
+        import pandas as pd
+
+        ordered = sorted(self.centroids)
+        centroid_rows = [c for _, c in ordered]
+        centroid_ids = [cid for cid, _ in ordered]
+        nprobe_ = min(nprobe, len(centroid_rows))
+        k_ = k
+        id_col, vec_col = self.id_col, self.vec_col
+
+        norm_q = _normalize_rows(
+            queries.select(
+                F.col(query_id).cast("long").alias(query_id),
+                F.col(query_vec).cast("array<double>").alias(query_vec),
+            ),
+            query_vec,
+        )
+
+        def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            c = np.array(centroid_rows, dtype=np.float64)
+            cids = np.array(centroid_ids, dtype=np.int32)
+            cc = (c * c).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q = np.array(list(pdf[query_vec]), dtype=np.float64)
+                # ||q-c||² argmin ranking; full argsort over k centroids is
+                # cheap (k ≈ √N rows driver-side) and deterministic
+                d2 = -2.0 * q @ c.T + cc[None, :]
+                top = np.argsort(d2, axis=1, kind="stable")[:, :nprobe_]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        query_id: np.repeat(pdf[query_id].to_numpy(np.int64), nprobe_),
+                        query_vec: [v for v in pdf[query_vec] for _ in range(nprobe_)],
+                        "cluster_id": cids[top].ravel(),
+                    }
+                )
+
+        probes = norm_q.mapInPandas(
+            assign_probes,
+            schema=f"{query_id} long, {query_vec} array<double>, cluster_id int",
+        )
+        joined = self.assignments.join(probes, "cluster_id").select(
+            query_id, query_vec, id_col, vec_col
+        )
+
+        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            cand = []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                qid_arr = pdf[query_id].to_numpy(dtype=np.int64)
+                bids = pdf[id_col].to_numpy(dtype=np.int64)
+                qmat = np.array(list(pdf[query_vec]), dtype=np.float64)
+                vmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                vn = np.linalg.norm(vmat, axis=1)
+                vn[vn == 0] = 1.0
+                sim = np.einsum("ij,ij->i", vmat, qmat) / vn  # qvec unit-norm
+                d = 1.0 - sim
+                if exclude_self:
+                    keep = bids != qid_arr
+                    qid_arr, bids, d = qid_arr[keep], bids[keep], d[keep]
+                df_ = pd.DataFrame({"__qid": qid_arr, "__bid": bids, "__dist": d})
+                df_ = df_.sort_values(["__qid", "__dist", "__bid"], kind="mergesort")
+                cand.append(df_.groupby("__qid", sort=False).head(k_))
+            if cand:
+                allc = pd.concat(cand).sort_values(
+                    ["__qid", "__dist", "__bid"], kind="mergesort"
+                )
+                yield allc.groupby("__qid", sort=False).head(k_)
+
+        scored = joined.mapInPandas(rerank, schema="__qid long, __bid long, __dist double")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("__qid").alias(query_id),
+                F.col("rank").cast("long"),
+                F.col("__bid").alias(self.id_col),
+                F.col("__dist").alias("distance"),
+            )
+        )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, query_id: str = "qid", base_id: str = "vec_id") -> float:
     """recall@k of an ANN result against the exact top-k (DQ-37*)."""
     e = exact.select(query_id, base_id)

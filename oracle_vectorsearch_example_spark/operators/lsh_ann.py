@@ -96,6 +96,51 @@ class CosineLshIndex:
             self.assignments.unionByName(new), self.planes, self.id_col, self.vec_col
         )
 
+    def search_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Fully DISTRIBUTED bucket-join search for LARGE query frames
+        (r4; same scale story as ``IvfIndex.search_df``): the query frame
+        hashes through the SAME ``_lsh_signatures`` pass as the build (no
+        ``collect()``), candidates come from the (table, bucket) equi-join
+        — shuffle ∝ bucket co-occupancy, never N·Q — then the identical
+        exact re-rank. Returns the same rows as ``search`` for the same
+        queries (asserted in tests); the join side is not broadcast, so
+        AQE picks the strategy fit for a big probe frame."""
+        probes = _lsh_signatures(
+            queries.select(
+                F.col(query_id).alias(query_id), F.col(query_vec).alias("__qvec")
+            ),
+            self.planes,
+            query_id,
+            "__qvec",
+        )
+        cand = (
+            self.assignments.join(probes, ["table", "bucket"])
+            .select(query_id, "__qvec", self.id_col, self.vec_col)
+            .dropDuplicates([query_id, self.id_col])
+        )
+        if exclude_self:
+            cand = cand.filter(F.col(self.id_col) != F.col(query_id))
+        scored = cand.select(
+            query_id,
+            F.col(self.id_col),
+            cosine_distance(F.col(self.vec_col), F.col("__qvec")).alias("distance"),
+        )
+        win = Window.partitionBy(query_id).orderBy(
+            F.col("distance").asc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col("rank").cast("long"), self.id_col, "distance")
+        )
+
     def search(
         self,
         queries: DataFrame,
@@ -105,7 +150,9 @@ class CosineLshIndex:
         exclude_self: bool = False,
     ) -> DataFrame:
         """Bucket-join candidates → exact cosine re-rank → top-k.
-        Returns (query_id, rank, base_id, distance), ties broken by id."""
+        Returns (query_id, rank, base_id, distance), ties broken by id.
+        Collects the query frame driver-side — correct for EP3's
+        small-query contract; use ``search_df`` for large query frames."""
         import numpy as np
 
         L, b, _ = self.planes.shape

@@ -95,6 +95,48 @@ def test_ivf_calibrate_hits_target(emb, queries10):
     assert lo <= hi
 
 
+def test_search_df_exhaustive_matches_exact(emb, queries10):
+    """search_df (the distributed query-frame path, r4) at
+    nprobe = n_clusters is exhaustive — identical (qid, rank, vec_id)
+    triples to both the driver-side search() and the exact top-k."""
+    idx = IvfIndex.build(emb, n_clusters=16, seed=42)
+    a = idx.search_df(queries10, k=10, nprobe=16, exclude_self=True)
+    b = idx.search(queries10, k=10, nprobe=16, exclude_self=True)
+    exact = topk_search(emb, queries10, k=10, exclude_self=True)
+    key = lambda df: sorted((r.qid, r.rank, r.vec_id) for r in df.collect())
+    assert key(a) == key(b) == key(exact)
+
+
+def test_search_df_recall_and_agreement(emb, queries10):
+    """At nprobe < n_clusters, search_df probes the same clusters as
+    search() (same centroid ranking, ties broken by centroid id), so the
+    two return the same neighbors; recall meets the DQ-37* gate at the
+    same operating point as test_ivf_recall."""
+    exact = topk_search(emb, queries10, k=10, exclude_self=True)
+    idx = IvfIndex.build(emb, n_clusters=16, seed=42)
+    for nprobe in (4, 12):
+        a = idx.search_df(queries10, k=10, nprobe=nprobe, exclude_self=True)
+        b = idx.search(queries10, k=10, nprobe=nprobe, exclude_self=True)
+        assert sorted((r.qid, r.rank, r.vec_id) for r in a.collect()) == sorted(
+            (r.qid, r.rank, r.vec_id) for r in b.collect()
+        ), nprobe
+    r12 = recall_at_k(exact, idx.search_df(queries10, k=10, nprobe=12, exclude_self=True))
+    assert r12 >= 0.95, r12
+
+
+def test_search_df_no_driver_collect(emb, queries10):
+    """The whole point of search_df: the query frame never lands on the
+    driver. search() materializes collected probe pairs via
+    createDataFrame (a LocalTableScan / Scan ExistingRDD leaf in the
+    plan); search_df's plan must contain neither — queries flow
+    scan → mapInPandas assign → join → mapInPandas re-rank."""
+    idx = IvfIndex.build(emb, n_clusters=8, seed=42)
+    plan = idx.search_df(queries10, k=5, nprobe=4)._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan, plan
+    old = idx.search(queries10, k=5, nprobe=4)._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in old or "ExistingRDD" in old  # the contrast
+
+
 def test_ivf_materialized_roundtrip(emb, queries10, tmp_path):
     path = str(tmp_path / "ivf")
     idx = IvfIndex.build(emb, n_clusters=8, seed=42, path=path)
@@ -195,6 +237,22 @@ def test_lsh_ann_recall_and_determinism(emb, queries10):
     idx_small = CosineLshIndex.build(emb, dim=64, n_tables=2, n_bits=4, seed=42)
     r_small = recall_at_k(exact, idx_small.search(queries10, k=10, exclude_self=True))
     assert r >= r_small
+
+
+def test_lsh_search_df_matches_search(emb, queries10):
+    """CosineLshIndex.search_df (distributed query frame, r4) hashes
+    queries with the same plane matrix as search(), so it returns the
+    identical result set — and its plan has no driver-collected leaf."""
+    from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
+
+    idx = CosineLshIndex.build(emb, dim=64, n_tables=16, n_bits=4, seed=42)
+    a = idx.search(queries10, k=10, exclude_self=True)
+    b = idx.search_df(queries10, k=10, exclude_self=True)
+    assert sorted((r.qid, r.rank, r.vec_id) for r in a.collect()) == sorted(
+        (r.qid, r.rank, r.vec_id) for r in b.collect()
+    )
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan, plan
 
 
 def test_cosine_neardup_lsh_finds_exact_pairs(spark):
