@@ -27,10 +27,23 @@ can exercise honestly):
   stylesheet, pict, ...) are skipped whole, ``\\'hh`` hex and ``\\uN``
   unicode escapes decode, ``\\par``/``\\tab``/``\\line`` become
   whitespace, ``{}\\`` literals unescape.
+- **XLSX** — stdlib ``zipfile`` + XML parse: ``xl/sharedStrings.xml``
+  resolves ``t="s"`` cell indirections; worksheets
+  (``xl/worksheets/sheet*.xml``, numeric name order) emit cell values in
+  row-major order. Inline strings and numeric cells pass through.
+- **PPTX** — stdlib ``zipfile`` + XML parse of ``ppt/slides/slide*.xml``
+  (numeric order): DrawingML text runs (``a:t``) concatenate within a
+  paragraph (``a:p``), paragraphs and slides join with whitespace.
 - **HTML/XML** — script/style blocks dropped, tags stripped, entities
   unescaped.
 - **plain text** — charset decode, default UTF-8 (the reference's
   ``charset: UTF8``), latin-1 fallback.
+- **legacy Office (CFB)** — the ``D0 CF 11 E0`` compound-file container
+  (.doc/.xls/.ppt) is *detected and named* (``detect_format`` → ``cfb``)
+  and routed to NULL-with-reason (or a named error with
+  ``on_error='raise'``) rather than sniffed as unknown binary — a real
+  corpus ingest meets these constantly and the failure must be
+  attributable.
 
 Frozen output contract (the ``plaintext: true`` analog, which makes the
 DuckDB oracle expressible in SQL): every path returns **whitespace-
@@ -60,6 +73,8 @@ __all__ = [
     "make_simple_html",
     "make_simple_docx",
     "make_simple_rtf",
+    "make_simple_xlsx",
+    "make_simple_pptx",
 ]
 
 _WS = re.compile(r"\s+")
@@ -71,21 +86,32 @@ def _normalize_ws(s: str) -> str:
 
 # ------------------------------------------------------------------ dispatch
 def detect_format(data: bytes) -> str:
-    """Sniff the payload format from magic bytes: ``pdf`` / ``html`` /
-    ``text`` / ``empty`` / ``binary``."""
+    """Sniff the payload format from magic bytes: ``pdf`` / ``docx`` /
+    ``xlsx`` / ``pptx`` / ``rtf`` / ``html`` / ``text`` / ``empty`` /
+    ``cfb`` (legacy .doc/.xls/.ppt compound file) / ``binary``."""
     if not data:
         return "empty"
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        # OLE2/CFB compound file: legacy Office (.doc/.xls/.ppt). Detected
+        # by NAME so callers can report "unsupported legacy Office", not
+        # "unknown binary" (VERDICT r3 Missing #2).
+        return "cfb"
     if data[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
-        # OOXML container — docx iff it holds word/document.xml
+        # OOXML container — dispatch on the marker part each type must hold
         import io
         import zipfile
 
         try:
             with zipfile.ZipFile(io.BytesIO(bytes(data))) as zf:
-                if "word/document.xml" in zf.namelist():
+                names = set(zf.namelist())
+                if "word/document.xml" in names:
                     return "docx"
+                if "xl/workbook.xml" in names:
+                    return "xlsx"
+                if "ppt/presentation.xml" in names:
+                    return "pptx"
         except zipfile.BadZipFile:
             pass
         return "binary"
@@ -286,6 +312,95 @@ def _docx_extract(data: bytes) -> str:
     return _normalize_ws("\n".join(paras))
 
 
+# ---------------------------------------------------------------- XLSX parse
+_SSML_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_SHEET_NUM = re.compile(r"(\d+)")
+
+
+def _ooxml_member_order(names: list[str]) -> list[str]:
+    """Order sheet/slide members by their embedded number (sheet2 before
+    sheet10), name as tiebreak — the document order users expect."""
+
+    def key(n: str) -> tuple[int, str]:
+        m = _SHEET_NUM.search(n.rsplit("/", 1)[-1])
+        return (int(m.group(1)) if m else 0, n)
+
+    return sorted(names, key=key)
+
+
+def _xlsx_extract(data: bytes) -> str:
+    """Cell text of every worksheet in row-major order: ``t="s"`` cells
+    resolve through ``xl/sharedStrings.xml``, inline/formula strings and
+    numeric values pass through. Cells join with whitespace (the
+    normalized-output contract makes the exact separator moot)."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        names = set(zf.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+            # each <si> concatenates its <t> descendants (plain + rich runs)
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{_SSML_NS}t"))
+                for si in root.iter(f"{_SSML_NS}si")
+            ]
+        out: list[str] = []
+        sheets = _ooxml_member_order(
+            [n for n in names if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")]
+        )
+        for sheet in sheets:
+            root = ElementTree.fromstring(zf.read(sheet))
+            for c in root.iter(f"{_SSML_NS}c"):
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find(f"{_SSML_NS}is")
+                    if is_el is not None:
+                        out.append("".join(t.text or "" for t in is_el.iter(f"{_SSML_NS}t")))
+                    continue
+                v = c.find(f"{_SSML_NS}v")
+                if v is None or v.text is None:
+                    continue
+                if ctype == "s":
+                    try:
+                        out.append(shared[int(v.text)])
+                    except (ValueError, IndexError):
+                        pass
+                else:  # n / str / b — emit the stored value verbatim
+                    out.append(v.text)
+    return _normalize_ws(" ".join(out))
+
+
+# ---------------------------------------------------------------- PPTX parse
+_DML_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+
+def _pptx_extract(data: bytes) -> str:
+    """Text of every slide in numeric order: DrawingML runs (``a:t``)
+    concatenate within a paragraph (``a:p``); paragraphs and slides join
+    with whitespace."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        slides = _ooxml_member_order(
+            [
+                n
+                for n in zf.namelist()
+                if n.startswith("ppt/slides/slide") and n.endswith(".xml")
+            ]
+        )
+        paras: list[str] = []
+        for slide in slides:
+            root = ElementTree.fromstring(zf.read(slide))
+            for p in root.iter(f"{_DML_NS}p"):
+                paras.append("".join(t.text or "" for t in p.iter(f"{_DML_NS}t")))
+    return _normalize_ws("\n".join(paras))
+
+
 # ----------------------------------------------------------------- RTF parse
 # destinations whose entire group is formatting/meta, not document text
 _RTF_SKIP = frozenset(
@@ -427,13 +542,23 @@ def extract_text_bytes(
         return ""
     if f == "pdf":
         return _pdf_extract(bytes(data), engine)
-    if f == "docx":
+    if f in ("docx", "xlsx", "pptx"):
+        handler = {"docx": _docx_extract, "xlsx": _xlsx_extract, "pptx": _pptx_extract}[f]
         try:
-            return _docx_extract(bytes(data))
+            return handler(bytes(data))
         except Exception:
             if on_error == "raise":
                 raise
             return None
+    if f == "cfb":
+        # named rejection: a legacy Office payload is an attributable
+        # ingest condition, not anonymous binary noise
+        if on_error == "raise":
+            raise ValueError(
+                "unsupported legacy Office (CFB/OLE2 compound file, "
+                ".doc/.xls/.ppt) — convert to OOXML (docx/xlsx/pptx)"
+            )
+        return None
     if f == "rtf":
         return _rtf_extract(bytes(data))
     if f == "html":
@@ -553,6 +678,10 @@ def render_document(text: str | None, fmt: str) -> bytes | None:
         return make_simple_docx(text)
     if fmt == "rtf":
         return make_simple_rtf(text)
+    if fmt == "xlsx":
+        return make_simple_xlsx(text)
+    if fmt == "pptx":
+        return make_simple_pptx(text)
     return text.encode("utf-8")
 
 
@@ -626,6 +755,168 @@ def make_simple_docx(text: str, *, wrap: int = 80) -> bytes:
             # wall-clock time otherwise)
             zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
     return buf.getvalue()
+
+
+def _write_fixture_zip(members: list[tuple[str, str]]) -> bytes:
+    """Byte-deterministic OOXML zip: fixed timestamps, stored entries."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, payload in members:
+            zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), payload)
+    return buf.getvalue()
+
+
+def make_simple_xlsx(text: str, *, cols: int = 8) -> bytes:
+    """Write a minimal valid XLSX containing ``text`` word-by-word as
+    shared-string cells, ``cols`` per row, split across TWO worksheets —
+    exercising the sharedStrings indirection (with dedup, so repeated
+    words share an index), multi-sheet ordering, and one inline-string
+    cell. Same roundtrip contract as :func:`make_simple_pdf`:
+    ``extract_text_bytes(make_simple_xlsx(t)) == normalize_ws(t)``."""
+    from xml.sax.saxutils import escape
+
+    words = _normalize_ws(text).split(" ") if _normalize_ws(text) else []
+    # last word rides an inlineStr cell; the rest go through sharedStrings
+    inline_word = words[-1] if words else None
+    ss_words = words[:-1] if words else []
+    uniq: dict[str, int] = {}
+    for w in ss_words:
+        uniq.setdefault(w, len(uniq))
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(ss_words)}" uniqueCount="{len(uniq)}">'
+        + "".join(
+            f'<si><t xml:space="preserve">{escape(w)}</t></si>' for w in uniq
+        )
+        + "</sst>"
+    )
+
+    def colref(i: int) -> str:  # 0-based column index -> A, B, ... (cols <= 26)
+        return chr(ord("A") + i)
+
+    rows = [words[i : i + cols] for i in range(0, len(words), cols)] or [[]]
+    half = (len(rows) + 1) // 2
+
+    def sheet_xml(sheet_rows: list[list[str]], row0: int) -> str:
+        body = []
+        for ri, row in enumerate(sheet_rows):
+            cells = []
+            for ci, w in enumerate(row):
+                ref = f"{colref(ci)}{row0 + ri + 1}"
+                if w == inline_word and (row0 + ri) == len(rows) - 1 and ci == len(row) - 1:
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is>'
+                        f'<t xml:space="preserve">{escape(w)}</t></is></c>'
+                    )
+                else:
+                    cells.append(f'<c r="{ref}" t="s"><v>{uniq[w]}</v></c>')
+            body.append(f'<row r="{row0 + ri + 1}">' + "".join(cells) + "</row>")
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
+        )
+
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType='
+        '"application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheets><sheet name="Sheet1" sheetId="1"/><sheet name="Sheet2" sheetId="2"/>'
+        "</sheets></workbook>"
+    )
+    return _write_fixture_zip(
+        [
+            ("[Content_Types].xml", content_types),
+            ("_rels/.rels", rels),
+            ("xl/workbook.xml", workbook),
+            ("xl/sharedStrings.xml", sst),
+            ("xl/worksheets/sheet1.xml", sheet_xml(rows[:half], 0)),
+            ("xl/worksheets/sheet2.xml", sheet_xml(rows[half:], half)),
+        ]
+    )
+
+
+def make_simple_pptx(text: str, *, wrap: int = 60, paras_per_slide: int = 2) -> bytes:
+    """Write a minimal valid PPTX containing ``text`` as wrapped DrawingML
+    paragraphs, two per slide, each split into two ``a:r`` runs — same
+    roundtrip contract as :func:`make_simple_pdf`."""
+    from xml.sax.saxutils import escape
+
+    norm = _normalize_ws(text)
+    lines = textwrap.wrap(norm, wrap, break_long_words=False, break_on_hyphens=False) or [""]
+
+    def para(line: str) -> str:
+        mid = line.find(" ", len(line) // 2)
+        runs = [line] if mid < 0 else [line[: mid + 1], line[mid + 1 :]]
+        return (
+            "<a:p>"
+            + "".join(f'<a:r><a:t>{escape(r)}</a:t></a:r>' for r in runs)
+            + "</a:p>"
+        )
+
+    def slide_xml(slide_lines: list[str]) -> str:
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+            'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+            "<p:cSld><p:spTree><p:sp><p:txBody>"
+            + "".join(para(ln) for ln in slide_lines)
+            + "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+        )
+
+    slides = [
+        lines[i : i + paras_per_slide] for i in range(0, len(lines), paras_per_slide)
+    ]
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType='
+        '"application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.presentationml.'
+        'presentation.main+xml"/></Types>'
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>'
+        "</Relationships>"
+    )
+    presentation = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/'
+        'presentationml/2006/main"/>'
+    )
+    members = [
+        ("[Content_Types].xml", content_types),
+        ("_rels/.rels", rels),
+        ("ppt/presentation.xml", presentation),
+    ] + [
+        (f"ppt/slides/slide{i + 1}.xml", slide_xml(sl)) for i, sl in enumerate(slides)
+    ]
+    return _write_fixture_zip(members)
 
 
 def make_simple_html(text: str) -> bytes:

@@ -2359,18 +2359,22 @@ def q_flagship(spark, sf):
 
 
 # ------------------------------------------------- text extraction (D1)
-# Roundtrip contract: documents.text rendered to PDF / HTML / plain bytes
-# by the engine's fixture writers, then extracted back. The frozen output
-# is whitespace-normalized, so the DuckDB oracle is the direct
-# normalization of the source text — no PDF code needed on the oracle side.
+# Roundtrip contract: documents.text rendered to PDF / HTML / DOCX / RTF /
+# XLSX / PPTX / plain bytes by the engine's fixture writers, then extracted
+# back. The frozen output is whitespace-normalized, so the DuckDB oracle is
+# the direct normalization of the source text — no format code needed on
+# the oracle side. The format selector runs over ALL rows (doc_id % 7), so
+# every branch is reachable — r3 filtered doc_id % 5 < 3 while dispatching
+# on doc_id % 5, leaving the rtf/text arms dead (ADVICE r3 #1).
 _EXTRACT_SQL = r"""
     WITH d AS (SELECT doc_id,
                       regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
-               FROM documents WHERE doc_id % 5 < 3)
+               FROM documents)
     SELECT doc_id,
-           CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'pdf'
+           CASE CAST(doc_id % 7 AS INTEGER) WHEN 0 THEN 'pdf'
                 WHEN 1 THEN 'html' WHEN 2 THEN 'docx'
-                WHEN 3 THEN 'rtf' ELSE 'text' END AS fmt,
+                WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
+                WHEN 5 THEN 'pptx' ELSE 'text' END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars_x,
            substr(norm, 1, 40) AS prefix
     FROM d
@@ -2380,21 +2384,24 @@ _EXTRACT_SQL = r"""
 @golden("extract_text", _EXTRACT_SQL)
 def q_extract_text(spark, sf):
     """D1 — UTL_TO_TEXT (01_pdf_to_vector.sql:196-205): binary payload →
-    plain text, format-dispatched (PDF content-stream parse / DOCX zip+XML
-    parse / HTML strip / charset decode), Arrow-batched. Hash-checked via
-    the roundtrip ``extract(render(text)) == normalize_ws(text)``; a
-    quarter of the rows go through each format."""
+    plain text, format-dispatched (PDF content-stream parse / OOXML
+    zip+XML parse for DOCX, XLSX, PPTX / RTF tokenizer / HTML strip /
+    charset decode), Arrow-batched. Hash-checked via the roundtrip
+    ``extract(render(text)) == normalize_ws(text)``; a seventh of the
+    rows go through each format."""
     from oracle_vectorsearch_example_spark.functions.extract import (
         extract_text,
         render_document_col,
     )
 
-    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") % 5 < 3)
+    docs = read_table(spark, sf, "documents")
     fmt = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("pdf"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("html"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("docx"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("rtf"))
+        F.when(F.col("doc_id") % 7 == 0, F.lit("pdf"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("html"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("docx"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("rtf"))
+        .when(F.col("doc_id") % 7 == 4, F.lit("xlsx"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("pptx"))
         .otherwise(F.lit("text"))
     )
     rendered = docs.select(

@@ -62,6 +62,89 @@ def test_docx_roundtrip(text):
     assert extract_text_bytes(d) == norm(text)
 
 
+@pytest.mark.parametrize("text", CASES)
+def test_xlsx_roundtrip(text):
+    from oracle_vectorsearch_example_spark.functions.extract import make_simple_xlsx
+
+    x = make_simple_xlsx(text)
+    assert detect_format(x) == "xlsx"
+    assert extract_text_bytes(x) == norm(text)
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_pptx_roundtrip(text):
+    from oracle_vectorsearch_example_spark.functions.extract import make_simple_pptx
+
+    p = make_simple_pptx(text)
+    assert detect_format(p) == "pptx"
+    assert extract_text_bytes(p) == norm(text)
+
+
+def test_xlsx_cell_types_and_sheet_order():
+    """Shared-string, inline-string, and numeric cells all extract; sheets
+    read in numeric order (sheet2 before sheet10)."""
+    import io
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sst = f'<sst {ns}><si><t>shared</t></si></sst>'
+    sheet2 = (
+        f'<worksheet {ns}><sheetData><row r="1">'
+        '<c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1"><v>42</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>inline</t></is></c>'
+        "</row></sheetData></worksheet>"
+    )
+    sheet10 = f'<worksheet {ns}><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row></sheetData></worksheet>'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", f"<workbook {ns}/>")
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet10.xml", sheet10)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet2)
+    assert extract_text_bytes(buf.getvalue()) == "shared 42 inline shared"
+
+
+def test_pptx_runs_concatenate_within_paragraph():
+    import io
+    import zipfile
+
+    slide = (
+        '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+        "<p:cSld><p:spTree><p:sp><p:txBody>"
+        "<a:p><a:r><a:t>con</a:t></a:r><a:r><a:t>catenated</a:t></a:r></a:p>"
+        "<a:p><a:r><a:t>next</a:t></a:r></a:p>"
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", "<p/>")
+        zf.writestr("ppt/slides/slide1.xml", slide)
+    assert extract_text_bytes(buf.getvalue()) == "concatenated next"
+
+
+def test_cfb_detected_and_named():
+    """Legacy Office compound files (D0 CF 11 E0) are a NAMED unsupported
+    format: NULL by default, an attributable error with on_error='raise' —
+    never anonymous 'binary' (VERDICT r3 next-round #3)."""
+    cfb = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 512
+    assert detect_format(cfb) == "cfb"
+    assert extract_text_bytes(cfb) is None
+    with pytest.raises(ValueError, match="legacy Office"):
+        extract_text_bytes(cfb, on_error="raise")
+
+
+def test_ooxml_fixtures_are_deterministic():
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        make_simple_pptx,
+        make_simple_xlsx,
+    )
+
+    assert make_simple_xlsx("same text here") == make_simple_xlsx("same text here")
+    assert make_simple_pptx("same text here") == make_simple_pptx("same text here")
+
+
 def test_docx_fixture_is_deterministic():
     assert make_simple_docx("same text") == make_simple_docx("same text")
 
