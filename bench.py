@@ -41,6 +41,13 @@ BENCH_QUERIES = [
     # headliners added in round 3
     "pack_sequences",      # sharded concat-and-chunk sequence packing
     "image_decode",        # real BMP decode via Arrow-batched mapInPandas
+    # headliners added in round 4 (r4 values are the frozen reference for
+    # future rounds — VERDICT r3 next-round #4)
+    "gapfill_locf",        # successor-owned time-series gap fill
+    "neardup_clusters",    # connected-component closure over near-dup pairs
+    "hash_split",          # map-side deterministic split (zero Exchange)
+    "ivf_search_df",       # distributed query-frame ANN (exhaustive probe)
+    "extract_text",        # 7-format D1 rotation (render + extract)
 ]
 
 N_RUNS = 3

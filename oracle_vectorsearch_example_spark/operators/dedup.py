@@ -409,6 +409,7 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: the closure step
     that turns pairwise candidates (minhash/simhash/jaccard/embedding) into
@@ -421,14 +422,28 @@ def neardup_components(
     its label's label (one self-join) — the doubling step that collapses
     label chains, giving O(log diameter) rounds instead of O(diameter) on
     path-shaped clusters. Per-round shuffles are keyed by vertex id only;
-    nothing is ever all-pairs. Lineage is truncated per round
-    (localCheckpoint) so the iterative plan can't snowball; on a cluster
-    with a checkpoint dir, ``DataFrame.checkpoint`` is the durable variant.
+    nothing is ever all-pairs. Lineage is truncated per round so the
+    iterative plan can't snowball: with ``checkpoint_dir`` set the rounds
+    use durable ``DataFrame.checkpoint`` (state survives executor loss —
+    the 1000-executor posture, where a lost executor would otherwise
+    recompute the whole lineage); without it, ``localCheckpoint`` (blocks
+    on executors — right for local/tested runs, fragile on a real
+    cluster). Identical results either way (asserted in tests).
     Published pattern: Kiveris et al., "Connected Components in MapReduce
     and Beyond" (the star-contraction family); min-propagation + jumping is
     its simpler fixed-point cousin, adequate because near-dup graphs are
     unions of small-diameter clusters (LSH buckets are near-cliques).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
         F.col("u") != F.col("v")
     )
@@ -436,9 +451,9 @@ def neardup_components(
     # materialize the edge frame ONCE: every round joins against it, and
     # without this the whole upstream pair computation (e.g. the MinHash
     # band pipeline) would re-execute per iteration
-    sym = sym.localCheckpoint(eager=True)
+    sym = _truncate(sym)
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _truncate(labels)
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -458,10 +473,10 @@ def neardup_components(
         # pointer jumping: comp <- comp's current label (labels are vertex
         # ids, so every comp value has a row)
         ptr = stepped.select(F.col("id").alias("cid"), F.col("comp").alias("ccomp"))
-        jumped = (
-            stepped.join(ptr, stepped["comp"] == ptr["cid"])
-            .select(stepped["id"], stepped["prev"], F.col("ccomp").alias("comp"))
-            .localCheckpoint(eager=True)
+        jumped = _truncate(
+            stepped.join(ptr, stepped["comp"] == ptr["cid"]).select(
+                stepped["id"], stepped["prev"], F.col("ccomp").alias("comp")
+            )
         )
         changed = jumped.filter(F.col("comp") != F.col("prev")).count()
         labels = jumped.select("id", "comp")

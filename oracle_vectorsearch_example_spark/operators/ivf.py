@@ -108,12 +108,18 @@ class IvfIndex:
         id_col: str,
         vec_col: str,
         path: str | None = None,
+        data_dirs: list[str] | None = None,
     ):
         self.assignments = assignments
         self.centroids = centroids
         self.id_col = id_col
         self.vec_col = vec_col
         self.path = path
+        # snapshot: the list of data sub-dirs THIS handle reads (appends via
+        # add() land in new dirs, published in the metadata — the Warehouse
+        # manifest-swap pattern, so a handle never sees rows added after it
+        # was created; ADVICE r3 #3)
+        self.data_dirs = data_dirs or (["data"] if path else [])
 
     @classmethod
     def build(
@@ -193,7 +199,7 @@ class IvfIndex:
     _META_NAME = "centroids.json"
 
     @staticmethod
-    def _write_meta(spark, path, centroids, id_col, vec_col) -> None:
+    def _write_meta(spark, path, centroids, id_col, vec_col, data_dirs=None) -> None:
         import json
 
         meta = json.dumps(
@@ -201,6 +207,7 @@ class IvfIndex:
                 "format": "ivf-flat-v1",
                 "id_col": id_col,
                 "vec_col": vec_col,
+                "data_dirs": data_dirs or ["data"],
                 "centroids": [[cid, vec] for cid, vec in centroids],
             }
         )
@@ -236,17 +243,46 @@ class IvfIndex:
     ) -> "IvfIndex":
         """Reopen a materialized index from its directory alone; explicit
         ``centroids``/column args override the persisted metadata (and are
-        the only option for pre-v1 indexes written without metadata)."""
-        if centroids is None or id_col is None or vec_col is None:
+        the only option for pre-v1 indexes written without metadata). The
+        handle snapshots the data-dir list in the metadata at load time:
+        a concurrent ``add()`` publishes a NEW dir, which this handle
+        intentionally does not see (load again for the newer snapshot)."""
+        data_dirs = ["data"]
+        try:
             meta = cls._read_meta(spark, path)
+        except Exception:
+            meta = None  # pre-v1 index: no metadata file; args are required
+        if meta is not None:
             centroids = centroids or [
                 (int(cid), [float(x) for x in vec]) for cid, vec in meta["centroids"]
             ]
             id_col = id_col or meta["id_col"]
             vec_col = vec_col or meta["vec_col"]
+            data_dirs = meta.get("data_dirs", ["data"])
+        if centroids is None or id_col is None or vec_col is None:
+            raise ValueError(
+                f"index at {path!r} has no metadata; pass centroids/id_col/vec_col"
+            )
         return cls(
-            spark.read.parquet(f"{path.rstrip('/')}/data"), centroids, id_col, vec_col, path
+            cls._read_data_dirs(spark, path, data_dirs),
+            centroids,
+            id_col,
+            vec_col,
+            path,
+            data_dirs,
         )
+
+    @staticmethod
+    def _read_data_dirs(spark, path: str, data_dirs: list[str]) -> DataFrame:
+        """Union the versioned data dirs as separate scans: each dir
+        partition-discovers its own cluster_id= layout (one multi-root read
+        trips CONFLICTING_DIRECTORY_STRUCTURES), and cluster filters push
+        into every scan as PartitionFilters, so pruning survives adds."""
+        from functools import reduce
+
+        base = path.rstrip("/")
+        frames = [spark.read.parquet(f"{base}/{d}") for d in data_dirs]
+        return reduce(DataFrame.unionByName, frames)
 
     def add(self, df: DataFrame) -> "IvfIndex":
         """Index maintenance without a rebuild: assign NEW vectors to the
@@ -258,9 +294,15 @@ class IvfIndex:
         stay frozen, so existing assignments, persisted partitions, and a
         previously calibrated nprobe all remain valid; recall drifts only
         as far as the data distribution does, at which point ``build`` a
-        fresh index and swap. Materialized indexes append new parquet
-        files inside the matching cluster_id partitions; callers own id
-        uniqueness across adds."""
+        fresh index and swap. Callers own id uniqueness across adds.
+
+        SNAPSHOT SEMANTICS (materialized indexes): each add writes a NEW
+        versioned sub-dir (``data-addN/``) and publishes it in the
+        metadata — the Warehouse manifest-swap pattern. The RETURNED index
+        (and any subsequent ``load``) sees old + new rows; the pre-add
+        handle and any previously loaded copy keep reading exactly the
+        dirs they snapshotted, so no handle ever observes rows that
+        appeared after it was created."""
         norm = _normalize_rows(df.select(self.id_col, self.vec_col), self.vec_col)
         import numpy as np
 
@@ -274,11 +316,22 @@ class IvfIndex:
                 "cluster_id", F.element_at(lut, F.col("cluster_id") + 1)
             )
         if self.path:
-            data_path = f"{self.path.rstrip('/')}/data"
-            assigned.write.mode("append").partitionBy("cluster_id").parquet(data_path)
-            new_assignments = df.sparkSession.read.parquet(data_path)
-        else:
-            new_assignments = self.assignments.unionByName(assigned)
+            base = self.path.rstrip("/")
+            new_dir = f"data-add{len(self.data_dirs)}"
+            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+                f"{base}/{new_dir}"
+            )
+            new_dirs = [*self.data_dirs, new_dir]
+            # publish: metadata swap makes the new dir visible to future
+            # load()s; existing handles keep their snapshotted dir list
+            self._write_meta(
+                df.sparkSession, base, self.centroids, self.id_col, self.vec_col, new_dirs
+            )
+            new_assignments = self._read_data_dirs(df.sparkSession, base, new_dirs)
+            return IvfIndex(
+                new_assignments, self.centroids, self.id_col, self.vec_col, self.path, new_dirs
+            )
+        new_assignments = self.assignments.unionByName(assigned)
         return IvfIndex(
             new_assignments, self.centroids, self.id_col, self.vec_col, self.path
         )

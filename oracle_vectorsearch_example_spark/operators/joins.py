@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _INTERVAL_UNIT_S = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
     "second": 1,
     "minute": 60,
     "hour": 3600,
@@ -26,12 +28,14 @@ _INTERVAL_UNIT_S = {
 }
 
 
-def _interval_seconds(interval: str) -> int:
-    """Parse ``INTERVAL n UNIT [n UNIT ...]`` to whole seconds, driver-side.
+def _interval_seconds(interval: str) -> float:
+    """Parse ``INTERVAL n UNIT [n UNIT ...]`` to seconds, driver-side.
 
     The bucket width is a plan-time constant; computing it must not launch a
-    Spark job. Sub-second or calendar (month/year) units aren't meaningful
-    bucket widths — pass ``bucket_seconds`` explicitly for those.
+    Spark job. Sub-second units are accepted (the caller clamps the bucket
+    width up to 1 whole second — a wider bucket only adds candidates the
+    interval filter re-checks, never wrong results). Calendar (month/year)
+    units have no fixed width — pass ``bucket_seconds`` explicitly.
     """
     body = re.sub(r"^\s*INTERVAL\s+", "", interval.strip(), flags=re.I)
     pairs = re.findall(r"([+-]?\d+)\s+([A-Za-z]+)", body)
@@ -40,7 +44,7 @@ def _interval_seconds(interval: str) -> int:
             f"cannot parse {interval!r} as INTERVAL n UNIT [...]; "
             "pass bucket_seconds explicitly"
         )
-    total = 0
+    total = 0.0
     for n, unit in pairs:
         u = unit.lower().rstrip("s")
         if u not in _INTERVAL_UNIT_S:
@@ -94,9 +98,13 @@ def range_join(
     if strategy != "bucket":
         raise ValueError(f"unknown strategy {strategy!r}; filter or bucket")
 
-    # plan-time constant, computed driver-side (no Spark job)
+    # plan-time constant, computed driver-side (no Spark job); sub-second
+    # widths round up to 1s (unix_seconds bucketing is whole-second — the
+    # interval filter re-checks candidates, so a wider bucket is safe)
+    import math as _math
+
     width_s = bucket_seconds or (_interval_seconds(upper) - _interval_seconds(lower))
-    width_s = max(1, width_s)
+    width_s = max(1, _math.ceil(width_s))
     rb = r.withColumn("__bucket", F.expr(f"unix_seconds({r_ts_expr}) div {width_s}"))
     lb = l.withColumn(
         "__bucket",

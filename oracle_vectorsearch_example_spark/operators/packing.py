@@ -64,12 +64,16 @@ def pack_sequences(
     )
     cum = base.withColumn("__cb", F.sum("__tok").over(w) - F.col("__tok"))
     L = F.lit(max_tokens)
+    # integer `div`, not float `/`: float division is exact only while the
+    # per-shard cumulative token count stays under 2^53; the frozen oracle
+    # spec uses integer // division, and they must agree at any scale
+    # (ADVICE r3 #2)
     spans = cum.withColumn(
         "pack_id",
         F.explode(
             F.sequence(
-                (F.col("__cb") / L).cast("long"),
-                ((F.col("__cb") + F.col("__tok") - 1) / L).cast("long"),
+                F.expr(f"__cb div {max_tokens}"),
+                F.expr(f"(__cb + __tok - 1) div {max_tokens}"),
             )
         ),
     )

@@ -143,6 +143,29 @@ def test_components_direction_and_self_loops_ignored(spark):
     assert got == {3: 3, 4: 3, 5: 3}
 
 
+def test_components_durable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to durable
+    DataFrame.checkpoint (the 1000-executor posture — localCheckpoint
+    state dies with an executor); results must be identical, and the
+    checkpoint dir must actually be used."""
+    import os
+
+    from oracle_vectorsearch_example_spark.operators.dedup import neardup_components
+
+    edges = [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {r.id: r.component_id for r in neardup_components(pairs).collect()}
+    ckdir = str(tmp_path / "ck")
+    durable = {
+        r.id: r.component_id
+        for r in neardup_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert durable == local
+    assert local == {**{i: 0 for i in range(31)}, 100: 100, 101: 100, 102: 100}
+    # durable checkpoints were actually written under the given dir
+    assert any(os.scandir(ckdir)), "checkpoint_dir unused"
+
+
 def test_dedup_by_components_keeps_canonical(spark, docs):
     from oracle_vectorsearch_example_spark.operators.dedup import dedup_by_components
 

@@ -86,6 +86,10 @@ def test_interval_seconds_parses_driver_side():
     assert _interval_seconds("INTERVAL 1 DAY") == 86400
     assert _interval_seconds("INTERVAL 1 HOUR 30 MINUTES") == 5400
     assert _interval_seconds("INTERVAL -1 MINUTE") == -60
+    # sub-second units parse (r4, ADVICE r3 #4 — the SQL evaluator this
+    # parser replaced accepted them); range_join clamps width up to 1s
+    assert _interval_seconds("INTERVAL 500 MILLISECONDS") == 0.5
+    assert _interval_seconds("INTERVAL 250000 MICROSECONDS") == 0.25
     with pytest.raises(ValueError):
         _interval_seconds("INTERVAL 3 MONTHS")
     with pytest.raises(ValueError):
@@ -145,3 +149,21 @@ def test_range_join_bucket_strategy_matches_filter(spark):
         "event_id", "r_event_id"
     )
     assert sorted(map(tuple, c.collect())) == ra
+
+
+def test_range_join_subsecond_interval_bucket(spark):
+    """A sub-second interval no longer raises in the bucket strategy
+    (ADVICE r3 #4): the width clamps up to 1s — wider buckets only add
+    candidates the interval filter re-checks — and both strategies agree."""
+    from oracle_vectorsearch_example_spark.operators.joins import range_join
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    kw = dict(on=["user_id"], left_ts="ts", right_ts="ts",
+              lower="INTERVAL 0 SECONDS", upper="INTERVAL 1500 MILLISECONDS")
+    a = range_join(ev, ev, **kw, strategy="filter").select("event_id", "r_event_id")
+    b = range_join(ev, ev, **kw, strategy="bucket").select("event_id", "r_event_id")
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0

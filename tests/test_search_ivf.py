@@ -338,6 +338,39 @@ def test_ivf_incremental_add_materialized(spark, tmp_path):
     assert sorted(reopened.centroids) == sorted(idx.centroids)
 
 
+def test_ivf_add_snapshot_isolation(spark, tmp_path):
+    """add() on a path-backed index writes a NEW versioned dir and swaps
+    the metadata (Warehouse pattern, ADVICE r3 #3): the pre-add handle and
+    a copy loaded before the add keep seeing exactly their snapshot, while
+    the returned index and fresh load()s see old + new."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "ivf")
+    idx = IvfIndex.build(first, n_clusters=8, path=p, seed=42)
+    pre_add_load = IvfIndex.load(spark, p)
+    n_first = first.count()
+
+    grown = idx.add(second)
+    assert grown.assignments.count() == emb.count()
+    assert grown.data_dirs == ["data", "data-add1"]
+    # both pre-add handles still see ONLY the original snapshot
+    assert idx.assignments.count() == n_first
+    assert pre_add_load.assignments.count() == n_first
+    # a post-add load picks up the published dir list
+    assert IvfIndex.load(spark, p).assignments.count() == emb.count()
+    # second add stacks another dir
+    again = grown.add(
+        second.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    )
+    assert again.data_dirs == ["data", "data-add1", "data-add2"]
+    assert again.assignments.count() == emb.count() + second.count()
+    assert grown.assignments.count() == emb.count()
+
+
 def test_lsh_incremental_add_equals_full_build(spark):
     """Hyperplanes are seed-fixed, so build(half)+add(half) must equal
     build(all) exactly — same buckets, same search results."""
