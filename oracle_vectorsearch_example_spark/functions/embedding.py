@@ -340,17 +340,79 @@ class OnnxEmbedder:
         return df.mapInPandas(run, schema=schema)
 
 
-def get_provider(name: str, **kwargs):
+# Documented external-provider request batch sizes
+# (01_pdf_to_vector.sql:167 OpenAI batch_size 25, :175 Cohere batch_size 10;
+# the OCI GenAI block, :178-184, documents no batch size — Cohere's
+# conservative 10 is used)
+_EXTERNAL_BATCH_SIZES = {"openai": 25, "cohere": 10, "oci": 10}
+
+
+class ExternalApiEmbedder:
+    """External embed-provider strategy with the reference's batch-size
+    semantics (01_pdf_to_vector.sql:160-184) and an INJECTED transport.
+
+    The engine keeps its no-egress stance: there is no HTTP client here
+    and ``get_provider`` still raises without a transport. A caller who
+    does have a sanctioned client injects it as
+    ``transport: Callable[[list[str]], list[list[float]]]``; this class
+    owns everything around it — request batching at the provider's
+    documented batch size, batch-order preservation, and the
+    executor-side mapInPandas plumbing (the transport is shipped to
+    executors, so it must be picklable and session-free, exactly like
+    provider SDK calls made from a worker)."""
+
+    def __init__(self, name: str, transport, batch_size: int | None = None):
+        if transport is None:
+            raise NotImplementedError(
+                f"external provider {name!r} needs an injected transport: "
+                "the default path keeps inference co-located with data "
+                "(01_pdf_to_vector.sql:156-157)"
+            )
+        self.name = name
+        self.transport = transport
+        self.batch_size = batch_size or _EXTERNAL_BATCH_SIZES[name]
+
+    def embed_texts(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            chunk = texts[i : i + self.batch_size]
+            vecs = self.transport(chunk)
+            if len(vecs) != len(chunk):
+                raise ValueError(
+                    f"transport returned {len(vecs)} vectors for "
+                    f"{len(chunk)} texts"
+                )
+            out.extend(vecs)
+        return out
+
+    def embed_df(self, df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
+        transport, batch = self.transport, self.batch_size
+        schema = T.StructType(
+            df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                texts = pdf[text_col].fillna("").tolist()
+                vecs: list[list[float]] = []
+                for i in range(0, len(texts), batch):
+                    vecs.extend(transport(texts[i : i + batch]))
+                pdf[out_col] = vecs
+                yield pdf
+
+        return df.mapInPandas(run, schema=schema)
+
+
+def get_provider(name: str, transport=None, **kwargs):
     """Provider strategy lookup, mirroring the reference's provider JSON
     (database / OpenAI / Cohere / OCI, 01_pdf_to_vector.sql:154-184).
-    External API providers are intentionally unimplemented (no egress)."""
+    External API providers stay unimplemented by default (no egress) but
+    accept an injected ``transport`` callable, which makes their
+    documented batch-size semantics (25/10) testable offline."""
     if name == "hashing":
         return HashingEmbedder(**kwargs)
     if name in ("onnx", "database"):
         return OnnxEmbedder(**kwargs)
-    if name in ("openai", "cohere", "oci"):
-        raise NotImplementedError(
-            f"external provider {name!r} is documented but not implemented: "
-            "the default path keeps inference co-located with data"
-        )
+    if name in _EXTERNAL_BATCH_SIZES:
+        return ExternalApiEmbedder(name, transport, **kwargs)
     raise ValueError(f"unknown provider {name!r}")

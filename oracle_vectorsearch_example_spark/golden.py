@@ -1711,6 +1711,46 @@ def q_stream_enrich(spark, sf):
     )
 
 
+@golden(
+    "stream_interval_join",
+    """
+    SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(c.event_id) AS BIGINT) AS first_click
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def q_stream_interval_join(spark, sf):
+    """Batch twin of the stream-stream event-time interval join (§2.10,
+    r4 — VERDICT r3 next-round #8): views matched to the clicks that
+    follow within 10 minutes per user. Runs ``interval_join_streams``
+    ITSELF on static frames (watermarks are no-ops in batch), so the
+    hash-checked plan is the same code path the streaming deployment
+    runs per micro-batch; availableNow equivalence to a real stream is
+    asserted in test_streaming."""
+    from oracle_vectorsearch_example_spark.streaming.ingest import interval_join_streams
+
+    ev = read_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = interval_join_streams(
+        views,
+        clicks,
+        on=["user_id"],
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 10 MINUTES",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("r_event_id").cast("long").alias("first_click"),
+    )
+
+
 # ------------------------------------------------------------- dedup family
 @golden(
     "exact_dedup",
@@ -2527,7 +2567,8 @@ _PRIORITY = [
     #                   compare_oracle)
     "tumbling_window",
     # past-window extras still registered (pytest + compare_oracle cover
-    # them): sql_vector_topk, jaccard_neardup, embedding_neardup,
+    # them): stream_interval_join (r4 batch twin, oracle-verified),
+    # sql_vector_topk, jaccard_neardup, embedding_neardup,
     # sliding_window, stream_enrich, cross_join, left_join_zero_orders,
     # semi_join, except_all_keys, parse_vector, collect_sorted_words,
     # simhash_fingerprint, chunker_cjk, approx_count_distinct, ivf_search,

@@ -143,6 +143,45 @@ def test_asof_join_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_corpus_split_and_sample_add_no_exchange(spark):
+    """Composed into the corpus build's gate stage, hash_split and
+    stratified_sample stay pure map-side: the composed plan carries
+    exactly the Exchanges of the upstream dedup+gate, none of their own
+    (VERDICT r3 next-round #7)."""
+    from oracle_vectorsearch_example_spark.functions.textstats import text_metrics_df
+    from oracle_vectorsearch_example_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    scored = text_metrics_df(docs, "text")
+    kept = scored.filter(F.col("quality") >= 0.0).select("doc_id")
+    gated = docs.join(kept, "doc_id", "left_semi")  # the corpus gate shape
+    base_exchanges = explain_str(gated, mode="simple").count("Exchange")
+    for composed in (
+        hash_split(gated, seed=42),
+        stratified_sample(gated, {"en": 0.5}, default_fraction=0.1, seed=42),
+    ):
+        plan = explain_str(composed, mode="simple")
+        assert plan.count("Exchange") == base_exchanges, plan
+
+
+def test_pack_sequences_one_exchange_after_split(spark):
+    """pack_sequences fed a hash_split output (the corpus-build
+    composition) still pays exactly ONE Exchange — the per-shard window
+    cumsum; the split stage contributes none."""
+    from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
+    from oracle_vectorsearch_example_spark.operators.sampling import hash_split
+
+    docs = read_table(spark, SF, "documents")
+    train = hash_split(docs, seed=42).filter(F.col("split") == "train")
+    plan = explain_str(
+        pack_sequences(train, max_tokens=256, n_shards=4, seed=42), mode="simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     """write_table(partition_by=...) + a literal filter on the partition
     column reaches the scan as a PartitionFilter."""

@@ -200,8 +200,62 @@ def test_provider_registry():
     assert isinstance(get_provider("onnx", model_path="/nope.onnx"), OnnxEmbedder)
     with pytest.raises(NotImplementedError):
         get_provider("openai")
+    with pytest.raises(NotImplementedError):
+        get_provider("cohere")
     with pytest.raises(ValueError):
         get_provider("bogus")
+
+
+def _fake_transport(log):
+    def transport(texts):
+        log.append(len(texts))
+        return [[float(len(t)), 1.0] for t in texts]
+
+    return transport
+
+
+def test_external_provider_batch_semantics():
+    """An injected transport exposes the reference's documented request
+    batching offline (01_pdf_to_vector.sql:167 OpenAI=25, :175 Cohere=10):
+    exact batch boundaries, order preserved, short transport rejected."""
+    texts = [f"t{'x' * (i % 7)}" for i in range(60)]
+
+    log: list[int] = []
+    openai = get_provider("openai", transport=_fake_transport(log))
+    got = openai.embed_texts(texts)
+    assert log == [25, 25, 10]
+    assert got == [[float(len(t)), 1.0] for t in texts]  # order preserved
+
+    log2: list[int] = []
+    cohere = get_provider("cohere", transport=_fake_transport(log2))
+    cohere.embed_texts(texts)
+    assert log2 == [10] * 6
+
+    # explicit override still slices correctly
+    log3: list[int] = []
+    custom = get_provider("openai", transport=_fake_transport(log3), batch_size=7)
+    custom.embed_texts(texts[:20])
+    assert log3 == [7, 7, 6]
+
+    # a transport returning the wrong cardinality is a loud error
+    bad = get_provider("cohere", transport=lambda ts: [[0.0]])
+    with pytest.raises(ValueError, match="transport returned"):
+        bad.embed_texts(["a", "b", "c"])
+
+
+def test_external_provider_embed_df(spark):
+    """The mapInPandas plumbing ships the injected transport to executors
+    and batches per Arrow batch at the provider size."""
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 5)) for i in range(30)], "id long, text string"
+    ).repartition(2)
+    provider = get_provider(
+        "cohere", transport=lambda ts: [[float(len(t)), 1.0] for t in ts]
+    )
+    out = provider.embed_df(df, "text").collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.embedding == [float(len(r.text)), 1.0]
 
 
 def test_onnx_gated(spark):
