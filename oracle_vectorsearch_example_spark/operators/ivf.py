@@ -336,6 +336,39 @@ class IvfIndex:
             new_assignments, self.centroids, self.id_col, self.vec_col, self.path
         )
 
+    def compact(self) -> "IvfIndex":
+        """Fold the versioned add-dirs back into one data dir — the
+        maintenance pass after many ``add()`` cycles (each add is a new
+        dir; many small dirs mean many small files and long listings).
+
+        Same snapshot discipline as ``add``: the merged copy is written to
+        a fresh dir (``data-compactN``), then the metadata swaps to point
+        at it alone — existing handles keep their dir-list snapshot;
+        fresh ``load()``s see the compacted index. Old dirs are left on
+        disk for those handles (a vacuum policy owns deleting them, as in
+        the Warehouse)."""
+        if not self.path:
+            return self  # in-memory index: nothing to fold
+        if len(self.data_dirs) == 1:
+            return self
+        base = self.path.rstrip("/")
+        new_dir = f"data-compact{len(self.data_dirs)}"
+        self.assignments.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{base}/{new_dir}"
+        )
+        spark = self.assignments.sparkSession
+        self._write_meta(
+            spark, base, self.centroids, self.id_col, self.vec_col, [new_dir]
+        )
+        return IvfIndex(
+            self._read_data_dirs(spark, base, [new_dir]),
+            self.centroids,
+            self.id_col,
+            self.vec_col,
+            self.path,
+            [new_dir],
+        )
+
     def _nearest_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
         nrm = math.sqrt(sum(x * x for x in qvec)) or 1.0
         qn = [x / nrm for x in qvec]

@@ -425,6 +425,51 @@ def test_ivf_add_snapshot_isolation(spark, tmp_path):
     assert grown.assignments.count() == emb.count()
 
 
+def test_ivf_compact_folds_add_dirs(spark, tmp_path):
+    """compact() merges the versioned add-dirs into one, swaps the
+    metadata, and preserves rows, search results, and partition pruning;
+    pre-compact handles keep their snapshot."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "ivf")
+    grown = IvfIndex.build(first, n_clusters=8, path=p, seed=42).add(second)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    before = sorted(
+        (r.qid, r.rank, r.vec_id)
+        for r in grown.search(q, k=5, nprobe=8).select("qid", "rank", "vec_id").collect()
+    )
+    compacted = grown.compact()
+    assert compacted.data_dirs == ["data-compact2"]
+    assert compacted.assignments.count() == emb.count()
+    assert grown.data_dirs == ["data", "data-add1"]  # snapshot untouched
+    after = sorted(
+        (r.qid, r.rank, r.vec_id)
+        for r in compacted.search(q, k=5, nprobe=8)
+        .select("qid", "rank", "vec_id")
+        .collect()
+    )
+    assert after == before
+    # a fresh load sees exactly the compacted dir, and pruning still fires
+    reopened = IvfIndex.load(spark, p)
+    assert reopened.data_dirs == ["data-compact2"]
+    assert reopened.assignments.count() == emb.count()
+    import re as _re
+
+    from oracle_vectorsearch_example_spark.plans.inspect import explain_str
+
+    plan = explain_str(reopened.search(q, k=5, nprobe=4))
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan
+    # compacting a single-dir index is a no-op
+    assert compacted.compact() is compacted
+
+
 def test_lsh_incremental_add_equals_full_build(spark):
     """Hyperplanes are seed-fixed, so build(half)+add(half) must equal
     build(all) exactly — same buckets, same search results."""
