@@ -458,7 +458,22 @@ def _rtf_extract(data: bytes) -> str:
                 word = m.group(1).decode()
                 if not skip_depth:
                     if word == "u" and m.group(2):
-                        out.append(chr(int(m.group(2)) & 0xFFFF))
+                        # RTF \u is a SIGNED 16-bit code unit; astral chars
+                        # arrive as a surrogate pair of consecutive \u —
+                        # combine a low surrogate with a pending high one
+                        unit = int(m.group(2)) & 0xFFFF
+                        if (
+                            0xDC00 <= unit <= 0xDFFF
+                            and out
+                            and len(out[-1]) == 1
+                            and 0xD800 <= ord(out[-1]) <= 0xDBFF
+                        ):
+                            hi = ord(out.pop())
+                            out.append(
+                                chr(0x10000 + ((hi - 0xD800) << 10) + (unit - 0xDC00))
+                            )
+                        else:
+                            out.append(chr(unit))
                     elif word in _RTF_SPACE:
                         out.append(" ")
                 i += m.end()
@@ -499,8 +514,16 @@ def make_simple_rtf(text: str) -> bytes:
             body.append(ch)
         elif ord(ch) < 0x100:
             body.append(f"\\'{ord(ch):02x}")
-        else:
+        elif ord(ch) <= 0xFFFF:
             body.append(f"\\u{ord(ch)}?")
+        else:
+            # astral plane: RTF \u carries one UTF-16 code unit, so emit
+            # the surrogate pair (signed decimal per spec)
+            for byte_hi, byte_lo in zip(*[iter(ch.encode("utf-16-be"))] * 2):
+                unit = (byte_hi << 8) | byte_lo
+                if unit >= 0x8000:
+                    unit -= 0x10000
+                body.append(f"\\u{unit}?")
     return (
         r"{\rtf1\ansi\deff0{\fonttbl{\f0 Helvetica;}}{\info{\author nobody}}"
         r"\f0\fs24 " + "".join(body) + r"\par}"

@@ -369,6 +369,32 @@ class IvfIndex:
             [new_dir],
         )
 
+    def vacuum(self) -> list[str]:
+        """Delete data dirs on disk that the CURRENT metadata no longer
+        references (left behind by ``compact`` for then-live handles) —
+        the same split of responsibilities as ``Warehouse.vacuum``.
+        Returns the deleted dir names. Only safe once no handle created
+        before the last compact is still in use; the caller owns that
+        window, exactly like any snapshot store's retention policy."""
+        if not self.path:
+            return []
+        meta = self._read_meta(self.assignments.sparkSession, self.path)
+        live = set(meta.get("data_dirs", ["data"]))
+        spark = self.assignments.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        base = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/"))
+        fs = base.getFileSystem(conf)
+        deleted: list[str] = []
+        for status in fs.listStatus(base):
+            if not status.isDirectory():
+                continue
+            name = status.getPath().getName()
+            if (name == "data" or name.startswith("data-")) and name not in live:
+                fs.delete(status.getPath(), True)
+                deleted.append(name)
+        return sorted(deleted)
+
     def _nearest_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
         nrm = math.sqrt(sum(x * x for x in qvec)) or 1.0
         qn = [x / nrm for x in qvec]
@@ -551,6 +577,15 @@ class IvfIndex:
         in tests like ``search``. Queries carry their (unit-normalized)
         vector through the probe explosion: nprobe × |Q| duplicated
         vectors through one shuffle beats a second join to re-attach them.
+
+        Partition-pruning contract: ``search`` prunes the materialized
+        index with a literal IN-filter because its probe set is known
+        driver-side; here the probe set is distributed, so cluster
+        filtering happens in the equi-join. That is the right trade for
+        this method's contract — with a LARGE query frame essentially
+        every cluster is probed by someone, so there is nothing to prune;
+        when the query set is small enough that pruning would matter, it
+        is small enough to ``collect``, which is exactly ``search``.
         """
         from typing import Iterator
 

@@ -124,6 +124,21 @@ def test_pptx_runs_concatenate_within_paragraph():
     assert extract_text_bytes(buf.getvalue()) == "concatenated next"
 
 
+def test_rtf_astral_surrogate_pairs():
+    """Astral-plane chars (> U+FFFF) roundtrip through RTF as \\u
+    surrogate pairs — RTF's \\u carries one signed 16-bit UTF-16 code
+    unit (found by the hypothesis roundtrip property, r4)."""
+    from oracle_vectorsearch_example_spark.functions.extract import make_simple_rtf
+
+    text = "music \U0001d11e clef and \U00010000 linear-b"
+    payload = make_simple_rtf(text)
+    assert b"\\u" in payload
+    assert extract_text_bytes(payload) == norm(text)
+    # a lone high surrogate unit (malformed input) must not crash
+    lone = b"{\\rtf1\\ansi \\u-10179 ?x}"
+    assert extract_text_bytes(lone) is not None
+
+
 def test_cfb_detected_and_named():
     """Legacy Office compound files (D0 CF 11 E0) are a NAMED unsupported
     format: NULL by default, an attributable error with on_error='raise' —

@@ -185,3 +185,33 @@ def test_packing_segment_arithmetic(tokens, L):
     assert covered == sum(tokens)
     assert set(packs) == set(range(len(packs)))  # pack ids are dense
     assert all(v == L for p, v in packs.items() if p < len(packs) - 1)
+
+
+# --------------------------------------------------- D1 roundtrip property
+# the whitespace-normalized extraction contract over adversarial text:
+# every fixture writer must invert through extract for any printable text
+_DOC_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "S", "Zs"),
+        include_characters=" \t\n",
+    ),
+    max_size=400,
+)
+
+
+@given(_DOC_TEXT, st.sampled_from(["pdf", "html", "docx", "rtf", "xlsx", "pptx", "text"]))
+@settings(max_examples=150, deadline=None)
+def test_render_extract_roundtrip_property(text, fmt):
+    """extract(render(t, fmt)) == normalize_ws(t) for every format in the
+    golden rotation — the exact contract the extract_text oracle hashes,
+    here under adversarial unicode instead of fixture prose."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        _normalize_ws,
+        extract_text_bytes,
+        render_document,
+    )
+
+    payload = render_document(text, fmt)
+    got = extract_text_bytes(payload, engine="builtin")
+    assert got == _normalize_ws(text), (fmt, repr(text)[:80])

@@ -468,6 +468,13 @@ def test_ivf_compact_folds_add_dirs(spark, tmp_path):
     assert m and "cluster_id" in m.group(1), plan
     # compacting a single-dir index is a no-op
     assert compacted.compact() is compacted
+    # vacuum deletes the dirs the current metadata no longer references;
+    # the compacted index is untouched and still searchable
+    deleted = compacted.vacuum()
+    assert deleted == ["data", "data-add1"]
+    still = IvfIndex.load(spark, p)
+    assert still.assignments.count() == emb.count()
+    assert compacted.vacuum() == []  # idempotent
 
 
 def test_lsh_incremental_add_equals_full_build(spark):
