@@ -2398,6 +2398,27 @@ def q_flagship(spark, sf):
     return hits.select("qid", "rank", "doc_id", "chunk_id")
 
 
+@golden("flagship_search_ivf", _FLAGSHIP_SQL)
+def q_flagship_search_ivf(spark, sf):
+    """The flagship EP1+EP3 pipeline through the VECTOR INDEX path (r4):
+    ingest → ``build_chunk_index`` (the CREATE VECTOR INDEX analog over
+    the packed chunk key) → ``search_text_ivf``. Probing every cluster
+    makes it exact, so the SAME flagship oracle hash-checks the
+    index-probed route end-to-end — the reference's actual query plan
+    (ORDER BY VECTOR_DISTANCE through the IVF index,
+    01_pdf_to_vector.sql:84-97)."""
+    from oracle_vectorsearch_example_spark.plans.pipeline import (
+        build_chunk_index,
+        search_text_ivf,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    dc = ingest_documents(docs)
+    idx = build_chunk_index(dc, n_clusters=16, seed=42)
+    hits = search_text_ivf(idx, _FLAGSHIP_QUERIES, k=5, nprobe=16)
+    return hits.select("qid", "rank", "doc_id", "chunk_id")
+
+
 # ------------------------------------------------- text extraction (D1)
 # Roundtrip contract: documents.text rendered to PDF / HTML / DOCX / RTF /
 # XLSX / PPTX / plain bytes by the engine's fixture writers, then extracted

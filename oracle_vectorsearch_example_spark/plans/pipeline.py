@@ -95,18 +95,28 @@ def search_text(
     q = spark.createDataFrame(
         [(i, v) for i, v in enumerate(qvecs)], "qid long, qvec array<double>"
     )
-    # numeric composite key (doc_id · 2^20 + chunk_id): distance ties break on
-    # (doc_id, chunk_id) numerically — reproducible in plain SQL oracles,
-    # unlike a string key whose lexicographic order differs ("10:2" < "2:1").
-    # Packing overflows (≥2^20 chunks in one doc, doc_id ≥ 2^43) would
-    # silently collide keys, so out-of-range rows raise instead.
+    base = _with_chunk_key(doc_chunks)
+    hits = topk_search(
+        base, q, k=k, metric=metric, base_id="__chunk_key", base_vec="embedding",
+        query_id="qid", query_vec="qvec",
+    )
+    return _unpack_chunk_key(hits)
+
+
+def _with_chunk_key(doc_chunks: DataFrame) -> DataFrame:
+    """Numeric composite key (doc_id · 2^20 + chunk_id): distance ties
+    break on (doc_id, chunk_id) numerically — reproducible in plain SQL
+    oracles, unlike a string key whose lexicographic order differs
+    ("10:2" < "2:1"). Packing overflows (≥2^20 chunks in one doc,
+    doc_id ≥ 2^43) would silently collide keys, so out-of-range rows
+    raise instead."""
     pack_ok = (
         (F.col("chunk_id") >= 0)
         & (F.col("chunk_id") < F.lit(MAX_CHUNK_ID))
         & (F.col("doc_id") >= 0)
         & (F.col("doc_id") < F.lit(MAX_DOC_ID))
     )
-    base = doc_chunks.withColumn(
+    return doc_chunks.withColumn(
         "__chunk_key",
         F.when(pack_ok, (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")).cast("long")).otherwise(
             F.raise_error(
@@ -119,10 +129,9 @@ def search_text(
             )
         ),
     )
-    hits = topk_search(
-        base, q, k=k, metric=metric, base_id="__chunk_key", base_vec="embedding",
-        query_id="qid", query_vec="qvec",
-    )
+
+
+def _unpack_chunk_key(hits: DataFrame) -> DataFrame:
     key = F.col("__chunk_key")
     return hits.select(
         "qid",
@@ -131,6 +140,54 @@ def search_text(
         (key % F.lit(1 << 20)).cast("int").alias("chunk_id"),
         "distance",
     )
+
+
+def build_chunk_index(
+    doc_chunks: DataFrame,
+    n_clusters: int | None = None,
+    path: str | None = None,
+    seed: int = 42,
+):
+    """Build the IVF index over a doc_chunks table — the
+    ``CREATE VECTOR INDEX idx_doc_chunks_embedding`` analog
+    (01_pdf_to_vector.sql:93-97): chunk identity is the packed
+    (doc_id, chunk_id) key, vectors are the embedding column. Pass
+    ``path`` to materialize partitionBy(cluster_id) for pruned probes."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    base = _with_chunk_key(doc_chunks).select("__chunk_key", "embedding")
+    return IvfIndex.build(
+        base,
+        id_col="__chunk_key",
+        vec_col="embedding",
+        n_clusters=n_clusters,
+        path=path,
+        seed=seed,
+    )
+
+
+def search_text_ivf(
+    index,
+    query_texts: list[str],
+    k: int = 10,
+    nprobe: int = 4,
+    embedder: HashingEmbedder | None = None,
+) -> DataFrame:
+    """EP3, IVF mode (SURVEY §3: ``mode="exact" | "ivf"``): embed query
+    strings, probe a :func:`build_chunk_index` index. Same output shape
+    as :func:`search_text`; with nprobe = n_clusters the two agree
+    exactly (tested). Cosine metric — the index's distance
+    (01_pdf_to_vector.sql:96)."""
+    embedder = embedder or HashingEmbedder(dim=64)
+    spark = index.assignments.sparkSession
+    qvecs = embedder.embed_texts(query_texts)
+    q = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qvecs)], "qid long, qvec array<double>"
+    )
+    hits = index.search(q, k=k, nprobe=nprobe)
+    if index.id_col != "__chunk_key":
+        hits = hits.withColumnRenamed(index.id_col, "__chunk_key")
+    return _unpack_chunk_key(hits)
 
 
 def write_doc_chunks(df: DataFrame, path: str, dim: int | None = None) -> None:

@@ -62,3 +62,47 @@ def test_write_doc_chunks_null_embedding_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="embedding dimension violation"):
         write_doc_chunks(df, str(tmp_path / "bad2"), dim=4)
+
+
+def test_search_text_ivf_matches_exact(spark):
+    """EP3 ivf mode (r4): build_chunk_index + search_text_ivf at
+    nprobe = n_clusters returns exactly search_text's (qid, rank,
+    doc_id, chunk_id) over the same chunks — the mode switch SURVEY §3
+    sketches, closed over the packed chunk key."""
+    from oracle_vectorsearch_example_spark.plans.pipeline import (
+        build_chunk_index,
+        ingest_documents,
+        search_text_ivf,
+    )
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    dc = ingest_documents(docs, max_words=20, overlap=5).cache()
+    queries = ["fast key order sort", "alpha beta gamma"]
+    exact = search_text(dc, queries, k=5)
+    idx = build_chunk_index(dc, n_clusters=8, seed=42)
+    approx = search_text_ivf(idx, queries, k=5, nprobe=8)
+    key = lambda df: sorted(
+        (r.qid, r.rank, r.doc_id, r.chunk_id) for r in df.collect()
+    )
+    assert key(approx) == key(exact) and len(key(exact)) == 10
+    # output schema parity with search_text
+    assert approx.columns == exact.columns
+    dc.unpersist()
+
+
+def test_search_text_ivf_materialized(spark, tmp_path):
+    """IVF mode against a materialized chunk index (pruned probes)."""
+    from oracle_vectorsearch_example_spark.plans.pipeline import (
+        build_chunk_index,
+        ingest_documents,
+        search_text_ivf,
+    )
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    dc = ingest_documents(docs, max_words=20, overlap=5)
+    idx = build_chunk_index(dc, n_clusters=8, seed=42, path=str(tmp_path / "ci"))
+    out = search_text_ivf(idx, ["fast key order sort"], k=3, nprobe=4).collect()
+    assert len(out) == 3
+    assert all(r.rank in (1, 2, 3) and r.doc_id >= 0 and r.chunk_id >= 1 for r in out)
