@@ -131,3 +131,25 @@ def test_sampling_empty(spark):
     assert hash_split(empty).count() == 0
     assert hash_sample(empty, 0.5).count() == 0
     assert stratified_sample(empty, {"en": 0.5}).count() == 0
+
+
+def test_search_df_empty_and_zero_vector_queries(spark):
+    """The distributed ANN path degrades gracefully: an empty query frame
+    yields an empty result (no crash in either mapInPandas stage), and an
+    all-zero query vector — unit-norm undefined — returns k rows at
+    cosine distance 1.0 with deterministic id tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IvfIndex.build(e, n_clusters=8, seed=42)
+    empty = e.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert idx.search_df(empty, k=3, nprobe=4).count() == 0
+    zero = spark.createDataFrame([(999, [0.0] * 64)], "qid long, qvec array<double>")
+    rows = idx.search_df(zero, k=3, nprobe=8).collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert all(abs(r.distance - 1.0) < 1e-9 for r in rows)
