@@ -1797,6 +1797,41 @@ def q_jaccard_neardup(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# 3-grams on the fixture prose (13-grams, the production default for real
+# corpora, match nothing on short synthetic docs — the knob is the same)
+_CONTAM_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, unnest(generate_series(1, len(t) - 2)),
+                             unnest(generate_series(1, len(t) - 2)) + 2), ' ') AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 17 = 0),
+    corpus AS (SELECT doc_id, shingle FROM grams WHERE doc_id % 17 <> 0)
+    SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY corpus.doc_id
+"""
+
+
+@golden("decontaminate", _CONTAM_SQL)
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (r4; the GPT-3/PaLM-style n-gram overlap
+    check): flag corpus docs sharing any shingle with a pseudo-benchmark
+    subset (doc_id % 17 == 0). The benchmark side broadcasts — the check
+    is a map-side broadcast join on corpus shingles, no corpus shuffle
+    beyond the per-doc count."""
+    from oracle_vectorsearch_example_spark.operators.dedup import ngram_contamination
+
+    docs = read_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return ngram_contamination(corpus, bench, n=3).select(
+        "doc_id", F.col("n_matches").cast("long")
+    )
+
+
 _MINHASH_SQL = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
     grams AS (

@@ -404,6 +404,63 @@ def simhash_neardup_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark contamination check — the standard n-gram-overlap
+    decontamination pass of LLM training pipelines (publicly described in
+    the GPT-3 / PaLM training reports: a training document is
+    contaminated if it shares any n-gram with an evaluation set;
+    n = 13 is the conventional default).
+
+    Returns ``(id, n_matches)`` for every corpus doc sharing ≥1 distinct
+    n-gram with the benchmark. Shingling follows the frozen whitespace
+    token spec (``shingle_df``, hashed=False: exact strings, no
+    collision false-positives).
+
+    100 TB shape: the benchmark side is an evaluation set — small by
+    definition — so its distinct shingles BROADCAST, and the check is a
+    map-side broadcast semi-join on the corpus shingles: no shuffle of
+    corpus data at all beyond the per-doc match count (skinny id frame).
+    """
+    c = shingle_df(corpus, text_col, id_col, n=n, hashed=False)
+    b = (
+        shingle_df(
+            benchmark, bench_text_col or text_col, id_col, n=n, hashed=False
+        )
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Drop contaminated docs: corpus minus :func:`ngram_contamination`
+    hits (anti-join on the skinny flagged-id frame — document payloads
+    never shuffle, the same shape as ``dedup_by_components``)."""
+    flagged = ngram_contamination(
+        corpus, benchmark, n=n, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col,
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def neardup_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -175,3 +175,44 @@ def test_dedup_by_components_keeps_canonical(spark, docs):
     # 1,2,3,4 form one near-dup cluster (min id 1 survives); 5 and 6 are
     # in no pair and must pass through untouched
     assert kept == {1, 5, 6}
+
+
+# --------------------------------------- benchmark decontamination (r4)
+def test_ngram_contamination_flags_overlap(spark):
+    from oracle_vectorsearch_example_spark.operators.dedup import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark plans"),
+            (3, "we sampled the quick brown fox for evaluation"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox benchmarks")], "doc_id long, text string"
+    )
+    hits = {r.doc_id: r.n_matches for r in ngram_contamination(corpus, bench, n=3).collect()}
+    # docs 1 and 3 share the 3-gram "quick brown fox"; doc 2 is clean
+    assert set(hits) == {1, 3} and all(v >= 1 for v in hits.values())
+    clean = {r.doc_id for r in decontaminate(corpus, bench, n=3).collect()}
+    assert clean == {2}
+    # n larger than any shared span -> nothing flagged, corpus untouched
+    assert decontaminate(corpus, bench, n=13).count() == 3
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    """The benchmark side must BROADCAST (it is small by definition): the
+    corpus-side shingles never shuffle for the join."""
+    from oracle_vectorsearch_example_spark.operators.dedup import ngram_contamination
+    from oracle_vectorsearch_example_spark.plans.inspect import has_broadcast_join
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    q = ngram_contamination(
+        docs.filter("doc_id % 17 <> 0"), docs.filter("doc_id % 17 = 0"), n=3
+    )
+    assert has_broadcast_join(q)
