@@ -88,6 +88,41 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _ngrams(toks: Column, n: int) -> Column:
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences that repeat an earlier n-gram in
+    the SAME document (1 − distinct/total) — the within-doc repetition
+    signal of the publicly described Gopher/MassiveText quality rules.
+    Pure row-local column expressions; no shuffle, no UDF."""
+    grams = _ngrams(tokens(text), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
+
+
+def top_word_fraction(text: Column) -> Column:
+    """Share of the document taken by its single most frequent token —
+    high values flag keyword-stuffed / boilerplate pages (same public
+    rule family as :func:`dup_ngram_fraction`). O(u·m) per row over the
+    distinct tokens, row-local."""
+    toks = tokens(text)
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    return F.when(n > 0, F.array_max(counts) / n).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column) -> Column:
     """16-hex-char md5 fingerprint of normalized text."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

@@ -2070,6 +2070,64 @@ def q_doc_stats(spark, sf):
     )
 
 
+# Gopher/MassiveText-style within-doc repetition signals (public rules):
+# duplicate n-gram fraction = 1 - distinct/total occurrences; top-word
+# fraction = most frequent token's share. Rounded at 6 dp on both engines.
+_REPETITION_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    g2 AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, unnest(generate_series(1, len(t) - 1)),
+                             unnest(generate_series(1, len(t) - 1)) + 1), ' ') AS g
+      FROM toks WHERE len(t) >= 2
+    ), d2 AS (
+      SELECT doc_id, 1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS dup2
+      FROM g2 GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, unnest(generate_series(1, len(t) - 2)),
+                             unnest(generate_series(1, len(t) - 2)) + 2), ' ') AS g
+      FROM toks WHERE len(t) >= 3
+    ), d3 AS (
+      SELECT doc_id, 1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS dup3
+      FROM g3 GROUP BY doc_id
+    ),
+    w AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+    tw AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS topw FROM wc GROUP BY doc_id)
+    SELECT t.doc_id,
+           round(coalesce(d2.dup2, 0.0), 6) AS dup2_frac,
+           round(coalesce(d3.dup3, 0.0), 6) AS dup3_frac,
+           round(coalesce(tw.topw, 0.0), 6) AS top_word_frac
+    FROM toks t
+    LEFT JOIN d2 ON d2.doc_id = t.doc_id
+    LEFT JOIN d3 ON d3.doc_id = t.doc_id
+    LEFT JOIN tw ON tw.doc_id = t.doc_id
+"""
+
+
+@golden("repetition_stats", _REPETITION_SQL)
+def q_repetition_stats(spark, sf):
+    """Within-document repetition signals (r4; X3 extension — the
+    publicly described Gopher/MassiveText repetition rules): duplicate
+    2-/3-gram fractions and top-word share, all pure row-local column
+    expressions (no UDF, no shuffle beyond the scan)."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        dup_ngram_fraction,
+        top_word_fraction,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(dup_ngram_fraction(t, 2), 6).alias("dup2_frac"),
+        F.round(dup_ngram_fraction(t, 3), 6).alias("dup3_frac"),
+        F.round(top_word_fraction(t), 6).alias("top_word_frac"),
+    )
+
+
 _CORPUS_FILTER_SQL = rf"""
     WITH surv AS (
       SELECT min(doc_id) AS doc_id FROM documents

@@ -116,3 +116,36 @@ def test_nfc_normalize_folds_combining_marks(spark):
     out = {r.id: r.n for r in df.select("id", nfc_normalize(F.col("text")).alias("n")).collect()}
     assert out[1] == out[2] == composed
     assert out[3] is None
+
+
+def test_repetition_metrics(spark):
+    """Gopher-style repetition signals (r4): duplicate n-gram fraction and
+    top-word share — exact values on controlled inputs, zeros on
+    degenerate ones."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        dup_ngram_fraction,
+        top_word_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 3 bigrams, 1 distinct
+            (2, "all words here are unique"),    # no repetition
+            (3, "one"),                          # too short for bigrams
+            (4, ""),                             # empty
+        ],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    got = {
+        r.doc_id: (round(r.d2, 6), round(r.tw, 6))
+        for r in df.select(
+            "doc_id",
+            dup_ngram_fraction(t, 2).alias("d2"),
+            top_word_fraction(t).alias("tw"),
+        ).collect()
+    }
+    assert got[1] == (round(1 - 1 / 3, 6), 1.0)   # "spam spam" ×3 → 2/3 dup; all same word
+    assert got[2] == (0.0, 0.2)
+    assert got[3] == (0.0, 1.0)
+    assert got[4] == (0.0, 0.0)
