@@ -34,6 +34,9 @@ def build_training_corpus(
     text_col: str = "text",
     quality_min: float = 0.0,
     langs: list[str] | None = None,
+    max_dup3_frac: float | None = None,
+    benchmark: DataFrame | None = None,
+    contamination_ngram: int = 13,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
     n_shards: int = 8,
@@ -43,7 +46,13 @@ def build_training_corpus(
     """Run the full corpus build; returns the output tables as DataFrames
     (``documents`` deduped+gated+split, ``packs`` for the train split,
     ``stats`` per split). If ``warehouse`` (a ``sources.txn.Warehouse``)
-    is given, all three tables are committed atomically first."""
+    is given, all three tables are committed atomically first.
+
+    Optional gates (r4): ``max_dup3_frac`` drops docs whose duplicate
+    3-gram fraction exceeds the bound (the Gopher repetition rule, a
+    row-local filter); ``benchmark`` runs :func:`~..operators.dedup.
+    decontaminate` against it at ``contamination_ngram`` before the
+    quality gate."""
     from oracle_vectorsearch_example_spark.functions.textstats import text_metrics_df
     from oracle_vectorsearch_example_spark.operators.dedup import (
         dedup_by_components,
@@ -54,6 +63,22 @@ def build_training_corpus(
 
     pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col)
     deduped = dedup_by_components(docs, pairs, id_col=id_col)
+
+    if benchmark is not None:
+        from oracle_vectorsearch_example_spark.operators.dedup import decontaminate
+
+        deduped = decontaminate(
+            deduped, benchmark, n=contamination_ngram,
+            id_col=id_col, text_col=text_col,
+        )
+    if max_dup3_frac is not None:
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            dup_ngram_fraction,
+        )
+
+        deduped = deduped.filter(
+            dup_ngram_fraction(F.col(text_col), 3) <= F.lit(max_dup3_frac)
+        )
 
     scored = text_metrics_df(deduped, text_col)
     gate = F.col("quality") >= F.lit(quality_min)

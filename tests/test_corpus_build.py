@@ -79,3 +79,25 @@ def test_deterministic_rebuild(docs):
     sa = sorted(map(tuple, a["packs"].collect()))
     sb = sorted(map(tuple, b["packs"].collect()))
     assert sa == sb
+
+
+def test_repetition_and_contamination_gates(spark, docs):
+    """r4 gates compose: a benchmark set removes overlapping docs
+    (3-gram contamination at this fixture scale) and the repetition
+    bound removes none of the clean prose (dup3 ≈ 0 on the fixture),
+    leaving the rest of the build identical."""
+    base = build_training_corpus(docs, quality_min=0.0, max_tokens=256, n_shards=4)
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    gated = build_training_corpus(
+        docs, quality_min=0.0, max_tokens=256, n_shards=4,
+        benchmark=bench, contamination_ngram=3, max_dup3_frac=0.9,
+    )
+    n_base = base["documents"].count()
+    n_gated = gated["documents"].count()
+    assert 0 < n_gated < n_base  # contamination removed overlapping docs
+    # every surviving doc is absent from the contaminated id set
+    from oracle_vectorsearch_example_spark.operators.dedup import ngram_contamination
+
+    flagged = {r.doc_id for r in ngram_contamination(docs, bench, n=3).collect()}
+    survivors = {r.doc_id for r in gated["documents"].select("doc_id").collect()}
+    assert not (survivors & flagged)
