@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "hash_split",          # map-side deterministic split (zero Exchange)
     "ivf_search_df",       # distributed query-frame ANN (exhaustive probe)
     "extract_text",        # 7-format D1 rotation (render + extract)
+    "decontaminate",       # broadcast n-gram contamination check
+    "repetition_stats",    # row-local Gopher repetition signals
+    "stream_interval_join", # stream-stream interval join (batch twin)
 ]
 
 N_RUNS = 3

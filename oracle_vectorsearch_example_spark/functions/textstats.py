@@ -98,29 +98,68 @@ def _ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
-    """Fraction of n-gram occurrences that repeat an earlier n-gram in
-    the SAME document (1 − distinct/total) — the within-doc repetition
-    signal of the publicly described Gopher/MassiveText quality rules.
-    Pure row-local column expressions; no shuffle, no UDF."""
-    grams = _ngrams(tokens(text), n)
+def _dup_fraction_of(grams: Column) -> Column:
     total = F.size(grams)
     return F.when(
         total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
     ).otherwise(F.lit(0.0))
 
 
-def top_word_fraction(text: Column) -> Column:
-    """Share of the document taken by its single most frequent token —
-    high values flag keyword-stuffed / boilerplate pages (same public
-    rule family as :func:`dup_ngram_fraction`). O(u·m) per row over the
-    distinct tokens, row-local."""
-    toks = tokens(text)
-    n = F.size(toks)
-    counts = F.transform(
-        F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+def _top_run_fraction_of(sorted_toks: Column) -> Column:
+    """Max run length in a SORTED token array / total — one O(m)
+    aggregate pass (run-length), instead of the O(distinct·m) nested
+    filter count that interpreted HOFs make quadratic-with-big-constant."""
+    n = F.size(sorted_toks)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
-    return F.when(n > 0, F.array_max(counts) / n).otherwise(F.lit(0.0))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(sorted_toks, init, step, lambda acc: acc["best"])
+    return F.when(n > 0, best / n).otherwise(F.lit(0.0))
+
+
+def repetition_metrics_df(df, text_col: str = "text"):
+    """Per-document repetition signals of the publicly described
+    Gopher/MassiveText quality rules, STAGED for scale: duplicate 2-/3-
+    gram fractions (1 − distinct/total) and top-word share, added as
+    ``dup2_frac`` / ``dup3_frac`` / ``top_word_frac`` columns.
+
+    Tokens and gram arrays materialize in their own projections —
+    multi-referenced columns survive CollapseProject, so the interpreted
+    lambdas see plain attribute references instead of re-evaluating the
+    tokenize per element (the ``select_winnow`` lesson); the top-word
+    share is a sort + single run-length aggregate, never a nested
+    per-distinct-token count. Row-local throughout: no shuffle, no UDF.
+    """
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    staged = staged.withColumn("__g2", _ngrams(F.col("__toks"), 2)).withColumn(
+        "__g3", _ngrams(F.col("__toks"), 3)
+    ).withColumn("__sorted", F.array_sort(F.col("__toks")))
+    return staged.withColumn(
+        "dup2_frac", _dup_fraction_of(F.col("__g2"))
+    ).withColumn("dup3_frac", _dup_fraction_of(F.col("__g3"))).withColumn(
+        "top_word_frac", _top_run_fraction_of(F.col("__sorted"))
+    ).drop("__toks", "__g2", "__g3", "__sorted")
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Scalar-column form of the duplicate-n-gram fraction. Convenient
+    for filters on already-narrow data (e.g. the corpus-build gate);
+    for whole-table scans prefer :func:`repetition_metrics_df`, which
+    stages the token materialization."""
+    return _dup_fraction_of(_ngrams(tokens(text), n))
+
+
+def top_word_fraction(text: Column) -> Column:
+    """Scalar-column form of the top-word share (sorted run-length
+    pass). Prefer :func:`repetition_metrics_df` for whole-table scans."""
+    return _top_run_fraction_of(F.array_sort(tokens(text)))
 
 
 def fingerprint(text: Column) -> Column:
