@@ -72,12 +72,16 @@ def build_training_corpus(
             id_col=id_col, text_col=text_col,
         )
     if max_dup3_frac is not None:
+        # staged form: the scalar dup_ngram_fraction inlines the tokenize
+        # into every lambda element (measured 35x slower at sf0.1)
         from oracle_vectorsearch_example_spark.functions.textstats import (
-            dup_ngram_fraction,
+            repetition_metrics_df,
         )
 
-        deduped = deduped.filter(
-            dup_ngram_fraction(F.col(text_col), 3) <= F.lit(max_dup3_frac)
+        deduped = (
+            repetition_metrics_df(deduped, text_col)
+            .filter(F.col("dup3_frac") <= F.lit(max_dup3_frac))
+            .drop("dup2_frac", "dup3_frac", "top_word_frac")
         )
 
     scored = text_metrics_df(deduped, text_col)
