@@ -375,6 +375,100 @@ def q_tpch_q3(spark, sf):
 
 
 @golden(
+    "tpch_q6",
+    f"""
+    SELECT {_sql_dec_sum('l_extendedprice * l_discount', 4, 2)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 shape (P2+A1, r4): the forecasting-revenue-change scan —
+    every predicate (date range, discount band, quantity cap) pushes to
+    the parquet scan, then one global decimal sum. The canonical
+    pushdown benchmark query."""
+    li = read_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_dec_sum("l_extendedprice * l_discount", 4, 2).alias("revenue"))
+
+
+@golden(
+    "tpch_q12",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape (J5+A1 conditional agg, r4; adapted to the
+    fixture schema — l_returnflag stands in for l_shipmode): fact-fact
+    join with per-group CASE counting, the shipping-priority report."""
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@golden(
+    "tpch_q19",
+    f"""
+    SELECT {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6, 2)} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape (J5 disjunctive predicates, r4; adapted — no
+    p_container in the fixture): the discounted-revenue OR-of-ANDs
+    join. Catalyst extracts the common join key, pushes the per-side
+    conjuncts below the join (brand/size to the part scan, quantity to
+    lineitem), and evaluates the residual disjunction post-join; the
+    part side broadcasts."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)", 6, 2).alias("revenue"))
+    )
+
+
+@golden(
     "tpch_q5",
     f"""
     SELECT n.n_name,

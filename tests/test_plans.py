@@ -182,6 +182,19 @@ def test_pack_sequences_one_exchange_after_split(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_disjunctive_join_pushes_per_side_conjuncts(spark):
+    """The Q19-style OR-of-ANDs join (r4): Catalyst must derive and push
+    the per-side disjunctions below the join — brand/size reach the part
+    scan, quantity reaches the lineitem scan — leaving only the residual
+    cross-side disjunction post-join."""
+    from oracle_vectorsearch_example_spark import golden
+
+    q = golden.QUERIES["tpch_q19"](spark, SF)
+    pushed = " ".join(pushed_filters(q))
+    assert "p_brand" in pushed or "p_size" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     """write_table(partition_by=...) + a literal filter on the partition
     column reaches the scan as a PartitionFilter."""
