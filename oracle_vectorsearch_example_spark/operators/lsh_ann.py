@@ -96,6 +96,59 @@ class CosineLshIndex:
             self.assignments.unionByName(new), self.planes, self.id_col, self.vec_col
         )
 
+    # ------------------------------------------------- persistence (r4)
+    # Same self-describing-directory convention as IvfIndex: data/ holds
+    # the assignment table partitioned by table (probe filters prune the
+    # partition a query's bucket lives in), planes.json holds the tiny
+    # driver-side metadata. load() needs only the path.
+    _META_NAME = "planes.json"
+
+    def save(self, path: str) -> "CosineLshIndex":
+        """Materialize the index at ``path``; returns a handle backed by
+        the persisted table (reopen later with :meth:`load`)."""
+        import json
+
+        spark = self.assignments.sparkSession
+        base = path.rstrip("/")
+        self.assignments.write.mode("overwrite").partitionBy("table").parquet(
+            f"{base}/data"
+        )
+        meta = json.dumps(
+            {
+                "format": "lsh-cosine-v1",
+                "id_col": self.id_col,
+                "vec_col": self.vec_col,
+                "planes": self.planes.tolist(),
+            }
+        )
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{self._META_NAME}")
+        fs = p.getFileSystem(conf)
+        out = fs.create(p, True)
+        out.write(bytearray(meta.encode("utf-8")))
+        out.close()
+        return CosineLshIndex(
+            spark.read.parquet(f"{base}/data"), self.planes, self.id_col, self.vec_col
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CosineLshIndex":
+        """Reopen a saved index from its directory alone."""
+        import json
+
+        import numpy as np
+
+        base = path.rstrip("/")
+        row = spark.read.text(f"{base}/{cls._META_NAME}", wholetext=True).collect()[0]
+        meta = json.loads(row[0])
+        return cls(
+            spark.read.parquet(f"{base}/data"),
+            np.array(meta["planes"], dtype=np.float64),
+            meta["id_col"],
+            meta["vec_col"],
+        )
+
     def search_df(
         self,
         queries: DataFrame,

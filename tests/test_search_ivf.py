@@ -477,6 +477,25 @@ def test_ivf_compact_folds_add_dirs(spark, tmp_path):
     assert compacted.vacuum() == []  # idempotent
 
 
+def test_lsh_save_load_roundtrip(spark, tmp_path, emb, queries10):
+    """LSH persistence (r4, IvfIndex-parity): save writes data/ (bucket
+    table partitioned by table) + planes.json; load reopens from the
+    path alone and searches identically — both search() and search_df."""
+    from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
+
+    idx = CosineLshIndex.build(emb, dim=64, n_tables=8, n_bits=4, seed=42)
+    p = str(tmp_path / "lsh")
+    saved = idx.save(p)
+    loaded = CosineLshIndex.load(spark, p)
+    assert loaded.id_col == idx.id_col and loaded.vec_col == idx.vec_col
+    assert (loaded.planes == idx.planes).all()
+    key = lambda df: sorted((r.qid, r.rank, r.vec_id) for r in df.collect())
+    want = key(idx.search(queries10, k=5, exclude_self=True))
+    assert key(saved.search(queries10, k=5, exclude_self=True)) == want
+    assert key(loaded.search(queries10, k=5, exclude_self=True)) == want
+    assert key(loaded.search_df(queries10, k=5, exclude_self=True)) == want
+
+
 def test_lsh_incremental_add_equals_full_build(spark):
     """Hyperplanes are seed-fixed, so build(half)+add(half) must equal
     build(all) exactly — same buckets, same search results."""
