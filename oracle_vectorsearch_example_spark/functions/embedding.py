@@ -386,18 +386,18 @@ class ExternalApiEmbedder:
         return out
 
     def embed_df(self, df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
-        transport, batch = self.transport, self.batch_size
+        # route through embed_texts so every transport chunk is checked
+        # against its input length (a wrong-count chunk can misalign
+        # embeddings to rows even when column totals match; ADVICE r4 #3).
+        # self is picklable by contract (transport ships to executors).
+        embed = self.embed_texts
         schema = T.StructType(
             df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
         )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                texts = pdf[text_col].fillna("").tolist()
-                vecs: list[list[float]] = []
-                for i in range(0, len(texts), batch):
-                    vecs.extend(transport(texts[i : i + batch]))
-                pdf[out_col] = vecs
+                pdf[out_col] = embed(pdf[text_col].fillna("").tolist())
                 yield pdf
 
         return df.mapInPandas(run, schema=schema)

@@ -124,6 +124,17 @@ def _top_run_fraction_of(sorted_toks: Column) -> Column:
     return F.when(n > 0, best / n).otherwise(F.lit(0.0))
 
 
+def _check_staging_free(df, names: tuple[str, ...]) -> None:
+    """The staged metric functions materialize temp columns then drop
+    them; a same-named input column would be silently replaced and then
+    dropped, corrupting caller data (ADVICE r4 #5) — refuse instead."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with staging columns; rename them first"
+        )
+
+
 def repetition_metrics_df(df, text_col: str = "text"):
     """Per-document repetition signals of the publicly described
     Gopher/MassiveText quality rules, STAGED for scale: duplicate 2-/3-
@@ -137,6 +148,7 @@ def repetition_metrics_df(df, text_col: str = "text"):
     share is a sort + single run-length aggregate, never a nested
     per-distinct-token count. Row-local throughout: no shuffle, no UDF.
     """
+    _check_staging_free(df, ("__toks", "__g2", "__g3", "__sorted"))
     staged = df.withColumn("__toks", tokens(F.col(text_col)))
     staged = staged.withColumn("__g2", _ngrams(F.col("__toks"), 2)).withColumn(
         "__g3", _ngrams(F.col("__toks"), 3)
@@ -192,6 +204,7 @@ def text_metrics_df(df, text_col: str = "text"):
     metric when composed — fine for one metric, 5× the work for five).
     Adds: ws_tokens, bpe_tokens, fp, lang_guess, quality."""
     t = F.col(text_col)
+    _check_staging_free(df, ("__toks", "__clean"))
     staged = df.withColumn("__toks", tokens(t)).withColumn(
         "__clean", F.transform(F.col("__toks"), lambda x: F.regexp_replace(x, _PUNCT_RE, ""))
     )
@@ -284,6 +297,7 @@ def winnow_fingerprints_df(
     selected fingerprints even under local edits — unlike the whole-doc
     md5, which any edit changes. Texts shorter than k + w − 1 chars yield
     an empty set. Two projections by design (see :func:`select_winnow`)."""
+    _check_staging_free(df, ("__gram_hashes",))
     staged = df.withColumn("__gram_hashes", gram_hashes(F.col(text_col), k))
     return staged.withColumn(out_col, select_winnow(F.col("__gram_hashes"), w)).drop(
         "__gram_hashes"

@@ -490,9 +490,23 @@ def neardup_components(
     and Beyond" (the star-contraction family); min-propagation + jumping is
     its simpler fixed-point cousin, adequate because near-dup graphs are
     unions of small-diameter clusters (LSH buckets are near-cliques).
+
+    ``checkpoint_dir`` note: setting it temporarily mutates the
+    SparkContext-GLOBAL checkpoint dir for the duration of this call and
+    restores the previous value on exit (so concurrent jobs in other
+    threads of the same context can observe it mid-call — give them
+    distinct contexts or dirs). Checkpoint files written under it are NOT
+    deleted here: the returned DataFrame reads them, so the caller owns
+    retention (delete the dir once results are consumed/persisted, the
+    same contract as ``Warehouse.vacuum``).
     """
+    sc = pairs.sparkSession.sparkContext
+    prev_opt = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # snapshot the raw Option[String] (setCheckpointDir would both
+        # mkdir a fresh UUID subdir and lose the unset case)
+        prev_opt = sc._jsc.sc().checkpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _truncate(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -501,6 +515,16 @@ def neardup_components(
         def _truncate(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    try:
+        return _neardup_components_run(pairs, _truncate, id_a, id_b, max_iter)
+    finally:
+        if checkpoint_dir is not None:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(prev_opt)
+
+
+def _neardup_components_run(
+    pairs: DataFrame, _truncate, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
         F.col("u") != F.col("v")
     )

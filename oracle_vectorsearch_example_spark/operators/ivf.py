@@ -232,6 +232,41 @@ class IvfIndex:
         ).collect()[0]
         return json.loads(row[0])
 
+    @staticmethod
+    def _meta_exists(spark, path) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{IvfIndex._META_NAME}")
+        return bool(p.getFileSystem(conf).exists(p))
+
+    @staticmethod
+    def _next_data_dir(spark, base: str, kind: str, known_dirs: list[str]) -> str:
+        """Name for the next versioned data dir: max numeric suffix across
+        ALL ``data-*`` dirs — on disk AND in metadata — plus one. Deriving
+        it from the handle's snapshot length alone is wrong: after a
+        compact the snapshot shrinks to one dir, so a later add would
+        regenerate ``data-add1`` and overwrite a dir that pre-compact
+        handles still read (breaking the snapshot guarantee) or that is
+        currently live. Disk is the source of truth because compact leaves
+        old dirs behind for live handles."""
+        import re
+
+        names = set(known_dirs)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(base)
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            for status in fs.listStatus(p):
+                if status.isDirectory():
+                    names.add(status.getPath().getName())
+        mx = 0
+        for name in names:
+            m = re.fullmatch(r"data-(?:add|compact)(\d+)", name)
+            if m:
+                mx = max(mx, int(m.group(1)))
+        return f"data-{kind}{mx + 1}"
+
     @classmethod
     def load(
         cls,
@@ -248,9 +283,13 @@ class IvfIndex:
         a concurrent ``add()`` publishes a NEW dir, which this handle
         intentionally does not see (load again for the newer snapshot)."""
         data_dirs = ["data"]
-        try:
+        # only a genuinely ABSENT metadata file means "pre-v1 index";
+        # transient FS errors / corrupt JSON must propagate — silently
+        # falling back to data_dirs=['data'] would read a stale or
+        # vacuumed dir (ADVICE r4 #2)
+        if cls._meta_exists(spark, path):
             meta = cls._read_meta(spark, path)
-        except Exception:
+        else:
             meta = None  # pre-v1 index: no metadata file; args are required
         if meta is not None:
             centroids = centroids or [
@@ -317,8 +356,10 @@ class IvfIndex:
             )
         if self.path:
             base = self.path.rstrip("/")
-            new_dir = f"data-add{len(self.data_dirs)}"
-            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            spark = df.sparkSession
+            new_dir = self._next_data_dir(spark, base, "add", self.data_dirs)
+            # errorifexists: never clobber a dir another handle may read
+            assigned.write.mode("errorifexists").partitionBy("cluster_id").parquet(
                 f"{base}/{new_dir}"
             )
             new_dirs = [*self.data_dirs, new_dir]
@@ -352,11 +393,12 @@ class IvfIndex:
         if len(self.data_dirs) == 1:
             return self
         base = self.path.rstrip("/")
-        new_dir = f"data-compact{len(self.data_dirs)}"
-        self.assignments.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        spark = self.assignments.sparkSession
+        new_dir = self._next_data_dir(spark, base, "compact", self.data_dirs)
+        # errorifexists: never clobber a dir another handle may read
+        self.assignments.write.mode("errorifexists").partitionBy("cluster_id").parquet(
             f"{base}/{new_dir}"
         )
-        spark = self.assignments.sparkSession
         self._write_meta(
             spark, base, self.centroids, self.id_col, self.vec_col, [new_dir]
         )

@@ -216,3 +216,19 @@ def test_ngram_contamination_broadcasts_benchmark(spark):
         docs.filter("doc_id % 17 <> 0"), docs.filter("doc_id % 17 = 0"), n=3
     )
     assert has_broadcast_join(q)
+
+
+def test_neardup_components_restores_checkpoint_dir(spark, tmp_path):
+    """ADVICE r4 #4 regression: the durable-checkpoint path must restore
+    the SparkContext-global checkpoint dir it temporarily overrides."""
+    from oracle_vectorsearch_example_spark.operators.dedup import neardup_components
+
+    sc = spark.sparkContext
+    prev = str(tmp_path / "prev-ckpt")
+    sc.setCheckpointDir(prev)
+    before = sc.getCheckpointDir()
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    out = neardup_components(pairs, checkpoint_dir=str(tmp_path / "run-ckpt"))
+    got = {(r["id"], r["component_id"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert sc.getCheckpointDir() == before

@@ -518,3 +518,60 @@ def test_lsh_incremental_add_equals_full_build(spark):
     a = sorted(map(tuple, grown.search(q, k=5).select("qid", "rank", "vec_id").collect()))
     b = sorted(map(tuple, full.search(q, k=5).select("qid", "rank", "vec_id").collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_add_after_compact_never_reuses_dirs(spark, tmp_path):
+    """ADVICE r4 #1 regression: build -> add -> compact -> add must NOT
+    regenerate 'data-add1' (pre-compact handles still read it) — dir
+    suffixes are monotonic across the whole index history, and a further
+    compact must not overwrite the live compacted dir."""
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    third = second.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    p = str(tmp_path / "ivf")
+    idx = IvfIndex.build(first, n_clusters=8, path=p, seed=42)
+    grown = idx.add(second)                      # data, data-add1
+    compacted = grown.compact()                  # data-compact2
+    n_compacted = compacted.assignments.count()
+    again = compacted.add(third)                 # must be data-add3, NOT data-add1
+    assert again.data_dirs == ["data-compact2", "data-add3"]
+    # the pre-compact handle still reads its snapshot — its data-add1 rows
+    # were not clobbered by the second add
+    assert grown.assignments.count() == emb.count()
+    assert grown.data_dirs == ["data", "data-add1"]
+    # a second compact lands in a fresh dir, not over the live one
+    recompacted = again.compact()
+    assert recompacted.data_dirs == ["data-compact4"]
+    assert recompacted.assignments.count() == n_compacted + third.count()
+    # the handle that was reading data-compact2 during the compact is intact
+    assert compacted.assignments.count() == n_compacted
+
+
+def test_ivf_load_corrupt_meta_raises(spark, tmp_path):
+    """ADVICE r4 #2 regression: a PRESENT-but-corrupt metadata file must
+    surface the real error, not silently fall back to the pre-v1 layout
+    (which after a compact points at a stale or vacuumed dir)."""
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p = str(tmp_path / "ivf")
+    idx = IvfIndex.build(emb, n_clusters=8, path=p, seed=42)
+    (tmp_path / "ivf" / "centroids.json").write_text("{not json")
+    with pytest.raises(Exception):
+        IvfIndex.load(spark, p, centroids=idx.centroids, id_col="vec_id", vec_col="embedding")
+
+
+def test_external_embed_df_validates_per_chunk(spark):
+    """ADVICE r4 #3 regression: a transport returning the wrong count for
+    a CHUNK must fail even when the whole-column totals happen to match."""
+    calls = {"n": 0}
+
+    def bad_transport(texts):
+        # first chunk short by one, second long by one: totals match
+        calls["n"] += 1
+        base = [[float(len(t))] for t in texts]
+        return base[:-1] if calls["n"] == 1 else base + [[0.0]]
+
+    prov = get_provider("cohere", transport=bad_transport, batch_size=2)
+    df = spark.createDataFrame([("a",), ("bb",), ("ccc",), ("dddd",)], "text string").coalesce(1)
+    with pytest.raises(Exception, match="transport returned"):
+        prov.embed_df(df, "text").collect()

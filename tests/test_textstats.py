@@ -149,3 +149,20 @@ def test_repetition_metrics(spark):
     assert got[2] == (0.0, 0.2)
     assert got[3] == (0.0, 1.0)
     assert got[4] == (0.0, 0.0)
+
+
+def test_staged_metrics_refuse_colliding_columns(spark):
+    """ADVICE r4 #5 regression: staged temp columns must not silently
+    replace-and-drop same-named caller columns."""
+    import pytest as _pytest
+
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        repetition_metrics_df,
+        text_metrics_df,
+    )
+
+    df = spark.createDataFrame([("hello world", 1)], "text string, __toks int")
+    with _pytest.raises(ValueError, match="__toks"):
+        repetition_metrics_df(df)
+    with _pytest.raises(ValueError, match="__toks"):
+        text_metrics_df(df)
