@@ -115,6 +115,56 @@ def main():
     except Exception as e:  # noqa: BLE001
         results.setdefault("ivf_build", {"err": str(e).splitlines()[0][:200]})
 
+    # --- ANN at a scale where the index can win (VERDICT r4 next-round #1).
+    # The sf0.1 embeddings table (2k×64) is below any ANN crossover, so
+    # ivf_search above benches SLOWER than exact — expected. These entries
+    # run both paths on a 4M×64 clustered fixture (cached on first use
+    # under .ann_fixture/: ~15 s generate + ~5 min one-time index build;
+    # every later bench run loads it) where the pruned scan's advantage is
+    # measurable. recall@10 of the benched nprobe is reported alongside.
+    extras: dict[str, object] = {}
+    try:
+        from oracle_vectorsearch_example_spark.operators.ivf import recall_at_k
+        from oracle_vectorsearch_example_spark.operators.search import topk_search
+        from oracle_vectorsearch_example_spark.sources.ann_fixture import (
+            DEFAULT_N,
+            ann_query_frame,
+            ensure_ann_fixture,
+            ensure_ann_index,
+        )
+
+        ann_base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".ann_fixture"
+        )
+        vec4m = ensure_ann_fixture(spark, ann_base)
+        idx4m = ensure_ann_index(spark, ann_base)
+        q16 = ann_query_frame(spark, list(range(0, DEFAULT_N, DEFAULT_N // 16)))
+
+        def exact_4m():
+            return topk_search(
+                vec4m, q16, k=10, metric="cosine", base_id="vec_id",
+                base_vec="embedding", exclude_self=True,
+            )
+
+        run_entry("exact_topk_4m", lambda: _execute(exact_4m()))
+        run_entry(
+            "ivf_search_4m",
+            lambda: _execute(idx4m.search(q16, k=10, nprobe=8, exclude_self=True)),
+        )
+        extras["ann_4m"] = {
+            "n": DEFAULT_N,
+            "nprobe": 8,
+            "n_clusters": len(idx4m.centroids),
+            "recall_at_10": round(
+                recall_at_k(
+                    exact_4m(), idx4m.search(q16, k=10, nprobe=8, exclude_self=True)
+                ),
+                4,
+            ),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("exact_topk_4m", {"err": str(e).splitlines()[0][:200]})
+
     ok = {k: v for k, v in results.items() if isinstance(v, (int, float))}
     n_err = len(results) - len(ok)
     total = round(sum(ok.values()), 3)
@@ -125,6 +175,7 @@ def main():
         "queries": results,
         "errors": n_err,
         "sf": sf,
+        **extras,
         "config": {
             "spark": spark.version,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),

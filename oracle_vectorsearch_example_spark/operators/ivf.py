@@ -51,14 +51,20 @@ def _lloyd_kmeans(x, k: int, seed: int, max_iter: int = 25, tol: float = 1e-6):
         cents.append(x[rng.choice(n, p=probs)])
         d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
     c = np.array(cents)
+    d = x.shape[1]
     for _ in range(max_iter):
         # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant for argmin
         assign = (-2.0 * x @ c.T + (c * c).sum(axis=1)[None, :]).argmin(axis=1)
+        # vectorized per-cluster means (bincount per dim): the per-cluster
+        # boolean-mask loop is O(k·n·d) python-side and dominated build
+        # time at k≥512 — this is O(n·d) total
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.empty((k, d))
+        for j in range(d):
+            sums[:, j] = np.bincount(assign, weights=x[:, j], minlength=k)
         newc = c.copy()
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                newc[j] = x[mask].mean(axis=0)
+        nz = counts > 0
+        newc[nz] = sums[nz] / counts[nz, None]
         shift = float(((newc - c) ** 2).sum())
         c = newc
         if shift < tol:
@@ -169,14 +175,13 @@ class IvfIndex:
 
             target = sample_per_cluster * k
             frac = min(1.0, target / max(1, n))
-            sample = np.array(
-                [list(r[0]) for r in norm.select(vec_col).sample(frac, seed=seed).collect()],
-                dtype=np.float64,
-            )
+            # toPandas (Arrow) not collect(): Row-object materialization of
+            # a 64k-vector sample costs ~30 s; the Arrow path is ~2 s
+            spdf = norm.select(vec_col).sample(frac, seed=seed).toPandas()
+            sample = np.array(list(spdf[vec_col]), dtype=np.float64)
             if len(sample) < k:  # tiny tables: sample can't seed k clusters
-                sample = np.array(
-                    [list(r[0]) for r in norm.select(vec_col).collect()], dtype=np.float64
-                )
+                spdf = norm.select(vec_col).toPandas()
+                sample = np.array(list(spdf[vec_col]), dtype=np.float64)
             cmat = _lloyd_kmeans(sample, k, seed)
             centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cmat)]
             assigned = _assign_clusters(norm, cmat, id_col, vec_col)
@@ -184,9 +189,14 @@ class IvfIndex:
             raise ValueError(f"unknown fit {fit!r}; one of sample, mllib")
         if path:
             # partitionBy(cluster_id): probe-time cluster filters become
-            # parquet partition pruning — the scale path.
+            # parquet partition pruning — the scale path. The repartition
+            # co-locates each cluster before the write so a dir holds ONE
+            # file instead of one-per-task (32 tasks × k clusters of tiny
+            # files would make probe-time listing the bottleneck).
             data_path = f"{path.rstrip('/')}/data"
-            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(data_path)
+            assigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
+                "cluster_id"
+            ).parquet(data_path)
             cls._write_meta(spark, path, centroids, id_col, vec_col)
             assigned = spark.read.parquet(data_path)
         return cls(assigned, centroids, id_col, vec_col, path)
@@ -359,9 +369,9 @@ class IvfIndex:
             spark = df.sparkSession
             new_dir = self._next_data_dir(spark, base, "add", self.data_dirs)
             # errorifexists: never clobber a dir another handle may read
-            assigned.write.mode("errorifexists").partitionBy("cluster_id").parquet(
-                f"{base}/{new_dir}"
-            )
+            assigned.repartition("cluster_id").write.mode("errorifexists").partitionBy(
+                "cluster_id"
+            ).parquet(f"{base}/{new_dir}")
             new_dirs = [*self.data_dirs, new_dir]
             # publish: metadata swap makes the new dir visible to future
             # load()s; existing handles keep their snapshotted dir list
@@ -396,9 +406,9 @@ class IvfIndex:
         spark = self.assignments.sparkSession
         new_dir = self._next_data_dir(spark, base, "compact", self.data_dirs)
         # errorifexists: never clobber a dir another handle may read
-        self.assignments.write.mode("errorifexists").partitionBy("cluster_id").parquet(
-            f"{base}/{new_dir}"
-        )
+        self.assignments.repartition("cluster_id").write.mode(
+            "errorifexists"
+        ).partitionBy("cluster_id").parquet(f"{base}/{new_dir}")
         self._write_meta(
             spark, base, self.centroids, self.id_col, self.vec_col, [new_dir]
         )
@@ -438,12 +448,30 @@ class IvfIndex:
         return sorted(deleted)
 
     def _nearest_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
-        nrm = math.sqrt(sum(x * x for x in qvec)) or 1.0
-        qn = [x / nrm for x in qvec]
-        scored = sorted(
-            (sum((a - b) ** 2 for a, b in zip(c, qn)), cid) for cid, c in self.centroids
-        )
-        return [cid for _, cid in scored[:nprobe]]
+        return self._nearest_clusters_many([qvec], nprobe)[0]
+
+    def _nearest_clusters_many(self, qvecs, nprobe: int) -> list[list[int]]:
+        """Top-``nprobe`` centroid ids per query, one BLAS matmul for the
+        whole query batch. (The per-query pure-Python distance loop was
+        ~0.5 s of driver time at 16 queries × 1024 centroids — it showed
+        up as fixed 'index overhead' in every search benchmark.)"""
+        import numpy as np
+
+        ordered = sorted(self.centroids)
+        c = np.array([v for _, v in ordered], dtype=np.float64)
+        cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+        q = np.array(qvecs, dtype=np.float64)
+        nrm = np.linalg.norm(q, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        q = q / nrm
+        # ||q-c||² ranking; ||q||² constant per row
+        d2 = -2.0 * q @ c.T + (c * c).sum(axis=1)[None, :]
+        nprobe_ = min(nprobe, len(cids))
+        # partial-select then exact sort of the head: O(k) + O(p log p)
+        head = np.argpartition(d2, nprobe_ - 1, axis=1)[:, :nprobe_]
+        order = np.take_along_axis(d2, head, axis=1).argsort(axis=1, kind="stable")
+        top = np.take_along_axis(head, order, axis=1)
+        return [[int(x) for x in cids[row]] for row in top]
 
     def calibrate(
         self,
@@ -507,64 +535,76 @@ class IvfIndex:
         """ANN top-k: per-query centroid prune (driver-side, centroids are
         tiny) → pruned scan of the probed clusters → exact re-rank.
 
-        The probed-cluster filter is pushed into the scan; with a
-        materialized index (``path``) it prunes parquet partitions."""
-        import math as _math
+        The probed-cluster filter is a LITERAL ``isin`` that reaches the
+        scan as a real PartitionFilter on the materialized (partitionBy
+        cluster_id) index (verified in test_plans). The probe map — which
+        queries probe which cluster — is already known driver-side, so the
+        re-rank ships it in the task closure and scores each cluster's rows
+        against exactly its probing queries with one BLAS matmul: no
+        broadcast join, no (row × probing-query) row duplication through
+        the plan. (The earlier join-then-score shape cost ~0.4 s of fixed
+        join overhead per search and duplicated every scanned row per
+        probing query.)"""
         from typing import Iterator
 
         import pandas as pd
 
         qrows = queries.select(query_id, query_vec).collect()  # queries are small by contract
-        probe_pairs = [
-            (r[query_id], cid) for r in qrows for cid in self._nearest_clusters(r[query_vec], nprobe)
-        ]
-        spark = queries.sparkSession
-        probes = spark.createDataFrame(probe_pairs, f"{query_id} long, cluster_id int")
-        # static IN-filter on the union of probed clusters FIRST: a literal
-        # predicate reaches the scan as a real PartitionFilter on the
-        # materialized (partitionBy cluster_id) index — a join alone gives
-        # only isnotnull, no pruning (verified in test_plans). The
-        # broadcast join then tags each surviving row with its qid.
-        probed_clusters = sorted({cid for _, cid in probe_pairs})
-        base = self.assignments.filter(F.col("cluster_id").isin(probed_clusters))
-        pruned = base.join(
-            F.broadcast(probes), "cluster_id"
-        ).select(query_id, self.id_col, self.vec_col)
+        probe_lists = self._nearest_clusters_many(
+            [list(r[query_vec]) for r in qrows], nprobe
+        )
+        import numpy as np
 
-        # unit-normalized query matrix; scoring is one row-wise einsum per
-        # Arrow batch + per-partition top-k (same scale shape as
-        # operators.search._numpy_candidates: shuffle is P·Q·k rows)
-        qvecs = {}
-        for r in qrows:
-            v = list(r[query_vec])
-            nrm = _math.sqrt(sum(x * x for x in v)) or 1.0
-            qvecs[int(r[query_id])] = [x / nrm for x in v]
+        qids = [int(r[query_id]) for r in qrows]
+        qmat_np = np.array([list(r[query_vec]) for r in qrows], dtype=np.float64)
+        nrm = np.linalg.norm(qmat_np, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        qmat_list = (qmat_np / nrm).tolist()
+        # cluster -> positions (into qids/qmat) of the queries probing it
+        cluster_probers: dict[int, list[int]] = {}
+        for pos, cids in enumerate(probe_lists):
+            for cid in cids:
+                cluster_probers.setdefault(int(cid), []).append(pos)
+        probed_clusters = sorted(cluster_probers)
+        pruned = self.assignments.filter(
+            F.col("cluster_id").isin(probed_clusters)
+        ).select("cluster_id", self.id_col, self.vec_col)
+
         id_col, vec_col = self.id_col, self.vec_col
         k_ = k
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
 
-            qindex = {q: i for i, q in enumerate(qvecs)}
-            qmat = np.array([qvecs[q] for q in qindex], dtype=np.float64)
+            qmat = np.array(qmat_list, dtype=np.float64)
+            qid_arr_all = np.array(qids, dtype=np.int64)
             cand = []
             for pdf in batches:
                 if pdf.empty:
                     continue
-                qid_arr = pdf[query_id].to_numpy(dtype=np.int64)
+                cl = pdf["cluster_id"].to_numpy(dtype=np.int64)
                 bids = pdf[id_col].to_numpy(dtype=np.int64)
                 vmat = np.array(list(pdf[vec_col]), dtype=np.float64)
                 vn = np.linalg.norm(vmat, axis=1)
                 vn[vn == 0] = 1.0
-                qidx = np.vectorize(qindex.__getitem__)(qid_arr)
-                sim = np.einsum("ij,ij->i", vmat, qmat[qidx]) / vn
-                d = 1.0 - sim
-                if exclude_self:
-                    keep = bids != qid_arr
-                    qid_arr, bids, d = qid_arr[keep], bids[keep], d[keep]
-                df_ = pd.DataFrame({"__qid": qid_arr, "__bid": bids, "__dist": d})
-                df_ = df_.sort_values(["__qid", "__dist", "__bid"], kind="mergesort")
-                cand.append(df_.groupby("__qid", sort=False).head(k_))
+                # partitioned scans hand us one cluster per batch almost
+                # always; group anyway so in-memory indexes stay correct
+                for cid in np.unique(cl):
+                    probers = cluster_probers.get(int(cid))
+                    if not probers:
+                        continue
+                    rows = np.nonzero(cl == cid)[0]
+                    sim = (vmat[rows] @ qmat[probers].T) / vn[rows, None]
+                    d = 1.0 - sim  # shape (rows, probing queries)
+                    q_rep = np.repeat(qid_arr_all[probers][None, :], len(rows), 0)
+                    b_rep = np.repeat(bids[rows][:, None], len(probers), 1)
+                    qf, bf, df_ = q_rep.ravel(), b_rep.ravel(), d.ravel()
+                    if exclude_self:
+                        keep = bf != qf
+                        qf, bf, df_ = qf[keep], bf[keep], df_[keep]
+                    f = pd.DataFrame({"__qid": qf, "__bid": bf, "__dist": df_})
+                    f = f.sort_values(["__qid", "__dist", "__bid"], kind="mergesort")
+                    cand.append(f.groupby("__qid", sort=False).head(k_))
             if cand:
                 allc = pd.concat(cand).sort_values(
                     ["__qid", "__dist", "__bid"], kind="mergesort"

@@ -126,15 +126,17 @@ def test_search_df_recall_and_agreement(emb, queries10):
 
 def test_search_df_no_driver_collect(emb, queries10):
     """The whole point of search_df: the query frame never lands on the
-    driver. search() materializes collected probe pairs via
-    createDataFrame (a LocalTableScan / Scan ExistingRDD leaf in the
-    plan); search_df's plan must contain neither — queries flow
-    scan → mapInPandas assign → join → mapInPandas re-rank."""
+    driver — queries flow scan → mapInPandas assign → join → mapInPandas
+    re-rank, so the plan contains no driver-materialized leaf
+    (LocalTableScan / Scan ExistingRDD). search()'s plan, by contrast,
+    carries the driver-computed probe set as a LITERAL cluster_id IN
+    filter — proof the query frame was collected."""
     idx = IvfIndex.build(emb, n_clusters=8, seed=42)
     plan = idx.search_df(queries10, k=5, nprobe=4)._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan and "ExistingRDD" not in plan, plan
+    assert "cluster_id IN" not in plan and "cluster_id#" in plan
     old = idx.search(queries10, k=5, nprobe=4)._jdf.queryExecution().executedPlan().toString()
-    assert "LocalTableScan" in old or "ExistingRDD" in old  # the contrast
+    assert " IN (" in old or "cluster_id IN" in old, old  # the contrast
 
 
 def test_ivf_materialized_roundtrip(emb, queries10, tmp_path):
