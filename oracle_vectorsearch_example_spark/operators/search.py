@@ -129,6 +129,7 @@ def topk_search(
     exclude_self: bool = False,
     two_phase: bool = True,
     impl: str = "numpy",
+    predicate=None,
 ) -> DataFrame:
     """For each query vector, the k nearest base rows.
 
@@ -136,7 +137,18 @@ def topk_search(
     broken by base id so results are deterministic. Queries are collected
     to the driver (small by contract — the reference's search is likewise
     one query vector at a time, models/README.md:40).
+
+    ``predicate`` (Column or SQL string over base columns) is the
+    reference's filtered-search idiom — ``WHERE ... ORDER BY
+    VECTOR_DISTANCE ... FETCH FIRST k`` (01_pdf_to_vector.sql:84-97):
+    applied to the base BEFORE scoring/top-k, so k qualifying rows come
+    back, and Catalyst pushes it into the scan (PushedFilters —
+    plan-asserted in tests).
     """
+    if predicate is not None:
+        base = base.filter(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
     order = [F.col("__dist").asc(), F.col("__bid").asc()]
     if impl == "numpy" and metric.lower() in _NUMPY_METRICS:
         qrows = [

@@ -577,3 +577,136 @@ def test_external_embed_df_validates_per_chunk(spark):
     df = spark.createDataFrame([("a",), ("bb",), ("ccc",), ("dddd",)], "text string").coalesce(1)
     with pytest.raises(Exception, match="transport returned"):
         prov.embed_df(df, "text").collect()
+
+
+# --------------------------- filtered vector search (r5; VERDICT r4 #2) --
+# The reference's actual idiom: WHERE ... ORDER BY VECTOR_DISTANCE ...
+# FETCH FIRST k (01_pdf_to_vector.sql:84-97). Predicates run INSIDE the
+# (pruned) scan BEFORE the top-k, so k qualifying rows return.
+
+
+def test_topk_predicate_returns_k_qualifying(emb, queries10):
+    pred = F.col("label") == 1
+    hits = topk_search(emb, queries10, k=5, predicate=pred, exclude_self=True)
+    rows = hits.collect()
+    per_q = {}
+    for r in rows:
+        per_q[r.qid] = per_q.get(r.qid, 0) + 1
+    n_match = emb.filter(pred).count()
+    assert n_match > 5  # fixture has enough label-1 rows for a full k
+    assert set(per_q.values()) == {5}
+    # every hit satisfies the predicate
+    ids = {r.vec_id for r in rows}
+    ok = {r.vec_id for r in emb.filter(pred).collect()}
+    assert ids <= ok
+
+
+def test_topk_predicate_equals_prefiltered_base(emb, queries10):
+    pred = F.col("label") == 1
+    a = topk_search(emb, queries10, k=5, predicate=pred).collect()
+    b = topk_search(emb.filter(pred), queries10, k=5).collect()
+    assert [(r.qid, r.rank, r.vec_id) for r in a] == [
+        (r.qid, r.rank, r.vec_id) for r in b
+    ]
+
+
+def test_topk_predicate_accepts_sql_string(emb, queries10):
+    a = topk_search(emb, queries10, k=5, predicate="label = 1").collect()
+    b = topk_search(emb, queries10, k=5, predicate=F.col("label") == 1).collect()
+    assert [(r.qid, r.rank, r.vec_id) for r in a] == [
+        (r.qid, r.rank, r.vec_id) for r in b
+    ]
+
+
+def test_topk_predicate_pushed_to_scan(spark, queries10, tmp_path):
+    """The predicate must reach the parquet scan as a PushedFilter —
+    filtering after the read would scan every row at 100 TB."""
+    p = str(tmp_path / "embp")
+    read_table(spark, SF, "embeddings").write.parquet(p)
+    base = spark.read.parquet(p)
+    plan = (
+        topk_search(base, queries10, k=5, predicate=F.col("label") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "label" in pushed, plan
+
+
+def test_ivf_search_predicate_matches_filtered_exact(emb, queries10, tmp_path):
+    """Materialized index with a stored payload column: predicate filters
+    inside the pruned scan; probing all clusters makes it exact, so the
+    result equals topk_search over the pre-filtered base."""
+    pred = F.col("label") == 1
+    idx = IvfIndex.build(
+        emb, n_clusters=8, seed=42, path=str(tmp_path / "ivf"), payload_cols=["label"]
+    )
+    a = idx.search(
+        queries10, k=5, nprobe=len(idx.centroids), exclude_self=True, predicate=pred
+    ).collect()
+    b = topk_search(
+        emb.filter(pred), queries10, k=5, metric="cosine", exclude_self=True
+    ).collect()
+    assert [(r.qid, r.rank, r.vec_id) for r in a] == [
+        (r.qid, r.rank, r.vec_id) for r in b
+    ]
+    # loaded-from-disk handle keeps the payload column and the semantics
+    loaded = IvfIndex.load(emb.sparkSession, str(tmp_path / "ivf"))
+    assert loaded.payload_cols == ["label"]
+    c = loaded.search(
+        queries10, k=5, nprobe=len(idx.centroids), exclude_self=True, predicate=pred
+    ).collect()
+    assert [(r.qid, r.rank, r.vec_id) for r in a] == [
+        (r.qid, r.rank, r.vec_id) for r in c
+    ]
+
+
+def test_ivf_search_predicate_inside_pruned_scan_plan(emb, queries10, tmp_path):
+    """Both prunings in ONE scan: cluster_id as PartitionFilters AND the
+    payload predicate as PushedFilters."""
+    idx = IvfIndex.build(
+        emb, n_clusters=8, seed=42, path=str(tmp_path / "ivf"), payload_cols=["label"]
+    )
+    plan = (
+        idx.search(queries10, k=5, nprobe=2, predicate=F.col("label") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    part = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cluster_id" in part, plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "label" in pushed, plan
+
+
+def test_ivf_search_df_predicate(emb, queries10):
+    pred = F.col("label") == 1
+    idx = IvfIndex.build(emb, n_clusters=8, seed=42, payload_cols=["label"])
+    a = idx.search_df(
+        queries10, k=5, nprobe=len(idx.centroids), exclude_self=True, predicate=pred
+    ).collect()
+    b = topk_search(
+        emb.filter(pred), queries10, k=5, metric="cosine", exclude_self=True
+    ).collect()
+    assert [(r.qid, r.rank, r.vec_id) for r in a] == [
+        (r.qid, r.rank, r.vec_id) for r in b
+    ]
+
+
+def test_ivf_add_preserves_payload(emb, queries10):
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = IvfIndex.build(half_a, n_clusters=8, seed=42, payload_cols=["label"])
+    grown = idx.add(half_b)
+    assert grown.payload_cols == ["label"]
+    pred = F.col("label") == 1
+    a = grown.search(
+        queries10, k=5, nprobe=len(idx.centroids), exclude_self=True, predicate=pred
+    ).collect()
+    b = topk_search(
+        emb.filter(pred), queries10, k=5, metric="cosine", exclude_self=True
+    ).collect()
+    assert [(r.qid, r.rank, r.vec_id) for r in a] == [
+        (r.qid, r.rank, r.vec_id) for r in b
+    ]
