@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "decontaminate",       # broadcast n-gram contamination check
     "repetition_stats",    # row-local Gopher repetition signals
     "stream_interval_join", # stream-stream interval join (batch twin)
+    # headliners added in round 5
+    "filtered_topk",       # predicate inside the pruned ANN scan
+    "dedup_incremental",   # batch dedup against persisted band state
 ]
 
 N_RUNS = 3

@@ -2045,6 +2045,39 @@ def q_neardup_clusters(spark, sf):
     )
 
 
+# Incremental dedup (r5; VERDICT r4 #4): the oracle is the FULL-corpus
+# closure (that identity is the operator's whole contract) extended with
+# singleton docs, which the incremental cluster table also carries.
+_INCREMENTAL_SQL = (
+    _COMPONENTS_SQL
+    .replace("SELECT u AS doc_id", "SELECT d.doc_id AS id,\n"
+             "           coalesce(c.component_id, d.doc_id) AS component_id\n"
+             "    FROM documents d LEFT JOIN (SELECT u AS doc_id")
+    .replace("FROM reach GROUP BY u\n    ",
+             "FROM reach GROUP BY u) c ON c.doc_id = d.doc_id\n    ")
+)
+
+
+@golden("dedup_incremental", _INCREMENTAL_SQL)
+def q_dedup_incremental(spark, sf):
+    """Incremental corpus dedup (X2 at production cadence): batch 1 = even
+    doc ids, batch 2 = odd — batch 2 joins its band table against batch
+    1's PERSISTED bands (operators/incremental.py), merging clusters
+    exactly as a full recompute would (including bridge-merges and
+    survivor revocation). The oracle is the full-corpus recursive closure:
+    hash-equality IS the incremental-equals-full contract."""
+    from oracle_vectorsearch_example_spark.operators.incremental import (
+        dedup_incremental,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    bands1, clusters1 = dedup_incremental(b1)
+    _, clusters2 = dedup_incremental(b2, (bands1, clusters1))
+    return clusters2.select(F.col("id"), F.col("component_id"))
+
+
 # ------------------------------------------- deterministic splits & sampling
 _BUCKET_SQL = "(('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 10000)"
 
@@ -2795,7 +2828,8 @@ _PRIORITY = [
     "percentile_gate",
     "sessionize",
     "tpch_q1",
-    "scan_region",
+    # scan_region evicted r5 (S11 bare parquet scan — witnessed implicitly
+    # by every other in-window query's scan; stays registered + green)
     "projection",
     "filter_agg",
     "explode_words",
@@ -2830,6 +2864,7 @@ _PRIORITY = [
     # All evicted rows remain registered and green in pytest +
     # scripts/compare_oracle.py; they just sit past the driver window.
     "filtered_topk",  # r5: WHERE + ORDER BY VECTOR_DISTANCE + FETCH FIRST k
+    "dedup_incremental",  # r5: batch dedup vs persisted bands == full recompute
     "union_all",
     "intersect_keys",
     "except_keys",

@@ -168,7 +168,7 @@ def minhash_signatures(
     ).select(id_col, F.col("seed").cast("int"), "minhash")
 
 
-def minhash_lsh_pairs(
+def minhash_band_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -176,16 +176,17 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: signatures split into ``bands`` bands of
-    ``num_hashes/bands`` rows; docs sharing any band hash are candidates.
+    """The banded-LSH blocking table: one row per (id, band, band_hash).
 
-    Returns distinct (id_a < id_b). One shuffle builds the signature
-    (:func:`_signature_wide`); band digests are then ROW-LOCAL column
-    expressions over the wide signature columns (sorted "seed:min" strings
-    → md5) exploded ×bands — no second aggregation, unlike the exploded
-    signature shape which needed a groupBy(id, band) to re-assemble bands.
-    The remaining shuffles are the (band, band_hash) equi-join and the
-    final distinct — shuffle-bounded by candidate buckets, never all-pairs."""
+    This IS the dedup index — docs sharing any (band, band_hash) are
+    near-dup candidates. Split out of :func:`minhash_lsh_pairs` so the
+    table can be PERSISTED and joined against incrementally
+    (:mod:`operators.incremental`): dedup of a new batch against a seen
+    corpus joins the batch's bands against this stored table instead of
+    recomputing corpus signatures. One shuffle builds the signature
+    (:func:`_signature_wide`); band digests are ROW-LOCAL column
+    expressions over the wide signature columns (sorted "seed:min"
+    strings → md5) exploded ×bands — no second aggregation."""
     rows_per_band = num_hashes // bands
     wide = _signature_wide(df, text_col, id_col, num_hashes, shingle_n)
     band_structs = F.array(
@@ -213,9 +214,26 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = wide.select(
+    return wide.select(
         F.col(id_col), F.explode(band_structs).alias("__b")
     ).select(id_col, "__b.band", "__b.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: signatures split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash are candidates.
+
+    Returns distinct (id_a < id_b). The remaining shuffles beyond the
+    band table's one are the (band, band_hash) equi-join and the final
+    distinct — shuffle-bounded by candidate buckets, never all-pairs."""
+    banded = minhash_band_table(df, text_col, id_col, num_hashes, bands, shingle_n)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (

@@ -1,0 +1,200 @@
+"""Incremental corpus deduplication (X2 at production cadence; VERDICT r4
+next-round #4).
+
+The real LLM-corpus shape is not "dedup one frozen corpus" — it is "a new
+crawl batch arrives every day; drop its near-dups against everything ever
+seen WITHOUT recomputing the corpus' signatures". The persisted state is:
+
+- the **band table** ``(doc_id, band, band_hash)`` —
+  :func:`operators.dedup.minhash_band_table`, the banded-LSH blocking
+  index. Batch N's bands are written ONCE and never rewritten: the
+  warehouse stores one band table per batch (``<prefix>_bands_<n>``), so
+  per-batch write cost is O(batch), not O(corpus).
+- the **cluster table** ``(id, component_id)`` for every doc ever seen
+  (component_id = min reachable doc id — the cluster's canonical doc).
+  Skinny (two longs per doc); rewritten per batch, which is the id-only
+  frame a 100 TB corpus can afford.
+
+``dedup_incremental`` makes batch results EXACTLY equal to a full
+recompute over the union corpus (asserted in tests), including the hard
+case: a new doc BRIDGING two previously-distinct clusters merges them
+(and can therefore revoke a previous survivor — min-id of the merged
+cluster wins, just as a full recompute would decide). The trick is that
+connectivity through the seen corpus is fully summarized by cluster
+roots: a new doc colliding with any member of an old cluster is connected
+to exactly that cluster, so the component step only needs the graph over
+(new ids ∪ touched old ROOTS) — edges from new-new collisions plus
+(new id, old root) pairs — never the whole historical pair graph.
+
+Scale shape per batch: one signature shuffle over the BATCH, one
+(band, band_hash) equi-join of batch bands against stored bands (shuffle
+∝ batch bands + matching corpus buckets), and a component closure over a
+batch-sized edge frame. Document payloads never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.dedup import (
+    minhash_band_table,
+    neardup_components,
+)
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    state: tuple[DataFrame, DataFrame] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a new batch into the dedup state.
+
+    ``state`` is ``(bands, clusters)`` from previous batches (``None`` for
+    the first batch): ``bands`` = union of all prior batches' band tables
+    ``(id_col, band, band_hash)``; ``clusters`` = ``(id, component_id)``
+    over every seen doc. Returns ``(new_bands, clusters')`` where
+    ``new_bands`` holds ONLY this batch's band rows (append it to the
+    stored state — prior bands are immutable) and ``clusters'`` covers all
+    seen docs with merged components. Survivors of the union corpus are
+    ``clusters'.filter(id == component_id)`` (:func:`survivors`).
+    Ids must be globally unique across batches (caller contract, same as
+    ``IvfIndex.add``)."""
+    new_bands = minhash_band_table(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    new_ids = new_docs.select(F.col(id_col).cast("long").alias("id"))
+
+    a = new_bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = new_bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    nn_edges = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    if state is None:
+        comp = neardup_components(nn_edges, checkpoint_dir=checkpoint_dir)
+        clusters = (
+            new_ids.join(comp, "id", "left")
+            .select("id", F.coalesce("component_id", "id").alias("component_id"))
+        )
+        return new_bands, clusters
+
+    old_bands, old_clusters = state
+    # batch bands vs stored corpus bands: each hit connects the new doc to
+    # the old doc's CLUSTER, so map the old id straight to its root —
+    # connectivity through the seen corpus is exactly its root structure
+    hits = new_bands.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    ).join(
+        old_bands.select(F.col(id_col).alias("__old_id"), "band", "band_hash"),
+        ["band", "band_hash"],
+    )
+    no_edges = (
+        hits.join(
+            old_clusters.select(
+                F.col("id").alias("__old_id"), F.col("component_id").alias("id_b")
+            ),
+            "__old_id",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    edges = nn_edges.unionByName(no_edges)
+    comp = neardup_components(edges, checkpoint_dir=checkpoint_dir)
+
+    # re-root old clusters whose root was pulled into a merged component
+    # (left join: untouched roots keep their label); a root can only ever
+    # DECREASE (min-label), so coalesce is order-safe
+    root_map = comp.select(
+        F.col("id").alias("__root"), F.col("component_id").alias("__new_root")
+    )
+    updated_old = old_clusters.join(
+        root_map, old_clusters["component_id"] == F.col("__root"), "left"
+    ).select(
+        old_clusters["id"],
+        F.coalesce("__new_root", old_clusters["component_id"]).alias("component_id"),
+    )
+    new_clusters = new_ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component_id", "id").alias("component_id")
+    )
+    return new_bands, updated_old.unionByName(new_clusters)
+
+
+def survivors(clusters: DataFrame) -> DataFrame:
+    """Canonical (kept) doc ids: the component root IS a doc id (the min
+    member), so survivorship is a row-local predicate — no extra shuffle."""
+    return clusters.filter(F.col("id") == F.col("component_id")).select("id")
+
+
+class IncrementalDedup:
+    """Warehouse-backed incremental dedup: each ``ingest`` commits this
+    batch's band table (immutable, append-style — one table per batch) and
+    the updated cluster table in ONE atomic multi-table commit
+    (:class:`sources.txn.Warehouse` manifest swap), mirroring the
+    reference's single-COMMIT load discipline (01_pdf_to_vector.sql:116).
+    A crash mid-ingest leaves the previous snapshot fully intact."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        prefix: str = "dedup",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ):
+        from oracle_vectorsearch_example_spark.sources.txn import Warehouse
+
+        self.wh = Warehouse(spark, root)
+        self.prefix = prefix
+        self.text_col = text_col
+        self.id_col = id_col
+        self.params = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+
+    def _band_tables(self) -> list[str]:
+        pre = f"{self.prefix}_bands_"
+        return sorted(t for t in self.wh.tables() if t.startswith(pre))
+
+    def state(self) -> tuple[DataFrame, DataFrame] | None:
+        """Current (bands, clusters) snapshot, or None before any ingest."""
+        tabs = self._band_tables()
+        if not tabs:
+            return None
+        from functools import reduce
+
+        bands = reduce(
+            DataFrame.unionByName, (self.wh.read(t) for t in tabs)
+        )
+        return bands, self.wh.read(f"{self.prefix}_clusters")
+
+    def clusters(self) -> DataFrame:
+        return self.wh.read(f"{self.prefix}_clusters")
+
+    def survivors(self) -> DataFrame:
+        return survivors(self.clusters())
+
+    def ingest(self, batch: DataFrame) -> int:
+        """Dedup ``batch`` against everything seen; returns the committed
+        warehouse version. Batch numbering = count of existing band
+        tables, so retries after a failed (unpublished) commit reuse the
+        same slot instead of leaking one."""
+        n = len(self._band_tables())
+        new_bands, clusters = dedup_incremental(
+            batch, self.state(), self.text_col, self.id_col, **self.params
+        )
+        return self.wh.commit(
+            {
+                f"{self.prefix}_bands_{n:06d}": new_bands,
+                f"{self.prefix}_clusters": clusters,
+            }
+        )
