@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     # headliners added in round 5
     "filtered_topk",       # predicate inside the pruned ANN scan
     "dedup_incremental",   # batch dedup against persisted band state
+    "semdedup",            # IVF-blocked embedding dedup + closure
 ]
 
 N_RUNS = 3

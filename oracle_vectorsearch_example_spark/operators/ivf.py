@@ -209,7 +209,11 @@ class IvfIndex:
             frac = min(1.0, target / max(1, n))
             # toPandas (Arrow) not collect(): Row-object materialization of
             # a 64k-vector sample costs ~30 s; the Arrow path is ~2 s
-            spdf = norm.select(vec_col).sample(frac, seed=seed).toPandas()
+            # fraction MUST be passed by keyword: sample(frac, seed=s) puts
+            # frac in the withReplacement slot and SILENTLY DROPS the seed
+            # (non-deterministic sampling — observed as run-to-run semdedup
+            # survivor drift before this fix)
+            spdf = norm.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
             sample = np.array(list(spdf[vec_col]), dtype=np.float64)
             if len(sample) < k:  # tiny tables: sample can't seed k clusters
                 spdf = norm.select(vec_col).toPandas()

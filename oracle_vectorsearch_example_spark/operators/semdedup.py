@@ -1,0 +1,175 @@
+"""SemDeDup-style embedding-space deduplication (X2 × D5 composition;
+VERDICT r4 next-round #5).
+
+Public method (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", 2023): cluster the embedding
+space with KMeans, then compare vectors ONLY within their cluster —
+near-identical pairs (cosine ≥ threshold) collapse to one canonical
+representative. The cluster is the blocking key; work scales with
+Σ_c |c|² instead of N², and each cluster's similarity matrix is one BLAS
+gram product.
+
+Spark shape here:
+
+- blocking reuses :class:`operators.ivf.IvfIndex` — the SAME sample-KMeans
+  + single-assign pass (and, for a materialized index, the SAME persisted
+  assignment table) that serves ANN search also serves dedup;
+- per-cluster scoring is ``groupBy(cluster_id).applyInPandas`` with a
+  row-chunked gram product (memory ∝ chunk × |c|, never |c|² at once);
+- candidate pairs feed :func:`operators.dedup.neardup_components` /
+  ``dedup_by_components`` — the same closure machinery as MinHash dedup.
+
+Precision is 1.0 by construction (every emitted pair's cosine is computed
+exactly); recall < 1 only for pairs split across cluster boundaries.
+``n_assign > 1`` (each vector blocked into its n nearest clusters — the
+dedup analog of search's nprobe) recovers boundary pairs at ×n_assign
+blocking cost; the recall gate lives in tests/test_semdedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.ivf import (
+    IvfIndex,
+    _normalize_rows,
+)
+
+
+def _multi_assign(norm: DataFrame, centroids, id_col: str, vec_col: str, n_assign: int) -> DataFrame:
+    """(cluster_id, id, vec) with each row in its ``n_assign`` nearest
+    clusters — the blocking explode for boundary-pair recall."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    ordered = sorted(centroids)
+    centroid_rows = [c for _, c in ordered]
+    centroid_ids = [cid for cid, _ in ordered]
+    m = min(n_assign, len(centroid_rows))
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        c = np.array(centroid_rows, dtype=np.float64)
+        cids = np.array(centroid_ids, dtype=np.int32)
+        cc = (c * c).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = -2.0 * v @ c.T + cc[None, :]
+            head = np.argpartition(d2, m - 1, axis=1)[:, :m]
+            yield pd.DataFrame(
+                {
+                    "cluster_id": cids[head].ravel(),
+                    id_col: np.repeat(pdf[id_col].to_numpy(np.int64), m),
+                    vec_col: [vec for vec in pdf[vec_col] for _ in range(m)],
+                }
+            )
+
+    return norm.select(
+        F.col(id_col).cast("long"),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).mapInPandas(run, schema=f"cluster_id int, {id_col} long, {vec_col} array<double>")
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    seed: int = 42,
+    n_assign: int = 1,
+    index: IvfIndex | None = None,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Within-cluster cosine pairs ``(id_a < id_b, cos_sim ≥ threshold)``.
+
+    Pass ``index`` to reuse an existing (possibly materialized) IvfIndex —
+    at ``n_assign=1`` its stored assignment table is the blocking input
+    verbatim, no re-assignment pass. ``df`` may be None when ``index``
+    is given."""
+    if index is None:
+        index = IvfIndex.build(
+            df.select(id_col, vec_col),
+            id_col=id_col,
+            vec_col=vec_col,
+            n_clusters=n_clusters,
+            seed=seed,
+        )
+    if n_assign <= 1:
+        blocked = index.assignments.select("cluster_id", id_col, vec_col)
+    else:
+        src = df if df is not None else index.assignments
+        norm = _normalize_rows(src.select(id_col, vec_col), vec_col)
+        blocked = _multi_assign(norm, index.centroids, id_col, vec_col, n_assign)
+
+    thr = threshold
+    id_c, vec_c = id_col, vec_col
+
+    def per_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_c, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_c].to_numpy(dtype=np.int64)
+        v = np.array(list(pdf[vec_c]), dtype=np.float64)
+        nrm = np.linalg.norm(v, axis=1)
+        nrm[nrm == 0] = 1.0
+        v = v / nrm[:, None]
+        out_a, out_b, out_s = [], [], []
+        n = len(ids)
+        # row-chunked gram: memory is chunk × n doubles, never n × n
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = v[lo:hi] @ v.T
+            for i in range(lo, hi):
+                row = sims[i - lo, i + 1 :]
+                hit = np.nonzero(row >= thr)[0]
+                if hit.size:
+                    out_a.append(np.full(hit.size, ids[i]))
+                    out_b.append(ids[i + 1 + hit])
+                    out_s.append(row[hit])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    pairs = blocked.groupBy("cluster_id").applyInPandas(
+        per_cluster, schema="id_a long, id_b long, cos_sim double"
+    )
+    if n_assign > 1:
+        # a pair sharing several blocked clusters appears once per cluster
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
+    return pairs
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    seed: int = 42,
+    n_assign: int = 1,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """Corpus rows surviving semantic dedup: one canonical row (min id)
+    per connected component of the within-cluster pair graph — the same
+    keep rule as MinHash fuzzy dedup (``dedup_by_components``)."""
+    from oracle_vectorsearch_example_spark.operators.dedup import dedup_by_components
+
+    pairs = semdedup_pairs(
+        df, id_col, vec_col, threshold, n_clusters, seed, n_assign, index
+    )
+    return dedup_by_components(df, pairs, id_col=id_col)

@@ -710,3 +710,12 @@ def test_ivf_add_preserves_payload(emb, queries10):
     assert [(r.qid, r.rank, r.vec_id) for r in a] == [
         (r.qid, r.rank, r.vec_id) for r in b
     ]
+
+
+def test_build_sample_fit_deterministic(emb):
+    """Regression (r5): PySpark's sample(frac, seed=s) puts frac in the
+    withReplacement slot and silently drops the seed — two builds must
+    produce bit-identical centroids (fraction passed by keyword)."""
+    a = IvfIndex.build(emb, n_clusters=8, seed=42, sample_per_cluster=16).centroids
+    b = IvfIndex.build(emb, n_clusters=8, seed=42, sample_per_cluster=16).centroids
+    assert a == b
