@@ -1,0 +1,417 @@
+"""CFB/OLE2 compound-file parsing and legacy Word (.doc) text extraction
+(D1 widening; VERDICT r4 next-round #6).
+
+The reference's ``UTL_TO_TEXT`` accepts legacy Office binaries among its
+~150 formats (01_pdf_to_vector.sql:196-205). Prior rounds detected the
+``D0 CF 11 E0`` container and rejected it BY NAME; this module implements
+the publicly documented structures so `.doc` extracts for real:
+
+- **[MS-CFB]** — the compound file: 512/4096-byte sectors, DIFAT → FAT →
+  directory tree; streams under 4096 bytes live in the Root Entry's mini
+  stream addressed by a separate mini FAT (64-byte mini sectors). Both
+  paths are implemented (and both exercised: small fixture docs land in
+  the mini stream, large ones in regular sectors).
+- **[MS-DOC]** — the Word binary: the ``WordDocument`` stream opens with
+  the FIB; ``fcClx/lcbClx`` (FibRgFcLcb97[66..67]) point into the
+  ``0Table``/``1Table`` stream (selected by ``fWhichTblStm``) at the CLX,
+  whose PlcPcd maps character positions to text *pieces* — each piece
+  either 16-bit (UTF-16LE at ``fc``) or "compressed" 8-bit (cp1252 at
+  ``fc/2``, flagged by bit 30). Main-document text is the first
+  ``ccpText`` characters. Files without a piece table fall back to the
+  contiguous ``fcMin..fcMac`` range of the FIB.
+
+``.xls`` / ``.ppt`` remain NAMED rejections (their payload structures —
+BIFF records, PowerPoint atoms — are separate formats); the container
+parser here is what identifies them.
+
+Everything is stdlib ``struct`` over bytes — row-local, no dependencies.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+_FATSECT = 0xFFFFFFFD
+_DIFSECT = 0xFFFFFFFC
+_NOSTREAM = 0xFFFFFFFF
+
+
+class CfbError(ValueError):
+    """Structurally invalid compound file."""
+
+
+class UnsupportedCfb(ValueError):
+    """Valid compound file whose payload format isn't text-extractable
+    here (.xls BIFF, .ppt atoms, or no recognizable content stream)."""
+
+
+def _u16(b: bytes, o: int) -> int:
+    return struct.unpack_from("<H", b, o)[0]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return struct.unpack_from("<I", b, o)[0]
+
+
+class CfbFile:
+    """Minimal read-only [MS-CFB] parser: directory listing + stream reads
+    (regular FAT chains and mini-stream/mini-FAT chains)."""
+
+    def __init__(self, data: bytes):
+        if len(data) < 512 or data[:8] != _CFB_MAGIC:
+            raise CfbError("not a CFB/OLE2 compound file")
+        self.data = data
+        self.sect_size = 1 << _u16(data, 30)
+        self.mini_size = 1 << _u16(data, 32)
+        self.mini_cutoff = _u32(data, 56)
+        n_fat = _u32(data, 44)
+        first_dir = _u32(data, 48)
+        first_minifat = _u32(data, 60)
+        n_minifat = _u32(data, 64)
+        first_difat = _u32(data, 68)
+        n_difat = _u32(data, 72)
+
+        # DIFAT: 109 header entries + chained DIFAT sectors
+        difat = [_u32(data, 76 + 4 * i) for i in range(109)]
+        s = first_difat
+        for _ in range(n_difat):
+            if s in (_ENDOFCHAIN, _FREESECT):
+                break
+            raw = self._sector(s)
+            difat.extend(_u32(raw, 4 * i) for i in range(self.sect_size // 4 - 1))
+            s = _u32(raw, self.sect_size - 4)
+        fat_sectors = [x for x in difat if x not in (_FREESECT, _ENDOFCHAIN)][:n_fat]
+
+        self.fat: list[int] = []
+        for fs in fat_sectors:
+            raw = self._sector(fs)
+            self.fat.extend(
+                _u32(raw, 4 * i) for i in range(self.sect_size // 4)
+            )
+
+        # directory entries: 128 bytes each along the directory chain
+        self.entries: list[dict] = []
+        for ds in self._chain(first_dir, self.fat):
+            raw = self._sector(ds)
+            for off in range(0, self.sect_size, 128):
+                e = raw[off : off + 128]
+                if len(e) < 128:
+                    break
+                name_len = _u16(e, 64)
+                objtype = e[66]
+                if objtype == 0 or name_len < 2:
+                    continue
+                name = e[: name_len - 2].decode("utf-16-le", errors="replace")
+                self.entries.append(
+                    {
+                        "name": name,
+                        "type": objtype,  # 1 storage, 2 stream, 5 root
+                        "start": _u32(e, 116),
+                        "size": struct.unpack_from("<Q", e, 120)[0],
+                    }
+                )
+        roots = [e for e in self.entries if e["type"] == 5]
+        if not roots:
+            raise CfbError("no Root Entry in directory")
+        self.root = roots[0]
+
+        # mini FAT + the root's mini stream (container of small streams)
+        self.minifat: list[int] = []
+        count = 0
+        for ms in self._chain(first_minifat, self.fat):
+            raw = self._sector(ms)
+            self.minifat.extend(_u32(raw, 4 * i) for i in range(self.sect_size // 4))
+            count += 1
+            if count >= max(n_minifat, 1) and n_minifat:
+                break
+        self.mini_stream = self._read_regular(self.root["start"], self.root["size"])
+
+    def _sector(self, n: int) -> bytes:
+        off = 512 + n * self.sect_size
+        if off + self.sect_size > len(self.data):
+            raise CfbError(f"sector {n} out of range")
+        return self.data[off : off + self.sect_size]
+
+    @staticmethod
+    def _chain_walk(start: int, fat: list[int], limit: int) -> list[int]:
+        out, s, seen = [], start, set()
+        while s not in (_ENDOFCHAIN, _FREESECT) and len(out) < limit:
+            if s in seen or s >= len(fat):
+                raise CfbError("corrupt sector chain")
+            seen.add(s)
+            out.append(s)
+            s = fat[s]
+        return out
+
+    def _chain(self, start: int, fat: list[int]) -> list[int]:
+        return self._chain_walk(start, fat, limit=len(fat) + 1) if fat else []
+
+    def _read_regular(self, start: int, size: int) -> bytes:
+        out = b"".join(self._sector(s) for s in self._chain(start, self.fat))
+        return out[:size]
+
+    def _read_mini(self, start: int, size: int) -> bytes:
+        ms = self.mini_size
+        chunks = []
+        for s in self._chain(start, self.minifat):
+            chunks.append(self.mini_stream[s * ms : (s + 1) * ms])
+        return b"".join(chunks)[:size]
+
+    def stream_names(self) -> list[str]:
+        return [e["name"] for e in self.entries if e["type"] == 2]
+
+    def read(self, name: str) -> bytes | None:
+        """Stream contents by (case-insensitive) name, or None if absent.
+        Streams below the mini cutoff live in the root's mini stream."""
+        for e in self.entries:
+            if e["type"] == 2 and e["name"].lower() == name.lower():
+                if e["size"] < self.mini_cutoff:
+                    return self._read_mini(e["start"], e["size"])
+                return self._read_regular(e["start"], e["size"])
+        return None
+
+
+# ------------------------------------------------------------- .doc reader
+_FC_COMPRESSED = 0x40000000
+# FibRgFcLcb97 begins after FibBase(32) + csw(2) + FibRgW97(28) + cslw(2)
+# + FibRgLw97(88) + cbRgFcLcb(2); fcClx/lcbClx are 4-byte slots 66/67
+_FIB_RGFCLCB = 32 + 2 + 28 + 2 + 88 + 2
+_FC_CLX = _FIB_RGFCLCB + 66 * 4
+_LCB_CLX = _FIB_RGFCLCB + 67 * 4
+_CCP_TEXT = 32 + 2 + 28 + 2 + 12  # FibRgLw97: cbMac, res1, res2, ccpText
+
+
+def _decode_piece_text(raw: str) -> str:
+    """Map Word control characters to plain text: paragraph (CR) and
+    vertical tab to newline, cell/row marks to spaces; drop field and
+    object placeholders."""
+    out = []
+    for ch in raw:
+        o = ord(ch)
+        if o in (0x0D, 0x0B):
+            out.append("\n")
+        elif o == 0x07:  # cell / row mark
+            out.append(" ")
+        elif o in (0x01, 0x02, 0x05, 0x08, 0x13, 0x14, 0x15, 0x28):
+            continue  # pictures, footnote refs, field begin/sep/end, symbols
+        elif o < 0x20 and ch not in "\t\n":
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def doc_extract_text(data: bytes) -> str:
+    """Plain text of a Word 97–2003 binary (.doc): CFB → WordDocument FIB →
+    piece table in the 0/1Table stream → decode pieces ([MS-DOC]).
+    Raises :class:`UnsupportedCfb` for non-Word compound files (named
+    rejection: .xls/.ppt)."""
+    cfb = CfbFile(data)
+    wd = cfb.read("WordDocument")
+    if wd is None:
+        names = {n.lower() for n in cfb.stream_names()}
+        if {"workbook", "book"} & names:
+            raise UnsupportedCfb("legacy Excel (.xls BIFF) — convert to xlsx")
+        if "powerpoint document" in names:
+            raise UnsupportedCfb("legacy PowerPoint (.ppt) — convert to pptx")
+        raise UnsupportedCfb("compound file with no WordDocument stream")
+    if len(wd) < _LCB_CLX + 4 or _u16(wd, 0) != 0xA5EC:
+        raise CfbError("WordDocument stream has no valid FIB")
+    ccp_text = _u32(wd, _CCP_TEXT)
+    fc_clx, lcb_clx = _u32(wd, _FC_CLX), _u32(wd, _LCB_CLX)
+    which = (_u16(wd, 0x0A) >> 9) & 1
+    table = cfb.read(f"{which}Table")
+
+    if lcb_clx and table is not None and fc_clx + lcb_clx <= len(table):
+        clx = table[fc_clx : fc_clx + lcb_clx]
+        i = 0
+        while i < len(clx) and clx[i] == 0x01:  # skip Prc property blocks
+            i += 3 + _u16(clx, i + 1)
+        if i >= len(clx) or clx[i] != 0x02:
+            raise CfbError("CLX has no Pcdt")
+        lcb = _u32(clx, i + 1)
+        plc = clx[i + 5 : i + 5 + lcb]
+        n = (lcb - 4) // 12  # n+1 CPs (4B) + n PCDs (8B)
+        cps = [_u32(plc, 4 * k) for k in range(n + 1)]
+        parts = []
+        for k in range(n):
+            lo, hi = cps[k], min(cps[k + 1], ccp_text)
+            if hi <= lo:
+                continue
+            ncp = hi - lo
+            fc_raw = _u32(plc, 4 * (n + 1) + 8 * k + 2)
+            if fc_raw & _FC_COMPRESSED:
+                fc = (fc_raw & 0x3FFFFFFF) // 2
+                parts.append(wd[fc : fc + ncp].decode("cp1252", errors="replace"))
+            else:
+                fc = fc_raw & 0x3FFFFFFF
+                parts.append(
+                    wd[fc : fc + 2 * ncp].decode("utf-16-le", errors="replace")
+                )
+        return _decode_piece_text("".join(parts))
+
+    # no piece table: contiguous ANSI text between fcMin and fcMac
+    fc_min, fc_mac = _u32(wd, 24), _u32(wd, 28)
+    if not (0 <= fc_min <= fc_mac <= len(wd)):
+        raise CfbError("FIB text range out of bounds")
+    return _decode_piece_text(wd[fc_min:fc_mac].decode("cp1252", errors="replace"))
+
+
+# ------------------------------------------------------------- CFB writer
+def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
+    """Write a valid single-FAT-chain compound file holding ``streams``.
+    Streams under 4096 bytes go through the mini stream + mini FAT (as the
+    spec requires — so the reader's mini path is exercised by real
+    fixtures); larger ones use regular sectors. Deterministic output."""
+    SECT, MINI, CUTOFF = 512, 64, 4096
+
+    def pad(b: bytes, unit: int) -> bytes:
+        return b + b"\x00" * (-len(b) % unit)
+
+    small = [(n, b) for n, b in streams if len(b) < CUTOFF]
+    big = [(n, b) for n, b in streams if len(b) >= CUTOFF]
+
+    # mini stream layout: concatenated 64-byte mini sectors per small stream
+    mini_parts, mini_starts, mini_chains = [], {}, []
+    cursor = 0
+    for n, b in small:
+        nsect = max(1, (len(b) + MINI - 1) // MINI)
+        mini_starts[n] = cursor
+        mini_chains.append((cursor, nsect))
+        mini_parts.append(pad(b, MINI))
+        cursor += nsect
+    mini_stream = b"".join(mini_parts)
+    n_mini_total = cursor
+
+    minifat = [_FREESECT] * (((n_mini_total * 4 + SECT - 1) // SECT) * (SECT // 4))
+    for start, nsect in mini_chains:
+        for i in range(nsect):
+            minifat[start + i] = start + i + 1 if i < nsect - 1 else _ENDOFCHAIN
+    n_minifat_sect = len(minifat) * 4 // SECT if minifat else 0
+
+    # directory: Root Entry + one entry per stream, linked as a right-spine
+    # chain under the root (a degenerate but valid red-black tree)
+    def dir_entry(name, objtype, start, size, child=_NOSTREAM, right=_NOSTREAM):
+        nm = name.encode("utf-16-le")
+        e = bytearray(128)
+        e[: len(nm)] = nm
+        struct.pack_into("<H", e, 64, len(nm) + 2)
+        e[66] = objtype
+        e[67] = 1  # black
+        struct.pack_into("<I", e, 68, _NOSTREAM)  # left
+        struct.pack_into("<I", e, 72, right)
+        struct.pack_into("<I", e, 76, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    # sector layout: [FAT][dir][miniFAT][ministream][big streams...]
+    n_dir_sect = max(1, ((1 + len(streams)) * 128 + SECT - 1) // SECT)
+    n_ministream_sect = (len(mini_stream) + SECT - 1) // SECT
+    big_sects = [(len(b) + SECT - 1) // SECT for _, b in big]
+
+    n_fat_sect = 1
+    while True:
+        total = n_fat_sect + n_dir_sect + n_minifat_sect + n_ministream_sect + sum(big_sects)
+        need = (total * 4 + SECT - 1) // SECT
+        if need <= n_fat_sect:
+            break
+        n_fat_sect = need
+
+    fat = [_FREESECT] * (n_fat_sect * (SECT // 4))
+    pos = 0
+    for i in range(n_fat_sect):
+        fat[pos + i] = _FATSECT
+    pos += n_fat_sect
+
+    def chain(nsect):
+        nonlocal pos
+        start = pos if nsect else _ENDOFCHAIN
+        for i in range(nsect):
+            fat[pos + i] = pos + i + 1 if i < nsect - 1 else _ENDOFCHAIN
+        pos += nsect
+        return start
+
+    first_dir = chain(n_dir_sect)
+    first_minifat = chain(n_minifat_sect)
+    first_ministream = chain(n_ministream_sect) if n_ministream_sect else _ENDOFCHAIN
+    big_starts = {}
+    for (n, b), ns in zip(big, big_sects):
+        big_starts[n] = chain(ns)
+
+    entries = [
+        dir_entry(
+            "Root Entry", 5, first_ministream, len(mini_stream),
+            child=1 if streams else _NOSTREAM,
+        )
+    ]
+    for i, (n, b) in enumerate(streams):
+        start = mini_starts[n] if len(b) < CUTOFF else big_starts[n]
+        right = i + 2 if i + 1 < len(streams) else _NOSTREAM
+        entries.append(dir_entry(n, 2, start, len(b), right=right))
+    dir_bytes = pad(b"".join(entries), SECT)
+
+    header = bytearray(512)
+    header[:8] = _CFB_MAGIC
+    struct.pack_into("<H", header, 24, 0x003E)  # minor version
+    struct.pack_into("<H", header, 26, 0x0003)  # major version 3
+    struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
+    struct.pack_into("<H", header, 30, 9)  # 512-byte sectors
+    struct.pack_into("<H", header, 32, 6)  # 64-byte mini sectors
+    struct.pack_into("<I", header, 44, n_fat_sect)
+    struct.pack_into("<I", header, 48, first_dir)
+    struct.pack_into("<I", header, 56, CUTOFF)
+    struct.pack_into("<I", header, 60, first_minifat if n_minifat_sect else _ENDOFCHAIN)
+    struct.pack_into("<I", header, 64, n_minifat_sect)
+    struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # no DIFAT sectors
+    struct.pack_into("<I", header, 72, 0)
+    for i in range(109):  # header DIFAT: FAT sectors 0..n-1, rest free
+        struct.pack_into(
+            "<I", header, 76 + 4 * i, i if i < n_fat_sect else _FREESECT
+        )
+
+    fat_bytes = b"".join(struct.pack("<I", x) for x in fat)
+    minifat_bytes = b"".join(struct.pack("<I", x) for x in minifat)
+    body = (
+        fat_bytes
+        + dir_bytes
+        + pad(minifat_bytes, SECT)
+        + pad(mini_stream, SECT)
+        + b"".join(pad(b, SECT) for _, b in big)
+    )
+    return bytes(header) + body
+
+
+def make_simple_doc(text: str) -> bytes:
+    """Write a minimal valid Word 97 ``.doc``: FIB + one-piece piece table
+    (UTF-16 piece, CLX in ``0Table``) — the inverse of
+    :func:`doc_extract_text` under the whitespace-normalized contract.
+    ``fcMin/fcMac`` are NOT set to the text range (they'd be the ANSI
+    fallback) so extraction must go through the real CLX path."""
+    content = text + "\r"  # Word documents end with a paragraph mark
+    tb = content.encode("utf-16-le")
+    ccp = len(tb) // 2
+    text_off = 1024
+
+    wd = bytearray(text_off)
+    struct.pack_into("<H", wd, 0, 0xA5EC)  # wIdent
+    struct.pack_into("<H", wd, 2, 0x00C1)  # nFib = 193 (Word 97)
+    struct.pack_into("<H", wd, 0x0A, 0x0000)  # flags: fWhichTblStm=0 → 0Table
+    struct.pack_into("<I", wd, 24, text_off)  # fcMin (informational)
+    struct.pack_into("<I", wd, 28, text_off + len(tb))  # fcMac
+    struct.pack_into("<H", wd, 32, 0x000E)  # csw
+    struct.pack_into("<H", wd, 62, 0x0016)  # cslw
+    struct.pack_into("<I", wd, 64, text_off + len(tb))  # cbMac
+    struct.pack_into("<I", wd, _CCP_TEXT, ccp)  # ccpText
+    struct.pack_into("<H", wd, 152, 0x005D)  # cbRgFcLcb (93 pairs)
+
+    # PlcPcd: CPs [0, ccp] + one PCD pointing at an uncompressed piece
+    plc = struct.pack("<II", 0, ccp) + struct.pack("<HIH", 0, text_off, 0)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<I", wd, _FC_CLX, 0)
+    struct.pack_into("<I", wd, _LCB_CLX, len(clx))
+
+    return build_cfb([("WordDocument", bytes(wd) + tb), ("0Table", clx)])

@@ -38,11 +38,13 @@ can exercise honestly):
   unescaped.
 - **plain text** — charset decode, default UTF-8 (the reference's
   ``charset: UTF8``), latin-1 fallback.
-- **legacy Office (CFB)** — the ``D0 CF 11 E0`` compound-file container
-  (.doc/.xls/.ppt) is *detected and named* (``detect_format`` → ``cfb``)
-  and routed to NULL-with-reason (or a named error with
-  ``on_error='raise'``) rather than sniffed as unknown binary — a real
-  corpus ingest meets these constantly and the failure must be
+- **legacy Word (.doc)** — the ``D0 CF 11 E0`` compound-file container is
+  parsed for real (``functions.cfb``: [MS-CFB] sectors/FAT/mini-stream →
+  ``WordDocument`` FIB → piece table, r5): text extracts like any other
+  format. Legacy ``.xls``/``.ppt`` payloads inside the same container
+  remain *detected and NAMED* rejections (NULL-with-reason, or a named
+  error with ``on_error='raise'``) rather than anonymous binary noise — a
+  real corpus ingest meets these constantly and the failure must be
   attributable.
 
 Frozen output contract (the ``plaintext: true`` analog, which makes the
@@ -574,14 +576,20 @@ def extract_text_bytes(
                 raise
             return None
     if f == "cfb":
-        # named rejection: a legacy Office payload is an attributable
-        # ingest condition, not anonymous binary noise
-        if on_error == "raise":
-            raise ValueError(
-                "unsupported legacy Office (CFB/OLE2 compound file, "
-                ".doc/.xls/.ppt) — convert to OOXML (docx/xlsx/pptx)"
-            )
-        return None
+        # .doc extracts for real (functions.cfb, r5); .xls/.ppt payloads
+        # stay NAMED rejections — attributable, not anonymous binary noise
+        from oracle_vectorsearch_example_spark.functions.cfb import (
+            doc_extract_text,
+        )
+
+        try:
+            return _normalize_ws(doc_extract_text(bytes(data)))
+        except Exception as e:
+            if on_error == "raise":
+                raise ValueError(
+                    f"unsupported legacy Office (CFB/OLE2 compound file): {e}"
+                ) from e
+            return None
     if f == "rtf":
         return _rtf_extract(bytes(data))
     if f == "html":
@@ -705,6 +713,10 @@ def render_document(text: str | None, fmt: str) -> bytes | None:
         return make_simple_xlsx(text)
     if fmt == "pptx":
         return make_simple_pptx(text)
+    if fmt == "doc":
+        from oracle_vectorsearch_example_spark.functions.cfb import make_simple_doc
+
+        return make_simple_doc(text)
     return text.encode("utf-8")
 
 

@@ -303,3 +303,96 @@ def test_rtf_skips_destination_groups_and_decodes_escapes():
     assert "Courier" not in got and "secret" not in got and "Body" not in got
     # code point 8364 is the euro sign; its '?' ANSI fallback must be skipped
     assert got == "Hello \u00e9t\u00e9 \u20ac brace {x} end"
+
+
+# --------------------------------------- legacy Word .doc (CFB; r5, D1)
+def test_doc_roundtrip_simple():
+    from oracle_vectorsearch_example_spark.functions.cfb import make_simple_doc
+
+    text = "Legacy Word ninety-seven format. Second paragraph here."
+    out = extract_text_bytes(make_simple_doc(text))
+    assert out == text
+
+
+def test_doc_roundtrip_unicode_and_large():
+    from oracle_vectorsearch_example_spark.functions.cfb import make_simple_doc
+
+    uni = "naïve café — ünïcödé über"
+    assert extract_text_bytes(make_simple_doc(uni)) == uni
+    # > 4096 bytes: WordDocument leaves the mini stream for regular sectors
+    big = " ".join(f"word{i}" for i in range(2000))
+    assert extract_text_bytes(make_simple_doc(big)) == big
+
+
+def test_doc_detected_as_cfb_and_dispatched():
+    from oracle_vectorsearch_example_spark.functions.cfb import make_simple_doc
+
+    b = make_simple_doc("dispatch me")
+    assert detect_format(b) == "cfb"
+    assert extract_text_bytes(b, fmt="auto") == "dispatch me"
+
+
+def test_xls_ppt_still_named_rejections():
+    from oracle_vectorsearch_example_spark.functions.cfb import build_cfb
+
+    xls = build_cfb([("Workbook", b"\x09\x08\x10\x00" * 4)])
+    ppt = build_cfb([("PowerPoint Document", b"\x00" * 16)])
+    assert extract_text_bytes(xls) is None
+    assert extract_text_bytes(ppt) is None
+    with pytest.raises(ValueError, match="Excel"):
+        extract_text_bytes(xls, on_error="raise")
+    with pytest.raises(ValueError, match="PowerPoint"):
+        extract_text_bytes(ppt, on_error="raise")
+
+
+def test_doc_ansi_fallback_without_piece_table():
+    """A FIB with lcbClx=0 must fall back to the contiguous fcMin..fcMac
+    ANSI range — the pre-piece-table file shape."""
+    import struct
+
+    from oracle_vectorsearch_example_spark.functions.cfb import (
+        build_cfb,
+        doc_extract_text,
+    )
+
+    txt = b"plain ansi fallback text\r"
+    wd = bytearray(1024)
+    struct.pack_into("<H", wd, 0, 0xA5EC)
+    struct.pack_into("<H", wd, 2, 0x00C1)
+    struct.pack_into("<I", wd, 24, 1024)
+    struct.pack_into("<I", wd, 28, 1024 + len(txt))
+    b = build_cfb([("WordDocument", bytes(wd) + txt)])
+    assert doc_extract_text(b).strip() == "plain ansi fallback text"
+
+
+def test_doc_truncated_payload_is_null_not_crash():
+    from oracle_vectorsearch_example_spark.functions.cfb import make_simple_doc
+
+    whole = make_simple_doc("will be truncated")
+    for cut in (8, 100, 512, 700, len(whole) - 64):
+        assert extract_text_bytes(whole[:cut]) is None
+
+
+def test_doc_in_render_rotation(spark):
+    """render_document('doc') → extract roundtrip through the Arrow-batched
+    column path, like every other D1 format."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        extract_text as extract_col,
+        render_document_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "delta echo foxtrot")],
+        "doc_id long, text string",
+    )
+    out = (
+        df.select(
+            "doc_id",
+            "text",
+            render_document_col(F.col("text"), F.lit("doc")).alias("payload"),
+        )
+        .withColumn("xtext", extract_col(F.col("payload")))
+        .collect()
+    )
+    for r in out:
+        assert r.xtext == r.text
