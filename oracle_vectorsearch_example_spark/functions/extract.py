@@ -38,14 +38,15 @@ can exercise honestly):
   unescaped.
 - **plain text** — charset decode, default UTF-8 (the reference's
   ``charset: UTF8``), latin-1 fallback.
-- **legacy Word (.doc)** — the ``D0 CF 11 E0`` compound-file container is
-  parsed for real (``functions.cfb``: [MS-CFB] sectors/FAT/mini-stream →
-  ``WordDocument`` FIB → piece table, r5): text extracts like any other
-  format. Legacy ``.xls``/``.ppt`` payloads inside the same container
-  remain *detected and NAMED* rejections (NULL-with-reason, or a named
-  error with ``on_error='raise'``) rather than anonymous binary noise — a
-  real corpus ingest meets these constantly and the failure must be
-  attributable.
+- **legacy Office (.doc/.xls/.ppt)** — the ``D0 CF 11 E0`` compound-file
+  container is parsed for real (r5): [MS-CFB] sectors/FAT/mini-stream
+  (``functions.cfb``), then ``WordDocument`` FIB → piece table for .doc,
+  BIFF8 SST/cell records for .xls, text atoms for .ppt
+  (``functions.legacy_office``). A compound file with no recognized
+  content stream remains a *detected and NAMED* rejection
+  (NULL-with-reason, or a named error with ``on_error='raise'``) rather
+  than anonymous binary noise — a real corpus ingest meets these
+  constantly and the failure must be attributable.
 
 Frozen output contract (the ``plaintext: true`` analog, which makes the
 DuckDB oracle expressible in SQL): every path returns **whitespace-
@@ -576,14 +577,16 @@ def extract_text_bytes(
                 raise
             return None
     if f == "cfb":
-        # .doc extracts for real (functions.cfb, r5); .xls/.ppt payloads
-        # stay NAMED rejections — attributable, not anonymous binary noise
-        from oracle_vectorsearch_example_spark.functions.cfb import (
-            doc_extract_text,
+        # the full legacy trio extracts for real (r5): .doc via the piece
+        # table (functions.cfb), .xls via BIFF8 SST/cells and .ppt via
+        # text atoms (functions.legacy_office); an unrecognized compound
+        # file remains a NAMED rejection — attributable, not noise
+        from oracle_vectorsearch_example_spark.functions.legacy_office import (
+            cfb_extract_text,
         )
 
         try:
-            return _normalize_ws(doc_extract_text(bytes(data)))
+            return _normalize_ws(cfb_extract_text(bytes(data)))
         except Exception as e:
             if on_error == "raise":
                 raise ValueError(
@@ -717,6 +720,18 @@ def render_document(text: str | None, fmt: str) -> bytes | None:
         from oracle_vectorsearch_example_spark.functions.cfb import make_simple_doc
 
         return make_simple_doc(text)
+    if fmt == "xls":
+        from oracle_vectorsearch_example_spark.functions.legacy_office import (
+            make_simple_xls,
+        )
+
+        return make_simple_xls(text)
+    if fmt == "ppt":
+        from oracle_vectorsearch_example_spark.functions.legacy_office import (
+            make_simple_ppt,
+        )
+
+        return make_simple_ppt(text)
     return text.encode("utf-8")
 
 

@@ -2727,10 +2727,11 @@ _EXTRACT_SQL = r"""
                       regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
                FROM documents)
     SELECT doc_id,
-           CASE CAST(doc_id % 8 AS INTEGER) WHEN 0 THEN 'pdf'
+           CASE CAST(doc_id % 10 AS INTEGER) WHEN 0 THEN 'pdf'
                 WHEN 1 THEN 'html' WHEN 2 THEN 'docx'
                 WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
-                WHEN 5 THEN 'pptx' WHEN 6 THEN 'doc' ELSE 'text' END AS fmt,
+                WHEN 5 THEN 'pptx' WHEN 6 THEN 'doc'
+                WHEN 7 THEN 'xls' WHEN 8 THEN 'ppt' ELSE 'text' END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars_x,
            substr(norm, 1, 40) AS prefix
     FROM d
@@ -2741,11 +2742,12 @@ _EXTRACT_SQL = r"""
 def q_extract_text(spark, sf):
     """D1 — UTL_TO_TEXT (01_pdf_to_vector.sql:196-205): binary payload →
     plain text, format-dispatched (PDF content-stream parse / OOXML
-    zip+XML parse for DOCX, XLSX, PPTX / CFB+FIB+piece-table parse for
-    legacy DOC (r5) / RTF tokenizer / HTML strip / charset decode),
-    Arrow-batched. Hash-checked via the roundtrip
-    ``extract(render(text)) == normalize_ws(text)``; an eighth of the
-    rows go through each format."""
+    zip+XML parse for DOCX, XLSX, PPTX / CFB parse for the full legacy
+    trio DOC, XLS, PPT (r5: FIB+piece table, BIFF8 SST/cells, text
+    atoms) / RTF tokenizer / HTML strip / charset decode), Arrow-batched.
+    Hash-checked via the roundtrip
+    ``extract(render(text)) == normalize_ws(text)``; a tenth of the rows
+    go through each format."""
     from oracle_vectorsearch_example_spark.functions.extract import (
         extract_text,
         render_document_col,
@@ -2753,13 +2755,15 @@ def q_extract_text(spark, sf):
 
     docs = read_table(spark, sf, "documents")
     fmt = (
-        F.when(F.col("doc_id") % 8 == 0, F.lit("pdf"))
-        .when(F.col("doc_id") % 8 == 1, F.lit("html"))
-        .when(F.col("doc_id") % 8 == 2, F.lit("docx"))
-        .when(F.col("doc_id") % 8 == 3, F.lit("rtf"))
-        .when(F.col("doc_id") % 8 == 4, F.lit("xlsx"))
-        .when(F.col("doc_id") % 8 == 5, F.lit("pptx"))
-        .when(F.col("doc_id") % 8 == 6, F.lit("doc"))
+        F.when(F.col("doc_id") % 10 == 0, F.lit("pdf"))
+        .when(F.col("doc_id") % 10 == 1, F.lit("html"))
+        .when(F.col("doc_id") % 10 == 2, F.lit("docx"))
+        .when(F.col("doc_id") % 10 == 3, F.lit("rtf"))
+        .when(F.col("doc_id") % 10 == 4, F.lit("xlsx"))
+        .when(F.col("doc_id") % 10 == 5, F.lit("pptx"))
+        .when(F.col("doc_id") % 10 == 6, F.lit("doc"))
+        .when(F.col("doc_id") % 10 == 7, F.lit("xls"))
+        .when(F.col("doc_id") % 10 == 8, F.lit("ppt"))
         .otherwise(F.lit("text"))
     )
     rendered = docs.select(

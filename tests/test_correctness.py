@@ -63,18 +63,22 @@ def test_driver_window_composition():
     assert not missing, f"_PRIORITY entries not registered: {missing}"
     assert names[:50] == prio
     must_record = {
-        # bench representatives + operator-family reps (r4 allocation:
-        # stream_enrich evicted in favor of the r3 operators, stream_dedup
-        # keeps the §2.10 twin-family seat — VERDICT r3 next-round #1)
+        # bench representatives + operator-family reps (r5 allocation:
+        # pivot/unicode_nfc/stream_dedup et al. evicted — each family
+        # keeps another in-window rep — to admit the set-op family, the
+        # r4-added-but-never-witnessed rows, and the r5 operators;
+        # VERDICT r4 next-round #3)
         "flagship_search", "range_join", "sessionize", "tpch_q1",
-        "stream_dedup", "image_decode", "exact_dedup",
+        "image_decode", "exact_dedup",
         "minhash_lsh", "extract_text", "ivf_materialized",
-        # the ten r3 operators the r4 window exists to witness
         "neardup_clusters", "hash_split", "stratified_sample",
-        "pack_sequences", "gapfill_locf", "pivot", "correlated_subquery",
-        "unicode_nfc", "percentile_gate", "audio_decode",
-        # r4 distributed ANN golden
-        "ivf_search_df",
+        "pack_sequences", "gapfill_locf", "correlated_subquery",
+        "percentile_gate", "audio_decode",
+        "ivf_search_df", "tumbling_window",
+        # r5 admissions: set-op family + previously unwitnessed + new ops
+        "union_all", "intersect_keys", "except_keys",
+        "decontaminate", "repetition_stats", "stream_interval_join",
+        "filtered_topk", "dedup_incremental",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"

@@ -332,17 +332,44 @@ def test_doc_detected_as_cfb_and_dispatched():
     assert extract_text_bytes(b, fmt="auto") == "dispatch me"
 
 
-def test_xls_ppt_still_named_rejections():
+def test_xls_roundtrip_and_forced_continue_splits():
+    from oracle_vectorsearch_example_spark.functions.legacy_office import (
+        make_simple_xls,
+        xls_extract_text,
+    )
+
+    text = "shared string table cells row major order with répéàted wörds"
+    assert extract_text_bytes(make_simple_xls(text)) == norm(text)
+    # max_record=24 forces mid-string Continue splits (each restating the
+    # option byte, switching latin-1/UTF-16 segments) — reader must agree
+    assert norm(xls_extract_text(make_simple_xls(text, max_record=24))) == norm(text)
+
+
+def test_xls_numeric_cells():
+    from oracle_vectorsearch_example_spark.functions.legacy_office import (
+        make_simple_xls,
+    )
+
+    out = extract_text_bytes(make_simple_xls("a b", with_numbers=True))
+    assert out == "a b 2.5 42"  # NUMBER double + RK 30-bit int
+
+
+def test_ppt_roundtrip_both_atom_kinds():
+    from oracle_vectorsearch_example_spark.functions.legacy_office import (
+        make_simple_ppt,
+    )
+
+    text = "Legacy slides alternate UTF-16 and byte atoms across lines. " * 3
+    assert extract_text_bytes(make_simple_ppt(text)) == norm(text)
+
+
+def test_unknown_cfb_still_named_rejection():
     from oracle_vectorsearch_example_spark.functions.cfb import build_cfb
 
-    xls = build_cfb([("Workbook", b"\x09\x08\x10\x00" * 4)])
-    ppt = build_cfb([("PowerPoint Document", b"\x00" * 16)])
-    assert extract_text_bytes(xls) is None
-    assert extract_text_bytes(ppt) is None
-    with pytest.raises(ValueError, match="Excel"):
-        extract_text_bytes(xls, on_error="raise")
-    with pytest.raises(ValueError, match="PowerPoint"):
-        extract_text_bytes(ppt, on_error="raise")
+    odd = build_cfb([("SomeOtherApp", b"\x00" * 16)])
+    assert extract_text_bytes(odd) is None
+    with pytest.raises(ValueError, match="no recognized content stream"):
+        extract_text_bytes(odd, on_error="raise")
 
 
 def test_doc_ansi_fallback_without_piece_table():
