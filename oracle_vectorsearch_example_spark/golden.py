@@ -2554,30 +2554,35 @@ def q_multimodal_features(spark, sf):
     """,
 )
 def q_image_decode(spark, sf):
-    """X4 real image decode: 24-bpp BMP struct parse + numpy channel means
-    (no media libs). Solid-color fixtures make the oracle arithmetic."""
+    """X4 real image decode: even ids render 24-bpp BMP, odd ids render
+    8-bit truecolor PNG (r5: full stdlib zlib inflate + scanline
+    un-filtering) — one magic-dispatched decode path, no media libs.
+    Solid-color fixtures make the oracle arithmetic and FORMAT-BLIND:
+    the same dims/means regardless of container, so a PNG decode bug
+    can't hide behind the oracle."""
     from oracle_vectorsearch_example_spark.operators.multimodal import (
         image_features,
         make_simple_bmp,
+        make_simple_png,
     )
 
     @F.pandas_udf("binary")
-    def mk_bmp(ids: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                make_simple_bmp(
+    def mk_img(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            mk = make_simple_bmp if int(i) % 2 == 0 else make_simple_png
+            out.append(
+                mk(
                     8 + int(i) % 16,
                     8 + int(i) % 8,
                     (int(i) * 37 % 256, int(i) * 59 % 256, int(i) * 83 % 256),
                 )
-                for i in ids
-            ],
-            dtype=object,
-        )
+            )
+        return pd.Series(out, dtype=object)
 
     docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
     media = docs.select(
-        F.col("doc_id").alias("media_id"), mk_bmp("doc_id").alias("payload")
+        F.col("doc_id").alias("media_id"), mk_img("doc_id").alias("payload")
     )
     return image_features(media)
 

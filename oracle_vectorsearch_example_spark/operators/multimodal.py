@@ -6,17 +6,20 @@ Images/audio/video are opaque ``binary`` columns with typed metadata
 
 Decode tiers (honest about the environment):
 
-- **Real, stdlib-only** — uncompressed formats need no media libs:
-  BMP (24-bpp BI_RGB: struct header parse + numpy pixel stats) and PCM
-  WAV (stdlib ``wave``: channels/rate/frames + rms/zero-cross over int16
-  samples). ``image_features`` / ``audio_features`` are full real decode
-  paths, fixture writers included, DuckDB-oracle-checkable because the
-  writers emit analytically predictable payloads.
-- **Stubbed** — compressed codecs (JPEG/PNG/MP3/H.264) require
-  PIL/ffmpeg/torchaudio, absent here: ``decode=fake`` derives
-  deterministic pseudo-features from payload bytes so the Arrow plumbing
-  (batch shape, schema, partitioning) is exercised end-to-end;
-  ``decode=real`` on a compressed payload raises with the codec named.
+- **Real, stdlib-only** — formats whose codecs live in the stdlib need
+  no media libs: BMP (24-bpp BI_RGB: struct header parse + numpy pixel
+  stats), PNG (r5: full chunk walk + zlib inflate + the five scanline
+  filters + palette/grayscale/alpha normalization — ``zlib`` IS the PNG
+  codec), and PCM WAV (stdlib ``wave``: channels/rate/frames +
+  rms/zero-cross over int16 samples). ``image_features`` /
+  ``audio_features`` are full real decode paths, fixture writers
+  included, DuckDB-oracle-checkable because the writers emit
+  analytically predictable payloads.
+- **Stubbed** — lossy codecs (JPEG/MP3/H.264) require PIL/ffmpeg/
+  torchaudio, absent here: ``decode=fake`` derives deterministic
+  pseudo-features from payload bytes so the Arrow plumbing (batch shape,
+  schema, partitioning) is exercised end-to-end; ``decode=real`` on a
+  lossy payload raises with the codec named.
 """
 
 from __future__ import annotations
@@ -56,11 +59,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _real_decode(payload: bytes) -> tuple[int | None, int | None, list[float]]:
-    """Magic-byte dispatch to the stdlib decoders (BMP / PCM WAV); width and
-    height are NULL for audio. Compressed codecs raise — the honest
+    """Magic-byte dispatch to the stdlib decoders (BMP / PNG / PCM WAV);
+    width and height are NULL for audio. Lossy codecs raise — the honest
     boundary of a no-media-libs environment."""
-    if payload[:2] == b"BM":
-        w, h, mr, mg, mb = decode_bmp_bytes(payload)
+    if payload[:2] == b"BM" or payload[:8] == _PNG_MAGIC:
+        w, h, mr, mg, mb = decode_image_bytes(payload)
         feats = [mr / 255.0, mg / 255.0, mb / 255.0, w / max(h, 1), 0.0, 0.0, 0.0, 0.0]
         return w, h, [round(f, 6) for f in feats[:FEATURE_DIM]]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -69,8 +72,8 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, list[float]]:
                  0.0, 0.0, 0.0]
         return None, None, [round(f, 6) for f in feats[:FEATURE_DIM]]
     raise NotImplementedError(
-        "real decode covers uncompressed formats only (BMP, PCM WAV); "
-        "compressed codecs (JPEG/PNG/MP3/H.264) need PIL/ffmpeg, absent here"
+        "real decode covers stdlib-decodable formats only (BMP, PNG, PCM "
+        "WAV); lossy codecs (JPEG/MP3/H.264) need PIL/ffmpeg, absent here"
     )
 
 
@@ -291,6 +294,192 @@ def decode_bmp_bytes(data: bytes) -> tuple[int, int, float, float, float]:
     return w, h, float(px[..., 0].mean()), float(px[..., 1].mean()), float(px[..., 2].mean())
 
 
+# ----------------------------------------------------------------- PNG (r5)
+# PNG's codec is DEFLATE — stdlib zlib — so "compressed image" does not
+# mean "needs media libs" here: this is a complete real decoder for
+# non-interlaced 8-bit images (gray / gray+alpha / RGB / RGBA / palette),
+# i.e. what encoders actually emit for photos-as-PNG and screenshots.
+# 16-bit and Adam7-interlaced images raise with the feature named.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(data: bytes):
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = _struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        yield ctype, data[i + 8 : i + 8 + length]
+        i += 12 + length  # length + type + data + crc
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> "_np.ndarray":
+    """Reverse the five PNG scanline filters. None/Up vectorize whole-row;
+    Sub vectorizes as a strided cumulative sum; Average/Paeth are
+    inherently sequential per pixel (each output feeds the next) and run
+    in a per-byte loop — fine for feature extraction, and rare in encoder
+    output compared to Sub/Up."""
+    out = _np.zeros((h, stride), dtype=_np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = _np.frombuffer(raw, dtype=_np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else _np.zeros(stride, dtype=_np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: cumsum within each residue class mod bpp
+            r = row.reshape(-1, bpp) if stride % bpp == 0 else None
+            if r is not None:
+                row = _np.cumsum(r.astype(_np.uint64), axis=0).astype(_np.uint8).reshape(-1)
+            else:  # ragged stride (can't happen for supported formats)
+                for i in range(bpp, stride):
+                    row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(_np.uint16) + prev) & 0xFF
+            row = row.astype(_np.uint8)
+        elif ftype == 3:  # Average
+            row = row.copy()
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            row = row.copy()
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = row
+    return out
+
+
+def decode_png_pixels(data: bytes) -> "_np.ndarray":
+    """(h, w, 3) uint8 RGB from a non-interlaced 8-bit PNG (color types
+    0/2/3/4/6); palette resolves through PLTE, alpha is dropped, gray
+    replicates across channels. Stdlib zlib + numpy only."""
+    import zlib
+
+    data = bytes(data)
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    w = h = bit_depth = color_type = interlace = None
+    plte = None
+    idat = []
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = _struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            plte = _np.frombuffer(body, dtype=_np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG decoded without media libs "
+            f"(got bit_depth={bit_depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[..., 0]]
+    if color_type == 0:
+        return _np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return _np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # 2 (RGB) passes through, 6 (RGBA) drops alpha
+
+
+def encode_png(pixels: "_np.ndarray", *, filter_type: int = 0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a non-interlaced 8-bit truecolor PNG.
+    ``filter_type`` applies that scanline filter to every row (0..4) —
+    the decoder-side inverse of each is exercised by roundtrip tests."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    stride = w * 3
+    flat = pixels.reshape(h, stride).astype(_np.int32)
+    rows = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else _np.zeros(stride, dtype=_np.int32)
+        left = _np.concatenate([_np.zeros(3, dtype=_np.int32), cur[:-3]])
+        ul = _np.concatenate([_np.zeros(3, dtype=_np.int32), prev[:-3]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = _np.abs(p - left), _np.abs(p - prev), _np.abs(p - ul)
+            pred = _np.where(
+                (pa <= pb) & (pa <= pc), left, _np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        rows.append(bytes([filter_type]) + (filt & 0xFF).astype(_np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return _struct.pack(">I", len(body)) + ctype + body + _struct.pack(">I", crc)
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows), 6)
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def make_simple_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Deterministic solid-color PNG fixture — the PNG analog of
+    :func:`make_simple_bmp`, sharing its arithmetic-oracle property."""
+    px = _np.empty((height, width, 3), dtype=_np.uint8)
+    px[:] = rgb
+    return encode_png(px)
+
+
+def decode_image_pixels(data: bytes) -> "_np.ndarray":
+    """(h, w, 3) uint8 RGB from any stdlib-decodable image payload,
+    dispatched on magic bytes (BMP / PNG); lossy codecs raise with the
+    codec named."""
+    data = bytes(data)
+    if data[:2] == b"BM":
+        return decode_bmp_pixels(data)
+    if data[:8] == _PNG_MAGIC:
+        return decode_png_pixels(data)
+    if data[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode needs PIL/libjpeg, absent here")
+    raise ValueError("unrecognized image payload (expected BMP or PNG)")
+
+
+def decode_image_bytes(data: bytes) -> tuple[int, int, float, float, float]:
+    """(width, height, mean_r, mean_g, mean_b) over the real decoded
+    pixels of a BMP or PNG payload."""
+    px = decode_image_pixels(data)
+    h, w, _ = px.shape
+    return w, h, float(px[..., 0].mean()), float(px[..., 1].mean()), float(px[..., 2].mean())
+
+
 def make_simple_wav(
     n_samples: int,
     amplitude: int,
@@ -344,12 +533,13 @@ _IMAGE_SCHEMA = T.StructType(
 
 
 def image_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
-    """REAL image decode over an Arrow-batched ``mapInPandas``: BMP headers
-    + per-channel pixel means. Compressed formats raise (see module doc)."""
+    """REAL image decode over an Arrow-batched ``mapInPandas``: BMP or PNG
+    pixels (magic-dispatched) + per-channel means. Lossy formats raise
+    (see module doc)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_bmp_bytes(bytes(p)) for p in pdf[payload_col].tolist()]
+            rows = [decode_image_bytes(bytes(p)) for p in pdf[payload_col].tolist()]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(),

@@ -222,3 +222,105 @@ def test_extract_media_features_real_mode(spark):
     assert got[1].features[0] == 1.0  # mean_r / 255
     assert got[2].width is None and got[2].height is None
     assert abs(got[2].features[3] - 1000 / 32768) < 1e-6  # rms / 32768
+
+
+# ------------------------------------------------------- PNG decode (r5)
+def test_png_all_filters_roundtrip():
+    """encode applies each scanline filter for real; decode must invert
+    all five (None/Sub/Up/Average/Paeth) bit-exactly."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = np.random.default_rng(7).integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert (decode_png_pixels(encode_png(px, filter_type=ft)) == px).all(), ft
+
+
+def test_png_color_types_normalize_to_rgb():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    def png(w, h, ctype, raw, plte=b""):
+        out = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    gray = png(2, 2, 0, b"\x00" + bytes([1, 2]) + b"\x00" + bytes([3, 4]))
+    assert (decode_png_pixels(gray)[..., 0] == np.array([[1, 2], [3, 4]])).all()
+    pal = png(2, 1, 3, b"\x00" + bytes([1, 0]), plte=bytes([255, 0, 0, 0, 255, 0]))
+    assert (decode_png_pixels(pal) == np.array([[[0, 255, 0], [255, 0, 0]]])).all()
+    rgba = png(1, 1, 6, b"\x00" + bytes([9, 8, 7, 128]))
+    assert (decode_png_pixels(rgba) == np.array([[[9, 8, 7]]])).all()
+
+
+def test_png_gates_named():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+    )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    deep = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+    with _pytest.raises(NotImplementedError, match="16"):
+        decode_png_pixels(deep)
+    with _pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image_pixels(b"\xff\xd8\xff\xe0rest")
+
+
+def test_image_features_mixed_bmp_png(spark):
+    """One image_features pass over a mixed BMP/PNG column — the dispatch
+    the golden relies on."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        image_features,
+        make_simple_bmp,
+        make_simple_png,
+    )
+
+    rows = [
+        (1, bytearray(make_simple_bmp(4, 3, (10, 20, 30)))),
+        (2, bytearray(make_simple_png(5, 2, (40, 50, 60)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in image_features(df).collect()}
+    assert (got[1].width, got[1].height, got[1].mean_r) == (4, 3, 10.0)
+    assert (got[2].width, got[2].height, got[2].mean_b) == (5, 2, 60.0)
+
+
+def test_extract_media_features_real_png(spark):
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        extract_media_features,
+        make_simple_png,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(make_simple_png(6, 4, (255, 0, 128))), None)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    r = extract_media_features(df, decode="real").collect()[0]
+    assert (r.width, r.height) == (6, 4)
+    assert r.features[0] == 1.0 and abs(r.features[2] - 128 / 255) < 1e-5
