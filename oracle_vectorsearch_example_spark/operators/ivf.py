@@ -369,7 +369,7 @@ class IvfIndex:
         frames = [spark.read.parquet(f"{base}/{d}") for d in data_dirs]
         return reduce(DataFrame.unionByName, frames)
 
-    def add(self, df: DataFrame) -> "IvfIndex":
+    def add(self, df: DataFrame, tag: str | None = None) -> "IvfIndex":
         """Index maintenance without a rebuild: assign NEW vectors to the
         EXISTING centroids (one distributed BLAS pass — the corpus is never
         re-clustered) and append them to the index.
@@ -388,7 +388,17 @@ class IvfIndex:
         (and any subsequent ``load``) sees old + new rows; the pre-add
         handle and any previously loaded copy keep reading exactly the
         dirs they snapshotted, so no handle ever observes rows that
-        appeared after it was created."""
+        appeared after it was created.
+
+        ``tag`` (materialized indexes) makes the add IDEMPOTENT under
+        replay: the new dir is named ``data-add-<tag>`` and an add whose
+        tag is already published in the CURRENT metadata is a no-op
+        (returns a fresh handle). This is the exactly-once contract for
+        ``foreachBatch`` index maintenance (tag = batch id): a failed
+        micro-batch that re-runs re-derives the same deterministic dir
+        and either finds it published (skip) or rewrites the crash
+        leftover. Single-writer discipline, like Structured Streaming's
+        own sink contract."""
         payload = self.payload_cols
         norm = _normalize_rows(
             df.select(self.id_col, self.vec_col, *payload), self.vec_col
@@ -414,9 +424,19 @@ class IvfIndex:
         if self.path:
             base = self.path.rstrip("/")
             spark = df.sparkSession
-            new_dir = self._next_data_dir(spark, base, "add", self.data_dirs)
-            # errorifexists: never clobber a dir another handle may read
-            assigned.repartition("cluster_id").write.mode("errorifexists").partitionBy(
+            if tag is None:
+                new_dir = self._next_data_dir(spark, base, "add", self.data_dirs)
+                mode = "errorifexists"  # never clobber a dir a handle may read
+            else:
+                new_dir = f"data-add-{tag}"
+                if self._meta_exists(spark, base):
+                    published = self._read_meta(spark, base).get("data_dirs", [])
+                    if new_dir in published:
+                        return IvfIndex.load(spark, base)  # replay: applied
+                # crash leftover (written, never published): content is
+                # deterministic for the tag, rewriting is safe
+                mode = "overwrite"
+            assigned.repartition("cluster_id").write.mode(mode).partitionBy(
                 "cluster_id"
             ).parquet(f"{base}/{new_dir}")
             new_dirs = [*self.data_dirs, new_dir]

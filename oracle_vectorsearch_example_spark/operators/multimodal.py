@@ -135,6 +135,18 @@ def resize_bmp_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
     return encode_bmp(px[ys][:, xs])
 
 
+def resize_image_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL nearest-neighbor resize of any stdlib-decodable image,
+    re-encoded in its own container (BMP→BMP, PNG→PNG; r5)."""
+    data = bytes(data)
+    px = decode_image_pixels(data)
+    h, w, _ = px.shape
+    ys = (_np.arange(target_h) * h) // target_h
+    xs = (_np.arange(target_w) * w) // target_w
+    out = _np.ascontiguousarray(px[ys][:, xs])
+    return encode_png(out) if data[:8] == _PNG_MAGIC else encode_bmp(out)
+
+
 def resize_media(
     df: DataFrame, target_w: int, target_h: int, decode: str = "fake"
 ) -> DataFrame:
@@ -142,7 +154,8 @@ def resize_media(
     (target_w, target_h). Arrow-batched ``mapInPandas``. ``real`` performs
     an actual nearest-neighbor BMP resize (:func:`resize_bmp_bytes`);
     ``fake`` emits a deterministic digest-stream of ~w·h/64 bytes standing
-    in for codec formats."""
+    in for codec formats. ``real`` handles BMP and PNG (r5), re-encoding
+    each in its own container."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     n_bytes = max(16, target_w * target_h // 64)
@@ -159,7 +172,7 @@ def resize_media(
 
     def _resize(payload: bytes) -> bytes:
         if decode == "real":
-            return resize_bmp_bytes(payload, target_w, target_h)
+            return resize_image_bytes(payload, target_w, target_h)
         return _fake_resize(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

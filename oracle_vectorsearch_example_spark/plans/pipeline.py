@@ -81,11 +81,16 @@ def search_text(
     k: int = 10,
     metric: str = "cosine",
     embedder: HashingEmbedder | None = None,
+    predicate=None,
 ) -> DataFrame:
     """EP3: embed query strings, top-k nearest chunks per query.
 
     Returns (qid, rank, doc_id, chunk_id, distance); qid is the 0-based
-    position of the query string.
+    position of the query string. ``predicate`` (Column/SQL over the
+    doc_chunks columns) is the reference's filtered-search idiom
+    (``WHERE ... ORDER BY VECTOR_DISTANCE ... FETCH FIRST k``,
+    01_pdf_to_vector.sql:84-97) — applied BEFORE the top-k, so k
+    qualifying chunks return.
     """
     embedder = embedder or HashingEmbedder(dim=64)
     spark = doc_chunks.sparkSession
@@ -98,7 +103,7 @@ def search_text(
     base = _with_chunk_key(doc_chunks)
     hits = topk_search(
         base, q, k=k, metric=metric, base_id="__chunk_key", base_vec="embedding",
-        query_id="qid", query_vec="qvec",
+        query_id="qid", query_vec="qvec", predicate=predicate,
     )
     return _unpack_chunk_key(hits)
 
@@ -147,6 +152,7 @@ def build_chunk_index(
     n_clusters: int | None = None,
     path: str | None = None,
     seed: int = 42,
+    payload_cols: list[str] | None = None,
 ):
     """Build the IVF index over a doc_chunks table — the
     ``CREATE VECTOR INDEX idx_doc_chunks_embedding`` analog
@@ -155,7 +161,9 @@ def build_chunk_index(
     ``path`` to materialize partitionBy(cluster_id) for pruned probes."""
     from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
 
-    base = _with_chunk_key(doc_chunks).select("__chunk_key", "embedding")
+    base = _with_chunk_key(doc_chunks).select(
+        "__chunk_key", "embedding", *(payload_cols or [])
+    )
     return IvfIndex.build(
         base,
         id_col="__chunk_key",
@@ -163,6 +171,7 @@ def build_chunk_index(
         n_clusters=n_clusters,
         path=path,
         seed=seed,
+        payload_cols=payload_cols,
     )
 
 
@@ -172,6 +181,7 @@ def search_text_ivf(
     k: int = 10,
     nprobe: int = 4,
     embedder: HashingEmbedder | None = None,
+    predicate=None,
 ) -> DataFrame:
     """EP3, IVF mode (SURVEY §3: ``mode="exact" | "ivf"``): embed query
     strings, probe a :func:`build_chunk_index` index. Same output shape
@@ -184,7 +194,7 @@ def search_text_ivf(
     q = spark.createDataFrame(
         [(i, v) for i, v in enumerate(qvecs)], "qid long, qvec array<double>"
     )
-    hits = index.search(q, k=k, nprobe=nprobe)
+    hits = index.search(q, k=k, nprobe=nprobe, predicate=predicate)
     if index.id_col != "__chunk_key":
         hits = hits.withColumnRenamed(index.id_col, "__chunk_key")
     return _unpack_chunk_key(hits)

@@ -144,6 +144,56 @@ def ingest_documents_stream(
     )
 
 
+def index_documents_stream(
+    stream_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 100,
+    overlap: int = 10,
+    embedder=None,
+):
+    """Continuous EP1 → VECTOR-INDEX MAINTENANCE: each micro-batch of
+    arriving documents is chunked + embedded (the exact batch plan) and
+    appended to the MATERIALIZED :class:`~..operators.ivf.IvfIndex` at
+    ``index_path`` via ``add(tag=batch_id)`` — the streaming analog of
+    Oracle maintaining ``idx_doc_chunks_embedding`` under DML
+    (01_pdf_to_vector.sql:93-97): centroids stay frozen, each batch
+    publishes one new snapshot dir, searches on fresh ``load()`` handles
+    see the new chunks immediately.
+
+    The index must already exist (built from a seed corpus — KMeans
+    centroids need data; ``plans.pipeline.build_chunk_index`` with
+    ``path=``). Exactly-once: the batch-id tag makes replayed batches
+    no-ops (see ``IvfIndex.add``), so a crash between Spark's offset
+    commit and the metadata publish cannot duplicate rows. Returns the
+    ``DataStreamWriter`` — the caller sets ``checkpointLocation`` /
+    trigger and ``start()``s (same contract as any foreachBatch sink)."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.plans.pipeline import (
+        _with_chunk_key,
+        ingest_documents,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dc = ingest_documents(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            max_words=max_words,
+            overlap=overlap,
+            embedder=embedder,
+        )
+        base = _with_chunk_key(dc).select("__chunk_key", "embedding")
+        IvfIndex.load(batch_df.sparkSession, index_path).add(
+            base, tag=f"b{batch_id}"
+        )
+
+    return stream_docs.writeStream.foreachBatch(sink)
+
+
 def interval_join_streams(
     left_stream: DataFrame,
     right_stream: DataFrame,

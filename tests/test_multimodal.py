@@ -324,3 +324,20 @@ def test_extract_media_features_real_png(spark):
     r = extract_media_features(df, decode="real").collect()[0]
     assert (r.width, r.height) == (6, 4)
     assert r.features[0] == 1.0 and abs(r.features[2] - 128 / 255) < 1e-5
+
+
+def test_resize_image_bytes_png_and_bmp():
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_image_pixels,
+        make_simple_bmp,
+        make_simple_png,
+        resize_image_bytes,
+    )
+
+    for mk, magic in ((make_simple_bmp, b"BM"), (make_simple_png, b"\x89PNG")):
+        out = resize_image_bytes(mk(8, 6, (1, 2, 3)), 4, 3)
+        assert out[: len(magic)] == magic  # stays in its own container
+        px = decode_image_pixels(out)
+        assert px.shape == (3, 4, 3) and (px == np.array([1, 2, 3])).all()

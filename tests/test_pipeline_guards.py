@@ -106,3 +106,36 @@ def test_search_text_ivf_materialized(spark, tmp_path):
     out = search_text_ivf(idx, ["fast key order sort"], k=3, nprobe=4).collect()
     assert len(out) == 3
     assert all(r.rank in (1, 2, 3) and r.doc_id >= 0 and r.chunk_id >= 1 for r in out)
+
+
+def test_search_text_filtered_returns_k_qualifying(spark):
+    """Filtered EP3 (r5): predicate over doc_chunks columns runs BEFORE
+    the top-k on both the exact and the IVF path, so k qualifying chunks
+    return and both paths agree at exhaustive nprobe."""
+    from oracle_vectorsearch_example_spark.plans.pipeline import (
+        build_chunk_index,
+        ingest_documents,
+        search_text,
+        search_text_ivf,
+    )
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    dc = ingest_documents(docs, max_words=40, overlap=5).localCheckpoint()
+    pred = F.col("doc_id") % 2 == 0
+    exact = search_text(dc, ["fast key order sort"], k=5, predicate=pred)
+    rows = exact.collect()
+    assert len(rows) == 5 and all(r.doc_id % 2 == 0 for r in rows)
+    # equals prefiltering by hand
+    pre = search_text(dc.filter(pred), ["fast key order sort"], k=5).collect()
+    assert [(r.qid, r.rank, r.doc_id, r.chunk_id) for r in rows] == [
+        (r.qid, r.rank, r.doc_id, r.chunk_id) for r in pre
+    ]
+    # IVF path with a stored payload column, exhaustive probe
+    idx = build_chunk_index(dc, n_clusters=8, seed=42, payload_cols=["doc_id"])
+    ivf = search_text_ivf(
+        idx, ["fast key order sort"], k=5, nprobe=8, predicate=pred
+    ).collect()
+    assert [(r.qid, r.rank, r.doc_id, r.chunk_id) for r in ivf] == [
+        (r.qid, r.rank, r.doc_id, r.chunk_id) for r in rows
+    ]

@@ -294,3 +294,68 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         ).select("event_id", "r_event_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_index_documents_stream_maintains_materialized_index(spark, tmp_path):
+    """Streaming EP1 -> IVF maintenance (r5): seed index from half the
+    docs, stream the other half in; the maintained index must search
+    EXACTLY like the exact top-k over ALL chunks (exhaustive probe), and
+    a replayed add (same tag) must not duplicate rows."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.operators.search import topk_search
+    from oracle_vectorsearch_example_spark.plans.pipeline import (
+        _with_chunk_key,
+        build_chunk_index,
+        ingest_documents,
+    )
+    from oracle_vectorsearch_example_spark.streaming.ingest import (
+        index_documents_stream,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    late = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_path = str(tmp_path / "ivf")
+    build_chunk_index(
+        ingest_documents(seed, max_words=40, overlap=5),
+        n_clusters=8,
+        seed=42,
+        path=idx_path,
+    )
+    n_seed = IvfIndex.load(spark, idx_path).assignments.count()
+
+    late_dir = str(tmp_path / "late_docs")
+    late.write.parquet(late_dir)
+    stream = spark.readStream.schema(late.schema).parquet(late_dir)
+    q = (
+        index_documents_stream(stream, idx_path, max_words=40, overlap=5)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    idx = IvfIndex.load(spark, idx_path)
+    all_chunks = _with_chunk_key(
+        ingest_documents(docs, max_words=40, overlap=5)
+    ).select("__chunk_key", "embedding")
+    assert idx.assignments.count() == all_chunks.count() > n_seed
+
+    qf = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 63)], "qid long, qvec array<double>"
+    )
+    got = idx.search(qf, k=5, nprobe=len(idx.centroids)).collect()
+    exact = topk_search(
+        all_chunks, qf, k=5, base_id="__chunk_key", base_vec="embedding"
+    ).collect()
+    assert [(r["qid"], r["rank"], r["__chunk_key"]) for r in got] == [
+        (r["qid"], r["rank"], r["__chunk_key"]) for r in exact
+    ]
+
+    # replayed tagged add: no-op, no duplicate rows
+    some = all_chunks.limit(7)
+    before = idx.assignments.count()
+    tag_dirs = [d for d in idx.data_dirs if d.startswith("data-add-b")]
+    assert tag_dirs, idx.data_dirs  # the streamed batch landed tagged
+    replay = IvfIndex.load(spark, idx_path).add(some, tag=tag_dirs[0].removeprefix("data-add-"))
+    assert replay.assignments.count() == before
