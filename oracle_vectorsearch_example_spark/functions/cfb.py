@@ -195,8 +195,8 @@ def _decode_piece_text(raw: str) -> str:
             out.append("\n")
         elif o == 0x07:  # cell / row mark
             out.append(" ")
-        elif o in (0x01, 0x02, 0x05, 0x08, 0x13, 0x14, 0x15, 0x28):
-            continue  # pictures, footnote refs, field begin/sep/end, symbols
+        elif o in (0x01, 0x02, 0x05, 0x08, 0x13, 0x14, 0x15):
+            continue  # pictures, footnote refs, field begin/separator/end
         elif o < 0x20 and ch not in "\t\n":
             continue
         else:

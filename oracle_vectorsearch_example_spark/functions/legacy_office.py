@@ -96,7 +96,11 @@ class _SstReader:
         high = grbit & 0x01
         c_run = self.u16() if grbit & 0x08 else 0
         cb_ext = self.u32() if grbit & 0x04 else 0
-        segs: list[str] = []
+        # accumulate UTF-16 code units and decode ONCE at the end: a
+        # surrogate pair may split across a Continue boundary (and the
+        # segments on either side may even use different widths), so
+        # per-segment decoding would see lone surrogates
+        units = bytearray()
         remaining = cch
         while remaining:
             if self._avail() == 0:
@@ -108,10 +112,13 @@ class _SstReader:
                 raise CfbError("SST string segment malformed")
             raw = self.parts[self.p][self.o : self.o + take * width]
             self.o += take * width
-            segs.append(raw.decode("utf-16-le" if high else "latin-1"))
+            if high:
+                units += raw
+            else:
+                units += raw.decode("latin-1").encode("utf-16-le")
             remaining -= take
         self.read_raw(4 * c_run + cb_ext)  # rich runs + ext data: skip
-        return "".join(segs)
+        return units.decode("utf-16-le", errors="replace")
 
 
 def _decode_rk(rk: int) -> float:
@@ -227,20 +234,23 @@ def make_simple_xls(
 
     for w in uniq:
         high = 0 if all(ord(c) < 256 for c in w) else 1
-        hdr = struct.pack("<HB", len(w), high)
+        # cch counts UTF-16 CODE UNITS (astral chars are two), not Python
+        # characters — [MS-XLS] XLUnicodeRichExtendedString
+        n_units = len(w.encode("utf-16-le")) // 2 if high else len(w)
+        hdr = struct.pack("<HB", n_units, high)
         if len(parts[-1]) + len(hdr) + 1 > max_record:
             parts.append(bytearray())
         parts[-1] += hdr
+        units = w.encode("utf-16-le") if high else w.encode("latin-1")
+        width = 2 if high else 1
         i = 0
-        while i < len(w):
-            width = 2 if high else 1
-            avail = (max_record - len(parts[-1])) // width
+        while i < len(units):
+            avail = ((max_record - len(parts[-1])) // width) * width
             if avail == 0:
                 parts.append(bytearray(struct.pack("<B", high)))
-                avail = (max_record - len(parts[-1])) // width
-            seg = w[i : i + avail]
-            parts[-1] += seg.encode("utf-16-le" if high else "latin-1")
-            i += len(seg)
+                avail = ((max_record - len(parts[-1])) // width) * width
+            parts[-1] += units[i : i + avail]
+            i += avail
 
     out = bytearray()
     out += _biff_record(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0x3515, 0x07CC, 1, 1))
@@ -304,9 +314,13 @@ def make_simple_ppt(text: str, *, wrap: int = 60) -> bytes:
     SlideListWithText whose TextHeaderAtom+TextCharsAtom pairs carry the
     wrapped lines (odd lines as one-byte TextBytesAtoms when they fit,
     exercising both atom decoders)."""
+    import re
     import textwrap
 
-    lines = textwrap.wrap(text, wrap) or [""]
+    norm = re.sub(r"\s+", " ", text).strip()
+    lines = textwrap.wrap(
+        norm, wrap, break_long_words=False, break_on_hyphens=False
+    ) or [""]
     body = b""
     for i, line in enumerate(lines):
         body += _ppt_record(0x0000, _TEXTHEADER, struct.pack("<I", 0))

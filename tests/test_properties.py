@@ -200,7 +200,9 @@ _DOC_TEXT = st.text(
 )
 
 
-@given(_DOC_TEXT, st.sampled_from(["pdf", "html", "docx", "rtf", "xlsx", "pptx", "text"]))
+@given(_DOC_TEXT, st.sampled_from(
+    ["pdf", "html", "docx", "rtf", "xlsx", "pptx", "doc", "xls", "ppt", "text"]
+))
 @settings(max_examples=150, deadline=None)
 def test_render_extract_roundtrip_property(text, fmt):
     """extract(render(t, fmt)) == normalize_ws(t) for every format in the
@@ -215,3 +217,43 @@ def test_render_extract_roundtrip_property(text, fmt):
     payload = render_document(text, fmt)
     got = extract_text_bytes(payload, engine="builtin")
     assert got == _normalize_ws(text), (fmt, repr(text)[:80])
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(0, 4),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_filter_roundtrip_property(w, h, ftype, seed):
+    """decode(encode(px, filter)) == px for every scanline filter over
+    random pixel content and odd shapes — the bit-exact inverse property
+    each filter's decoder branch must satisfy."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_png_pixels(encode_png(px, filter_type=ftype)) == px).all()
+
+
+@given(st.text(max_size=300), st.integers(12, 64))
+@settings(max_examples=80, deadline=None)
+def test_xls_sst_continue_splits_property(text, max_record):
+    """The SST writer splits character data at ARBITRARY record budgets;
+    the reader must reassemble across every boundary placement (each
+    continuation restating the option byte). Roundtrip under adversarial
+    unicode (incl. astral chars -> UTF-16 code-unit counting) and tiny
+    max_record values that force mid-string splits."""
+    from oracle_vectorsearch_example_spark.functions.extract import _normalize_ws
+    from oracle_vectorsearch_example_spark.functions.legacy_office import (
+        make_simple_xls,
+        xls_extract_text,
+    )
+
+    got = xls_extract_text(make_simple_xls(text, max_record=max_record))
+    assert _normalize_ws(got) == _normalize_ws(text)
