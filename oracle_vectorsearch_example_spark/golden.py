@@ -469,6 +469,157 @@ def q_tpch_q19(spark, sf):
 
 
 @golden(
+    "tpch_q4",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape (J7 semi + A1, r5; adapted — no commit/receipt
+    dates in the fixture, 'late' means shipped > 60 days after order):
+    order-priority checking via EXISTS → LeftSemi join, then a group
+    count. The correlated predicate compares columns of BOTH sides, so
+    it evaluates inside the semi join, not as a pushed filter."""
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = read_table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@golden(
+    "tpch_q13",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 shape (J6 + two-level A1, r5; o_orderpriority filter
+    stands in for the comment NOT LIKE): customer order-count
+    distribution — LEFT join keeps zero-order customers (count() over
+    the null side yields 0), first groupBy counts per customer, second
+    builds the histogram. The classic double-aggregation report."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    ).select(F.col("c_count").cast("long"), "custdist")
+
+
+@golden(
+    "tpch_q17",
+    f"""
+    SELECT {_sql_dec_sum('l.l_extendedprice', 4, 2)} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cap
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_cap
+    """,
+)
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape (correlated scalar aggregate subquery, r5;
+    adapted — no p_container): small-quantity-order revenue. The
+    per-part average is a self-aggregation joined back on the part key
+    (what Catalyst rewrites the correlated subquery to); the part-brand
+    filter broadcasts."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    caps = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(caps, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            (_dec_sum("l_extendedprice", 4, 2) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@golden(
+    "tpch_q22",
+    f"""
+    WITH pos AS (
+      SELECT CAST(avg(c_acctbal) AS DOUBLE) AS thresh FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9)
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           {_sql_dec_sum('c.c_acctbal', 2, 2)} AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+      AND c.c_acctbal > pos.thresh
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape (global scalar subquery + anti join, r5; adapted —
+    c_nationkey stands in for the phone country code, and 'no orders'
+    becomes 'no URGENT orders' since every fixture customer has some
+    order): global-sales-opportunity. The positive-balance average is a
+    broadcast scalar, the NOT EXISTS is a LeftAnti join on the skinny
+    filtered o_custkey projection, then a per-nation count/sum."""
+    c = read_table(spark, sf, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+    )
+    o = (
+        read_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("thresh"))
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            _dec_sum("c_acctbal", 2, 2).alias("totacctbal"),
+        )
+    )
+
+
+@golden(
     "tpch_q5",
     f"""
     SELECT n.n_name,
@@ -1538,6 +1689,26 @@ def q_embedding_neardup(spark, sf):
         pairs.withColumn("cos_sim", F.round("cos_sim", 6))
         .filter(F.col("cos_sim") >= 0.95)
     )
+
+
+@golden("ivf_add_search", _TOPK_SQL)
+def q_ivf_add_search(spark, sf):
+    """Index MAINTENANCE hash-checked (r5): build on the even vec_ids,
+    ``add()`` the odd half against the frozen centroids (the streaming
+    foreachBatch maintenance path, minus the stream), search at
+    exhaustive nprobe — the result must equal the exact top-k over the
+    WHOLE table, so the standard oracle catches any row lost or
+    duplicated by the append."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    e = read_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = IvfIndex.build(e.filter(F.col("vec_id") % 2 == 0), n_clusters=16, seed=42)
+    grown = idx.add(e.filter(F.col("vec_id") % 2 == 1))
+    hits = grown.search(q, k=5, nprobe=len(grown.centroids), exclude_self=True)
+    return hits.select("qid", "rank", "vec_id")
 
 
 @golden("semdedup")
