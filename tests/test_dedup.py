@@ -232,3 +232,22 @@ def test_neardup_components_restores_checkpoint_dir(spark, tmp_path):
     got = {(r["id"], r["component_id"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert sc.getCheckpointDir() == before
+
+
+def test_components_small_graph_shortcut_matches_distributed(spark):
+    """The adaptive driver-side union-find (r5) must label exactly like
+    the distributed fixed-point, including multi-hop chains and
+    singleton-free vertex sets."""
+    from oracle_vectorsearch_example_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (10, 11), (3, 3), (7, 2), (20, 10)],
+        "id_a long, id_b long",
+    )
+    fast = neardup_components(pairs)  # small path (default threshold)
+    slow = neardup_components(pairs, small_graph_edges=0)  # forced distributed
+    key = lambda df: sorted((r["id"], r["component_id"]) for r in df.collect())
+    assert key(fast) == key(slow)
+    assert key(fast) == [
+        (2, 2), (5, 2), (7, 2), (9, 2), (10, 10), (11, 10), (20, 10)
+    ]
