@@ -208,3 +208,28 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert m and "event_type" in m.group(1) and "click" in m.group(1), (
         m.group(1) if m else explain_str(q)
     )
+
+
+def test_q4_semi_join_and_q22_anti_join_shapes(spark):
+    """r5 TPC-H shapes compile to the right physical operators: Q4's
+    EXISTS is a LeftSemi (never a dedup-after-inner-join), Q22's NOT
+    EXISTS a LeftAnti, and Q22's scalar threshold + Q17's brand side
+    broadcast."""
+    from oracle_vectorsearch_example_spark import golden
+
+    q4 = explain_str(golden.QUERIES["tpch_q4"](spark, SF), mode="simple")
+    assert "LeftSemi" in q4, q4
+    q22 = explain_str(golden.QUERIES["tpch_q22"](spark, SF), mode="simple")
+    assert "LeftAnti" in q22, q22
+    assert "Broadcast" in q22, q22
+    q17 = explain_str(golden.QUERIES["tpch_q17"](spark, SF), mode="simple")
+    assert "Broadcast" in q17, q17
+
+
+def test_q13_left_join_keeps_zero_match_rows(spark):
+    """Q13's LEFT join must not degrade to inner (the zero-order
+    customers are the point of the histogram's 0 bucket)."""
+    from oracle_vectorsearch_example_spark import golden
+
+    plan = explain_str(golden.QUERIES["tpch_q13"](spark, SF), mode="simple")
+    assert "LeftOuter" in plan, plan
