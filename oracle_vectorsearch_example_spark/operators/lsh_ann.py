@@ -156,6 +156,7 @@ class CosineLshIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
         exclude_self: bool = False,
+        predicate=None,
     ) -> DataFrame:
         """Fully DISTRIBUTED bucket-join search for LARGE query frames
         (r4; same scale story as ``IvfIndex.search_df``): the query frame
@@ -173,8 +174,17 @@ class CosineLshIndex:
             query_id,
             "__qvec",
         )
+        base = self.assignments
+        if predicate is not None:
+            # filtered search (01_pdf_to_vector.sql:84-97): pre-join, so k
+            # qualifying rows return; predicates range over the assignment
+            # columns (id/vector) — for attribute predicates store
+            # payload_cols in an IvfIndex (the primary filtered-ANN path)
+            base = base.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
         cand = (
-            self.assignments.join(probes, ["table", "bucket"])
+            base.join(probes, ["table", "bucket"])
             .select(query_id, "__qvec", self.id_col, self.vec_col)
             .dropDuplicates([query_id, self.id_col])
         )
@@ -201,6 +211,7 @@ class CosineLshIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
         exclude_self: bool = False,
+        predicate=None,
     ) -> DataFrame:
         """Bucket-join candidates → exact cosine re-rank → top-k.
         Returns (query_id, rank, base_id, distance), ties broken by id.
@@ -220,8 +231,13 @@ class CosineLshIndex:
         probes = spark.createDataFrame(
             probe, f"{query_id} long, __qvec array<double>, table int, bucket long"
         )
+        base = self.assignments
+        if predicate is not None:
+            base = base.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
         cand = (
-            self.assignments.join(F.broadcast(probes), ["table", "bucket"])
+            base.join(F.broadcast(probes), ["table", "bucket"])
             .select(query_id, "__qvec", self.id_col, self.vec_col)
             .dropDuplicates([query_id, self.id_col])
         )

@@ -423,3 +423,24 @@ def test_doc_in_render_rotation(spark):
     )
     for r in out:
         assert r.xtext == r.text
+
+
+def test_doc_reads_1table_stream():
+    """fWhichTblStm=1 selects the 1Table stream — the reader must honor
+    the flag (our writer emits 0Table; real Word files use either)."""
+    import struct
+
+    from oracle_vectorsearch_example_spark.functions.cfb import (
+        CfbFile,
+        build_cfb,
+        doc_extract_text,
+        make_simple_doc,
+    )
+
+    base = make_simple_doc("one table flag honored")
+    cfb = CfbFile(base)
+    wd = bytearray(cfb.read("WordDocument"))
+    clx = cfb.read("0Table")
+    struct.pack_into("<H", wd, 0x0A, 0x0200)  # set fWhichTblStm
+    rebuilt = build_cfb([("WordDocument", bytes(wd)), ("1Table", clx)])
+    assert doc_extract_text(rebuilt).strip() == "one table flag honored"

@@ -719,3 +719,53 @@ def test_build_sample_fit_deterministic(emb):
     a = IvfIndex.build(emb, n_clusters=8, seed=42, sample_per_cluster=16).centroids
     b = IvfIndex.build(emb, n_clusters=8, seed=42, sample_per_cluster=16).centroids
     assert a == b
+
+
+def test_lsh_search_predicate_parity(emb, queries10):
+    """LSH filtered search (r5 API parity with IvfIndex): predicate on
+    the assignment columns runs pre-join on both paths and equals the
+    prefiltered exact top-k when every bucket is probed... LSH can miss
+    candidates by design, so assert instead: all hits satisfy the
+    predicate, both LSH paths agree, and hits ⊆ prefiltered exact@bigK."""
+    from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
+
+    idx = CosineLshIndex.build(emb, dim=64, n_tables=8, n_bits=6, seed=42)
+    pred = F.col("vec_id") % 2 == 0
+    a = idx.search(queries10, k=5, predicate=pred).collect()
+    b = idx.search_df(queries10, k=5, predicate=pred).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r.vec_id % 2 == 0 for r in a)
+    exact_ids = {
+        (r.qid, r.vec_id)
+        for r in topk_search(
+            emb.filter(pred), queries10, k=50, metric="cosine"
+        ).collect()
+    }
+    assert all((r.qid, r.vec_id) in exact_ids for r in a)
+
+
+def test_tagged_add_idempotent_and_vacuum_safe(emb, queries10, tmp_path):
+    """Replaying a tagged add is a no-op; vacuum never deletes a tagged
+    dir that the current metadata references."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(half_a, n_clusters=8, seed=42, path=path)
+    n0 = idx.assignments.count()
+    grown = idx.add(half_b, tag="batch7")
+    assert "data-add-batch7" in grown.data_dirs
+    n1 = grown.assignments.count()
+    assert n1 > n0
+    # replay from a stale handle: published tag -> no-op, fresh snapshot
+    replay = idx.add(half_b, tag="batch7")
+    assert replay.assignments.count() == n1
+    assert replay.data_dirs == grown.data_dirs
+    # vacuum: both live dirs survive
+    assert grown.vacuum() == []
+    loaded = IvfIndex.load(emb.sparkSession, path)
+    assert loaded.assignments.count() == n1
+    # compact folds the tagged dir; vacuum then removes it
+    compacted = loaded.compact()
+    deleted = compacted.vacuum()
+    assert "data-add-batch7" in deleted and "data" in deleted
+    assert IvfIndex.load(emb.sparkSession, path).assignments.count() == n1
