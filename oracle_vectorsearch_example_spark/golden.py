@@ -570,6 +570,96 @@ def q_tpch_q17(spark, sf):
 
 
 @golden(
+    "tpch_q15",
+    f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 4, 2)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    """,
+)
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 shape (view + global-max scalar subquery, r5): top
+    supplier by quarterly revenue. The revenue aggregation computes once;
+    its global max broadcasts as a one-row scalar; equality keeps every
+    tied supplier (both engines compare the same decimal-rounded value,
+    so the tie set matches exactly)."""
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = read_table(spark, sf, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dec_sum("l_extendedprice * (1 - l_discount)", 4, 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@golden(
+    "tpch_q21",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                        ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape (double-correlated EXISTS / NOT EXISTS, r5;
+    adapted — 'kept waiting' = shipped > 90 days after order): suppliers
+    who were the SOLE late supplier on a multi-supplier order. The Spark
+    plan rewrites both correlations into per-order aggregates joined
+    back (n suppliers ≥ 2, n LATE suppliers = 1) — a deliberately
+    DIFFERENT formulation from the oracle's literal EXISTS/NOT EXISTS,
+    so the hash check pins the equivalence of the rewrite."""
+    s = read_table(spark, sf, "supplier")
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = read_table(spark, sf, "lineitem")
+    lines = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).withColumn("__late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    l1 = (
+        lines.filter(F.col("__late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@golden(
     "tpch_q22",
     f"""
     WITH pos AS (
