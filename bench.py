@@ -169,6 +169,33 @@ def main():
     except Exception as e:  # noqa: BLE001
         results.setdefault("exact_topk_4m", {"err": str(e).splitlines()[0][:200]})
 
+    # --- dedup at scale: the banded-join shape measured at 40× the sf0.1
+    # corpus (200k docs; fixture cached on first use, ~6 s to generate).
+    # Near-linear vs sf0.1's minhash_lsh is the scaling witness; the
+    # planted-duplicate recovery count is reported alongside.
+    try:
+        from oracle_vectorsearch_example_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        from oracle_vectorsearch_example_spark.sources.corpus_fixture import (
+            ensure_corpus_fixture,
+        )
+
+        corpus_base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".corpus_fixture"
+        )
+        docs200k = ensure_corpus_fixture(spark, corpus_base)
+        run_entry(
+            "minhash_pairs_200k", lambda: _execute(minhash_lsh_pairs(docs200k))
+        )
+        extras["dedup_200k"] = {
+            "n_docs": 200_000,
+            "dup_rate": 0.10,
+            "pairs_found": minhash_lsh_pairs(docs200k).count(),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("minhash_pairs_200k", {"err": str(e).splitlines()[0][:200]})
+
     ok = {k: v for k, v in results.items() if isinstance(v, (int, float))}
     n_err = len(results) - len(ok)
     total = round(sum(ok.values()), 3)
