@@ -1781,6 +1781,53 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+def _profile_col_sql(col: str, dtype: str, numeric: bool, kind: str = "plain") -> str:
+    if kind == "ts":
+        mn = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
+    elif kind == "dec":
+        mn = f"CAST(CAST(min({col}) AS DECIMAL(18,4)) AS VARCHAR)"
+        mx = f"CAST(CAST(max({col}) AS DECIMAL(18,4)) AS VARCHAR)"
+    else:
+        mn, mx = f"CAST(min({col}) AS VARCHAR)", f"CAST(max({col}) AS VARCHAR)"
+    avg = f"CAST(round(avg({col}), 4) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    return f"""
+    SELECT '{col}' AS "column", '{dtype}' AS dtype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {mn} AS min_value, {mx} AS max_value, {avg} AS avg_value
+    FROM orders"""
+
+
+_PROFILE_SQL = " UNION ALL ".join(
+    [
+        _profile_col_sql("o_orderkey", "bigint", True),
+        _profile_col_sql("o_custkey", "bigint", True),
+        _profile_col_sql("o_orderstatus", "string", False),
+        _profile_col_sql("o_totalprice", "double", True, "dec"),
+        _profile_col_sql("o_orderdate", "timestamp", False, "ts"),
+        _profile_col_sql("o_orderpriority", "string", False),
+    ]
+)
+
+
+@golden("profile_table", _PROFILE_SQL)
+def q_profile_table(spark, sf):
+    """X16 (r5): one-pass table profiling — the data-quality snapshot a
+    training pipeline takes before/after every transform (null-rate
+    drift, cardinality collapse, range excursions). ONE aggregation pass
+    computes every column's count/nulls/exact-distinct/min/max/mean as
+    parallel aggregate expressions (multi-distinct compiles to Spark's
+    Expand — one scan, never a per-column job), then a row-local stack
+    unpivots. Every orders dtype branch exercised (integral, string,
+    double with fixed-scale render, timestamp)."""
+    from oracle_vectorsearch_example_spark.operators.profile import profile_table
+
+    o = read_table(spark, sf, "orders")
+    return profile_table(o)
+
+
 @golden("ivf_add_search", _TOPK_SQL)
 def q_ivf_add_search(spark, sf):
     """Index MAINTENANCE hash-checked (r5): build on the even vec_ids,

@@ -1,0 +1,91 @@
+"""One-pass table profiling (X16, r5) — the data-quality snapshot every
+large-scale training-data pipeline runs before and after each transform
+(null-rate drift, cardinality collapse, range excursions are THE cheap
+early warnings for a corrupted ingest).
+
+Shape: ONE aggregation pass computes every column's stats as parallel
+aggregate expressions (count, null count, exact distinct, min/max, mean),
+then a row-local ``stack`` unpivots the single wide row into one row per
+column. Multiple exact ``countDistinct`` aggregates compile to Spark's
+Expand operator — still a single scan of the data, one shuffle whose
+width scales with the number of profiled columns, never a per-column job
+(the naive ``for c in columns: df.agg(...)`` is N scans).
+
+Profiled types: integral/floating, string, timestamp, boolean. Complex
+columns (arrays, maps, structs, binary) get row/null counts only —
+their orderings are engine-specific, so min/max would not be
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _fmt_min_max(c: str, dtype) -> tuple:
+    col = F.col(c)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        f = lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+        return f(F.min(col)), f(F.max(col))
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        # fixed-scale decimal render: double→string formatting differs
+        # between engines (scientific notation thresholds); decimal 18,4
+        # prints identically everywhere
+        f = lambda x: x.cast("decimal(18,4)").cast("string")
+        return f(F.min(col)), f(F.max(col))
+    if isinstance(dtype, (*_NUMERIC, T.BooleanType, T.StringType)):
+        return F.min(col).cast("string"), F.max(col).cast("string")
+    return F.lit(None).cast("string"), F.lit(None).cast("string")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: ``(column, dtype, n_rows, n_nulls, n_distinct,
+    min_value, max_value, avg_value)`` — deterministic (exact distinct,
+    not approximate) so the result is hash-checkable; ``avg_value`` is
+    rounded to 4 decimals and NULL for non-numeric columns."""
+    cols = columns or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    per_col: list[str] = []
+    for c in cols:
+        dt = fields[c]
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}")
+        )
+        complex_t = isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+        if complex_t:
+            aggs.append(F.lit(None).cast("long").alias(f"__dist_{c}"))
+        else:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        mn, mx = _fmt_min_max(c, dt)
+        aggs.append(mn.alias(f"__min_{c}"))
+        aggs.append(mx.alias(f"__max_{c}"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.round(F.avg(F.col(c)), 4).alias(f"__avg_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__avg_{c}"))
+        per_col.append(c)
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', '{fields[c].simpleString()}', __nulls_{c}, __dist_{c}, "
+        f"__min_{c}, __max_{c}, __avg_{c}"
+        for c in per_col
+    )
+    n = len(per_col)
+    return wide.select(
+        F.expr(
+            f"stack({n}, {stack_args}) AS "
+            "(column, dtype, n_nulls, n_distinct, min_value, max_value, avg_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "column", "dtype", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value", "avg_value",
+    )
