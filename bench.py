@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "filtered_topk",       # predicate inside the pruned ANN scan
     "dedup_incremental",   # batch dedup against persisted band state
     "semdedup",            # IVF-blocked embedding dedup + closure
+    "profile_table",       # one-pass per-column stats (Expand plan)
 ]
 
 N_RUNS = 3

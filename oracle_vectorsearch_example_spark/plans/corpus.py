@@ -114,3 +114,106 @@ def build_training_corpus(
         warehouse.commit(tables)
         tables = {name: warehouse.read(name) for name in tables}
     return tables
+
+
+class IncrementalCorpus:
+    """The corpus build at PRODUCTION CADENCE (r5): document batches
+    arrive over time; each ``ingest`` dedups the batch against everything
+    ever seen (:class:`~..operators.incremental.IncrementalDedup` — band
+    tables are append-only, the closure runs on a batch-sized graph) and
+    commits the raw batch + updated dedup state in one atomic manifest
+    swap. Nothing downstream is precomputed: ``documents()`` resolves the
+    CURRENT survivor set (which later batches may have revoked — a
+    bridge-merge keeps only the merged cluster's min id, exactly as a
+    full rebuild would) and applies the row-local quality/language gates
+    and the deterministic split at read time, so the invariant
+
+        IncrementalCorpus over batches 1..N  ==  build_training_corpus
+        over the union of batches 1..N       (documents table; tested)
+
+    holds by construction: the pair graph is provably identical
+    (incremental-equals-full), and gates/split are pure row functions
+    that commute with when they run. Per-batch write cost is O(batch);
+    only the skinny cluster table rewrites."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        quality_min: float = 0.0,
+        langs: list[str] | None = None,
+        split_weights: dict[str, float] | None = None,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        seed: int = 42,
+    ):
+        from oracle_vectorsearch_example_spark.operators.incremental import (
+            IncrementalDedup,
+        )
+
+        self.spark = spark
+        self.id_col, self.text_col = id_col, text_col
+        self.quality_min, self.langs = quality_min, langs
+        self.split_weights, self.seed = split_weights, seed
+        self.dedup = IncrementalDedup(
+            spark, root, prefix="dedup", text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        )
+        self.wh = self.dedup.wh
+
+    def _batch_tables(self) -> list[str]:
+        return sorted(t for t in self.wh.tables() if t.startswith("docs_"))
+
+    def ingest(self, batch: DataFrame) -> int:
+        """Fold one raw batch in; returns the committed version. The raw
+        rows are stored unfiltered (gates run at read, so re-tuning
+        quality_min later never needs a re-ingest)."""
+        from oracle_vectorsearch_example_spark.operators.incremental import (
+            dedup_incremental,
+        )
+
+        n = len(self._batch_tables())
+        new_bands, clusters = dedup_incremental(
+            batch, self.dedup.state(), self.text_col, self.id_col,
+            **self.dedup.params,
+        )
+        return self.wh.commit(
+            {
+                f"docs_{n:06d}": batch,
+                f"dedup_bands_{n:06d}": new_bands,
+                "dedup_clusters": clusters,
+            }
+        )
+
+    def documents(self) -> DataFrame:
+        """Current corpus: union of raw batches → dedup survivors →
+        quality/language gate → deterministic split column."""
+        from functools import reduce
+
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            text_metrics_df,
+        )
+        from oracle_vectorsearch_example_spark.operators.incremental import (
+            survivors,
+        )
+        from oracle_vectorsearch_example_spark.operators.sampling import hash_split
+
+        tabs = self._batch_tables()
+        if not tabs:
+            raise ValueError("no batches ingested yet")
+        raw = reduce(DataFrame.unionByName, (self.wh.read(t) for t in tabs))
+        keep = survivors(self.dedup.clusters()).withColumnRenamed("id", self.id_col)
+        alive = raw.join(keep, self.id_col, "left_semi")
+        scored = text_metrics_df(alive, self.text_col)
+        gate = F.col("quality") >= F.lit(self.quality_min)
+        if self.langs:
+            gate = gate & F.col("lang_guess").isin(self.langs)
+        kept_ids = scored.filter(gate).select(self.id_col)
+        gated = alive.join(kept_ids, self.id_col, "left_semi")
+        return hash_split(
+            gated, self.split_weights, id_col=self.id_col, seed=self.seed
+        )

@@ -101,3 +101,52 @@ def test_repetition_and_contamination_gates(spark, docs):
     flagged = {r.doc_id for r in ngram_contamination(docs, bench, n=3).collect()}
     survivors = {r.doc_id for r in gated["documents"].select("doc_id").collect()}
     assert not (survivors & flagged)
+
+
+def test_incremental_corpus_equals_full_build(spark, tmp_path):
+    """The r5 production-cadence invariant: N ingested batches read back
+    exactly as build_training_corpus over their union (same survivor
+    set, same gates, same split labels) — while each ingest wrote only
+    O(batch) plus the skinny cluster table."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        IncrementalCorpus,
+        build_training_corpus,
+    )
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    inc = IncrementalCorpus(
+        spark, str(tmp_path / "corpus"), quality_min=0.3,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    v1 = inc.ingest(docs.filter(F.col("doc_id") % 2 == 0))
+    v2 = inc.ingest(docs.filter(F.col("doc_id") % 2 == 1))
+    assert v2 == v1 + 1
+
+    got = {
+        (r.doc_id, r.split) for r in inc.documents().select("doc_id", "split").collect()
+    }
+    full = build_training_corpus(
+        docs, quality_min=0.3,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )["documents"]
+    want = {(r.doc_id, r.split) for r in full.select("doc_id", "split").collect()}
+    assert got == want and got  # non-trivial corpus
+
+
+def test_incremental_corpus_survivor_revocation_visible(spark, tmp_path):
+    """A later batch's duplicate with a smaller id revokes the earlier
+    survivor in the READ — no rewrite of batch-1 data needed."""
+    from oracle_vectorsearch_example_spark.plans.corpus import IncrementalCorpus
+
+    t = " ".join(f"tok{i}" for i in range(40))
+    b1 = spark.createDataFrame([(10, t), (20, "other words " * 10)],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(5, t)], "doc_id long, text string")
+    inc = IncrementalCorpus(spark, str(tmp_path / "c2"))
+    inc.ingest(b1)
+    assert {r.doc_id for r in inc.documents().collect()} == {10, 20}
+    inc.ingest(b2)
+    assert {r.doc_id for r in inc.documents().collect()} == {5, 20}
