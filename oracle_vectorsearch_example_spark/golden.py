@@ -3168,7 +3168,10 @@ _PRIORITY = [
     "pack_sequences",
     "gapfill_locf",
     "correlated_subquery",
-    "percentile_gate",
+    # percentile_gate evicted r5 for profile_table (X16, a NEW family
+    # needing a witness; X3-quality keeps corpus_filter, repetition_stats,
+    # text_stats, doc_stats in-window); stays registered + green
+    "profile_table",
     "sessionize",
     "tpch_q1",
     # scan_region evicted r5 (S11 bare parquet scan — witnessed implicitly

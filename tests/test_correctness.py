@@ -73,7 +73,7 @@ def test_driver_window_composition():
         "minhash_lsh", "extract_text", "ivf_materialized",
         "neardup_clusters", "hash_split", "stratified_sample",
         "pack_sequences", "gapfill_locf", "correlated_subquery",
-        "percentile_gate", "audio_decode",
+        "profile_table", "audio_decode",
         "ivf_search_df", "tumbling_window",
         # r5 admissions: set-op family + previously unwitnessed + new ops
         "union_all", "intersect_keys", "except_keys",
