@@ -150,3 +150,40 @@ def test_incremental_corpus_survivor_revocation_visible(spark, tmp_path):
     assert {r.doc_id for r in inc.documents().collect()} == {10, 20}
     inc.ingest(b2)
     assert {r.doc_id for r in inc.documents().collect()} == {5, 20}
+
+
+def test_incremental_empty_batch_is_harmless(spark, tmp_path):
+    from oracle_vectorsearch_example_spark.plans.corpus import IncrementalCorpus
+
+    inc = IncrementalCorpus(spark, str(tmp_path / "c3"))
+    b1 = spark.createDataFrame([(1, "some words here please")],
+                               "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    inc.ingest(b1)
+    inc.ingest(empty)
+    assert {r.doc_id for r in inc.documents().collect()} == {1}
+
+
+def test_corpus_cli_roundtrip(spark, tmp_path):
+    """Drive the CLI as a module (same process — a subprocess would pay a
+    second SparkSession): ingest two batches, stats, filtered export."""
+    import scripts.corpus_cli as cli
+
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    t = " ".join(f"w{i}" for i in range(30))
+    spark.createDataFrame([(1, t), (2, "other " * 20)], "doc_id long, text string").write.parquet(b1)
+    spark.createDataFrame([(3, t)], "doc_id long, text string").write.parquet(b2)
+    wh = str(tmp_path / "wh")
+    import unittest.mock as mock
+
+    with mock.patch("oracle_vectorsearch_example_spark.session.get_spark",
+                    return_value=spark), \
+         mock.patch.object(spark, "stop"):
+        assert cli.main(["-w", wh, "ingest", b1]) == 0
+        assert cli.main(["-w", wh, "ingest", b2]) == 0
+        out = str(tmp_path / "out")
+        assert cli.main(["-w", wh, "--split-weights", "train=1.0",
+                         "export", out, "--split", "train"]) == 0
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}  # 3 is a dup of 1 (higher id loses)
