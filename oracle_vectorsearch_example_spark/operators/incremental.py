@@ -183,18 +183,45 @@ class IncrementalDedup:
     def survivors(self) -> DataFrame:
         return survivors(self.clusters())
 
+    def _check_params(self) -> DataFrame | None:
+        """Band tables built with different MinHash parameters would join
+        band hashes that mean different things — a SILENT recall hole. The
+        parameters are committed as a one-row table on first ingest and
+        every later ingest must match exactly (raises otherwise)."""
+        name = f"{self.prefix}_params"
+        mine = dict(self.params, text_col=self.text_col, id_col=self.id_col)
+        if name in self.wh.tables():
+            stored = self.wh.read(name).collect()[0].asDict()
+            if {k: stored[k] for k in mine} != mine:
+                raise ValueError(
+                    f"dedup state at {self.wh.root!r} was built with "
+                    f"{stored}, not {mine}; incremental joins across "
+                    "mismatched MinHash parameters are meaningless"
+                )
+            return None
+        spark = self.wh.spark
+        return spark.createDataFrame(
+            [tuple(mine[k] for k in sorted(mine))],
+            ", ".join(
+                f"{k} {'string' if isinstance(mine[k], str) else 'int'}"
+                for k in sorted(mine)
+            ),
+        )
+
     def ingest(self, batch: DataFrame) -> int:
         """Dedup ``batch`` against everything seen; returns the committed
         warehouse version. Batch numbering = count of existing band
         tables, so retries after a failed (unpublished) commit reuse the
         same slot instead of leaking one."""
+        params_df = self._check_params()
         n = len(self._band_tables())
         new_bands, clusters = dedup_incremental(
             batch, self.state(), self.text_col, self.id_col, **self.params
         )
-        return self.wh.commit(
-            {
-                f"{self.prefix}_bands_{n:06d}": new_bands,
-                f"{self.prefix}_clusters": clusters,
-            }
-        )
+        tables = {
+            f"{self.prefix}_bands_{n:06d}": new_bands,
+            f"{self.prefix}_clusters": clusters,
+        }
+        if params_df is not None:  # first ingest: pin the parameters
+            tables[f"{self.prefix}_params"] = params_df
+        return self.wh.commit(tables)

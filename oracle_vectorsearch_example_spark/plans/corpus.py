@@ -176,18 +176,20 @@ class IncrementalCorpus:
             dedup_incremental,
         )
 
-        n = len(self._batch_tables())
+        params_df = self.dedup._check_params()  # mismatched MinHash params
+        n = len(self._batch_tables())            # would silently lose recall
         new_bands, clusters = dedup_incremental(
             batch, self.dedup.state(), self.text_col, self.id_col,
             **self.dedup.params,
         )
-        return self.wh.commit(
-            {
-                f"docs_{n:06d}": batch,
-                f"dedup_bands_{n:06d}": new_bands,
-                "dedup_clusters": clusters,
-            }
-        )
+        tables = {
+            f"docs_{n:06d}": batch,
+            f"dedup_bands_{n:06d}": new_bands,
+            "dedup_clusters": clusters,
+        }
+        if params_df is not None:
+            tables["dedup_params"] = params_df
+        return self.wh.commit(tables)
 
     def documents(self) -> DataFrame:
         """Current corpus: union of raw batches → dedup survivors →

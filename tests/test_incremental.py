@@ -114,3 +114,18 @@ def test_warehouse_ingest_atomic_and_time_travel(docs, tmp_path):
     }
     # band tables are append-style: one immutable table per batch
     assert inc._band_tables() == ["dedup_bands_000000", "dedup_bands_000001"]
+
+
+def test_param_mismatch_rejected(docs, tmp_path):
+    """Band tables from different MinHash parameters must never join
+    silently — the second writer with different params is refused."""
+    root = str(tmp_path / "whp")
+    a = IncrementalDedup(docs.sparkSession, root, num_hashes=16, bands=4)
+    a.ingest(docs.filter(F.col("doc_id") < 100))
+    b = IncrementalDedup(docs.sparkSession, root, num_hashes=8, bands=2)
+    with pytest.raises(ValueError, match="mismatched MinHash parameters"):
+        b.ingest(docs.filter(F.col("doc_id") >= 100))
+    # same params from a fresh handle: fine
+    c = IncrementalDedup(docs.sparkSession, root, num_hashes=16, bands=4)
+    c.ingest(docs.filter(F.col("doc_id") >= 100))
+    assert len(c._band_tables()) == 2
