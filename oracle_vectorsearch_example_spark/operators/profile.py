@@ -45,11 +45,21 @@ def _fmt_min_max(c: str, dtype) -> tuple:
     return F.lit(None).cast("string"), F.lit(None).cast("string")
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
     """Per-column profile: ``(column, dtype, n_rows, n_nulls, n_distinct,
-    min_value, max_value, avg_value)`` — deterministic (exact distinct,
-    not approximate) so the result is hash-checkable; ``avg_value`` is
-    rounded to 4 decimals and NULL for non-numeric columns."""
+    min_value, max_value, avg_value)``; ``avg_value`` is rounded to 4
+    decimals and NULL for non-numeric columns.
+
+    ``exact=True`` (default): exact distinct counts — deterministic and
+    hash-checkable. The multi-distinct Expand makes aggregation work grow
+    ~linearly with profiled-column count (each expanded copy flows
+    through the aggregate); still ONE scan, which is what matters when
+    the scan is the 100 TB cost. For very wide tables where even the
+    aggregation work bites, ``exact=False`` switches to HLL++
+    (``approx_count_distinct`` at rsd 0.02) — no Expand, constant
+    sketch memory, ±~2% (tolerance-checked, never hashed)."""
     cols = columns or df.columns
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -62,8 +72,12 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         complex_t = isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
         if complex_t:
             aggs.append(F.lit(None).cast("long").alias(f"__dist_{c}"))
-        else:
+        elif exact:
             aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), 0.02).alias(f"__dist_{c}")
+            )
         mn, mx = _fmt_min_max(c, dt)
         aggs.append(mn.alias(f"__min_{c}"))
         aggs.append(mx.alias(f"__max_{c}"))

@@ -38,3 +38,17 @@ def test_profile_column_subset(spark):
     o = read_table(spark, SF, "orders")
     got = [r["column"] for r in profile_table(o, ["o_orderkey", "o_orderstatus"]).collect()]
     assert got == ["o_orderkey", "o_orderstatus"]
+
+
+def test_profile_approx_mode(spark):
+    """exact=False: HLL++ distinct within ~5% of truth, no Expand in the
+    plan (the very-wide-table path)."""
+    o = read_table(spark, SF, "orders")
+    exact = {r["column"]: r.n_distinct for r in profile_table(o).collect()}
+    approx = {r["column"]: r.n_distinct for r in profile_table(o, exact=False).collect()}
+    for c, truth in exact.items():
+        assert abs(approx[c] - truth) <= max(2, 0.06 * truth), (c, truth, approx[c])
+    plan = profile_table(o, exact=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    exact_plan = profile_table(o)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
