@@ -130,7 +130,11 @@ class CfbFile:
         self.mini_stream = self._read_regular(self.root["start"], self.root["size"])
 
     def _sector(self, n: int) -> bytes:
-        off = 512 + n * self.sect_size
+        # [MS-CFB]: sector n starts at (n+1)·sector_size — for v3 (512)
+        # that is right after the 512-byte header; for v4 (4096) the
+        # header pads out the whole first sector, so "512 + n·size"
+        # would be wrong there
+        off = (n + 1) * self.sect_size
         if off + self.sect_size > len(self.data):
             raise CfbError(f"sector {n} out of range")
         return self.data[off : off + self.sect_size]

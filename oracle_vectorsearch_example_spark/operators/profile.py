@@ -61,6 +61,9 @@ def profile_table(
     (``approx_count_distinct`` at rsd 0.02) — no Expand, constant
     sketch memory, ±~2% (tolerance-checked, never hashed)."""
     cols = columns or df.columns
+    bad = [c for c in cols if "'" in c or "`" in c]
+    if bad:  # names are interpolated into the stack() SQL literal
+        raise ValueError(f"column names with quotes are not profilable: {bad}")
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
     per_col: list[str] = []
