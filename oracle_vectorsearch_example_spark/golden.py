@@ -570,6 +570,122 @@ def q_tpch_q17(spark, sf):
 
 
 @golden(
+    "tpch_q8",
+    """
+    WITH flat AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN CAST(volume AS DECIMAL(18,4)) ELSE 0 END)
+                      / sum(CAST(volume AS DECIMAL(18,4))), 6) AS DOUBLE)
+               AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 shape (market share, r5; adapted — no p_type filter):
+    NATION_3's share of ASIA-market revenue per year — a six-table join
+    (fact → orders → customer → nation → region on the demand side,
+    supplier → nation on the supply side; every dimension broadcasts)
+    feeding a RATIO of conditional decimal sums per group."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    flat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0)))
+            / F.sum("volume"),
+            6,
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@golden(
+    "tpch_q9",
+    f"""
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity', 4, 2)}
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+)
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape (product-type profit, r5; adapted — no partsupp
+    table, so 10% of p_retailprice·quantity stands in for supplycost):
+    profit by supplier nation and order year over a five-table join with
+    a LIKE-filtered part dimension (pushed to the part scan, broadcast)."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_name").like("%gear%"))
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    o = read_table(spark, sf, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            _dec_sum(
+                "l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity",
+                4,
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+@golden(
     "tpch_q15",
     f"""
     WITH revenue0 AS (
