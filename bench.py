@@ -168,7 +168,12 @@ def main():
             ),
         }
     except Exception as e:  # noqa: BLE001
-        results.setdefault("exact_topk_4m", {"err": str(e).splitlines()[0][:200]})
+        # record under BOTH keys: if exact_topk_4m already succeeded, a
+        # later ivf/recall failure must still surface, not vanish
+        msg = {"err": str(e).splitlines()[0][:200]}
+        results.setdefault("exact_topk_4m", msg)
+        results.setdefault("ivf_search_4m", msg)
+        extras.setdefault("ann_4m", msg)
 
     # --- dedup at scale: the banded-join shape measured at 40× the sf0.1
     # corpus (200k docs; fixture cached on first use, ~6 s to generate).

@@ -20,9 +20,9 @@ the publicly documented structures so `.doc` extracts for real:
   ``ccpText`` characters. Files without a piece table fall back to the
   contiguous ``fcMin..fcMac`` range of the FIB.
 
-``.xls`` / ``.ppt`` remain NAMED rejections (their payload structures —
-BIFF records, PowerPoint atoms — are separate formats); the container
-parser here is what identifies them.
+``.xls`` / ``.ppt`` payloads (BIFF8 records, PowerPoint text atoms) are
+parsed in :mod:`..functions.legacy_office`, which rides this module's
+container walk — the CFB parser here locates their streams.
 
 Everything is stdlib ``struct`` over bytes — row-local, no dependencies.
 """
@@ -324,6 +324,15 @@ def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
         if need <= n_fat_sect:
             break
         n_fat_sect = need
+
+    if n_fat_sect > 109:
+        # the header DIFAT holds 109 FAT-sector slots; this writer emits
+        # no chained DIFAT sectors, so larger files would be silently
+        # malformed (FAT sectors past #109 unreachable) — fail loudly
+        raise ValueError(
+            f"CFB payload needs {n_fat_sect} FAT sectors; this writer "
+            "supports at most 109 (header DIFAT only, ~7 MB of streams)"
+        )
 
     fat = [_FREESECT] * (n_fat_sect * (SECT // 4))
     pos = 0

@@ -494,7 +494,9 @@ def q_tpch_q4(spark, sf):
     late = o.join(
         li,
         (o.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        # timestamp-preserving add (date_add would truncate to DATE and
+        # silently diverge from the oracle's + INTERVAL on intraday data)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(
@@ -756,7 +758,10 @@ def q_tpch_q21(spark, sf):
     li = read_table(spark, sf, "lineitem")
     lines = li.join(
         o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
-    ).withColumn("__late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    ).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
     per_order = lines.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("__n_supp"),
         F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(

@@ -485,7 +485,7 @@ def neardup_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
-    small_graph_edges: int = 1 << 20,
+    small_graph_edges: int = 1 << 18,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: the closure step
     that turns pairwise candidates (minhash/simhash/jaccard/embedding) into
@@ -512,8 +512,12 @@ def neardup_components(
 
     ``small_graph_edges``: below this (symmetrized) edge count the closure
     runs as a driver-side union-find instead — identical labels, ~3× less
-    wall-clock for the typical tiny candidate graph. ``0`` forces the
-    distributed path (the 100 TB default for unbounded inputs).
+    wall-clock for the typical tiny candidate graph. The 2^18 default
+    bounds the driver collect to ~a few MB of long pairs; ``0`` forces
+    the distributed path (the 100 TB default for unbounded inputs) and
+    is plumbed through every caller (``dedup_by_components``,
+    ``dedup_incremental``, ``IncrementalDedup``) so large deployments
+    can disable the shortcut end-to-end.
 
     ``checkpoint_dir`` note: setting it temporarily mutates the
     SparkContext-GLOBAL checkpoint dir for the duration of this call and
@@ -554,7 +558,7 @@ def _neardup_components_run(
     id_a: str,
     id_b: str,
     max_iter: int,
-    small_graph_edges: int = 1 << 20,
+    small_graph_edges: int = 1 << 18,
 ) -> DataFrame:
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
         F.col("u") != F.col("v")
@@ -638,13 +642,16 @@ def dedup_by_components(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    small_graph_edges: int = 1 << 18,
 ) -> DataFrame:
     """Corpus-level near-dup removal: keep one canonical row (the min id)
     per connected component of ``pairs``; rows in no pair survive untouched.
     The standard LLM-corpus fuzzy-dedup shape: candidate pairs from any X2
     operator → component closure → anti-join of the losers (skinny id-only
     frame) back onto the full corpus — document payloads never shuffle."""
-    comp = neardup_components(pairs, id_a=id_a, id_b=id_b)
+    comp = neardup_components(
+        pairs, id_a=id_a, id_b=id_b, small_graph_edges=small_graph_edges
+    )
     losers = comp.filter(F.col("id") != F.col("component_id")).select(
         F.col("id").alias(id_col)
     )

@@ -52,6 +52,7 @@ def dedup_incremental(
     bands: int = 4,
     shingle_n: int = 3,
     checkpoint_dir: str | None = None,
+    small_graph_edges: int = 1 << 18,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a new batch into the dedup state.
 
@@ -80,7 +81,11 @@ def dedup_incremental(
     )
 
     if state is None:
-        comp = neardup_components(nn_edges, checkpoint_dir=checkpoint_dir)
+        comp = neardup_components(
+            nn_edges,
+            checkpoint_dir=checkpoint_dir,
+            small_graph_edges=small_graph_edges,
+        )
         clusters = (
             new_ids.join(comp, "id", "left")
             .select("id", F.coalesce("component_id", "id").alias("component_id"))
@@ -108,7 +113,9 @@ def dedup_incremental(
         .distinct()
     )
     edges = nn_edges.unionByName(no_edges)
-    comp = neardup_components(edges, checkpoint_dir=checkpoint_dir)
+    comp = neardup_components(
+        edges, checkpoint_dir=checkpoint_dir, small_graph_edges=small_graph_edges
+    )
 
     # re-root old clusters whose root was pulled into a merged component
     # (left join: untouched roots keep their label); a root can only ever
@@ -152,6 +159,7 @@ class IncrementalDedup:
         num_hashes: int = 16,
         bands: int = 4,
         shingle_n: int = 3,
+        small_graph_edges: int = 1 << 18,
     ):
         from oracle_vectorsearch_example_spark.sources.txn import Warehouse
 
@@ -160,6 +168,10 @@ class IncrementalDedup:
         self.text_col = text_col
         self.id_col = id_col
         self.params = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+        # closure knob only — not part of the pinned MinHash parameters
+        # (it cannot change results, only the execution strategy); 0
+        # forces the distributed closure on large deployments
+        self.small_graph_edges = small_graph_edges
 
     def _band_tables(self) -> list[str]:
         pre = f"{self.prefix}_bands_"
@@ -216,7 +228,12 @@ class IncrementalDedup:
         params_df = self._check_params()
         n = len(self._band_tables())
         new_bands, clusters = dedup_incremental(
-            batch, self.state(), self.text_col, self.id_col, **self.params
+            batch,
+            self.state(),
+            self.text_col,
+            self.id_col,
+            small_graph_edges=self.small_graph_edges,
+            **self.params,
         )
         tables = {
             f"{self.prefix}_bands_{n:06d}": new_bands,
@@ -225,3 +242,27 @@ class IncrementalDedup:
         if params_df is not None:  # first ingest: pin the parameters
             tables[f"{self.prefix}_params"] = params_df
         return self.wh.commit(tables)
+
+    def compact(self) -> int | None:
+        """Fold every per-batch band table into ONE (same snapshot
+        discipline as ``IvfIndex.compact``): ``state()`` unions one
+        immutable band table per ingest, so after hundreds of batches the
+        listing/union width — not data volume — becomes the per-ingest
+        cost. Compaction rewrites the union as ``*_bands_000000`` and
+        retires the rest in the SAME atomic manifest swap
+        (``Warehouse.commit(drop=...)``); a crash mid-compact leaves the
+        previous snapshot fully intact, and prior versions still read the
+        un-compacted tables (time travel) until ``vacuum``.
+
+        Results are identical before/after (band rows are a set; the
+        union is order-insensitive) — asserted in tests. Returns the new
+        version, or ``None`` when there is nothing to fold (≤1 table).
+        """
+        tabs = self._band_tables()
+        if len(tabs) <= 1:
+            return None
+        bands, _ = self.state()
+        first = f"{self.prefix}_bands_000000"
+        return self.wh.commit(
+            {first: bands}, drop=[t for t in tabs if t != first]
+        )

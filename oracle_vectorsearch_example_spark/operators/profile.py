@@ -29,8 +29,14 @@ _NUMERIC = (
 )
 
 
-def _fmt_min_max(c: str, dtype) -> tuple:
-    col = F.col(c)
+def _qcol(name: str) -> F.Column:
+    """Column reference via a backtick-quoted identifier so names with
+    dots, spaces, or hyphens resolve as plain columns (a bare ``F.col``
+    would misparse ``a.b`` as struct access)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _fmt_min_max(col: F.Column, dtype) -> tuple:
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         f = lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss")
         return f(F.min(col)), f(F.max(col))
@@ -61,39 +67,40 @@ def profile_table(
     (``approx_count_distinct`` at rsd 0.02) — no Expand, constant
     sketch memory, ±~2% (tolerance-checked, never hashed)."""
     cols = columns or df.columns
-    bad = [c for c in cols if "'" in c or "`" in c]
-    if bad:  # names are interpolated into the stack() SQL literal
-        raise ValueError(f"column names with quotes are not profilable: {bad}")
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
     per_col: list[str] = []
-    for c in cols:
+    # internal aliases are positional (__nulls_0, …) so arbitrary source
+    # names (spaces, dots, hyphens, quotes) never leak into generated SQL
+    for i, c in enumerate(cols):
         dt = fields[c]
+        col = _qcol(c)
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}")
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nulls_{i}")
         )
         complex_t = isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
         if complex_t:
-            aggs.append(F.lit(None).cast("long").alias(f"__dist_{c}"))
+            aggs.append(F.lit(None).cast("long").alias(f"__dist_{i}"))
         elif exact:
-            aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+            aggs.append(F.countDistinct(col).alias(f"__dist_{i}"))
         else:
             aggs.append(
-                F.approx_count_distinct(F.col(c), 0.02).alias(f"__dist_{c}")
+                F.approx_count_distinct(col, 0.02).alias(f"__dist_{i}")
             )
-        mn, mx = _fmt_min_max(c, dt)
-        aggs.append(mn.alias(f"__min_{c}"))
-        aggs.append(mx.alias(f"__max_{c}"))
+        mn, mx = _fmt_min_max(col, dt)
+        aggs.append(mn.alias(f"__min_{i}"))
+        aggs.append(mx.alias(f"__max_{i}"))
         if isinstance(dt, _NUMERIC):
-            aggs.append(F.round(F.avg(F.col(c)), 4).alias(f"__avg_{c}"))
+            aggs.append(F.round(F.avg(col), 4).alias(f"__avg_{i}"))
         else:
-            aggs.append(F.lit(None).cast("double").alias(f"__avg_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__avg_{i}"))
         per_col.append(c)
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', '{fields[c].simpleString()}', __nulls_{c}, __dist_{c}, "
-        f"__min_{c}, __max_{c}, __avg_{c}"
-        for c in per_col
+        f"'{c.replace(chr(39), chr(39) * 2)}', "
+        f"'{fields[c].simpleString()}', __nulls_{i}, __dist_{i}, "
+        f"__min_{i}, __max_{i}, __avg_{i}"
+        for i, c in enumerate(per_col)
     )
     n = len(per_col)
     return wide.select(

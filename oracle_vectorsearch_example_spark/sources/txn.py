@@ -125,14 +125,28 @@ class Warehouse:
                 return {}
         return dict(self._read_manifest(version)["tables"])
 
-    def commit(self, tables: dict[str, DataFrame], max_retries: int = 5) -> int:
+    def commit(
+        self,
+        tables: dict[str, DataFrame],
+        max_retries: int = 5,
+        drop: list[str] | tuple[str, ...] = (),
+    ) -> int:
         """Write ``tables`` and publish them in ONE atomic step.
 
         All data jobs run first (expensive, invisible); only the final tiny
         manifest create is the commit point. Returns the new version.
+
+        ``drop``: table names to REMOVE from the new snapshot in the same
+        atomic step (compaction: publish the folded table and retire its
+        inputs in one manifest swap). Dropped tables stay readable at
+        earlier versions (time travel) until ``vacuum`` after manifest
+        retention expires; dropping an unknown name is a no-op.
         """
         if not tables:
             raise ValueError("commit of zero tables")
+        overlap = set(drop) & set(tables)
+        if overlap:
+            raise ValueError(f"tables both written and dropped: {sorted(overlap)}")
         head = self.current_version()
         version = (head or 0) + 1
         # 1. write data dirs for the new version — not yet visible
@@ -144,10 +158,13 @@ class Warehouse:
         # 2. publish: carry forward unchanged tables, claim the version file
         for _ in range(max_retries):
             parent = {} if head is None else self.snapshot(head)
+            merged = {**parent, **written}
+            for name in drop:
+                merged.pop(name, None)
             manifest = {
                 "version": version,
                 "parent": head,
-                "tables": {**parent, **written},
+                "tables": merged,
             }
             if self._publish(version, manifest):
                 return version

@@ -444,3 +444,13 @@ def test_doc_reads_1table_stream():
     struct.pack_into("<H", wd, 0x0A, 0x0200)  # set fWhichTblStm
     rebuilt = build_cfb([("WordDocument", bytes(wd)), ("1Table", clx)])
     assert doc_extract_text(rebuilt).strip() == "one table flag honored"
+
+
+def test_cfb_oversized_payload_fails_loudly():
+    """The CFB writer emits no chained DIFAT sectors; payloads needing
+    >109 FAT sectors (~7 MB) must raise at write time, not emit a
+    silently malformed file."""
+    from oracle_vectorsearch_example_spark.functions.cfb import make_simple_doc
+
+    with pytest.raises(ValueError, match="FAT sectors"):
+        make_simple_doc("word " * 2_000_000)  # ~20 MB of UTF-16 payload

@@ -52,3 +52,17 @@ def test_profile_approx_mode(spark):
     assert "Expand" not in plan, plan
     exact_plan = profile_table(o)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in exact_plan
+
+
+def test_profile_exotic_column_names(spark):
+    """Names with dots, spaces, hyphens, and quotes must profile (internal
+    aliases are positional; references are backtick-quoted)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, None)],
+        ["a.b c-d", "it's"],
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"a.b c-d", "it's"}
+    assert out["a.b c-d"]["n_distinct"] == 2
+    assert out["it's"]["n_nulls"] == 1
+    assert out["a.b c-d"]["avg_value"] == 1.6667

@@ -95,3 +95,17 @@ def test_read_missing_table_raises(spark, wh):
     wh.commit({"a": _df(spark, [(1, "x")])})
     with pytest.raises(KeyError):
         wh.read("nope")
+
+
+def test_commit_drop_retires_tables_atomically(spark, wh):
+    v1 = wh.commit({"a": _df(spark, [(1, "x")]), "b": _df(spark, [(2, "y")])})
+    v2 = wh.commit({"c": _df(spark, [(3, "z")])}, drop=["a", "nonexistent"])
+    assert wh.tables() == ["b", "c"]
+    # time travel still reads the dropped table at the old version
+    assert wh.read("a", version=v1).count() == 1
+    assert v2 == v1 + 1
+
+
+def test_commit_drop_overlap_rejected(spark, wh):
+    with pytest.raises(ValueError, match="both written and dropped"):
+        wh.commit({"a": _df(spark, [(1, "x")])}, drop=["a"])
