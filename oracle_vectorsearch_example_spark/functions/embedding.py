@@ -4,8 +4,11 @@ The reference embeds with an in-DB ONNX model (provider "database",
 model ALL_MINILM_L12_V2, 384-dim; 01_pdf_to_vector.sql:241, :72) and
 documents external providers (OpenAI batch 25 / Cohere batch 10,
 :160-176). Real ONNX inference is not bit-reproducible across platforms,
-so correctness tests use a frozen deterministic **hashing embedder**
-(SURVEY.md §5.2) and the ONNX path is smoke-tested only.
+so oracle-hashed correctness tests use a frozen deterministic **hashing
+embedder** (SURVEY.md §5.2); the ONNX path itself executes REAL graph
+inference — via onnxruntime when installed, else the pure-numpy executor
+in :mod:`.onnx_rt` — tolerance-tested against an independent forward
+pass (tests/test_onnx_contract.py).
 
 Hashing embedder frozen spec (dim d, default 64 — matches the
 ``embeddings`` fixture):
@@ -269,14 +272,16 @@ class OnnxEmbedder:
     """ONNX provider — the ``provider: database`` analog
     (01_pdf_to_vector.sql:154-158; model loaded via ModelRegistry, EP2).
 
-    Lazily creates one onnxruntime session per Python worker (executor
+    Lazily creates one inference session per Python worker (executor
     co-located inference, nothing leaves the cluster), Arrow-batched via
     ``mapInPandas``. The per-batch contract (tokenize → input_ids/
     attention_mask → mean-pool → L2-normalize, or raw-string feed for
-    tokenizer-bundling exports) lives in :func:`encode_onnx_batch`, which
-    is structurally tested with a fake session; onnxruntime itself is not
-    available in this environment, so session construction is gated behind
-    an import-try and tests cover the gating.
+    tokenizer-bundling exports) lives in :func:`encode_onnx_batch`.
+    The session comes from :func:`..onnx_rt.get_runtime`: onnxruntime
+    when installed, else the pure-numpy ONNX graph executor
+    (:class:`..onnx_rt.NumpySession`) — REAL inference either way;
+    tests/test_onnx_contract.py executes a deterministic fixture encoder
+    end-to-end against an independently computed forward pass.
 
     ``vocab_path`` defaults to ``vocab.txt`` next to the model; it is only
     read when the model declares id-tensor inputs."""
@@ -296,18 +301,11 @@ class OnnxEmbedder:
         self.max_len = max_len
 
     def _require_runtime(self):
-        try:
-            import onnxruntime  # noqa: F401
+        from oracle_vectorsearch_example_spark.functions.onnx_rt import get_runtime
 
-            return onnxruntime
-        except ImportError as e:  # pragma: no cover - env without onnxruntime
-            raise NotImplementedError(
-                "OnnxEmbedder requires onnxruntime, which is not installed in "
-                "this environment. Use HashingEmbedder for deterministic "
-                "tests, or install onnxruntime for real inference."
-            ) from e
+        return get_runtime()
 
-    def _load_tokenizer(self):  # pragma: no cover - needs model artifacts
+    def _load_tokenizer(self):
         import os
 
         path = self.vocab_path or os.path.join(
@@ -318,14 +316,14 @@ class OnnxEmbedder:
         return None  # string-input model needs no tokenizer
 
     def embed_df(self, df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
-        ort = self._require_runtime()  # pragma: no cover
+        ort = self._require_runtime()
         model_path, batch = self.model_path, self.batch_size
         load_tok = self._load_tokenizer
         schema = T.StructType(
             df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
         )
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             sess = ort.InferenceSession(model_path)
             tok = load_tok()
             for pdf in batches:

@@ -260,16 +260,26 @@ def test_external_provider_embed_df(spark):
         assert r.embedding == [float(len(r.text)), 1.0]
 
 
-def test_onnx_gated(spark):
-    df = spark.createDataFrame([(1, "x")], "id long, text string")
-    emb = OnnxEmbedder("/nonexistent/model.onnx")
-    try:
-        import onnxruntime  # noqa: F401
-        pytest.skip("onnxruntime present; gating not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        emb.embed_df(df, "text")
+def test_onnx_runs_real_inference_without_onnxruntime(spark, tmp_path):
+    """r6: without onnxruntime, OnnxEmbedder routes through the numpy
+    ONNX executor and performs REAL graph inference on a fixture encoder
+    (previously this configuration was a NotImplementedError gate)."""
+    from oracle_vectorsearch_example_spark.functions.onnx_rt import (
+        write_tiny_model,
+    )
+
+    model_path = write_tiny_model(str(tmp_path / "m"))
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "vector search database"), (3, "")],
+        "id long, text string",
+    )
+    out = OnnxEmbedder(model_path, dim=16).embed_df(df, "text").collect()
+    assert len(out) == 3
+    import math
+
+    for r in out:
+        assert len(r.embedding) == 16
+        assert abs(math.fsum(v * v for v in r.embedding) - 1.0) < 1e-5
 
 
 def test_lsh_ann_recall_and_determinism(emb, queries10):
