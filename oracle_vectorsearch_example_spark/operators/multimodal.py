@@ -15,11 +15,16 @@ Decode tiers (honest about the environment):
   ``audio_features`` are full real decode paths, fixture writers
   included, DuckDB-oracle-checkable because the writers emit
   analytically predictable payloads.
-- **Stubbed** — lossy codecs (JPEG/MP3/H.264) require PIL/ffmpeg/
-  torchaudio, absent here: ``decode=fake`` derives deterministic
-  pseudo-features from payload bytes so the Arrow plumbing (batch shape,
-  schema, partitioning) is exercised end-to-end; ``decode=real`` on a
-  lossy payload raises with the codec named.
+- **Real, r6** — baseline JPEG joins the built-in set:
+  ``functions/jpeg.py`` implements the T.81 baseline sequential process
+  (Huffman + IDCT + 4:2:0/4:2:2 upsampling + JFIF color convert) with a
+  matching deterministic encoder for fixtures.
+- **Stubbed** — the remaining lossy codecs (progressive JPEG, MP3,
+  H.264) require libjpeg-turbo/ffmpeg/torchaudio, absent here:
+  ``decode=fake`` derives deterministic pseudo-features from payload
+  bytes so the Arrow plumbing (batch shape, schema, partitioning) is
+  exercised end-to-end; ``decode=real`` on such a payload raises with
+  the codec named.
 """
 
 from __future__ import annotations
@@ -59,10 +64,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _real_decode(payload: bytes) -> tuple[int | None, int | None, list[float]]:
-    """Magic-byte dispatch to the stdlib decoders (BMP / PNG / PCM WAV);
-    width and height are NULL for audio. Lossy codecs raise — the honest
-    boundary of a no-media-libs environment."""
-    if payload[:2] == b"BM" or payload[:8] == _PNG_MAGIC:
+    """Magic-byte dispatch to the built-in decoders (BMP / PNG / baseline
+    JPEG / PCM WAV); width and height are NULL for audio. Remaining lossy
+    codecs (MP3 / H.264, progressive JPEG) raise — the honest boundary of
+    a no-media-libs environment."""
+    if (
+        payload[:2] == b"BM"
+        or payload[:8] == _PNG_MAGIC
+        or payload[:3] == b"\xff\xd8\xff"
+    ):
         w, h, mr, mg, mb = decode_image_bytes(payload)
         feats = [mr / 255.0, mg / 255.0, mb / 255.0, w / max(h, 1), 0.0, 0.0, 0.0, 0.0]
         return w, h, [round(f, 6) for f in feats[:FEATURE_DIM]]
@@ -72,8 +82,8 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, list[float]]:
                  0.0, 0.0, 0.0]
         return None, None, [round(f, 6) for f in feats[:FEATURE_DIM]]
     raise NotImplementedError(
-        "real decode covers stdlib-decodable formats only (BMP, PNG, PCM "
-        "WAV); lossy codecs (JPEG/MP3/H.264) need PIL/ffmpeg, absent here"
+        "real decode covers built-in-decodable formats only (BMP, PNG, "
+        "baseline JPEG, PCM WAV); MP3/H.264 need ffmpeg, absent here"
     )
 
 
@@ -136,15 +146,22 @@ def resize_bmp_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
 
 
 def resize_image_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
-    """REAL nearest-neighbor resize of any stdlib-decodable image,
-    re-encoded in its own container (BMP→BMP, PNG→PNG; r5)."""
+    """REAL nearest-neighbor resize of any built-in-decodable image,
+    re-encoded in its own container (BMP→BMP, PNG→PNG; r6: JPEG→JPEG at
+    quality 90)."""
     data = bytes(data)
     px = decode_image_pixels(data)
     h, w, _ = px.shape
     ys = (_np.arange(target_h) * h) // target_h
     xs = (_np.arange(target_w) * w) // target_w
     out = _np.ascontiguousarray(px[ys][:, xs])
-    return encode_png(out) if data[:8] == _PNG_MAGIC else encode_bmp(out)
+    if data[:8] == _PNG_MAGIC:
+        return encode_png(out)
+    if data[:3] == b"\xff\xd8\xff":
+        from oracle_vectorsearch_example_spark.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(out, quality=90)
+    return encode_bmp(out)
 
 
 def resize_media(
@@ -472,17 +489,21 @@ def make_simple_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes
 
 
 def decode_image_pixels(data: bytes) -> "_np.ndarray":
-    """(h, w, 3) uint8 RGB from any stdlib-decodable image payload,
-    dispatched on magic bytes (BMP / PNG); lossy codecs raise with the
-    codec named."""
+    """(h, w, 3) uint8 RGB from any built-in-decodable image payload,
+    dispatched on magic bytes (BMP / PNG / baseline JPEG, r6); remaining
+    lossy codecs raise with the codec named."""
     data = bytes(data)
     if data[:2] == b"BM":
         return decode_bmp_pixels(data)
     if data[:8] == _PNG_MAGIC:
         return decode_png_pixels(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode needs PIL/libjpeg, absent here")
-    raise ValueError("unrecognized image payload (expected BMP or PNG)")
+        from oracle_vectorsearch_example_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+        )
+
+        return decode_jpeg_pixels(data)
+    raise ValueError("unrecognized image payload (expected BMP, PNG, or JPEG)")
 
 
 def decode_image_bytes(data: bytes) -> tuple[int, int, float, float, float]:

@@ -177,8 +177,10 @@ def test_real_decode_rejects_compressed():
 
     from oracle_vectorsearch_example_spark.operators.multimodal import _real_decode
 
-    with _pytest.raises(NotImplementedError, match="JPEG"):
-        _real_decode(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    # MP3 (ID3 container) stays a named rejection; baseline JPEG now
+    # decodes for real (r6) — its rejection case moved to progressive
+    with _pytest.raises(NotImplementedError, match="MP3"):
+        _real_decode(b"ID3\x04\x00 fake mp3 bytes")
 
 
 def test_image_audio_features_spark(spark):
@@ -288,8 +290,17 @@ def test_png_gates_named():
     deep = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
     with _pytest.raises(NotImplementedError, match="16"):
         decode_png_pixels(deep)
-    with _pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image_pixels(b"\xff\xd8\xff\xe0rest")
+    # progressive JPEG (SOF2) is the named JPEG rejection since r6
+    import numpy as _np2
+
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        encode_jpeg as _ej,
+    )
+
+    prog = bytearray(_ej(_np2.zeros((8, 8, 3), _np2.uint8)))
+    prog[prog.index(b"\xff\xc0")+1] = 0xC2  # rewrite SOF0 → SOF2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_image_pixels(bytes(prog))
 
 
 def test_image_features_mixed_bmp_png(spark):
