@@ -379,3 +379,52 @@ def test_unknown_op_is_honest_gate():
     model = _ser_model(nodes, {}, [("A", 1, [1])], [("Y", 1, [1])])
     with pytest.raises(NotImplementedError, match="FancyCustomOp"):
         NumpySession(model).run(None, {"A": np.zeros(1, np.float32)})
+
+
+def test_parser_accepts_packed_tensor_encodings():
+    """Real exporters may emit packed float_data/int64 dims instead of
+    raw_data; the wire-format reader must accept both spellings."""
+    import struct as _struct
+
+    from oracle_vectorsearch_example_spark.functions.onnx_rt import (
+        _enc_int,
+        _enc_len,
+        _enc_str,
+        _enc_tag,
+        _parse_tensor,
+    )
+
+    # dims as individual varints (field 1), float_data packed (field 4)
+    vals = [1.5, -2.0, 3.25, 0.5, 7.0, -0.125]
+    packed = b"".join(_struct.pack("<f", v) for v in vals)
+    buf = (
+        _enc_int(1, 2) + _enc_int(1, 3)          # dims [2, 3]
+        + _enc_int(2, 1)                          # data_type FLOAT
+        + _enc_str(8, "t") + _enc_len(4, packed)  # name + packed floats
+    )
+    name, arr = _parse_tensor(buf)
+    assert name == "t" and arr.shape == (2, 3)
+    np.testing.assert_array_equal(arr.ravel(), np.array(vals, np.float32))
+
+    # int64_data packed (field 7), including a negative (10-byte varint)
+    def _vint(v):
+        if v < 0:
+            v += 1 << 64
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    ints = [5, -7, 1 << 40]
+    buf2 = (
+        _enc_int(1, 3) + _enc_int(2, 7) + _enc_str(8, "i")
+        + _enc_len(7, b"".join(_vint(v) for v in ints))
+    )
+    name2, arr2 = _parse_tensor(buf2)
+    assert name2 == "i"
+    np.testing.assert_array_equal(arr2, np.array(ints, np.int64))

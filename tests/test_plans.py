@@ -233,3 +233,29 @@ def test_q13_left_join_keeps_zero_match_rows(spark):
 
     plan = explain_str(golden.QUERIES["tpch_q13"](spark, SF), mode="simple")
     assert "LeftOuter" in plan, plan
+
+
+def test_new_tpch_shapes_broadcast_and_prune(spark):
+    """r6 TPC-H additions compile to the plans a 100 TB run wants: all
+    dims broadcast (no SortMergeJoin at this scale), q2's top-100 is
+    TakeOrderedAndProject, q16's NOT IN is LeftAnti, q20's nested INs
+    are chained LeftSemi."""
+    from oracle_vectorsearch_example_spark import golden
+
+    sf = "/root/testdata/sf0.001"
+    plans = {
+        n: explain_str(golden.QUERIES[n](spark, sf), "simple")
+        for n in ("tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20")
+    }
+    for n, p in plans.items():
+        assert "BroadcastHashJoin" in p, n
+        if n != "tpch_q2":
+            assert "SortMergeJoin" not in p, n
+    # q2's per-part-min join back is the one legitimate shuffle join: at
+    # scale `best` is corpus-sized (one row per part), so a hash/merge
+    # join keyed on l_partkey is the RIGHT plan — AQE converts it to
+    # broadcast at toy scale at runtime. Its dims must still broadcast.
+    assert plans["tpch_q2"].count("BroadcastHashJoin") >= 4
+    assert "TakeOrderedAndProject" in plans["tpch_q2"]
+    assert "LeftAnti" in plans["tpch_q16"]
+    assert plans["tpch_q20"].count("LeftSemi") >= 2
