@@ -464,6 +464,47 @@ def _run_node(node, env, np):
         return np.full(shape, fill.ravel()[0], dtype=fill.dtype)
     if op == "Identity":
         return x[0]
+    if op == "Min":
+        out = x[0]
+        for t in x[1:]:
+            out = np.minimum(out, t)
+        return out
+    if op == "Max":
+        out = x[0]
+        for t in x[1:]:
+            out = np.maximum(out, t)
+        return out
+    if op == "Clip":
+        lo = x[1] if len(x) > 1 and x[1] is not None else a.get("min")
+        hi = x[2] if len(x) > 2 and x[2] is not None else a.get("max")
+        return np.clip(x[0], lo, hi)
+    if op == "Abs":
+        return np.abs(x[0])
+    if op == "Log":
+        return np.log(x[0])
+    if op == "ReduceMax":
+        axes = _axes_arg(node, env, np, default=None)
+        return np.max(x[0], axis=axes, keepdims=bool(a.get("keepdims", 1)))
+    if op == "Greater":
+        return np.greater(x[0], x[1])
+    if op == "Less":
+        return np.less(x[0], x[1])
+    if op == "Not":
+        return np.logical_not(x[0])
+    if op == "And":
+        return np.logical_and(x[0], x[1])
+    if op == "Or":
+        return np.logical_or(x[0], x[1])
+    if op == "Split":
+        axis = a.get("axis", 0)
+        if len(node.inputs) > 1 and x[1] is not None:
+            sizes = [int(v) for v in x[1].ravel()]
+        elif "split" in a:
+            sizes = list(a["split"])
+        else:
+            n_out = len(node.outputs)
+            sizes = [x[0].shape[axis] // n_out] * n_out
+        return tuple(np.split(x[0], np.cumsum(sizes)[:-1], axis=axis))
     raise NotImplementedError(
         f"ONNX op {op!r} is not implemented by the numpy executor "
         "(MiniLM-class encoder subset); install onnxruntime for full "

@@ -428,3 +428,43 @@ def test_parser_accepts_packed_tensor_encodings():
     name2, arr2 = _parse_tensor(buf2)
     assert name2 == "i"
     np.testing.assert_array_equal(arr2, np.array(ints, np.int64))
+
+
+def test_additional_op_kernels():
+    run = lambda op, env, attrs=None, inputs=None, outputs=None: _run_node(
+        _Node(op, inputs or list(env), outputs or ["o"], attrs or {}, ""),
+        env, np,
+    )
+    x = np.array([[-2.0, 0.5, 3.0], [1.0, -4.0, 2.0]], np.float32)
+    np.testing.assert_array_equal(run("Abs", {"x": x}), np.abs(x))
+    np.testing.assert_array_equal(
+        run("Clip", {"x": x, "lo": np.float32(-1), "hi": np.float32(1)}),
+        np.clip(x, -1, 1),
+    )
+    np.testing.assert_array_equal(
+        run("Min", {"a": x, "b": np.zeros_like(x)}), np.minimum(x, 0)
+    )
+    np.testing.assert_array_equal(
+        run("Max", {"a": x, "b": np.zeros_like(x)}), np.maximum(x, 0)
+    )
+    np.testing.assert_array_equal(
+        run("ReduceMax", {"x": x}, {"keepdims": 0, "axes": [1]}),
+        x.max(axis=1),
+    )
+    np.testing.assert_array_equal(
+        run("Greater", {"a": x, "b": np.zeros_like(x)}), x > 0
+    )
+    np.testing.assert_array_equal(
+        run("And", {"a": x > 0, "b": x < 2}), (x > 0) & (x < 2)
+    )
+    parts = run(
+        "Split", {"x": x}, {"axis": 1}, inputs=["x"], outputs=["a", "b", "c"]
+    )
+    assert len(parts) == 3
+    np.testing.assert_array_equal(parts[1], x[:, 1:2])
+    # Split with explicit sizes as second input (opset >= 13)
+    parts2 = run(
+        "Split", {"x": x, "s": np.array([1, 2])}, {"axis": 1},
+        inputs=["x", "s"], outputs=["a", "b"],
+    )
+    np.testing.assert_array_equal(parts2[1], x[:, 1:])
