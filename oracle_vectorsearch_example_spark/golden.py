@@ -3552,6 +3552,103 @@ def q_ivf_search(spark, sf):
     return idx.search(q, k=10, nprobe=4, exclude_self=True).select("qid", "rank", "vec_id")
 
 
+# ------------------------------------------------------- corpus scrubbing (r6)
+@golden(
+    "pii_redact",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com ph 555-867-5309 ip 192.168.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789'
+               AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+    FROM corpus
+    """,
+)
+def q_pii_redact(spark, sf):
+    """PII redaction (r6; the pre-release scrub every public corpus
+    recipe runs): email/SSN/phone/IPv4 → typed tokens via a chain of
+    regexp_replace COLUMN expressions — JVM codegen, zero shuffle. PII
+    is planted in-query (synthetic docs carry none) identically on both
+    sides; patterns avoid lookaround/backrefs so Java regex and DuckDB
+    RE2 agree byte-for-byte — the hash pins that equivalence."""
+    from oracle_vectorsearch_example_spark.functions.scrub import redact_pii
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact: user', cast(doc_id as string), "
+            "'@mail.example.com ph 555-867-5309 ip 192.168.', "
+            "cast(doc_id % 256 as string), '.7 ssn 123-45-6789')"
+        ).alias("text"),
+    )
+    return aug.select("doc_id", redact_pii(F.col("text")).alias("text"))
+
+
+@golden(
+    "boilerplate_removal",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'Subscribe to our newsletter!'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || 'Copyright 2024 Example Corp'
+                     ELSE '' END
+             || chr(10) || 'unique-' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id < 200
+    ), freq AS (
+      SELECT line FROM (SELECT doc_id, unnest(string_split(text, chr(10)))
+                               AS line FROM corpus)
+      WHERE line <> '' GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+    ), fl AS (SELECT list(line) AS ls FROM freq)
+    SELECT c.doc_id,
+           array_to_string(
+             list_filter(string_split(c.text, chr(10)),
+                         x -> NOT list_contains(fl.ls, x)),
+             chr(10)) AS text
+    FROM corpus c, fl
+    """,
+)
+def q_boilerplate_removal(spark, sf):
+    """C4-style global boilerplate-line removal (r6): a non-empty line in
+    ≥ 10 distinct docs ("Subscribe...", copyright footers — planted
+    in-query) is dropped from EVERY doc; unique lines and order survive.
+    Plan: posexplode lines → distinct-doc count per line (one shuffle) →
+    anti-join → ordered re-assembly. The oracle states the same rule as
+    a list_filter against the frequent set."""
+    from oracle_vectorsearch_example_spark.functions.scrub import (
+        remove_boilerplate_lines,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, "
+            "if(doc_id % 3 = 0, concat('\\n', 'Subscribe to our newsletter!'), ''), "
+            "if(doc_id % 5 = 0, concat('\\n', 'Copyright 2024 Example Corp'), ''), "
+            "'\\n', 'unique-', cast(doc_id as string))"
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(aug, min_docs=10).select("doc_id", "text")
+
+
 # -------------------------------------------------------- driver window order
 # The external driver witnesses the FIRST 50 registered queries each round
 # (CORRECTNESS_r*.json); the full surface is oracle-checked locally via
