@@ -37,6 +37,8 @@ def build_training_corpus(
     max_dup3_frac: float | None = None,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 13,
+    redact_pii: bool = False,
+    boilerplate_min_docs: int | None = None,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
     n_shards: int = 8,
@@ -52,7 +54,12 @@ def build_training_corpus(
     3-gram fraction exceeds the bound (the Gopher repetition rule, a
     row-local filter); ``benchmark`` runs :func:`~..operators.dedup.
     decontaminate` against it at ``contamination_ngram`` before the
-    quality gate."""
+    quality gate.
+
+    Optional scrub passes (r6), applied FIRST: ``boilerplate_min_docs``
+    runs :func:`~..functions.scrub.remove_boilerplate_lines` and
+    ``redact_pii`` runs :func:`~..functions.scrub.redact_pii_df` before
+    dedup, so boilerplate can't inflate near-dup similarity."""
     from oracle_vectorsearch_example_spark.functions.textstats import text_metrics_df
     from oracle_vectorsearch_example_spark.operators.dedup import (
         dedup_by_components,
@@ -60,6 +67,22 @@ def build_training_corpus(
     )
     from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
     from oracle_vectorsearch_example_spark.operators.sampling import hash_split
+
+    # scrub BEFORE dedup (the C4 ordering): shared boilerplate lines
+    # inflate near-dup similarity between unrelated docs, and redacted
+    # PII tokens must not differ between otherwise-identical docs
+    if boilerplate_min_docs is not None:
+        from oracle_vectorsearch_example_spark.functions.scrub import (
+            remove_boilerplate_lines,
+        )
+
+        docs = remove_boilerplate_lines(
+            docs, text_col, id_col, boilerplate_min_docs
+        )
+    if redact_pii:
+        from oracle_vectorsearch_example_spark.functions.scrub import redact_pii_df
+
+        docs = redact_pii_df(docs, text_col)
 
     pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col)
     deduped = dedup_by_components(docs, pairs, id_col=id_col)

@@ -187,3 +187,28 @@ def test_corpus_cli_roundtrip(spark, tmp_path):
                          "export", out, "--split", "train"]) == 0
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 2}  # 3 is a dup of 1 (higher id loses)
+
+
+def test_corpus_build_with_scrub_passes(spark):
+    """r6: boilerplate strip + PII redaction run BEFORE dedup — two docs
+    identical except for their footer must dedup to one survivor."""
+    from oracle_vectorsearch_example_spark.plans.corpus import build_training_corpus
+
+    body = "the quick brown fox jumps over the lazy dog " * 8
+    # bodies differ by one leading token (else the body LINE itself is
+    # frequent and correctly scrubbed away); near-dup still links them
+    rows = [(i, f"doc{i} " + body.strip() + "\nFOOTER LINE") for i in range(12)]
+    rows += [(100 + i, f"unique doc {i} email x{i}@example.com " + "w " * 30)
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_training_corpus(
+        docs, redact_pii=True, boilerplate_min_docs=10, n_shards=2
+    )
+    kept = {r.doc_id: r.text for r in out["documents"].collect()}
+    # the 12 footer-sharing near-identical docs collapse to the min id
+    assert sum(1 for d in kept if d < 100) == 1
+    assert 0 in kept
+    assert "FOOTER LINE" not in kept[0]
+    for d, t in kept.items():
+        if d >= 100:
+            assert "<EMAIL>" in t and "@example.com" not in t
