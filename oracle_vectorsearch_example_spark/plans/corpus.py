@@ -203,6 +203,7 @@ class IncrementalCorpus:
         n = len(self._batch_tables())            # would silently lose recall
         new_bands, clusters = dedup_incremental(
             batch, self.dedup.state(), self.text_col, self.id_col,
+            small_graph_edges=self.dedup.small_graph_edges,
             **self.dedup.params,
         )
         tables = {
@@ -213,6 +214,14 @@ class IncrementalCorpus:
         if params_df is not None:
             tables["dedup_params"] = params_df
         return self.wh.commit(tables)
+
+    def compact_dedup_state(self) -> int | None:
+        """Fold the per-batch MinHash band tables into one
+        (:meth:`~..operators.incremental.IncrementalDedup.compact`) —
+        bounds the per-ingest state-union width at production cadence.
+        Raw ``docs_*`` batches are untouched (they are the corpus);
+        results are unchanged (band rows are a set)."""
+        return self.dedup.compact()
 
     def documents(self) -> DataFrame:
         """Current corpus: union of raw batches → dedup survivors →

@@ -212,3 +212,28 @@ def test_corpus_build_with_scrub_passes(spark):
     for d, t in kept.items():
         if d >= 100:
             assert "<EMAIL>" in t and "@example.com" not in t
+
+
+def test_incremental_corpus_compaction_preserves_corpus(spark, tmp_path):
+    """r6: folding the band state mid-stream changes nothing the reader
+    sees, and later ingests keep deduping against the folded state."""
+    from oracle_vectorsearch_example_spark.plans.corpus import IncrementalCorpus
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    a = IncrementalCorpus(spark, str(tmp_path / "a"))
+    b = IncrementalCorpus(spark, str(tmp_path / "b"))
+    parts = [docs.filter(F.col("doc_id") % 3 == m) for m in range(3)]
+    for p in parts[:2]:
+        a.ingest(p)
+        b.ingest(p)
+    assert a.compact_dedup_state() is not None
+    a.ingest(parts[2])
+    b.ingest(parts[2])
+    key = lambda df: {tuple(r) for r in df.select("doc_id", "split").collect()}
+    assert key(a.documents()) == key(b.documents())
+    # band state folded + the post-compact batch only
+    bands = [t for t in a.wh.tables() if t.startswith("dedup_bands_")]
+    assert len(bands) == 2
