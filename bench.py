@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "dedup_incremental",   # batch dedup against persisted band state
     "semdedup",            # IVF-blocked embedding dedup + closure
     "profile_table",       # one-pass per-column stats (Expand plan)
+    # headliners added in round 6
+    "pii_redact",          # chained regexp_replace scrub (codegen)
+    "boilerplate_removal", # global line-frequency strip + re-assembly
 ]
 
 N_RUNS = 3
