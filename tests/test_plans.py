@@ -259,3 +259,14 @@ def test_new_tpch_shapes_broadcast_and_prune(spark):
     assert "TakeOrderedAndProject" in plans["tpch_q2"]
     assert "LeftAnti" in plans["tpch_q16"]
     assert plans["tpch_q20"].count("LeftSemi") >= 2
+
+
+def test_pii_redact_is_exchange_free_codegen(spark):
+    """The scrub pass must stay a map-side codegen projection — zero
+    Exchange, whole-stage codegen span over the regexp chain."""
+    from oracle_vectorsearch_example_spark.functions.scrub import redact_pii_df
+
+    df = redact_pii_df(read_table(spark, "/root/testdata/sf0.001", "documents"))
+    plan = explain_str(df, "formatted")
+    assert "Exchange" not in plan
+    assert has_wholestage_codegen(df)

@@ -257,3 +257,81 @@ def test_xls_sst_continue_splits_property(text, max_record):
 
     got = xls_extract_text(make_simple_xls(text, max_record=max_record))
     assert _normalize_ws(got) == _normalize_ws(text)
+
+
+# ------------------------------------------------ r6 codec inverses (exact)
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=0, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_protobuf_varint_int64_roundtrip(vals):
+    """ONNX wire codec: packed int64 encode → decode is the identity,
+    including negative values (10-byte two's-complement varints)."""
+    from oracle_vectorsearch_example_spark.functions.onnx_rt import (
+        _WIRE_LEN,
+        _enc_varint,
+        _packed_ints,
+    )
+
+    packed = b"".join(_enc_varint(v) for v in vals)
+    assert _packed_ints(packed, _WIRE_LEN) == vals
+
+
+@given(st.lists(st.integers(0, 2**16 - 1), min_size=1, max_size=64),
+       st.integers(1, 16))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_bitstream_roundtrip(values, width):
+    """JPEG bit writer → reader is the identity for any (value, width)
+    sequence, across byte-stuffing boundaries."""
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        _BitReader,
+        _BitWriter,
+    )
+
+    pairs = [(v & ((1 << width) - 1), width) for v in values]
+    w = _BitWriter()
+    for v, n in pairs:
+        w.write(v, n)
+    w.flush()
+    # terminate with a marker so the reader never walks off the end
+    data = bytes(w.out) + b"\xff\xd9"
+    r = _BitReader(data, 0)
+    for v, n in pairs:
+        assert r.read_bits(n) == v
+
+
+@given(st.integers(-32767, 32767))
+@settings(max_examples=500, deadline=None)
+def test_jpeg_magnitude_extend_inverse(v):
+    """T.81 F.1.2.1 (encode) and F.2.2.1 EXTEND (decode) are inverses."""
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        _extend,
+        _magnitude,
+    )
+
+    s, code = _magnitude(v)
+    assert _extend(code, s) == v
+
+
+@given(st.sampled_from(["dc_lum", "dc_chrom", "ac_lum", "ac_chrom"]))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_huffman_tables_roundtrip(which):
+    """Every symbol of the standard Annex K tables encodes to a code the
+    decoder maps back to the same symbol."""
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        STD_AC_CHROM,
+        STD_AC_LUM,
+        STD_DC_CHROM,
+        STD_DC_LUM,
+        _build_huffman,
+        _enc_huff_codes,
+    )
+
+    bits, vals = {
+        "dc_lum": STD_DC_LUM, "dc_chrom": STD_DC_CHROM,
+        "ac_lum": STD_AC_LUM, "ac_chrom": STD_AC_CHROM,
+    }[which]
+    enc = _enc_huff_codes(bits, vals)
+    dec = _build_huffman(bits, vals)
+    for sym, (code, length) in enc.items():
+        assert dec[(length, code)] == sym
