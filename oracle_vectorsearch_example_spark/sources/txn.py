@@ -194,6 +194,22 @@ class Warehouse:
     def tables(self, version: int | None = None) -> list[str]:
         return sorted(self.snapshot(version))
 
+    def expire(self, keep_last: int = 10) -> list[int]:
+        """Delete manifests older than the newest ``keep_last`` — the
+        retention step that lets :meth:`vacuum` actually reclaim data
+        retired by ``commit(drop=...)`` or superseded by a rewrite (a
+        data dir stays on disk while ANY manifest references it). Time
+        travel to expired versions is gone, by definition. The head
+        manifest is never expired (``keep_last`` ≥ 1). Returns the
+        expired version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the head must survive)")
+        versions = self._list_versions()
+        expired = versions[:-keep_last]
+        for v in expired:
+            self._fs.delete(self._hpath(self._manifest_path(v)), False)
+        return expired
+
     def vacuum(self) -> list[str]:
         """Delete data dirs referenced by NO manifest (crash leftovers).
 

@@ -109,3 +109,32 @@ def test_commit_drop_retires_tables_atomically(spark, wh):
 def test_commit_drop_overlap_rejected(spark, wh):
     with pytest.raises(ValueError, match="both written and dropped"):
         wh.commit({"a": _df(spark, [(1, "x")])}, drop=["a"])
+
+
+def test_expire_then_vacuum_reclaims_dropped_tables(spark, wh):
+    """r6 retention: compacted/dropped tables' data dirs stay on disk
+    while any manifest references them; expire + vacuum reclaims."""
+    v1 = wh.commit({"a": _df(spark, [(1, "x")])})
+    wh.commit({"b": _df(spark, [(2, "y")])}, drop=["a"])
+    wh.commit({"b": _df(spark, [(3, "z")])})
+    # all three manifests live: vacuum reclaims nothing of table a
+    assert wh.vacuum() == []
+    assert wh.read("a", version=v1).count() == 1
+    expired = wh.expire(keep_last=1)
+    assert expired == [1, 2]
+    removed = wh.vacuum()
+    # a's dir and b's superseded v2 dir are reclaimed
+    assert any("/a/" in r for r in removed)
+    assert any("/b/" in r for r in removed)
+    # head still reads fine; expired time travel is gone
+    assert {r.id for r in wh.read("b").collect()} == {3}
+    with pytest.raises(Exception):
+        wh.snapshot(version=v1)
+
+
+def test_expire_keeps_head(spark, wh):
+    wh.commit({"a": _df(spark, [(1, "x")])})
+    assert wh.expire(keep_last=5) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        wh.expire(keep_last=0)
+    assert wh.current_version() == 1
