@@ -509,11 +509,11 @@ def encode_jpeg(
             c, ln = act[0x00]  # EOB
             bw.write(c, ln)
 
-    nonlocal_mcu = 0
+    mcu_idx = 0
     rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if restart_interval and nonlocal_mcu and nonlocal_mcu % restart_interval == 0:
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
@@ -526,7 +526,7 @@ def encode_jpeg(
                     )
             emit_block(cbp, my * 8, mx * 8, qc, dc_c, ac_c, 1)
             emit_block(crp, my * 8, mx * 8, qc, dc_c, ac_c, 2)
-            nonlocal_mcu += 1
+            mcu_idx += 1
     bw.flush()
 
     def seg(marker, body):
