@@ -170,6 +170,28 @@ def main():
                 4,
             ),
         }
+
+        # SQ8 brute force (X19, r6): a quarter of the scan bytes at ~full
+        # recall — the memory lever. Codes encode once and cache as
+        # parquet beside the fixture.
+        from oracle_vectorsearch_example_spark.operators.quantize import (
+            sq8_encode_df,
+            sq8_topk_search,
+        )
+
+        sq8_path = os.path.join(ann_base, "sq8_codes")
+        if not os.path.exists(os.path.join(sq8_path, "_SUCCESS")):
+            sq8_encode_df(vec4m).write.mode("overwrite").parquet(sq8_path)
+        codes4m = spark.read.parquet(sq8_path)
+
+        def sq8_4m():
+            return sq8_topk_search(codes4m, q16, k=10, exclude_self=True)
+
+        run_entry("sq8_topk_4m", lambda: _execute(sq8_4m()))
+        extras["sq8_4m"] = {
+            "n": DEFAULT_N,
+            "recall_at_10": round(recall_at_k(exact_4m(), sq8_4m()), 4),
+        }
     except Exception as e:  # noqa: BLE001
         # record under BOTH keys: if exact_topk_4m already succeeded, a
         # later ivf/recall failure must still surface, not vanish

@@ -2116,6 +2116,59 @@ def q_vector_topk(spark, sf):
     return hits.select("qid", "rank", "vec_id")
 
 
+_SQ8_TOPK_SQL = """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM base
+    ), dec AS (
+      SELECT vec_id,
+             list_transform(
+               v, x -> floor(x / (CASE WHEN mx = 0 THEN 1.0
+                                       ELSE mx / 127.0 END) + 0.5)
+                       * (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END)
+             ) AS vhat
+      FROM m
+    ), q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, d.vec_id,
+             1.0 - list_cosine_similarity(d.vhat, q.qv) AS dist
+      FROM dec d CROSS JOIN q WHERE d.vec_id <> q.qid
+    )
+    SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                AS BIGINT) AS rank,
+           vec_id
+    FROM scored QUALIFY rank <= 5
+"""
+
+
+@golden("sq8_topk", _SQ8_TOPK_SQL)
+def q_sq8_topk(spark, sf):
+    """SQ8-quantized top-k (X19, r6): int8 codes + per-vector scale (4×
+    less scan traffic — the ANN memory lever at 100 TB), asymmetric
+    cosine against float queries. The quantization spec is frozen
+    round-half-UP so DuckDB replicates it bit-for-bit — this golden
+    hash-checks the ENTIRE quantize → decode → score → top-k path, not
+    just a recall tolerance (recall vs exact is additionally gated in
+    tests)."""
+    from oracle_vectorsearch_example_spark.operators.quantize import (
+        sq8_encode_df,
+        sq8_topk_search,
+    )
+
+    e = read_table(spark, sf, "embeddings")
+    codes = sq8_encode_df(e)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = sq8_topk_search(codes, q, k=5, exclude_self=True)
+    return hits.select("qid", "rank", "vec_id")
+
+
 # The oracle mirrors the hashing-embedder spec (embed_double) but keeps the
 # sparse (doc_id, bucket, cnt) shape: cos(a,b) = Σ cnt_a·cnt_b / (‖a‖·‖b‖)
 # over shared buckets — an equi-join on bucket, never a dense cross product.

@@ -1,0 +1,163 @@
+"""Scalar int8 vector quantization (SQ8) — the memory side of ANN at
+100 TB (X19, r6).
+
+At 4 bytes/dim, a 100 TB corpus of 384-dim float32 embeddings is
+~1.5 KB/vector of scan traffic; SQ8 stores one int8 code per dimension +
+one float scale per vector (~4× less to read, decode is one multiply).
+The FAISS ``IndexIVFScalarQuantizer`` pattern, Spark-shaped: codes live
+in an ordinary ``binary`` column, so everything downstream (parquet
+encoding, partition pruning, the IVF assignment table, ``payload_cols``)
+works unchanged.
+
+Frozen quantization spec (DuckDB-replicable → the golden hash-checks it):
+
+    scale  = max(|v_i|) / 127          (1.0 for the zero vector)
+    code_i = floor(v_i / scale + 0.5)  (round-half-UP — numpy's default
+                                        banker's rounding differs from
+                                        SQL ``round`` on negative halves)
+    v̂_i   = code_i * scale
+
+Per-component error ≤ scale/2 = max|v|/254; on unit-normalized
+embeddings recall@10 ≥ ~0.99 (gated in tests). Search is ASYMMETRIC
+(queries stay float — the standard trick: only the scanned side pays
+quantization error), and for cosine the decode multiply vanishes
+entirely: the per-vector scale cancels, so scoring runs straight on the
+int8 codes.
+
+Measured at 4M×64 (bench `sq8_topk_4m`): 301 MB codes vs 1001 MB float
+parquet (3.3×), brute-force scan 1.81 s vs 1.92 s exact at recall@10
+0.994 — roughly speed-parity warm-cache (the scan is compute-bound
+locally); the byte ratio is the 100 TB story, where scans are
+I/O-bound.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sq8_encode_df(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, code binary, scale double) + ``keep_cols`` passthrough (e.g.
+    ``cluster_id`` when quantizing an IVF assignment table)."""
+    extra = list(keep_cols or [])
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            scale = np.abs(v).max(axis=1) / 127.0
+            scale[scale == 0] = 1.0
+            code = np.floor(v / scale[:, None] + 0.5)
+            code = np.clip(code, -128, 127).astype(np.int8)
+            out = {
+                id_col: pdf[id_col].astype("int64"),
+                "code": [c.tobytes() for c in code],
+                "scale": scale,
+            }
+            for c in extra:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in extra
+    )
+    return df.select(id_col, vec_col, *extra).mapInPandas(
+        run, schema=f"{id_col} long, code binary, scale double{extra_schema}"
+    )
+
+
+def sq8_decode(code: bytes, scale: float):
+    """v̂ from one row's (code, scale) — the test/debug inverse."""
+    import numpy as np
+
+    return np.frombuffer(code, dtype=np.int8).astype(np.float64) * scale
+
+
+def sq8_topk_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Asymmetric cosine top-k over SQ8 codes: float queries broadcast,
+    each Arrow batch decodes int8 → float with ONE multiply and scores
+    with one BLAS matmul — the same P·Q·k candidate shuffle as
+    ``topk_search``, reading a quarter of the bytes. Returns
+    (query_id, rank, id, distance); ties break by id."""
+    import numpy as np
+
+    qrows = [(r[0], list(r[1])) for r in queries.select(query_id, query_vec).collect()]
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    k_ = k
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cand: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            # ONE buffer join + frombuffer + reshape — a per-row
+            # frombuffer loop measured 4M rows as Python-call-bound
+            buf = b"".join(pdf["code"])
+            v = np.frombuffer(buf, dtype=np.int8).reshape(len(pdf), -1)
+            v = v.astype(np.float64)
+            # cosine never needs the decode multiply: the per-vector
+            # scale cancels — cos(code·scale, q) == cos(code, q)
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0] = 1.0
+            dist = (1.0 - (v @ qmat.T) / vn[:, None] / qnorm[None, :]).T
+            rows = []
+            for qi in range(len(qids)):
+                d, b = dist[qi], bids
+                if exclude_self:
+                    keep = b != qids[qi]
+                    d, b = d[keep], b[keep]
+                if len(d) == 0:
+                    continue
+                order = np.lexsort((b, d))[:k_]
+                rows.append(
+                    pd.DataFrame(
+                        {"__qid": qids[qi], "__bid": b[order], "__dist": d[order]}
+                    )
+                )
+            if rows:
+                cand.append(pd.concat(rows))
+        if not cand:
+            return
+        allc = pd.concat(cand).sort_values(
+            ["__qid", "__dist", "__bid"], kind="mergesort"
+        )
+        yield allc.groupby("__qid", sort=False).head(k_)
+
+    scored = codes.select(
+        F.col(id_col).cast("long").alias(id_col), "code", "scale"
+    ).mapInPandas(run, schema="__qid long, __bid long, __dist double")
+    w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("__bid").alias(id_col),
+            F.col("__dist").alias("distance"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""SQ8 scalar quantization (X19, r6): encode/decode bounds, recall vs
+exact search, determinism. The full quantize→score→top-k path is
+hash-checked against DuckDB by the `sq8_topk` golden."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.quantize import (
+    sq8_decode,
+    sq8_encode_df,
+    sq8_topk_search,
+)
+from oracle_vectorsearch_example_spark.operators.search import topk_search
+from oracle_vectorsearch_example_spark.sources.ann_fixture import (
+    generate_ann_vectors,
+)
+from oracle_vectorsearch_example_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_encode_decode_error_bound(spark):
+    e = read_table(spark, SF, "embeddings").limit(50)
+    rows = {r.vec_id: list(r.embedding) for r in e.collect()}
+    enc = {r.vec_id: (bytes(r.code), r.scale) for r in sq8_encode_df(e).collect()}
+    assert set(enc) == set(rows)
+    for vid, v in rows.items():
+        v = np.array(v, dtype=np.float64)
+        code, scale = enc[vid]
+        assert len(code) == len(v)
+        vhat = sq8_decode(code, scale)
+        # per-component error ≤ scale/2; scale = max|v|/127
+        assert np.abs(vhat - v).max() <= scale / 2 + 1e-12
+        assert scale == pytest.approx(np.abs(v).max() / 127.0)
+
+
+def test_zero_vector_safe(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] + [0.0] * 7)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (bytes(r.code), r.scale) for r in sq8_encode_df(df).collect()}
+    assert out[1][1] == 1.0 and all(b == 0 for b in out[1][0])
+    np.testing.assert_allclose(sq8_decode(*out[2]), [1.0] + [0.0] * 7)
+
+
+def test_recall_vs_exact_and_determinism(spark):
+    base = generate_ann_vectors(
+        spark, n=2000, dim=16, n_centers=200, noise=0.1, seed=7
+    ).cache()
+    q = base.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = topk_search(base, q, k=10, exclude_self=True)
+    codes = sq8_encode_df(base)
+    approx = sq8_topk_search(codes, q, k=10, exclude_self=True)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.vec_id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.vec_id)
+    recall = sum(len(ex[k_] & ap[k_]) for k_ in ex) / sum(len(ex[k_]) for k_ in ex)
+    assert recall >= 0.95, recall
+    # deterministic
+    again = {tuple(r) for r in sq8_topk_search(codes, q, k=10, exclude_self=True).collect()}
+    assert again == {tuple(r) for r in approx.collect()}
+
+
+def test_keep_cols_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [3.0, 4.0], 9)],
+        "vec_id long, embedding array<float>, cluster_id int",
+    )
+    out = sq8_encode_df(df, keep_cols=["cluster_id"])
+    assert set(out.columns) == {"vec_id", "code", "scale", "cluster_id"}
+    assert {r.cluster_id for r in out.collect()} == {7, 9}
