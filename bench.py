@@ -192,6 +192,32 @@ def main():
             "n": DEFAULT_N,
             "recall_at_10": round(recall_at_k(exact_4m(), sq8_4m()), 4),
         }
+
+        # IVF × SQ8 (FAISS's production config): partition pruning and
+        # the byte reduction compose — measured faster than BOTH pure
+        # paths at the same recall.
+        from oracle_vectorsearch_example_spark.operators.quantize import (
+            sq8_encode_index,
+            sq8_ivf_search,
+        )
+
+        sq8_ivf_path = os.path.join(ann_base, "sq8_ivf_codes")
+        if not os.path.exists(os.path.join(sq8_ivf_path, "_SUCCESS")):
+            codes_ivf = sq8_encode_index(idx4m, path=sq8_ivf_path)
+        else:
+            codes_ivf = spark.read.parquet(sq8_ivf_path)
+
+        def sq8_ivf_4m():
+            return sq8_ivf_search(
+                idx4m, codes_ivf, q16, k=10, nprobe=8, exclude_self=True
+            )
+
+        run_entry("sq8_ivf_4m", lambda: _execute(sq8_ivf_4m()))
+        extras["sq8_ivf_4m"] = {
+            "n": DEFAULT_N,
+            "nprobe": 8,
+            "recall_at_10": round(recall_at_k(exact_4m(), sq8_ivf_4m()), 4),
+        }
     except Exception as e:  # noqa: BLE001
         # record under BOTH keys: if exact_topk_4m already succeeded, a
         # later ivf/recall failure must still surface, not vanish

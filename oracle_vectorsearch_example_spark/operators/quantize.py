@@ -24,11 +24,13 @@ quantization error), and for cosine the decode multiply vanishes
 entirely: the per-vector scale cancels, so scoring runs straight on the
 int8 codes.
 
-Measured at 4M×64 (bench `sq8_topk_4m`): 301 MB codes vs 1001 MB float
-parquet (3.3×), brute-force scan 1.81 s vs 1.92 s exact at recall@10
-0.994 — roughly speed-parity warm-cache (the scan is compute-bound
-locally); the byte ratio is the 100 TB story, where scans are
-I/O-bound.
+Measured at 4M×64: brute-force codes 301 MB vs 1001 MB float parquet
+(3.3×), scan 1.81 s vs 1.92 s exact at recall@10 0.994 (bench
+`sq8_topk_4m`) — speed-parity warm-cache (compute-bound locally; the
+byte ratio is the 100 TB story, where scans are I/O-bound). Composed
+with the IVF probe (:func:`sq8_ivf_search`, bench `sq8_ivf_4m`):
+0.97 s vs 1.15 s IVF-float vs 1.92 s exact at the same 0.994 recall —
+pruning and the byte reduction stack.
 """
 
 from __future__ import annotations
@@ -150,6 +152,116 @@ def sq8_topk_search(
     scored = codes.select(
         F.col(id_col).cast("long").alias(id_col), "code", "scale"
     ).mapInPandas(run, schema="__qid long, __bid long, __dist double")
+    w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("__bid").alias(id_col),
+            F.col("__dist").alias("distance"),
+        )
+    )
+
+
+def sq8_encode_index(index, path: str | None = None) -> DataFrame:
+    """Quantize an :class:`~.ivf.IvfIndex`'s assignment table:
+    (id, code, scale, cluster_id). With ``path``, materializes
+    ``partitionBy(cluster_id)`` — probes then prune PARTITIONS of the
+    code table exactly like the float index, on a quarter of the bytes
+    (FAISS's IVF-SQ layout, parquet-shaped)."""
+    codes = sq8_encode_df(
+        index.assignments.select(index.id_col, index.vec_col, "cluster_id"),
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+        keep_cols=["cluster_id"],
+    )
+    if path is None:
+        return codes
+    codes.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+    return codes.sparkSession.read.parquet(path)
+
+
+def sq8_ivf_search(
+    index,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-pruned SQ8 search: the float index's driver-side centroid
+    probe + the quantized code scan — partition pruning AND the 4× byte
+    reduction compose. Same candidate-shuffle bound and tie rules as
+    ``IvfIndex.search``; cosine on codes (scale cancels), so the float
+    vectors are never read."""
+    import numpy as np
+
+    qrows = queries.select(query_id, query_vec).collect()
+    probe_lists = index._nearest_clusters_many(
+        [list(r[query_vec]) for r in qrows], nprobe
+    )
+    qids = np.array([int(r[query_id]) for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[query_vec]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+    cluster_probers: dict[int, list[int]] = {}
+    for pos, cids in enumerate(probe_lists):
+        for cid in cids:
+            cluster_probers.setdefault(int(cid), []).append(pos)
+    probed = sorted(cluster_probers)
+    id_col = index.id_col
+    k_ = k
+    qmat_list = qmat.tolist()
+    qids_list = qids.tolist()
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        qm = np.array(qmat_list, dtype=np.float64)
+        qid_arr = np.array(qids_list, dtype=np.int64)
+        cand = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cl = pdf["cluster_id"].to_numpy(dtype=np.int64)
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            buf = b"".join(pdf["code"])
+            v = np.frombuffer(buf, dtype=np.int8).reshape(len(pdf), -1)
+            v = v.astype(np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0] = 1.0
+            for cid in np.unique(cl):
+                probers = cluster_probers.get(int(cid))
+                if not probers:
+                    continue
+                rows = np.nonzero(cl == cid)[0]
+                d = 1.0 - (v[rows] @ qm[probers].T) / vn[rows, None]
+                q_rep = np.repeat(qid_arr[probers][None, :], len(rows), 0)
+                b_rep = np.repeat(bids[rows][:, None], len(probers), 1)
+                qf, bf, df_ = q_rep.ravel(), b_rep.ravel(), d.ravel()
+                if exclude_self:
+                    keep = bf != qf
+                    qf, bf, df_ = qf[keep], bf[keep], df_[keep]
+                f = pd.DataFrame({"__qid": qf, "__bid": bf, "__dist": df_})
+                f = f.sort_values(["__qid", "__dist", "__bid"], kind="mergesort")
+                cand.append(f.groupby("__qid", sort=False).head(k_))
+        if cand:
+            allc = pd.concat(cand).sort_values(
+                ["__qid", "__dist", "__bid"], kind="mergesort"
+            )
+            yield allc.groupby("__qid", sort=False).head(k_)
+
+    pruned = codes.filter(F.col("cluster_id").isin(probed)).select(
+        "cluster_id", id_col, "code", "scale"
+    )
+    scored = pruned.mapInPandas(run, schema="__qid long, __bid long, __dist double")
     w = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -78,3 +78,53 @@ def test_keep_cols_passthrough(spark):
     out = sq8_encode_df(df, keep_cols=["cluster_id"])
     assert set(out.columns) == {"vec_id", "code", "scale", "cluster_id"}
     assert {r.cluster_id for r in out.collect()} == {7, 9}
+
+
+def test_sq8_ivf_search_recall_and_pruning(spark, tmp_path):
+    """IVF probe + SQ8 codes compose: recall stays high vs exact, the
+    materialized code table prunes partitions, and nprobe=all equals the
+    brute-force SQ8 scan exactly."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.operators.quantize import (
+        sq8_encode_index,
+        sq8_ivf_search,
+    )
+    from oracle_vectorsearch_example_spark.plans.inspect import explain_str
+
+    base = generate_ann_vectors(
+        spark, n=2000, dim=16, n_centers=200, noise=0.1, seed=7
+    ).cache()
+    idx = IvfIndex.build(base, n_clusters=32, seed=42)
+    codes = sq8_encode_index(idx, path=str(tmp_path / "codes"))
+    q = base.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = topk_search(base, q, k=10, exclude_self=True)
+    hits = sq8_ivf_search(idx, codes, q, k=10, nprobe=8, exclude_self=True)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.vec_id)
+    for r in hits.collect():
+        ap.setdefault(r.qid, set()).add(r.vec_id)
+    recall = sum(len(ex[k_] & ap[k_]) for k_ in ex) / sum(len(ex[k_]) for k_ in ex)
+    assert recall >= 0.9, recall
+
+    # partition pruning reaches the code-table scan
+    plan = explain_str(
+        sq8_ivf_search(idx, codes, q, k=10, nprobe=2, exclude_self=True)
+    )
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan[:2000]
+
+    # nprobe = all clusters == brute-force SQ8 (exhaustive is exact
+    # within the quantized space); compare (qid, rank, id) — the two
+    # paths normalize queries in a different op order, so raw distances
+    # differ in the last ulp
+    full = sq8_ivf_search(idx, codes, q, k=10, nprobe=32, exclude_self=True)
+    brute = sq8_topk_search(
+        codes.select("vec_id", "code", "scale"), q, k=10, exclude_self=True
+    )
+    key = lambda df: {(r.qid, r.rank, r.vec_id) for r in df.collect()}
+    assert key(full) == key(brute)
