@@ -218,6 +218,59 @@ def main():
             "nprobe": 8,
             "recall_at_10": round(recall_at_k(exact_4m(), sq8_ivf_4m()), 4),
         }
+
+        # PQ (m=16, 16 B/vec — the footprint champion at 8.4×): coarse
+        # ADC ranking + SQ8 refine of the top-100 (FAISS IndexRefine,
+        # all-compressed). Honest numbers: on this fixture's tight 4k-
+        # member clusters PQ-alone recall is low (the true top-10 sit
+        # inside quantization error) — its role is candidate generation.
+        import json as _json
+
+        from oracle_vectorsearch_example_spark.operators.quantize import (
+            pq_encode_df,
+            pq_refine_topk,
+            pq_topk_search,
+            pq_train,
+        )
+
+        books_path = os.path.join(ann_base, "pq16_books.json")
+        pq_path = os.path.join(ann_base, "pq16_codes")
+        if not os.path.exists(books_path):
+            import numpy as _np
+
+            books = pq_train(vec4m, m=16, sample=50_000, seed=42)
+            with open(books_path, "w") as f:
+                f.write(_json.dumps(books.tolist()))
+        else:
+            import numpy as _np
+
+            books = _np.array(_json.loads(open(books_path).read()))
+        if not os.path.exists(os.path.join(pq_path, "_SUCCESS")):
+            pq_encode_df(vec4m, books).write.mode("overwrite").parquet(pq_path)
+        pq_codes = spark.read.parquet(pq_path)
+
+        def pq_refined_4m():
+            return pq_refine_topk(
+                pq_topk_search(pq_codes, q16, books, k=100, exclude_self=True),
+                codes4m, q16, k=10,
+            )
+
+        run_entry("pq_refined_4m", lambda: _execute(pq_refined_4m()))
+        extras["pq_4m"] = {
+            "n": DEFAULT_N,
+            "m": 16,
+            "bytes_per_vec": 16,
+            "refined_recall_at_10": round(
+                recall_at_k(exact_4m(), pq_refined_4m()), 4
+            ),
+            "coarse_recall_at_10": round(
+                recall_at_k(
+                    exact_4m(),
+                    pq_topk_search(pq_codes, q16, books, k=10, exclude_self=True),
+                ),
+                4,
+            ),
+        }
     except Exception as e:  # noqa: BLE001
         # record under BOTH keys: if exact_topk_4m already succeeded, a
         # later ivf/recall failure must still surface, not vanish

@@ -128,3 +128,86 @@ def test_sq8_ivf_search_recall_and_pruning(spark, tmp_path):
     )
     key = lambda df: {(r.qid, r.rank, r.vec_id) for r in df.collect()}
     assert key(full) == key(brute)
+
+
+def test_pq_recall_and_compression(spark):
+    """Product quantization + ADC (Jégou et al. 2011): m=8 sub-spaces of
+    a 16-dim clustered space — recall@10 vs exact stays high at 8 bytes
+    + 1 norm per vector; codebooks deterministic under seed."""
+    from oracle_vectorsearch_example_spark.operators.quantize import (
+        pq_encode_df,
+        pq_topk_search,
+        pq_train,
+    )
+
+    base = generate_ann_vectors(
+        spark, n=2000, dim=16, n_centers=200, noise=0.1, seed=7
+    ).cache()
+    books = pq_train(base, m=8, seed=42)
+    assert books.shape == (8, 256, 2)
+    np.testing.assert_array_equal(books, pq_train(base, m=8, seed=42))
+    codes = pq_encode_df(base, books).cache()
+    row = codes.first()
+    assert len(bytes(row.code)) == 8  # 8 bytes vs 64 float bytes
+    q = base.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = topk_search(base, q, k=10, exclude_self=True)
+    approx = pq_topk_search(codes, q, books, k=10, exclude_self=True)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.vec_id)
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.vec_id)
+    recall = sum(len(ex[k_] & ap[k_]) for k_ in ex) / sum(len(ex[k_]) for k_ in ex)
+    assert recall >= 0.8, recall
+
+
+def test_pq_dim_not_divisible_rejected(spark):
+    from oracle_vectorsearch_example_spark.operators.quantize import pq_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2)
+
+
+def test_pq_refine_matches_sq8_recall(spark):
+    """PQ(m=8) candidates@100 → SQ8 refine: all-compressed two-stage
+    search whose recall matches plain SQ8 (the FAISS IndexRefine shape);
+    exclude_self handled by oversampling + the refine's own ordering."""
+    from oracle_vectorsearch_example_spark.operators.quantize import (
+        pq_encode_df,
+        pq_refine_topk,
+        pq_topk_search,
+        pq_train,
+    )
+
+    base = generate_ann_vectors(
+        spark, n=2000, dim=16, n_centers=200, noise=0.1, seed=7
+    ).cache()
+    books = pq_train(base, m=8, seed=42)
+    pq_codes = pq_encode_df(base, books).cache()
+    sq8 = sq8_encode_df(base).cache()
+    q = base.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cand = pq_topk_search(pq_codes, q, books, k=100, exclude_self=True)
+    refined = pq_refine_topk(cand, sq8, q, k=10)
+    exact = topk_search(base, q, k=10, exclude_self=True)
+    sq8_only = sq8_topk_search(sq8, q, k=10, exclude_self=True)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.qid, set()).add(r.vec_id)
+        return out
+
+    ex, rf, s8 = sets(exact), sets(refined), sets(sq8_only)
+    recall_rf = sum(len(ex[k_] & rf[k_]) for k_ in ex) / sum(len(ex[k_]) for k_ in ex)
+    recall_s8 = sum(len(ex[k_] & s8[k_]) for k_ in ex) / sum(len(ex[k_]) for k_ in ex)
+    assert recall_rf >= recall_s8 - 0.05, (recall_rf, recall_s8)
+    assert recall_rf >= 0.9, recall_rf
