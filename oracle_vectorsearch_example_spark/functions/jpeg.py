@@ -187,8 +187,13 @@ class _BitReader:
         self.bitbuf = 0
 
     def skip_restart_marker(self):
-        # reader stands just before 0xFF Dn
-        assert self.data[self.pos] == 0xFF
+        # reader stands just before 0xFF Dn; explicit error (not assert,
+        # which vanishes under python -O) for corrupt streams
+        if self.data[self.pos] != 0xFF:
+            raise ValueError(
+                "JPEG expected restart marker at DRI boundary, got "
+                f"0x{self.data[self.pos]:02x}"
+            )
         self.pos += 2
         self.byte_align()
 
@@ -285,6 +290,14 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns < len(frame[2]):
+                # legal baseline feature we don't decode: each component
+                # in its own scan. A named gate, not a KeyError deep in
+                # _decode_scan when scan_tables lacks a component.
+                raise NotImplementedError(
+                    "non-interleaved JPEG scan (fewer scan components "
+                    "than frame components) is not supported"
+                )
             scan_tables = {}
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i], seg[2 + 2 * i]

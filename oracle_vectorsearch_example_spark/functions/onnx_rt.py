@@ -766,15 +766,9 @@ def make_tiny_encoder(
     return _ser_model(nodes, inits, inputs, outputs)
 
 
-def write_tiny_model(dir_path: str, **kwargs) -> str:
-    """Write ``model.onnx`` + a matching WordPiece ``vocab.txt`` (ids
-    0..vocab_size-1: 4 specials, single letters, a few whole words and
-    ``##`` continuations) into ``dir_path``; returns the model path. The
-    pair is what ``OnnxEmbedder(model_path)`` consumes."""
-    import os
-
-    vocab_size = kwargs.get("vocab_size", 64)
-    os.makedirs(dir_path, exist_ok=True)
+def _fixture_vocab(vocab_size: int) -> str:
+    """WordPiece ``vocab.txt`` content (ids 0..vocab_size-1: 4 specials,
+    single letters, a few whole words and ``##`` continuations)."""
     tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
     tokens += [chr(c) for c in range(ord("a"), ord("z") + 1)]
     tokens += [
@@ -783,12 +777,45 @@ def write_tiny_model(dir_path: str, **kwargs) -> str:
     ]
     while len(tokens) < vocab_size:
         tokens.append(f"[unused{len(tokens)}]")
+    return "\n".join(tokens[:vocab_size]) + "\n"
+
+
+def write_tiny_model(dir_path: str, **kwargs) -> str:
+    """Write ``model.onnx`` + a matching WordPiece ``vocab.txt`` into
+    ``dir_path``; returns the model path. The pair is what
+    ``OnnxEmbedder(model_path)`` consumes."""
+    import os
+
+    vocab_size = kwargs.get("vocab_size", 64)
+    os.makedirs(dir_path, exist_ok=True)
     vocab_path = os.path.join(dir_path, "vocab.txt")
     with open(vocab_path, "w", encoding="utf-8") as f:
-        f.write("\n".join(tokens[:vocab_size]) + "\n")
+        f.write(_fixture_vocab(vocab_size))
     model_path = os.path.join(dir_path, "model.onnx")
     with open(model_path, "wb") as f:
         f.write(make_tiny_encoder(**kwargs))
+    return model_path
+
+
+def cached_tiny_model(base_dir: str | None = None, **kwargs) -> str:
+    """Content-addressed fixture cache: the directory name embeds a hash
+    of the exact model+vocab bytes THIS generator version produces, so a
+    stale file from an older generator (or another user's file on a
+    shared tmp dir) can never be silently reused — changing the generator
+    changes the address. Regeneration is cheap: the bytes are a
+    deterministic in-memory function of the kwargs."""
+    import hashlib
+    import os
+    import tempfile
+
+    blob = make_tiny_encoder(**kwargs)
+    vocab = _fixture_vocab(kwargs.get("vocab_size", 64)).encode("utf-8")
+    tag = hashlib.sha256(blob + vocab).hexdigest()[:12]
+    root = base_dir or tempfile.gettempdir()
+    dir_path = os.path.join(root, f"spark_graft_onnx_fixture_{tag}")
+    model_path = os.path.join(dir_path, "model.onnx")
+    if not os.path.exists(model_path):
+        return write_tiny_model(dir_path, **kwargs)
     return model_path
 
 

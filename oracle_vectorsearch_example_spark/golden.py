@@ -1989,17 +1989,14 @@ def q_onnx_embed(spark, sf):
     independently written forward pass. On a multi-node cluster the
     model file ships via ``SparkContext.addFile``; local mode shares the
     filesystem."""
-    import os
-    import tempfile
-
     from oracle_vectorsearch_example_spark.functions.onnx_rt import (
-        write_tiny_model,
+        cached_tiny_model,
     )
 
-    fixture_dir = os.path.join(tempfile.gettempdir(), "spark_graft_onnx_fixture")
-    model_path = os.path.join(fixture_dir, "model.onnx")
-    if not os.path.exists(model_path):  # deterministic bytes — write once
-        model_path = write_tiny_model(fixture_dir)
+    # content-addressed cache: the path embeds a hash of the generated
+    # bytes, so a stale fixture from an older generator (or another
+    # user's file on a shared machine) can't silently change the rows
+    model_path = cached_tiny_model()
     from oracle_vectorsearch_example_spark.functions.embedding import OnnxEmbedder
 
     docs = (

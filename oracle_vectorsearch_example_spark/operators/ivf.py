@@ -205,19 +205,34 @@ class IvfIndex:
         elif fit == "sample":
             import numpy as np
 
+            from .sampling import hash_bucket
+
             target = sample_per_cluster * k
             frac = min(1.0, target / max(1, n))
-            # toPandas (Arrow) not collect(): Row-object materialization of
-            # a 64k-vector sample costs ~30 s; the Arrow path is ~2 s
-            # fraction MUST be passed by keyword: sample(frac, seed=s) puts
-            # frac in the withReplacement slot and SILENTLY DROPS the seed
-            # (non-deterministic sampling — observed as run-to-run semdedup
-            # survivor drift before this fix)
-            spdf = norm.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
+            # Partition-INDEPENDENT training draw. df.sample(fraction, seed)
+            # is deterministic only for a FIXED partition layout (per-
+            # partition RNG streams), so repartitioning or rewriting the
+            # input silently shifted the trained centroids — and with them
+            # the index's recall. The hash cutoff (same discipline as
+            # sampling.hash_sample: keep iff hash(seed,id) mod B < frac·B)
+            # makes the sample set a pure function of (id, seed); the
+            # driver-side sort by id then fixes the ROW ORDER too, because
+            # kmeans++ init indexes into the sample array (a layout-ordered
+            # toPandas would otherwise still vary the seeding). Fine-
+            # grained B so tiny fractions at huge n don't quantize to 0 or
+            # overdraw. toPandas (Arrow) not collect(): Row-object
+            # materialization of a 64k-vector sample costs ~30 s vs ~2 s.
+            fine_b = 1_000_000
+            cutoff = max(1, int(round(frac * fine_b)))
+            spdf = (
+                norm.select(id_col, vec_col)
+                .filter(hash_bucket(F.col(id_col), seed, buckets=fine_b) < cutoff)
+                .toPandas()
+            )
+            if len(spdf) < k:  # tiny tables: sample can't seed k clusters
+                spdf = norm.select(id_col, vec_col).toPandas()
+            spdf = spdf.sort_values(id_col, kind="mergesort", ignore_index=True)
             sample = np.array(list(spdf[vec_col]), dtype=np.float64)
-            if len(sample) < k:  # tiny tables: sample can't seed k clusters
-                spdf = norm.select(vec_col).toPandas()
-                sample = np.array(list(spdf[vec_col]), dtype=np.float64)
             cmat = _lloyd_kmeans(sample, k, seed)
             centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cmat)]
             assigned = _assign_clusters(norm, cmat, id_col, vec_col, payload_fields)

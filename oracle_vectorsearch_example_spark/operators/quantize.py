@@ -129,9 +129,13 @@ def sq8_topk_search(
             # frombuffer loop measured 4M rows as Python-call-bound
             buf = b"".join(pdf["code"])
             v = np.frombuffer(buf, dtype=np.int8).reshape(len(pdf), -1)
-            v = v.astype(np.float64)
-            # cosine never needs the decode multiply: the per-vector
-            # scale cancels — cos(code·scale, q) == cos(code, q)
+            # cosine is scale-invariant, so the decode multiply is not
+            # mathematically needed — but the sq8_topk DuckDB oracle
+            # scores the reconstructed vhat (code·scale), and a near-tie
+            # between two corpus vectors could rank differently under the
+            # two float-rounding paths. One multiply per row buys the
+            # same FP path as the oracle.
+            v = v.astype(np.float64) * pdf["scale"].to_numpy(np.float64)[:, None]
             vn = np.linalg.norm(v, axis=1)
             vn[vn == 0] = 1.0
             dist = (1.0 - (v @ qmat.T) / vn[:, None] / qnorm[None, :]).T

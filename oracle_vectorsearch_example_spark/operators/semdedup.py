@@ -162,6 +162,14 @@ def semdedup_pairs(
     need_probe = src_n > max_cluster
     if n_assign <= 1:
         blocked = index.assignments.select("cluster_id", id_col, vec_col)
+        if need_probe and index.path is None:
+            # a freshly-built (non-materialized) index's assignment frame
+            # is a live mapInPandas plan; both the skew probe and the gram
+            # pass consume it, so without this it would compute twice. A
+            # path-backed index is a parquet scan (and the probe is
+            # column-pruned to cluster_id) — re-scanning is cheaper than
+            # caching the full vector frame.
+            blocked = blocked.persist()
     else:
         src = df if df is not None else index.assignments
         norm = _normalize_rows(src.select(id_col, vec_col), vec_col)

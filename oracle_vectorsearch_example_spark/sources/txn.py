@@ -90,7 +90,18 @@ class Warehouse:
         return sorted(out)
 
     def _read_manifest(self, version: int) -> dict:
-        # wholetext scan: one row with the whole file; works on any Hadoop FS
+        # wholetext scan: one row with the whole file; works on any Hadoop FS.
+        # Existence-check first so an expired/never-written version surfaces
+        # as a clear error, not an opaque Hadoop FileNotFound from the scan
+        # (a committer that lost the publish race re-reads snapshot(head)
+        # and must not crash confusingly if expire() ran concurrently —
+        # see expire()'s coordination note).
+        if not self._fs.exists(self._hpath(self._manifest_path(version))):
+            raise LookupError(
+                f"manifest for version {version} does not exist — either it "
+                f"was never committed or it was expired by expire(); "
+                f"current versions: {self._list_versions()}"
+            )
         row = self.spark.read.text(
             self._manifest_path(version), wholetext=True
         ).collect()[0]
@@ -201,7 +212,14 @@ class Warehouse:
         data dir stays on disk while ANY manifest references it). Time
         travel to expired versions is gone, by definition. The head
         manifest is never expired (``keep_last`` ≥ 1). Returns the
-        expired version numbers."""
+        expired version numbers.
+
+        Coordination: a committer that loses the publish race re-reads
+        ``snapshot(head)``; if expire() deletes that manifest in the same
+        instant it now gets a clear ``LookupError`` (not an opaque Hadoop
+        FileNotFound), but the retry is the caller's. Run expire with
+        ``keep_last`` ≥ 2 so the previous head always survives one cycle,
+        which removes the race window in practice."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (the head must survive)")
         versions = self._list_versions()

@@ -77,6 +77,28 @@ def test_ivf_recall(emb, queries10):
     assert recall_at_k(exact, full) == 1.0
 
 
+def test_ivf_build_partition_independent(emb):
+    """Trained centroids are a pure function of (data, seed), NOT of the
+    input's partition layout. Bernoulli sample(fraction, seed) draws
+    per-partition RNG streams, so before the r7 hash-draw fix an
+    adversarial repartition of the same rows shifted the centroids — at
+    scale that meant 'rebuild the index after a repartition' changed
+    recall (the reference's TARGET ACCURACY 95, 01_pdf_to_vector.sql:97,
+    is a property of the data, not the file layout)."""
+    a = IvfIndex.build(emb, n_clusters=16, seed=42)
+    b = IvfIndex.build(emb.repartition(7), n_clusters=16, seed=42)
+    c = IvfIndex.build(emb.repartition(3, "vec_id"), n_clusters=16, seed=42)
+    assert a.centroids == b.centroids == c.centroids
+    # and therefore identical assignments
+    rows_a = sorted(
+        (r.vec_id, r.cluster_id) for r in a.assignments.select("vec_id", "cluster_id").collect()
+    )
+    rows_b = sorted(
+        (r.vec_id, r.cluster_id) for r in b.assignments.select("vec_id", "cluster_id").collect()
+    )
+    assert rows_a == rows_b
+
+
 def test_ivf_calibrate_hits_target(emb, queries10):
     """calibrate() returns an nprobe whose measured recall meets the
     target — TARGET ACCURACY made explicit (01_pdf_to_vector.sql:97)."""
