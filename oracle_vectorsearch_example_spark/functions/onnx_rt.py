@@ -543,6 +543,16 @@ class NumpySession:
         self.nodes, self.initializers, self._inputs, self.output_names = (
             parse_model(data)
         )
+        # liveness: last node index reading each name, so run() can free
+        # dead intermediates. Without this a deep graph (12-layer MiniLM
+        # shape: ~450 nodes) retains EVERY intermediate to the end —
+        # gigabytes of allocator churn that measured 5× slower than the
+        # live-set-bounded loop.
+        self._last_use: dict[str, int] = {}
+        for i, node in enumerate(self.nodes):
+            for inp in node.inputs:
+                if inp:
+                    self._last_use[inp] = i
 
     def get_inputs(self):
         return [_InputMeta(n, t) for n, t in self._inputs]
@@ -550,16 +560,22 @@ class NumpySession:
     def run(self, output_names, feeds: dict):
         import numpy as np
 
+        names = output_names or self.output_names
+        keep = set(names)
         env = dict(self.initializers)
         for k, v in feeds.items():
             env[k] = np.asarray(v)
-        for node in self.nodes:
+        for i, node in enumerate(self.nodes):
             out = _run_node(node, env, np)
             outs = out if isinstance(out, tuple) else (out,)
             for name, val in zip(node.outputs, outs):
                 if name:
                     env[name] = val
-        names = output_names or self.output_names
+            for inp in node.inputs:
+                # free tensors past their last consumer (env holds a COPY
+                # of the initializer dict, so popping never drops weights)
+                if inp and inp not in keep and self._last_use.get(inp) == i:
+                    env.pop(inp, None)
         return [env[n] for n in names]
 
 
@@ -766,6 +782,152 @@ def make_tiny_encoder(
     return _ser_model(nodes, inits, inputs, outputs)
 
 
+def minilm_shaped_weights(
+    vocab_size: int = 30522, hidden: int = 384, heads: int = 12,
+    n_layers: int = 12, intermediate: int = 1536, max_seq: int = 512,
+    seed: int = 4321,
+):
+    """Deterministic random weights at the EXACT tensor shapes of
+    all-MiniLM-L12-v2 (the reference's core model, models/README.md:40,
+    load_models.py:88-101: 12 layers, hidden 384, 12 heads, FFN 1536,
+    vocab 30522, max position 512). Random values — the point is a
+    shape-faithful execution witness for the numpy executor, not
+    reproducing the trained model's embeddings (its weights aren't in
+    this sandbox)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    f = lambda *shape: (rng.randn(*shape) * 0.05).astype(np.float32)
+    w = {
+        "word_emb": f(vocab_size, hidden),
+        "pos_emb": f(max_seq, hidden),
+        "emb_ln_g": np.ones(hidden, np.float32), "emb_ln_b": f(hidden),
+    }
+    for i in range(n_layers):
+        p = f"L{i}_"
+        w[p + "Wq"], w[p + "bq"] = f(hidden, hidden), f(hidden)
+        w[p + "Wk"], w[p + "bk"] = f(hidden, hidden), f(hidden)
+        w[p + "Wv"], w[p + "bv"] = f(hidden, hidden), f(hidden)
+        w[p + "Wo"], w[p + "bo"] = f(hidden, hidden), f(hidden)
+        w[p + "lnA_g"], w[p + "lnA_b"] = np.ones(hidden, np.float32), f(hidden)
+        w[p + "W1"], w[p + "b1"] = f(hidden, intermediate), f(intermediate)
+        w[p + "W2"], w[p + "b2"] = f(intermediate, hidden), f(hidden)
+        w[p + "lnB_g"], w[p + "lnB_b"] = np.ones(hidden, np.float32), f(hidden)
+    return w
+
+
+def make_minilm_shaped_encoder(
+    vocab_size: int = 30522, hidden: int = 384, heads: int = 12,
+    n_layers: int = 12, intermediate: int = 1536, max_seq: int = 512,
+    seed: int = 4321,
+) -> bytes:
+    """Serialize a MiniLM-SHAPED ``.onnx`` encoder: the real BERT post-LN
+    dataflow (x = LN(x + Attn(x)); x = LN(x + FFN(x)) per layer, LN after
+    the embedding sum) at all-MiniLM-L12-v2's tensor shapes, with biases
+    on every projection like the real export. The embedding LayerNorm is
+    emitted as the exporter-DECOMPOSED chain (ReduceMean/Sub/Pow/Sqrt/
+    Div) and the per-layer LNs as native ``LayerNormalization``, so both
+    executor paths run at real shape. Same input/output contract as
+    ``make_tiny_encoder``."""
+    import numpy as np
+
+    w = minilm_shaped_weights(
+        vocab_size, hidden, heads, n_layers, intermediate, max_seq, seed
+    )
+    hd = hidden // heads
+    consts = {
+        "c_zero": np.array([0], np.int64),
+        "c_one": np.array([1], np.int64),
+        "c_eps": np.array(1e-5, np.float32),
+        "c_two": np.array(2.0, np.float32),
+        "c_scale": np.array(float(np.sqrt(hd)), np.float32),
+        "c_negbig": np.array(-10000.0, np.float32),
+        "c_onef": np.array(1.0, np.float32),
+        "c_halff": np.array(0.5, np.float32),
+        "c_sqrt2": np.array(float(np.sqrt(2.0)), np.float32),
+        "c_heads_shape": np.array([0, 0, heads, hd], np.int64),
+        "c_merge_shape": np.array([0, 0, hidden], np.int64),
+        "c_axes_12": np.array([1, 2], np.int64),
+        "c_axis_m1": np.array([-1], np.int64),
+    }
+    nodes = [
+        _ser_node("Gather", ["word_emb", "input_ids"], ["emb_w"], axis=0),
+        _ser_node("Shape", ["input_ids"], ["ids_shape"]),
+        _ser_node("Gather", ["ids_shape", "c_one"], ["seq_len"], axis=0),
+        _ser_node("Slice", ["pos_emb", "c_zero", "seq_len", "c_zero"], ["pos_sliced"]),
+        _ser_node("Add", ["emb_w", "pos_sliced"], ["emb"]),
+        # embedding LN via the exporter-decomposed chain
+        _ser_node("ReduceMean", ["emb", "c_axis_m1"], ["eln_mu"], keepdims=1),
+        _ser_node("Sub", ["emb", "eln_mu"], ["eln_c"]),
+        _ser_node("Pow", ["eln_c", "c_two"], ["eln_c2"]),
+        _ser_node("ReduceMean", ["eln_c2", "c_axis_m1"], ["eln_var"], keepdims=1),
+        _ser_node("Add", ["eln_var", "c_eps"], ["eln_ve"]),
+        _ser_node("Sqrt", ["eln_ve"], ["eln_sd"]),
+        _ser_node("Div", ["eln_c", "eln_sd"], ["eln_n"]),
+        _ser_node("Mul", ["eln_n", "emb_ln_g"], ["eln_sg"]),
+        _ser_node("Add", ["eln_sg", "emb_ln_b"], ["x0"]),
+        # the attention mask penalty is layer-invariant: build it once
+        _ser_node("Cast", ["attention_mask"], ["mask_f"], to=1),
+        _ser_node("Unsqueeze", ["mask_f", "c_axes_12"], ["mask_b"]),
+        _ser_node("Sub", ["c_onef", "mask_b"], ["mask_inv"]),
+        _ser_node("Mul", ["mask_inv", "c_negbig"], ["mask_pen"]),
+    ]
+    x = "x0"
+    for i in range(n_layers):
+        p = f"L{i}_"
+        nodes += [
+            _ser_node("MatMul", [x, p + "Wq"], [p + "q0"]),
+            _ser_node("Add", [p + "q0", p + "bq"], [p + "q"]),
+            _ser_node("MatMul", [x, p + "Wk"], [p + "k0"]),
+            _ser_node("Add", [p + "k0", p + "bk"], [p + "k"]),
+            _ser_node("MatMul", [x, p + "Wv"], [p + "v0"]),
+            _ser_node("Add", [p + "v0", p + "bv"], [p + "v"]),
+            _ser_node("Reshape", [p + "q", "c_heads_shape"], [p + "q4"]),
+            _ser_node("Reshape", [p + "k", "c_heads_shape"], [p + "k4"]),
+            _ser_node("Reshape", [p + "v", "c_heads_shape"], [p + "v4"]),
+            _ser_node("Transpose", [p + "q4"], [p + "qh"], perm=[0, 2, 1, 3]),
+            _ser_node("Transpose", [p + "k4"], [p + "kh"], perm=[0, 2, 3, 1]),
+            _ser_node("Transpose", [p + "v4"], [p + "vh"], perm=[0, 2, 1, 3]),
+            _ser_node("MatMul", [p + "qh", p + "kh"], [p + "sc0"]),
+            _ser_node("Div", [p + "sc0", "c_scale"], [p + "sc1"]),
+            _ser_node("Add", [p + "sc1", "mask_pen"], [p + "sc"]),
+            _ser_node("Softmax", [p + "sc"], [p + "pr"], axis=-1),
+            _ser_node("MatMul", [p + "pr", p + "vh"], [p + "cx4"]),
+            _ser_node("Transpose", [p + "cx4"], [p + "cxt"], perm=[0, 2, 1, 3]),
+            _ser_node("Reshape", [p + "cxt", "c_merge_shape"], [p + "cx"]),
+            _ser_node("MatMul", [p + "cx", p + "Wo"], [p + "ao0"]),
+            _ser_node("Add", [p + "ao0", p + "bo"], [p + "ao"]),
+            _ser_node("Add", [x, p + "ao"], [p + "resA"]),
+            _ser_node(
+                "LayerNormalization", [p + "resA", p + "lnA_g", p + "lnA_b"],
+                [p + "xA"], axis=-1, epsilon=1e-5,
+            ),
+            _ser_node("MatMul", [p + "xA", p + "W1"], [p + "ff0"]),
+            _ser_node("Add", [p + "ff0", p + "b1"], [p + "ffb"]),
+            _ser_node("Div", [p + "ffb", "c_sqrt2"], [p + "fe1"]),
+            _ser_node("Erf", [p + "fe1"], [p + "fe2"]),
+            _ser_node("Add", [p + "fe2", "c_onef"], [p + "fe3"]),
+            _ser_node("Mul", [p + "ffb", p + "fe3"], [p + "fe4"]),
+            _ser_node("Mul", [p + "fe4", "c_halff"], [p + "ffg"]),
+            _ser_node("MatMul", [p + "ffg", p + "W2"], [p + "ff1"]),
+            _ser_node("Add", [p + "ff1", p + "b2"], [p + "ffd"]),
+            _ser_node("Add", [p + "xA", p + "ffd"], [p + "resB"]),
+            _ser_node(
+                "LayerNormalization", [p + "resB", p + "lnB_g", p + "lnB_b"],
+                [p + "x"], axis=-1, epsilon=1e-5,
+            ),
+        ]
+        x = p + "x"
+    nodes.append(_ser_node("Identity", [x], ["last_hidden_state"]))
+    inits = {**w, **consts}
+    inputs = [
+        ("input_ids", 7, ["batch", "seq"]),
+        ("attention_mask", 7, ["batch", "seq"]),
+    ]
+    outputs = [("last_hidden_state", 1, ["batch", "seq", hidden])]
+    return _ser_model(nodes, inits, inputs, outputs, name="minilm_shaped_encoder")
+
+
 def _fixture_vocab(vocab_size: int) -> str:
     """WordPiece ``vocab.txt`` content (ids 0..vocab_size-1: 4 specials,
     single letters, a few whole words and ``##`` continuations)."""
@@ -794,6 +956,21 @@ def write_tiny_model(dir_path: str, **kwargs) -> str:
     model_path = os.path.join(dir_path, "model.onnx")
     with open(model_path, "wb") as f:
         f.write(make_tiny_encoder(**kwargs))
+    return model_path
+
+
+def write_minilm_shaped_model(dir_path: str, **kwargs) -> str:
+    """Write the MiniLM-shaped fixture (``model.onnx`` + a 30522-entry
+    ``vocab.txt``) into ``dir_path``; returns the model path."""
+    import os
+
+    vocab_size = kwargs.get("vocab_size", 30522)
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, "vocab.txt"), "w", encoding="utf-8") as f:
+        f.write(_fixture_vocab(vocab_size))
+    model_path = os.path.join(dir_path, "model.onnx")
+    with open(model_path, "wb") as f:
+        f.write(make_minilm_shaped_encoder(**kwargs))
     return model_path
 
 

@@ -468,3 +468,102 @@ def test_additional_op_kernels():
         inputs=["x", "s"], outputs=["a", "b"],
     )
     np.testing.assert_array_equal(parts2[1], x[:, 1:])
+
+
+# ---------------------------------------------------- MiniLM-shape witness
+
+
+def _ln(x, g, b):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+
+def reference_forward_minilm(w, ids, mask, heads=12, n_layers=12):
+    """Independent multi-layer BERT post-LN forward pass (mirrors the
+    GRAPH spec of make_minilm_shaped_encoder, not the executor)."""
+    import math
+
+    erf = np.vectorize(math.erf)
+    B, S = ids.shape
+    H = w["word_emb"].shape[1]
+    hd = H // heads
+    x = _ln(
+        w["word_emb"][ids].astype(np.float64) + w["pos_emb"][:S],
+        w["emb_ln_g"], w["emb_ln_b"],
+    )
+    pen = (1.0 - mask[:, None, None, :].astype(np.float64)) * -10000.0
+    for i in range(n_layers):
+        p = f"L{i}_"
+        q = (x @ w[p + "Wq"] + w[p + "bq"]).reshape(B, S, heads, hd).transpose(0, 2, 1, 3)
+        k = (x @ w[p + "Wk"] + w[p + "bk"]).reshape(B, S, heads, hd).transpose(0, 2, 1, 3)
+        v = (x @ w[p + "Wv"] + w[p + "bv"]).reshape(B, S, heads, hd).transpose(0, 2, 1, 3)
+        sc = q @ k.transpose(0, 1, 3, 2) / np.sqrt(hd) + pen
+        ctx = (_np_softmax(sc) @ v).transpose(0, 2, 1, 3).reshape(B, S, H)
+        xA = _ln(x + ctx @ w[p + "Wo"] + w[p + "bo"], w[p + "lnA_g"], w[p + "lnA_b"])
+        a = xA @ w[p + "W1"] + w[p + "b1"]
+        g = 0.5 * a * (1.0 + erf(a / np.sqrt(2.0)))
+        x = _ln(xA + g @ w[p + "W2"] + w[p + "b2"], w[p + "lnB_g"], w[p + "lnB_b"])
+    return x
+
+
+def test_minilm_shape_graph_matches_independent_forward():
+    """The executor at the REAL model's shape (all-MiniLM-L12-v2:
+    12 layers x hidden 384 x 12 heads x FFN 1536 x vocab 30522,
+    models/README.md:40) — a shape-faithful witness that the 16-hidden
+    fixture cannot give: head-split reshapes at 384/12, accumulation
+    depth 12, full-height Gather. Graph output vs an independently
+    written 12-layer forward pass."""
+    from oracle_vectorsearch_example_spark.functions.onnx_rt import (
+        make_minilm_shaped_encoder,
+        minilm_shaped_weights,
+    )
+
+    blob = make_minilm_shaped_encoder()
+    assert len(blob) > 100_000_000  # ~33M real fp32 params serialized
+    sess = NumpySession(blob)
+    rng = np.random.RandomState(7)
+    ids = rng.randint(0, 30522, size=(2, 24)).astype(np.int64)
+    mask = np.ones((2, 24), dtype=np.int64)
+    mask[1, 17:] = 0
+    got = sess.run(None, {"input_ids": ids, "attention_mask": mask})[0]
+    assert got.shape == (2, 24, 384)
+    want = reference_forward_minilm(minilm_shaped_weights(), ids, mask)
+    np.testing.assert_allclose(got.astype(np.float64), want, atol=5e-3)
+
+
+def test_minilm_shape_end_to_end_and_throughput(tmp_path, capsys):
+    """Full VECTOR_EMBEDDING contract at real shape: WordPiece tokenize →
+    12-layer graph → masked mean-pool → L2 norm through the same
+    encode_onnx_batch path OnnxEmbedder uses on executors; deterministic
+    across runs; logs a rough tokens/sec so the executor's throughput at
+    the reference's model shape is a measured number, not a guess."""
+    import time
+
+    from oracle_vectorsearch_example_spark.functions.onnx_rt import (
+        write_minilm_shaped_model,
+    )
+
+    model_path = write_minilm_shaped_model(str(tmp_path / "m"))
+    sess = NumpySession(model_path)
+    tokenizer = WordPieceTokenizer.from_vocab_file(
+        str(tmp_path / "m" / "vocab.txt"), max_len=32
+    )
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "vector search database",
+        "dog",
+    ] * 32
+    t0 = time.time()
+    got = encode_onnx_batch(sess, tokenizer, texts)
+    dt = time.time() - t0
+    assert got.shape == (96, 384)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), np.ones(96), atol=1e-5)
+    again = encode_onnx_batch(sess, tokenizer, texts)
+    np.testing.assert_array_equal(got, again)
+    # batch-composition invariance at real shape (mask correctness)
+    alone = encode_onnx_batch(sess, tokenizer, ["dog"])
+    np.testing.assert_allclose(alone[0], got[2], atol=1e-6)
+    n_tokens = sum(len(tokenizer.encode(t)) for t in texts)
+    print(f"\nminilm-shape throughput: {n_tokens / dt:.0f} tokens/sec "
+          f"({n_tokens} tokens in {dt:.2f}s)")
