@@ -34,6 +34,7 @@ def _corpus(spark, args):
         quality_min=args.quality_min,
         langs=args.langs.split(",") if args.langs else None,
         split_weights=weights,
+        compact_every=args.compact_every,
     )
 
 
@@ -45,10 +46,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--split-weights", default=None, help="e.g. train=0.9,val=0.05,test=0.05"
     )
+    p.add_argument(
+        "--compact-every", type=int, default=None,
+        help="auto-maintenance cadence: compact dedup band tables + expire "
+             "old manifests + vacuum once the band-table count reaches N",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
     ing = sub.add_parser("ingest")
     ing.add_argument("batch", help="parquet path with (doc_id, text, ...)")
     sub.add_parser("stats")
+    sub.add_parser("compact")
     exp = sub.add_parser("export")
     exp.add_argument("out")
     exp.add_argument("--split", default=None)
@@ -63,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
             batch = spark.read.parquet(args.batch)
             version = corpus.ingest(batch)
             print(f"committed version {version} ({batch.count()} docs in batch)")
+        elif args.cmd == "compact":
+            v = corpus.compact_dedup_state()
+            corpus.wh.expire(keep_last=corpus.expire_keep_last)
+            removed = corpus.wh.vacuum()
+            print(f"compacted to version {v}; vacuumed {len(removed)} dirs")
         elif args.cmd == "stats":
             docs = corpus.documents()
             from pyspark.sql import functions as F
