@@ -299,22 +299,29 @@ def pq_train(
     vec_col: str = "embedding",
     sample: int = 100_000,
     seed: int = 42,
+    max_sample_bytes: int = 512 << 20,
 ):
     """Train PQ codebooks (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", 2011): split the dimension into ``m``
     sub-spaces, KMeans(k=256) each on a bounded driver-side sample —
     the same train-on-sample pattern as ``IvfIndex.build``. Returns an
-    (m, k, d/m) float64 array (driver-small: m·k·d floats total)."""
+    (m, k, d/m) float64 array (driver-small: m·k·d floats total).
+
+    ``max_sample_bytes`` byte-caps the driver-side training matrix
+    (sample·dim·8 B): a dim change must shrink the ROW count, not
+    silently balloon driver memory — at dim 384 the 100k default is
+    ~300 MB, already near the 512 MB cap."""
     import numpy as np
 
     from oracle_vectorsearch_example_spark.operators.ivf import _lloyd_kmeans
 
-    rows = (
-        df.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .limit(sample)
-        .collect()
-    )
+    probe = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    first = probe.first()
+    if first is None:
+        raise ValueError("pq_train: no non-null vectors to train on")
+    dim = len(first[0])
+    cap = max(k, max_sample_bytes // (dim * 8))
+    rows = probe.limit(min(sample, cap)).collect()
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     d = x.shape[1]
     if d % m:
