@@ -3380,6 +3380,73 @@ def q_image_decode(spark, sf):
 
 
 @golden(
+    "jpeg_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 'baseline' ELSE 'progressive' END
+                AS VARCHAR) AS process,
+           CAST(8 + doc_id % 13 AS INTEGER) AS width,
+           CAST(8 + doc_id % 9 AS INTEGER) AS height,
+           CAST((doc_id * 3) % 16 AS INTEGER) AS bucket_r,
+           CAST((doc_id * 5) % 16 AS INTEGER) AS bucket_g,
+           CAST((doc_id * 7) % 16 AS INTEGER) AS bucket_b
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_jpeg_decode(spark, sf):
+    """X4 real JPEG decode, BOTH T.81 processes (r7): even ids encode
+    baseline sequential (SOF0), odd ids encode PROGRESSIVE (SOF2 — the
+    standard 10-scan script with successive approximation, DC/AC
+    refinement and EOB runs) — one Huffman+IDCT decode path hash-checked
+    in the driver gate. Solid colors sit at 16-wide bucket CENTERS
+    (8+16j), and the measured round-trip mean error is ≤1 vs the ±7
+    margin, so ``floor(mean/16)`` is an EXACT arithmetic oracle despite
+    the lossy codec; dims are lossless. Progressive-vs-baseline
+    pixel-identity is separately asserted in tests/test_jpeg.py."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        image_features,
+    )
+
+    @F.pandas_udf("binary")
+    def mk_jpg(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            rgb = (
+                8 + 16 * ((i * 3) % 16),
+                8 + 16 * ((i * 5) % 16),
+                8 + 16 * ((i * 7) % 16),
+            )
+            img = np.zeros((8 + i % 9, 8 + i % 13, 3), np.uint8)
+            img[:] = rgb
+            enc = encode_jpeg if i % 2 == 0 else encode_jpeg_progressive
+            out.append(enc(img, quality=90))
+        return pd.Series(out, dtype=object)
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), mk_jpg("doc_id").alias("payload")
+    )
+    return image_features(media).select(
+        "media_id",
+        F.when(F.col("media_id") % 2 == 0, "baseline")
+        .otherwise("progressive")
+        .alias("process"),
+        "width",
+        "height",
+        F.floor(F.col("mean_r") / 16).cast("int").alias("bucket_r"),
+        F.floor(F.col("mean_g") / 16).cast("int").alias("bucket_g"),
+        F.floor(F.col("mean_b") / 16).cast("int").alias("bucket_b"),
+    )
+
+
+@golden(
     "audio_decode",
     """
     SELECT doc_id AS media_id,
@@ -3705,12 +3772,12 @@ def q_boilerplate_removal(spark, sf):
 # scripts/compare_oracle.py regardless of order. r7 rotation (judge r6
 # #3): seat the long-unwitnessed tail — every query below is ABSENT from
 # the r6 window, and the set covers the 3 never-windowed r6 goldens plus
-# every golden last witnessed in r01-r04 and 11 of the 22 last witnessed
-# in r05. Still waiting after r7 (rotate into r8): the other 11 r05
+# every golden last witnessed in r01-r04 and 10 of the 22 last witnessed
+# in r05. Still waiting after r7 (rotate into r8): the other 12 r05
 # entries — audio_decode, binary_stats, chunker_normalized, corpus_filter,
-# correlated_subquery, embed_double, except_keys, intersect_keys,
-# repetition_stats, simhash_neardup, winnow_fingerprints — plus the 50
-# r06-witnessed seats now evicted. Witness history (which round last
+# correlated_subquery, doc_stats, embed_double, except_keys,
+# intersect_keys, repetition_stats, simhash_neardup, winnow_fingerprints —
+# plus the 50 r06-witnessed seats now evicted. Witness history (which round last
 # witnessed each golden) is recomputable from CORRECTNESS_r0*.json.
 _PRIORITY = [
     # never driver-witnessed (new in r6, window was full)
@@ -3730,10 +3797,12 @@ _PRIORITY = [
     # last witnessed r04
     "percentile_gate", "percentiles", "pivot", "salted_join_agg",
     "stream_dedup", "tpch_q3", "unicode_nfc",
-    # last witnessed r05 (11 of 22; family breadth for the final seats)
+    # new in r7 (progressive JPEG decode — never witnessed)
+    "jpeg_decode",
+    # last witnessed r05 (10 of 22; family breadth for the final seats)
     "projection", "count_distinct", "rollup", "sessionize", "range_join",
     "anti_join", "topk_rows", "fk_violations", "stratified_sample",
-    "decontaminate", "doc_stats",
+    "decontaminate",
 ]
 
 

@@ -19,7 +19,7 @@ Decode tiers (honest about the environment):
   ``functions/jpeg.py`` implements the T.81 baseline sequential process
   (Huffman + IDCT + 4:2:0/4:2:2 upsampling + JFIF color convert) with a
   matching deterministic encoder for fixtures.
-- **Stubbed** — the remaining lossy codecs (progressive JPEG, MP3,
+- **Stubbed** — the remaining lossy codecs (MP3,
   H.264) require libjpeg-turbo/ffmpeg/torchaudio, absent here:
   ``decode=fake`` derives deterministic pseudo-features from payload
   bytes so the Arrow plumbing (batch shape, schema, partitioning) is
@@ -66,7 +66,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 def _real_decode(payload: bytes) -> tuple[int | None, int | None, list[float]]:
     """Magic-byte dispatch to the built-in decoders (BMP / PNG / baseline
     JPEG / PCM WAV); width and height are NULL for audio. Remaining lossy
-    codecs (MP3 / H.264, progressive JPEG) raise — the honest boundary of
+    codecs (MP3 / H.264) raise — the honest boundary of
     a no-media-libs environment."""
     if (
         payload[:2] == b"BM"

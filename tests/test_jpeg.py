@@ -14,6 +14,7 @@ import pytest
 from oracle_vectorsearch_example_spark.functions.jpeg import (
     decode_jpeg_pixels,
     encode_jpeg,
+    encode_jpeg_progressive,
     make_simple_jpeg,
 )
 
@@ -67,13 +68,58 @@ def test_high_quality_noise():
     assert np.abs(dec.astype(float) - noise.astype(float)).mean() < 2
 
 
-def test_progressive_and_bad_input_rejected():
-    data = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
-    data[data.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_pixels(bytes(data))
+def test_bad_input_rejected():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"not a jpeg")
+    # a baseline stream whose SOF marker is flipped to SOF2 is CORRUPT
+    # (its single scan claims the whole 0..63 band at once): a clear
+    # error, not a silent wrong image
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    data[data.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        decode_jpeg_pixels(bytes(data))
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_matches_baseline_exactly(subsample):
+    """SOF2 round-trip (r7): the progressive encoder's 10-scan script
+    (DC Al=1 -> banded AC with successive approximation -> DC/AC
+    refinement passes) decodes to PIXEL-IDENTICAL output vs the baseline
+    codec at the same quality — same quantized coefficients, different
+    entropy layout, so any coefficient mis-accumulated across scans
+    would show."""
+    img = _gradient(33, 41)
+    base = decode_jpeg_pixels(encode_jpeg(img, quality=90, subsample=subsample))
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(img, quality=90, subsample=subsample)
+    )
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_solid_color_long_eob_runs():
+    """A solid image makes every AC band an EOB: the encoder accumulates
+    multi-block EOB runs (EOBn symbols, r > 0) and the decoder's
+    eobrun-skip path runs for real — plus accuracy vs the source."""
+    img = np.zeros((48, 64, 3), np.uint8)
+    img[:] = (180, 90, 45)
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality=90))
+    base = decode_jpeg_pixels(encode_jpeg(img, quality=90))
+    np.testing.assert_array_equal(base, prog)
+    mean = prog.reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(mean, [180, 90, 45], atol=2.5)
+
+
+def test_progressive_noise_and_determinism():
+    """High-entropy input at odd dims: dense AC coefficients exercise
+    ZRL runs and the correction-bit (refinement) interleave; the encoded
+    bytes are deterministic."""
+    rng = np.random.RandomState(11)
+    noise = rng.randint(0, 256, (23, 17, 3)).astype(np.uint8)
+    blob = encode_jpeg_progressive(noise, quality=95)
+    assert blob == encode_jpeg_progressive(noise, quality=95)
+    prog = decode_jpeg_pixels(blob)
+    base = decode_jpeg_pixels(encode_jpeg(noise, quality=95))
+    np.testing.assert_array_equal(base, prog)
 
 
 def test_multimodal_dispatch_and_resize(spark):

@@ -290,17 +290,18 @@ def test_png_gates_named():
     deep = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
     with _pytest.raises(NotImplementedError, match="16"):
         decode_png_pixels(deep)
-    # progressive JPEG (SOF2) is the named JPEG rejection since r6
+    # progressive JPEG decodes for real since r7 (see test_jpeg.py); the
+    # remaining named JPEG rejection is arithmetic coding (SOF9)
     import numpy as _np2
 
     from oracle_vectorsearch_example_spark.functions.jpeg import (
         encode_jpeg as _ej,
     )
 
-    prog = bytearray(_ej(_np2.zeros((8, 8, 3), _np2.uint8)))
-    prog[prog.index(b"\xff\xc0")+1] = 0xC2  # rewrite SOF0 → SOF2
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_image_pixels(bytes(prog))
+    arith = bytearray(_ej(_np2.zeros((8, 8, 3), _np2.uint8)))
+    arith[arith.index(b"\xff\xc0")+1] = 0xC9  # rewrite SOF0 → SOF9
+    with _pytest.raises(NotImplementedError, match="SOF9"):
+        decode_image_pixels(bytes(arith))
 
 
 def test_image_features_mixed_bmp_png(spark):
