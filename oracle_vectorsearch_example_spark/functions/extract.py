@@ -149,9 +149,9 @@ def _decode_pdf_bytes(b: bytes) -> str:
         return b.decode("latin-1")
 
 
-def _read_literal(b: bytes, i: int) -> tuple[str, int]:
+def _read_literal_raw(b: bytes, i: int) -> tuple[bytes, int]:
     """Read a PDF literal string starting at ``b[i] == '('``; returns the
-    unescaped text and the index past the closing paren. Handles balanced
+    unescaped BYTES and the index past the closing paren. Handles balanced
     nesting, ``\\``-escapes, octal escapes, and line continuations."""
     i += 1
     depth = 1
@@ -196,10 +196,15 @@ def _read_literal(b: bytes, i: int) -> tuple[str, int]:
         else:
             buf.append(c)
             i += 1
-    return _decode_pdf_bytes(bytes(buf)), i
+    return bytes(buf), i
 
 
-def _read_hex(b: bytes, i: int) -> tuple[str, int]:
+def _read_literal(b: bytes, i: int) -> tuple[str, int]:
+    raw, j = _read_literal_raw(b, i)
+    return _decode_pdf_bytes(raw), j
+
+
+def _read_hex_raw(b: bytes, i: int) -> tuple[bytes, int]:
     j = b.find(b">", i)
     if j < 0:
         j = len(b)
@@ -210,7 +215,12 @@ def _read_hex(b: bytes, i: int) -> tuple[str, int]:
         raw = bytes.fromhex(hx.decode("ascii"))
     except ValueError:
         raw = b""
-    return _decode_pdf_bytes(raw), j + 1
+    return raw, j + 1
+
+
+def _read_hex(b: bytes, i: int) -> tuple[str, int]:
+    raw, j = _read_hex_raw(b, i)
+    return _decode_pdf_bytes(raw), j
 
 
 def _content_strings(content: bytes) -> list[str]:
@@ -243,9 +253,433 @@ def _content_strings(content: bytes) -> list[str]:
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 
+# ------------------------------------------------- PDF stream filters (r7)
+
+
+def _lzw_decode(b: bytes) -> bytes:
+    """PDF LZWDecode (TIFF LZW, EarlyChange=1): 9→12-bit variable codes,
+    clear=256, EOD=257 — from the public spec, stdlib-only."""
+    table = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in b:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            else:  # KwKwK
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            out += entry
+            prev = entry
+            if next_code + 1 >= (1 << width) and width < 12:  # early change
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(b: bytes) -> bytes:
+    """Matching LZW writer (fixture generator for round-trip tests)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code, w):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256, width)
+    cur = b""
+    for byte in b:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code + 1 > (1 << width) and width < 12:  # early change
+            width += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(257, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _png_predictor(data: bytes, columns: int) -> bytes:
+    """Un-apply PNG row predictors (Predictor >= 10, 8-bit single
+    component — the layout PDF writers use for Flate/LZW streams)."""
+    rowlen = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data) - rowlen + 1, rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                bb, c = prev[i], (prev[i - 1] if i else 0)
+                pp = a + bb - c
+                pa, pb, pc = abs(pp - a), abs(pp - bb), abs(pp - c)
+                pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+_SKIP_FILTERS = {b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode"}
+
+
+def _decode_stream_filters(dict_bytes: bytes, raw: bytes) -> bytes | None:
+    """Apply the stream's /Filter chain. Returns None for image codecs
+    (not text) and for filters we cannot decode."""
+    import base64
+
+    names = re.findall(rb"/(\w+)", dict_bytes)
+    filters = [n for n in names if n.endswith(b"Decode")]
+    if not filters:
+        # no declared filter: historic behavior — try zlib, else as-is
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return raw
+    pred = re.search(rb"/Predictor\s+(\d+)", dict_bytes)
+    cols = re.search(rb"/Columns\s+(\d+)", dict_bytes)
+    for f in filters:
+        if f in _SKIP_FILTERS:
+            return None
+        if f == b"FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                return None
+        elif f == b"LZWDecode":
+            try:
+                raw = _lzw_decode(raw)
+            except KeyError:
+                return None
+        elif f == b"ASCIIHexDecode":
+            hx = raw.split(b">")[0]
+            hx = bytes(c for c in hx if not chr(c).isspace())
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                raw = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+        elif f == b"ASCII85Decode":
+            try:
+                raw = base64.a85decode(raw.strip(), adobe=True)
+            except ValueError:
+                return None
+        else:
+            return None  # unknown filter: not decodable here
+        if f in (b"FlateDecode", b"LZWDecode") and pred and int(pred.group(1)) >= 10:
+            raw = _png_predictor(raw, int(cols.group(1)) if cols else 1)
+    return raw
+
+
+# --------------------------------------- PDF object graph + ToUnicode (r7)
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+
+
+def _pdf_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """obj number → (dict/body bytes, raw stream bytes or None). Regex
+    object scan, not a full xref parser — compressed payloads containing
+    the literal ``endobj`` would truncate (same pragmatic trade the
+    stream sweep has always made; fine for generated and most real
+    files, and the sweep fallback still runs if the scan comes up
+    empty)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(2)
+        sm = re.search(rb"stream\r?\n", body)
+        if sm:
+            d = body[: sm.start()]
+            raw = body[sm.end() :]
+            e = raw.rfind(b"endstream")
+            if e >= 0:
+                raw = raw[:e].rstrip(b"\r\n")
+            objs[int(m.group(1))] = (d, raw)
+        else:
+            objs[int(m.group(1))] = (body, None)
+    return objs
+
+
+def _balanced_dict(b: bytes, i: int) -> bytes:
+    """The ``<< ... >>`` span starting at ``b[i:i+2] == b'<<'`` (nested)."""
+    depth = 0
+    j = i
+    n = len(b)
+    while j < n - 1:
+        if b[j : j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif b[j : j + 2] == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return b[i:j]
+        else:
+            j += 1
+    return b[i:]
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """(code byte-length, code → text) from a ToUnicode CMap: codespace
+    range width + bfchar entries + bfrange (increment and array forms)."""
+    nbytes = 2
+    csr = re.search(
+        rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", cmap
+    )
+    if csr:
+        nbytes = max(1, len(csr.group(1)) // 2)
+    out: dict[int, str] = {}
+
+    def u16(hx: bytes) -> str:
+        raw = bytes.fromhex(hx.decode("ascii"))
+        return raw.decode("utf-16-be", errors="replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.DOTALL):
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            out[int(sm.group(1), 16)] = u16(sm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.DOTALL):
+        body = m.group(1)
+        i, n = 0, len(body)
+        toks: list[bytes] = []
+
+        def flush_range(toks):
+            if len(toks) == 3 and not isinstance(toks[2], list):
+                lo, hi = int(toks[0], 16), int(toks[1], 16)
+                base = bytes.fromhex(toks[2].decode("ascii"))
+                base_cp = int.from_bytes(base, "big")
+                width = len(base)
+                for off in range(hi - lo + 1):
+                    out[lo + off] = (base_cp + off).to_bytes(
+                        width, "big"
+                    ).decode("utf-16-be", errors="replace")
+            elif len(toks) == 3:
+                lo = int(toks[0], 16)
+                for off, d in enumerate(toks[2]):
+                    out[lo + off] = u16(d)
+
+        while i < n:
+            c = body[i : i + 1]
+            if c == b"<":
+                j = body.find(b">", i)
+                toks.append(body[i + 1 : j])
+                i = j + 1
+                if len(toks) == 3:
+                    flush_range(toks)
+                    toks = []
+            elif c == b"[":
+                j = body.find(b"]", i)
+                arr = re.findall(rb"<([0-9A-Fa-f]+)>", body[i : j + 1])
+                toks.append(arr)
+                i = j + 1
+                if len(toks) == 3:
+                    flush_range(toks)
+                    toks = []
+            else:
+                i += 1
+    return nbytes, out
+
+
+def _cid_decode(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
+    nbytes, table = cmap
+    out = []
+    for i in range(0, len(raw) - nbytes + 1, nbytes):
+        code = int.from_bytes(raw[i : i + nbytes], "big")
+        ch = table.get(code)
+        if ch is not None:
+            out.append(ch)
+    return "".join(out)
+
+
+_NAME_RE = re.compile(rb"/([^\s/<>\[\]()]+)")
+
+
+def _content_show_text(content: bytes, fonts: dict[bytes, object]) -> list[str]:
+    """Operator-aware show-text extraction: tracks the ACTIVE FONT via
+    ``/Name size Tf`` and decodes the operands of Tj / TJ / ' / \"
+    through that font's ToUnicode CMap when it has one (CID/Type0 text —
+    what modern PDF generators emit), else as plain PDF strings.
+    ``fonts`` maps resource name → (nbytes, code→text) or None."""
+    out: list[str] = []
+    operands: list[object] = []  # raw bytes for strings, name bytes, etc.
+    cur = None  # active font's cmap, or None
+    i, n = 0, len(content)
+
+    def show(raw: bytes):
+        out.append(
+            _cid_decode(raw, cur) if cur is not None else _decode_pdf_bytes(raw)
+        )
+
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            raw, i = _read_literal_raw(content, i)
+            operands.append(("str", raw))
+        elif c == 0x3C:  # < hex string / << dict
+            if i + 1 < n and content[i + 1] == 0x3C:
+                i += 2
+                operands.clear()
+            else:
+                raw, i = _read_hex_raw(content, i)
+                operands.append(("str", raw))
+        elif c == 0x2F:  # /Name
+            m = _NAME_RE.match(content, i)
+            operands.append(("name", m.group(1) if m else b""))
+            i = m.end() if m else i + 1
+        elif c == 0x5B:  # [ array — keep collecting; strings stay in operands
+            operands.append(("mark", None))
+            i += 1
+        elif c == 0x5D:
+            i += 1
+        elif c == 0x25:  # % comment
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif (
+            0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A or c in (0x27, 0x22)
+        ):  # operator
+            j = i
+            while j < n and (
+                0x41 <= content[j] <= 0x5A
+                or 0x61 <= content[j] <= 0x7A
+                or content[j] in (0x27, 0x22, 0x2A, 0x30, 0x31)
+            ):
+                j += 1
+            op = content[i:j]
+            if op == b"Tf":
+                names = [v for t, v in _typed(operands) if t == "name"]
+                if names:
+                    cur = fonts.get(names[-1])
+            elif op in (b"Tj", b"'", b'"'):
+                strs = [v for t, v in _typed(operands) if t == "str"]
+                if strs:
+                    show(strs[-1])
+            elif op == b"TJ":
+                # one shown run: kerning numbers between the array's
+                # strings are NOT spaces — concatenate the segments
+                segs = [
+                    _cid_decode(v, cur) if cur is not None else _decode_pdf_bytes(v)
+                    for t, v in _typed(operands)
+                    if t == "str"
+                ]
+                if segs:
+                    out.append("".join(segs))
+            operands.clear()
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def _typed(operands):
+    return [o for o in operands if isinstance(o, tuple) and o[0] in ("str", "name")]
+
 
 def _pdf_extract_builtin(data: bytes) -> str:
+    """Structured pass: pages → /Resources → /Font → ToUnicode CMaps →
+    font-aware content extraction (CID/Type0 text decodes through its
+    CMap; filter chains Flate/LZW/AHx/A85 + PNG predictors). Falls back
+    to the historic whole-file stream sweep when no page objects parse
+    (damaged or exotic files)."""
+    objs = _pdf_objects(data)
+
+    def obj_dict(num):
+        o = objs.get(num)
+        return o[0] if o else b""
+
+    def resolve_dict(container: bytes, key: bytes) -> bytes:
+        """The dict VALUE of /key — inline << >> or a 1-level ref."""
+        m = re.search(rb"/" + key + rb"\s*", container)
+        if not m:
+            return b""
+        at = m.end()
+        if container[at : at + 2] == b"<<":
+            return _balanced_dict(container, at)
+        rm = _REF_RE.match(container, at)
+        if rm:
+            return obj_dict(int(rm.group(1)))
+        return b""
+
     parts: list[str] = []
+    pages = [
+        num for num, (d, _r) in sorted(objs.items())
+        if re.search(rb"/Type\s*/Page\b", d)
+    ]
+    for pnum in pages:
+        pdict = obj_dict(pnum)
+        # fonts: resource name → (nbytes, cmap) or None
+        fonts: dict[bytes, object] = {}
+        res = resolve_dict(pdict, b"Resources")
+        fdict = resolve_dict(res, b"Font") if res else b""
+        for fm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict):
+            fobj = objs.get(int(fm.group(2)))
+            cmap = None
+            if fobj:
+                tum = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fobj[0])
+                if tum:
+                    tu = objs.get(int(tum.group(1)))
+                    if tu and tu[1] is not None:
+                        decoded = _decode_stream_filters(tu[0], tu[1])
+                        if decoded:
+                            cmap = _parse_tounicode(decoded)
+            fonts[fm.group(1)] = cmap
+        # contents: single ref or array of refs
+        cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", pdict)
+        if not cm:
+            continue
+        for rm in _REF_RE.finditer(cm.group(1)):
+            co = objs.get(int(rm.group(1)))
+            if not co or co[1] is None:
+                continue
+            decoded = _decode_stream_filters(co[0], co[1])
+            if decoded:
+                parts.extend(_content_show_text(decoded, fonts))
+    if pages:
+        return _normalize_ws(" ".join(parts))
+
+    # fallback: the historic filter-tolerant sweep over every stream
     for m in _STREAM_RE.finditer(data):
         raw = m.group(1)
         try:
@@ -698,6 +1132,153 @@ def make_simple_pdf(text: str, *, compress: bool = True, wrap: int = 80) -> byte
     return bytes(out)
 
 
+def _pdf_assemble(objs: list[bytes]) -> bytes:
+    """Shared xref/trailer writer for the PDF fixture generators."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def make_filtered_pdf(text: str, filters: list[str]) -> bytes:
+    """Single-page PDF whose content stream is encoded through the given
+    DECODE-ORDER filter chain (any of FlateDecode / LZWDecode /
+    ASCIIHexDecode / ASCII85Decode) — round-trip fixture for the r7
+    filter-chain support. The writer applies the chain in reverse, as a
+    real producer would."""
+    import base64
+
+    norm = _normalize_ws(text)
+    lines = textwrap.wrap(norm, 80, break_long_words=False, break_on_hyphens=False) or [""]
+
+    def esc(t: str) -> bytes:
+        return (
+            t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)").encode("utf-8")
+        )
+
+    body = b"\n".join(b"(" + esc(line) + b") Tj T*" for line in lines)
+    stream = b"BT /F1 12 Tf 14 TL 72 720 Td\n" + body + b"\nET"
+    for f in reversed(filters):
+        if f == "FlateDecode":
+            stream = zlib.compress(stream)
+        elif f == "LZWDecode":
+            stream = _lzw_encode(stream)
+        elif f == "ASCIIHexDecode":
+            stream = stream.hex().encode("ascii") + b">"
+        elif f == "ASCII85Decode":
+            stream = base64.a85encode(stream, adobe=True)
+        else:
+            raise ValueError(f"unknown filter {f!r}")
+    filt = b"[" + b" ".join(b"/" + f.encode() for f in filters) + b"]"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Filter " + filt + b" /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    return _pdf_assemble(objs)
+
+
+def make_cid_pdf(text: str) -> bytes:
+    """Single-page PDF showing ``text`` through a TYPE0 (CID) font with
+    Identity-H encoding and a /ToUnicode CMap — the structure every
+    modern PDF generator (Word, LaTeX, Chrome print) emits, where the
+    content-stream bytes are 2-byte CIDs meaningless without the CMap.
+    The CMap deliberately uses ALL THREE mapping forms (bfchar, bfrange
+    increment, bfrange array) so the parser's coverage is total.
+    Round-trip contract: ``extract_text_bytes(make_cid_pdf(t)) ==
+    normalize_ws(t)``."""
+    norm = _normalize_ws(text)
+    chars = sorted(set(norm))
+    if not chars:
+        chars = [" "]
+    cid_of = {ch: i + 1 for i, ch in enumerate(chars)}
+
+    def u16hex(ch: str) -> str:
+        return ch.encode("utf-16-be").hex().upper()
+
+    # split the mapping across the three CMap forms
+    n = len(chars)
+    third = max(1, n // 3)
+    bfchars = chars[:third]
+    incr = chars[third : 2 * third]
+    arr = chars[2 * third :]
+    cmap = [
+        b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap",
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange",
+    ]
+    if bfchars:
+        cmap.append(f"{len(bfchars)} beginbfchar".encode())
+        for ch in bfchars:
+            cmap.append(f"<{cid_of[ch]:04X}> <{u16hex(ch)}>".encode())
+        cmap.append(b"endbfchar")
+    ranges = []
+    if incr:
+        # contiguous cids by construction; map as one increment range only
+        # when the TARGET codepoints are also contiguous — else array form
+        lo, hi = cid_of[incr[0]], cid_of[incr[-1]]
+        cps = [ord(c) for c in incr]
+        if cps == list(range(cps[0], cps[0] + len(cps))) and all(
+            len(c.encode("utf-16-be")) == 2 for c in incr
+        ):
+            ranges.append(f"<{lo:04X}> <{hi:04X}> <{cps[0]:04X}>".encode())
+        else:
+            arr = incr + arr
+    if arr:
+        lo, hi = cid_of[arr[0]], cid_of[arr[-1]]
+        dsts = b" ".join(f"<{u16hex(c)}>".encode() for c in arr)
+        ranges.append(f"<{lo:04X}> <{hi:04X}> [".encode() + dsts + b"]")
+    if ranges:
+        cmap.append(f"{len(ranges)} beginbfrange".encode())
+        cmap.extend(ranges)
+        cmap.append(b"endbfrange")
+    cmap.append(b"endcmap end end")
+    cmap_stream = zlib.compress(b"\n".join(cmap))
+
+    lines = textwrap.wrap(norm, 60, break_long_words=False, break_on_hyphens=False) or [""]
+    shown = []
+    for i, line in enumerate(lines):
+        # alternate Tj hex strings and TJ arrays so both operators decode
+        hx = "".join(f"{cid_of[ch]:04X}" for ch in line)
+        if i % 2 == 0:
+            shown.append(f"<{hx}> Tj T*".encode())
+        else:
+            half = (len(hx) // 8) * 4
+            shown.append(
+                f"[<{hx[:half]}> -120 <{hx[half:]}>] TJ T*".encode()
+            )
+    content = b"BT /F1 12 Tf 14 TL 72 720 Td\n" + b"\n".join(shown) + b"\nET"
+    cstream = zlib.compress(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Filter /FlateDecode /Length " + str(len(cstream)).encode()
+        + b" >>\nstream\n" + cstream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H "
+        b"/Encoding /Identity-H /DescendantFonts [7 0 R] /ToUnicode 6 0 R >>",
+        b"<< /Filter /FlateDecode /Length " + str(len(cmap_stream)).encode()
+        + b" >>\nstream\n" + cmap_stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture >>",
+    ]
+    return _pdf_assemble(objs)
+
+
 def render_document(text: str | None, fmt: str) -> bytes | None:
     """Render plain text to ``fmt`` bytes with the matching fixture writer
     (``pdf`` / ``html`` / ``text``) — the inverse of extraction under the
@@ -706,6 +1287,10 @@ def render_document(text: str | None, fmt: str) -> bytes | None:
         return None
     if fmt == "pdf":
         return make_simple_pdf(text)
+    if fmt == "pdf_cid":  # Type0/Identity-H + ToUnicode CMap (r7)
+        return make_cid_pdf(text)
+    if fmt == "pdf_lzw":  # LZW-behind-ASCII85 filter chain (r7)
+        return make_filtered_pdf(text, ["ASCII85Decode", "LZWDecode"])
     if fmt == "html":
         return make_simple_html(text)
     if fmt == "docx":

