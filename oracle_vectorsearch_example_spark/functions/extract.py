@@ -415,30 +415,48 @@ def _decode_stream_filters(dict_bytes: bytes, raw: bytes) -> bytes | None:
 
 # --------------------------------------- PDF object graph + ToUnicode (r7)
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 
 
 def _pdf_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """obj number → (dict/body bytes, raw stream bytes or None). Regex
-    object scan, not a full xref parser — compressed payloads containing
-    the literal ``endobj`` would truncate (same pragmatic trade the
-    stream sweep has always made; fine for generated and most real
-    files, and the sweep fallback still runs if the scan comes up
-    empty)."""
+    """obj number → (dict/body bytes, raw stream bytes or None).
+
+    Sequential walk, not a full xref parser: each object's stream body is
+    skipped by its literal ``/Length`` when present, so compressed bytes
+    that happen to contain ``endobj``/``N 0 obj`` cannot truncate or
+    split objects (they did under the old one-regex scan). Indirect
+    ``/Length M 0 R`` falls back to the ``endstream`` search — rare in
+    practice, and the sweep fallback still runs if the walk comes up
+    empty."""
     objs: dict[int, tuple[bytes, bytes | None]] = {}
-    for m in _OBJ_RE.finditer(data):
-        body = m.group(2)
-        sm = re.search(rb"stream\r?\n", body)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _OBJ_HDR_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        eo = data.find(b"endobj", m.end())
+        sm = _STREAM_KW_RE.search(data, m.end(), eo if eo >= 0 else n)
         if sm:
-            d = body[: sm.start()]
-            raw = body[sm.end() :]
-            e = raw.rfind(b"endstream")
-            if e >= 0:
-                raw = raw[:e].rstrip(b"\r\n")
-            objs[int(m.group(1))] = (d, raw)
+            d = data[m.end() : sm.start()]
+            lm = re.search(rb"/Length\s+(\d+)(?![\s\d]*R)", d)
+            if lm:
+                raw = data[sm.end() : sm.end() + int(lm.group(1))]
+                pos = sm.end() + int(lm.group(1))
+                e = data.find(b"endobj", pos)
+                pos = e + 6 if e >= 0 else pos
+            else:
+                e = data.find(b"endstream", sm.end())
+                raw = data[sm.end() : e if e >= 0 else n].rstrip(b"\r\n")
+                pos = (e + 9) if e >= 0 else n
+            objs[num] = (d, raw)
         else:
-            objs[int(m.group(1))] = (body, None)
+            body = data[m.end() : eo if eo >= 0 else n]
+            objs[num] = (body, None)
+            pos = (eo + 6) if eo >= 0 else n
     return objs
 
 

@@ -63,23 +63,22 @@ def test_driver_window_composition():
     assert not missing, f"_PRIORITY entries not registered: {missing}"
     assert names[:50] == prio
     must_record = {
-        # r6 allocation (judge r5 #2): the 14 never-witnessed goldens,
-        # the new r6 goldens, and one representative per operator family;
-        # evicted long-green rows remain registered + oracle-verified in
-        # the full compare_oracle sweep.
-        "flagship_search_ivf", "ivf_add_search", "semdedup",
-        "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9", "tpch_q12",
-        "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q21",
-        "tpch_q22",
-        "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20", "semdedup_exact",
-        "onnx_embed",
-        "flagship_search", "tpch_q1", "join_agg", "asof_join",
-        "extract_text", "chunker_conformance", "ivf_materialized",
-        "ivf_search_df", "filtered_topk", "tumbling_window",
-        "stream_interval_join", "gapfill_locf", "exact_dedup",
-        "minhash_lsh", "neardup_clusters", "dedup_incremental",
-        "text_stats", "image_decode", "hash_split", "pack_sequences",
-        "profile_table", "union_all", "window_funcs",
+        # r7 allocation (judge r6 #3): never-driver-witnessed goldens
+        # first, then the long-unwitnessed tail (everything last seen
+        # r01-r04); evicted long-green rows remain registered +
+        # oracle-verified in the full compare_oracle sweep.
+        "sq8_topk", "pii_redact", "boilerplate_removal", "jpeg_decode",
+        "arrays", "chunk_ids", "cube", "dates", "grouping_sets",
+        "ivf_exhaustive", "json_get", "math", "tpch_q5", "tpch_q7",
+        "tpch_q10", "tpch_q14", "tpch_q18",
+        "approx_count_distinct", "chunker_cjk", "ivf_search",
+        "multimodal_features", "simhash_fingerprint",
+        "collect_sorted_words", "cross_join", "embedding_neardup",
+        "except_all_keys", "jaccard_neardup", "left_join_zero_orders",
+        "parse_vector", "semi_join", "sliding_window", "sql_vector_topk",
+        "stream_enrich",
+        "percentile_gate", "percentiles", "pivot", "salted_join_agg",
+        "stream_dedup", "tpch_q3", "unicode_nfc",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"
