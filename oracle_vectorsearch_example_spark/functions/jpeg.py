@@ -826,7 +826,8 @@ _PROG_AC = (
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF JPEG using the
     standard 10-scan script (DC Al=1 → banded/successively-approximated
@@ -890,11 +891,24 @@ def encode_jpeg_progressive(
     dc_tabs = [_enc_huff_codes(*STD_DC_LUM), _enc_huff_codes(*STD_DC_CHROM)]
     ac_tab = _enc_huff_codes(*_PROG_AC)
     bw = _BitWriter()
+    rst = {"n": 0}
+
+    def restart_boundary(unit, reset):
+        """Emit RSTn every restart_interval units (per-scan numbering,
+        T.81: DRI applies to every scan that follows it)."""
+        if restart_interval and unit and unit % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst["n"] % 8])
+            rst["n"] += 1
+            reset()
 
     def dc_first_scan(al):
         pred = [0, 0, 0]
+        unit = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                restart_boundary(unit, lambda: pred.__setitem__(slice(None), [0, 0, 0]))
+                unit += 1
                 for ci, (cf, hs, vs, _tb, _tx) in enumerate(comps):
                     t = dc_tabs[0 if ci == 0 else 1]
                     for by in range(vs):
@@ -908,8 +922,11 @@ def encode_jpeg_progressive(
                                 bw.write(code, s)
 
     def dc_refine_scan(al):
+        unit = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                restart_boundary(unit, lambda: None)
+                unit += 1
                 for cf, hs, vs, _tb, _tx in comps:
                     for by in range(vs):
                         for bx in range(hs):
@@ -931,8 +948,13 @@ def encode_jpeg_progressive(
     def ac_first_scan(ci, ss, se, al):
         cf, _hs, _vs, tby, tbx = comps[ci]
         state = {"eobrun": 0, "be": []}
+        unit = 0
         for by in range(tby):
             for bx in range(tbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _emit_eobrun(state)
+                restart_boundary(unit, lambda: None)
+                unit += 1
                 band = cf[by, bx]
                 run = 0
                 for k in range(ss, se + 1):
@@ -961,8 +983,13 @@ def encode_jpeg_progressive(
     def ac_refine_scan(ci, ss, se, al):
         cf, _hs, _vs, tby, tbx = comps[ci]
         state = {"eobrun": 0, "be": []}
+        unit = 0
         for by in range(tby):
             for bx in range(tbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _emit_eobrun(state)
+                restart_boundary(unit, lambda: None)
+                unit += 1
                 band = cf[by, bx]
                 ab = [abs(int(band[k])) >> al for k in range(ss, se + 1)]
                 eob = -1
@@ -1021,6 +1048,8 @@ def encode_jpeg_progressive(
     out += dqt(0, qy) + dqt(1, qc)
     out += dht(0, 0, *STD_DC_LUM) + dht(0, 1, *STD_DC_CHROM)
     out += dht(1, 0, *_PROG_AC)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(
         0xC2,
         bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
@@ -1047,6 +1076,7 @@ def encode_jpeg_progressive(
         bw.out = bytearray()
         bw.acc = 0
         bw.nbits = 0
+        rst["n"] = 0  # restart numbering restarts per scan
         emit()
         bw.flush()
         out += bytes(bw.out)

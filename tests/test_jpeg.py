@@ -149,3 +149,25 @@ def test_multimodal_dispatch_and_resize(spark):
     np.testing.assert_allclose(
         [row.mean_r, row.mean_g, row.mean_b], [10, 200, 90], atol=2.5
     )
+
+
+def test_progressive_restart_markers_roundtrip():
+    """DRI in a progressive stream: restart markers interrupt every scan
+    (per-scan RSTn numbering, EOB runs flushed at boundaries, predictors
+    reset) — still pixel-identical to baseline."""
+    img = _gradient(40, 56)
+    rng = np.random.RandomState(5)
+    noisy = rng.randint(0, 256, (17, 25, 3)).astype(np.uint8)
+    for src, q in ((img, 92), (noisy, 95)):
+        base = decode_jpeg_pixels(encode_jpeg(src, quality=q))
+        for dri in (1, 3):
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(src, quality=q, restart_interval=dri)
+            )
+            np.testing.assert_array_equal(base, prog)
+    # and with chroma subsampling (MCU-interleaved DC scan units)
+    base = decode_jpeg_pixels(encode_jpeg(img, quality=92, subsample=True))
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(img, quality=92, subsample=True, restart_interval=2)
+    )
+    np.testing.assert_array_equal(base, prog)
