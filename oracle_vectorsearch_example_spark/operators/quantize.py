@@ -34,12 +34,18 @@ pruning and the byte reduction stack.
 
 Product quantization (:func:`pq_train` / :func:`pq_encode_df` /
 :func:`pq_topk_search` + :func:`pq_refine_topk`) pushes the footprint to
-16 B/vec (8.4×: 119 MB at 4M×64). Measured honestly on this fixture's
-tight 4k-member clusters: PQ-alone top-10 recall is LOW (0.47 at m=16 —
-true neighbors sit inside the quantization cell), so its role is
-CANDIDATE GENERATION: top-100 coarse → SQ8 refine = 0.96 recall with no
-float reads anywhere. SQ8 remains the single-stage sweet spot on this
-workload; PQ is the choice when the ranking stage must fit in memory.
+16 B/vec (8.4×: 119 MB at 4M×64). Measured honestly on TWO fixtures
+(tight clusters at noise 1.2 AND a 1M heavy-noise 3.0 variant): PQ-alone
+top-10 recall is LOW on both (0.47 / 0.44 at m=16 — true neighbors sit
+inside the quantization cell at this dim), so its role is CANDIDATE
+GENERATION: top-100 coarse → SQ8 refine = 0.96 / 0.92 recall with no
+float reads anywhere. r7 composes the tier with the IVF probe
+(:func:`pq_encode_index` + :func:`pq_ivf_search`: probe →
+partition-pruned ADC scan → SQ8 refine) — 4M measured 1.57 s at refined
+recall 0.9688, faster than the flat PQ→refine path, and at 100 TB the
+only per-probe full pass reads 16 bytes/row. SQ8 remains the
+single-stage sweet spot on this workload; PQ is the choice when the
+ranking stage must fit in memory.
 """
 
 from __future__ import annotations
