@@ -3346,12 +3346,14 @@ def q_multimodal_features(spark, sf):
     """,
 )
 def q_image_decode(spark, sf):
-    """X4 real image decode: even ids render 24-bpp BMP, odd ids render
-    8-bit truecolor PNG (r5: full stdlib zlib inflate + scanline
-    un-filtering) — one magic-dispatched decode path, no media libs.
-    Solid-color fixtures make the oracle arithmetic and FORMAT-BLIND:
-    the same dims/means regardless of container, so a PNG decode bug
-    can't hide behind the oracle."""
+    """X4 real image decode: ids rotate through 24-bpp BMP, 8-bit
+    truecolor PNG (r5: full stdlib zlib inflate + scanline un-filtering),
+    and GIF89a (r7: GIF-LZW + palette) — one magic-dispatched decode
+    path, no media libs. Solid-color fixtures make the oracle arithmetic
+    and FORMAT-BLIND: the same dims/means regardless of container (all
+    three are lossless for a solid color), so a decode bug in any
+    container can't hide behind the oracle."""
+    from oracle_vectorsearch_example_spark.functions.gif import make_simple_gif
     from oracle_vectorsearch_example_spark.operators.multimodal import (
         image_features,
         make_simple_bmp,
@@ -3362,7 +3364,7 @@ def q_image_decode(spark, sf):
     def mk_img(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
-            mk = make_simple_bmp if int(i) % 2 == 0 else make_simple_png
+            mk = (make_simple_bmp, make_simple_png, make_simple_gif)[int(i) % 3]
             out.append(
                 mk(
                     8 + int(i) % 16,

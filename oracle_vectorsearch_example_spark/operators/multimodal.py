@@ -161,6 +161,13 @@ def resize_image_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
         from oracle_vectorsearch_example_spark.functions.jpeg import encode_jpeg
 
         return encode_jpeg(out, quality=90)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from oracle_vectorsearch_example_spark.functions.gif import (
+            make_animated_gif,
+        )
+
+        # nearest-neighbor keeps the palette a subset, so <=256 holds
+        return make_animated_gif([out])
     return encode_bmp(out)
 
 
@@ -229,12 +236,62 @@ def sample_frames(
     generator/UDTF shape, like chunking). With ``fake`` decode the frame
     count derives deterministically from the payload digest and each
     frame payload is a per-index digest."""
-    if decode == "real":
-        raise NotImplementedError(
-            "real frame sampling requires ffmpeg, absent here; use decode='fake'"
-        )
-    if decode != "fake":
+    if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
+    if decode == "real":
+        # REAL for GIF (r7: functions/gif.py decodes + composites frames);
+        # other containers (MP4/H.264, WebM, AVI) need ffmpeg, absent here,
+        # and raise by name per payload so mixed columns fail loudly.
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from oracle_vectorsearch_example_spark.functions.gif import (
+                decode_gif_frames,
+            )
+            from oracle_vectorsearch_example_spark.functions.gif import (
+                make_animated_gif,
+            )
+
+            for pdf in batches:
+                ids, idxs, tss, frames = [], [], [], []
+                for mid, p in zip(
+                    pdf["media_id"].tolist(), pdf["payload"].tolist()
+                ):
+                    payload = bytes(p) if p is not None else b""
+                    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+                        raise NotImplementedError(
+                            "real frame sampling is built-in for GIF only; "
+                            "other containers need ffmpeg (absent here)"
+                        )
+                    decoded = decode_gif_frames(payload)
+                    # sample at the requested fps against real timestamps
+                    duration = decoded[-1][0]
+                    want, last_t = [], None
+                    for i in range(max_frames):
+                        target = i / fps
+                        if target > duration and i > 0:
+                            break
+                        # nearest frame at-or-before target
+                        cand = [f for f in decoded if f[0] <= target]
+                        t0, fr = cand[-1] if cand else decoded[0]
+                        if last_t == t0:
+                            continue
+                        last_t = t0
+                        want.append((t0, fr))
+                    for i, (t0, fr) in enumerate(want):
+                        ids.append(mid)
+                        idxs.append(i)
+                        tss.append(float(t0))
+                        frames.append(make_animated_gif([fr]))
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_idx": idxs,
+                        "ts_sec": tss,
+                        "payload": frames,
+                    },
+                    columns=[f.name for f in _FRAMES_SCHEMA.fields],
+                )
+
+        return df.mapInPandas(run_real, schema=_FRAMES_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # row → N frames is a generator expansion; iterate parallel column
@@ -503,7 +560,15 @@ def decode_image_pixels(data: bytes) -> "_np.ndarray":
         )
 
         return decode_jpeg_pixels(data)
-    raise ValueError("unrecognized image payload (expected BMP, PNG, or JPEG)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):  # first frame (r7)
+        from oracle_vectorsearch_example_spark.functions.gif import (
+            decode_gif_pixels,
+        )
+
+        return decode_gif_pixels(data)
+    raise ValueError(
+        "unrecognized image payload (expected BMP, PNG, JPEG, or GIF)"
+    )
 
 
 def decode_image_bytes(data: bytes) -> tuple[int, int, float, float, float]:

@@ -106,9 +106,10 @@ def test_resize_gates_real_decode(media):
     # executor with the format boundary named
     with pytest.raises(Exception, match="BMP|ValueError"):
         resize_media(media, 8, 8, decode="real").collect()
-    # video frame sampling stays fully gated (no stdlib codec exists)
-    with pytest.raises(NotImplementedError):
-        sample_frames(media, decode="real")
+    # real frame sampling is built-in for GIF (r7, tests/test_gif.py);
+    # non-GIF payloads still gate by name at execution
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(media, decode="real").collect()
 
 
 # ------------------------------------------- real decode (stdlib formats)
