@@ -3449,6 +3449,90 @@ def q_jpeg_decode(spark, sf):
 
 
 @golden(
+    "gif_frames",
+    """
+    SELECT d.doc_id AS media_id,
+           CAST(g.j AS INTEGER) AS frame_idx,
+           CAST(g.j * 0.25 AS DOUBLE) AS ts_sec,
+           CAST(8 + d.doc_id % 7 AS INTEGER) AS width,
+           CAST(8 + d.doc_id % 5 AS INTEGER) AS height,
+           CAST((d.doc_id * 37 + g.j * 11) % 256 AS INTEGER) AS r0,
+           CAST((d.doc_id * 59 + g.j * 13) % 256 AS INTEGER) AS g0,
+           CAST((d.doc_id * 83 + g.j * 17) % 256 AS INTEGER) AS b0
+    FROM documents d,
+         LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 5)) AS j) g
+    WHERE d.doc_id < 60
+    """,
+)
+def q_gif_frames(spark, sf):
+    """X4 REAL video-style frame sampling (r7): animated GIF fixtures
+    (1..5 solid-color frames at 25 cs) run through
+    ``sample_frames(decode='real')`` — GIF-LZW decode, GCE timestamps,
+    per-frame compositing — then each sampled frame payload is decoded
+    AGAIN to its dims + corner pixel. Solid colors and exact 0.25 s
+    delays make the whole thing an arithmetic DuckDB oracle (lateral
+    range join), hash-checking the full animate→sample→re-encode→decode
+    loop in the driver gate."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.gif import (
+        decode_gif_pixels,
+        make_animated_gif,
+    )
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    @F.pandas_udf("binary")
+    def mk_gif(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            frames = []
+            for j in range(1 + i % 5):
+                f = np.zeros((8 + i % 5, 8 + i % 7, 3), np.uint8)
+                f[:] = (
+                    (i * 37 + j * 11) % 256,
+                    (i * 59 + j * 13) % 256,
+                    (i * 83 + j * 17) % 256,
+                )
+                frames.append(f)
+            out.append(make_animated_gif(frames, delays_cs=[25] * len(frames)))
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(
+        "struct<width:int, height:int, r0:int, g0:int, b0:int>"
+    )
+    def frame_probe(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            px = decode_gif_pixels(bytes(p))
+            rows.append(
+                {
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "r0": int(px[0, 0, 0]),
+                    "g0": int(px[0, 0, 1]),
+                    "b0": int(px[0, 0, 2]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), mk_gif("doc_id").alias("payload")
+    )
+    frames = sample_frames(media, fps=4.0, max_frames=16, decode="real")
+    probed = frames.withColumn("p", frame_probe("payload"))
+    return probed.select(
+        "media_id", "frame_idx", "ts_sec",
+        F.col("p.width").alias("width"), F.col("p.height").alias("height"),
+        F.col("p.r0").alias("r0"), F.col("p.g0").alias("g0"),
+        F.col("p.b0").alias("b0"),
+    )
+
+
+@golden(
     "audio_decode",
     """
     SELECT doc_id AS media_id,
@@ -3783,9 +3867,9 @@ def q_boilerplate_removal(spark, sf):
 # every golden last witnessed in r01-r04 and 10 of the 22 last witnessed
 # in r05. Still waiting after r7 (rotate into r8): the other 12 r05
 # entries — audio_decode, binary_stats, chunker_normalized, corpus_filter,
-# correlated_subquery, doc_stats, embed_double, except_keys,
-# intersect_keys, repetition_stats, simhash_neardup, winnow_fingerprints —
-# plus the 50 r06-witnessed seats now evicted. Witness history (which round last
+# correlated_subquery, decontaminate, doc_stats, embed_double,
+# except_keys, intersect_keys, repetition_stats, simhash_neardup,
+# winnow_fingerprints — plus the 50 r06-witnessed seats now evicted. Witness history (which round last
 # witnessed each golden) is recomputable from CORRECTNESS_r0*.json.
 _PRIORITY = [
     # never driver-witnessed (new in r6, window was full)
@@ -3805,12 +3889,12 @@ _PRIORITY = [
     # last witnessed r04
     "percentile_gate", "percentiles", "pivot", "salted_join_agg",
     "stream_dedup", "tpch_q3", "unicode_nfc",
-    # new in r7 (progressive JPEG decode — never witnessed)
-    "jpeg_decode",
-    # last witnessed r05 (10 of 22; family breadth for the final seats)
+    # new in r7 (never witnessed): progressive JPEG decode; animated-GIF
+    # real frame sampling
+    "jpeg_decode", "gif_frames",
+    # last witnessed r05 (9 of 22; family breadth for the final seats)
     "projection", "count_distinct", "rollup", "sessionize", "range_join",
     "anti_join", "topk_rows", "fk_violations", "stratified_sample",
-    "decontaminate",
 ]
 
 
