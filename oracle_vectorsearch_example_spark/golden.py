@@ -3348,23 +3348,31 @@ def q_multimodal_features(spark, sf):
 def q_image_decode(spark, sf):
     """X4 real image decode: ids rotate through 24-bpp BMP, 8-bit
     truecolor PNG (r5: full stdlib zlib inflate + scanline un-filtering),
-    and GIF89a (r7: GIF-LZW + palette) — one magic-dispatched decode
-    path, no media libs. Solid-color fixtures make the oracle arithmetic
-    and FORMAT-BLIND: the same dims/means regardless of container (all
-    three are lossless for a solid color), so a decode bug in any
-    container can't hide behind the oracle."""
+    GIF89a (r7: GIF-LZW + palette), and LZW+predictor TIFF (r7) — one
+    magic-dispatched decode path, no media libs. Solid-color fixtures
+    make the oracle arithmetic and FORMAT-BLIND: the same dims/means
+    regardless of container (all four are lossless for a solid color),
+    so a decode bug in any container can't hide behind the oracle."""
     from oracle_vectorsearch_example_spark.functions.gif import make_simple_gif
+    from oracle_vectorsearch_example_spark.functions.tiff import (
+        make_simple_tiff,
+    )
     from oracle_vectorsearch_example_spark.operators.multimodal import (
         image_features,
         make_simple_bmp,
         make_simple_png,
     )
 
+    def mk_tiff(w, h, rgb):
+        return make_simple_tiff(w, h, rgb, compression="lzw", predictor=True)
+
     @F.pandas_udf("binary")
     def mk_img(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
-            mk = (make_simple_bmp, make_simple_png, make_simple_gif)[int(i) % 3]
+            mk = (make_simple_bmp, make_simple_png, make_simple_gif, mk_tiff)[
+                int(i) % 4
+            ]
             out.append(
                 mk(
                     8 + int(i) % 16,

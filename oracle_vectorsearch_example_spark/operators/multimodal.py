@@ -168,6 +168,12 @@ def resize_image_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
 
         # nearest-neighbor keeps the palette a subset, so <=256 holds
         return make_animated_gif([out])
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from oracle_vectorsearch_example_spark.functions.tiff import (
+            make_simple_tiff,
+        )
+
+        return make_simple_tiff(out, compression="lzw", predictor=True)
     return encode_bmp(out)
 
 
@@ -566,8 +572,14 @@ def decode_image_pixels(data: bytes) -> "_np.ndarray":
         )
 
         return decode_gif_pixels(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):  # baseline TIFF (r7)
+        from oracle_vectorsearch_example_spark.functions.tiff import (
+            decode_tiff_pixels,
+        )
+
+        return decode_tiff_pixels(data)
     raise ValueError(
-        "unrecognized image payload (expected BMP, PNG, JPEG, or GIF)"
+        "unrecognized image payload (expected BMP, PNG, JPEG, GIF, or TIFF)"
     )
 
 
