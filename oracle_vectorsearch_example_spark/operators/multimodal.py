@@ -643,14 +643,34 @@ _IMAGE_SCHEMA = T.StructType(
 )
 
 
-def image_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
-    """REAL image decode over an Arrow-batched ``mapInPandas``: BMP or PNG
-    pixels (magic-dispatched) + per-channel means. Lossy formats raise
-    (see module doc)."""
+def image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL image decode over an Arrow-batched ``mapInPandas``
+    (BMP/PNG/JPEG/GIF/TIFF, magic-dispatched) + per-channel means.
+
+    ``on_error``: ``raise`` (default — loud, the correctness posture) or
+    ``null`` (corrupt/unsupported payloads yield a null-feature row
+    instead of failing the task — the 100 TB posture, where one
+    truncated image in a billion must not kill the pipeline; same
+    contract as ``extract_text``'s ``on_error``)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+
+    def one(p):
+        if on_error == "raise":
+            return decode_image_bytes(bytes(p))
+        try:
+            return decode_image_bytes(bytes(p))
+        except Exception:  # noqa: BLE001 - any decode failure → null row
+            return (None, None, None, None, None)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_image_bytes(bytes(p)) for p in pdf[payload_col].tolist()]
+            rows = [one(p) for p in pdf[payload_col].tolist()]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(),
@@ -678,13 +698,29 @@ _AUDIO_SCHEMA = T.StructType(
 )
 
 
-def audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
     """REAL audio decode over an Arrow-batched ``mapInPandas``: PCM WAV
-    header + int16 sample stats (rms, zero-cross rate)."""
+    header + int16 sample stats (rms, zero-cross rate). ``on_error`` as
+    in :func:`image_features`."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+
+    def one(p):
+        if on_error == "raise":
+            return decode_wav_bytes(bytes(p))
+        try:
+            return decode_wav_bytes(bytes(p))
+        except Exception:  # noqa: BLE001 - any decode failure → null row
+            return (None, None, None, None, None)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_wav_bytes(bytes(p)) for p in pdf[payload_col].tolist()]
+            rows = [one(p) for p in pdf[payload_col].tolist()]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(),

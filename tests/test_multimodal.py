@@ -354,3 +354,37 @@ def test_resize_image_bytes_png_and_bmp():
         assert out[: len(magic)] == magic  # stays in its own container
         px = decode_image_pixels(out)
         assert px.shape == (3, 4, 3) and (px == np.array([1, 2, 3])).all()
+
+
+def test_features_on_error_null(spark):
+    """r7: on_error='null' — a corrupt payload in the column yields a
+    null-feature row instead of killing the job (the 100 TB posture);
+    default stays loud."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        make_simple_bmp,
+        make_simple_wav,
+    )
+
+    rows = [
+        (1, bytearray(make_simple_bmp(4, 3, (10, 20, 30)))),
+        (2, bytearray(b"\x89PNG\r\n\x1a\n garbage")),
+        (3, bytearray(b"totally not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in image_features(df, on_error="null").collect()}
+    assert got[1].width == 4 and got[1].mean_r == 10.0
+    assert got[2].width is None and got[3].mean_b is None
+    with pytest.raises(Exception):
+        image_features(df).collect()  # default raises
+
+    wavs = [
+        (1, bytearray(make_simple_wav(100, 1000))),
+        (2, bytearray(b"RIFFbroken")),
+    ]
+    wdf = spark.createDataFrame(wavs, "media_id long, payload binary")
+    agot = {r.media_id: r for r in audio_features(wdf, on_error="null").collect()}
+    assert agot[1].n_samples == 100 and agot[2].rms is None
+    with pytest.raises(Exception):
+        audio_features(wdf).collect()
