@@ -3456,6 +3456,42 @@ def q_jpeg_decode(spark, sf):
     )
 
 
+_ZORDER_SQL = """
+    WITH k AS (
+      SELECT event_id,
+             user_id % 256 AS x,
+             (event_id * 7) % 256 AS y
+      FROM events
+    )
+    SELECT event_id,
+           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST((((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15) AS BIGINT) AS zval
+    FROM k
+"""
+
+
+@golden("zorder_keys", _ZORDER_SQL)
+def q_zorder_keys(spark, sf):
+    """Z-order layout codes (r7, operators/layout.py — the OPTIMIZE
+    ZORDER analog): the Morton interleave every row's sort key gets
+    before `zorder_write`'s range partition. Pure JVM bit expressions
+    (`shiftleft`/`&`/`|`, no UDF), and the per-bit formula is plain ANSI
+    SQL — DuckDB replicates the 16-term interleave bit-for-bit, so the
+    exact codes hash-check. The file-level locality the codes buy is
+    asserted in tests/test_layout.py."""
+    from oracle_vectorsearch_example_spark.operators.layout import z_value
+
+    ev = read_table(spark, sf, "events")
+    x = (F.col("user_id") % 256).cast("long")
+    y = ((F.col("event_id") * 7) % 256).cast("long")
+    return ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        z_value([x, y], bits=8).alias("zval"),
+    )
+
+
 @golden(
     "gif_frames",
     """
@@ -3877,7 +3913,8 @@ def q_boilerplate_removal(spark, sf):
 # entries — audio_decode, binary_stats, chunker_normalized, corpus_filter,
 # correlated_subquery, decontaminate, doc_stats, embed_double,
 # except_keys, intersect_keys, repetition_stats, simhash_neardup,
-# winnow_fingerprints — plus the 50 r06-witnessed seats now evicted. Witness history (which round last
+# stratified_sample, winnow_fingerprints — plus the 50 r06-witnessed
+# seats now evicted. Witness history (which round last
 # witnessed each golden) is recomputable from CORRECTNESS_r0*.json.
 _PRIORITY = [
     # never driver-witnessed (new in r6, window was full)
@@ -3898,11 +3935,11 @@ _PRIORITY = [
     "percentile_gate", "percentiles", "pivot", "salted_join_agg",
     "stream_dedup", "tpch_q3", "unicode_nfc",
     # new in r7 (never witnessed): progressive JPEG decode; animated-GIF
-    # real frame sampling
-    "jpeg_decode", "gif_frames",
-    # last witnessed r05 (9 of 22; family breadth for the final seats)
+    # real frame sampling; z-order layout codes
+    "jpeg_decode", "gif_frames", "zorder_keys",
+    # last witnessed r05 (8 of 22; family breadth for the final seats)
     "projection", "count_distinct", "rollup", "sessionize", "range_join",
-    "anti_join", "topk_rows", "fk_violations", "stratified_sample",
+    "anti_join", "topk_rows", "fk_violations",
 ]
 
 

@@ -68,7 +68,7 @@ def test_driver_window_composition():
         # r01-r04); evicted long-green rows remain registered +
         # oracle-verified in the full compare_oracle sweep.
         "sq8_topk", "pii_redact", "boilerplate_removal", "jpeg_decode",
-        "gif_frames",
+        "gif_frames", "zorder_keys",
         "arrays", "chunk_ids", "cube", "dates", "grouping_sets",
         "ivf_exhaustive", "json_get", "math", "tpch_q5", "tpch_q7",
         "tpch_q10", "tpch_q14", "tpch_q18",
