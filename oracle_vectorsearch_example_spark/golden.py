@@ -3778,6 +3778,31 @@ def q_extract_text(spark, sf):
     )
 
 
+@golden("bpe_tokens")
+def q_bpe_tokens(spark, sf):
+    """REAL byte-pair encoding (r7; Sennrich et al. 2016 — upgrades the
+    token-counting surface from a BPE-ish regex to the actual algorithm):
+    merges train on the corpus word histogram (one distributed shuffle,
+    driver-side merge loop — how real tokenizer trainers work), then the
+    corpus encodes through the learned ranks. Rows-only: the iterative
+    merge learning is not SQL-expressible; the trainer is pinned against
+    an independently written reference implementation and the paper's
+    worked example in tests/test_bpe.py, and merges are a deterministic,
+    layout-independent function of (corpus, num_merges)."""
+    from oracle_vectorsearch_example_spark.functions.bpe import (
+        bpe_encode_df,
+        train_bpe,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    merges = train_bpe(docs.filter(F.col("doc_id") < 200), num_merges=100)
+    enc = bpe_encode_df(docs.filter(F.col("doc_id") < 200), merges)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.slice("tokens", 1, 5).alias("head_tokens"),
+    )
+
+
 # ---------------------------------------- approx / ANN (no SQL oracle — the
 # driver records the weaker rows-only check; SURVEY.md §5: never hash-check
 # approximate operators)
@@ -3935,7 +3960,8 @@ _PRIORITY = [
     "percentile_gate", "percentiles", "pivot", "salted_join_agg",
     "stream_dedup", "tpch_q3", "unicode_nfc",
     # new in r7 (never witnessed): progressive JPEG decode; animated-GIF
-    # real frame sampling; z-order layout codes
+    # real frame sampling; z-order layout codes. (bpe_tokens, rows-only,
+    # waits for r8 — oracle-paired seats take priority.)
     "jpeg_decode", "gif_frames", "zorder_keys",
     # last witnessed r05 (8 of 22; family breadth for the final seats)
     "projection", "count_distinct", "rollup", "sessionize", "range_join",
