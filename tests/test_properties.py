@@ -201,7 +201,8 @@ _DOC_TEXT = st.text(
 
 
 @given(_DOC_TEXT, st.sampled_from(
-    ["pdf", "html", "docx", "rtf", "xlsx", "pptx", "doc", "xls", "ppt", "text"]
+    ["pdf", "html", "docx", "rtf", "xlsx", "pptx", "doc", "xls", "ppt",
+     "pdf_cid", "pdf_lzw", "text"]
 ))
 @settings(max_examples=150, deadline=None)
 def test_render_extract_roundtrip_property(text, fmt):
@@ -335,3 +336,98 @@ def test_jpeg_huffman_tables_roundtrip(which):
     dec = _build_huffman(bits, vals)
     for sym, (code, length) in enc.items():
         assert dec[(length, code)] == sym
+
+
+@given(
+    st.integers(1, 14),
+    st.integers(1, 14),
+    st.integers(2, 6),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(w, h, ncolors, seed):
+    """encode→decode is pixel-exact for any ≤256-color image, any dims —
+    the lossless contract the image_decode oracle relies on (r7)."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.gif import (
+        decode_gif_pixels,
+        make_animated_gif,
+    )
+
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, (ncolors, 3))
+    f = palette[rng.randint(0, ncolors, (h, w))].astype(np.uint8)
+    assert np.array_equal(decode_gif_pixels(make_animated_gif([f])), f)
+
+
+@given(
+    st.integers(1, 14),
+    st.integers(1, 14),
+    st.sampled_from(["none", "lzw", "packbits"]),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(w, h, comp, pred, seed):
+    """TIFF encode→decode pixel-exact across compressions/predictor for
+    arbitrary truecolor content, any dims (r7)."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.tiff import (
+        decode_tiff_pixels,
+        make_simple_tiff,
+    )
+
+    if pred and comp != "lzw":
+        pred = False
+    rng = np.random.RandomState(seed)
+    f = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    d = make_simple_tiff(f, compression=comp, predictor=pred)
+    assert np.array_equal(decode_tiff_pixels(d), f)
+
+
+@given(st.integers(8, 40), st.integers(8, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_progressive_jpeg_equals_baseline_property(w, h, seed):
+    """Progressive and baseline encodings of the SAME image decode to
+    identical pixels for arbitrary content and dims — the r7 contract
+    that catches any scan-accumulation slip."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    f = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg_pixels(encode_jpeg(f, quality=85))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(f, quality=85))
+    assert np.array_equal(base, prog)
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcdefg", min_size=1, max_size=6),
+                  st.integers(1, 9)),
+        min_size=1, max_size=12,
+    ),
+    st.integers(1, 25),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_tokens_reassemble_property(hist, n_merges):
+    """BPE-encoded tokens always reassemble the word exactly, for any
+    trained merge set and any word — including words absent from the
+    training histogram (r7)."""
+    from oracle_vectorsearch_example_spark.functions.bpe import (
+        EOW,
+        bpe_encode_word,
+        train_bpe_from_histogram,
+    )
+
+    merges = train_bpe_from_histogram(hist, n_merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for word, _f in hist + [("zgx", 1), ("aaaaaaaaaa", 1)]:
+        assert "".join(bpe_encode_word(word, ranks)) == word + EOW
