@@ -3589,9 +3589,16 @@ def q_gif_frames(spark, sf):
     """,
 )
 def q_audio_decode(spark, sf):
-    """X4 real audio decode: PCM WAV via stdlib ``wave`` + int16 sample
-    stats. A ±A square wave has rms == A and zero-cross rate == 1.0
-    exactly, so the oracle is arithmetic while Spark decodes real frames."""
+    """X4 real audio decode: even ids PCM WAV (stdlib ``wave``), odd ids
+    FLAC (r7 — Rice-coded fixed-predictor frames, CRC-verified) of the
+    SAME ±A square wave. A square wave has rms == A and zero-cross rate
+    == 1.0 exactly, and FLAC is LOSSLESS, so ONE arithmetic format-blind
+    oracle hash-checks real frame decoding through both containers."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.flac import (
+        make_simple_flac,
+    )
     from oracle_vectorsearch_example_spark.operators.multimodal import (
         audio_features,
         make_simple_wav,
@@ -3599,17 +3606,18 @@ def q_audio_decode(spark, sf):
 
     @F.pandas_udf("binary")
     def mk_wav(ids: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                make_simple_wav(
-                    2000 + (int(i) % 50) * 40,
-                    1000 + (int(i) % 100) * 10,
-                    sample_rate=8000 * (1 + int(i) % 3),
-                )
-                for i in ids
-            ],
-            dtype=object,
-        )
+        out = []
+        for i in ids:
+            i = int(i)
+            n = 2000 + (i % 50) * 40
+            amp = 1000 + (i % 100) * 10
+            rate = 8000 * (1 + i % 3)
+            if i % 2 == 0:
+                out.append(make_simple_wav(n, amp, sample_rate=rate))
+            else:
+                sq = np.tile(np.array([amp, -amp], np.int16), n // 2)[:n]
+                out.append(make_simple_flac(sq, rate))
+        return pd.Series(out, dtype=object)
 
     docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
     media = docs.select(

@@ -631,6 +631,27 @@ def decode_wav_bytes(data: bytes) -> tuple[int, int, int, float, float]:
     return nch, rate, n, rms, zcr
 
 
+def decode_audio_bytes(data: bytes) -> tuple[int, int, int, float, float]:
+    """Magic-dispatched audio stats: RIFF/WAV (stdlib ``wave``) or FLAC
+    (r7, ``functions.flac`` fixed-predictor subset) — same
+    (n_channels, sample_rate, n_samples, rms, zero_cross_rate) contract
+    either way."""
+    data = bytes(data)
+    if data[:4] == b"fLaC":
+        from oracle_vectorsearch_example_spark.functions.flac import decode_flac
+
+        rate, pcm = decode_flac(data)
+        nch = pcm.shape[1]
+        x = pcm[:, 0].astype(_np.float64)
+        rms = float(_np.sqrt(_np.mean(x * x))) if len(x) else 0.0
+        zcr = (
+            float(_np.mean(_np.signbit(x[1:]) != _np.signbit(x[:-1])))
+            if len(x) > 1 else 0.0
+        )
+        return nch, rate, len(pcm), rms, zcr
+    return decode_wav_bytes(data)
+
+
 _IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -712,9 +733,9 @@ def audio_features(
 
     def one(p):
         if on_error == "raise":
-            return decode_wav_bytes(bytes(p))
+            return decode_audio_bytes(bytes(p))
         try:
-            return decode_wav_bytes(bytes(p))
+            return decode_audio_bytes(bytes(p))
         except Exception:  # noqa: BLE001 - any decode failure → null row
             return (None, None, None, None, None)
 
