@@ -8,14 +8,16 @@ numbers, block-size/sample-rate/sample-size codes, independent and
 left-side/right-side/mid-side stereo decorrelation, subframe types
 CONSTANT / VERBATIM / FIXED (orders 0–4) with wasted-bits shift, and
 Rice-coded residuals (both 4- and 5-bit parameter methods, partition
-orders, raw-bits escape). LPC subframes raise by name — the honest gate
-(the fixed-predictor family is what this module's writer emits and what
-low-complexity encoders produce).
+orders, raw-bits escape), and LPC subframes (orders 1–32, quantized
+coefficients + arithmetic-shift prediction, RFC 9639 §9.2.5) — the full
+subframe family real encoders emit.
 
 The matching :func:`make_simple_flac` writer (fixed predictor order
-chosen per frame by residual magnitude, single Rice partition) gives
-EXACT lossless round-trips — `decode(encode(pcm)) == pcm` bit-for-bit —
-so the test anchor is self-contained like the BMP/PNG/GIF/TIFF pairs.
+chosen per frame by residual magnitude, single Rice partition; pass
+``lpc_order`` for Levinson–Durbin LPC subframes with the real mode
+decision) gives EXACT lossless round-trips — `decode(encode(pcm)) ==
+pcm` bit-for-bit — so the test anchor is self-contained like the
+BMP/PNG/GIF/TIFF pairs.
 """
 
 from __future__ import annotations
@@ -146,10 +148,24 @@ def _decode_subframe(br: _Bits, block_size: int, bps: int) -> list[int]:
         for i, e in enumerate(res):
             pred = sum(c * out[order + i - j - 1] for j, c in enumerate(coefs))
             out.append(pred + e)
-    elif typ >= 32:
-        raise NotImplementedError(
-            "FLAC LPC subframes are not decoded (fixed-predictor subset)"
-        )
+    elif typ >= 32:  # LPC, order 1-32 (RFC 9639 §9.2.5)
+        order = (typ & 31) + 1
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("FLAC invalid LPC coefficient precision 15")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _read_residual(br, block_size, order)
+        out = list(warm)
+        for e in res:
+            # arithmetic right shift of the signed accumulator — Python's
+            # >> on negative ints is exactly that
+            pred = sum(c * out[-j - 1] for j, c in enumerate(coefs)) >> shift
+            out.append(pred + e)
     else:
         raise ValueError(f"FLAC reserved subframe type {typ}")
     if wasted:
@@ -286,13 +302,48 @@ def _rice_param(res: list[int]) -> int:
     return p
 
 
+def _lpc_quantized(ch: list[int], order: int, prec: int = 14,
+                   shift: int = 12) -> list[int] | None:
+    """Levinson–Durbin LPC fit quantized to ``prec``-bit integers at
+    2^shift scale; None when the signal has no energy (constant blocks —
+    the fixed path handles those better anyway). Model quality only
+    affects SIZE: the residual is computed with the decoder's exact
+    integer arithmetic, so any coefficient set round-trips losslessly."""
+    x = np.asarray(ch, dtype=np.float64)
+    n = len(x)
+    if n <= order:
+        return None
+    ac = [float(x @ x)]
+    if ac[0] == 0.0:
+        return None
+    for k in range(1, order + 1):
+        ac.append(float(x[:-k] @ x[k:]))
+    err = ac[0]
+    a: list[float] = []
+    for i in range(order):
+        if err <= 0:
+            return None
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        k = acc / err
+        a = [aj - k * ar for aj, ar in zip(a, reversed(a))] + [k]
+        err *= 1.0 - k * k
+    lim = 1 << (prec - 1)
+    return [max(-lim, min(lim - 1, round(c * (1 << shift)))) for c in a]
+
+
 def make_simple_flac(
-    samples: np.ndarray, sample_rate: int = 16000, block_size: int = 4096
+    samples: np.ndarray, sample_rate: int = 16000, block_size: int = 4096,
+    lpc_order: int = 0,
 ) -> bytes:
     """PCM16 → FLAC (fixed blocking, independent channels, per-frame
     fixed-predictor order 0–2 chosen by residual magnitude, one Rice
     partition). ``samples``: (n,) or (n, channels) int16. Lossless:
-    ``decode_flac(make_simple_flac(x))[1] == x`` exactly."""
+    ``decode_flac(make_simple_flac(x))[1] == x`` exactly.
+
+    ``lpc_order > 0`` writes LPC subframes instead (order capped by the
+    block) wherever the quantized Levinson–Durbin fit beats the best
+    fixed predictor's residual cost — the real codec's mode decision,
+    and the encoder twin of the LPC decode path."""
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -356,11 +407,34 @@ def make_simple_flac(
             res = best_res if order else ch[0:]
             if order == 0:
                 res = ch
+            lpc = None
+            if lpc_order > 0:
+                o = min(lpc_order, 32, bs - 1)
+                q = _lpc_quantized(ch, o) if o >= 1 else None
+                if q:
+                    shift = 12
+                    lres = [
+                        ch[i]
+                        - (sum(q[j] * ch[i - j - 1] for j in range(o)) >> shift)
+                        for i in range(o, bs)
+                    ]
+                    if sum(abs(v) for v in lres) < best_cost:
+                        lpc, res, order = (q, shift), lres, o
             bw.write(0, 1)
-            bw.write(8 + order, 6)  # FIXED subframe, given order
+            if lpc:
+                bw.write(32 | (order - 1), 6)  # LPC subframe, given order
+            else:
+                bw.write(8 + order, 6)  # FIXED subframe, given order
             bw.write(0, 1)  # no wasted bits
             for i in range(order):  # warm-up samples
                 bw.write(ch[i] & 0xFFFF, 16)
+            if lpc:
+                q, shift = lpc
+                prec = 14
+                bw.write(prec - 1, 4)
+                bw.write(shift, 5)
+                for c0 in q:
+                    bw.write(c0 & ((1 << prec) - 1), prec)
             bw.write(0, 2)  # rice method: 4-bit params
             bw.write(0, 4)  # partition order 0
             p = _rice_param(res)

@@ -56,27 +56,61 @@ def test_crc_mismatch_detected():
         decode_flac(bytes(data))
 
 
-def test_lpc_named_gate():
-    """A frame whose subframe type says LPC must raise by name, not
-    misdecode."""
-    x = np.zeros(16, np.int16)
-    data = bytearray(make_simple_flac(x, 8000, block_size=16))
-    # frame starts after 4 (fLaC) + 4 + 34 (STREAMINFO): find sync
-    at = data.index(b"\xff\xf8", 8)
-    # subframe header byte sits right after the 16-bit blocksize + crc8;
-    # simplest robust corruption: flip the subframe type bits directly by
-    # scanning for the encoded 0b0_001000_0 (FIXED order 0) byte
-    probe = bytes(data)
-    found = False
-    for i in range(at, len(probe)):
-        b = probe[i]
-        if b == 0b00010000:  # pad0 + type 001000 (FIXED order 0) + wasted 0
-            data[i] = 0b01000000  # type 100000 = LPC order 0
-            found = True
-            break
-    assert found
-    with pytest.raises(Exception, match="LPC|CRC"):
-        decode_flac(bytes(data))
+def test_lpc_roundtrip_and_mode_decision():
+    """LPC subframes (RFC 9639 §9.2.5): the Levinson–Durbin writer path
+    round-trips bit-exactly, beats the fixed predictor on tonal signals,
+    and the mode decision falls back to fixed/constant where LPC can't
+    help (noise, constants)."""
+    rng = np.random.default_rng(3)
+    t = np.arange(20000)
+    sig = (
+        8000 * np.sin(2 * np.pi * 440 * t / 16000)
+        + 2000 * np.sin(2 * np.pi * 1313 * t / 16000)
+        + 150 * rng.normal(size=t.size)
+    ).astype(np.int16)
+    fixed = make_simple_flac(sig, 16000)
+    lpc = make_simple_flac(sig, 16000, lpc_order=8)
+    _, got = decode_flac(lpc)
+    assert np.array_equal(got[:, 0], sig.astype(np.int32))
+    assert len(lpc) < len(fixed)  # tonal → LPC residual is smaller
+    # stereo + constant + short-block edge cases all stay lossless
+    st = np.stack([sig[:5000], (sig[:5000] // 3)], axis=1).astype(np.int16)
+    _, got2 = decode_flac(make_simple_flac(st, 16000, lpc_order=4))
+    assert np.array_equal(got2, st.astype(np.int32))
+    const = np.full(300, -7, np.int16)
+    _, got3 = decode_flac(make_simple_flac(const, 8000, lpc_order=8))
+    assert np.array_equal(got3[:, 0], const.astype(np.int32))
+
+
+def test_lpc_invalid_precision_and_shift_rejected():
+    """Decoder hardening: precision code 15 and negative shifts are
+    named ValueErrors, not silent garbage."""
+    from oracle_vectorsearch_example_spark.functions.flac import (
+        _Bits,
+        _decode_subframe,
+    )
+
+    def frame_bits(prec_code: int, shift5: int) -> _Bits:
+        bw = _BitW()
+        bw.write(0, 1)          # padding
+        bw.write(32 | 0, 6)     # LPC order 1
+        bw.write(0, 1)          # no wasted bits
+        bw.write(5 & 0xFFFF, 16)  # 1 warm-up sample
+        bw.write(prec_code, 4)
+        bw.write(shift5, 5)
+        bw.write(1, 15)         # one coefficient (only read when prec ok)
+        bw.write(0, 2)          # rice method 0
+        bw.write(0, 4)          # partition order 0
+        bw.write(0, 4)          # rice param 0
+        for _ in range(3):
+            bw.write_unary(0)
+        bw.align()
+        return _Bits(bytes(bw.out))
+
+    with pytest.raises(ValueError, match="precision"):
+        _decode_subframe(frame_bits(15, 12), 4, 16)
+    with pytest.raises(ValueError, match="shift"):
+        _decode_subframe(frame_bits(13, 0b10100), 4, 16)  # -12 signed
 
 
 def _stereo_frame(mode: int, a: list[int], b: list[int], bits_a: int, bits_b: int):
