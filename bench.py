@@ -357,6 +357,36 @@ def main():
                 4,
             ),
         }
+        # Sharded HNSW (X22, r7) — Oracle's OTHER index organization
+        # (INMEMORY NEIGHBOR GRAPH) on the SAME noisy 1M fixture, where
+        # graph search shines: recall does not depend on cluster
+        # structure the way IVF/PQ pruning does. Build is cached beside
+        # the fixture (one 32-task job); the timed entry is the search.
+        from oracle_vectorsearch_example_spark.sources.ann_fixture import (
+            ensure_hnsw_index,
+        )
+
+        hnsw_n = ensure_hnsw_index(spark, ann_base, n=NOISY_N, noise=NOISY_Z)
+
+        def hnsw_1m():
+            return hnsw_n.search(qn16, k=10, ef=64, exclude_self=True)
+
+        def exact_1m():
+            return topk_search(
+                noisy, qn16, k=10, metric="cosine", base_id="vec_id",
+                base_vec="embedding", exclude_self=True,
+            )
+
+        run_entry("exact_topk_1m_noisy", lambda: _execute(exact_1m()))
+        run_entry("hnsw_search_1m", lambda: _execute(hnsw_1m()))
+        extras["hnsw_1m"] = {
+            "n": NOISY_N,
+            "noise": NOISY_Z,
+            "n_shards": 32,
+            "m": 16,
+            "ef": 64,
+            "recall_at_10": round(recall_at_k(exact_n, hnsw_1m()), 4),
+        }
     except Exception as e:  # noqa: BLE001
         # record under BOTH keys: if exact_topk_4m already succeeded, a
         # later ivf/recall failure must still surface, not vanish

@@ -2416,6 +2416,29 @@ def q_ivf_search_df(spark, sf):
     return hits.select("qid", "rank", "vec_id")
 
 
+@golden("hnsw_exhaustive", _TOPK_SQL)
+def q_hnsw_exhaustive(spark, sf):
+    """Sharded HNSW — Oracle's OTHER vector index organization
+    (`ORGANIZATION INMEMORY NEIGHBOR GRAPH`; the reference builds the
+    NEIGHBOR PARTITIONS/IVF sibling, 01_pdf_to_vector.sql:93-97) —
+    hash-checked end to end: ef >= shard size degenerates every shard's
+    beam search to an exhaustive scan, so build → hash-shard → per-shard
+    graph → merge must reproduce the exact top-k under the same DuckDB
+    oracle the IVF goldens use. Recall at practical ef is gated in
+    tests/test_hnsw.py; throughput in bench (`hnsw_1m`)."""
+    from oracle_vectorsearch_example_spark.operators.hnsw import (
+        ShardedHnswIndex,
+    )
+
+    e = read_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = ShardedHnswIndex.build(e, n_shards=4, m=12, seed=42)
+    hits = idx.search(q, k=5, ef=10**9, exclude_self=True)
+    return hits.select("qid", "rank", "vec_id")
+
+
 _FILTERED_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 10),

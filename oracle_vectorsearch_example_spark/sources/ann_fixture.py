@@ -201,3 +201,41 @@ def ensure_ann_index(
         seed=index_seed,
         sample_per_cluster=sample_per_cluster,
     )
+
+
+def ensure_hnsw_index(
+    spark: SparkSession,
+    base_dir: str,
+    n: int = DEFAULT_N,
+    dim: int = DEFAULT_DIM,
+    n_centers: int = DEFAULT_CENTERS,
+    noise: float = DEFAULT_NOISE,
+    seed: int = DEFAULT_SEED,
+    n_shards: int = 32,
+    m: int = 16,
+    ef_construction: int = 100,
+    index_seed: int = 42,
+):
+    """Idempotent sharded-HNSW index over the fixture, cached beside it
+    under a parameter-keyed dir. The cold build runs the per-shard graph
+    constructions as one 32-task job (~2 s/1000 vectors/shard; shards
+    build in parallel); every later call is a metadata ``load``."""
+    from oracle_vectorsearch_example_spark.operators.hnsw import (
+        ShardedHnswIndex,
+    )
+
+    fixture = ensure_ann_fixture(spark, base_dir, n, dim, n_centers, noise, seed)
+    path = (
+        _fixture_dir(base_dir, n, dim, n_centers, noise, seed)
+        + f"__hnsw_s{n_shards}_m{m}_efc{ef_construction}_s{index_seed}"
+    )
+    if ShardedHnswIndex._meta_exists(spark, path):
+        return ShardedHnswIndex.load(spark, path)
+    return ShardedHnswIndex.build(
+        fixture,
+        n_shards=n_shards,
+        m=m,
+        ef_construction=ef_construction,
+        seed=index_seed,
+        path=path,
+    )
