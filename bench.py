@@ -367,9 +367,10 @@ def main():
         )
 
         hnsw_n = ensure_hnsw_index(spark, ann_base, n=NOISY_N, noise=NOISY_Z)
+        HNSW_EF = 160  # 0.9875 recall@10 on this fixture (ef=96: 0.89)
 
         def hnsw_1m():
-            return hnsw_n.search(qn16, k=10, ef=64, exclude_self=True)
+            return hnsw_n.search(qn16, k=10, ef=HNSW_EF, exclude_self=True)
 
         def exact_1m():
             return topk_search(
@@ -384,9 +385,54 @@ def main():
             "noise": NOISY_Z,
             "n_shards": 32,
             "m": 16,
-            "ef": 64,
+            "ef": HNSW_EF,
             "recall_at_10": round(recall_at_k(exact_n, hnsw_1m()), 4),
         }
+        # The batch entry above pays per-batch graph deserialization —
+        # the honest Spark-batch cost. The organization's actual design
+        # point (Oracle's INMEMORY) is RESIDENT graphs serving queries;
+        # measure that too: load once driver-side, then per-query wall.
+        try:
+            import glob as _glob
+            import time as _time
+
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            from oracle_vectorsearch_example_spark.operators.hnsw import (
+                HnswGraph,
+            )
+
+            gdir = [
+                p for p in _glob.glob(os.path.join(ann_base, "*__hnsw_*"))
+                if f"n{NOISY_N}_" in os.path.basename(p)
+            ][0]
+            t0 = _time.time()
+            resident = [
+                HnswGraph.from_blob(b.as_py())
+                for f in sorted(_glob.glob(gdir + "/graphs/*.parquet"))
+                for b in _pq.read_table(f).column("blob")
+            ]
+            load_s = _time.time() - t0
+            qv = {
+                int(r[0]): _np.asarray(r[1], dtype=_np.float64)
+                for r in qn16.collect()
+            }
+            t0 = _time.time()
+            for qid, v in qv.items():
+                v = v / _np.linalg.norm(v)
+                for g in resident:
+                    g.search(v, 10, HNSW_EF, exclude_id=qid)
+            extras["hnsw_1m"]["resident"] = {
+                "load_s": round(load_s, 2),
+                "query_ms_serial_32_shards": round(
+                    (_time.time() - t0) / len(qv) * 1000, 1
+                ),
+            }
+        except Exception as e:  # noqa: BLE001
+            extras["hnsw_1m"]["resident"] = {
+                "err": str(e).splitlines()[0][:200]
+            }
     except Exception as e:  # noqa: BLE001
         # record under BOTH keys: if exact_topk_4m already succeeded, a
         # later ivf/recall failure must still surface, not vanish
