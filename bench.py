@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     # headliners added in round 6
     "pii_redact",          # chained regexp_replace scrub (codegen)
     "boilerplate_removal", # global line-frequency strip + re-assembly
+    # headliners added in round 7
+    "bm25_topk",           # lexical BM25 top-k (postings + broadcast terms)
+    "hybrid_rrf",          # BM25 + vector reciprocal-rank fusion
 ]
 
 N_RUNS = 3

@@ -2439,6 +2439,144 @@ def q_hnsw_exhaustive(spark, sf):
     return hits.select("qid", "rank", "vec_id")
 
 
+_BM25_QUERIES = [
+    (0, "spark join hash table"),
+    (1, "fast scan filter value"),
+    (2, "window agg group order"),
+    (3, "customer query merge batch"),
+]
+_BM25_Q_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+_BM25_CTES = f"""
+    tok AS (
+      SELECT doc_id, lower(t.tok) AS term
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*)::DOUBLE AS dfc FROM tf GROUP BY 1),
+    q(qid, qtext) AS (VALUES {_BM25_Q_VALUES}),
+    qt AS (
+      SELECT DISTINCT qid, lower(t.tok) AS term
+      FROM q, unnest(string_split(qtext, ' ')) AS t(tok) WHERE t.tok <> ''
+    ),
+    contrib AS (
+      SELECT qt.qid, tf.doc_id,
+             ln(1.0 + (stats.n - dft.dfc + 0.5) / (dft.dfc + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS c
+      FROM qt
+      JOIN tf USING (term)
+      JOIN dl USING (doc_id)
+      JOIN dft USING (term)
+      CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT qid, doc_id, round(sum(c), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    )
+"""
+
+_BM25_SQL = f"""
+    WITH {_BM25_CTES}
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score
+    FROM bm QUALIFY rank <= 10
+"""
+
+
+@golden("bm25_topk", _BM25_SQL)
+def q_bm25_topk(spark, sf):
+    """BM25 lexical top-k (X23) — the keyword half of Oracle 23ai's
+    hybrid vector/keyword search (the vector half is the reference's
+    index, 01_pdf_to_vector.sql:84-97). Hash-stable because the
+    per-document score uses an order-canonicalized fold (term-sorted
+    contributions, left fold, round 6 dp) that DuckDB's independent
+    summation reproduces exactly — see operators/bm25.py docs."""
+    from oracle_vectorsearch_example_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "qid long, qtext string")
+    idx = bm25_index(docs)
+    return bm25_search(idx, queries, k=10).select(
+        "qid", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+_HYBRID_SQL = f"""
+    WITH {_BM25_CTES},
+    bmr AS (
+      SELECT qid, doc_id, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+      FROM bm QUALIFY rank <= 20
+    ),
+    qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 4),
+    vs AS (
+      SELECT qv.qid, e.vec_id AS doc_id,
+             1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          qv.qvec) AS dist
+      FROM embeddings e CROSS JOIN qv
+    ),
+    vr AS (
+      SELECT qid, doc_id, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY dist, doc_id) AS BIGINT) AS rank
+      FROM vs QUALIFY rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(b.qid, v.qid) AS qid,
+             COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1.0 / (60.0 + b.rank), 0.0)
+               + COALESCE(1.0 / (60.0 + v.rank), 0.0) AS rrf_score
+      FROM bmr b FULL OUTER JOIN vr v
+        ON b.qid = v.qid AND b.doc_id = v.doc_id
+    )
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS rank, doc_id, rrf_score
+    FROM fused QUALIFY rank <= 10
+"""
+
+
+@golden("hybrid_rrf", _HYBRID_SQL)
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval (X23): reciprocal-rank fusion of the BM25
+    keyword ranking over `documents` and the exact cosine ranking over
+    `embeddings` (doc_id == vec_id in the fixture) — Oracle 23ai's
+    hybrid search shape. RRF sums two exactly-representable reciprocals
+    in a fixed order, so the fused score hash-checks without rounding."""
+    from oracle_vectorsearch_example_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search,
+        rrf_fuse,
+    )
+    from oracle_vectorsearch_example_spark.operators.search import topk_search
+
+    docs = read_table(spark, sf, "documents")
+    emb = read_table(spark, sf, "embeddings")
+    queries = spark.createDataFrame(_BM25_QUERIES, "qid long, qtext string")
+    idx = bm25_index(docs)
+    lex = bm25_search(idx, queries, k=20)
+    qv = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vec = topk_search(
+        emb, qv, k=20, metric="cosine", exclude_self=False
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = rrf_fuse([lex, vec], k=10)
+    return fused.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "doc_id", "rrf_score"
+    )
+
+
 _FILTERED_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 10),

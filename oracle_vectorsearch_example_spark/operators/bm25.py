@@ -1,0 +1,182 @@
+"""BM25 lexical search + reciprocal-rank-fusion hybrid retrieval —
+the keyword half of Oracle AI Vector Search's hybrid vector index
+(Oracle 23ai pairs the reference's vector search,
+01_pdf_to_vector.sql:84-97, with Oracle Text keyword scoring and fuses
+the two rankings; this module is that surface, Spark-first).
+
+Everything is JVM built-ins — no UDFs anywhere:
+
+Index: one tokenize pass (split/lower/explode) feeds three skinny
+tables — postings (term, doc_id, tf), doc lengths, per-term document
+frequencies — plus two scalars (N, avgdl). Each is one shuffle on its
+natural key; corpus text crosses the wire once, at tokenize time.
+
+Search: query terms are a bounded frame → broadcast-joined against the
+postings (the corpus-scaled side never moves), per-(query, doc, term)
+contributions aggregate with an ORDER-CANONICALIZED fold —
+``array_sort(collect_list(struct(term, contrib)))`` + ``F.aggregate`` —
+so the floating-point sum is a pure function of the contribution SET,
+not of partitioning or aggregation order (the determinism discipline
+that makes the golden hash-stable: a plain ``sum()`` over doubles varies
+in the last ulp with partition layout, which flips near-tie ranks).
+Scores round to 6 dp before ranking for the same reason: the DuckDB
+oracle's independent summation agrees to ~1e-12, so both engines rank
+identical values.
+
+Fusion: ``rrf_fuse`` implements reciprocal-rank fusion
+(score = Σ 1/(k0 + rank)) over any number of rank frames — the standard
+hybrid-search combiner (Cormack et al., SIGIR 2009; what Oracle/Elastic
+expose for vector+keyword). A full outer join on (qid, doc) keeps
+docs found by only one retriever; missing ranks contribute 0.
+
+BM25 parameters: k1=1.2, b=0.75 (the Robertson defaults); idf is the
+Lucene-style ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — strictly positive,
+so a term in >half the corpus can't flip scores negative.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows: lowercase whitespace tokens, empties dropped.
+    Deliberately the simplest spec that an oracle can replicate exactly
+    (split on single space); real pipelines can pre-normalize with
+    functions/textstats.py's tokenizer."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+class Bm25Index(NamedTuple):
+    """Skinny index tables + corpus scalars. All DataFrames; persist or
+    write them like any table for reuse."""
+
+    postings: DataFrame  # (term, doc_id, tf)
+    doc_len: DataFrame  # (doc_id, dl)
+    term_df: DataFrame  # (term, dfc)
+    n_docs: float
+    avgdl: float
+
+
+def bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> Bm25Index:
+    """One tokenize pass → postings / doc-length / doc-frequency tables.
+    The two scalars (N, avgdl) collect as metadata — the same bounded
+    contract as IVF centroids."""
+    tok = _tokens(docs, id_col, text_col)
+    postings = tok.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    doc_len = tok.groupBy(id_col).agg(F.count("*").cast("double").alias("dl"))
+    term_df = postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("dfc")
+    )
+    row = doc_len.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return Bm25Index(postings, doc_len, term_df, float(row["n"]),
+                     float(row["avgdl"]))
+
+
+def bm25_search(
+    index: Bm25Index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(qid, rank, doc_id, score): top-k BM25 per query. Distributed end
+    to end — the query frame tokenizes in-plan and broadcast-joins the
+    postings on term; nothing is collected, so corpus-sized query frames
+    work (same posture as IvfIndex.search_df)."""
+    qt = _tokens(queries, qid_col, qtext_col).distinct()
+    joined = (
+        index.postings.join(F.broadcast(qt), "term")
+        .join(index.doc_len, id_col)
+        .join(index.term_df.withColumnRenamed("term", "__t"),
+              F.col("term") == F.col("__t"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(index.n_docs) - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.lit(index.avgdl)
+    )
+    contrib = (idf * F.col("tf") * (k1 + 1.0) / denom).alias("contrib")
+    scored = (
+        joined.select(qid_col, id_col, "term", contrib)
+        .groupBy(qid_col, id_col)
+        # order-canonicalized fold: sort contributions by term, then
+        # left-fold — the sum is a pure function of the contribution
+        # set (see module docs)
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("term", "contrib"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("__s")
+        )
+        .withColumn("score", F.round(F.col("__s"), 6))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion over N rank frames (each with columns
+    (qid, rank, doc_id)): fused = Σ_i 1/(k0 + rank_i), absent retrievers
+    contribute 0. Output (qid, rank, doc_id, rrf_score) top-k. The sum
+    has a fixed operand order (retriever list order), so it is exactly
+    reproducible — no rounding needed."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
+    fused = None
+    for i, df in enumerate(ranked):
+        part = df.select(
+            qid_col, id_col,
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))).alias(f"__r{i}"),
+        )
+        fused = part if fused is None else fused.join(
+            part, [qid_col, id_col], "full_outer"
+        )
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(F.col(f"__r{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "rrf_score")
+    )

@@ -1,0 +1,110 @@
+"""BM25 + RRF hybrid retrieval (operators/bm25.py, X23) — hand-computed
+score checks, the order-canonicalized-fold determinism gate, and fusion
+semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.bm25 import (
+    bm25_index,
+    bm25_search,
+    rrf_fuse,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+        (4, "date elderberry"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_hand_computed_score(spark, tiny):
+    """One-term query against the 4-doc corpus: score must equal the
+    formula evaluated by hand (k1=1.2, b=0.75, Lucene idf)."""
+    idx = bm25_index(tiny)
+    assert idx.n_docs == 4.0
+    # doc lengths: 3, 2, 4, 2 → avgdl = 11/4
+    assert idx.avgdl == pytest.approx(11 / 4)
+    q = spark.createDataFrame([(0, "apple")], "qid long, qtext string")
+    got = {r["doc_id"]: r["score"] for r in bm25_search(idx, q, k=10).collect()}
+    idf = math.log(1.0 + (4 - 1 + 0.5) / (1 + 0.5))  # df(apple)=1
+    tf, dl, avgdl = 2.0, 3.0, 11 / 4
+    expect = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert got == {1: pytest.approx(round(expect, 6))}
+
+
+def test_ranking_and_missing_terms(spark, tiny):
+    idx = bm25_index(tiny)
+    q = spark.createDataFrame(
+        [(0, "cherry date"), (1, "zzz_not_in_corpus")],
+        "qid long, qtext string",
+    )
+    hits = bm25_search(idx, q, k=10).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert 1 not in by_q  # no matching term → no rows, not a crash
+    ranks = {r["doc_id"]: r["rank"] for r in by_q[0]}
+    # doc 3 has cherry×3 + date; doc 2 and 4 have one term each
+    assert ranks[3] == 1
+    assert set(ranks) == {2, 3, 4}
+
+
+def test_scores_partition_layout_independent(spark, tiny):
+    """The fold is order-canonicalized: an adversarial repartition must
+    reproduce bit-identical scores (a plain sum() would drift in the
+    last ulp and flip near-tie ranks)."""
+    q = spark.createDataFrame(
+        [(0, "apple banana cherry date elderberry")], "qid long, qtext string"
+    )
+    a = bm25_search(bm25_index(tiny), q, k=10).collect()
+    b = bm25_search(bm25_index(tiny.repartition(7)), q, k=10).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_rrf_fusion_hand_computed(spark):
+    lex = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 20)], "qid long, rank long, doc_id long"
+    ).select("qid", "rank", "doc_id")
+    vec = spark.createDataFrame(
+        [(0, 1, 20), (0, 2, 30)], "qid long, rank long, doc_id long"
+    ).select("qid", "rank", "doc_id")
+    out = {r["doc_id"]: (r["rank"], r["rrf_score"])
+           for r in rrf_fuse([lex, vec], k=10).collect()}
+    # doc 20: 1/(60+2) + 1/(60+1); doc 10: 1/61; doc 30: 1/62
+    assert out[20][1] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[10][1] == pytest.approx(1 / 61)
+    assert out[30][1] == pytest.approx(1 / 62)
+    assert [out[d][0] for d in (20, 10, 30)] == [1, 2, 3]
+
+
+def test_rrf_three_retrievers_and_validation(spark):
+    one = spark.createDataFrame(
+        [(0, 1, 5)], "qid long, rank long, doc_id long"
+    )
+    out = rrf_fuse([one, one, one], k=5).collect()
+    assert out[0]["rrf_score"] == pytest.approx(3 / 61)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_idf_positive_for_ubiquitous_terms(spark):
+    """A term present in every doc keeps a positive idf (Lucene form) —
+    classic Okapi idf would go negative and invert rankings."""
+    docs = spark.createDataFrame(
+        [(i, "common filler" + (" rare" if i == 0 else "")) for i in range(5)],
+        "doc_id long, text string",
+    )
+    idx = bm25_index(docs)
+    q = spark.createDataFrame([(0, "common")], "qid long, qtext string")
+    hits = bm25_search(idx, q, k=10).collect()
+    assert len(hits) == 5 and all(r["score"] > 0 for r in hits)
