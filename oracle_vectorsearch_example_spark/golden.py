@@ -2439,6 +2439,48 @@ def q_hnsw_exhaustive(spark, sf):
     return hits.select("qid", "rank", "vec_id")
 
 
+_BQ_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, b.vec_id,
+             (SELECT count(*)
+              FROM (SELECT unnest(CAST(b.embedding AS DOUBLE[])) AS x,
+                           unnest(q.qv) AS y) z
+              WHERE (z.x > 0) <> (z.y > 0)) AS hamming
+      FROM embeddings b CROSS JOIN q WHERE b.vec_id <> q.qid
+    )
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY hamming, vec_id) AS BIGINT) AS rank,
+           vec_id, hamming
+    FROM scored QUALIFY rank <= 5
+"""
+
+
+@golden("bq_topk", _BQ_TOPK_SQL)
+def q_bq_topk(spark, sf):
+    """Binary vector quantization (X24 — Oracle 23ai's BINARY dimension
+    format, the 1-bit sibling of SQ8/PQ): pure-JVM sign-bit packing to
+    array<bigint> words, XOR+popcount hamming top-k. The oracle never
+    sees the packed words — it recounts sign mismatches straight from
+    the float vectors, so a hash match witnesses the ENTIRE frozen
+    encode spec (bit = v > 0, word = OR of bits) end to end. Integer
+    distances → no FP rounding discipline needed."""
+    from oracle_vectorsearch_example_spark.operators.bq import (
+        bq_encode_df,
+        bq_topk_search,
+    )
+
+    e = read_table(spark, sf, "embeddings")
+    codes = bq_encode_df(e)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return bq_topk_search(codes, q, k=5, exclude_self=True).select(
+        "qid", F.col("rank").cast("long").alias("rank"), "vec_id", "hamming"
+    )
+
+
 _BM25_QUERIES = [
     (0, "spark join hash table"),
     (1, "fast scan filter value"),

@@ -1,0 +1,159 @@
+"""Binary vector quantization (X24) — Oracle 23ai's BINARY vector
+dimension format, Spark-first: 1 bit/dim (sign), hamming distance, 32×
+smaller than float32 and 64× smaller than the float64 test columns.
+
+Encode is PURE JVM — no UDF anywhere: a `transform` sets bit (i mod 64)
+for every positive component and an `aggregate` ORs each 64-slice into
+one BIGINT word, so packing runs inside whole-stage codegen and the
+codes land in an ordinary `array<bigint>` column (parquet/pruning/
+payload-compatible, same posture as SQ8's binary column).
+
+Search is the standard two-stage binary pipeline (FAISS
+IndexBinaryFlat + refine): XOR+popcount hamming scan over the packed
+words (numpy uint8 lookup — one table index per byte), oversampled
+top-k candidates, then an exact or SQ8 rerank. Hamming is an INTEGER —
+no floating-point anywhere in the coarse stage, so ranks are exactly
+reproducible and the golden hash-checks against a DuckDB oracle that
+recomputes sign-mismatch counts straight from the float vectors.
+
+Frozen spec: bit_i = 1 iff v_i > 0 (exact zeros pack as 0);
+word_j = OR over i in [64j, 64j+64) of bit_i << (i - 64j).
+
+At 100 TB: 384-dim embeddings become 48 B/vec (6 words) — the whole
+ranking working set of a 260 B-vector corpus fits in ~12 TB of scans,
+and the coarse stage reads nothing else.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bq_encode_df(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, words array<bigint>) sign-bit packing — pure JVM expressions
+    (whole-stage codegen; the encode never leaves the JVM)."""
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = int(row["d"])
+    nwords = (dim + 63) // 64
+    bits = F.expr(
+        f"transform({vec_col}, (x, i) -> IF(x > 0, shiftleft(1L, i % 64), 0L))"
+    ).alias("__bits")
+    words = F.array(
+        *[
+            F.expr(f"aggregate(slice(__bits, {j * 64 + 1}, 64), 0L, (a, b) -> a | b)")
+            for j in range(nwords)
+        ]
+    ).alias("words")
+    extra = list(keep_cols or [])
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col), bits, *extra)
+        .select(id_col, words, *extra)
+    )
+
+
+_POPCOUNT = None
+
+
+def _popcount_table():
+    global _POPCOUNT
+    if _POPCOUNT is None:
+        import numpy as np
+
+        _POPCOUNT = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint16
+        )
+    return _POPCOUNT
+
+
+def bq_topk_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(qid, rank, id, hamming): top-k by hamming distance over the
+    packed words. Queries are a bounded float frame — they sign-pack
+    driver-side with the same frozen spec and broadcast in the task
+    closures; per Arrow batch the scan is one XOR + one uint8 table
+    lookup per byte. Integer distances → exactly reproducible ranks
+    (ties by id), so the golden needs no rounding discipline."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = [
+        (int(r[0]), list(r[1]))
+        for r in queries.select(query_id, query_vec).collect()
+    ]
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    nwords_arr = None
+    if len(qrows):
+        dim = qv.shape[1]
+        nwords = (dim + 63) // 64
+        qbits = np.zeros((len(qrows), nwords), dtype=np.uint64)
+        for j in range(nwords):
+            seg = qv[:, j * 64 : (j + 1) * 64] > 0
+            weights = (1 << np.arange(seg.shape[1], dtype=np.uint64))
+            qbits[:, j] = (seg.astype(np.uint64) * weights).sum(axis=1)
+        nwords_arr = qbits
+    k_, excl = k, exclude_self
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        table = _popcount_table()
+        cand: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            w = np.array(list(pdf["words"]), dtype=np.int64).view(np.uint64)
+            for qi in range(len(qids)):
+                x = (w ^ nwords_arr[qi][None, :]).view(np.uint8)
+                ham = table[x].sum(axis=1).astype(np.int64)
+                b = bids
+                if excl:
+                    keep = b != qids[qi]
+                    ham, b = ham[keep], b[keep]
+                if not len(ham):
+                    continue
+                order = np.lexsort((b, ham))[:k_]
+                cand.append(
+                    pd.DataFrame(
+                        {"__qid": qids[qi], "__bid": b[order],
+                         "__ham": ham[order]}
+                    )
+                )
+        if cand:
+            allc = pd.concat(cand).sort_values(
+                ["__qid", "__ham", "__bid"], kind="mergesort"
+            )
+            yield allc.groupby("__qid", sort=False).head(k_)
+
+    scored = codes.mapInPandas(
+        run, schema="__qid long, __bid long, __ham long"
+    )
+    w = Window.partitionBy("__qid").orderBy("__ham", "__bid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            "rank",
+            F.col("__bid").alias(id_col),
+            F.col("__ham").alias("hamming"),
+        )
+    )
