@@ -2481,6 +2481,63 @@ def q_bq_topk(spark, sf):
     )
 
 
+_SPARSE_TOPK_SQL = """
+    WITH sp AS (
+      SELECT vec_id, g.i - 1 AS idx, CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+      WHERE abs(CAST(embedding[g.i] AS DOUBLE)) > 0.12
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM sp GROUP BY 1),
+    q AS (SELECT vec_id AS qid, idx, val FROM sp WHERE vec_id < 10),
+    qn AS (SELECT vec_id AS qid, nrm AS qnrm FROM norms WHERE vec_id < 10),
+    dots AS (
+      SELECT q.qid, sp.vec_id, sum(sp.val * q.val) AS dot
+      FROM sp JOIN q USING (idx) WHERE sp.vec_id <> q.qid
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT d.qid, d.vec_id,
+             round(CASE WHEN n.nrm > 0 AND qn.qnrm > 0
+                        THEN d.dot / (n.nrm * qn.qnrm) ELSE 0 END, 6) AS score
+      FROM dots d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN qn ON qn.qid = d.qid
+    )
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, score
+    FROM sc QUALIFY rank <= 5
+"""
+
+
+@golden("sparse_topk", _SPARSE_TOPK_SQL)
+def q_sparse_topk(spark, sf):
+    """Sparse vector search (X25 — Oracle 23ai's SPARSE vector dimension
+    format): threshold-sparsify the embeddings in pure JVM exprs, then
+    cosine top-k via the inverted-index join (postings ⋈ broadcast query
+    components — the classic sparse-retrieval plan; same shuffle shape
+    as BM25). Hash-stable through the order-canonicalized contribution
+    fold + 6 dp rounding; the oracle re-derives sparsification, norms,
+    and the dot product from the dense floats."""
+    from oracle_vectorsearch_example_spark.operators.sparse import (
+        sparse_topk_search,
+        to_sparse,
+    )
+
+    e = read_table(spark, sf, "embeddings")
+    sp = to_sparse(e, threshold=0.12)
+    q = sp.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "indices", "values"
+    )
+    hits = sparse_topk_search(
+        sp, q, k=5, metric="cosine", exclude_self=True
+    )
+    return hits.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "vec_id", "score"
+    )
+
+
 _BM25_QUERIES = [
     (0, "spark join hash table"),
     (1, "fast scan filter value"),
