@@ -2538,6 +2538,64 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_SUMMARY_SQL = r"""
+    WITH raw AS (
+      SELECT doc_id, regexp_extract_all(text, '(?:\S+\s+){11}\S+') AS arr
+      FROM documents WHERE doc_id < 200
+    ),
+    units AS (
+      SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS unit_idx, arr[g.i] AS unit
+      FROM raw, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+    ),
+    words AS (
+      SELECT doc_id, unit_idx, t.w
+      FROM units,
+           LATERAL (SELECT unnest(regexp_extract_all(lower(unit),
+                                                     '[a-z0-9]+')) AS w) t
+      WHERE length(t.w) >= 3
+        AND t.w NOT IN ('the','and','of','to','a','el','la','de','y','que')
+    ),
+    freq AS (SELECT doc_id, w, count(*) AS f FROM words GROUP BY 1, 2),
+    score AS (
+      SELECT wo.doc_id, wo.unit_idx, CAST(sum(f.f) AS BIGINT) AS score
+      FROM words wo JOIN freq f ON f.doc_id = wo.doc_id AND f.w = wo.w
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.unit_idx, u.unit, s.score,
+           CAST(row_number() OVER (
+             PARTITION BY s.doc_id
+             ORDER BY s.score DESC, s.unit_idx) AS BIGINT) AS rank
+    FROM score s JOIN units u
+      ON u.doc_id = s.doc_id AND u.unit_idx = s.unit_idx
+    QUALIFY rank <= 3
+"""
+
+
+@golden("utl_to_summary", _SUMMARY_SQL)
+def q_utl_to_summary(spark, sf):
+    """UTL_TO_SUMMARY (X26 — DBMS_VECTOR_CHAIN's extractive summary
+    sibling of the UTL_TO_TEXT/CHUNKS/EMBEDDINGS chain the reference
+    drives, 01_pdf_to_vector.sql:186-205): Luhn-style top-3 units per
+    document under the frozen INTEGER scoring spec (12-word fixed units,
+    [a-z0-9]+ tokens len>=3 minus the marker stoplist, unit score = sum
+    of per-document token frequencies). Pure JVM regex + hash aggs;
+    integer scores make the golden hash-stable with no FP discipline,
+    and the DuckDB oracle replays the whole spec from raw text."""
+    from oracle_vectorsearch_example_spark.functions.summary import (
+        utl_to_summary,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    top = utl_to_summary(docs, max_units=3, mode="fixed", n_words=12)
+    return top.select(
+        "doc_id",
+        "unit_idx",
+        "unit",
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 _BM25_QUERIES = [
     (0, "spark join hash table"),
     (1, "fast scan filter value"),
