@@ -2596,6 +2596,58 @@ def q_utl_to_summary(spark, sf):
     )
 
 
+_MAXSIM_SQL = """
+    WITH tok AS (
+      SELECT vec_id % 100 AS doc_id, vec_id // 100 AS tidx,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT doc_id AS qid, tidx AS qtidx, v AS qv
+          FROM tok WHERE doc_id < 3),
+    sims AS (
+      SELECT q.qid, t.doc_id, q.qtidx,
+             max(list_cosine_similarity(t.v, q.qv)) AS best
+      FROM tok t CROSS JOIN q
+      WHERE t.doc_id <> q.qid
+      GROUP BY 1, 2, 3
+    ),
+    sc AS (SELECT qid, doc_id, round(sum(best), 6) AS score
+           FROM sims GROUP BY 1, 2)
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score
+    FROM sc QUALIFY rank <= 5
+"""
+
+
+@golden("maxsim_topk", _MAXSIM_SQL)
+def q_maxsim_topk(spark, sf):
+    """Multi-vector MaxSim late-interaction search (X27 — ColBERT,
+    arXiv:2004.12832, over the reference's many-vectors-per-document
+    doc_chunks shape, 01_pdf_to_vector.sql:60-97): multi-vector docs
+    derived by folding the embeddings table 100-ways (doc = vec_id mod
+    100, ~5 token vectors each at sf0.01), cosine MaxSim top-5 for 3
+    query docs, self excluded. Per-(query-vector, doc) maxima are
+    order-independent; the sum over query vectors uses the
+    order-canonicalized fold + 6 dp so the score is layout-independent
+    and DuckDB-reproducible."""
+    from oracle_vectorsearch_example_spark.operators.maxsim import maxsim_topk
+
+    e = read_table(spark, sf, "embeddings")
+    tok = e.select(
+        F.pmod(F.col("vec_id"), F.lit(100)).cast("long").alias("doc_id"),
+        F.expr("vec_id DIV 100").cast("long").alias("tidx"),
+        "embedding",
+    )
+    q = tok.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), F.col("tidx").alias("qtidx"), "embedding"
+    )
+    hits = maxsim_topk(tok, q, k=5, qtok_col="qtidx", exclude_self=True)
+    return hits.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 _BM25_QUERIES = [
     (0, "spark join hash table"),
     (1, "fast scan filter value"),

@@ -1,0 +1,126 @@
+"""Multi-vector MaxSim (operators/maxsim.py, X27) — numpy parity,
+candidates-rerank equivalence, centroid proxy, determinism, JVM plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.maxsim import (
+    doc_centroids,
+    maxsim_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rng = np.random.default_rng(9)
+    n_docs, max_tok, d = 40, 5, 16
+    rows, vecs = [], {}
+    for doc in range(n_docs):
+        nt = 1 + (doc % max_tok)
+        vecs[doc] = rng.normal(size=(nt, d))
+        for t in range(nt):
+            rows.append((doc, t, [float(x) for x in vecs[doc][t]]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, tidx long, embedding array<double>"
+    ).cache()
+    return df, vecs
+
+
+def _np_maxsim(qmat, dmat):
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    dn = dmat / np.linalg.norm(dmat, axis=1, keepdims=True)
+    return float(np.round((qn @ dn.T).max(axis=1).sum(), 6))
+
+
+def test_matches_numpy(spark, fixture):
+    df, vecs = fixture
+    q = df.filter("doc_id < 3").select(
+        F.col("doc_id").alias("qid"), F.col("tidx").alias("qtidx"), "embedding"
+    )
+    hits = maxsim_topk(df, q, k=4, qtok_col="qtidx").collect()
+    for qid in range(3):
+        expect = sorted(
+            ((d, _np_maxsim(vecs[qid], vecs[d])) for d in vecs),
+            key=lambda p: (-p[1], p[0]),
+        )[:4]
+        mine = [
+            (r["doc_id"], r["score"])
+            for r in sorted(hits, key=lambda r: r["rank"])
+            if r["qid"] == qid
+        ]
+        assert [(d, pytest.approx(s, abs=2e-6)) for d, s in expect] == mine
+        assert mine[0][0] == qid  # self is its own best match
+
+
+def test_candidates_rerank_restricts_and_agrees(spark, fixture):
+    df, _ = fixture
+    q = df.filter("doc_id < 2").select(
+        F.col("doc_id").alias("qid"), F.col("tidx").alias("qtidx"), "embedding"
+    )
+    cand = spark.createDataFrame(
+        [(qid, d) for qid in range(2) for d in range(0, 40, 2)],
+        "qid long, doc_id long",
+    )
+    rer = maxsim_topk(df, q, k=5, qtok_col="qtidx", candidates=cand).collect()
+    full = maxsim_topk(df, q, k=40, qtok_col="qtidx").collect()
+    fmap = {(r["qid"], r["doc_id"]): r["score"] for r in full}
+    for qid in range(2):
+        mine = [
+            (r["doc_id"], r["score"])
+            for r in sorted(rer, key=lambda r: r["rank"])
+            if r["qid"] == qid
+        ]
+        assert all(d % 2 == 0 for d, _ in mine)  # only candidates scored
+        expect = sorted(
+            ((d, fmap[(qid, d)]) for d in range(0, 40, 2)),
+            key=lambda p: (-p[1], p[0]),
+        )[:5]
+        assert mine == expect  # same scores as the brute-force path
+
+
+def test_exclude_self_and_dot_metric(spark, fixture):
+    df, vecs = fixture
+    q = df.filter("doc_id = 0").select(
+        F.col("doc_id").alias("qid"), F.col("tidx").alias("qtidx"), "embedding"
+    )
+    hits = maxsim_topk(df, q, k=3, qtok_col="qtidx", exclude_self=True).collect()
+    assert all(r["doc_id"] != 0 for r in hits)
+    dot = maxsim_topk(df, q, k=1, metric="dot", qtok_col="qtidx").collect()
+    qm = vecs[0]
+    expect = max(
+        (float(np.round((qm @ vecs[d].T).max(axis=1).sum(), 6)), -d)
+        for d in vecs
+    )
+    assert dot[0]["doc_id"] == -expect[1]
+    assert dot[0]["score"] == pytest.approx(expect[0], abs=2e-6)
+    with pytest.raises(ValueError, match="metric"):
+        maxsim_topk(df, q, metric="l2")
+
+
+def test_doc_centroids(spark, fixture):
+    df, vecs = fixture
+    rows = doc_centroids(df).filter("doc_id in (0, 4)").collect()
+    for r in rows:
+        np.testing.assert_allclose(
+            r["embedding"], vecs[r["doc_id"]].mean(axis=0), rtol=1e-12
+        )
+
+
+def test_layout_independence_and_jvm_plan(spark, fixture):
+    df, _ = fixture
+    q = df.filter("doc_id < 2").select(
+        F.col("doc_id").alias("qid"), F.col("tidx").alias("qtidx"), "embedding"
+    )
+    a = maxsim_topk(df, q, k=5, qtok_col="qtidx").collect()
+    b = maxsim_topk(df.repartition(7), q, k=5, qtok_col="qtidx").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    plan = (
+        maxsim_topk(df, q, qtok_col="qtidx")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
