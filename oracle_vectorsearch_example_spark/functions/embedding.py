@@ -204,6 +204,25 @@ class WordPieceTokenizer:
         ids.append(self.sep_id)
         return ids
 
+    def encode_pair(self, text_a: str, text_b: str) -> tuple[list[int], list[int]]:
+        """``[CLS] a [SEP] b [SEP]`` ids plus segment (token_type) ids —
+        the BERT sentence-pair contract cross-encoder exports expect.
+        Truncation is longest-first: pieces drop from the end of
+        whichever segment is currently longer until the pair fits
+        ``max_len``, so a long document can't starve the query (and vice
+        versa)."""
+        a = [i for w in self._basic_tokens(text_a) for i in self._wordpiece(w)]
+        b = [i for w in self._basic_tokens(text_b) for i in self._wordpiece(w)]
+        budget = self.max_len - 3  # [CLS] + 2 × [SEP]
+        while len(a) + len(b) > budget:
+            if len(a) >= len(b):
+                a.pop()
+            else:
+                b.pop()
+        ids = [self.cls_id] + a + [self.sep_id] + b + [self.sep_id]
+        types = [0] * (len(a) + 2) + [1] * (len(b) + 1)
+        return ids, types
+
 
 def encode_onnx_batch(sess, tokenizer, texts: list[str]):
     """Run one batch of texts through an ONNX session, returning a

@@ -586,7 +586,10 @@ def _ser_tensor(name: str, arr) -> bytes:
     """TensorProto via raw_data (little-endian, the spec's fixed layout)."""
     import numpy as np
 
-    arr = np.ascontiguousarray(arr)
+    # np.asarray, NOT ascontiguousarray: the latter promotes 0-d to 1-d,
+    # which would silently turn scalar initializers (legal in the spec,
+    # and shape-significant as Gather indices) into [1] tensors
+    arr = np.asarray(arr)
     rev = {v: k for k, v in _DTYPES.items()}
     dt = rev[str(arr.dtype)]
     out = b"".join(_enc_int(1, int(d)) for d in arr.shape)
@@ -780,6 +783,137 @@ def make_tiny_encoder(
     ]
     outputs = [("last_hidden_state", 1, ["batch", "seq", hidden])]
     return _ser_model(nodes, inits, inputs, outputs)
+
+
+def tiny_cross_encoder_weights(
+    vocab_size: int = 64, hidden: int = 16, heads: int = 2,
+    max_seq: int = 64, seed: int = 1234,
+):
+    """Tiny-encoder weights plus the sentence-pair extras a BERT-style
+    cross-encoder adds: a 2-row segment (token_type) embedding table, the
+    Tanh pooler over the [CLS] token, and a 1-logit classification
+    head."""
+    import numpy as np
+
+    w = tiny_encoder_weights(vocab_size, hidden, heads, max_seq, seed)
+    rng = np.random.RandomState(seed + 77)
+    f = lambda *shape: (rng.randn(*shape) * 0.1).astype(np.float32)
+    w["type_emb"] = f(2, hidden)
+    w["pool_W"], w["pool_b"] = f(hidden, hidden), f(hidden)
+    w["cls_W"], w["cls_b"] = f(hidden, 1), f(1)
+    return w
+
+
+def make_tiny_cross_encoder(
+    vocab_size: int = 64, hidden: int = 16, heads: int = 2,
+    max_seq: int = 64, seed: int = 1234,
+) -> bytes:
+    """Serialize a valid ``.onnx`` CROSS-ENCODER: the tiny encoder body
+    (same op inventory — decomposed LN, masked multi-head attention,
+    Erf-GELU FFN, native LayerNormalization) extended with the
+    sentence-pair head a reranker export carries: a ``token_type_ids``
+    input gathered through a 2-row segment embedding added into the
+    embedding sum, then [CLS]-token Gather → Tanh pooler → 1-unit
+    classifier. Inputs ``input_ids`` / ``attention_mask`` /
+    ``token_type_ids`` (int64, [batch, seq]); output ``logits``
+    ([batch, 1]) — the relevance score of each (query, document) pair."""
+    import numpy as np
+
+    w = tiny_cross_encoder_weights(vocab_size, hidden, heads, max_seq, seed)
+    hd = hidden // heads
+    consts = {
+        "c_zero": np.array([0], np.int64),
+        "c_one": np.array([1], np.int64),
+        "c_cls_idx": np.array(0, np.int64),  # 0-d: Gather drops the axis
+        "c_eps": np.array(1e-5, np.float32),
+        "c_two": np.array(2.0, np.float32),
+        "c_scale": np.array(float(np.sqrt(hd)), np.float32),
+        "c_negbig": np.array(-10000.0, np.float32),
+        "c_onef": np.array(1.0, np.float32),
+        "c_halff": np.array(0.5, np.float32),
+        "c_sqrt2": np.array(float(np.sqrt(2.0)), np.float32),
+        "c_heads_shape": np.array([0, 0, heads, hd], np.int64),
+        "c_merge_shape": np.array([0, 0, hidden], np.int64),
+        "c_axes_12": np.array([1, 2], np.int64),
+        "c_axis_m1": np.array([-1], np.int64),
+    }
+
+    def ln_decomposed(prefix, x_name, g, b):
+        p = prefix
+        return [
+            _ser_node("ReduceMean", [x_name, "c_axis_m1"], [f"{p}_mu"], keepdims=1),
+            _ser_node("Sub", [x_name, f"{p}_mu"], [f"{p}_c"]),
+            _ser_node("Pow", [f"{p}_c", "c_two"], [f"{p}_c2"]),
+            _ser_node("ReduceMean", [f"{p}_c2", "c_axis_m1"], [f"{p}_var"], keepdims=1),
+            _ser_node("Add", [f"{p}_var", "c_eps"], [f"{p}_ve"]),
+            _ser_node("Sqrt", [f"{p}_ve"], [f"{p}_sd"]),
+            _ser_node("Div", [f"{p}_c", f"{p}_sd"], [f"{p}_n"]),
+            _ser_node("Mul", [f"{p}_n", g], [f"{p}_sg"]),
+            _ser_node("Add", [f"{p}_sg", b], [f"{p}_out"]),
+        ]
+
+    nodes = [
+        # embeddings: word + position slice + SEGMENT lookup (the pair bit)
+        _ser_node("Gather", ["word_emb", "input_ids"], ["emb_w"], axis=0),
+        _ser_node("Shape", ["input_ids"], ["ids_shape"]),
+        _ser_node("Gather", ["ids_shape", "c_one"], ["seq_len"], axis=0),
+        _ser_node("Slice", ["pos_emb", "c_zero", "seq_len", "c_zero"], ["pos_sliced"]),
+        _ser_node("Gather", ["type_emb", "token_type_ids"], ["emb_t"], axis=0),
+        _ser_node("Add", ["emb_w", "pos_sliced"], ["emb_wp"]),
+        _ser_node("Add", ["emb_wp", "emb_t"], ["emb"]),
+        *ln_decomposed("ln1", "emb", "ln1_g", "ln1_b"),
+        _ser_node("MatMul", ["ln1_out", "Wq"], ["q"]),
+        _ser_node("MatMul", ["ln1_out", "Wk"], ["k"]),
+        _ser_node("MatMul", ["ln1_out", "Wv"], ["v"]),
+        _ser_node("Reshape", ["q", "c_heads_shape"], ["q4"]),
+        _ser_node("Reshape", ["k", "c_heads_shape"], ["k4"]),
+        _ser_node("Reshape", ["v", "c_heads_shape"], ["v4"]),
+        _ser_node("Transpose", ["q4"], ["qh"], perm=[0, 2, 1, 3]),
+        _ser_node("Transpose", ["k4"], ["kh"], perm=[0, 2, 3, 1]),
+        _ser_node("Transpose", ["v4"], ["vh"], perm=[0, 2, 1, 3]),
+        _ser_node("MatMul", ["qh", "kh"], ["scores_raw"]),
+        _ser_node("Div", ["scores_raw", "c_scale"], ["scores_scaled"]),
+        _ser_node("Cast", ["attention_mask"], ["mask_f"], to=1),
+        _ser_node("Unsqueeze", ["mask_f", "c_axes_12"], ["mask_b"]),
+        _ser_node("Sub", ["c_onef", "mask_b"], ["mask_inv"]),
+        _ser_node("Mul", ["mask_inv", "c_negbig"], ["mask_pen"]),
+        _ser_node("Add", ["scores_scaled", "mask_pen"], ["scores"]),
+        _ser_node("Softmax", ["scores"], ["probs"], axis=-1),
+        _ser_node("MatMul", ["probs", "vh"], ["ctx_h"]),
+        _ser_node("Transpose", ["ctx_h"], ["ctx_t"], perm=[0, 2, 1, 3]),
+        _ser_node("Reshape", ["ctx_t", "c_merge_shape"], ["ctx"]),
+        _ser_node("MatMul", ["ctx", "Wo"], ["attn_out"]),
+        _ser_node("Add", ["emb", "attn_out"], ["res1"]),
+        _ser_node("MatMul", ["res1", "W1"], ["ff_a"]),
+        _ser_node("Add", ["ff_a", "b1"], ["ff_b"]),
+        _ser_node("Div", ["ff_b", "c_sqrt2"], ["ff_e1"]),
+        _ser_node("Erf", ["ff_e1"], ["ff_e2"]),
+        _ser_node("Add", ["ff_e2", "c_onef"], ["ff_e3"]),
+        _ser_node("Mul", ["ff_b", "ff_e3"], ["ff_e4"]),
+        _ser_node("Mul", ["ff_e4", "c_halff"], ["ff_g"]),
+        _ser_node("MatMul", ["ff_g", "W2"], ["ff_c"]),
+        _ser_node("Add", ["ff_c", "b2"], ["ff_d"]),
+        _ser_node("Add", ["res1", "ff_d"], ["res2"]),
+        _ser_node(
+            "LayerNormalization", ["res2", "ln2_g", "ln2_b"],
+            ["last_hidden"], axis=-1, epsilon=1e-5,
+        ),
+        # pair head: [CLS] token → Tanh pooler → 1-logit classifier
+        _ser_node("Gather", ["last_hidden", "c_cls_idx"], ["cls_tok"], axis=1),
+        _ser_node("MatMul", ["cls_tok", "pool_W"], ["pool_0"]),
+        _ser_node("Add", ["pool_0", "pool_b"], ["pool_1"]),
+        _ser_node("Tanh", ["pool_1"], ["pooled"]),
+        _ser_node("MatMul", ["pooled", "cls_W"], ["logit_0"]),
+        _ser_node("Add", ["logit_0", "cls_b"], ["logits"]),
+    ]
+    inits = {**w, **consts}
+    inputs = [
+        ("input_ids", 7, ["batch", "seq"]),
+        ("attention_mask", 7, ["batch", "seq"]),
+        ("token_type_ids", 7, ["batch", "seq"]),
+    ]
+    outputs = [("logits", 1, ["batch", 1])]
+    return _ser_model(nodes, inits, inputs, outputs, name="tiny_cross_encoder")
 
 
 def minilm_shaped_weights(
@@ -993,6 +1127,41 @@ def cached_tiny_model(base_dir: str | None = None, **kwargs) -> str:
     model_path = os.path.join(dir_path, "model.onnx")
     if not os.path.exists(model_path):
         return write_tiny_model(dir_path, **kwargs)
+    return model_path
+
+
+def write_tiny_cross_encoder(dir_path: str, **kwargs) -> str:
+    """Write the cross-encoder fixture (``model.onnx`` + WordPiece
+    ``vocab.txt``) into ``dir_path``; returns the model path."""
+    import os
+
+    vocab_size = kwargs.get("vocab_size", 64)
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, "vocab.txt"), "w", encoding="utf-8") as f:
+        f.write(_fixture_vocab(vocab_size))
+    model_path = os.path.join(dir_path, "model.onnx")
+    with open(model_path, "wb") as f:
+        f.write(make_tiny_cross_encoder(**kwargs))
+    return model_path
+
+
+def cached_tiny_cross_encoder(base_dir: str | None = None, **kwargs) -> str:
+    """Content-addressed cross-encoder fixture cache (same discipline as
+    :func:`cached_tiny_model`: the directory name embeds a hash of the
+    exact bytes this generator version produces, so stale or foreign
+    files can never be silently reused)."""
+    import hashlib
+    import os
+    import tempfile
+
+    blob = make_tiny_cross_encoder(**kwargs)
+    vocab = _fixture_vocab(kwargs.get("vocab_size", 64)).encode("utf-8")
+    tag = hashlib.sha256(blob + vocab).hexdigest()[:12]
+    root = base_dir or tempfile.gettempdir()
+    dir_path = os.path.join(root, f"spark_graft_onnx_xenc_{tag}")
+    model_path = os.path.join(dir_path, "model.onnx")
+    if not os.path.exists(model_path):
+        return write_tiny_cross_encoder(dir_path, **kwargs)
     return model_path
 
 

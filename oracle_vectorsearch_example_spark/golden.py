@@ -2013,6 +2013,48 @@ def q_onnx_embed(spark, sf):
     )
 
 
+@golden("rerank_ce")
+def q_rerank_ce(spark, sf):
+    """Cross-encoder reranking as a query (X28; DBMS_VECTOR_CHAIN.RERANK —
+    the package the reference already drives for UTL_TO_TEXT/CHUNKS/
+    EMBEDDINGS, 01_pdf_to_vector.sql:219-247, also ships a RERANK stage):
+    2 fixed queries × 10 candidate documents are scored by a fixture
+    BERT-style cross-encoder ([CLS] q [SEP] d [SEP] with segment ids,
+    Tanh pooler, 1-logit head) through the numpy ONNX executor,
+    keeping top-5 per query. Rows-only: the forward pass is not
+    SQL-expressible; the numeric contract is pinned in
+    tests/test_rerank.py against an independently written forward pass.
+    pad_to_max scoring makes each pair's logit cohort-independent, so
+    ranks are stable under repartition."""
+    from oracle_vectorsearch_example_spark.functions.onnx_rt import (
+        cached_tiny_cross_encoder,
+    )
+    from oracle_vectorsearch_example_spark.functions.rerank import (
+        CrossEncoderReranker,
+    )
+
+    model_path = cached_tiny_cross_encoder()
+    cands = (
+        read_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 10)
+        .withColumn(
+            "query",
+            F.explode(F.array(F.lit("vector search"), F.lit("the lazy dog"))),
+        )
+    )
+    out = CrossEncoderReranker(model_path, max_len=32).rerank_topk(
+        cands, query_id_col="query", query_col="query", doc_col="text",
+        k=5, tiebreak="doc_id",
+    )
+    return out.select(
+        "query",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("ce_score", 5).alias("score"),
+    )
+
+
 @golden(
     "except_all_keys",
     """
