@@ -2828,6 +2828,64 @@ def q_hybrid_rrf(spark, sf):
     )
 
 
+_LM_PPL_SQL = """
+    WITH tr AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    tre AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM tr
+    ),
+    bc AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*)::DOUBLE AS c12
+      FROM tre GROUP BY 1, 2
+    ),
+    cx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+    vv AS (
+      SELECT (count(DISTINCT t.w) + 1)::DOUBLE AS v
+      FROM tr, unnest(toks) AS t(w)
+    ),
+    sce AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM tr WHERE doc_id < 50
+    ),
+    ev AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM sce),
+    lp AS (
+      SELECT ev.doc_id,
+             -ln((coalesce(bc.c12, 0) + 0.1)
+                 / (coalesce(cx.c1, 0) + 0.1 * vv.v)) AS nlp
+      FROM ev LEFT JOIN bc USING (w1, w2) LEFT JOIN cx USING (w1)
+      CROSS JOIN vv
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(round(sum(nlp), 6) / count(*)), 4) AS ppl
+    FROM lp GROUP BY doc_id
+"""
+
+
+@golden("lm_perplexity", _LM_PPL_SQL)
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM perplexity quality scoring (X29 — Wenzek et al.
+    2019, arXiv:1911.00359: the model-based corpus gate; extends the
+    reference's text-quality posture, 01_pdf_to_vector.sql:186-205):
+    an add-0.1 bigram LM trained on 300 documents scores the first 50.
+    Hash-stable because the per-document sum uses the
+    order-canonicalized fold + round(6) before exp (the bm25
+    discipline), and the frozen spec (derived context counts, V =
+    vocab + 1 OOV slot) is fully replayable in DuckDB SQL."""
+    from oracle_vectorsearch_example_spark.functions.lm import (
+        perplexity_df,
+        train_bigram_lm,
+    )
+
+    train = read_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    lm = train_bigram_lm(train, alpha=0.1)
+    score = train.filter(F.col("doc_id") < 50)
+    return perplexity_df(score, lm).select("doc_id", "n_bigrams", "ppl")
+
+
 _FILTERED_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,143 @@
+"""Bigram-LM perplexity gate (X29) — frozen-spec checks.
+
+Hand-computed corpus (alpha = 0.5):
+  train d0 "a b a c", d1 "a b b"
+  c12: (a,b)=2 (b,a)=1 (a,c)=1 (b,b)=1;  c1: a=3 b=2;  V = 3 + 1 = 4
+  score "a b c": -ln(2.5/5) - ln(0.5/4) = -ln(.5) - ln(.125)
+                 → ppl = exp(nll/2) = 4.0
+  score "a z"  : -ln(0.5/5) = -ln(.1) → ppl = 10.0 (OOV path)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.lm import (
+    perplexity_df,
+    perplexity_filter,
+    train_bigram_lm,
+)
+
+TRAIN = [(0, "a b a c"), (1, "a b b")]
+
+
+@pytest.fixture(scope="module")
+def lm(spark):
+    docs = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    return train_bigram_lm(docs, alpha=0.5)
+
+
+def test_trained_counts(lm):
+    assert lm.vocab_size == 4.0
+    bc = {(r.w1, r.w2): r.c12 for r in lm.bigrams.collect()}
+    assert bc == {("a", "b"): 2.0, ("b", "a"): 1.0, ("a", "c"): 1.0, ("b", "b"): 1.0}
+    cx = {r.w1: r.c1 for r in lm.contexts.collect()}
+    assert cx == {"a": 3.0, "b": 2.0}
+
+
+def test_hand_computed_perplexity(spark, lm):
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "a z")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in perplexity_df(docs, lm).collect()}
+    assert rows[10].n_bigrams == 2 and rows[10].ppl == pytest.approx(4.0, abs=1e-3)
+    assert rows[11].n_bigrams == 1 and rows[11].ppl == pytest.approx(10.0, abs=1e-3)
+
+
+def test_addk_distribution_sums_to_one(lm):
+    """For any seen context, Sigma P(w|ctx) over vocab + the OOV slot
+    must be exactly 1 — the property the derived context counts buy."""
+    a, v = lm.alpha, lm.vocab_size
+    bc = {(r.w1, r.w2): r.c12 for r in lm.bigrams.collect()}
+    cx = {r.w1: r.c1 for r in lm.contexts.collect()}
+    for ctx in cx:
+        vocab = {"a", "b", "c", "__oov__"}
+        total = sum(
+            (bc.get((ctx, w), 0.0) + a) / (cx[ctx] + a * v) for w in vocab
+        )
+        assert total == pytest.approx(1.0, abs=1e-12)
+
+
+def test_short_docs_drop_out(spark, lm):
+    docs = spark.createDataFrame(
+        [(20, "a"), (21, ""), (22, "a b")], "doc_id long, text string"
+    )
+    ids = {r.doc_id for r in perplexity_df(docs, lm).collect()}
+    assert ids == {22}
+
+
+def test_filter_keeps_fluent_and_unscorable(spark, lm):
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "a z a z"), (20, "a")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in perplexity_filter(docs, lm, max_ppl=6.0).collect()}
+    # 10 scores 4.0 (kept); 11 pairs a seen context with unseen words
+    # (ppl exp((2·ln10 + ln4)/3) ≈ 7.37, cut); 20 has no bigram evidence
+    # (kept by contract)
+    assert kept == {10, 20}
+
+
+def test_oov_context_is_uniform(spark, lm):
+    """Unseen context → P = 1/V for any next word."""
+    docs = spark.createDataFrame([(30, "q r")], "doc_id long, text string")
+    row = perplexity_df(docs, lm).collect()[0]
+    assert row.ppl == pytest.approx(lm.vocab_size, abs=1e-3)
+
+
+def test_repartition_determinism(spark):
+    texts = [
+        (i, " ".join("abcdefg"[(i * 7 + j * 3) % 7] for j in range(30)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    lm7 = train_bigram_lm(docs.repartition(7))
+    lm1 = train_bigram_lm(docs.coalesce(1))
+    assert lm7.vocab_size == lm1.vocab_size
+
+    def run(d, m):
+        return sorted(
+            (r.doc_id, r.n_bigrams, r.ppl) for r in perplexity_df(d, m).collect()
+        )
+
+    assert run(docs.repartition(13), lm7) == run(docs.coalesce(1), lm1)
+
+
+def test_matches_local_reference(spark, lm):
+    """Independent Python forward computation of the frozen spec."""
+    text = "a b b a c z a"
+    docs = spark.createDataFrame([(40, text)], "doc_id long, text string")
+    got = perplexity_df(docs, lm).collect()[0]
+    bc = {(r.w1, r.w2): r.c12 for r in lm.bigrams.collect()}
+    cx = {r.w1: r.c1 for r in lm.contexts.collect()}
+    toks = text.split()
+    nll = -sum(
+        math.log(
+            (bc.get((w1, w2), 0.0) + lm.alpha)
+            / (cx.get(w1, 0.0) + lm.alpha * lm.vocab_size)
+        )
+        for w1, w2 in zip(toks, toks[1:])
+    )
+    want = round(math.exp(round(nll, 6) / (len(toks) - 1)), 4)
+    assert got.n_bigrams == len(toks) - 1
+    assert got.ppl == pytest.approx(want, abs=1e-9)
+
+
+def test_broadcast_lm_same_result(spark, lm):
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "a z")], "doc_id long, text string"
+    )
+    plain = sorted(map(tuple, perplexity_df(docs, lm).collect()))
+    bcast = sorted(
+        map(tuple, perplexity_df(docs, lm, broadcast_lm=True).collect())
+    )
+    assert plain == bcast
+
+
+def test_no_python_udf_in_plan(spark, lm):
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    plan = perplexity_df(docs, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
