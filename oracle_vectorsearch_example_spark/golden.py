@@ -3457,6 +3457,58 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def _mix_bucket_sql(name: str) -> str:
+    from oracle_vectorsearch_example_spark.operators.sampling import source_seed
+
+    return (
+        f"(('0x' || substr(md5('{source_seed(42, name)}:' || doc_id), 1, 8))"
+        "::BIGINT % 10000)"
+    )
+
+
+_DATASET_MIX_SQL = f"""
+    WITH mix AS (
+      SELECT 'wiki' AS source, e.epoch, doc_id
+      FROM documents, (VALUES (0), (1), (2)) e(epoch)
+      WHERE doc_id < 100
+        AND (e.epoch < 2 OR {_mix_bucket_sql("wiki")} < 5000)
+      UNION ALL
+      SELECT 'web', 0, doc_id FROM documents
+      WHERE doc_id >= 100 AND doc_id < 300
+      UNION ALL
+      SELECT 'code', 0, doc_id FROM documents
+      WHERE doc_id >= 300 AND doc_id < 400
+        AND {_mix_bucket_sql("code")} < 2500
+    )
+    SELECT source, CAST(epoch AS INTEGER) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM mix GROUP BY 1, 2
+"""
+
+
+@golden("dataset_mix", _DATASET_MIX_SQL)
+def q_dataset_mix(spark, sf):
+    """Training-mixture composition (§2.12 sampling family — the
+    upsampling half: LLaMA-recipe-style epoch multipliers per source,
+    e.g. wiki×2.5 / web×1 / code×0.25): deterministic epoch repetition
+    with the fractional tail drawn by per-source derived hash seeds
+    (pure function of id — no RNG streams, no shuffle). n_docs + sum_ids
+    pin the exact membership of every (source, epoch) cell."""
+    from oracle_vectorsearch_example_spark.operators.sampling import mix_sources
+
+    docs = read_table(spark, sf, "documents")
+    mix = mix_sources({
+        "wiki": (docs.filter(F.col("doc_id") < 100), 2.5),
+        "web": (docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300)), 1.0),
+        "code": (docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), 0.25),
+    })
+    return mix.groupBy("source", "epoch").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 # ---------------------------------------------------------------- text stats
 @golden(
     "text_stats",

@@ -27,6 +27,9 @@ tests/test_sampling.py).
 
 from __future__ import annotations
 
+import hashlib
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -113,3 +116,76 @@ def stratified_sample(
         else cutoff.otherwise(F.lit(int(round(default_fraction * BUCKETS))))
     )
     return df.filter(hash_bucket(F.col(id_col), seed) < cutoff)
+
+
+def repeat_epochs(
+    df: DataFrame,
+    epochs: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic epoch UPSAMPLING — the other half of mixture
+    weighting (stratified_sample downsamples; training mixtures also
+    repeat high-quality sources, e.g. the LLaMA recipe's "Wikipedia ×
+    2.4 epochs"). Each row appears once per full epoch (``epoch`` = 0..)
+    plus, for a fractional tail, once more iff its hash bucket falls
+    under the fractional cutoff — the SAME bucket as :func:`hash_sample`
+    at the same seed, so the partial epoch is exactly
+    ``hash_sample(df, epochs - floor(epochs))``'s row set (nesting
+    property, tested). Pure map-side: one array explode + one filter,
+    no shuffle, no RNG stream; membership is a pure function of
+    (id, seed, epochs).
+    """
+    if epochs < 0:
+        raise ValueError(f"epochs must be >= 0, got {epochs}")
+    n_full = int(epochs)
+    frac = epochs - n_full
+    cutoff = int(round(frac * BUCKETS))
+    n_total = n_full + (1 if cutoff > 0 else 0)
+    if n_total == 0:
+        return df.withColumn(epoch_col, F.lit(0)).limit(0)
+    out = df.withColumn(
+        epoch_col, F.explode(F.expr(f"sequence(0, {n_total - 1})"))
+    )
+    if cutoff > 0:
+        out = out.filter(
+            (F.col(epoch_col) < n_full)
+            | (hash_bucket(F.col(id_col), seed) < cutoff)
+        )
+    return out
+
+
+def source_seed(seed: int, name: str) -> int:
+    """Per-source seed derivation for :func:`mix_sources` — decorrelates
+    the fractional-epoch draw across sources that share an id space.
+    Frozen spec: first 8 hex chars of md5("<seed>:<name>") as an int
+    (replayable anywhere, including an oracle SQL literal)."""
+    return int(hashlib.md5(f"{seed}:{name}".encode()).hexdigest()[:8], 16)
+
+
+def mix_sources(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    source_col: str = "source",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Compose a training mixture from weighted sources: ``sources``
+    maps name → (DataFrame, epoch multiplier); each source is
+    epoch-repeated (:func:`repeat_epochs` with a per-source derived
+    seed) and tagged, then all are unioned by column name. Union is
+    plan-level only (no shuffle); downstream consumers (pack_sequences,
+    hash_split) shuffle on their own keys. All source frames must share
+    a schema — a mixture with heterogeneous payloads should be
+    projected to the common (id, text, ...) shape first."""
+    if not sources:
+        raise ValueError("mix_sources needs at least one source")
+    parts = [
+        repeat_epochs(
+            df, epochs, id_col=id_col, seed=source_seed(seed, name),
+            epoch_col=epoch_col,
+        ).withColumn(source_col, F.lit(name))
+        for name, (df, epochs) in sources.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

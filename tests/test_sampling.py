@@ -14,6 +14,9 @@ from oracle_vectorsearch_example_spark.operators.sampling import (
     hash_bucket,
     hash_sample,
     hash_split,
+    mix_sources,
+    repeat_epochs,
+    source_seed,
     stratified_sample,
 )
 from oracle_vectorsearch_example_spark.sources.io import read_table
@@ -129,3 +132,59 @@ def test_bucket_matches_frozen_spec(spark):
     for i in range(100):
         want = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:8], 16) % BUCKETS
         assert got[i] == want, i
+
+
+def test_repeat_epochs_counts_and_nesting(docs):
+    n = docs.count()
+    # integer epochs: exact multiple, epochs 0..k-1 each complete
+    two = repeat_epochs(docs, 2.0)
+    assert two.count() == 2 * n
+    assert {r.epoch for r in two.select("epoch").distinct().collect()} == {0, 1}
+    # fractional tail ~ frac·n, and is EXACTLY hash_sample's row set
+    mixed = repeat_epochs(docs, 1.25, seed=42)
+    tail_ids = {
+        r.doc_id for r in mixed.filter(F.col("epoch") == 1).collect()
+    }
+    sample_ids = {r.doc_id for r in hash_sample(docs, 0.25, seed=42).collect()}
+    assert tail_ids == sample_ids
+    assert mixed.filter(F.col("epoch") == 0).count() == n
+    # zero epochs → empty, schema intact
+    z = repeat_epochs(docs, 0.0)
+    assert z.count() == 0 and "epoch" in z.columns
+    with pytest.raises(ValueError, match="epochs"):
+        repeat_epochs(docs, -1)
+
+
+def test_repeat_epochs_deterministic_under_repartition(docs):
+    def run(d):
+        return sorted((r.doc_id, r.epoch) for r in repeat_epochs(d, 2.3).collect())
+
+    assert run(docs.repartition(7)) == run(docs.coalesce(1))
+
+
+def test_mix_sources_tags_and_weights(docs):
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    mix = mix_sources({"wiki": (a, 2.0), "web": (b, 0.5)})
+    per = {
+        (r.source, r.epoch): r.n
+        for r in mix.groupBy("source", "epoch").agg(F.count("*").alias("n")).collect()
+    }
+    na, nb = a.count(), b.count()
+    assert per[("wiki", 0)] == na and per[("wiki", 1)] == na
+    assert per[("web", 0)] == pytest.approx(nb * 0.5, abs=0.15 * nb)
+    # per-source derived seeds decorrelate fractional draws on a shared
+    # id space: same frame, same fraction, different sources
+    m2 = mix_sources({"x": (b, 0.5), "y": (b, 0.5)})
+    xs = {r.doc_id for r in m2.filter(F.col("source") == "x").collect()}
+    ys = {r.doc_id for r in m2.filter(F.col("source") == "y").collect()}
+    assert xs != ys
+    assert source_seed(42, "x") != source_seed(42, "y")
+    with pytest.raises(ValueError, match="at least one"):
+        mix_sources({})
+
+
+def test_mix_plan_is_shuffle_free(docs):
+    mix = mix_sources({"a": (docs, 1.5), "b": (docs, 1.0)})
+    plan = mix._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
