@@ -644,6 +644,56 @@ def main():
             "corpus_build_2m", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- cross-encoder rerank throughput (X28): 4 queries × 250 stage-1
+    # candidates = 1000 (query, doc) pairs scored through the numpy ONNX
+    # executor in mapInPandas, top-10 kept per query. Measures the
+    # distributed inference path itself (the golden scores only 20 pairs).
+    try:
+        from oracle_vectorsearch_example_spark.functions.onnx_rt import (
+            cached_tiny_cross_encoder,
+        )
+        from oracle_vectorsearch_example_spark.functions.rerank import (
+            CrossEncoderReranker,
+        )
+
+        xenc_path = cached_tiny_cross_encoder()
+        rr = CrossEncoderReranker(xenc_path, max_len=64, batch_size=128)
+        rerank_cands = (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 250)
+            .withColumn(
+                "query",
+                F.explode(F.array(*[
+                    F.lit(q) for q in (
+                        "vector search", "the lazy dog",
+                        "fast key order sort", "data base table scan",
+                    )
+                ])),
+            )
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .localCheckpoint()  # isolate scoring cost from the scan
+        )
+        n_pairs = rerank_cands.count()
+        run_entry(
+            "rerank_1k_pairs",
+            lambda: _execute(
+                rr.rerank_topk(
+                    rerank_cands, "query", "query", "text", k=10,
+                    tiebreak="doc_id",
+                )
+            ),
+        )
+        if isinstance(results.get("rerank_1k_pairs"), float):
+            extras["rerank_1k_pairs"] = {
+                "n_pairs": n_pairs,
+                "pairs_per_sec": round(n_pairs / results["rerank_1k_pairs"], 1),
+            }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "rerank_1k_pairs", {"err": str(e).splitlines()[0][:200]}
+        )
+
     ok = {k: v for k, v in results.items() if isinstance(v, (int, float))}
     n_err = len(results) - len(ok)
     total = round(sum(ok.values()), 3)

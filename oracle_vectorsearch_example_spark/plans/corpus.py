@@ -39,6 +39,8 @@ def build_training_corpus(
     contamination_ngram: int = 13,
     redact_pii: bool = False,
     boilerplate_min_docs: int | None = None,
+    perplexity_lm=None,
+    max_ppl: float | None = None,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
     n_shards: int = 8,
@@ -59,7 +61,17 @@ def build_training_corpus(
     Optional scrub passes (r6), applied FIRST: ``boilerplate_min_docs``
     runs :func:`~..functions.scrub.remove_boilerplate_lines` and
     ``redact_pii`` runs :func:`~..functions.scrub.redact_pii_df` before
-    dedup, so boilerplate can't inflate near-dup similarity."""
+    dedup, so boilerplate can't inflate near-dup similarity.
+
+    Optional LM gate (r7, the CCNet ordering — dedup first, model gate
+    after): ``perplexity_lm`` (a :class:`~..functions.lm.BigramLM`,
+    typically trained on a trusted reference corpus) + ``max_ppl`` drop
+    documents the LM finds non-fluent, after the heuristic quality gate.
+    Source-weighted mixtures compose DOWNSTREAM of this build (mixing
+    before dedup would collapse the repeated epochs as duplicates): run
+    the build per source, then ``operators.sampling.mix_sources`` over
+    the gated ``documents`` outputs, re-keying on a (source, epoch, id)
+    composite before packing."""
     from oracle_vectorsearch_example_spark.functions.textstats import text_metrics_df
     from oracle_vectorsearch_example_spark.operators.dedup import (
         dedup_by_components,
@@ -113,6 +125,17 @@ def build_training_corpus(
         gate = gate & F.col("lang_guess").isin(langs)
     kept_ids = scored.filter(gate).select(id_col)
     gated = deduped.join(kept_ids, id_col, "left_semi")
+
+    if max_ppl is not None:
+        if perplexity_lm is None:
+            raise ValueError("max_ppl requires perplexity_lm (a BigramLM)")
+        from oracle_vectorsearch_example_spark.functions.lm import (
+            perplexity_filter,
+        )
+
+        gated = perplexity_filter(
+            gated, perplexity_lm, max_ppl, id_col=id_col, text_col=text_col
+        )
 
     split = hash_split(gated, split_weights, id_col=id_col, seed=seed)
     # three outputs (documents, packs, stats) fan out from here; persist so

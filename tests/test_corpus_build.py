@@ -276,3 +276,37 @@ def test_auto_compaction_cadence(spark, tmp_path):
     )
     got, want = key(auto), key(plain)
     assert got == want and got
+
+
+def test_corpus_build_with_perplexity_gate(spark):
+    """r7: the LM gate drops non-fluent docs AFTER dedup and the
+    heuristic quality gate (the CCNet ordering)."""
+    from oracle_vectorsearch_example_spark.functions.lm import train_bigram_lm
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [(i, f"doc {i} " + fluent + f" tail {i}") for i in range(8)]
+    rows.append((50, "zx qv wq jj kk zz pp " * 4))  # OOV-dense gibberish
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(
+        spark.createDataFrame([(0, fluent)], "doc_id long, text string"),
+        alpha=0.1,
+    )
+
+    base = build_training_corpus(docs, n_shards=2)
+    base_ids = {r.doc_id for r in base["documents"].collect()}
+    assert 50 in base_ids  # without the gate the gibberish survives
+
+    # fluent docs score ~3.5 (mostly seen bigrams); the gibberish doc is
+    # all-OOV, scoring exactly V = vocab+1 ≈ 13 — threshold between them
+    out = build_training_corpus(
+        docs, perplexity_lm=lm, max_ppl=8.0, n_shards=2
+    )
+    ids = {r.doc_id for r in out["documents"].collect()}
+    assert 50 not in ids
+    assert ids == base_ids - {50}
+
+    with pytest.raises(ValueError, match="perplexity_lm"):
+        build_training_corpus(docs, max_ppl=10.0)
