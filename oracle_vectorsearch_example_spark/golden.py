@@ -2580,6 +2580,72 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_TFIDF_TOPK_SQL = """
+    WITH tok AS (
+      SELECT doc_id, lower(t.tok) AS term
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tf AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(term), 1, 8))::BIGINT % 1024) AS idx,
+             count(*)::DOUBLE AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    dfs AS (SELECT idx, count(*)::DOUBLE AS dfc FROM tf GROUP BY 1),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    vals AS (
+      SELECT tf.doc_id, tf.idx,
+             (1.0 + ln(tf.tf))
+               * (ln((nn.n + 1.0) / (dfs.dfc + 1.0)) + 1.0) AS val
+      FROM tf JOIN dfs USING (idx) CROSS JOIN nn
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM vals GROUP BY 1),
+    sp AS (
+      SELECT v.doc_id, v.idx, v.val / n.nrm AS val
+      FROM vals v JOIN norms n USING (doc_id)
+    ),
+    q AS (SELECT doc_id AS qid, idx, val FROM sp WHERE doc_id < 3),
+    dots AS (
+      SELECT q.qid, sp.doc_id, round(sum(sp.val * q.val), 6) AS score
+      FROM sp JOIN q USING (idx) WHERE sp.doc_id <> q.qid
+      GROUP BY 1, 2
+    )
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score
+    FROM dots QUALIFY rank <= 5
+"""
+
+
+@golden("tfidf_topk", _TFIDF_TOPK_SQL)
+def q_tfidf_topk(spark, sf):
+    """Hashed TF-IDF retrieval (X25 composition): `tfidf_vectors` turns
+    raw document text into L2-normalized sparse vectors (md5-bucket
+    feature hashing at dim 1024, sublinear tf, smooth idf — the
+    HashingVectorizer design), then the X25 inverted-index join ranks
+    dot products (= cosine on normalized vectors) for 3 self-queries.
+    Hash-stable via the order-canonicalized folds (norm and score) +
+    6 dp rounding; the oracle replays tokenize → hash → tf/idf →
+    normalize → dot → rank from raw text."""
+    from oracle_vectorsearch_example_spark.operators.sparse import (
+        sparse_topk_search,
+        tfidf_vectors,
+    )
+
+    corpus = read_table(spark, sf, "documents")
+    vecs = tfidf_vectors(corpus, dim=1024)
+    q = vecs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), "indices", "values"
+    )
+    hits = sparse_topk_search(
+        vecs, q, k=5, metric="dot", id_col="doc_id", exclude_self=True
+    )
+    return hits.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 _SUMMARY_SQL = r"""
     WITH raw AS (
       SELECT doc_id, regexp_extract_all(text, '(?:\S+\s+){11}\S+') AS arr

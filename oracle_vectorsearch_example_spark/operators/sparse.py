@@ -39,6 +39,8 @@ dimensions) behave exactly like skewed join keys — drop them at
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -170,4 +172,133 @@ def sparse_topk_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", id_col, "score")
+    )
+
+
+class TfidfModel(NamedTuple):
+    """Fitted corpus statistics: the hashed document-frequency table
+    (≤ dim rows) + N + the hash dimension. Queries transform with the
+    CORPUS model (the fit/transform split every vectorizer needs — a
+    query's idf must come from the indexed corpus, not the query frame)."""
+
+    dfs: DataFrame  # (idx, dfc)
+    n_docs: float
+    dim: int
+
+
+def _hashed_tf(
+    docs: DataFrame, dim: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, idx, tf) hashed term-frequency rows — one tokenize pass, one
+    group-by shuffle. Frozen hash spec: idx = int(md5(term)[:8 hex], 16)
+    mod dim (the operators/sampling.py md5-bucket idiom)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    return (
+        tok.select(id_col, bucket.alias("idx"))
+        .groupBy(id_col, "idx")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def tfidf_fit(
+    docs: DataFrame,
+    dim: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> TfidfModel:
+    """Fit the hashed document-frequency statistics on a corpus. The df
+    table is bucket-bounded (≤ dim rows) and N is a scalar — the same
+    bounded-metadata contract as BM25's (N, avgdl)."""
+    tfs = _hashed_tf(docs, dim, id_col, text_col)
+    dfs = tfs.groupBy("idx").agg(F.count("*").cast("double").alias("dfc"))
+    return TfidfModel(dfs, float(docs.count()), dim)
+
+
+def tfidf_transform(
+    docs: DataFrame,
+    model: TfidfModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    indices_col: str = "indices",
+    values_col: str = "values",
+    sublinear: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """Vectorize any frame with a fitted model → (id, indices, values).
+    Buckets unseen at fit time take the maximum smooth idf
+    (df treated as 0) — the standard convention. Plan: hashed-tf shuffle,
+    BROADCAST join against the ≤ dim-row df table, one re-nest shuffle
+    on id; everything JVM-side."""
+    tfs = _hashed_tf(docs, model.dim, id_col, text_col)
+    tfw = F.lit(1.0) + F.log(F.col("tf")) if sublinear else F.col("tf")
+    idf = (
+        F.log(
+            (F.lit(model.n_docs) + 1.0)
+            / (F.coalesce(F.col("dfc"), F.lit(0.0)) + 1.0)
+        )
+        + F.lit(1.0)
+    )
+    nested = (
+        tfs.join(F.broadcast(model.dfs), "idx", "left")
+        .select(id_col, "idx", (tfw * idf).alias("val"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "val"))).alias("__p"))
+    )
+    out = nested.withColumns(
+        {
+            indices_col: F.expr("transform(__p, p -> p.idx)"),
+            values_col: F.expr("transform(__p, p -> p.val)"),
+        }
+    ).drop("__p")
+    if normalize:
+        out = (
+            out.withColumn("__n", _norm_expr(values_col))
+            .withColumn(
+                values_col,
+                F.transform(F.col(values_col), lambda v: v / F.col("__n")),
+            )
+            .drop("__n")
+        )
+    return out
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    indices_col: str = "indices",
+    values_col: str = "values",
+    sublinear: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """Hashed TF-IDF vectorizer, fit-and-transform on one frame:
+    (id, indices, values) sparse vectors straight from text — the bridge
+    from raw documents to :func:`sparse_topk_search` (learned-sparse
+    models like SPLADE slot into the same (indices, values) shape; this
+    is the classical baseline — the HashingVectorizer/HashingTF design,
+    feature hashing per Weinberger et al. 2009). For query frames, fit
+    on the corpus once (:func:`tfidf_fit`) and :func:`tfidf_transform`
+    the queries with that model.
+
+    Frozen spec (engine-replayable): tokens = lowercase single-space
+    split (the bm25 tokenizer); feature index = md5-bucket mod ``dim``
+    (colliding terms merge — the standard hashing-trick trade,
+    negligible at dim >> distinct terms); tf weight = 1 + ln(tf) when
+    ``sublinear``; idf = ln((N + 1) / (df + 1)) + 1 (smooth-idf), df
+    counted on hashed buckets; values L2-normalized per doc when
+    ``normalize``, norm computed by the index-ordered fold
+    (deterministic under layout).
+    """
+    model = tfidf_fit(docs, dim, id_col, text_col)
+    return tfidf_transform(
+        docs, model, id_col, text_col, indices_col, values_col,
+        sublinear, normalize,
     )
