@@ -2580,6 +2580,39 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_FUZZY_SQL = """
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+      WHERE c_custkey < 200
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@golden("fuzzy_pairs", _FUZZY_SQL)
+def q_fuzzy_pairs(spark, sf):
+    """Blocked fuzzy matching (X32 — record linkage over name fields):
+    all customer-name pairs within Levenshtein distance 1, found via
+    SymSpell deletion-neighborhood blocking + exact JVM levenshtein
+    verify (operators/fuzzy.py). The oracle computes the EXHAUSTIVE
+    all-pairs answer, so the hash match witnesses the blocker's
+    completeness, not just the verifier's precision. Integer distances —
+    no FP discipline needed."""
+    from oracle_vectorsearch_example_spark.operators.fuzzy import (
+        fuzzy_self_pairs,
+    )
+
+    c = (
+        read_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    )
+    return fuzzy_self_pairs(c, "name", id_col="id", max_dist=1)
+
+
 _TFIDF_TOPK_SQL = """
     WITH tok AS (
       SELECT doc_id, lower(t.tok) AS term
