@@ -2580,6 +2580,74 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_DSIR_SQL = """
+    WITH tgt AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    raw AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id >= 100 AND doc_id < 300
+    ),
+    tev AS (
+      SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tgt
+    ),
+    tc AS (
+      SELECT (('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 8))
+               ::BIGINT % 8192) AS b,
+             count(*)::DOUBLE AS ct
+      FROM tev GROUP BY 1
+    ),
+    rev AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM raw
+    ),
+    ev AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 8))
+               ::BIGINT % 8192) AS b
+      FROM rev
+    ),
+    rc AS (SELECT b, count(*)::DOUBLE AS cr FROM ev GROUP BY 1),
+    tt AS (SELECT sum(ct) AS t FROM tc),
+    rt AS (SELECT sum(cr) AS t FROM rc),
+    lp AS (
+      SELECT ev.doc_id,
+             ln(coalesce(tc.ct, 0) + 1.0) - ln(tt.t + 8192.0)
+           - ln(coalesce(rc.cr, 0) + 1.0) + ln(rt.t + 8192.0) AS lw
+      FROM ev LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+      CROSS JOIN tt CROSS JOIN rt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(lw), 6) AS logw
+    FROM lp GROUP BY doc_id
+"""
+
+
+@golden("dsir_scores", _DSIR_SQL)
+def q_dsir_scores(spark, sf):
+    """DSIR data selection (X33 — Xie et al. 2023, arXiv:2302.03169:
+    importance resampling toward a target distribution, the method
+    behind quality-targeted pre-training mixes): hashed-bigram feature
+    counts over a 50-doc target and a 200-doc raw corpus give each raw
+    document log w = Σ [ln p̂_target(b) − ln p̂_raw(b)] (add-1 smoothing,
+    8192 buckets). Hash-stable via the order-canonicalized fold +
+    round(6); the oracle replays tokenize → hash → counts → smoothed
+    log-ratio → fold from raw text."""
+    from oracle_vectorsearch_example_spark.operators.dsir import (
+        dsir_fit,
+        dsir_scores,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") < 50)
+    raw = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    model = dsir_fit(target, raw, n_buckets=8192, alpha=1.0)
+    return dsir_scores(raw, model).select("doc_id", "n_feats", "logw")
+
+
 _FUZZY_SQL = """
     WITH c AS (
       SELECT c_custkey AS id, c_name AS name FROM customer
