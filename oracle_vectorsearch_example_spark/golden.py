@@ -2580,6 +2580,54 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_HARD_NEG_SQL = """
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < 5
+    ),
+    pos AS (
+      SELECT qid, qid + 1 AS pos_id FROM q
+      UNION ALL SELECT qid, qid + 2 FROM q
+    ),
+    d AS (
+      SELECT q.qid, e.vec_id,
+             1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qvec) AS dist
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    f AS (
+      SELECT d.* FROM d
+      ANTI JOIN pos ON d.qid = pos.qid AND d.vec_id = pos.pos_id
+    )
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY dist, vec_id) AS BIGINT) AS rank,
+           vec_id AS neg_id
+    FROM f QUALIFY rank <= 5
+"""
+
+
+@golden("hard_negatives", _HARD_NEG_SQL)
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (X34 — the contrastive-training data step,
+    DPR, arXiv:2004.04906): for 5 labeled queries (positives = the next
+    two ids, a synthetic label set), the 5 nearest non-positive,
+    non-self corpus vectors by cosine. Distance column dropped from the
+    output (the vector_topk_exact convention — ranks are the contract,
+    FP distances stay engine-internal)."""
+    from oracle_vectorsearch_example_spark.operators.search import (
+        mine_hard_negatives,
+    )
+
+    e = read_table(spark, sf, "embeddings")
+    qids = spark.range(5).select(F.col("id").alias("qid"))
+    positives = qids.select(
+        "qid", F.explode(F.array(F.col("qid") + 1, F.col("qid") + 2)).alias("pos_id")
+    )
+    negs = mine_hard_negatives(e, positives, k=5)
+    return negs.select("qid", F.col("rank").cast("long").alias("rank"), "neg_id")
+
+
 _DSIR_SQL = """
     WITH tgt AS (
       SELECT doc_id,

@@ -328,3 +328,59 @@ def cosine_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def mine_hard_negatives(
+    base: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    qid_col: str = "qid",
+    pos_col: str = "pos_id",
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training (the standard
+    contrastive-training data step — e.g. DPR, Karpukhin et al. 2020,
+    arXiv:2004.04906: negatives = the nearest corpus items that are NOT
+    labeled positive, which carry far more gradient signal than random
+    negatives).
+
+    ``positives`` is the labeled frame (qid, pos_id); each query's
+    vector is looked up in ``base`` by qid. The search overfetches
+    k + (max positives per query) nearest neighbors (self excluded),
+    drops labeled positives with an anti-join, re-ranks, and keeps the
+    k nearest survivors → (qid, rank, neg_id, distance).
+
+    Scale posture: one bounded metadata action (the per-query positive
+    count cap), then the existing `topk_search` plan; the positives
+    anti-join broadcasts (labels are metadata-sized by contract). For
+    corpus-sized query sets use the same composition over
+    `IvfIndex.search_df` instead.
+    """
+    qids = positives.select(F.col(qid_col)).distinct()
+    qvecs = base.join(
+        qids, F.col(base_id) == F.col(qid_col)
+    ).select(qid_col, F.col(base_vec).alias("qvec"))
+    max_pos = (
+        positives.groupBy(qid_col).count().agg(F.max("count")).collect()[0][0]
+    )
+    hits = topk_search(
+        base, qvecs, k=k + int(max_pos or 0), metric=metric,
+        base_id=base_id, base_vec=base_vec, query_id=qid_col,
+        exclude_self=True,
+    )
+    labeled = positives.select(
+        F.col(qid_col), F.col(pos_col).alias(base_id)
+    )
+    survivors = hits.join(F.broadcast(labeled), [qid_col, base_id], "left_anti")
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("distance").asc(), F.col(base_id).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            qid_col, "rank", F.col(base_id).alias("neg_id"), "distance"
+        )
+    )

@@ -153,3 +153,44 @@ def test_search_df_empty_and_zero_vector_queries(spark):
     rows = idx.search_df(zero, k=3, nprobe=8).collect()
     assert [r.rank for r in rows] == [1, 2, 3]
     assert all(abs(r.distance - 1.0) < 1e-9 for r in rows)
+
+
+def test_mine_hard_negatives_semantics(spark):
+    """Negatives are the nearest non-positive, non-self items; positives
+    beyond the overfetch window can't leak in (the cap is computed from
+    the label frame)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.operators.search import (
+        mine_hard_negatives,
+        topk_search,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    base = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    positives = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 5)], "qid long, pos_id long"
+    )
+    negs = mine_hard_negatives(base, positives, k=4)
+    rows = sorted(negs.collect(), key=lambda r: (r.qid, r.rank))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r.neg_id)
+    assert set(by_q) == {0, 1}
+    assert all(len(v) == 4 for v in by_q.values())
+    # no positives, no self
+    assert not {1, 2, 3, 0} & set(by_q[0])
+    assert not {5, 1} & set(by_q[1])
+    # equals the plain top-k with labels removed
+    q = base.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    full = topk_search(base, q, k=10, exclude_self=True).collect()
+    labels = {(0, 1), (0, 2), (0, 3), (1, 5)}
+    want = {}
+    for r in sorted(full, key=lambda r: (r.qid, r.rank)):
+        if (r.qid, r.vec_id) not in labels:
+            want.setdefault(r.qid, []).append(r.vec_id)
+    assert by_q == {k: v[:4] for k, v in want.items()}
