@@ -2580,6 +2580,27 @@ def q_sparse_topk(spark, sf):
     )
 
 
+@golden(
+    "det_shuffle",
+    """
+    SELECT doc_id, md5('42:' || doc_id) AS shuffle_key
+    FROM documents ORDER BY shuffle_key LIMIT 20
+    """,
+)
+def q_det_shuffle(spark, sf):
+    """Deterministic global shuffle (§2.12 sampling family): the
+    reproducible training-example ordering — order key = md5 of
+    "<seed>:<id>", a pure function of (seed, id) (rand()-based shuffles
+    depend on RNG streams and partition layout). The 20 lowest keys pin
+    the head of the order exactly."""
+    from oracle_vectorsearch_example_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    return deterministic_shuffle(docs).select("doc_id", "shuffle_key").limit(20)
+
+
 _HARD_NEG_SQL = """
     WITH q AS (
       SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

@@ -189,3 +189,24 @@ def mix_sources(
         for name, (df, epochs) in sources.items()
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Reproducible global shuffle — the training-example ordering step
+    (pipelines need the SAME pseudo-random order on every rebuild; a
+    Fisher-Yates or df.orderBy(rand()) depends on RNG streams and
+    partition layout). Order key = full md5 hex of "<seed>:<id>" — a
+    pure function of (seed, id), collision-free in practice — and the
+    sort is a Catalyst range-partition + per-partition sort (scale-safe;
+    no single-partition window, no driver state). The key column stays
+    in the output so downstream writers can re-sort shards after
+    repartitioning; different seeds give independent orders."""
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    return df.withColumn(key_col, key).orderBy(key_col)

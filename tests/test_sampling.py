@@ -188,3 +188,22 @@ def test_mix_plan_is_shuffle_free(docs):
     mix = mix_sources({"a": (docs, 1.5), "b": (docs, 1.0)})
     plan = mix._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_deterministic_shuffle(docs):
+    from oracle_vectorsearch_example_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    a = [r.doc_id for r in deterministic_shuffle(docs.repartition(7)).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(docs.coalesce(1)).collect()]
+    assert a == b                      # same order, any layout
+    assert sorted(a) != a              # and it isn't the natural order
+    c = [r.doc_id for r in deterministic_shuffle(docs, seed=7).collect()]
+    assert c != a and sorted(c) == sorted(a)  # seed changes order only
+    import hashlib
+
+    want = sorted(
+        (hashlib.md5(f"42:{i}".encode()).hexdigest(), i) for i in sorted(a)
+    )
+    assert a == [i for _, i in want]   # pinned to the frozen md5 spec
