@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     # headliners added in round 7
     "bm25_topk",           # lexical BM25 top-k (postings + broadcast terms)
     "hybrid_rrf",          # BM25 + vector reciprocal-rank fusion
+    "sparse_topk",         # inverted-index sparse cosine top-k
+    "maxsim_topk",         # ColBERT MaxSim late-interaction ranking
+    "utl_to_summary",      # Luhn extractive summarization
+    "tfidf_topk",          # hashed TF-IDF vectorize + sparse retrieval
+    "lm_perplexity",       # bigram-LM train + perplexity scoring
+    "dsir_scores",         # DSIR importance weights (hashed bigrams)
 ]
 
 N_RUNS = 3
