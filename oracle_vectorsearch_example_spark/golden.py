@@ -2580,6 +2580,92 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_SUBSTR_PASSAGE = (
+    "the licensed shared passage tokens repeat verbatim across documents"
+)
+
+_SUBSTR_DEDUP_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || ' {_SUBSTR_PASSAGE}' ELSE text END AS text
+      FROM documents WHERE doc_id < 150
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM aug
+    ),
+    ge AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS i
+      FROM t WHERE len(toks) >= 8
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i : i + 7], ' ')) AS h
+      FROM ge
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ),
+    me AS (
+      SELECT doc_id, pos, unnest(generate_series(0, 7)) AS j
+      FROM occ WHERE rn > 1
+    ),
+    marks AS (SELECT DISTINCT doc_id, pos + j AS pos FROM me),
+    te AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+    ),
+    tok_rows AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM te),
+    kept AS (
+      SELECT tr.* FROM tok_rows tr
+      ANTI JOIN marks m ON tr.doc_id = m.doc_id AND tr.pos = m.pos
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS total_n FROM tok_rows GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.total_n - coalesce(r.kept_n, 0) AS BIGINT)
+             AS n_removed_tokens,
+           md5(coalesce(r.text, '')) AS digest
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@golden("substring_dedup", _SUBSTR_DEDUP_SQL)
+def q_substring_dedup(spark, sf):
+    """Exact substring dedup (X35 — Lee et al. 2022, arXiv:2107.06499:
+    ExactSubstr semantics — cut every duplicated ≥ L-token span,
+    keep-first): a shared 9-token passage planted on every 4th of 150
+    documents must survive only in its corpus-first host; every other
+    host loses exactly that span and keeps its own text. Output pins
+    removed-token counts and an md5 digest of each rebuilt document; the
+    oracle replays tokenize → L-gram hash → first-occurrence window →
+    span marks → reassembly."""
+    from oracle_vectorsearch_example_spark.operators.substring import (
+        exact_substring_dedup,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_PASSAGE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = exact_substring_dedup(aug, min_tokens=8)
+    return out.select(
+        "doc_id", "n_removed_tokens", F.md5("text").alias("digest")
+    )
+
+
 @golden(
     "det_shuffle",
     """
