@@ -39,6 +39,7 @@ def build_training_corpus(
     contamination_ngram: int = 13,
     redact_pii: bool = False,
     boilerplate_min_docs: int | None = None,
+    min_dup_span: int | None = None,
     perplexity_lm=None,
     max_ppl: float | None = None,
     split_weights: dict[str, float] | None = None,
@@ -62,6 +63,11 @@ def build_training_corpus(
     runs :func:`~..functions.scrub.remove_boilerplate_lines` and
     ``redact_pii`` runs :func:`~..functions.scrub.redact_pii_df` before
     dedup, so boilerplate can't inflate near-dup similarity.
+
+    Optional substring pass (r7): ``min_dup_span`` cuts duplicated
+    ≥ N-token passages keep-first (:func:`~..operators.substring.
+    exact_substring_dedup`, the ExactSubstr step) after scrub and
+    before near-dup banding.
 
     Optional LM gate (r7, the CCNet ordering — dedup first, model gate
     after): ``perplexity_lm`` (a :class:`~..functions.lm.BigramLM`,
@@ -95,6 +101,24 @@ def build_training_corpus(
         from oracle_vectorsearch_example_spark.functions.scrub import redact_pii_df
 
         docs = redact_pii_df(docs, text_col)
+
+    # exact substring dedup (r7, opt-in): cut duplicated >= min_dup_span
+    # token passages BEFORE near-dup banding — shared passages inflate
+    # MinHash similarity between otherwise-unrelated docs, exactly like
+    # boilerplate lines (and ExactSubstr-then-dedup is Lee et al.'s
+    # pipeline order)
+    if min_dup_span is not None:
+        from oracle_vectorsearch_example_spark.operators.substring import (
+            exact_substring_dedup,
+        )
+
+        keep_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+        cut = exact_substring_dedup(
+            docs, min_tokens=min_dup_span, id_col=id_col, text_col=text_col
+        ).drop("n_removed_tokens")
+        if keep_cols:
+            cut = cut.join(docs.drop(text_col), id_col)
+        docs = cut
 
     pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col)
     deduped = dedup_by_components(docs, pairs, id_col=id_col)

@@ -310,3 +310,26 @@ def test_corpus_build_with_perplexity_gate(spark):
 
     with pytest.raises(ValueError, match="perplexity_lm"):
         build_training_corpus(docs, max_ppl=10.0)
+
+
+def test_corpus_build_with_substring_pass(spark):
+    """r7: min_dup_span cuts a shared passage before near-dup banding —
+    two docs that only looked similar because of the passage must NOT
+    dedup, and the passage survives only in its first host."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    rows = [
+        (0, f"alpha body text entirely unlike others {shared}"),
+        (1, f"beta completely different payload here {shared}"),
+        (2, "gamma unrelated document with its own words only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_training_corpus(docs, min_dup_span=10, n_shards=2)
+    kept = {r.doc_id: r.text for r in out["documents"].collect()}
+    assert set(kept) == {0, 1, 2}  # nothing near-dup'd away
+    assert shared in kept[0]       # first host keeps the passage
+    assert shared not in kept[1]   # later host loses exactly the span
+    assert "beta completely different payload here" in kept[1]
