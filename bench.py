@@ -650,6 +650,44 @@ def main():
             "corpus_build_2m", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- exact substring dedup at 200k docs (X35): timed ONCE (the
+    # corpus-build convention — a 20 s entry would dominate a median-of-3
+    # ladder); the extras record what it actually cut, so the number is
+    # a semantic witness, not just a wall-clock
+    try:
+        from oracle_vectorsearch_example_spark.operators.substring import (
+            exact_substring_dedup,
+        )
+        from oracle_vectorsearch_example_spark.sources.corpus_fixture import (
+            ensure_corpus_fixture as _ecf2,
+        )
+
+        _docs200k = _ecf2(
+            spark,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".corpus_fixture"
+            ),
+        )
+        t0 = time.time()
+        _ss = exact_substring_dedup(_docs200k, min_tokens=20)
+        _row = _ss.agg(
+            F.sum("n_removed_tokens").alias("removed"),
+            F.sum(
+                F.when(F.col("n_removed_tokens") > 0, 1).otherwise(0)
+            ).alias("docs_cut"),
+        ).collect()[0]
+        results["substring_dedup_200k"] = round(time.time() - t0, 3)
+        extras["substring_dedup_200k"] = {
+            "n_docs": 200000,
+            "min_tokens": 20,
+            "tokens_removed": int(_row["removed"]),
+            "docs_cut": int(_row["docs_cut"]),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "substring_dedup_200k", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- cross-encoder rerank throughput (X28): 4 queries × 250 stage-1
     # candidates = 1000 (query, doc) pairs scored through the numpy ONNX
     # executor in mapInPandas, top-10 kept per query. Measures the
