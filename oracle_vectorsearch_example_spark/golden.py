@@ -2580,6 +2580,57 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_MRL_SQL = """
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM b WHERE vec_id < 5),
+    coarse AS (
+      SELECT q.qid, b.vec_id,
+             1.0 - list_cosine_similarity(b.v[1:16], q.qv[1:16]) AS cd
+      FROM b CROSS JOIN q WHERE b.vec_id <> q.qid
+    ),
+    cand AS (
+      SELECT qid, vec_id, row_number() OVER (
+               PARTITION BY qid ORDER BY cd, vec_id) AS rn
+      FROM coarse QUALIFY rn <= 40
+    ),
+    ref AS (
+      SELECT c.qid, c.vec_id,
+             1.0 - list_cosine_similarity(b.v, q.qv) AS d
+      FROM cand c JOIN b USING (vec_id) JOIN q USING (qid)
+    )
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY d, vec_id) AS BIGINT) AS rank,
+           vec_id
+    FROM ref QUALIFY rank <= 5
+"""
+
+
+@golden("mrl_topk", _MRL_SQL)
+def q_mrl_topk(spark, sf):
+    """Matryoshka two-stage search (X36 — MRL, arXiv:2205.13147: rank on
+    the first 16 of 64 dims, re-score the 8× oversampled candidates on
+    full vectors — the quantization-FREE cheap tier next to SQ8/PQ/BQ):
+    k=5 for 5 query vectors, self excluded. Distance dropped from the
+    output per the vector_topk_exact convention; the oracle replays both
+    stages including the candidate cut."""
+    from oracle_vectorsearch_example_spark.operators.search import (
+        mrl_topk_search,
+    )
+
+    e = read_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = mrl_topk_search(
+        e, q, k=5, coarse_dim=16, oversample=8, exclude_self=True
+    )
+    return hits.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "vec_id"
+    )
+
+
 _SUBSTR_PASSAGE = (
     "the licensed shared passage tokens repeat verbatim across documents"
 )

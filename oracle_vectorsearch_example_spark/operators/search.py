@@ -384,3 +384,57 @@ def mine_hard_negatives(
             qid_col, "rank", F.col(base_id).alias("neg_id"), "distance"
         )
     )
+
+
+def mrl_topk_search(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    coarse_dim: int = 16,
+    oversample: int = 4,
+    metric: str = "cosine",
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Matryoshka two-stage search (MRL, Kusupati et al. 2022,
+    arXiv:2205.13147 — embeddings whose prefixes are themselves valid
+    lower-dimensional embeddings, the design behind truncatable API
+    embeddings): stage 1 ranks on the FIRST ``coarse_dim`` components
+    only (reads/computes a fraction of every vector — the
+    quantization-free cheap tier, complementary to SQ8/PQ/BQ which
+    compress all dims), keeping k·oversample candidates per query;
+    stage 2 re-scores just those candidates on the full vectors and
+    keeps k. Exact on the candidate set; recall depends on how much
+    signal the prefix carries (tested with a recall gate).
+
+    Plan: stage 1 is the existing `topk_search` over a sliced column;
+    stage 2 joins the candidate ids back to the full vectors (candidate
+    rows only — k·oversample·queries, never corpus-sized) with the
+    bounded query frame broadcast."""
+    coarse_b = base.withColumn("__cv", F.slice(F.col(base_vec), 1, coarse_dim))
+    coarse_q = queries.withColumn(
+        "__cq", F.slice(F.col(query_vec), 1, coarse_dim)
+    )
+    cand = topk_search(
+        coarse_b, coarse_q, k=k * oversample, metric=metric,
+        base_id=base_id, base_vec="__cv", query_id=query_id,
+        query_vec="__cq", exclude_self=exclude_self,
+    ).select(query_id, base_id)
+    full = cand.join(base.select(base_id, base_vec), base_id).join(
+        F.broadcast(queries.select(query_id, query_vec)), query_id
+    )
+    scored = full.withColumn(
+        "distance",
+        vector_distance(F.col(base_vec), F.col(query_vec), metric),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("distance").asc(), F.col(base_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", base_id, "distance")
+    )

@@ -194,3 +194,46 @@ def test_mine_hard_negatives_semantics(spark):
         if (r.qid, r.vec_id) not in labels:
             want.setdefault(r.qid, []).append(r.vec_id)
     assert by_q == {k: v[:4] for k, v in want.items()}
+
+
+def test_mrl_topk_search(spark):
+    """MRL two-stage: exact on the candidate set (ef >= n degenerates to
+    exhaustive), and recall stays high when the prefix carries signal."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.operators.search import (
+        mrl_topk_search,
+        topk_search,
+    )
+
+    rng = np.random.RandomState(11)
+    # prefix-heavy vectors: most energy in the first 8 dims (the MRL
+    # training property), noise in the tail
+    front = rng.randn(300, 8) * 2.0
+    tail = rng.randn(300, 24) * 0.3
+    vecs = np.hstack([front, tail])
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = topk_search(base, q, k=10, exclude_self=True)
+    want = {(r.qid, r.rank, r.vec_id) for r in exact.collect()}
+
+    # oversample = corpus size → candidate set is everything → identical
+    full = mrl_topk_search(
+        base, q, k=10, coarse_dim=8, oversample=30, exclude_self=True
+    )
+    assert {(r.qid, r.rank, r.vec_id) for r in full.collect()} == want
+
+    # realistic oversample: high recall on prefix-heavy vectors
+    mrl = mrl_topk_search(
+        base, q, k=10, coarse_dim=8, oversample=4, exclude_self=True
+    )
+    got_ids = {(r.qid, r.vec_id) for r in mrl.collect()}
+    want_ids = {(q_, v) for q_, _, v in want}
+    recall = len(got_ids & want_ids) / len(want_ids)
+    assert recall >= 0.9, recall
