@@ -2580,6 +2580,50 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_HNSW_FILTERED_SQL = """
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    d AS (
+      SELECT q.qid, e.vec_id,
+             1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv) AS dist
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid AND e.vec_id % 3 = 0
+    )
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY dist, vec_id) AS BIGINT) AS rank,
+           vec_id
+    FROM d QUALIFY rank <= 5
+"""
+
+
+@golden("hnsw_filtered", _HNSW_FILTERED_SQL)
+def q_hnsw_filtered(spark, sf):
+    """Attribute-filtered search on the NEIGHBOR GRAPH index (X13 parity
+    for X22 — IVF prunes by predicate inside the scan; a graph walk
+    post-filters oversampled candidates, the pgvector/FAISS recipe):
+    predicate vec_id % 3 = 0, k=5 for 5 queries. Exact-degenerate here
+    (ef and k·oversample cover the corpus, the hnsw_exhaustive trick) so
+    the DuckDB filtered top-k must match bit-for-bit; practical-setting
+    recall is gated in tests/test_hnsw.py."""
+    from oracle_vectorsearch_example_spark.operators.hnsw import (
+        ShardedHnswIndex,
+    )
+
+    e = read_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = ShardedHnswIndex.build(e, n_shards=4, m=12, seed=42)
+    hits = idx.filtered_search(
+        q, attrs=e, predicate="vec_id % 3 = 0", k=5, ef=10**9,
+        oversample=100, exclude_self=True,
+    )
+    return hits.select("qid", "rank", "vec_id")
+
+
 _MRL_SQL = """
     WITH b AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -549,6 +549,47 @@ class ShardedHnswIndex:
             .select("qid", "rank", "vec_id", "dist")
         )
 
+    def filtered_search(
+        self,
+        q: DataFrame,
+        attrs: DataFrame,
+        predicate,
+        k: int = 10,
+        ef: int = 64,
+        oversample: int = 4,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Attribute-filtered graph search (the X13 surface on the
+        NEIGHBOR GRAPH organization): retrieve k*oversample candidates
+        per query from the graphs, join the attribute frame, apply the
+        predicate, re-rank, keep k.
+
+        A neighbor-graph walk cannot prune by predicate mid-traversal
+        the way IVF prunes partitions (ivf.py filtered path, X13) — the
+        standard graph-index recipe is oversampled POST-filtering
+        (pgvector/FAISS do the same). Selectivity budget: a predicate
+        passing fraction s of the corpus needs oversample >= ~1/s to
+        fill k; more selective predicates under-fill — raise oversample
+        or use the IVF filtered path, which stays exact at any
+        selectivity. ``attrs`` is (id, ...attribute columns...);
+        ``predicate`` is a Column or SQL string over it. The candidate
+        frame is Q*k*oversample*n_shards skinny rows — the join is
+        candidate-sized, never corpus-sized."""
+        want = k * oversample
+        cand = self.search(
+            q, k=want, ef=max(ef, want), exclude_self=exclude_self
+        )
+        keep = attrs.filter(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        ).select(F.col(self.id_col))
+        filtered = cand.drop("rank").join(keep, self.id_col, "left_semi")
+        w = Window.partitionBy("qid").orderBy("dist", self.id_col)
+        return (
+            filtered.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", self.id_col, "dist")
+        )
+
     def search_df(
         self,
         q: DataFrame,

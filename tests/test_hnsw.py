@@ -227,3 +227,45 @@ def test_extend_recall_after_many_batches(spark):
         a.setdefault(r["qid"], set()).add(r["vec_id"])
     got = sum(len(e[x] & a.get(x, set())) for x in e)
     assert got / sum(len(v) for v in e.values()) >= 0.95
+
+
+def test_filtered_search_matches_brute_force(spark):
+    """Post-filter + oversample equals the exact filtered top-k when the
+    candidate budget covers the corpus; with a tight budget output may
+    under-fill but never violates the predicate or the ordering."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.operators.hnsw import ShardedHnswIndex
+    from oracle_vectorsearch_example_spark.operators.search import topk_search
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    base = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = ShardedHnswIndex.build(base, n_shards=2, m=8, seed=42)
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = idx.filtered_search(
+        q, attrs=base, predicate="vec_id % 2 = 0", k=5, ef=10**9,
+        oversample=40, exclude_self=True,
+    )
+    got_set = {(r.qid, r.rank, r.vec_id) for r in got.collect()}
+    exact = topk_search(
+        base.filter("vec_id % 2 = 0"), q, k=5, exclude_self=True
+    )
+    want = {(r.qid, r.rank, r.vec_id) for r in exact.collect()}
+    assert got_set == want
+
+    # tight budget: all results satisfy the predicate, ranks contiguous
+    tight = idx.filtered_search(
+        q, attrs=base, predicate="vec_id % 10 = 0", k=5, ef=64,
+        oversample=2, exclude_self=True,
+    ).collect()
+    for r in tight:
+        assert r.vec_id % 10 == 0
+    by_q = {}
+    for r in tight:
+        by_q.setdefault(r.qid, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
