@@ -47,7 +47,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -381,3 +381,91 @@ def chunk_by_custom_udf(
         )
 
     return df.select(*id_cols, F.inline(_chunk(F.col(text_col))))
+
+
+def semantic_chunks(
+    docs: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Semantic chunking — split where adjacent-sentence embedding
+    similarity DROPS, instead of at fixed word counts (the modern RAG
+    splitter; UTL_TO_CHUNKS' BY WORDS/CHARS modes above are the
+    reference's spec, this is its embedding-aware sibling).
+
+    Frozen spec (engine-replayable end to end):
+
+    - sentence units: ``regexp_extract_all(text, '[^.!?]+[.!?]*')``
+      (RE2-safe — no lookbehind), trimmed, empties dropped; unit order
+      is the extraction order;
+    - each sentence embeds with the deterministic hashing embedder
+      (:func:`~.embedding.hashing_embedding` — lowercase whitespace
+      tokens, md5-byte bucket mod ``dim``, L2 norm; the same spec the
+      ``embed_double`` oracle replays);
+    - boundary BEFORE sentence i iff round(cos(e_{i-1}, e_i), 6) <
+      ``threshold`` (zero-norm sentences give cos 0 → boundary);
+      the first sentence never opens a boundary;
+    - chunk_id = running count of boundaries; chunk text = its
+      sentences joined by single spaces.
+
+    Plan: one posexplode, the embed pandas-UDF (the engine's designated
+    Python boundary), two windows partitioned by doc (lag + running
+    sum), one groupBy (doc, chunk) with the order-canonicalized
+    reassembly — every shuffle keys on doc_id. Swap the embedder for
+    OnnxEmbedder output upstream when real semantics (not a
+    deterministic double) are wanted; the boundary/chunk logic is
+    embedder-agnostic.
+    """
+    from oracle_vectorsearch_example_spark.functions.embedding import (
+        hashing_embedding,
+    )
+
+    sents = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(f"regexp_extract_all({text_col}, '[^.!?]+[.!?]*', 0)")
+            ).alias("sidx", "__raw"),
+        )
+        .select(id_col, "sidx", F.trim("__raw").alias("sent"))
+        .filter(F.col("sent") != "")
+    )
+    emb = sents.withColumn("__e", hashing_embedding(F.col("sent"), dim))
+    w = Window.partitionBy(id_col).orderBy("sidx")
+    lagged = emb.withColumn("__p", F.lag("__e").over(w))
+    # both vectors are L2-normalized, so the index-ordered zip_with fold
+    # IS the cosine (canonical operand order — layout-independent)
+    dot = F.aggregate(
+        F.zip_with(F.col("__p"), F.col("__e"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    flagged = lagged.withColumn(
+        "__b",
+        F.when(F.col("__p").isNull(), F.lit(0))
+        .when(F.round(dot, 6) < F.lit(threshold), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    wsum = (
+        Window.partitionBy(id_col)
+        .orderBy("sidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = flagged.withColumn(
+        "chunk_id", F.sum("__b").over(wsum).cast("long")
+    )
+    return (
+        assigned.groupBy(id_col, "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(sidx, sent))), "
+                    "p -> p.sent)"
+                ),
+            ).alias("chunk_text"),
+            F.count("*").cast("long").alias("n_sentences"),
+        )
+    )

@@ -2580,6 +2580,87 @@ def q_sparse_topk(spark, sf):
     )
 
 
+_SEMCHUNK_SQL = r"""
+    WITH raw AS (
+      SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS arr
+      FROM documents WHERE doc_id < 120
+    ),
+    s0 AS (
+      SELECT doc_id, g.i - 1 AS sidx, trim(arr[g.i]) AS sent
+      FROM raw, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+    ),
+    s AS (SELECT * FROM s0 WHERE sent <> ''),
+    tok AS (
+      SELECT doc_id, sidx, t.w
+      FROM s, LATERAL (
+        SELECT unnest(list_filter(
+          string_split_regex(lower(sent), '\s+'), x -> x <> '')) AS w
+      ) t
+    ),
+    c AS (
+      SELECT doc_id, sidx,
+             ('0x' || substr(md5(w), 1, 2))::INTEGER % 64 AS b,
+             count(*)::DOUBLE AS cnt
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT doc_id, sidx, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY 1, 2),
+    adj AS (
+      SELECT doc_id, sidx,
+             lag(sidx) OVER (PARTITION BY doc_id ORDER BY sidx) AS prev
+      FROM s
+    ),
+    dots AS (
+      SELECT a.doc_id, a.sidx, sum(cc.cnt * cp.cnt) AS dot
+      FROM adj a
+      JOIN c cc ON cc.doc_id = a.doc_id AND cc.sidx = a.sidx
+      JOIN c cp ON cp.doc_id = a.doc_id AND cp.sidx = a.prev AND cp.b = cc.b
+      GROUP BY 1, 2
+    ),
+    flags AS (
+      SELECT a.doc_id, a.sidx,
+             CASE WHEN a.prev IS NULL THEN 0
+                  WHEN round(coalesce(d.dot, 0) / (nc.nrm * np.nrm), 6) < 0.15
+                  THEN 1 ELSE 0 END AS bflag
+      FROM adj a
+      LEFT JOIN dots d ON d.doc_id = a.doc_id AND d.sidx = a.sidx
+      LEFT JOIN n nc ON nc.doc_id = a.doc_id AND nc.sidx = a.sidx
+      LEFT JOIN n np ON np.doc_id = a.doc_id AND np.sidx = a.prev
+    ),
+    assigned AS (
+      SELECT doc_id, sidx,
+             sum(bflag) OVER (PARTITION BY doc_id ORDER BY sidx
+                              ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM flags
+    )
+    SELECT a.doc_id, CAST(a.chunk_id AS BIGINT) AS chunk_id,
+           string_agg(s.sent, ' ' ORDER BY s.sidx) AS chunk_text,
+           CAST(count(*) AS BIGINT) AS n_sentences
+    FROM assigned a JOIN s ON s.doc_id = a.doc_id AND s.sidx = a.sidx
+    GROUP BY 1, 2
+"""
+
+
+@golden("semantic_chunks", _SEMCHUNK_SQL)
+def q_semantic_chunks(spark, sf):
+    """Semantic chunking (X37 — the embedding-aware sibling of
+    UTL_TO_CHUNKS, 01_pdf_to_vector.sql:209-238: split where
+    adjacent-sentence embedding cosine DROPS below a threshold, the
+    modern RAG splitter): 120 documents split at threshold 0.15 with
+    the deterministic hashing embedder (the same frozen spec the
+    embed_double oracle replays). The oracle re-derives sentences →
+    bucket counts → sparse-bucket cosine → boundary flags → running
+    chunk ids → reassembled chunk text; the round(6)-before-compare
+    makes the boundary decision engine-stable."""
+    from oracle_vectorsearch_example_spark.functions.chunker import (
+        semantic_chunks,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    return semantic_chunks(docs, dim=64, threshold=0.15).select(
+        "doc_id", "chunk_id", "chunk_text", "n_sentences"
+    )
+
+
 _HNSW_FILTERED_SQL = """
     WITH q AS (
       SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

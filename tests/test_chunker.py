@@ -172,3 +172,78 @@ def test_normalize_composes_with_chunking(spark):
     )
     out = chunk_by_words(df, max_words=3, overlap=0, normalize="all").collect()
     assert [r.chunk_text for r in out] == ['"quoted" - words', "here"]
+
+
+# ----------------------------------------------------------- semantic chunks
+
+
+def test_semantic_chunks_boundaries(spark):
+    """Topic shifts (disjoint vocabularies → cosine 0) open chunks;
+    same-vocabulary sentences stay together."""
+    from oracle_vectorsearch_example_spark.functions.chunker import (
+        semantic_chunks,
+    )
+
+    # sentences chosen so the md5-byte test-double embedder keeps
+    # in-topic cosine high (0.75 / 0.5) and cross-topic low (0.125 / 0)
+    # despite its 256-bucket birthday collisions
+    text = (
+        "apple banana cherry fruit melon grape orange kiwi. "
+        "apple banana fruit melon grape basket cherry bowl. "
+        "quantum proton neutron electron photon boson lepton field! "
+        "proton neutron electron quark photon collider lab experiment? "
+        "apple cherry banana grape melon snack plate orange."
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = sorted(
+        semantic_chunks(docs, threshold=0.15).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.n_sentences for r in out] == [2, 2, 1]
+    assert out[0].chunk_text.startswith("apple banana cherry fruit")
+    assert out[1].chunk_text.startswith("quantum")
+    assert out[2].chunk_text.endswith("snack plate orange.")
+
+
+def test_semantic_chunks_single_sentence_and_empty(spark):
+    from oracle_vectorsearch_example_spark.functions.chunker import (
+        semantic_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "only one sentence here."), (1, "")],
+        "doc_id long, text string",
+    )
+    rows = semantic_chunks(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == 0 and rows[0].chunk_id == 0
+    assert rows[0].n_sentences == 1
+
+
+def test_semantic_chunks_threshold_sweep(spark):
+    """threshold 0 → nothing splits (cos >= 0 always); threshold > 1 →
+    every sentence its own chunk."""
+    from oracle_vectorsearch_example_spark.functions.chunker import (
+        semantic_chunks,
+    )
+
+    text = "alpha beta gamma. delta epsilon zeta. eta theta iota."
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    none = semantic_chunks(docs, threshold=0.0).collect()
+    assert len(none) == 1 and none[0].n_sentences == 3
+    every = semantic_chunks(docs, threshold=1.5).collect()
+    assert len(every) == 3 and all(r.n_sentences == 1 for r in every)
+
+
+def test_semantic_chunks_deterministic(spark):
+    from oracle_vectorsearch_example_spark.functions.chunker import (
+        semantic_chunks,
+    )
+    from oracle_vectorsearch_example_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def run(d):
+        return sorted(map(tuple, semantic_chunks(d).collect()))
+
+    assert run(docs.repartition(7)) == run(docs.coalesce(1))
