@@ -3326,6 +3326,60 @@ def q_hybrid_rrf(spark, sf):
     )
 
 
+_SNIPPET_SQL = f"""
+    WITH q(qid, qtext) AS (VALUES {_BM25_Q_VALUES}),
+    qt AS (
+      SELECT DISTINCT qid, lower(t.tok) AS tok
+      FROM q, unnest(string_split(qtext, ' ')) AS t(tok) WHERE t.tok <> ''
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ),
+    tr AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks
+    ),
+    rws AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok FROM tr),
+    m AS (SELECT qt.qid, r.doc_id, r.pos FROM rws r JOIN qt USING (tok)),
+    sc AS (
+      SELECT qid, doc_id, pos,
+             count(*) OVER (PARTITION BY qid, doc_id ORDER BY pos
+                            RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS n
+      FROM m
+    ),
+    best AS (
+      SELECT qid, doc_id, pos, n,
+             row_number() OVER (PARTITION BY qid, doc_id
+                                ORDER BY n DESC, pos) AS rn
+      FROM sc
+    )
+    SELECT b.qid, b.doc_id,
+           array_to_string(t.tk[b.pos + 1 : b.pos + 10], ' ') AS snippet,
+           CAST(b.n AS BIGINT) AS n_matches,
+           CAST(b.pos AS BIGINT) AS start_pos
+    FROM best b JOIN toks t USING (doc_id) WHERE rn = 1
+"""
+
+
+@golden("ctx_snippet", _SNIPPET_SQL)
+def q_ctx_snippet(spark, sf):
+    """Snippet extraction (X38 — Oracle Text CTX_DOC.SNIPPET, the UX
+    half of the keyword stack the reference's vector index pairs with):
+    for the 4 BM25 bench queries over 200 documents, the best 10-token
+    window per matching (query, doc) pair by query-term count, earliest
+    start on ties. Integer counts + exact token slices — no FP
+    discipline needed; the oracle replays tokenize → match → RANGE-frame
+    count → pick → slice."""
+    from oracle_vectorsearch_example_spark.functions.snippet import snippet_df
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    queries = spark.createDataFrame(_BM25_QUERIES, "qid long, qtext string")
+    return snippet_df(docs, queries, window=10).select(
+        "qid", "doc_id", "snippet", "n_matches", "start_pos"
+    )
+
+
 _LM_PPL_SQL = """
     WITH tr AS (
       SELECT doc_id,
