@@ -3259,6 +3259,79 @@ def q_bm25_topk(spark, sf):
     )
 
 
+_PRF_SQL = f"""
+    WITH {_BM25_CTES},
+    r1 AS (
+      SELECT qid, doc_id FROM (
+        SELECT qid, doc_id, row_number() OVER (
+                 PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        FROM bm
+      ) WHERE rn <= 5
+    ),
+    wts AS (
+      SELECT r1.qid, tf.term, round(sum(tf.tf / dl.dl), 6) AS w0
+      FROM r1 JOIN tf USING (doc_id) JOIN dl USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    expd AS (
+      SELECT qid, term, 0.5 AS w FROM (
+        SELECT w2.qid, w2.term, row_number() OVER (
+                 PARTITION BY w2.qid ORDER BY w2.w0 DESC, w2.term) AS rn
+        FROM wts w2
+        ANTI JOIN qt ON qt.qid = w2.qid AND qt.term = w2.term
+      ) WHERE rn <= 8
+    ),
+    wterms AS (
+      SELECT qid, term, 1.0 AS w FROM qt
+      UNION ALL SELECT qid, term, w FROM expd
+    ),
+    contrib2 AS (
+      SELECT wterms.qid, tf.doc_id,
+             wterms.w
+               * ln(1.0 + (stats.n - dft.dfc + 0.5) / (dft.dfc + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS c
+      FROM wterms
+      JOIN tf USING (term)
+      JOIN dl USING (doc_id)
+      JOIN dft USING (term)
+      CROSS JOIN stats
+    ),
+    bm2 AS (
+      SELECT qid, doc_id, round(sum(c), 6) AS score
+      FROM contrib2 GROUP BY 1, 2
+    )
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score
+    FROM bm2 QUALIFY rank <= 10
+"""
+
+
+@golden("bm25_prf", _PRF_SQL)
+def q_bm25_prf(spark, sf):
+    """Pseudo-relevance-feedback retrieval (X39 — RM3/Rocchio family,
+    Lavrenko & Croft 2001): round 1 BM25 top-5 per query, expansion =
+    top-8 non-query terms by Σ tf/dl over the feedback docs at fixed
+    weight 0.5, round 2 = weighted BM25 top-10. Every weight and score
+    folds canonically + rounds 6 dp; the oracle replays both rounds,
+    the expansion selection, and the weighted re-score."""
+    from oracle_vectorsearch_example_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search_prf,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "qid long, qtext string")
+    idx = bm25_index(docs)
+    return bm25_search_prf(
+        idx, queries, k=10, fb_docs=5, fb_terms=8, expand_weight=0.5
+    ).select(
+        "qid", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 _HYBRID_SQL = f"""
     WITH {_BM25_CTES},
     bmr AS (

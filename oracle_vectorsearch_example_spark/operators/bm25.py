@@ -180,3 +180,132 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, "rrf_score")
     )
+
+
+def bm25_search_terms(
+    index: Bm25Index,
+    qterms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over an explicit WEIGHTED term frame (qid, term, w) — the
+    generalized core of :func:`bm25_search` (which is the w=1 case):
+    score(q, d) = round(Σ_t w_t · bm25(t, d), 6). Lets callers expand,
+    reweight, or translate queries (PRF below, synonym maps, …) without
+    touching the scoring plan."""
+    joined = (
+        index.postings.join(F.broadcast(qterms), "term")
+        .join(index.doc_len, id_col)
+        .join(index.term_df.withColumnRenamed("term", "__t"),
+              F.col("term") == F.col("__t"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(index.n_docs) - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.lit(index.avgdl)
+    )
+    contrib = (F.col("w") * idf * F.col("tf") * (k1 + 1.0) / denom).alias(
+        "contrib"
+    )
+    scored = (
+        joined.select(qid_col, id_col, "term", contrib)
+        .groupBy(qid_col, id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("__s")
+        )
+        .withColumn("score", F.round(F.col("__s"), 6))
+    )
+    w_ = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )
+
+
+def prf_terms(
+    index: Bm25Index,
+    queries: DataFrame,
+    fb_docs: int = 5,
+    fb_terms: int = 8,
+    expand_weight: float = 0.5,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (the RM3/Rocchio family —
+    Lavrenko & Croft 2001; Rocchio 1971): run BM25 once, take each
+    query's top ``fb_docs`` hits as assumed-relevant, rank their terms
+    by the relevance-model weight Σ_d tf(t,d)/dl(d), and add the top
+    ``fb_terms`` NON-query terms at fixed weight ``expand_weight``
+    (original terms keep weight 1 — the Rocchio-style binary expansion;
+    the RM weight selects WHICH terms, keeping the frozen scoring spec
+    one multiply). Returns the weighted (qid, term, w) frame for
+    :func:`bm25_search_terms`.
+
+    Determinism: the per-(query, term) weight folds in doc-id order and
+    rounds to 6 dp; term selection ties break lexicographically."""
+    r1 = bm25_search(index, queries, k=fb_docs, qid_col=qid_col,
+                     qtext_col=qtext_col, id_col=id_col)
+    fb = r1.select(qid_col, id_col)
+    cand = (
+        index.postings.join(fb, id_col)
+        .join(index.doc_len, id_col)
+        .select(
+            qid_col, "term", id_col,
+            (F.col("tf") / F.col("dl")).alias("__c"),
+        )
+    )
+    wts = cand.groupBy(qid_col, "term").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(id_col, "__c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__c"],
+            ),
+            6,
+        ).alias("__w")
+    )
+    orig = _tokens(queries, qid_col, qtext_col).distinct()
+    exp_pick = Window.partitionBy(qid_col).orderBy(
+        F.col("__w").desc(), F.col("term").asc()
+    )
+    expansion = (
+        wts.join(orig, [qid_col, "term"], "left_anti")
+        .withColumn("__rn", F.row_number().over(exp_pick))
+        .filter(F.col("__rn") <= fb_terms)
+        .select(qid_col, "term", F.lit(float(expand_weight)).alias("w"))
+    )
+    return orig.withColumn("w", F.lit(1.0)).unionByName(expansion)
+
+
+def bm25_search_prf(
+    index: Bm25Index,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 8,
+    expand_weight: float = 0.5,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-round BM25 with pseudo-relevance feedback: expand via
+    :func:`prf_terms`, score via :func:`bm25_search_terms`."""
+    terms = prf_terms(
+        index, queries, fb_docs, fb_terms, expand_weight,
+        qid_col, qtext_col, id_col,
+    )
+    return bm25_search_terms(index, terms, k=k, qid_col=qid_col,
+                             id_col=id_col)

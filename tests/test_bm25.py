@@ -108,3 +108,78 @@ def test_idf_positive_for_ubiquitous_terms(spark):
     q = spark.createDataFrame([(0, "common")], "qid long, qtext string")
     hits = bm25_search(idx, q, k=10).collect()
     assert len(hits) == 5 and all(r["score"] > 0 for r in hits)
+
+
+# --------------------------------------------------------------------- PRF
+
+
+def test_weighted_terms_generalize_plain_search(spark):
+    """bm25_search_terms with w=1 on the query's distinct tokens must
+    equal bm25_search exactly."""
+    from oracle_vectorsearch_example_spark.operators.bm25 import (
+        _tokens,
+        bm25_index,
+        bm25_search,
+        bm25_search_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma delta common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "alpha w3 common")], "qid long, qtext string")
+    idx = bm25_index(docs)
+    plain = sorted(map(tuple, bm25_search(idx, q, k=10).collect()))
+    qt = _tokens(q, "qid", "qtext").distinct().withColumn("w", F.lit(1.0))
+    weighted = sorted(map(tuple, bm25_search_terms(idx, qt, k=10).collect()))
+    assert plain == weighted
+
+
+def test_prf_expands_with_cooccurring_terms(spark):
+    """Docs about 'spark' consistently mention 'shuffle'; PRF must pull
+    'shuffle' into the expanded term set and let it lift a doc that
+    never says 'spark'."""
+    from oracle_vectorsearch_example_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search,
+        bm25_search_prf,
+        prf_terms,
+    )
+
+    rows = [(i, "spark engine shuffle stage executor plan") for i in range(6)]
+    rows += [(10, "shuffle shuffle shuffle stage stage executor")]  # no 'spark'
+    rows += [(20 + i, "cooking pasta sauce recipe kitchen herbs") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = bm25_index(docs)
+    q = spark.createDataFrame([(0, "spark")], "qid long, qtext string")
+
+    terms = prf_terms(idx, q, fb_docs=3, fb_terms=4)
+    tset = {(r.term, r.w) for r in terms.collect()}
+    assert ("spark", 1.0) in tset
+    assert any(t == "shuffle" and w == 0.5 for t, w in tset)
+    assert not any(t == "pasta" for t, _ in tset)
+
+    base = {r.doc_id for r in bm25_search(idx, q, k=10).collect()}
+    assert 10 not in base  # doc 10 never says 'spark'
+    prf = {r.doc_id for r in bm25_search_prf(idx, q, k=10, fb_docs=3,
+                                             fb_terms=4).collect()}
+    assert 10 in prf  # expansion recalls it
+
+
+def test_prf_deterministic(spark):
+    from oracle_vectorsearch_example_spark.operators.bm25 import (
+        bm25_index,
+        bm25_search_prf,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 7} filler text") for i in range(60)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "w1 w2")], "qid long, qtext string")
+
+    def run(d):
+        idx = bm25_index(d)
+        return sorted(map(tuple, bm25_search_prf(idx, q, k=10).collect()))
+
+    assert run(docs.repartition(7)) == run(docs.coalesce(1))
