@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "tfidf_topk",          # hashed TF-IDF vectorize + sparse retrieval
     "lm_perplexity",       # bigram-LM train + perplexity scoring
     "dsir_scores",         # DSIR importance weights (hashed bigrams)
+    "bm25_prf",            # two-round pseudo-relevance-feedback retrieval
+    "ctx_snippet",         # best query-term window per hit (RANGE frame)
+    "semantic_chunks",     # embedding-boundary chunking (120 docs)
+    "fuzzy_pairs",         # SymSpell-blocked Levenshtein pairs (200 names)
 ]
 
 N_RUNS = 3
