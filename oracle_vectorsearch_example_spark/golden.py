@@ -5094,8 +5094,18 @@ def q_boilerplate_removal(spark, sf):
 # correlated_subquery, decontaminate, doc_stats, embed_double,
 # except_keys, intersect_keys, repetition_stats, simhash_neardup,
 # stratified_sample, winnow_fingerprints — plus the 50 r06-witnessed
-# seats now evicted. Witness history (which round last
-# witnessed each golden) is recomputable from CORRECTNESS_r0*.json.
+# seats now evicted. ALSO never witnessed: the late-r7 goldens added
+# after this rotation was frozen (the window must not change mid-round):
+# hnsw_exhaustive, bm25_topk, hybrid_rrf, bq_topk, sparse_topk,
+# utl_to_summary, maxsim_topk, tfidf_topk, fuzzy_pairs, dsir_scores,
+# hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
+# hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
+# plus rows-only bpe_tokens and rerank_ce. That is more unwitnessed
+# oracle-paired goldens (~32) than one 50-seat window can absorb next
+# to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees
+# (= ~46 seats), r9 sweeps whatever remains. Witness history (which
+# round last witnessed each golden) is recomputable from
+# CORRECTNESS_r0*.json.
 _PRIORITY = [
     # never driver-witnessed (new in r6, window was full)
     "sq8_topk", "pii_redact", "boilerplate_removal",
