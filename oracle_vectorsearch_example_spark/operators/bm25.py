@@ -309,3 +309,91 @@ def bm25_search_prf(
     )
     return bm25_search_terms(index, terms, k=k, qid_col=qid_col,
                              id_col=id_col)
+
+
+class IncrementalBm25:
+    """Batch-incremental BM25 index maintenance — the lexical sibling of
+    the vector index's streaming ``add()`` (X14): each ``ingest``
+    tokenizes ONLY the new batch and commits its postings + doc-length
+    tables in one atomic manifest swap (:class:`~..sources.txn.
+    Warehouse`); per-term document frequencies and the (N, avgdl)
+    scalars derive at read time from the table unions, so ``index()``
+    is always EXACTLY ``bm25_index`` over everything ever ingested
+    (equivalence tested — corpus-wide statistics can't go stale, unlike
+    designs that freeze idf at ingest time). Per-ingest cost is
+    O(batch); ``compact()`` folds the per-batch tables once the union
+    width (not data volume) becomes the read cost, same discipline as
+    ``IncrementalDedup.compact``. Document ids must be unique across
+    ingests (re-ingesting a doc would double-count its terms — dedup
+    upstream, the same contract as the dedup raw batches)."""
+
+    def __init__(self, spark, root: str, id_col: str = "doc_id",
+                 text_col: str = "text", prefix: str = "bm25"):
+        from oracle_vectorsearch_example_spark.sources.txn import Warehouse
+
+        self.spark = spark
+        self.wh = Warehouse(spark, root)
+        self.id_col, self.text_col, self.prefix = id_col, text_col, prefix
+
+    def _tables(self, kind: str) -> list[str]:
+        pre = f"{self.prefix}_{kind}_"
+        return sorted(t for t in self.wh.tables() if t.startswith(pre))
+
+    def ingest(self, batch: DataFrame) -> int:
+        """Fold one document batch in; returns the committed version."""
+        tok = _tokens(batch, self.id_col, self.text_col)
+        postings = tok.groupBy(self.id_col, "term").agg(
+            F.count("*").cast("double").alias("tf")
+        )
+        doclen = tok.groupBy(self.id_col).agg(
+            F.count("*").cast("double").alias("dl")
+        )
+        n = len(self._tables("postings"))
+        return self.wh.commit({
+            f"{self.prefix}_postings_{n:06d}": postings,
+            f"{self.prefix}_doclen_{n:06d}": doclen,
+        })
+
+    def _unions(self):
+        from functools import reduce
+
+        posts = reduce(
+            DataFrame.unionByName,
+            (self.wh.read(t) for t in self._tables("postings")),
+        )
+        dl = reduce(
+            DataFrame.unionByName,
+            (self.wh.read(t) for t in self._tables("doclen")),
+        )
+        return posts, dl
+
+    def index(self) -> Bm25Index:
+        """Current index over every ingested batch — df/N/avgdl always
+        computed corpus-wide, never frozen per batch."""
+        if not self._tables("postings"):
+            raise ValueError("no batches ingested yet")
+        posts, dl = self._unions()
+        term_df = posts.groupBy("term").agg(
+            F.count("*").cast("double").alias("dfc")
+        )
+        row = dl.agg(
+            F.count("*").cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        ).collect()[0]
+        return Bm25Index(posts, dl, term_df, float(row["n"]),
+                         float(row["avgdl"]))
+
+    def compact(self) -> int | None:
+        """Fold the per-batch tables into one pair in a single atomic
+        swap; results identical (postings rows are a set). Returns the
+        new version, or None when there is nothing to fold."""
+        pt, dt = self._tables("postings"), self._tables("doclen")
+        if len(pt) <= 1:
+            return None
+        posts, dl = self._unions()
+        keep = {
+            f"{self.prefix}_postings_000000": posts,
+            f"{self.prefix}_doclen_000000": dl,
+        }
+        drop = [t for t in pt + dt if t not in keep]
+        return self.wh.commit(keep, drop=drop)

@@ -183,3 +183,39 @@ def test_prf_deterministic(spark):
         return sorted(map(tuple, bm25_search_prf(idx, q, k=10).collect()))
 
     assert run(docs.repartition(7)) == run(docs.coalesce(1))
+
+
+def test_incremental_bm25_equals_full_rebuild(spark, tmp_path):
+    """N ingested batches must search EXACTLY like bm25_index over their
+    union — idf/avgdl derive corpus-wide at read, never frozen at ingest
+    — and compact() folds tables without changing a single score."""
+    from oracle_vectorsearch_example_spark.operators.bm25 import (
+        IncrementalBm25,
+        bm25_index,
+        bm25_search,
+    )
+
+    rows = [(i, f"w{i % 5} w{(i * 3) % 11} common text body") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(0, "w1 common"), (1, "w7 text")], "qid long, qtext string"
+    )
+
+    inc = IncrementalBm25(spark, str(tmp_path / "bm"))
+    with pytest.raises(ValueError, match="ingested"):
+        inc.index()
+    v1 = inc.ingest(docs.filter(F.col("doc_id") < 20))
+    v2 = inc.ingest(docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 45)))
+    v3 = inc.ingest(docs.filter(F.col("doc_id") >= 45))
+    assert v1 < v2 < v3
+
+    want = sorted(map(tuple, bm25_search(bm25_index(docs), q, k=10).collect()))
+    got = sorted(map(tuple, bm25_search(inc.index(), q, k=10).collect()))
+    assert got == want
+
+    assert len(inc._tables("postings")) == 3
+    assert inc.compact() is not None
+    assert len(inc._tables("postings")) == 1
+    after = sorted(map(tuple, bm25_search(inc.index(), q, k=10).collect()))
+    assert after == want
+    assert inc.compact() is None  # nothing left to fold
