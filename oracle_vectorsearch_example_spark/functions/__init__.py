@@ -11,11 +11,31 @@ from oracle_vectorsearch_example_spark.functions.chunker import (
     chunk_by_custom_udf,
     chunk_by_sentences_udf,
     chunk_by_words,
+    semantic_chunks,
 )
 from oracle_vectorsearch_example_spark.functions.embedding import (
     HashingEmbedder,
     OnnxEmbedder,
+    WordPieceTokenizer,
     hashing_embedding,
+)
+from oracle_vectorsearch_example_spark.functions.rerank import (
+    CrossEncoderReranker,
+)
+from oracle_vectorsearch_example_spark.functions.lm import (
+    BigramLM,
+    perplexity_df,
+    perplexity_filter,
+    train_bigram_lm,
+)
+from oracle_vectorsearch_example_spark.functions.summary import (
+    summarize_df,
+    utl_to_summary,
+)
+from oracle_vectorsearch_example_spark.functions.snippet import snippet_df
+from oracle_vectorsearch_example_spark.functions.scrub import (
+    redact_pii_df,
+    remove_boilerplate_lines,
 )
 from oracle_vectorsearch_example_spark.functions.extract import (
     detect_format,
@@ -50,9 +70,21 @@ __all__ = [
     "chunk_by_custom_udf",
     "chunk_by_sentences_udf",
     "chunk_by_words",
+    "semantic_chunks",
     "HashingEmbedder",
     "OnnxEmbedder",
+    "WordPieceTokenizer",
     "hashing_embedding",
+    "CrossEncoderReranker",
+    "BigramLM",
+    "train_bigram_lm",
+    "perplexity_df",
+    "perplexity_filter",
+    "utl_to_summary",
+    "summarize_df",
+    "snippet_df",
+    "redact_pii_df",
+    "remove_boilerplate_lines",
     "detect_format",
     "extract_text",
     "extract_text_bytes",

@@ -1,11 +1,46 @@
 from oracle_vectorsearch_example_spark.operators.search import (
     cosine_neardup_pairs,
     cosine_neardup_pairs_sparse,
+    mine_hard_negatives,
+    mrl_topk_search,
     topk_search,
 )
 from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex, recall_at_k
 from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
+from oracle_vectorsearch_example_spark.operators.hnsw import ShardedHnswIndex
+from oracle_vectorsearch_example_spark.operators.bm25 import (
+    Bm25Index,
+    IncrementalBm25,
+    bm25_index,
+    bm25_search,
+    bm25_search_prf,
+    bm25_search_terms,
+    prf_terms,
+    rrf_fuse,
+)
+from oracle_vectorsearch_example_spark.operators.sparse import (
+    sparse_topk_search,
+    tfidf_fit,
+    tfidf_transform,
+    tfidf_vectors,
+    to_dense,
+    to_sparse,
+)
+from oracle_vectorsearch_example_spark.operators.maxsim import maxsim_topk
+from oracle_vectorsearch_example_spark.operators.bq import (
+    bq_encode_df,
+    bq_topk_search,
+)
+from oracle_vectorsearch_example_spark.operators.quantize import (
+    pq_ivf_search,
+    pq_refine_topk,
+    pq_topk_search,
+    sq8_encode_df,
+    sq8_ivf_search,
+    sq8_topk_search,
+)
 from oracle_vectorsearch_example_spark.operators.dedup import (
+    decontaminate,
     dedup_by_components,
     exact_dedup,
     jaccard_neardup_pairs,
@@ -14,17 +49,39 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
     neardup_components,
     simhash,
 )
+from oracle_vectorsearch_example_spark.operators.substring import (
+    exact_substring_dedup,
+)
+from oracle_vectorsearch_example_spark.operators.semdedup import semdedup
+from oracle_vectorsearch_example_spark.operators.incremental import (
+    IncrementalDedup,
+    dedup_incremental,
+)
+from oracle_vectorsearch_example_spark.operators.dsir import (
+    dsir_fit,
+    dsir_sample,
+    dsir_scores,
+)
+from oracle_vectorsearch_example_spark.operators.fuzzy import (
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
 from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
 from oracle_vectorsearch_example_spark.operators.sampling import (
+    deterministic_shuffle,
     hash_bucket,
     hash_sample,
     hash_split,
+    mix_sources,
+    repeat_epochs,
     stratified_sample,
 )
+from oracle_vectorsearch_example_spark.operators.layout import zorder_write
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
 from oracle_vectorsearch_example_spark.operators.resample import time_bucket_gapfill
 from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
 from oracle_vectorsearch_example_spark.operators.skew import salted_agg, salted_join
+from oracle_vectorsearch_example_spark.operators.profile import profile_table
 from oracle_vectorsearch_example_spark.operators.multimodal import (
     audio_features,
     binary_stats,
@@ -36,11 +93,37 @@ from oracle_vectorsearch_example_spark.operators.multimodal import (
 
 __all__ = [
     "topk_search",
+    "mrl_topk_search",
+    "mine_hard_negatives",
     "cosine_neardup_pairs",
     "cosine_neardup_pairs_sparse",
     "IvfIndex",
     "CosineLshIndex",
+    "ShardedHnswIndex",
     "recall_at_k",
+    "Bm25Index",
+    "IncrementalBm25",
+    "bm25_index",
+    "bm25_search",
+    "bm25_search_terms",
+    "bm25_search_prf",
+    "prf_terms",
+    "rrf_fuse",
+    "sparse_topk_search",
+    "to_sparse",
+    "to_dense",
+    "tfidf_fit",
+    "tfidf_transform",
+    "tfidf_vectors",
+    "maxsim_topk",
+    "bq_encode_df",
+    "bq_topk_search",
+    "sq8_encode_df",
+    "sq8_topk_search",
+    "sq8_ivf_search",
+    "pq_topk_search",
+    "pq_refine_topk",
+    "pq_ivf_search",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -48,17 +131,32 @@ __all__ = [
     "simhash",
     "neardup_components",
     "dedup_by_components",
+    "decontaminate",
+    "exact_substring_dedup",
+    "semdedup",
+    "IncrementalDedup",
+    "dedup_incremental",
+    "dsir_fit",
+    "dsir_scores",
+    "dsir_sample",
+    "fuzzy_self_pairs",
+    "fuzzy_join",
     "hash_bucket",
     "hash_split",
     "hash_sample",
     "stratified_sample",
+    "repeat_epochs",
+    "mix_sources",
+    "deterministic_shuffle",
     "pack_sequences",
+    "zorder_write",
     "asof_join",
     "range_join",
     "sessionize",
     "time_bucket_gapfill",
     "salted_agg",
     "salted_join",
+    "profile_table",
     "binary_stats",
     "extract_media_features",
     "image_features",
