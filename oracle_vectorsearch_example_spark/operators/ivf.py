@@ -574,6 +574,21 @@ class IvfIndex:
         quantile of those cluster ranks — no repeated searches. Run on a
         small query sample; reuse the returned nprobe for production
         searches on the same index."""
+        ranks = self._truth_cluster_ranks(
+            queries, k, query_id, query_vec, exclude_self
+        )
+        if not ranks:
+            return 1
+        q_idx = max(0, math.ceil(target_recall * len(ranks)) - 1)
+        return ranks[q_idx]
+
+    def _truth_cluster_ranks(
+        self, queries, k, query_id, query_vec, exclude_self
+    ) -> list[int]:
+        """For every true top-k neighbor of every calibration query, the
+        1-based rank of its cluster in that query's centroid ordering —
+        sorted ascending. A neighbor is recalled at probe depth p iff
+        its rank ≤ p, so this list IS the recall curve."""
         qrows = queries.select(query_id, query_vec).collect()
         exact = topk_search(
             self.assignments,
@@ -594,16 +609,48 @@ class IvfIndex:
             .collect()
         )
         if not hits:
-            return 1
+            return []
         order = {
             r[query_id]: self._nearest_clusters(r[query_vec], len(self.centroids))
             for r in qrows
         }
-        ranks = sorted(
+        return sorted(
             order[h[query_id]].index(h["cluster_id"]) + 1 for h in hits
         )
-        q_idx = max(0, math.ceil(target_recall * len(ranks)) - 1)
-        return ranks[q_idx]
+
+    def accuracy_report(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """The DBMS_VECTOR.INDEX_ACCURACY_REPORT analog (the operational
+        sibling of the reference's TARGET ACCURACY clause,
+        01_pdf_to_vector.sql:97): the full recall-vs-nprobe curve as a
+        DataFrame (nprobe, recall, n_recalled, n_true), one row per
+        probe depth at which recall improves — computed from ONE exact
+        pass (a true neighbor is recalled at depth p iff its cluster
+        ranks ≤ p), not k × n_clusters repeated searches. Pick an
+        operating point by reading the curve; ``calibrate`` returns the
+        minimal depth for one target."""
+        ranks = self._truth_cluster_ranks(
+            queries, k, query_id, query_vec, exclude_self
+        )
+        spark = queries.sparkSession
+        schema = "nprobe int, recall double, n_recalled long, n_true long"
+        if not ranks:
+            return spark.createDataFrame([], schema)
+        n = len(ranks)
+        rows, seen = [], 0
+        from collections import Counter
+
+        by_depth = Counter(ranks)
+        for p in sorted(by_depth):
+            seen += by_depth[p]
+            rows.append((p, round(seen / n, 6), seen, n))
+        return spark.createDataFrame(rows, schema)
 
     def search(
         self,

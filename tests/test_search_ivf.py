@@ -801,3 +801,47 @@ def test_tagged_add_idempotent_and_vacuum_safe(emb, queries10, tmp_path):
     deleted = compacted.vacuum()
     assert "data-add-batch7" in deleted and "data" in deleted
     assert IvfIndex.load(emb.sparkSession, path).assignments.count() == n1
+
+
+def test_accuracy_report_curve(spark):
+    """The report's curve must agree with measured recall at every
+    listed depth, reach 1.0 at full probe width, and be monotone."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.operators.ivf import (
+        IvfIndex,
+        recall_at_k,
+    )
+    from oracle_vectorsearch_example_spark.operators.search import topk_search
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(8, 12) * 4
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, [float(x) for x in centers[c] + rng.randn(12) * 0.5]))
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IvfIndex.build(base, n_clusters=8, seed=42)
+    q = base.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rep = sorted(
+        idx.accuracy_report(q, k=5, exclude_self=True).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert rep, "empty report"
+    recs = [r.recall for r in rep]
+    assert recs == sorted(recs)  # monotone
+    assert rep[-1].recall == 1.0 and rep[-1].n_recalled == rep[-1].n_true
+    # spot-check: measured recall at each reported depth matches
+    exact = topk_search(base, q, k=5, exclude_self=True)
+    for r in rep:
+        measured = recall_at_k(
+            exact, idx.search(q, k=5, nprobe=r.nprobe, exclude_self=True)
+        )
+        assert measured == pytest.approx(r.recall, abs=1e-9)
+    # calibrate() is the curve's quantile reader
+    np95 = idx.calibrate(q, k=5, target_recall=0.95, exclude_self=True)
+    at_or_above = min(r.nprobe for r in rep if r.recall >= 0.95)
+    assert np95 == at_or_above
