@@ -549,6 +549,37 @@ class ShardedHnswIndex:
             .select("qid", "rank", "vec_id", "dist")
         )
 
+    def accuracy_report(
+        self,
+        q: DataFrame,
+        k: int = 10,
+        efs: tuple = (16, 32, 64, 128, 256),
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Recall-vs-ef curve for THIS graph index (the
+        DBMS_VECTOR.INDEX_ACCURACY_REPORT analog on the NEIGHBOR GRAPH
+        organization, sibling of ``IvfIndex.accuracy_report``). Unlike
+        IVF — where one exact pass yields the whole curve from cluster
+        ranks — a beam search's recall at ef is only observable by
+        running it, so this measures one search per listed ef plus one
+        exhaustive pass (ef >= shard size) for ground truth. Returns
+        (ef, recall, n_true); run on a sampled query frame and reuse the
+        chosen ef for production searches."""
+        from oracle_vectorsearch_example_spark.operators.ivf import (
+            recall_at_k,
+        )
+
+        exact = self.search(q, k=k, ef=10 ** 9, exclude_self=exclude_self)
+        exact = exact.persist()
+        n_true = exact.count()
+        rows = []
+        for ef in sorted(set(int(e) for e in efs)):
+            got = self.search(q, k=k, ef=ef, exclude_self=exclude_self)
+            rows.append((ef, round(recall_at_k(exact, got), 6), n_true))
+        exact.unpersist()
+        spark = q.sparkSession
+        return spark.createDataFrame(rows, "ef int, recall double, n_true long")
+
     def filtered_search(
         self,
         q: DataFrame,

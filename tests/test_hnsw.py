@@ -269,3 +269,32 @@ def test_filtered_search_matches_brute_force(spark):
         by_q.setdefault(r.qid, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_accuracy_report_ef_sweep(spark):
+    """The curve's entries equal independently measured recall at each
+    ef, and an ef covering the shards reads exactly 1.0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oracle_vectorsearch_example_spark.operators.hnsw import ShardedHnswIndex
+    from oracle_vectorsearch_example_spark.operators.ivf import recall_at_k
+
+    rng = np.random.RandomState(21)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(16)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = ShardedHnswIndex.build(base, n_shards=2, m=8, seed=42)
+    q = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rep = {r.ef: r for r in idx.accuracy_report(
+        q, k=5, efs=(8, 32, 500), exclude_self=True
+    ).collect()}
+    assert set(rep) == {8, 32, 500}
+    assert rep[500].recall == 1.0  # ef >= shard size → exhaustive
+    assert all(0.0 <= r.recall <= 1.0 for r in rep.values())
+    exact = idx.search(q, k=5, ef=10**9, exclude_self=True)
+    got32 = idx.search(q, k=5, ef=32, exclude_self=True)
+    assert rep[32].recall == pytest.approx(recall_at_k(exact, got32), abs=1e-9)
