@@ -2842,6 +2842,27 @@ def q_substring_dedup(spark, sf):
     )
 
 
+@golden("ivf_accuracy_report")
+def q_ivf_accuracy_report(spark, sf):
+    """Index accuracy curve as a query (D5+ — the
+    DBMS_VECTOR.INDEX_ACCURACY_REPORT analog; operational sibling of
+    TARGET ACCURACY 95, 01_pdf_to_vector.sql:97): recall-vs-nprobe for
+    a seed-42 IVF over the embeddings table, 10 calibration queries,
+    k=5 — the whole curve from ONE exact pass. Rows-only: the probe
+    ordering lives in the trained centroids, which SQL can't re-derive;
+    determinism rests on the r7 hash-drawn KMeans sample (a pure
+    function of data + seed), and the curve's correctness is pinned in
+    tests/test_search_ivf.py against measured recall at every depth."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    e = read_table(spark, sf, "embeddings")
+    idx = IvfIndex.build(e, n_clusters=16, seed=42)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return idx.accuracy_report(q, k=5, exclude_self=True)
+
+
 @golden(
     "det_shuffle",
     """

@@ -94,7 +94,13 @@ def dsir_fit(
     alpha: float = 1.0,
 ) -> DsirModel:
     """Count hashed-bigram features over both corpora. Each count table
-    is one group-by on the bucket key and is ≤ n_buckets rows."""
+    is one group-by on the bucket key and is ≤ n_buckets rows.
+
+    Target size matters: DSIR discriminates by RATE differences, not
+    membership — with singleton counts the add-alpha ratios
+    (1+a)/(c_r+a) vs (0+a)/(1+a) nearly cancel and log w carries no
+    signal. Fit on a target corpus large (or internally repetitive)
+    enough that its characteristic features reach counts well above 1."""
 
     def counts(df):
         return (

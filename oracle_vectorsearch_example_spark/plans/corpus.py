@@ -34,6 +34,8 @@ def build_training_corpus(
     text_col: str = "text",
     quality_min: float = 0.0,
     langs: list[str] | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_keep_n: int | None = None,
     max_dup3_frac: float | None = None,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 13,
@@ -64,6 +66,12 @@ def build_training_corpus(
     ``redact_pii`` runs :func:`~..functions.scrub.redact_pii_df` before
     dedup, so boilerplate can't inflate near-dup similarity.
 
+    Optional DSIR selection (r7), applied FIRST: ``dsir_target`` +
+    ``dsir_keep_n`` keep the n raw documents importance-sampled toward
+    the target corpus's hashed-bigram distribution
+    (:func:`~..operators.dsir.dsir_sample`) before any cleaning — the
+    paper's ordering, and the cheapest gate runs first.
+
     Optional substring pass (r7): ``min_dup_span`` cuts duplicated
     ≥ N-token passages keep-first (:func:`~..operators.substring.
     exact_substring_dedup`, the ExactSubstr step) after scrub and
@@ -85,6 +93,26 @@ def build_training_corpus(
     )
     from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
     from oracle_vectorsearch_example_spark.operators.sampling import hash_split
+
+    # DSIR selection FIRST (r7, the paper's ordering — arXiv:2302.03169
+    # selects the pretraining subset from raw before cleaning; it is
+    # also the cheapest stage, O(bigram events) with broadcast count
+    # tables, so running it first shrinks everything downstream)
+    if dsir_keep_n is not None:
+        if dsir_target is None:
+            raise ValueError("dsir_keep_n requires dsir_target (a DataFrame)")
+        from oracle_vectorsearch_example_spark.operators.dsir import (
+            dsir_fit,
+            dsir_sample,
+        )
+
+        model = dsir_fit(
+            dsir_target, docs, id_col=id_col, text_col=text_col
+        )
+        docs = dsir_sample(
+            docs, model, n=dsir_keep_n, id_col=id_col, text_col=text_col,
+            seed=seed,
+        )
 
     # scrub BEFORE dedup (the C4 ordering): shared boilerplate lines
     # inflate near-dup similarity between unrelated docs, and redacted

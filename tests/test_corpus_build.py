@@ -333,3 +333,43 @@ def test_corpus_build_with_substring_pass(spark):
     assert shared in kept[0]       # first host keeps the passage
     assert shared not in kept[1]   # later host loses exactly the span
     assert "beta completely different payload here" in kept[1]
+
+
+def test_corpus_build_with_dsir_selection(spark):
+    """r7: DSIR selection runs first — target-like docs survive the cut,
+    junk is sampled away (almost surely, given the weight gap), and the
+    selected count is exact."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    # raw "good" docs are DISTINCT windows of the target text (each
+    # target bigram appears in only a couple of raw docs — the regime
+    # DSIR assumes; repeating one identical sentence would be
+    # overrepresented-in-raw content, which importance weighting
+    # correctly DOWN-weights)
+    # the target must carry REPEATED evidence for its bigrams (c_t high
+    # while each bigram stays rare in raw) — with single counts the
+    # add-1 ratios (1+1)/(c_r+1) vs (0+1)/(1+1) nearly cancel and the
+    # weights carry no signal, which is faithful to the method: DSIR
+    # discriminates by RATE differences, not mere membership
+    tgt_words = [f"t{i}" for i in range(40)]
+    target = spark.createDataFrame(
+        [(i, " ".join(tgt_words)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = [(i, " ".join(tgt_words[3 * i : 3 * i + 10])) for i in range(10)]
+    rows += [(100 + i, f"zz{i} xx{i} yy{i} ww{i} vv{i} uu{i} tt{i} ss{i}")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = build_training_corpus(
+        docs, dsir_target=target, dsir_keep_n=8, n_shards=2
+    )
+    kept = {r.doc_id for r in out["documents"].collect()}
+    # dedup may collapse the 10 near-identical target-like docs, but
+    # every survivor must come from the selected subset (size 8);
+    # the selection overwhelmingly favors target-like ids (< 100)
+    assert kept and all(d < 100 for d in kept)
+    with pytest.raises(ValueError, match="dsir_target"):
+        build_training_corpus(docs, dsir_keep_n=5)
