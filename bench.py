@@ -742,6 +742,133 @@ def main():
             "rerank_1k_pairs", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- bloom-pruned anti join (X40): the decontamination shape —
+    # 2M parquet probe rows with incompressible ~512 B payloads against
+    # a build side of 2M string keys (far past any broadcast threshold).
+    # The exact twin sort-merge-shuffles every payload byte; the bloom
+    # "broadcast" strategy shuffles only the distinct bloom-positive
+    # KEYS (2% members + ~1% fpp = the recorded shuffled_fraction) and
+    # finishes with a broadcast anti join — probe payloads NEVER cross
+    # the wire. HONEST LOCAL READING: on local[32] the exact twin's
+    # shuffle is page-cache-speed (~0.4 s for 1 GB) — about what the
+    # bloom tag evaluation costs — so bloom lands ~1.25x the exact twin
+    # here and the win is the shuffled_fraction itself: at cluster
+    # scale the avoided payload shuffle is network+disk (50-100x this
+    # cost) while the map-side tag cost is unchanged.
+    try:
+        from oracle_vectorsearch_example_spark.operators.bloom import (
+            bloom_anti_join,
+            bloom_tag,
+            bloom_words_df,
+            bloom_words_row,
+        )
+
+        _BLOOM_M = 1 << 25  # ~10.5 bits/key at n=2M -> fpp ~1%
+        _bloom_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bloom_fixture"
+        )
+        _probe_pq = os.path.join(_bloom_dir, "probe2m")
+        _build_pq = os.path.join(_bloom_dir, "build2m")
+        if not os.path.exists(_probe_pq):
+            # one-time ~1 GB fixture: 8 distinct sha2 blocks per row so
+            # neither parquet nor the shuffle codec can compress the
+            # payload away
+            (
+                spark.range(0, 2_000_000)
+                .select(
+                    F.format_string("k%09d", F.col("id")).alias("key"),
+                    F.concat(
+                        *[
+                            F.sha2(
+                                F.concat(
+                                    F.lit(f"p{i}:"), F.col("id").cast("string")
+                                ),
+                                256,
+                            )
+                            for i in range(8)
+                        ]
+                    ).alias("payload"),
+                )
+                .write.mode("overwrite")
+                .parquet(_probe_pq)
+            )
+        if not os.path.exists(_build_pq):
+            # 40k keys hit every-50th probe row (2% members); 1.96M miss
+            (
+                spark.range(0, 2_000_000)
+                .select(
+                    F.when(
+                        F.col("id") < 40_000,
+                        F.format_string("k%09d", F.col("id") * 50),
+                    )
+                    .otherwise(F.format_string("x%09d", F.col("id")))
+                    .alias("bkey")
+                )
+                .write.mode("overwrite")
+                .parquet(_build_pq)
+            )
+        probe2m = spark.read.parquet(_probe_pq)
+        build2m = spark.read.parquet(_build_pq)
+        run_entry(
+            "bloom_build_2m",
+            lambda: _execute(bloom_words_row(build2m, "bkey", m_bits=_BLOOM_M)),
+        )
+        _wrow = bloom_words_row(build2m, "bkey", m_bits=_BLOOM_M).localCheckpoint()
+        run_entry(
+            "bloom_anti_2m",
+            lambda: _execute(
+                bloom_anti_join(
+                    probe2m,
+                    build2m,
+                    "key",
+                    "bkey",
+                    m_bits=_BLOOM_M,
+                    words_row=_wrow,
+                    strategy="broadcast",
+                )
+            ),
+        )
+        run_entry(
+            "bloom_anti_split_2m",
+            lambda: _execute(
+                bloom_anti_join(
+                    probe2m, build2m, "key", "bkey", m_bits=_BLOOM_M, words_row=_wrow
+                )
+            ),
+        )
+        run_entry(
+            "exact_anti_2m",
+            lambda: _execute(
+                probe2m.join(
+                    build2m.select(F.col("bkey").alias("key")), "key", "left_anti"
+                )
+            ),
+        )
+        _bits_set = (
+            bloom_words_df(build2m, "bkey", m_bits=_BLOOM_M)
+            .agg(F.sum(F.bit_count("word")).alias("n"))
+            .collect()[0]["n"]
+        )
+        extras["bloom_2m"] = {
+            "n_probe": 2_000_000,
+            "n_build": 2_000_000,
+            "member_fraction": 0.02,
+            "payload_bytes": 512,
+            "filter_kib": _BLOOM_M // 8 // 1024,
+            "fpp_estimate": round((_bits_set / _BLOOM_M) ** 5, 5),
+            "shuffled_fraction": round(
+                bloom_tag(
+                    probe2m, build2m, "key", "bkey", m_bits=_BLOOM_M, words_row=_wrow
+                )
+                .filter("bloom_hit")
+                .count()
+                / 2_000_000,
+                4,
+            ),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("bloom_anti_2m", {"err": str(e).splitlines()[0][:200]})
+
     ok = {k: v for k, v in results.items() if isinstance(v, (int, float))}
     n_err = len(results) - len(ok)
     total = round(sum(ok.values()), 3)

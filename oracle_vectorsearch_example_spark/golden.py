@@ -5103,6 +5103,64 @@ def q_boilerplate_removal(spark, sf):
     return remove_boilerplate_lines(aug, min_docs=10).select("doc_id", "text")
 
 
+# ------------------------------------------------- bloom join pruning (X40)
+_BLOOM_WORDS_SQL = """
+    WITH pos AS (
+      SELECT ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':42:'
+                                 || CAST(o_custkey AS VARCHAR)),
+                             1, 15))::BIGINT % 65536 AS p
+      FROM orders CROSS JOIN (SELECT unnest(range(5)) AS i) i
+    )
+    SELECT CAST(p // 32 AS INTEGER) AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+    FROM pos GROUP BY 1
+"""
+
+
+@golden("bloom_words", _BLOOM_WORDS_SQL)
+def q_bloom_words(spark, sf):
+    """Bloom-filter BUILD aggregate (X40): the frozen md5 probe spec
+    (position_i = md5("i:seed:key")[:15 hex] % m, 32-bit words in BIGINT)
+    hash-checked word-for-word against DuckDB replaying the same spec —
+    witnessing the filter bits themselves, not just downstream join
+    results. One narrow shuffle of ≤ m/32 rows regardless of build-side
+    size; the dense array (16 KiB default) is driver metadata like IVF
+    centroids. Reference analog: in-database bloom pruning for
+    partition-wise joins."""
+    from oracle_vectorsearch_example_spark.operators.bloom import bloom_words_df
+
+    orders = read_table(spark, sf, "orders")
+    return bloom_words_df(orders, "o_custkey", m_bits=1 << 16, k=5, seed=42, hash="md5")
+
+
+@golden(
+    "bloom_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_bloom_anti(spark, sf):
+    """Bloom-accelerated anti join (X40; decontamination's shuffle
+    eliminator): customers with no orders. Bloom-negative rows are
+    DEFINITELY absent (no false negatives) and pass map-side with zero
+    shuffle; only the bloom-positive sliver pays the exact anti join,
+    which readmits false positives — so the result is exactly the naive
+    left_anti for any filter sizing, which is what this golden
+    hash-checks. At 100 TB the shuffled fraction drops from |corpus| to
+    |members| + fpp·|corpus|."""
+    from oracle_vectorsearch_example_spark.operators.bloom import bloom_anti_join
+
+    cust = read_table(spark, sf, "customer")
+    urgent = read_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_anti_join(cust, urgent, "c_custkey", "o_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
 # -------------------------------------------------------- driver window order
 # The external driver witnesses the FIRST 50 registered queries each round
 # (CORRECTNESS_r*.json); the full surface is oracle-checked locally via
@@ -5121,6 +5179,7 @@ def q_boilerplate_removal(spark, sf):
 # utl_to_summary, maxsim_topk, tfidf_topk, fuzzy_pairs, dsir_scores,
 # hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
+# bloom_words, bloom_anti,
 # plus rows-only bpe_tokens and rerank_ce. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

@@ -52,6 +52,15 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
 from oracle_vectorsearch_example_spark.operators.substring import (
     exact_substring_dedup,
 )
+from oracle_vectorsearch_example_spark.operators.bloom import (
+    BloomFilter,
+    bloom_anti_join,
+    bloom_build,
+    bloom_semi_join,
+    bloom_tag,
+    bloom_words_df,
+    bloom_words_row,
+)
 from oracle_vectorsearch_example_spark.operators.semdedup import semdedup
 from oracle_vectorsearch_example_spark.operators.incremental import (
     IncrementalDedup,
@@ -133,6 +142,13 @@ __all__ = [
     "dedup_by_components",
     "decontaminate",
     "exact_substring_dedup",
+    "BloomFilter",
+    "bloom_anti_join",
+    "bloom_build",
+    "bloom_semi_join",
+    "bloom_tag",
+    "bloom_words_df",
+    "bloom_words_row",
     "semdedup",
     "IncrementalDedup",
     "dedup_incremental",
