@@ -869,6 +869,69 @@ def main():
     except Exception as e:  # noqa: BLE001
         results.setdefault("bloom_anti_2m", {"err": str(e).splitlines()[0][:200]})
 
+    # --- exact heavy hitters via count-min pruning (X41) at 4.2M rows,
+    # 4M distinct keys: the hot-key detector for skew salting. The
+    # sketch bounds the first pass's shuffle at d*w cells (262k here)
+    # REGARDLESS of key cardinality, where the naive groupBy's shuffle
+    # width grows with |distinct keys| x partitions (4M+ partial rows
+    # here; at web-corpus 10^9 keys x 1000 executors it IS the job and
+    # the agg hash maps spill). Locally both are ~1 s (page-cache
+    # shuffles again); the recorded candidate_fraction is the scale
+    # claim — only that sliver is ever recounted exactly.
+    try:
+        from oracle_vectorsearch_example_spark.operators.sketch import (
+            cms_estimate,
+            cms_table,
+            heavy_hitters,
+        )
+
+        _CMS_W = 1 << 16  # noise ~ N/w = 64 << threshold 10k
+        hh_data = (
+            spark.range(0, 4_000_000)
+            .select(F.format_string("u%09d", F.col("id")).alias("key"))
+            .unionByName(
+                spark.range(0, 200_000).select(
+                    F.format_string("h%d", F.col("id") % 10).alias("key")
+                )
+            )
+            .localCheckpoint()
+        )
+        run_entry(
+            "cms_build_4m",
+            lambda: _execute(cms_table(hh_data, "key", w=_CMS_W)),
+        )
+        _cms = cms_table(hh_data, "key", w=_CMS_W).localCheckpoint()
+        run_entry(
+            "heavy_hitters_4m",
+            lambda: _execute(
+                heavy_hitters(hh_data, "key", 10_000, w=_CMS_W, cms=_cms)
+            ),
+        )
+        run_entry(
+            "heavy_hitters_naive_4m",
+            lambda: _execute(
+                hh_data.groupBy("key")
+                .count()
+                .filter(F.col("count") >= 10_000)
+            ),
+        )
+        extras["heavy_hitters_4m"] = {
+            "n_rows": 4_200_000,
+            "n_distinct": 4_000_010,
+            "n_heavy": 10,
+            "threshold": 10_000,
+            "sketch_cells": 4 * _CMS_W,
+            "candidate_fraction": round(
+                cms_estimate(hh_data.select("key"), _cms, "key", w=_CMS_W)
+                .filter(F.col("cms_est") >= 10_000)
+                .count()
+                / 4_200_000,
+                4,
+            ),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("heavy_hitters_4m", {"err": str(e).splitlines()[0][:200]})
+
     ok = {k: v for k, v in results.items() if isinstance(v, (int, float))}
     n_err = len(results) - len(ok)
     total = round(sum(ok.values()), 3)

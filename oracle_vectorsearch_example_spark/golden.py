@@ -5161,6 +5161,61 @@ def q_bloom_anti(spark, sf):
     )
 
 
+# --------------------------------------------- count-min / heavy hitters (X41)
+_CMS_WORDS_SQL = """
+    WITH pos AS (
+      SELECT j.j AS row_idx,
+             ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':42:'
+                                  || CAST(o_custkey AS VARCHAR)),
+                             1, 15))::BIGINT % 4096 AS pos
+      FROM orders CROSS JOIN (SELECT unnest(range(4)) AS j) j
+    )
+    SELECT CAST(row_idx AS INTEGER) AS row_idx, pos,
+           COUNT(*)::BIGINT AS count
+    FROM pos GROUP BY 1, 2
+"""
+
+
+@golden("cms_words", _CMS_WORDS_SQL)
+def q_cms_words(spark, sf):
+    """Count-min sketch BUILD aggregate (X41): the frozen md5 position
+    spec (pos_j = md5("j:seed:key")[:15 hex] % w) hash-checked
+    counter-for-counter against DuckDB replaying the same spec —
+    witnessing the sketch state itself, not just downstream answers.
+    One SUM shuffle of ≤ d×w rows per input partition regardless of key
+    cardinality (map-side partial combine). Reference analog: in-engine
+    frequency statistics driving Oracle's skew-aware plans."""
+    from oracle_vectorsearch_example_spark.operators.sketch import cms_table
+
+    orders = read_table(spark, sf, "orders")
+    return cms_table(orders, "o_custkey", d=4, w=4096, seed=42, hash="md5")
+
+
+@golden(
+    "heavy_hitters",
+    """
+    SELECT o_custkey, COUNT(*)::BIGINT AS cnt
+    FROM orders GROUP BY 1 HAVING COUNT(*) >= 20
+    """,
+)
+def q_heavy_hitters(spark, sf):
+    """Exact heavy hitters via count-min pruning (X41; the hot-key
+    detector feeding salted_join/salted_agg): customers with ≥ 20
+    orders. The sketch only over-counts, so an estimate below the
+    threshold is a DEFINITE miss and its rows never shuffle; the
+    candidate sliver is recounted exactly, killing false positives —
+    the result equals plain GROUP BY ... HAVING for any sketch sizing,
+    which is what this golden hash-checks. At 100 TB the group-by
+    shuffle width drops from |distinct keys| × partitions to the
+    candidate sliver."""
+    from oracle_vectorsearch_example_spark.operators.sketch import heavy_hitters
+
+    orders = read_table(spark, sf, "orders")
+    return heavy_hitters(orders, "o_custkey", threshold=20).select(
+        "o_custkey", F.col("count").alias("cnt")
+    )
+
+
 # -------------------------------------------------------- driver window order
 # The external driver witnesses the FIRST 50 registered queries each round
 # (CORRECTNESS_r*.json); the full surface is oracle-checked locally via
@@ -5179,7 +5234,7 @@ def q_bloom_anti(spark, sf):
 # utl_to_summary, maxsim_topk, tfidf_topk, fuzzy_pairs, dsir_scores,
 # hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
-# bloom_words, bloom_anti,
+# bloom_words, bloom_anti, cms_words, heavy_hitters,
 # plus rows-only bpe_tokens and rerank_ce. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

@@ -61,6 +61,11 @@ from oracle_vectorsearch_example_spark.operators.bloom import (
     bloom_words_df,
     bloom_words_row,
 )
+from oracle_vectorsearch_example_spark.operators.sketch import (
+    cms_estimate,
+    cms_table,
+    heavy_hitters,
+)
 from oracle_vectorsearch_example_spark.operators.semdedup import semdedup
 from oracle_vectorsearch_example_spark.operators.incremental import (
     IncrementalDedup,
@@ -149,6 +154,9 @@ __all__ = [
     "bloom_tag",
     "bloom_words_df",
     "bloom_words_row",
+    "cms_estimate",
+    "cms_table",
+    "heavy_hitters",
     "semdedup",
     "IncrementalDedup",
     "dedup_incremental",
