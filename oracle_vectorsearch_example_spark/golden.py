@@ -5216,6 +5216,28 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------------------ PCA whitening (X42)
+@golden("pca_embed")
+def q_pca_embed(spark, sf):
+    """PCA projection of the embeddings table (X42, rows-only by design
+    — eigh has no SQL replay; the hard contracts live in tests/
+    test_pca.py: numpy parity, orthonormality, EXACT repartition
+    equality of the canonical two-level moment fold, rotation-
+    invariance of full-dim search). Fit is layout-independent
+    (bucket-by-id-hash, ascending-id fold per bucket, ascending-bucket
+    driver fold); transform is a map-side Arrow matmul. Returns the
+    top-4 components per vector, rounded to 6dp."""
+    from oracle_vectorsearch_example_spark.operators.pca import pca_fit
+
+    emb = read_table(spark, sf, "embeddings")
+    model = pca_fit(emb, vec_col="embedding", id_col="vec_id")
+    out = model.transform(emb, vec_col="embedding", out_col="pca", k=4)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("pca"), lambda x: F.round(x, 6)).alias("pca"),
+    )
+
+
 # -------------------------------------------------------- driver window order
 # The external driver witnesses the FIRST 50 registered queries each round
 # (CORRECTNESS_r*.json); the full surface is oracle-checked locally via
@@ -5235,7 +5257,7 @@ def q_heavy_hitters(spark, sf):
 # hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters,
-# plus rows-only bpe_tokens and rerank_ce. That is more unwitnessed
+# plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees
 # (= ~46 seats), r9 sweeps whatever remains. Witness history (which

@@ -61,6 +61,11 @@ from oracle_vectorsearch_example_spark.operators.bloom import (
     bloom_words_df,
     bloom_words_row,
 )
+from oracle_vectorsearch_example_spark.operators.pca import (
+    PcaModel,
+    pca_fit,
+    pca_topk_search,
+)
 from oracle_vectorsearch_example_spark.operators.sketch import (
     cms_estimate,
     cms_table,
@@ -157,6 +162,9 @@ __all__ = [
     "cms_estimate",
     "cms_table",
     "heavy_hitters",
+    "PcaModel",
+    "pca_fit",
+    "pca_topk_search",
     "semdedup",
     "IncrementalDedup",
     "dedup_incremental",
