@@ -5216,6 +5216,63 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ---------------------------------------------------------- MERGE (S12)
+@golden(
+    "merge_upsert",
+    """
+    WITH cnt AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),
+    src AS (
+      SELECT o_custkey AS c_custkey,
+             'U#' || CAST(o_custkey AS VARCHAR) AS c_name,
+             CAST(c AS DOUBLE) AS bal
+      FROM cnt WHERE c >= 15
+      UNION ALL
+      SELECT o_custkey + 1000000,
+             'NEW#' || CAST(o_custkey AS VARCHAR),
+             CAST(c AS DOUBLE) * 2
+      FROM cnt WHERE c >= 22
+    )
+    SELECT t.c_custkey, t.c_name, t.bal
+    FROM (SELECT c_custkey, c_name, c_acctbal AS bal FROM customer) t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM src)
+    UNION ALL
+    SELECT c_custkey, c_name, bal FROM src
+    """,
+)
+def q_merge_upsert(spark, sf):
+    """ANSI/Oracle MERGE semantics (S12 — the engine DML staple):
+    customers with ≥ 15 orders get whole-row updates, shifted keys
+    insert as new rows, everyone else passes through untouched —
+    exactly the `MERGE INTO customer USING src ON (c_custkey)` result,
+    hash-checked against DuckDB replaying the same anti-join ∪ source
+    decomposition. One anti join keyed on the merge key + one union;
+    payloads shuffle once per side, no windows, no driver loop. The
+    atomic sibling (`Warehouse.merge`) publishes this result as one
+    manifest swap — crash-safe, time-travelable (tests/test_merge.py).
+    Reference analog: the reference's loader upserts documents/chunks
+    inside one transaction (01_pdf_to_vector.sql:104-116)."""
+    from oracle_vectorsearch_example_spark.sources.txn import merge_rows
+
+    cust = read_table(spark, sf, "customer")
+    target = cust.select("c_custkey", "c_name", F.col("c_acctbal").alias("bal"))
+    cnt = (
+        read_table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+    )
+    upd = cnt.filter(F.col("c") >= 15).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("U#"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("c").cast("double").alias("bal"),
+    )
+    ins = cnt.filter(F.col("c") >= 22).select(
+        (F.col("o_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("o_custkey").cast("string")).alias("c_name"),
+        (F.col("c").cast("double") * 2).alias("bal"),
+    )
+    return merge_rows(target, upd.unionByName(ins), ["c_custkey"])
+
+
 # ------------------------------------------------------ PCA whitening (X42)
 @golden("pca_embed")
 def q_pca_embed(spark, sf):
@@ -5256,7 +5313,7 @@ def q_pca_embed(spark, sf):
 # utl_to_summary, maxsim_topk, tfidf_topk, fuzzy_pairs, dsir_scores,
 # hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
-# bloom_words, bloom_anti, cms_words, heavy_hitters,
+# bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

@@ -5,7 +5,11 @@ from oracle_vectorsearch_example_spark.sources.io import (
     validate_constraints,
 )
 from oracle_vectorsearch_example_spark.sources.registry import ModelRegistry
-from oracle_vectorsearch_example_spark.sources.txn import CommitConflict, Warehouse
+from oracle_vectorsearch_example_spark.sources.txn import (
+    CommitConflict,
+    Warehouse,
+    merge_rows,
+)
 
 __all__ = [
     "TABLES",
@@ -15,4 +19,5 @@ __all__ = [
     "ModelRegistry",
     "Warehouse",
     "CommitConflict",
+    "merge_rows",
 ]
