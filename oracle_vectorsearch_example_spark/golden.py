@@ -5216,6 +5216,56 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------- window breadth / set ops (§2.5)
+@golden(
+    "window_extras",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4)        OVER w AS tile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q_window_extras(spark, sf):
+    """Distribution/positional window breadth (§2.5 beyond
+    rank/lag/frames): ntile, percent_rank, cume_dist, nth_value with
+    the ANSI default frame — all exactly engine-portable (ratios of
+    small ints are exact IEEE divisions; 6dp round guards the edge).
+    Order key is the globally-unique o_orderkey, so the window order is
+    total and layout-independent."""
+    o = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@golden(
+    "intersect_all_keys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def q_intersect_all(spark, sf):
+    """Multiset INTERSECT ALL (§2.7 breadth, the dual of exceptAll):
+    multiplicity = min of the two sides' counts per key — Spark's
+    intersectAll and DuckDB's INTERSECT ALL share the ANSI definition."""
+    o = read_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.intersectAll(b)
+
+
 # ---------------------------------------------------------- MERGE (S12)
 @golden(
     "merge_upsert",
@@ -5314,6 +5364,7 @@ def q_pca_embed(spark, sf):
 # hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
+# window_extras, intersect_all_keys,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

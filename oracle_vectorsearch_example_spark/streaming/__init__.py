@@ -1,3 +1,7 @@
+from oracle_vectorsearch_example_spark.streaming.cdc import (
+    apply_changes_sink,
+    latest_change_per_key,
+)
 from oracle_vectorsearch_example_spark.streaming.ingest import (
     dedup_events,
     dedup_stream,
@@ -18,4 +22,6 @@ __all__ = [
     "dedup_events",
     "enrich_stream",
     "ingest_documents_stream",
+    "apply_changes_sink",
+    "latest_change_per_key",
 ]
