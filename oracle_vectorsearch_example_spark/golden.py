@@ -5216,6 +5216,35 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# --------------------------------------------------- auto-salted agg (X41+)
+@golden(
+    "auto_salted_agg",
+    """
+    SELECT l_orderkey, COUNT(*)::BIGINT AS c, SUM(l_quantity) AS q
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_auto_salted_agg(spark, sf):
+    """Measured skew mitigation (X41 composed with §4's salting):
+    count-min heavy hitters detect the hot keys, ONLY their rows pay
+    the two-phase salted aggregate, the cold tail aggregates
+    single-phase — and the result is exactly the plain GROUP BY at any
+    threshold/n_salt (threshold tunes cost, never answers), which is
+    what this golden hash-checks. Sums here are integer-valued doubles,
+    so the two-phase re-association is FP-exact."""
+    from oracle_vectorsearch_example_spark.operators.skew import salted_agg_auto
+
+    li = read_table(spark, sf, "lineitem")
+    return salted_agg_auto(
+        li,
+        ["l_orderkey"],
+        partial_aggs=[F.count("*").alias("c"), F.sum("l_quantity").alias("q")],
+        final_aggs=[F.sum("c").alias("c"), F.sum("q").alias("q")],
+        threshold=5,
+        n_salt=4,
+    )
+
+
 # ------------------------------------------- window breadth / set ops (§2.5)
 @golden(
     "window_extras",
@@ -5364,7 +5393,7 @@ def q_pca_embed(spark, sf):
 # hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
-# window_extras, intersect_all_keys,
+# window_extras, intersect_all_keys, auto_salted_agg,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

@@ -82,3 +82,51 @@ def salted_agg(
     salted = df.withColumn("__salt", _salt_col(df, n_salt, salt_from))
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_agg_auto(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    threshold: int,
+    n_salt: int = 8,
+    salt_from: list[str] | None = None,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """MEASURED skew mitigation (the X41 composition): detect the hot
+    keys with the count-min two-pass (`sketch.heavy_hitters` — exact,
+    bounded state, no full-cardinality shuffle), then route ONLY their
+    rows through the two-phase salted aggregate; the cold long tail
+    aggregates single-phase, skipping the extra exchange
+    ``salted_agg`` charges every key. Result == the plain
+    ``groupBy(keys).agg(...)`` for any threshold/n_salt — threshold
+    tunes cost, never answers (the golden hash-checks this against
+    plain SQL).
+
+    Single-key detection only (the CMS probes one column); pass a
+    prebuilt ``hot_keys`` frame (one column = keys[0]) to skip
+    detection — the sketch-once / aggregate-many shape, or multi-key
+    detection the caller owns. The hot-key frame broadcasts (heavy
+    hitters are few by definition: ≤ |df| / threshold)."""
+    from oracle_vectorsearch_example_spark.operators.sketch import heavy_hitters
+
+    if hot_keys is None:
+        if len(keys) != 1:
+            raise ValueError(
+                "auto detection probes a single key column; pass hot_keys= "
+                "for composite keys"
+            )
+        hot_keys = heavy_hitters(df, keys[0], threshold).select(keys[0])
+    hot_keys = hot_keys.select(F.col(hot_keys.columns[0]).alias(keys[0]))
+    hot = df.join(F.broadcast(hot_keys), on=keys[0], how="left_semi")
+    cold = df.join(F.broadcast(hot_keys), on=keys[0], how="left_anti")
+    hot_out = salted_agg(hot, keys, partial_aggs, final_aggs, n_salt, salt_from)
+    # single-phase equivalent of a (partial, final) pair is the partial
+    # aggregates alone: their aliases are the output columns and the
+    # final merge of a one-member group is the identity for algebraic
+    # aggregates (sum of one sum, min of one min). final_aggs must alias
+    # to the SAME names (the salted_agg convention) — unionByName errors
+    # loudly if not.
+    cold_out = cold.groupBy(*keys).agg(*partial_aggs)
+    return hot_out.unionByName(cold_out)

@@ -78,3 +78,50 @@ def test_salted_join_rejects_dim_preserving_how(spark):
     for how in ("right", "full", "right_outer", "full_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(df, df, on="k", how=how)
+
+
+def test_salted_agg_auto_matches_plain(spark):
+    """The X41 composition: detected hot keys go two-phase, the cold
+    tail single-phase — result == plain groupBy at any threshold."""
+    from oracle_vectorsearch_example_spark.operators.skew import salted_agg_auto
+
+    li = read_table(spark, SF, "lineitem")
+    plain = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("c"), F.sum("l_quantity").alias("q")
+    )
+    for threshold in (2, 5, 10_000):  # all-hot-ish, mixed, none-hot
+        got = salted_agg_auto(
+            li,
+            ["l_orderkey"],
+            partial_aggs=[F.count("*").alias("c"), F.sum("l_quantity").alias("q")],
+            final_aggs=[F.sum("c").alias("c"), F.sum("q").alias("q")],
+            threshold=threshold,
+            n_salt=4,
+        )
+        assert _sorted(got.collect()) == _sorted(plain.collect()), threshold
+
+
+def test_salted_agg_auto_prebuilt_hot_keys_and_guards(spark):
+    from oracle_vectorsearch_example_spark.operators.skew import salted_agg_auto
+    import pytest
+
+    li = read_table(spark, SF, "lineitem")
+    hot = spark.createDataFrame([(1,), (2,)], "l_orderkey long")
+    got = salted_agg_auto(
+        li,
+        ["l_orderkey"],
+        partial_aggs=[F.count("*").alias("c")],
+        final_aggs=[F.sum("c").alias("c")],
+        threshold=3,
+        hot_keys=hot,
+    )
+    plain = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    assert _sorted(got.collect()) == _sorted(plain.collect())
+    with pytest.raises(ValueError, match="single key column"):
+        salted_agg_auto(
+            li,
+            ["l_orderkey", "l_linenumber"],
+            partial_aggs=[F.count("*").alias("c")],
+            final_aggs=[F.sum("c").alias("c")],
+            threshold=3,
+        )
