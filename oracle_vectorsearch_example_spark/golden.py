@@ -5216,6 +5216,78 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# -------------------------------------------------------------- SCD2 (S13)
+_SCD2_SQL = """
+    WITH t AS (SELECT c_custkey, c_name, c_acctbal AS bal FROM customer),
+    cnt AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),
+    src AS (
+      SELECT o_custkey AS c_custkey,
+             'U#' || CAST(o_custkey AS VARCHAR) AS c_name,
+             CAST(c AS DOUBLE) AS bal
+      FROM cnt WHERE c >= 15
+      UNION ALL
+      SELECT o_custkey + 1000000,
+             'NEW#' || CAST(o_custkey AS VARCHAR),
+             CAST(c AS DOUBLE) * 2
+      FROM cnt WHERE c >= 22
+    ),
+    m AS (
+      SELECT t.c_custkey AS tk, t.c_name AS tn, t.bal AS tb,
+             s.c_custkey AS sk, s.c_name AS sn, s.bal AS sb
+      FROM t FULL OUTER JOIN src s
+        ON t.c_custkey IS NOT DISTINCT FROM s.c_custkey
+    )
+    SELECT tk AS c_custkey, tn AS c_name, tb AS bal,
+           1::BIGINT AS valid_from, NULL::BIGINT AS valid_to,
+           TRUE AS is_current
+    FROM m WHERE tk IS NOT NULL AND (sk IS NULL
+          OR ((tn IS NOT DISTINCT FROM sn) AND (tb IS NOT DISTINCT FROM sb)))
+    UNION ALL
+    SELECT tk, tn, tb, 1::BIGINT, 2::BIGINT, FALSE
+    FROM m WHERE tk IS NOT NULL AND sk IS NOT NULL
+          AND NOT ((tn IS NOT DISTINCT FROM sn) AND (tb IS NOT DISTINCT FROM sb))
+    UNION ALL
+    SELECT sk, sn, sb, 2::BIGINT, NULL::BIGINT, TRUE
+    FROM m WHERE sk IS NOT NULL AND (tk IS NULL
+          OR NOT ((tn IS NOT DISTINCT FROM sn) AND (tb IS NOT DISTINCT FROM sb)))
+"""
+
+
+@golden("scd2_merge", _SCD2_SQL)
+def q_scd2_merge(spark, sf):
+    """SCD Type-2 history merge (S13 — Kimball dimension versioning,
+    the history-keeping sibling of S12's MERGE): batch 1 initializes
+    the customer dimension, batch 2 applies the same update/insert
+    source as `merge_upsert` — changed keys close their old version
+    (valid_to = batch 2) and insert a new current one, identical and
+    absent keys stay untouched. Null-safe change detection
+    (eqNullSafe == IS NOT DISTINCT FROM). Batch ids are integers, so
+    the whole history hash-checks against DuckDB replaying the
+    full-outer-join classification. Closed history never shuffles at
+    scale — only the current slice meets the batch."""
+    from oracle_vectorsearch_example_spark.sources.scd import scd2_apply, scd2_init
+
+    cust = read_table(spark, sf, "customer")
+    target = cust.select("c_custkey", "c_name", F.col("c_acctbal").alias("bal"))
+    hist = scd2_init(target, batch_id=1)
+    cnt = (
+        read_table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+    )
+    upd = cnt.filter(F.col("c") >= 15).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("U#"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("c").cast("double").alias("bal"),
+    )
+    ins = cnt.filter(F.col("c") >= 22).select(
+        (F.col("o_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("o_custkey").cast("string")).alias("c_name"),
+        (F.col("c").cast("double") * 2).alias("bal"),
+    )
+    return scd2_apply(hist, upd.unionByName(ins), ["c_custkey"], batch_id=2)
+
+
 # --------------------------------------------------- auto-salted agg (X41+)
 @golden(
     "auto_salted_agg",
@@ -5393,7 +5465,7 @@ def q_pca_embed(spark, sf):
 # hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
-# window_extras, intersect_all_keys, auto_salted_agg,
+# window_extras, intersect_all_keys, auto_salted_agg, scd2_merge,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

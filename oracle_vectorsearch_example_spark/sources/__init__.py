@@ -5,6 +5,7 @@ from oracle_vectorsearch_example_spark.sources.io import (
     validate_constraints,
 )
 from oracle_vectorsearch_example_spark.sources.registry import ModelRegistry
+from oracle_vectorsearch_example_spark.sources.scd import scd2_apply, scd2_init
 from oracle_vectorsearch_example_spark.sources.txn import (
     CommitConflict,
     Warehouse,
@@ -20,4 +21,6 @@ __all__ = [
     "Warehouse",
     "CommitConflict",
     "merge_rows",
+    "scd2_init",
+    "scd2_apply",
 ]
