@@ -5216,6 +5216,35 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ----------------------------------------------- histogram profiling (§2.4+)
+@golden(
+    "histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 600000.0 * 20) + 1 AS BIGINT) AS bucket,
+           COUNT(*)::BIGINT AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf):
+    """Equi-width histogram (§2.4 profiling breadth; the one-scan shape
+    X16's profiler uses) with ANSI width_bucket(v, 0, 600000, 20)
+    in-range semantics spelled as the explicit formula on BOTH engines
+    — DuckDB lacks width_bucket, and writing the identical IEEE op
+    sequence (divide, multiply, floor) on each side makes the bucket id
+    bit-deterministic rather than trusting two implementations' rounding
+    paths. Bucket ids are integers; min/max pass through exactly."""
+    o = read_table(spark, sf, "orders")
+    bucket = (
+        F.floor(F.col("o_totalprice") / F.lit(600000.0) * F.lit(20)) + F.lit(1)
+    ).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
 # -------------------------------------------------------------- SCD2 (S13)
 _SCD2_SQL = """
     WITH t AS (SELECT c_custkey, c_name, c_acctbal AS bal FROM customer),
@@ -5465,7 +5494,7 @@ def q_pca_embed(spark, sf):
 # hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
-# window_extras, intersect_all_keys, auto_salted_agg, scd2_merge,
+# window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

@@ -78,6 +78,42 @@ class PcaModel:
     def dim(self) -> int:
         return len(self.mean)
 
+    def save(self, path: str) -> str:
+        """Write the model as JSON (registry-compatible: hand the path to
+        ``ModelRegistry.load`` to catalog it like any other model file —
+        the S7 semantics; a PCA model is metadata exactly like IVF
+        centroids)."""
+        import json
+        import os
+
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "mean": self.mean,
+                    "components": self.components,
+                    "eigvals": self.eigvals,
+                    "n": self.n,
+                },
+                fh,
+            )
+        os.replace(tmp, path)  # atomic, like the registry manifest
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "PcaModel":
+        import json
+
+        with open(path) as fh:
+            d = json.load(fh)
+        return cls(
+            mean=d["mean"],
+            components=d["components"],
+            eigvals=d["eigvals"],
+            n=d["n"],
+        )
+
     def explained_variance_ratio(self, k: int) -> float:
         tot = sum(self.eigvals)
         return sum(self.eigvals[:k]) / tot if tot > 0 else 1.0
@@ -146,9 +182,10 @@ def pca_fit(
     (the bucket group-by); driver collects n_buckets partial rows."""
     import numpy as np
 
-    dim = len(
-        df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
-    )
+    head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if head is None:
+        raise ValueError("pca_fit needs >= 2 rows, got 0")
+    dim = len(head[0])
 
     def fold(key, pdf):
         import pandas as pd

@@ -151,7 +151,28 @@ def test_prefix_recall_rescued_on_latent_lowrank(spark, lowrank):
     assert recall_at_k(exact, rot4) >= 0.95
 
 
+def test_save_load_registry_roundtrip(spark, lowrank, tmp_path):
+    """save/load roundtrips exactly, and the saved file registers
+    through ModelRegistry like any other model artifact (S7)."""
+    from oracle_vectorsearch_example_spark.sources.registry import ModelRegistry
+
+    df, _ = lowrank
+    m = pca_fit(df)
+    p = m.save(str(tmp_path / "pca.json"))
+    m2 = PcaModel.load(p)
+    assert m2.mean == m.mean
+    assert m2.components == m.components
+    assert m2.eigvals == m.eigvals and m2.n == m.n
+    reg = ModelRegistry(str(tmp_path / "wh"))
+    assert reg.load("pca_rot8", p, dim=m.dim)
+    assert "pca_rot8" in reg.list_models()
+    stored = PcaModel.load(reg.get("pca_rot8").file_path)
+    assert stored.components == m.components
+
+
 def test_too_few_rows_rejected(spark):
     one = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match=">= 2 rows"):
         pca_fit(one)
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        pca_fit(one.filter(F.lit(False)))
