@@ -312,6 +312,55 @@ class Warehouse:
         # writes new — different dirs, no read-overwrite hazard)
         return self.commit({table: merged})
 
+    def merge_scd2(
+        self,
+        table: str,
+        source: DataFrame,
+        key_cols: list[str] | tuple[str, ...],
+        batch_id: int | None = None,
+        **kwargs,
+    ) -> int:
+        """Atomic SCD Type-2 apply (S13 over S6): run
+        :func:`oracle_vectorsearch_example_spark.sources.scd.scd2_apply`
+        against the current committed history and publish the result as
+        one manifest swap. A missing table initializes via ``scd2_init``.
+        ``batch_id`` defaults to the version this commit will (normally)
+        get — head+1 — which makes ``valid_from``/``valid_to`` join
+        directly against the manifest log for time travel; under a lost
+        commit race the published version can exceed the embedded batch
+        id (ids stay monotonic and unique because the race loser rebases
+        on a strictly newer head). Returns the new version."""
+        from oracle_vectorsearch_example_spark.sources.scd import (
+            scd2_apply,
+            scd2_init,
+        )
+
+        head = self.current_version()
+        if batch_id is None:
+            batch_id = (head or 0) + 1
+        snap = self.snapshot() if head is not None else {}
+        if table in snap:
+            new_hist = scd2_apply(
+                self.read(table), source, key_cols, batch_id, **kwargs
+            )
+        else:
+            new_hist = scd2_init(source, batch_id)
+        return self.commit({table: new_hist})
+
+    def optimize(self, table: str, target_files: int = 32) -> int:
+        """Compact a table's data files (the small-file problem every
+        per-batch committer creates — streaming CDC publishes one version
+        per micro-batch, often a handful of rows per file; at 100 TB the
+        resulting file-count explosion is what kills scan planning):
+        rewrite the CURRENT snapshot coalesced to ``target_files`` files
+        and publish it as one manifest swap. Contents are byte-identical
+        rows (a pure ``coalesce`` — no shuffle, no reordering beyond
+        partition concatenation); readers on the old version are
+        untouched (time travel) until expire+vacuum reclaims it. Returns
+        the new version."""
+        df = self.read(table).coalesce(target_files)
+        return self.commit({table: df})
+
     def expire(self, keep_last: int = 10) -> list[int]:
         """Delete manifests older than the newest ``keep_last`` — the
         retention step that lets :meth:`vacuum` actually reclaim data

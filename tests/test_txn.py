@@ -138,3 +138,54 @@ def test_expire_keeps_head(spark, wh):
     with pytest.raises(ValueError, match="keep_last"):
         wh.expire(keep_last=0)
     assert wh.current_version() == 1
+
+
+def test_merge_scd2_versions_align_with_manifest(spark, tmp_path):
+    """Warehouse.merge_scd2: batch ids default to the publishing version,
+    so valid_from/valid_to join the manifest log directly."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v1 = wh.merge_scd2("dim", b1, ["id"])
+    assert v1 == 1
+    b2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id long, v string")
+    v2 = wh.merge_scd2("dim", b2, ["id"])
+    assert v2 == 2
+    hist = wh.read("dim")
+    rows = sorted(map(tuple, hist.collect()))
+    assert rows == [
+        (1, "a", 1, 2, False),
+        (1, "a2", 2, None, True),
+        (2, "b", 1, None, True),
+        (3, "c", 2, None, True),
+    ]
+    # time travel to v1 shows the pre-apply history
+    assert wh.read("dim", version=v1).count() == 2
+    # current rows per key is exactly one
+    cur = hist.filter(F.col("is_current")).groupBy("id").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
+
+
+def test_optimize_compacts_files_content_identical(spark, tmp_path):
+    import glob
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 1000).repartition(16).selectExpr("id", "id * 2 AS v")
+    v1 = wh.commit({"t": df})
+    files_before = glob.glob(
+        str(tmp_path / "wh" / "data" / "t" / f"v{v1}" / "*.parquet")
+    )
+    assert len(files_before) == 16
+    before = sorted(map(tuple, wh.read("t").collect()))
+    v2 = wh.optimize("t", target_files=2)
+    files_after = glob.glob(
+        str(tmp_path / "wh" / "data" / "t" / f"v{v2}" / "*.parquet")
+    )
+    assert len(files_after) <= 2
+    assert sorted(map(tuple, wh.read("t").collect())) == before
+    # old version still readable until expire+vacuum
+    assert wh.read("t", version=v1).count() == 1000
+    wh.expire(keep_last=1)
+    removed = wh.vacuum()
+    assert any(f"t/v{v1}" in r for r in removed)
