@@ -22,12 +22,27 @@ from pyspark.sql import functions as F
 from oracle_vectorsearch_example_spark.functions.distances import cosine_distance
 
 
-def _lsh_signatures(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
+def _lsh_signatures(
+    df: DataFrame, planes, id_col: str, vec_col: str, n_probes: int = 1
+) -> DataFrame:
     """One distributed pass: (id, vec, table, bucket) rows via a per-batch
-    matmul against the broadcast (L·b, dim) plane matrix."""
+    matmul against the broadcast (L·b, dim) plane matrix.
+
+    ``n_probes`` > 1 is MULTI-PROBE (Lv et al. 2007, "Multi-probe LSH:
+    efficient indexing for high-dimensional similarity search", VLDB):
+    per (vector, table), also emit the buckets reached by flipping the
+    bits whose hyperplane margins |v·p| are smallest — the buckets a
+    near-boundary vector most plausibly fell into on the other side.
+    Probe j flips the j-th-closest bit (single-bit flips; ``n_probes`` ≤
+    b+1). Build passes always use 1; search passes trade probes for
+    tables — ~P probes buy the recall of ~P tables without storing them."""
     import numpy as np
 
     n_tables, n_bits, _dim = planes.shape
+    if not 1 <= n_probes <= n_bits + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_bits+1={n_bits + 1}], got {n_probes}"
+        )
     flat = planes.reshape(n_tables * n_bits, _dim).tolist()
     weights = [1 << j for j in range(n_bits)]
 
@@ -36,19 +51,30 @@ def _lsh_signatures(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFra
 
         p = np.array(flat)  # (L*b, dim)
         w = np.array(weights, dtype=np.int64)
-        L, b = n_tables, n_bits
+        L, b, P = n_tables, n_bits, n_probes
         for pdf in batches:
             if pdf.empty:
                 continue
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bits = (v @ p.T) > 0  # (N, L*b)
-            bk = bits.reshape(len(v), L, b) @ w  # (N, L) bucket ints
+            n = len(v)
+            proj = (v @ p.T).reshape(n, L, b)  # (N, L, b)
+            base = ((proj > 0) @ w).astype(np.int64)  # (N, L)
+            if P == 1:
+                bk = base[:, :, None]  # (N, L, 1)
+            else:
+                order = np.argsort(np.abs(proj), axis=2)[:, :, : P - 1]  # (N, L, P-1)
+                flips = w[order]  # (N, L, P-1)
+                bk = np.concatenate(
+                    [base[:, :, None], base[:, :, None] ^ flips], axis=2
+                )  # (N, L, P)
             out = pd.DataFrame(
                 {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), L),
-                    vec_col: [x for x in pdf[vec_col] for _ in range(L)],
-                    "table": np.tile(np.arange(L, dtype=np.int32), len(v)),
-                    "bucket": bk.reshape(-1).astype(np.int64),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), L * P),
+                    vec_col: [x for x in pdf[vec_col] for _ in range(L * P)],
+                    "table": np.repeat(
+                        np.tile(np.arange(L, dtype=np.int32), n), P
+                    ),
+                    "bucket": bk.reshape(-1),
                 }
             )
             yield out
@@ -157,6 +183,7 @@ class CosineLshIndex:
         query_vec: str = "qvec",
         exclude_self: bool = False,
         predicate=None,
+        n_probes: int = 1,
     ) -> DataFrame:
         """Fully DISTRIBUTED bucket-join search for LARGE query frames
         (r4; same scale story as ``IvfIndex.search_df``): the query frame
@@ -173,6 +200,7 @@ class CosineLshIndex:
             self.planes,
             query_id,
             "__qvec",
+            n_probes=n_probes,
         )
         base = self.assignments
         if predicate is not None:
@@ -212,21 +240,36 @@ class CosineLshIndex:
         query_vec: str = "qvec",
         exclude_self: bool = False,
         predicate=None,
+        n_probes: int = 1,
     ) -> DataFrame:
         """Bucket-join candidates → exact cosine re-rank → top-k.
         Returns (query_id, rank, base_id, distance), ties broken by id.
         Collects the query frame driver-side — correct for EP3's
-        small-query contract; use ``search_df`` for large query frames."""
+        small-query contract; use ``search_df`` for large query frames.
+        ``n_probes`` > 1 additionally probes the buckets reached by
+        flipping the lowest-|margin| bits per table (multi-probe LSH —
+        recall of ~n_probes tables at one table's storage)."""
         import numpy as np
 
         L, b, _ = self.planes.shape
+        if not 1 <= n_probes <= b + 1:
+            raise ValueError(
+                f"n_probes must be in [1, n_bits+1={b + 1}], got {n_probes}"
+            )
         w = np.array([1 << j for j in range(b)], dtype=np.int64)
         qrows = queries.select(query_id, query_vec).collect()
-        probe = [
-            (int(r[0]), list(r[1]), t, int(((np.array(r[1]) @ self.planes[t].T) > 0) @ w))
-            for r in qrows
-            for t in range(L)
-        ]
+        probe = []
+        for r in qrows:
+            qv = np.array(r[1], dtype=np.float64)
+            for t in range(L):
+                proj = qv @ self.planes[t].T  # (b,)
+                base = int((proj > 0) @ w)
+                buckets = [base] + [
+                    base ^ int(w[j])
+                    for j in np.argsort(np.abs(proj))[: n_probes - 1]
+                ]
+                for bk in buckets:
+                    probe.append((int(r[0]), list(r[1]), t, bk))
         spark = queries.sparkSession
         probes = spark.createDataFrame(
             probe, f"{query_id} long, __qvec array<double>, table int, bucket long"

@@ -845,3 +845,36 @@ def test_accuracy_report_curve(spark):
     np95 = idx.calibrate(q, k=5, target_recall=0.95, exclude_self=True)
     at_or_above = min(r.nprobe for r in rep if r.recall >= 0.95)
     assert np95 == at_or_above
+
+
+def test_lsh_multiprobe_trades_probes_for_tables(emb, queries10):
+    """Multi-probe LSH (r7, Lv et al. 2007): flipping the lowest-|margin|
+    bits per table buys the recall of extra tables without storing them —
+    and the exact re-rank keeps every returned distance true."""
+    import pytest
+    from oracle_vectorsearch_example_spark.operators.lsh_ann import CosineLshIndex
+
+    exact = topk_search(emb, queries10, k=10, exclude_self=True)
+    idx2 = CosineLshIndex.build(emb, dim=64, n_tables=2, n_bits=4, seed=42)
+    r1 = recall_at_k(exact, idx2.search(queries10, k=10, exclude_self=True))
+    r4 = recall_at_k(
+        exact, idx2.search(queries10, k=10, exclude_self=True, n_probes=4)
+    )
+    assert r4 > r1, (r1, r4)
+    # ~P probes on L tables should land in the band of ~L*P single-probe
+    # tables (candidate sets differ, so compare against a LOWER rung:
+    # 2 tables x 4 probes must beat 4 single-probe tables' floor)
+    idx4 = CosineLshIndex.build(emb, dim=64, n_tables=4, n_bits=4, seed=42)
+    r_4t = recall_at_k(exact, idx4.search(queries10, k=10, exclude_self=True))
+    assert r4 >= r_4t - 0.05, (r4, r_4t)
+    # search_df parity at n_probes > 1
+    a = idx2.search(queries10, k=10, exclude_self=True, n_probes=3)
+    b = idx2.search_df(queries10, k=10, exclude_self=True, n_probes=3)
+    assert sorted((r.qid, r.rank, r.vec_id) for r in a.collect()) == sorted(
+        (r.qid, r.rank, r.vec_id) for r in b.collect()
+    )
+    # bounds: at most b+1 single-bit probes
+    with pytest.raises(ValueError, match="n_probes"):
+        idx2.search(queries10, k=10, n_probes=6)
+    with pytest.raises(ValueError, match="n_probes"):
+        idx2.search_df(queries10, k=10, n_probes=0).collect()
