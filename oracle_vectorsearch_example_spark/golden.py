@@ -5216,6 +5216,89 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------------------ PSI drift (X43)
+_PSI_SQL = """
+    WITH ev AS (
+      SELECT i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM (SELECT embedding, unnest(range(len(embedding))) AS i
+            FROM embeddings)
+    ),
+    re AS (SELECT dim, x FROM ev),
+    ce AS (
+      SELECT dim, x + (CASE WHEN dim < 2 THEN 0.3 ELSE 0.0 END) AS x
+      FROM ev
+    ),
+    st AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM re GROUP BY 1),
+    rb AS (
+      SELECT re.dim,
+             CASE WHEN hi = lo THEN 1
+                  ELSE LEAST(GREATEST(
+                         CAST(FLOOR((x - lo) / (hi - lo) * 10.0) + 1 AS BIGINT),
+                         1), 10)
+             END AS bucket,
+             COUNT(*) AS r
+      FROM re JOIN st USING (dim) GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT ce.dim,
+             CASE WHEN hi = lo THEN 1
+                  ELSE LEAST(GREATEST(
+                         CAST(FLOOR((x - lo) / (hi - lo) * 10.0) + 1 AS BIGINT),
+                         1), 10)
+             END AS bucket,
+             COUNT(*) AS c
+      FROM ce JOIN st USING (dim) GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT COALESCE(rb.dim, cb.dim) AS dim,
+             COALESCE(rb.bucket, cb.bucket) AS bucket,
+             COALESCE(r, 0) AS r, COALESCE(c, 0) AS c
+      FROM rb FULL OUTER JOIN cb
+        ON rb.dim = cb.dim AND rb.bucket = cb.bucket
+    ),
+    tot AS (
+      SELECT dim, CAST(SUM(r) AS BIGINT) AS rn, CAST(SUM(c) AS BIGINT) AS cn
+      FROM cells GROUP BY 1
+    )
+    SELECT CAST(cells.dim AS BIGINT) AS dim,
+           round(SUM(
+             ((c + 0.5) / (cn + 5.0) - (r + 0.5) / (rn + 5.0))
+             * ln(((c + 0.5) / (cn + 5.0)) / ((r + 0.5) / (rn + 5.0)))
+           ), 6) AS psi,
+           rn AS n_ref, cn AS n_cur
+    FROM cells JOIN tot ON cells.dim = tot.dim
+    GROUP BY cells.dim, rn, cn
+"""
+
+
+@golden("psi_drift", _PSI_SQL)
+def q_psi_drift(spark, sf):
+    """Embedding drift monitoring (X43): PSI per dimension of a planted
+    deterministic shift (+0.3 on the first two components) against the
+    unshifted embeddings table — the production monitor that catches a
+    silent embedder/tokenizer/source-mix change before downstream
+    indexes degrade. The whole frozen spec replays in DuckDB: equi-width
+    buckets over the reference's exact per-dim min/max (the `histogram`
+    formula, same IEEE op order), edge-bucket clamping, add-alpha
+    probabilities, order-canonicalized ≤10-term fold + round(6)."""
+    from oracle_vectorsearch_example_spark.operators.drift import psi_report
+
+    emb = read_table(spark, sf, "embeddings")
+    ref = emb.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cur = emb.select(
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i < 2, F.lit(0.3)).otherwise(F.lit(0.0)),
+        ).alias("embedding")
+    )
+    return psi_report(ref, cur).select(
+        F.col("dim").cast("long").alias("dim"), "psi", "n_ref", "n_cur"
+    )
+
+
 # ----------------------------------------------- histogram profiling (§2.4+)
 @golden(
     "histogram",
@@ -5495,6 +5578,7 @@ def q_pca_embed(spark, sf):
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
+# psi_drift,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

@@ -44,6 +44,7 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
     dedup_by_components,
     exact_dedup,
     jaccard_neardup_pairs,
+    lsh_plan,
     minhash_lsh_pairs,
     minhash_signatures,
     neardup_components,
@@ -60,6 +61,10 @@ from oracle_vectorsearch_example_spark.operators.bloom import (
     bloom_tag,
     bloom_words_df,
     bloom_words_row,
+)
+from oracle_vectorsearch_example_spark.operators.drift import (
+    psi_drifted_dims,
+    psi_report,
 )
 from oracle_vectorsearch_example_spark.operators.pca import (
     PcaModel,
@@ -99,7 +104,11 @@ from oracle_vectorsearch_example_spark.operators.layout import zorder_write
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
 from oracle_vectorsearch_example_spark.operators.resample import time_bucket_gapfill
 from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
-from oracle_vectorsearch_example_spark.operators.skew import salted_agg, salted_join
+from oracle_vectorsearch_example_spark.operators.skew import (
+    salted_agg,
+    salted_agg_auto,
+    salted_join,
+)
 from oracle_vectorsearch_example_spark.operators.profile import profile_table
 from oracle_vectorsearch_example_spark.operators.multimodal import (
     audio_features,
@@ -145,6 +154,7 @@ __all__ = [
     "pq_ivf_search",
     "exact_dedup",
     "minhash_signatures",
+    "lsh_plan",
     "minhash_lsh_pairs",
     "jaccard_neardup_pairs",
     "simhash",
@@ -162,6 +172,8 @@ __all__ = [
     "cms_estimate",
     "cms_table",
     "heavy_hitters",
+    "psi_report",
+    "psi_drifted_dims",
     "PcaModel",
     "pca_fit",
     "pca_topk_search",
@@ -187,6 +199,7 @@ __all__ = [
     "sessionize",
     "time_bucket_gapfill",
     "salted_agg",
+    "salted_agg_auto",
     "salted_join",
     "profile_table",
     "binary_stats",

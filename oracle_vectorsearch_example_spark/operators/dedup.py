@@ -148,6 +148,44 @@ def _signature_wide(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def lsh_plan(
+    threshold: float, num_hashes: int = 16, fn_weight: float = 1.0
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for banded MinHash-LSH given a
+    target Jaccard ``threshold`` — the MMDS Ch.3 tuning rule
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4.3,
+    public): a pair with similarity s collides with probability
+    P(s) = 1 − (1−s^r)^b, an S-curve whose step sits near (1/b)^(1/r).
+    The plan minimizes the false-positive area ∫₀ᵗ P(s) ds plus
+    ``fn_weight`` × the false-negative area ∫ₜ¹ (1 − P(s)) ds over all
+    (b, r) with b·r ≤ num_hashes (numeric integration, deterministic —
+    the datasketch tuning approach re-derived from the formula). Raise
+    ``fn_weight`` when missing a near-dup costs more than an extra
+    exact-verify candidate (the usual corpus-dedup stance). Returns
+    (bands, rows_per_band) to pass to :func:`minhash_lsh_pairs` as
+    ``bands=b, num_hashes=b*r``."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    steps = 1000
+    best, best_cost = None, None
+    for b in range(1, num_hashes + 1):
+        for r in range(1, num_hashes // b + 1):
+            fp = fn = 0.0
+            for i in range(steps):
+                s = (i + 0.5) / steps
+                p = 1.0 - (1.0 - s**r) ** b
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            cost = (fp + fn_weight * fn) / steps
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (b, r), cost
+    return best
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

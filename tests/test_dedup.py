@@ -251,3 +251,46 @@ def test_components_small_graph_shortcut_matches_distributed(spark):
     assert key(fast) == [
         (2, 2), (5, 2), (7, 2), (9, 2), (10, 10), (11, 10), (20, 10)
     ]
+
+
+def test_lsh_plan_tuning_rule():
+    """lsh_plan: the S-curve step (1/b)^(1/r) lands near the requested
+    threshold, error decreases with budget, and the fn_weight knob
+    shifts the curve left (fewer misses, more candidates)."""
+    import pytest
+    from oracle_vectorsearch_example_spark.operators.dedup import lsh_plan
+
+    for t in (0.3, 0.5, 0.8):
+        b, r = lsh_plan(t, num_hashes=64)
+        assert b * r <= 64
+        step = (1.0 / b) ** (1.0 / r)
+        assert abs(step - t) < 0.15, (t, b, r, step)
+    # more hashes -> step at least as close
+    b1, r1 = lsh_plan(0.5, num_hashes=16)
+    b2, r2 = lsh_plan(0.5, num_hashes=256)
+    assert abs((1 / b2) ** (1 / r2) - 0.5) <= abs((1 / b1) ** (1 / r1) - 0.5) + 1e-9
+    # weighting false negatives pushes the step BELOW the threshold
+    bw, rw = lsh_plan(0.5, num_hashes=64, fn_weight=10.0)
+    assert (1.0 / bw) ** (1.0 / rw) <= (1.0 / b) ** (1.0 / r)
+    assert (1.0 / bw) ** (1.0 / rw) < 0.5
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_plan(1.5)
+
+
+def test_lsh_plan_feeds_minhash_pairs(spark):
+    """The planned (b, r) drops into minhash_lsh_pairs and recovers a
+    planted near-dup pair."""
+    from oracle_vectorsearch_example_spark.operators.dedup import (
+        lsh_plan,
+        minhash_lsh_pairs,
+    )
+
+    b, r = lsh_plan(0.5, num_hashes=32)
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(1, base), (2, base + " extra"), (3, "entirely different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, num_hashes=b * r, bands=b)
+    got = {
+        (min(x, y), max(x, y)) for x, y in pairs.select("id_a", "id_b").collect()
+    }
+    assert (1, 2) in got
