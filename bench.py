@@ -1058,6 +1058,23 @@ def main():
         ).localCheckpoint()
         results["pca_topk_4m"] = round(time.time() - t0, 3)
 
+        # PSI drift monitor at 4M×64 (X43, single-shot): ref = the raw
+        # fixture, cur = the decayed-rotated variant — the "embedder
+        # changed" scenario; every marginal shifts, and the monitor
+        # must say so. Two 256M-element skinny explode scans; payloads
+        # never move.
+        from oracle_vectorsearch_example_spark.operators.drift import psi_report
+
+        t0 = time.time()
+        _rep = psi_report(ensure_ann_fixture(spark, ann_base), _var).collect()
+        results["psi_4m"] = round(time.time() - t0, 3)
+        extras["psi_4m"] = {
+            "n": 4_000_000,
+            "dim": 64,
+            "dims_over_0_25": sum(1 for r in _rep if r["psi"] > 0.25),
+            "max_psi": round(max(r["psi"] for r in _rep), 3),
+        }
+
         extras["pca_4m"] = {
             "n": 4_000_000,
             "dim": 64,
