@@ -503,6 +503,57 @@ class IvfIndex:
             [new_dir],
         )
 
+    def rebalance(
+        self,
+        n_clusters: int | None = None,
+        seed: int = 42,
+        sample_per_cluster: int = 256,
+    ) -> "IvfIndex":
+        """Retrain centroids on the CURRENT contents and reassign — the
+        maintenance pass after enough ``add()`` batches that the frozen
+        build-time centroids stop describing the data. ``add`` assigns
+        new vectors to the nearest OLD centroid by design (no retrain per
+        batch), so a drifting corpus piles into few clusters: probe
+        pruning degrades toward a scan and recall-at-nprobe drifts — the
+        operational signal is ``accuracy_report`` (or X43's PSI monitor)
+        reading worse at the same nprobe. Rebalance = one fresh
+        hash-sampled KMeans fit + one full reassignment pass over the
+        snapshot this handle reads (payload columns carried through),
+        published with the ``compact()`` snapshot discipline: new data
+        dir + metadata swap with the NEW centroids; existing handles keep
+        their dir-list/centroid snapshot, fresh ``load()``s see the
+        rebalanced index; ``vacuum`` reclaims the old dirs later.
+        In-memory indexes just return the freshly built index."""
+        src = self.assignments.drop("cluster_id")
+        fresh = IvfIndex.build(
+            src,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            n_clusters=n_clusters,
+            seed=seed,
+            sample_per_cluster=sample_per_cluster,
+            payload_cols=self.payload_cols or None,
+        )
+        if not self.path:
+            return fresh
+        base = self.path.rstrip("/")
+        spark = self.assignments.sparkSession
+        new_dir = self._next_data_dir(spark, base, "rebal", self.data_dirs)
+        fresh.assignments.repartition("cluster_id").write.mode(
+            "errorifexists"
+        ).partitionBy("cluster_id").parquet(f"{base}/{new_dir}")
+        self._write_meta(
+            spark, base, fresh.centroids, self.id_col, self.vec_col, [new_dir]
+        )
+        return IvfIndex(
+            self._read_data_dirs(spark, base, [new_dir]),
+            fresh.centroids,
+            self.id_col,
+            self.vec_col,
+            self.path,
+            [new_dir],
+        )
+
     def vacuum(self) -> list[str]:
         """Delete data dirs on disk that the CURRENT metadata no longer
         references (left behind by ``compact`` for then-live handles) —

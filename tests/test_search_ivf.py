@@ -878,3 +878,77 @@ def test_lsh_multiprobe_trades_probes_for_tables(emb, queries10):
         idx2.search(queries10, k=10, n_probes=6)
     with pytest.raises(ValueError, match="n_probes"):
         idx2.search_df(queries10, k=10, n_probes=0).collect()
+
+
+def test_ivf_rebalance_after_drifted_adds(spark, tmp_path, emb, queries10):
+    """IvfIndex.rebalance (r7): add() keeps build-time centroids frozen,
+    so vectors added far from every centroid pile into few clusters and
+    small-nprobe recall degrades; rebalance retrains on the current
+    snapshot and restores it. Snapshot discipline: the pre-rebalance
+    handle keeps reading its own dirs; a fresh load() sees the new
+    centroids; vacuum reclaims the old dirs."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(emb, n_clusters=16, seed=42, path=path)
+    # planted drift: a tight far-away cloud (offset +25 on every dim)
+    rng = np.random.RandomState(7)
+    drift = spark.createDataFrame(
+        [
+            (100_000 + i, (rng.randn(64) * 0.05 + 25.0).tolist())
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    grown = idx.add(drift, tag="drift")
+    # queries from inside the drifted cloud
+    q = drift.filter(F.col("vec_id") < 100_010).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    full = grown.assignments.drop("cluster_id")
+    exact = topk_search(full, q, k=10, exclude_self=True)
+    r_before = recall_at_k(exact, grown.search(q, k=10, nprobe=2, exclude_self=True))
+    reb = grown.rebalance(n_clusters=16, seed=42)
+    r_after = recall_at_k(exact, reb.search(q, k=10, nprobe=2, exclude_self=True))
+    assert r_after >= r_before
+    assert r_after >= 0.95, (r_before, r_after)
+    # the rebalanced index still answers every original query exactly at
+    # full probe depth
+    full_probe = reb.search(queries10, k=5, nprobe=16, exclude_self=True)
+    exact_all = topk_search(full, queries10, k=5, exclude_self=True)
+    assert sorted((r.qid, r.rank, r.vec_id) for r in full_probe.collect()) == sorted(
+        (r.qid, r.rank, r.vec_id) for r in exact_all.collect()
+    )
+    # snapshot semantics: old handle unchanged; fresh load sees new dirs
+    assert grown.data_dirs != reb.data_dirs
+    fresh = IvfIndex.load(spark, path)
+    assert fresh.data_dirs == reb.data_dirs
+    assert [c[1] for c in fresh.centroids] == [c[1] for c in reb.centroids]
+    removed = reb.vacuum()
+    assert "data" in removed and any(d.startswith("data-add") for d in removed)
+
+
+def test_ivf_rebalance_in_memory(emb, queries10):
+    """In-memory index: rebalance matches a fresh build on the same rows
+    up to one re-normalization of already-unit vectors (the assignment
+    table stores normalized embeddings; re-normalizing a unit vector
+    moves last ulps, so centroids agree to ~1e-9, not bit-for-bit)."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+
+    idx = IvfIndex.build(emb, n_clusters=8, seed=42)
+    reb = idx.rebalance(n_clusters=8, seed=42)
+    fresh = IvfIndex.build(emb, n_clusters=8, seed=42)
+    np.testing.assert_allclose(
+        np.array([c[1] for c in reb.centroids]),
+        np.array([c[1] for c in fresh.centroids]),
+        atol=1e-8,
+    )
+    a = reb.search(queries10, k=5, nprobe=4, exclude_self=True)
+    b = fresh.search(queries10, k=5, nprobe=4, exclude_self=True)
+    assert sorted((r.qid, r.rank, r.vec_id) for r in a.collect()) == sorted(
+        (r.qid, r.rank, r.vec_id) for r in b.collect()
+    )
