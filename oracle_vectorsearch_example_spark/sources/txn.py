@@ -53,6 +53,7 @@ def merge_rows(
     when_matched: str = "update",
     insert_unmatched: bool = True,
     check_unique_source: bool = True,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """ANSI/Oracle ``MERGE`` semantics as a pure DataFrame expression
     (the reference's engine staple the S-family was missing; S3/S4's
@@ -97,6 +98,13 @@ def merge_rows(
                 "stable set of rows (Oracle ORA-30926); dedupe the source "
                 "or disable check_unique_source at your own risk"
             )
+    extra_src = [c for c in source.columns if c not in target.columns]
+    if extra_src and not schema_evolution:
+        raise ValueError(
+            f"source has columns not in target: {extra_src} — pass "
+            "schema_evolution=True to widen the target (Delta's "
+            "mergeSchema semantics: pass-through rows read NULL there)"
+        )
     untouched = target.join(source.select(*keys), on=keys, how="left_anti")
     if when_matched == "delete":
         incoming = (
@@ -110,6 +118,12 @@ def merge_rows(
             if insert_unmatched
             else source.join(target.select(*keys), on=keys, how="left_semi")
         )
+    if schema_evolution:
+        # widened output = target columns then new source columns;
+        # whichever side lacks a column reads NULL (update stays
+        # whole-row: a source missing a target column nulls it on
+        # updated rows — project explicitly to retain instead)
+        return untouched.unionByName(incoming, allowMissingColumns=True)
     return untouched.unionByName(incoming.select(*target.columns))
 
 
@@ -281,6 +295,7 @@ class Warehouse:
         when_matched: str = "update",
         insert_unmatched: bool = True,
         check_unique_source: bool = True,
+        schema_evolution: bool = False,
     ) -> int:
         """Atomic ``MERGE INTO table USING source ON key_cols`` — the
         Oracle DML staple over the snapshot log: compute
@@ -306,6 +321,7 @@ class Warehouse:
             when_matched=when_matched,
             insert_unmatched=insert_unmatched,
             check_unique_source=check_unique_source,
+            schema_evolution=schema_evolution,
         )
         # the anti join is lazy over the CURRENT snapshot; materialize
         # into the new version dir happens inside commit (reads old,

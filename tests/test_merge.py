@@ -129,3 +129,33 @@ def test_warehouse_merge_dup_guard_on_create(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="stable set of rows"):
         wh.merge("t", dup, ["id"])
+
+
+def test_schema_evolution(spark, frames):
+    """Delta mergeSchema semantics: new source columns widen the output
+    (pass-through rows read NULL); without the flag, loud rejection."""
+    target, _ = frames
+    src = spark.createDataFrame(
+        [(2, "b2", 22.0, "eu"), (4, "d", 40.0, "us")],
+        "id long, name string, bal double, region string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_rows(target, src, ["id"])
+    got = merge_rows(target, src, ["id"], schema_evolution=True)
+    assert got.columns == ["id", "name", "bal", "region"]
+    rows = {r["id"]: r["region"] for r in got.collect()}
+    assert rows == {1: None, 2: "eu", 3: None, 4: "us"}
+
+
+def test_schema_evolution_through_warehouse(spark, frames, tmp_path):
+    target, _ = frames
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.commit({"t": target})
+    src = spark.createDataFrame(
+        [(1, "a2", 11.0, True)], "id long, name string, bal double, vip boolean"
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        wh.merge("t", src, ["id"])
+    wh.merge("t", src, ["id"], schema_evolution=True)
+    got = {r["id"]: (r["name"], r["vip"]) for r in wh.read("t").collect()}
+    assert got == {1: ("a2", True), 2: ("b", None), 3: ("c", None)}
