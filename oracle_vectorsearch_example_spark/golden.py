@@ -5216,6 +5216,62 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ---------------------------------------------- string distance / splits
+@golden(
+    "edit_distance",
+    """
+    SELECT a.c_custkey AS k,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+    """,
+)
+def q_edit_distance(spark, sf):
+    """Levenshtein distance between adjacent customer names (§2.8 F8
+    breadth; the exact-integer primitive under X32's SymSpell matching —
+    both engines implement the same Wagner-Fischer semantics, so the
+    distances hash bit-for-bit)."""
+    c = read_table(spark, sf, "customer")
+    a = c.select(F.col("c_custkey").alias("k"), F.col("c_name").alias("na"))
+    b = c.select((F.col("c_custkey") - 1).alias("k"), F.col("c_name").alias("nb"))
+    return a.join(b, "k").select(
+        "k", F.levenshtein("na", "nb").cast("int").alias("dist")
+    )
+
+
+@golden(
+    "grouped_split",
+    """
+    WITH b AS (
+      SELECT source,
+             (('0x' || substr(md5('42:' || source), 1, 8))::BIGINT % 10000)
+               AS bucket,
+             doc_id
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+           source, COUNT(*)::BIGINT AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_grouped_split(spark, sf):
+    """Leakage-safe GROUP split (X7 applied correctly for near-dup data):
+    hashing the SOURCE instead of the doc id sends every document of a
+    source to ONE split — the discipline that stops near-duplicate
+    train/test leakage when duplicates cluster within a source (the
+    reason GroupShuffleSplit exists). Same md5 bucket spec as
+    `hash_split`, keyed on the group column; the (split, source) matrix
+    hash-checks that each source lands in exactly one split."""
+    from oracle_vectorsearch_example_spark.operators.sampling import hash_split
+
+    docs = read_table(spark, sf, "documents")
+    return (
+        hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="source")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ------------------------------------------------------ PSI drift (X43)
 _PSI_SQL = """
     WITH ev AS (
@@ -5578,7 +5634,7 @@ def q_pca_embed(spark, sf):
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
-# psi_drift,
+# psi_drift, edit_distance, grouped_split,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees
