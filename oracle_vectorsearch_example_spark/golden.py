@@ -5216,6 +5216,25 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------------- MMR diversification (X44)
+@golden("mmr_rerank")
+def q_mmr_rerank(spark, sf):
+    """Diversified vector top-k via Maximal Marginal Relevance (X44,
+    rows-only by design — the greedy argmax loop has no SQL replay; the
+    semdedup convention. Contracts live in tests/test_mmr.py: λ=1 ==
+    plain top-k exactly, an independent python reference reproduces the
+    pick sequence, ties break by id, layout-independent). Fixes the
+    overlapping-chunk pathology of the reference's 100-word/10-overlap
+    config: near-identical chunks crowd a plain top-k."""
+    from oracle_vectorsearch_example_spark.operators.mmr import mmr_topk_search
+
+    emb = read_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return mmr_topk_search(emb, q, k=10, lam=0.5, oversample=4, exclude_self=True)
+
+
 # ---------------------------------------------- string distance / splits
 @golden(
     "edit_distance",
@@ -5634,7 +5653,7 @@ def q_pca_embed(spark, sf):
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
-# psi_drift, edit_distance, grouped_split,
+# psi_drift, edit_distance, grouped_split, rows-only mmr_rerank,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~32) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees

@@ -27,6 +27,7 @@ from oracle_vectorsearch_example_spark.operators.sparse import (
     to_sparse,
 )
 from oracle_vectorsearch_example_spark.operators.maxsim import maxsim_topk
+from oracle_vectorsearch_example_spark.operators.mmr import mmr_select, mmr_topk_search
 from oracle_vectorsearch_example_spark.operators.bq import (
     bq_encode_df,
     bq_topk_search,
@@ -144,6 +145,8 @@ __all__ = [
     "tfidf_transform",
     "tfidf_vectors",
     "maxsim_topk",
+    "mmr_select",
+    "mmr_topk_search",
     "bq_encode_df",
     "bq_topk_search",
     "sq8_encode_df",
