@@ -5655,11 +5655,11 @@ def q_pca_embed(spark, sf):
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
 # psi_drift, edit_distance, grouped_split, rows-only mmr_rerank,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
-# oracle-paired goldens (~32) than one 50-seat window can absorb next
-# to the r05 tail — r8 should seat all late-r7 + the 12 r05 evictees
-# (= ~46 seats), r9 sweeps whatever remains. Witness history (which
-# round last witnessed each golden) is recomputable from
-# CORRECTNESS_r0*.json.
+# oracle-paired goldens (~33) than one 50-seat window can absorb next
+# to the r05 tail — r8 should seat the oracle-paired late-r7 set first
+# (the 33 named above), r9 the 12 r05 evictees + rows-only stragglers.
+# Witness history (which round last witnessed each golden) is
+# recomputable from CORRECTNESS_r0*.json.
 _PRIORITY = [
     # never driver-witnessed (new in r6, window was full)
     "sq8_topk", "pii_redact", "boilerplate_removal",
