@@ -844,6 +844,44 @@ def main():
                 )
             ),
         )
+        # --- MERGE / SCD2 at 2M rows (S12/S13, single-shot): the DML
+        # family on the same wide-payload frame — 40k whole-row updates
+        # + 10k inserts against 2M targets. One keyed anti-join shuffle
+        # (merge) / one null-safe full outer join of the current slice
+        # (scd2); payloads cross once.
+        from oracle_vectorsearch_example_spark.sources.scd import (
+            scd2_apply,
+            scd2_init,
+        )
+        from oracle_vectorsearch_example_spark.sources.txn import merge_rows
+
+        _mrg_src = (
+            spark.range(0, 40_000)
+            .select(
+                F.format_string("k%09d", F.col("id") * 50).alias("key"),
+                F.lit("UPDATED").alias("payload"),
+            )
+            .unionByName(
+                spark.range(0, 10_000).select(
+                    F.format_string("n%09d", F.col("id")).alias("key"),
+                    F.lit("NEW").alias("payload"),
+                )
+            )
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        _execute(merge_rows(probe2m, _mrg_src, ["key"]))
+        results["merge_2m"] = round(time.time() - t0, 3)
+        _hist2m = scd2_init(probe2m, 1).localCheckpoint()
+        t0 = time.time()
+        _execute(scd2_apply(_hist2m, _mrg_src, ["key"], 2))
+        results["scd2_2m"] = round(time.time() - t0, 3)
+        extras["merge_2m"] = {
+            "n_target": 2_000_000,
+            "n_updates": 40_000,
+            "n_inserts": 10_000,
+        }
+
         _bits_set = (
             bloom_words_df(build2m, "bkey", m_bits=_BLOOM_M)
             .agg(F.sum(F.bit_count("word")).alias("n"))
