@@ -5216,6 +5216,109 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------------- retrieval evaluation (X45)
+_EVAL_SQL = """
+    WITH res AS (
+      SELECT * FROM (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS qid,
+               o_custkey AS doc_id,
+               row_number() OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY COUNT(*) DESC, o_custkey) AS rank
+        FROM orders GROUP BY o_orderpriority, o_custkey
+      ) WHERE rank <= 10
+    ),
+    qr AS (
+      SELECT q.qid, h.doc_id, 1 AS rel
+      FROM (SELECT DISTINCT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+              AS qid FROM orders) q
+      CROSS JOIN (SELECT o_custkey AS doc_id FROM orders
+                  GROUP BY 1 HAVING COUNT(*) >= 18) h
+    ),
+    hits AS (
+      SELECT res.qid, res.rank, CAST(qr.rel AS DOUBLE) AS rel
+      FROM res JOIN qr ON res.qid = qr.qid AND res.doc_id = qr.doc_id
+    ),
+    perq AS (
+      SELECT r.qid,
+             round(COALESCE(SUM(h.rel / log2(h.rank + 1)), 0), 6) AS dcg,
+             round(COALESCE(MAX(1.0 / h.rank), 0), 6) AS mrr,
+             COUNT(h.rank) AS n_hit
+      FROM (SELECT DISTINCT qid FROM res) r
+      LEFT JOIN hits h ON r.qid = h.qid GROUP BY 1
+    ),
+    ir AS (
+      SELECT * FROM (
+        SELECT qid, CAST(rel AS DOUBLE) AS rel,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+        FROM qr
+      ) WHERE irank <= 10
+    ),
+    id2 AS (SELECT qid, round(SUM(rel / log2(irank + 1)), 6) AS idcg
+            FROM ir GROUP BY 1),
+    nr AS (SELECT qid, COUNT(*) AS n_rel FROM qr GROUP BY 1)
+    SELECT p.qid, p.mrr, p.dcg,
+           COALESCE(id2.idcg, 0) AS idcg,
+           CASE WHEN COALESCE(id2.idcg, 0) > 0
+                THEN round(p.dcg / id2.idcg, 6) ELSE 0 END AS ndcg,
+           round(p.n_hit / 10.0, 6) AS prec,
+           CASE WHEN COALESCE(nr.n_rel, 0) > 0
+                THEN round(p.n_hit / CAST(nr.n_rel AS DOUBLE), 6)
+                ELSE 0 END AS recall,
+           CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel
+    FROM perq p LEFT JOIN id2 ON p.qid = id2.qid
+    LEFT JOIN nr ON p.qid = nr.qid
+"""
+
+
+@golden("ndcg_eval", _EVAL_SQL)
+def q_ndcg_eval(spark, sf):
+    """Retrieval evaluation metrics (X45 — the IR-stack half of index
+    quality next to D5+'s recall curves): MRR / DCG / IDCG / nDCG@10 /
+    precision / recall per query, computed by `eval_rankings` over a
+    deterministic ranking (top-10 customers per order priority by order
+    count) against planted judgments (customers with ≥ 18 orders). The
+    frozen formulas — rank from the results frame, deterministic ideal
+    (rel desc, doc asc), order-canonicalized folds + 6dp — replay in
+    DuckDB end to end, hash-checking every per-query metric value."""
+    from oracle_vectorsearch_example_spark.operators.eval import eval_rankings
+
+    o = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("o_custkey").asc()
+    )
+    res = (
+        o.groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("qid"),
+            F.col("o_custkey").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    heavy = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 18)
+        .select(F.col("o_custkey").alias("doc_id"))
+    )
+    qids = res.select("qid").distinct()
+    qrels = qids.crossJoin(heavy).withColumn("rel", F.lit(1))
+    return eval_rankings(res, qrels, k=10).select(
+        "qid",
+        "mrr",
+        "dcg",
+        "idcg",
+        "ndcg",
+        F.col("precision").alias("prec"),
+        "recall",
+        "n_rel",
+    )
+
+
 # ------------------------------------------------- MMR diversification (X44)
 @golden("mmr_rerank")
 def q_mmr_rerank(spark, sf):
@@ -5653,7 +5756,7 @@ def q_pca_embed(spark, sf):
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
-# psi_drift, edit_distance, grouped_split, rows-only mmr_rerank,
+# psi_drift, edit_distance, grouped_split, ndcg_eval, rows-only mmr_rerank,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~33) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat the oracle-paired late-r7 set first

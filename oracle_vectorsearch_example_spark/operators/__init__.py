@@ -63,6 +63,10 @@ from oracle_vectorsearch_example_spark.operators.bloom import (
     bloom_words_df,
     bloom_words_row,
 )
+from oracle_vectorsearch_example_spark.operators.eval import (
+    eval_rankings,
+    eval_summary,
+)
 from oracle_vectorsearch_example_spark.operators.drift import (
     psi_drifted_dims,
     psi_report,
@@ -175,6 +179,8 @@ __all__ = [
     "cms_estimate",
     "cms_table",
     "heavy_hitters",
+    "eval_rankings",
+    "eval_summary",
     "psi_report",
     "psi_drifted_dims",
     "PcaModel",

@@ -1,0 +1,96 @@
+"""X45 retrieval evaluation: hand-computed MRR/nDCG/P/R on a tiny
+fixture, perfect-ranking == 1.0, graded relevance, missing-judgment
+queries, summary means, layout determinism."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.eval import (
+    eval_rankings,
+    eval_summary,
+)
+
+
+@pytest.fixture()
+def fixture(spark):
+    # q1: relevant docs {10 (rel 2), 20 (rel 1)}; ranking hits 20@1, 10@3
+    # q2: relevant {30}; ranking misses entirely
+    # q3: no judgments at all
+    results = spark.createDataFrame(
+        [
+            (1, 20, 1), (1, 99, 2), (1, 10, 3),
+            (2, 98, 1), (2, 97, 2),
+            (3, 96, 1),
+        ],
+        "qid long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 1), (2, 30, 1)],
+        "qid long, doc_id long, rel int",
+    )
+    return results, qrels
+
+
+def test_hand_computed_metrics(spark, fixture):
+    results, qrels = fixture
+    out = {r["qid"]: r for r in eval_rankings(results, qrels, k=3).collect()}
+    # q1: DCG = 1/log2(2) + 2/log2(4) = 1 + 1 = 2
+    assert out[1]["dcg"] == 2.0
+    # IDCG: ideal order rel desc -> (2@1, 1@2): 2/1 + 1/log2(3)
+    idcg = round(2.0 + 1.0 / math.log2(3), 6)
+    assert out[1]["idcg"] == idcg
+    assert out[1]["ndcg"] == round(2.0 / idcg, 6)
+    assert out[1]["mrr"] == 1.0  # first relevant at rank 1
+    assert out[1]["precision"] == round(2 / 3, 6)
+    assert out[1]["recall"] == 1.0
+    # q2: no hits
+    assert out[2]["ndcg"] == 0.0 and out[2]["mrr"] == 0.0
+    assert out[2]["recall"] == 0.0 and out[2]["n_rel"] == 1
+    # q3: no judgments
+    assert out[3]["ndcg"] == 0.0 and out[3]["n_rel"] == 0
+
+
+def test_perfect_ranking_scores_one(spark):
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "qid long, doc_id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 1)], "qid long, doc_id long, rel int"
+    )
+    [r] = eval_rankings(results, qrels, k=2).collect()
+    assert r["ndcg"] == 1.0 and r["mrr"] == 1.0 and r["recall"] == 1.0
+
+
+def test_summary_means(spark, fixture):
+    results, qrels = fixture
+    [s] = eval_summary(results, qrels, k=3).collect()
+    per_q = {r["qid"]: r for r in eval_rankings(results, qrels, k=3).collect()}
+    assert s["n_queries"] == 3
+    assert s["mean_mrr"] == round(sum(per_q[q]["mrr"] for q in (1, 2, 3)) / 3, 6)
+    assert s["mean_ndcg"] == round(sum(per_q[q]["ndcg"] for q in (1, 2, 3)) / 3, 6)
+
+
+def test_k_cutoff_applies(spark, fixture):
+    results, qrels = fixture
+    out = {r["qid"]: r for r in eval_rankings(results, qrels, k=1).collect()}
+    # at k=1 only doc 20 (rel 1) counts for q1; ideal@1 = rel 2 at rank 1
+    assert out[1]["dcg"] == 1.0
+    assert out[1]["idcg"] == 2.0
+    assert out[1]["ndcg"] == 0.5
+    assert out[1]["precision"] == 1.0 and out[1]["recall"] == 0.5
+
+
+def test_layout_determinism(spark, fixture):
+    results, qrels = fixture
+    a = sorted(map(tuple, eval_rankings(results, qrels, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            eval_rankings(results.repartition(7), qrels.repartition(5), k=3).collect(),
+        )
+    )
+    assert a == b
