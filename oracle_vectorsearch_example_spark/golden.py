@@ -5216,6 +5216,80 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------------- embedding outliers (X46)
+_OUTLIER_SQL = """
+    WITH ev AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i
+            FROM embeddings)
+    ),
+    c AS (SELECT dim, MIN(x) AS c0, MAX(x) AS c1 FROM ev GROUP BY 1),
+    d AS (
+      SELECT ev.vec_id,
+             round(sqrt(SUM((x - c0) * (x - c0))), 9) AS d0,
+             round(sqrt(SUM((x - c1) * (x - c1))), 9) AS d1
+      FROM ev JOIN c ON ev.dim = c.dim GROUP BY 1
+    ),
+    a AS (
+      SELECT vec_id,
+             CASE WHEN d1 < d0 THEN 1 ELSE 0 END AS cluster,
+             CASE WHEN d1 < d0 THEN d1 ELSE d0 END AS dist
+      FROM d
+    ),
+    st AS (
+      SELECT cluster, COUNT(*) AS n,
+             round(SUM(dist) / COUNT(*), 9) AS mu,
+             round(SUM(dist * dist) / COUNT(*), 9) AS m2
+      FROM a GROUP BY 1
+    ),
+    st2 AS (
+      SELECT cluster, mu,
+             round(sqrt(GREATEST(m2 - mu * mu, 0.0)), 9) AS sigma
+      FROM st
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster, a.dist,
+           round((a.dist - mu) / sigma, 6) AS zscore
+    FROM a JOIN st2 ON a.cluster = st2.cluster
+    WHERE sigma > 0 AND round((a.dist - mu) / sigma, 6) > 1.0
+"""
+
+
+@golden("vector_outliers", _OUTLIER_SQL)
+def q_vector_outliers(spark, sf):
+    """Embedding outlier detection (X46 — the row-level sibling of X43's
+    distribution-level PSI): per-cluster distance z-scores against an
+    INPUT center frame. Centers here are the exact per-dim MIN and MAX
+    vectors of the embeddings table (order-independent aggregates both
+    engines compute identically), which keeps the WHOLE computation —
+    L2 assignment with id tie-break, canonical-fold μ/σ, z-score — a
+    DuckDB-replayable frozen spec; production passes IVF centroids
+    instead (then rows-only, the KMeans caveat)."""
+    from oracle_vectorsearch_example_spark.operators.outliers import (
+        embedding_outliers,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    centers = spark.createDataFrame(
+        [
+            (0, [float(r["lo"]) for r in per_dim]),
+            (1, [float(r["hi"]) for r in per_dim]),
+        ],
+        "center_id int, center array<double>",
+    )
+    emb_d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return embedding_outliers(emb_d, centers, z=1.0)
+
+
 # ------------------------------------------------- retrieval evaluation (X45)
 _EVAL_SQL = """
     WITH res AS (
@@ -5756,7 +5830,8 @@ def q_pca_embed(spark, sf):
 # hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
-# psi_drift, edit_distance, grouped_split, ndcg_eval, rows-only mmr_rerank,
+# psi_drift, edit_distance, grouped_split, ndcg_eval, vector_outliers,
+# rows-only mmr_rerank,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~33) than one 50-seat window can absorb next
 # to the r05 tail — r8 should seat the oracle-paired late-r7 set first

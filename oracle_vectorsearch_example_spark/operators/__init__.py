@@ -63,6 +63,10 @@ from oracle_vectorsearch_example_spark.operators.bloom import (
     bloom_words_df,
     bloom_words_row,
 )
+from oracle_vectorsearch_example_spark.operators.outliers import (
+    assign_centers,
+    embedding_outliers,
+)
 from oracle_vectorsearch_example_spark.operators.eval import (
     eval_rankings,
     eval_summary,
@@ -179,6 +183,8 @@ __all__ = [
     "cms_estimate",
     "cms_table",
     "heavy_hitters",
+    "assign_centers",
+    "embedding_outliers",
     "eval_rankings",
     "eval_summary",
     "psi_report",

@@ -1,0 +1,134 @@
+"""Embedding outlier detection (X46, data-quality extension surface):
+per-cluster distance z-scores against a REFERENCE center frame — the
+vector-side sibling of X43's PSI monitor. PSI says "the distribution
+moved"; this says "THESE rows are wrong" (corrupt decodes, mojibake
+text embedded anyway, wrong-modality rows, all-zero vectors) so the
+pipeline can quarantine them before they poison dedup thresholds and
+index training.
+
+Frozen, engine-replayable spec (centers are an INPUT frame — pass IVF
+centroids, class means, or hand-picked anchors; keeping the trained
+artifact out of the formula is what makes the whole computation
+SQL-replayable, unlike KMeans itself):
+
+- assignment: nearest center by L2 over the broadcast center frame,
+  ties broken by center id (argmin via one bounded cross join + a
+  (row, center-distance) min — centers are metadata-sized by contract);
+- per-cluster mean μ and population std σ of the distances, computed
+  with order-canonicalized folds (id-sorted, round(9) partials,
+  round(6) finals — the bm25 discipline, so DuckDB's plain aggregates
+  reproduce them at 6dp);
+- outlier ⇔ σ > 0 and round((d − μ)/σ, 6) > z. Clusters with one
+  member (σ = 0) flag nothing — a lone row is its own distribution.
+
+Plan shape: one broadcast nested-loop against ≤ |centers| rows per
+input row (JVM, no UDF), two cluster-keyed aggregates over skinny
+(cluster, distance) rows, one re-join on the row id. Payloads never
+shuffle; nothing scales with corpus width but the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["assign_centers", "embedding_outliers"]
+
+
+def _l2(a, b):
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def assign_centers(
+    df: DataFrame,
+    centers: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    center_id: str = "center_id",
+    center_vec: str = "center",
+) -> DataFrame:
+    """(id_col, cluster, dist): nearest center by L2, ties by center id.
+    The centers frame broadcasts (metadata-sized by contract)."""
+    joined = df.select(id_col, vec_col).crossJoin(
+        F.broadcast(centers.select(center_id, center_vec))
+    )
+    scored = joined.select(
+        id_col,
+        F.col(center_id).alias("cluster"),
+        F.round(_l2(F.col(vec_col), F.col(center_vec)), 9).alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("dist").asc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    centers: DataFrame,
+    z: float = 3.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    center_id: str = "center_id",
+    center_vec: str = "center",
+) -> DataFrame:
+    """Rows whose distance to their nearest center is more than ``z``
+    population standard deviations above that cluster's mean distance.
+    Returns (id_col, cluster, dist, zscore) for flagged rows only."""
+    a = assign_centers(df, centers, vec_col, id_col, center_id, center_vec)
+    stats = (
+        a.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("dist").alias("d")))
+            ).alias("ds"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cluster",
+            "n",
+            F.round(
+                F.aggregate("ds", F.lit(0.0), lambda acc, s: acc + s["d"])
+                / F.col("n"),
+                9,
+            ).alias("mu"),
+            F.round(
+                F.aggregate(
+                    "ds", F.lit(0.0), lambda acc, s: acc + s["d"] * s["d"]
+                )
+                / F.col("n"),
+                9,
+            ).alias("m2"),
+        )
+        .select(
+            "cluster",
+            "n",
+            "mu",
+            F.round(
+                F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0))),
+                9,
+            ).alias("sigma"),
+        )
+    )
+    return (
+        a.join(F.broadcast(stats), "cluster")
+        .withColumn(
+            "zscore",
+            F.when(
+                F.col("sigma") > 0,
+                F.round((F.col("dist") - F.col("mu")) / F.col("sigma"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("zscore") > z)
+        .select(id_col, "cluster", "dist", "zscore")
+    )

@@ -1,0 +1,103 @@
+"""X46 embedding outliers: planted corrupt rows flagged exactly, clean
+clusters flag nothing, assignment tie-break, singleton clusters are
+silent, numpy parity of the z-scores, layout determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.outliers import (
+    assign_centers,
+    embedding_outliers,
+)
+
+DIM = 6
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Two tight clusters of 40 rows each + 2 planted corrupt rows
+    (ids 900, 901) far from everything."""
+    rng = np.random.RandomState(5)
+    rows = []
+    c0 = np.zeros(DIM)
+    c1 = np.ones(DIM) * 4.0
+    for i in range(40):
+        rows.append((i, (c0 + rng.randn(DIM) * 0.05).tolist()))
+        rows.append((100 + i, (c1 + rng.randn(DIM) * 0.05).tolist()))
+    rows.append((900, (c0 + 3.0).tolist()))   # corrupt near cluster 0
+    rows.append((901, (c1 - 2.5).tolist()))   # corrupt near cluster 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = spark.createDataFrame(
+        [(0, c0.tolist()), (1, c1.tolist())],
+        "center_id int, center array<double>",
+    )
+    return df, centers
+
+
+def test_planted_outliers_flagged_exactly(spark, planted):
+    df, centers = planted
+    got = embedding_outliers(df, centers, z=3.0)
+    assert sorted(r["vec_id"] for r in got.collect()) == [900, 901]
+    for r in got.collect():
+        assert r["zscore"] > 3.0
+
+
+def test_clean_corpus_flags_nothing(spark, planted):
+    df, centers = planted
+    clean = df.filter(F.col("vec_id") < 900)
+    assert embedding_outliers(clean, centers, z=4.0).count() == 0
+
+
+def test_assignment_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    centers = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "center_id int, center array<double>"
+    )
+    a = {r["vec_id"]: r["cluster"] for r in assign_centers(df, centers).collect()}
+    assert a[1] == 0 and a[2] == 1
+    assert a[3] == 0  # exact distance tie -> smaller center id
+
+
+def test_singleton_cluster_silent(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    centers = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 9.0])], "center_id int, center array<double>"
+    )
+    assert embedding_outliers(df, centers, z=0.0).count() == 0
+
+
+def test_zscore_matches_numpy(spark, planted):
+    df, centers = planted
+    a = assign_centers(df, centers)
+    rows = a.filter(F.col("cluster") == 0).collect()
+    d = np.array([r["dist"] for r in rows])
+    mu = round(float(d.sum() / len(d)), 9)
+    m2 = round(float((d * d).sum() / len(d)), 9)
+    sigma = round(float(np.sqrt(max(m2 - mu * mu, 0.0))), 9)
+    want = {
+        r["vec_id"]: round((r["dist"] - mu) / sigma, 6) for r in rows
+    }
+    got = {
+        r["vec_id"]: r["zscore"]
+        for r in embedding_outliers(df, centers, z=-10.0).collect()
+        if r["cluster"] == 0
+    }
+    for i, zv in got.items():
+        assert abs(zv - want[i]) <= 1e-6, i
+
+
+def test_layout_determinism(spark, planted):
+    df, centers = planted
+    a = sorted(map(tuple, embedding_outliers(df, centers, z=2.0).collect()))
+    b = sorted(
+        map(tuple, embedding_outliers(df.repartition(7), centers, z=2.0).collect())
+    )
+    assert a == b
