@@ -179,7 +179,13 @@ def pca_fit(
 ) -> PcaModel:
     """Fit PCA over a vector column with a layout-independent
     distributed moment aggregate (see module docstring). One shuffle
-    (the bucket group-by); driver collects n_buckets partial rows."""
+    (the bucket group-by); driver collects n_buckets partial rows.
+
+    Driver bytes = n_buckets · (dim² + dim) · 8 B — ~2 MB at dim 64,
+    ~75 MB at dim 384 with the default 64 buckets (the pq_train-style
+    bounded-metadata contract). Lower ``n_buckets`` for very high dims
+    (determinism holds at ANY bucket count — it is part of the spec,
+    so pass the same value to reproduce a fit)."""
     import numpy as np
 
     head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()

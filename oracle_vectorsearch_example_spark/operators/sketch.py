@@ -182,7 +182,14 @@ def heavy_hitters(
     ``df.groupBy(key_col).count().filter(count >= threshold)`` (or the
     weighted sum twin) for ANY d/w/seed/hash. Pass a prebuilt
     ``cms=`` table (e.g. ``.localCheckpoint()``-ed) to skip the build
-    aggregate — the build-once / probe-many shape."""
+    aggregate — the build-once / probe-many shape.
+
+    Sizing contract: the candidate set is ≤ N·(1/threshold + fpp) keys
+    and BROADCASTS for the exact recount — the whole point is that
+    heavy hitters are FEW. A threshold near 1 (or w sized so the noise
+    floor N·d/w approaches the threshold) makes everything a candidate
+    and the broadcast the bottleneck; size w ≥ ~10·N/threshold and use
+    the plain groupBy when you genuinely want all counts."""
     if cms is None:
         # lazy checkpoint: estimate + recount both reference the sketch
         cms = cms_table(df, key_col, weight_col, d, w, seed, hash).localCheckpoint(
