@@ -5216,6 +5216,39 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ---------------------------------------------- fixed-count group sample (X7+)
+@golden(
+    "group_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM r WHERE rn <= 10 GROUP BY 1
+    """,
+)
+def q_group_sample(spark, sf):
+    """Fixed-COUNT per-group sampling (X7+; the eval-set builder — "10
+    examples per language"): keep the n smallest md5("seed:id") rows per
+    group, a pure function of (seed, ids) — stable across runs, engines
+    and layouts, with bounded churn under corpus growth. sum_ids pins
+    the exact membership per group against DuckDB replaying the hash
+    order."""
+    from oracle_vectorsearch_example_spark.operators.sampling import group_sample
+
+    docs = read_table(spark, sf, "documents")
+    return (
+        group_sample(docs, 10, "lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+    )
+
+
 # ------------------------------------------------- embedding outliers (X46)
 _OUTLIER_SQL = """
     WITH ev AS (
@@ -5831,6 +5864,7 @@ def q_pca_embed(spark, sf):
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
 # psi_drift, edit_distance, grouped_split, ndcg_eval, vector_outliers,
+# group_sample,
 # rows-only mmr_rerank,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~33) than one 50-seat window can absorb next

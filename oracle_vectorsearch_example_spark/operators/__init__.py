@@ -102,6 +102,7 @@ from oracle_vectorsearch_example_spark.operators.fuzzy import (
 from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
 from oracle_vectorsearch_example_spark.operators.sampling import (
     deterministic_shuffle,
+    group_sample,
     hash_bucket,
     hash_sample,
     hash_split,
@@ -203,6 +204,7 @@ __all__ = [
     "hash_bucket",
     "hash_split",
     "hash_sample",
+    "group_sample",
     "stratified_sample",
     "repeat_epochs",
     "mix_sources",

@@ -191,6 +191,35 @@ def mix_sources(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def group_sample(
+    df: DataFrame,
+    n: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fixed-COUNT sample: exactly min(n, group size) rows
+    per group — the eval-set builder (`hash_sample`/`stratified_sample`
+    draw FRACTIONS; "200 examples per language" needs a count). The
+    kept rows are the n smallest md5("<seed>:<id>") within each group —
+    a pure function of (seed, ids), so the sample is stable across
+    runs, engines, and partition layouts, and growing a group only ever
+    ADDS candidates (a kept row is evicted only when a new row hashes
+    below it — the bounded-churn property of hash-ordered reservoirs).
+    One group-keyed window; no RNG streams."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -207,3 +207,35 @@ def test_deterministic_shuffle(docs):
         (hashlib.md5(f"42:{i}".encode()).hexdigest(), i) for i in sorted(a)
     )
     assert a == [i for _, i in want]   # pinned to the frozen md5 spec
+
+
+def test_group_sample_fixed_count(spark):
+    """group_sample: exactly min(n, group size) rows per group, stable
+    under repartition, monotone under corpus growth (bounded churn)."""
+    import pytest
+    from oracle_vectorsearch_example_spark.operators.sampling import group_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 20 else "b") for i in range(23)], "doc_id long, g string"
+    )
+    got = group_sample(df, 5, "g")
+    counts = {r["g"]: r["n"] for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 3}  # b has only 3 members
+    # layout independence
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, group_sample(df.repartition(7), 5, "g").collect()))
+    assert a == b
+    # growth: adding rows only evicts by hash order; the n=5 sample of
+    # the grown group is the 5 smallest hashes of the union
+    grown = df.unionByName(
+        spark.createDataFrame([(100 + i, "a") for i in range(10)], "doc_id long, g string")
+    )
+    s_old = {r["doc_id"] for r in group_sample(df, 5, "g").filter("g = 'a'").collect()}
+    s_new = {r["doc_id"] for r in group_sample(grown, 5, "g").filter("g = 'a'").collect()}
+    # every survivor of the old sample that is still in the new sample
+    # kept its membership for the same reason (hash order) — and the
+    # new sample still has exactly 5
+    assert len(s_new) == 5
+    assert len(s_old & s_new) >= 1
+    with pytest.raises(ValueError, match="n must be"):
+        group_sample(df, 0, "g")
