@@ -5216,6 +5216,47 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------- higher-order array funcs (F8+)
+@golden(
+    "array_hof",
+    """
+    SELECT vec_id,
+           round(list_aggregate(
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6)
+             AS sq_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(CAST(embedding[1] AS DOUBLE)
+                 + CAST(embedding[len(embedding)] AS DOUBLE), 6) AS ends
+    FROM embeddings
+    """,
+)
+def q_array_hof(spark, sf):
+    """Higher-order array functions (§2.8 F8 breadth — the lambda trio
+    transform/filter/aggregate that every vector expression here builds
+    on, witnessed directly): per-vector squared-norm fold (1.0 for the
+    normalized fixture — and the 6dp round makes the fold order
+    engine-portable), positive-component count, first+last element. The
+    same lambdas replay as DuckDB's list_transform / list_filter /
+    list_aggregate."""
+    emb = read_table(spark, sf, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("sq_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", -1).cast("double"),
+            6,
+        ).alias("ends"),
+    )
+
+
 # ---------------------------------------------- fixed-count group sample (X7+)
 @golden(
     "group_sample",
@@ -5864,7 +5905,7 @@ def q_pca_embed(spark, sf):
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
 # psi_drift, edit_distance, grouped_split, ndcg_eval, vector_outliers,
-# group_sample,
+# group_sample, array_hof,
 # rows-only mmr_rerank,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~33) than one 50-seat window can absorb next
