@@ -5216,6 +5216,46 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------- source contamination (X2+)
+_SOURCE_OVERLAP_SQL = f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT source,
+             array_to_string(list_slice(t, unnest(generate_series(1, len(t) - 2)),
+                             unnest(generate_series(1, len(t) - 2)) + 2), ' ')
+               AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM grams GROUP BY 1),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             COUNT(*)::BIGINT AS n_shared
+      FROM grams a JOIN grams b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+"""
+
+
+@golden("source_overlap", _SOURCE_OVERLAP_SQL)
+def q_source_overlap(spark, sf):
+    """Cross-source contamination matrix (X2+ corpus forensics): exact
+    3-gram Jaccard between every source pair's distinct shingle sets —
+    the mixture-double-counting / benchmark-bleed triage question,
+    answered at source granularity where the shingle join is
+    better-bounded than doc pairs (≤ |sources| rows per shingle)."""
+    from oracle_vectorsearch_example_spark.operators.dedup import source_overlap
+
+    docs = read_table(spark, sf, "documents")
+    return source_overlap(docs)
+
+
 # ------------------------------------------- higher-order array funcs (F8+)
 @golden(
     "array_hof",
@@ -5905,7 +5945,7 @@ def q_pca_embed(spark, sf):
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
 # psi_drift, edit_distance, grouped_split, ndcg_eval, vector_outliers,
-# group_sample, array_hof,
+# group_sample, array_hof, source_overlap,
 # rows-only mmr_rerank,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~33) than one 50-seat window can absorb next

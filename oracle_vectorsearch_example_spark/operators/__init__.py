@@ -50,6 +50,7 @@ from oracle_vectorsearch_example_spark.operators.dedup import (
     minhash_signatures,
     neardup_components,
     simhash,
+    source_overlap,
 )
 from oracle_vectorsearch_example_spark.operators.substring import (
     exact_substring_dedup,
@@ -173,6 +174,7 @@ __all__ = [
     "neardup_components",
     "dedup_by_components",
     "decontaminate",
+    "source_overlap",
     "exact_substring_dedup",
     "BloomFilter",
     "bloom_anti_join",

@@ -148,6 +148,62 @@ def _signature_wide(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix (corpus forensics): exact
+    n-gram Jaccard between every pair of sources' DISTINCT shingle
+    sets — "how much does source A duplicate source B", the question
+    behind mixture double-counting (two crawls of the same site) and
+    benchmark-bleed triage, answered with the same frozen shingle spec
+    as the doc-level Jaccard ops.
+
+    Scale shape: distinct-per-source bounds every shingle to ≤
+    |sources| rows, so the shingle equi-join emits ≤ |sources|² rows
+    per shingle no matter how hot it is — the per-source rollup is
+    BETTER-bounded than doc-level pairs. Output: (src_a, src_b,
+    n_shared, jaccard), src_a < src_b."""
+    sh = shingle_df(df, text_col, id_col, shingle_n, hashed=False)
+    src_sh = (
+        sh.join(df.select(id_col, group_col), id_col)
+        .select(F.col(group_col).alias("src"), "shingle")
+        .distinct()
+    )
+    sizes = src_sh.groupBy("src").agg(F.count("*").alias("sz"))
+    a = src_sh.select(F.col("src").alias("src_a"), "shingle")
+    b = src_sh.select(F.col("src").alias("src_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("src").alias("src_a"), F.col("sz").alias("__sa")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("src").alias("src_b"), F.col("sz").alias("__sb")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__sa") + F.col("__sb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def lsh_plan(
     threshold: float, num_hashes: int = 16, fn_weight: float = 1.0
 ) -> tuple[int, int]:

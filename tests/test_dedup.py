@@ -294,3 +294,26 @@ def test_lsh_plan_feeds_minhash_pairs(spark):
         (min(x, y), max(x, y)) for x, y in pairs.select("id_a", "id_b").collect()
     }
     assert (1, 2) in got
+
+
+def test_source_overlap_matrix(spark):
+    """source_overlap: planted cross-source duplication reads high
+    Jaccard for the contaminated pair, near-zero elsewhere; pair order
+    canonical; layout-independent."""
+    from oracle_vectorsearch_example_spark.operators.dedup import source_overlap
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, shared, "a"),
+        (2, shared + " tail one", "b"),          # heavy a<->b overlap
+        (3, "completely different words in every position here", "c"),
+        (4, "another unrelated document about ships and harbors", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["src_a"], r["src_b"]): r["jaccard"] for r in source_overlap(df).collect()}
+    assert got[("a", "b")] > 0.5
+    assert got.get(("a", "c"), 0.0) == 0.0 or got[("a", "c")] < 0.05
+    assert all(a < b for a, b in got)
+    a1 = sorted(source_overlap(df).collect())
+    a2 = sorted(source_overlap(df.repartition(5)).collect())
+    assert a1 == a2
