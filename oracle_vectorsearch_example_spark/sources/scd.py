@@ -24,11 +24,15 @@ silently stop tracking. Duplicate source keys are rejected exactly as
 in ``merge_rows`` (ORA-30926 discipline): "the latest version" must be
 unique per key for is_current to mean anything.
 
-Plan shape: the current slice joins the source once on the keys
-(classification), closed history passes through untouched — one keyed
-shuffle each side, no windows, no driver loop. At 100 TB the closed
-history (the bulk) is never shuffled: only current rows and the batch
-move.
+Plan shape: the current slice joins the source on the keys
+(classification), closed history passes through untouched — keyed
+shuffles only, no windows, no driver loop. Catalyst rewrites the
+null-safe equality into hash-joinable ``(coalesce(k), isnull(k))``
+keys, so the join is a SortMergeJoin, not a nested loop
+(plan-audited); it also splits the three output branches into three
+SMJ passes over the CURRENT slice — at 100 TB the closed history (the
+bulk) still never shuffles, and the current slice is the small part
+by construction (one row per live key).
 """
 
 from __future__ import annotations
