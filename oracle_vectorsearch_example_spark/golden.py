@@ -5216,6 +5216,56 @@ def q_heavy_hitters(spark, sf):
     )
 
 
+# ------------------------------------------- numeric-strata sampling (X7+)
+@golden(
+    "stratified_numeric",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(LEAST(GREATEST(
+               FLOOR(n_chars / 600.0 * 4) + 1, 1), 4) AS INTEGER)
+               AS len_bucket,
+             (('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 10000)
+               AS h
+      FROM documents
+    )
+    SELECT len_bucket, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM b
+    WHERE h < CASE len_bucket WHEN 1 THEN 2000 WHEN 2 THEN 5000
+                              WHEN 3 THEN 8000 ELSE 10000 END
+    GROUP BY 1
+    """,
+)
+def q_stratified_numeric(spark, sf):
+    """Numeric-strata sampling (X7+ — mixture re-weighting over a
+    CONTINUOUS attribute): bucket doc length with the histogram
+    formula (clamped equi-width, identical IEEE op order on both
+    engines), then the deterministic per-stratum hash draw — short
+    docs downsampled to 20%, the longest kept whole. sum_ids pins the
+    exact membership per bucket."""
+    from oracle_vectorsearch_example_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("n_chars") / F.lit(600.0) * F.lit(4)) + 1, F.lit(1)
+        ),
+        F.lit(4),
+    ).cast("int")
+    bucketed = docs.withColumn("len_bucket", bucket)
+    kept = stratified_sample(
+        bucketed,
+        {1: 0.2, 2: 0.5, 3: 0.8, 4: 1.0},
+        strata_col="len_bucket",
+    )
+    return kept.groupBy("len_bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
 # ------------------------------------------- source contamination (X2+)
 _SOURCE_OVERLAP_SQL = f"""
     WITH toks AS (SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents),
@@ -5945,7 +5995,7 @@ def q_pca_embed(spark, sf):
 # bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
 # window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
 # psi_drift, edit_distance, grouped_split, ndcg_eval, vector_outliers,
-# group_sample, array_hof, source_overlap,
+# group_sample, array_hof, source_overlap, stratified_numeric,
 # rows-only mmr_rerank,
 # plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
 # oracle-paired goldens (~33) than one 50-seat window can absorb next
