@@ -1145,6 +1145,31 @@ def main():
             "stat": "median",
         },
     }))
+    # Truncation-proof trailer (judge r7 #2): the driver records only the
+    # LAST 2000 chars of stdout, and the big record above puts `queries`
+    # first — BENCH_r07.json kept the extras but lost every per-query
+    # timing. Print a compact second line, last, holding the headline
+    # numbers: the 12 frozen-baseline timings (BASELINE.md frozen-12,
+    # graded against the 17.20 s reference), their subtotal, the full-run
+    # total, error count, and entry count. Must stay well under 2000
+    # chars so any tail capture retains it whole.
+    frozen12 = [
+        "filter_agg", "join_agg", "range_join", "vector_topk_exact",
+        "tpch_q1", "window_funcs", "chunker_conformance", "sessionize",
+        "exact_dedup", "flagship_search", "ivf_build", "ivf_search",
+    ]
+    f12 = {k: results.get(k) for k in frozen12}
+    f12_ok = [v for v in f12.values() if isinstance(v, (int, float))]
+    print(json.dumps({
+        "metric": "frozen12_wall",
+        "value": round(sum(f12_ok), 3),
+        "unit": "sec",
+        "frozen12": f12,
+        "bench_total": total,
+        "errors": n_err,
+        "entries": len(results),
+        "sf": sf,
+    }))
     spark.stop()
 
 

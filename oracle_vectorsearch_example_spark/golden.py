@@ -5977,57 +5977,36 @@ def q_pca_embed(spark, sf):
 # -------------------------------------------------------- driver window order
 # The external driver witnesses the FIRST 50 registered queries each round
 # (CORRECTNESS_r*.json); the full surface is oracle-checked locally via
-# scripts/compare_oracle.py regardless of order. r7 rotation (judge r6
-# #3): seat the long-unwitnessed tail — every query below is ABSENT from
-# the r6 window, and the set covers the 3 never-windowed r6 goldens plus
-# every golden last witnessed in r01-r04 and 10 of the 22 last witnessed
-# in r05. Still waiting after r7 (rotate into r8): the other 12 r05
-# entries — audio_decode, binary_stats, chunker_normalized, corpus_filter,
-# correlated_subquery, decontaminate, doc_stats, embed_double,
-# except_keys, intersect_keys, repetition_stats, simhash_neardup,
-# stratified_sample, winnow_fingerprints — plus the 50 r06-witnessed
-# seats now evicted. ALSO never witnessed: the late-r7 goldens added
-# after this rotation was frozen (the window must not change mid-round):
-# hnsw_exhaustive, bm25_topk, hybrid_rrf, bq_topk, sparse_topk,
-# utl_to_summary, maxsim_topk, tfidf_topk, fuzzy_pairs, dsir_scores,
-# hard_negatives, det_shuffle, dataset_mix, substring_dedup, mrl_topk,
-# hnsw_filtered, semantic_chunks, ctx_snippet, bm25_prf, lm_perplexity,
-# bloom_words, bloom_anti, cms_words, heavy_hitters, merge_upsert,
-# window_extras, intersect_all_keys, auto_salted_agg, scd2_merge, histogram,
-# psi_drift, edit_distance, grouped_split, ndcg_eval, vector_outliers,
-# group_sample, array_hof, source_overlap, stratified_numeric,
-# rows-only mmr_rerank,
-# plus rows-only bpe_tokens, rerank_ce, and pca_embed. That is more unwitnessed
-# oracle-paired goldens (~33) than one 50-seat window can absorb next
-# to the r05 tail — r8 should seat the oracle-paired late-r7 set first
-# (the 33 named above), r9 the 12 r05 evictees + rows-only stragglers.
-# Witness history (which round last witnessed each golden) is
-# recomputable from CORRECTNESS_r0*.json.
+# scripts/compare_oracle.py regardless of order. r8 rotation (judge r7
+# #1/#3): seat the 39 never-driver-witnessed ORACLE-PAIRED goldens (all
+# judge-verified green via compare_oracle at r7 end), then fill the 11
+# remaining seats with the stalest survivors — r05-witnessed evictees.
+# Rows-only entries (approx_count_distinct, ivf_search, bpe_tokens,
+# rerank_ce, pca_embed, mmr_rerank, semdedup, onnx_embed, ivf_accuracy_report)
+# are deliberately EXCLUDED from seats (judge r7 #3): they print
+# `err: no_oracle` in the driver record while their tolerance/recall
+# gates already live in pytest — a seat spent on one is a seat wasted.
+# Still waiting after r8 (rotate into r9): the 3 remaining r05
+# evictees — simhash_neardup, stratified_sample, winnow_fingerprints —
+# plus everything r06/r07-witnessed now evicted, plus any goldens added
+# during r8 after this rotation froze (the window must not change
+# mid-round). Witness history is recomputable from CORRECTNESS_r0*.json.
 _PRIORITY = [
-    # never driver-witnessed (new in r6, window was full)
-    "sq8_topk", "pii_redact", "boilerplate_removal",
-    # last witnessed r01
-    "arrays", "chunk_ids", "cube", "dates", "grouping_sets",
-    "ivf_exhaustive", "json_get", "math", "tpch_q5", "tpch_q7",
-    "tpch_q10", "tpch_q14", "tpch_q18",
-    # last witnessed r02
-    "approx_count_distinct", "chunker_cjk", "ivf_search",
-    "multimodal_features", "simhash_fingerprint",
-    # last witnessed r03
-    "collect_sorted_words", "cross_join", "embedding_neardup",
-    "except_all_keys", "jaccard_neardup", "left_join_zero_orders",
-    "parse_vector", "semi_join", "sliding_window", "sql_vector_topk",
-    "stream_enrich",
-    # last witnessed r04
-    "percentile_gate", "percentiles", "pivot", "salted_join_agg",
-    "stream_dedup", "tpch_q3", "unicode_nfc",
-    # new in r7 (never witnessed): progressive JPEG decode; animated-GIF
-    # real frame sampling; z-order layout codes. (bpe_tokens, rows-only,
-    # waits for r8 — oracle-paired seats take priority.)
-    "jpeg_decode", "gif_frames", "zorder_keys",
-    # last witnessed r05 (8 of 22; family breadth for the final seats)
-    "projection", "count_distinct", "rollup", "sessionize", "range_join",
-    "anti_join", "topk_rows", "fk_violations",
+    # never driver-witnessed, oracle-paired (late-r7 adds; judge-verified)
+    "bm25_topk", "hybrid_rrf", "bq_topk", "sparse_topk", "utl_to_summary",
+    "maxsim_topk", "tfidf_topk", "fuzzy_pairs", "dsir_scores",
+    "hard_negatives", "det_shuffle", "substring_dedup", "mrl_topk",
+    "hnsw_exhaustive", "hnsw_filtered", "semantic_chunks", "ctx_snippet",
+    "bm25_prf", "lm_perplexity", "dataset_mix", "bloom_words",
+    "bloom_anti", "cms_words", "heavy_hitters", "merge_upsert",
+    "scd2_merge", "window_extras", "intersect_all_keys",
+    "auto_salted_agg", "histogram", "psi_drift", "edit_distance",
+    "grouped_split", "ndcg_eval", "vector_outliers", "array_hof",
+    "source_overlap", "group_sample", "stratified_numeric",
+    # stalest survivors: last witnessed r05 (11 of the 14 evictees)
+    "audio_decode", "binary_stats", "chunker_normalized", "corpus_filter",
+    "correlated_subquery", "decontaminate", "doc_stats", "embed_double",
+    "except_keys", "intersect_keys", "repetition_stats",
 ]
 
 
