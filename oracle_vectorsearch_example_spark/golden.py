@@ -5665,12 +5665,16 @@ _PSI_SQL = """
              COUNT(*) AS c
       FROM ce JOIN st USING (dim) GROUP BY 1, 2
     ),
+    grid AS (
+      SELECT st.dim, CAST(b.bucket AS BIGINT) AS bucket
+      FROM st, (SELECT unnest(range(1, 11)) AS bucket) b
+    ),
     cells AS (
-      SELECT COALESCE(rb.dim, cb.dim) AS dim,
-             COALESCE(rb.bucket, cb.bucket) AS bucket,
+      SELECT grid.dim, grid.bucket,
              COALESCE(r, 0) AS r, COALESCE(c, 0) AS c
-      FROM rb FULL OUTER JOIN cb
-        ON rb.dim = cb.dim AND rb.bucket = cb.bucket
+      FROM grid
+      LEFT JOIN rb ON grid.dim = rb.dim AND grid.bucket = rb.bucket
+      LEFT JOIN cb ON grid.dim = cb.dim AND grid.bucket = cb.bucket
     ),
     tot AS (
       SELECT dim, CAST(SUM(r) AS BIGINT) AS rn, CAST(SUM(c) AS BIGINT) AS cn
@@ -5696,7 +5700,9 @@ def q_psi_drift(spark, sf):
     indexes degrade. The whole frozen spec replays in DuckDB: equi-width
     buckets over the reference's exact per-dim min/max (the `histogram`
     formula, same IEEE op order), edge-bucket clamping, add-alpha
-    probabilities, order-canonicalized ≤10-term fold + round(6)."""
+    probabilities over the FULL fixed-B bucket grid (empty-in-both
+    buckets carry their smoothed term when n_ref != n_cur),
+    order-canonicalized 10-term fold + round(6)."""
     from oracle_vectorsearch_example_spark.operators.drift import psi_report
 
     emb = read_table(spark, sf, "embeddings")

@@ -84,11 +84,23 @@ def psi_report(
     stats = re_.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     rc = _bucket_counts(re_, stats, n_buckets).withColumnRenamed("cnt", "r")
     cc = _bucket_counts(ce, stats, n_buckets).withColumnRenamed("cnt", "c")
-    cells = rc.join(cc, ["dim", "bucket"], "full_outer").select(
+    # fixed-B PSI sums over the FULL dim × bucket grid, not just the
+    # observed cells: when n_ref != n_cur, add-alpha smoothing gives a
+    # bucket empty in BOTH frames a nonzero term — observed-cells-only
+    # would silently drop it (ADVICE r7). The grid is ≤ dims×B rows.
+    grid = stats.select(
         "dim",
-        "bucket",
-        F.coalesce("r", F.lit(0)).alias("r"),
-        F.coalesce("c", F.lit(0)).alias("c"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_buckets))).alias("bucket"),
+    )
+    cells = (
+        grid.join(rc, ["dim", "bucket"], "left")
+        .join(cc, ["dim", "bucket"], "left")
+        .select(
+            "dim",
+            "bucket",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
     )
     totals = cells.groupBy("dim").agg(
         F.sum("r").alias("rn"), F.sum("c").alias("cn")

@@ -59,8 +59,12 @@ def eval_rankings(
 ) -> DataFrame:
     """Per-query metrics: (query_id, mrr, dcg, idcg, ndcg, precision,
     recall, n_rel). ``results`` = (query_id, doc_id, rank 1-based);
-    ``qrels`` = (query_id, doc_id, rel > 0, graded or binary). Queries
-    present in results but without judgments report ndcg/recall 0."""
+    ``qrels`` = (query_id, doc_id, rel > 0, graded or binary). The
+    per-query frame is results ∪ judged query ids (the trec_eval
+    convention): a judged query the engine returned NOTHING for scores
+    0 across the board instead of silently vanishing from the means.
+    Queries present in results but without judgments report
+    ndcg/recall 0."""
     res = results.filter(F.col(rank_col) <= k).select(
         query_id, doc_id, F.col(rank_col).alias("__rank")
     )
@@ -98,7 +102,14 @@ def eval_rankings(
         .agg(_canon_sum("h", "g").alias("idcg"))
     )
     n_rel = jj.groupBy(query_id).agg(F.count("*").alias("n_rel"))
-    base = results.select(query_id).distinct()
+    # trec_eval denominator: every query that was searched OR judged.
+    # results-only would drop a judged query with zero returned rows,
+    # inflating the corpus means (ADVICE r7).
+    base = (
+        results.select(query_id)
+        .union(jj.select(query_id))
+        .distinct()
+    )
     out = (
         base.join(per_q_hits, query_id, "left")
         .join(ideal, query_id, "left")

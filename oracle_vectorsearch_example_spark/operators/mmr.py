@@ -86,10 +86,21 @@ def mmr_select(
             }
         )
 
-    return candidates.groupBy(query_id).applyInPandas(
-        pick,
-        schema=f"{query_id} long, rank long, {base_id} long, {rel_col} double",
+    # id field types come from the candidate frame itself — string or
+    # int ids (both valid across the search stack) must round-trip, not
+    # fail against a hardcoded `long` (ADVICE r7)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_fields = {f.name: f for f in candidates.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(query_id, in_fields[query_id].dataType, True),
+            StructField("rank", LongType(), False),
+            StructField(base_id, in_fields[base_id].dataType, True),
+            StructField(rel_col, in_fields[rel_col].dataType, True),
+        ]
     )
+    return candidates.groupBy(query_id).applyInPandas(pick, schema=out_schema)
 
 
 def mmr_topk_search(

@@ -81,44 +81,63 @@ def embedding_outliers(
     id_col: str = "vec_id",
     center_id: str = "center_id",
     center_vec: str = "center",
+    canonical: bool = True,
 ) -> DataFrame:
     """Rows whose distance to their nearest center is more than ``z``
     population standard deviations above that cluster's mean distance.
-    Returns (id_col, cluster, dist, zscore) for flagged rows only."""
+    Returns (id_col, cluster, dist, zscore) for flagged rows only.
+
+    ``canonical=True`` (default) computes μ/σ with the order-canonicalized
+    fold — collect_list of the WHOLE cluster's (id, dist) structs into one
+    aggregation buffer. That buys bit-exact engine replay (the golden) at
+    the cost of a per-cluster memory bound: a cluster must fit one task's
+    buffer (~tens of millions of skinny structs). At production scale —
+    IVF-centroid clusters of unbounded size — pass ``canonical=False``:
+    plain distributive avg/sum-of-squares aggregates (map-side partials,
+    constant memory per task, no cardinality bound), identical math but
+    partition-order FP summation, so results may differ in the last
+    ulps — fine for quarantining, not for hash goldens."""
     a = assign_centers(df, centers, vec_col, id_col, center_id, center_vec)
-    stats = (
-        a.groupBy("cluster")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("dist").alias("d")))
-            ).alias("ds"),
+    if canonical:
+        stats = (
+            a.groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("dist").alias("d")))
+                ).alias("ds"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cluster",
+                "n",
+                F.round(
+                    F.aggregate("ds", F.lit(0.0), lambda acc, s: acc + s["d"])
+                    / F.col("n"),
+                    9,
+                ).alias("mu"),
+                F.round(
+                    F.aggregate(
+                        "ds", F.lit(0.0), lambda acc, s: acc + s["d"] * s["d"]
+                    )
+                    / F.col("n"),
+                    9,
+                ).alias("m2"),
+            )
+        )
+    else:
+        stats = a.groupBy("cluster").agg(
             F.count("*").alias("n"),
+            F.round(F.sum("dist") / F.count("*"), 9).alias("mu"),
+            F.round(F.sum(F.col("dist") * F.col("dist")) / F.count("*"), 9).alias("m2"),
         )
-        .select(
-            "cluster",
-            "n",
-            F.round(
-                F.aggregate("ds", F.lit(0.0), lambda acc, s: acc + s["d"])
-                / F.col("n"),
-                9,
-            ).alias("mu"),
-            F.round(
-                F.aggregate(
-                    "ds", F.lit(0.0), lambda acc, s: acc + s["d"] * s["d"]
-                )
-                / F.col("n"),
-                9,
-            ).alias("m2"),
-        )
-        .select(
-            "cluster",
-            "n",
-            "mu",
-            F.round(
-                F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0))),
-                9,
-            ).alias("sigma"),
-        )
+    stats = stats.select(
+        "cluster",
+        "n",
+        "mu",
+        F.round(
+            F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0))),
+            9,
+        ).alias("sigma"),
     )
     return (
         a.join(F.broadcast(stats), "cluster")

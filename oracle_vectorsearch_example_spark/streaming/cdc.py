@@ -73,9 +73,12 @@ def apply_changes_sink(
       first (required if a batch can carry >1 change per key — the
       merge's unstable-row guard rejects it otherwise).
     - ``op_col``: rows whose ``op_col == delete_op`` DELETE their key;
-      everything else upserts. Without it, every row upserts. The op
-      column is stripped before the table write (it describes the
-      change, not the row)."""
+      everything else upserts — including rows with a NULL op (a
+      malformed feed must not silently lose data; Debezium-style feeds
+      encode creates/updates as non-delete ops, so NULL defaults to the
+      upsert side). Without it, every row upserts. The op column is
+      stripped before the table write (it describes the change, not the
+      row)."""
     from oracle_vectorsearch_example_spark.sources.txn import Warehouse
 
     keys = list(key_cols)
@@ -88,8 +91,13 @@ def apply_changes_sink(
         if sequence_col is not None:
             batch = latest_change_per_key(batch, keys, sequence_col)
         if op_col is not None:
-            ups = batch.filter(F.col(op_col) != delete_op).drop(op_col)
-            dels = batch.filter(F.col(op_col) == delete_op).drop(op_col)
+            # NULL op must land somewhere: `op != 'D'` and `op == 'D'`
+            # are both NULL-false, which would drop the row from BOTH
+            # sides — silent data loss on a malformed feed. Treat NULL
+            # as upsert.
+            is_del = F.col(op_col).eqNullSafe(F.lit(delete_op))
+            ups = batch.filter(~is_del).drop(op_col)
+            dels = batch.filter(is_del).drop(op_col)
             # one batch, up to two manifest versions: upserts first,
             # then deletes — the per-key last-change reduction above
             # guarantees the two sets touch disjoint keys

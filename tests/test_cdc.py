@@ -118,6 +118,22 @@ def test_replay_idempotent(spark, tmp_path):
     assert wh.current_version() > v_before  # versions advance, rows don't
 
 
+def test_null_op_upserts(spark, tmp_path):
+    """A NULL op must not vanish: `op != 'D'` and `op == 'D'` are both
+    NULL-false, so a naive split drops the row from BOTH sides. The sink
+    routes NULL ops to the upsert side (malformed feeds must not lose
+    data silently)."""
+    changes = str(tmp_path / "changes")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0, 1, "U"), (2, "b", 20.0, 2, None)], SCHEMA
+    )
+    b1.coalesce(1).write.parquet(f"{changes}/batch=0")
+    _run(spark, changes, str(tmp_path / "wh"), str(tmp_path / "ckpt"))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    got = sorted(map(tuple, wh.read("t").collect()))
+    assert got == [(1, "a", 10.0, 1), (2, "b", 20.0, 2)]
+
+
 def test_upsert_only_without_op_col(spark, tmp_path):
     changes = str(tmp_path / "changes")
     _write_changes(spark, changes)

@@ -52,7 +52,9 @@ def _py_psi(ref, cur, d, n_buckets=10, alpha=0.5):
         cc[bucket(x)] = cc.get(bucket(x), 0) + 1
     rn, cn = len(ref), len(cur)
     psi = 0.0
-    for b in sorted(set(rc) | set(cc)):
+    # fixed-B convention: sum over the FULL bucket grid — when rn != cn,
+    # add-alpha gives buckets empty in both frames a nonzero term
+    for b in range(1, n_buckets + 1):
         p = (rc.get(b, 0) + alpha) / (rn + alpha * n_buckets)
         q = (cc.get(b, 0) + alpha) / (cn + alpha * n_buckets)
         psi += (q - p) * math.log(q / p)
@@ -98,6 +100,29 @@ def test_degenerate_constant_dim(spark):
     cur = _frame(spark, np.ones((40, 2)) * 7.0)
     out = psi_report(ref, cur).collect()
     assert all(r["psi"] == 0.0 for r in out)
+
+
+def test_unequal_counts_full_grid(spark):
+    """Fixed-B PSI (ADVICE r7): with n_ref != n_cur, buckets empty in
+    BOTH frames still carry a nonzero smoothed term. Ref occupies only
+    bucket 1 and bucket 10 (two point masses); cur is half the size in
+    bucket 1 — buckets 2-9 are empty in both, and the Spark result must
+    match the full-grid python reference, not the observed-cells sum."""
+    ref = np.array([[0.0]] * 30 + [[1.0]] * 30)
+    cur = np.array([[0.0]] * 30)
+    out = psi_report(_frame(spark, ref), _frame(spark, cur)).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == _py_psi(ref, cur, 0)
+    # the observed-cells-only sum would differ: check the grid matters
+    alpha, B, rn, cn = 0.5, 10, 60, 30
+    observed = sum(
+        (q - p) * math.log(q / p)
+        for p, q in [
+            ((30 + alpha) / (rn + alpha * B), (30 + alpha) / (cn + alpha * B)),
+            ((30 + alpha) / (rn + alpha * B), (0 + alpha) / (cn + alpha * B)),
+        ]
+    )
+    assert abs(out[0]["psi"] - round(observed, 6)) > 1e-6
 
 
 def test_repartition_determinism(spark, ref_cur):

@@ -84,6 +84,26 @@ def test_k_cutoff_applies(spark, fixture):
     assert out[1]["precision"] == 1.0 and out[1]["recall"] == 0.5
 
 
+def test_judged_but_unreturned_query_scores_zero(spark, fixture):
+    """trec_eval convention: a judged query the engine returned no rows
+    for must appear with all-zero mrr/ndcg/precision/recall (not vanish
+    from the frame), deflating the corpus means accordingly."""
+    results, qrels = fixture
+    qrels4 = qrels.union(
+        spark.createDataFrame([(4, 50, 1)], "qid long, doc_id long, rel int")
+    )
+    out = {r["qid"]: r for r in eval_rankings(results, qrels4, k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    q4 = out[4]
+    assert q4["mrr"] == 0.0 and q4["ndcg"] == 0.0
+    assert q4["precision"] == 0.0 and q4["recall"] == 0.0
+    assert q4["n_rel"] == 1 and q4["idcg"] > 0
+    [s] = eval_summary(results, qrels4, k=3).collect()
+    assert s["n_queries"] == 4
+    per_q = {r["qid"]: r for r in eval_rankings(results, qrels4, k=3).collect()}
+    assert s["mean_mrr"] == round(sum(per_q[q]["mrr"] for q in (1, 2, 3, 4)) / 4, 6)
+
+
 def test_layout_determinism(spark, fixture):
     results, qrels = fixture
     a = sorted(map(tuple, eval_rankings(results, qrels, k=3).collect()))

@@ -80,6 +80,29 @@ def test_matches_python_reference(spark, clustered):
     assert got == picked
 
 
+def test_string_ids_round_trip(spark, clustered):
+    """Id schema is derived from the candidate frame (ADVICE r7): string
+    query/doc ids — valid everywhere else in the search stack — must
+    round-trip through the applyInPandas pick, matching the long-id run."""
+    base, q = clustered
+    cand = topk_search(base, q, k=12).join(
+        base.select("vec_id", "embedding"), on="vec_id", how="inner"
+    ).select("qid", "vec_id", "embedding", "distance")
+    long_run = mmr_select(cand, k=6, lam=0.3)
+    str_cand = cand.select(
+        F.concat(F.lit("q"), F.col("qid")).alias("qid"),
+        F.format_string("doc%03d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+        "distance",
+    )
+    str_run = mmr_select(str_cand, k=6, lam=0.3)
+    assert dict(str_run.dtypes)["qid"] == "string"
+    assert dict(str_run.dtypes)["vec_id"] == "string"
+    want = [f"doc{r['vec_id']:03d}" for r in long_run.orderBy("rank").collect()]
+    got = [r["vec_id"] for r in str_run.orderBy("rank").collect()]
+    assert got == want
+
+
 def test_layout_determinism(spark, clustered):
     base, q = clustered
     a = _ids(mmr_topk_search(base, q, k=6, lam=0.5, oversample=2))

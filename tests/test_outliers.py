@@ -45,6 +45,19 @@ def test_planted_outliers_flagged_exactly(spark, planted):
         assert r["zscore"] > 3.0
 
 
+def test_noncanonical_path_matches(spark, planted):
+    """canonical=False (distributive avg/sum-sq, no per-cluster
+    collect_list buffer — the unbounded-cluster production path) flags
+    the same rows with the same 6dp z-scores on a well-conditioned
+    fixture."""
+    df, centers = planted
+    a = sorted(map(tuple, embedding_outliers(df, centers, z=3.0).collect()))
+    b = sorted(
+        map(tuple, embedding_outliers(df, centers, z=3.0, canonical=False).collect())
+    )
+    assert a == b
+
+
 def test_clean_corpus_flags_nothing(spark, planted):
     df, centers = planted
     clean = df.filter(F.col("vec_id") < 900)
