@@ -3000,6 +3000,72 @@ def q_dsir_scores(spark, sf):
     return dsir_scores(raw, model).select("doc_id", "n_feats", "logw")
 
 
+_NB_SQL = """
+    WITH tgt AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    raw AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id >= 100 AND doc_id < 300
+    ),
+    tev AS (
+      SELECT toks, unnest(generate_series(1, len(toks))) AS i FROM tgt
+    ),
+    tc AS (
+      SELECT (('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 8192) AS b,
+             count(*)::DOUBLE AS ct
+      FROM tev GROUP BY 1
+    ),
+    rev AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+      FROM raw
+    ),
+    ev AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 8192) AS b
+      FROM rev
+    ),
+    rc AS (SELECT b, count(*)::DOUBLE AS cr FROM ev GROUP BY 1),
+    tt AS (SELECT sum(ct) AS t FROM tc),
+    rt AS (SELECT sum(cr) AS t FROM rc),
+    nd AS (SELECT (SELECT count(*) FROM tgt) AS ntd,
+                  (SELECT count(*) FROM raw) AS nrd),
+    lp AS (
+      SELECT ev.doc_id,
+             ln(coalesce(tc.ct, 0) + 1.0) - ln(tt.t + 8192.0)
+           - ln(coalesce(rc.cr, 0) + 1.0) + ln(rt.t + 8192.0) AS lr
+      FROM ev LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+      CROSS JOIN tt CROSS JOIN rt
+    )
+    SELECT lp.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(ln(nd.ntd) - ln(nd.nrd) + sum(lr), 6) AS score
+    FROM lp CROSS JOIN nd GROUP BY lp.doc_id, nd.ntd, nd.nrd
+"""
+
+
+@golden("nb_quality", _NB_SQL)
+def q_nb_quality(spark, sf):
+    """Learned quality classifier (X47 — the GPT-3/CCNet gate, Brown et
+    al. 2020 appendix A): multinomial Naive Bayes over hashed unigram
+    tokens, trained target-vs-raw on the same 50/200 document split as
+    the DSIR golden, scoring every raw document with its class log-odds
+    (document-count prior + add-1 smoothed token log-ratios, 8192
+    buckets). NB's fit is two integer count tables and its score is a
+    fold of log count ratios, so — unlike a trained LR — the ENTIRE
+    train+score path replays in DuckDB: tokenize → md5-bucket hash →
+    class counts → prior + smoothed ratios → canonical fold + 6 dp."""
+    from oracle_vectorsearch_example_spark.operators.nb import nb_fit, nb_scores
+
+    docs = read_table(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") < 50)
+    raw = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    model = nb_fit(target, raw, n_buckets=8192, alpha=1.0)
+    return nb_scores(raw, model).select("doc_id", "n_tokens", "score")
+
+
 _FUZZY_SQL = """
     WITH c AS (
       SELECT c_custkey AS id, c_name AS name FROM customer

@@ -96,6 +96,12 @@ from oracle_vectorsearch_example_spark.operators.dsir import (
     dsir_sample,
     dsir_scores,
 )
+from oracle_vectorsearch_example_spark.operators.nb import (
+    NbQualityModel,
+    nb_filter,
+    nb_fit,
+    nb_scores,
+)
 from oracle_vectorsearch_example_spark.operators.fuzzy import (
     fuzzy_join,
     fuzzy_self_pairs,
@@ -201,6 +207,10 @@ __all__ = [
     "dsir_fit",
     "dsir_scores",
     "dsir_sample",
+    "NbQualityModel",
+    "nb_fit",
+    "nb_scores",
+    "nb_filter",
     "fuzzy_self_pairs",
     "fuzzy_join",
     "hash_bucket",

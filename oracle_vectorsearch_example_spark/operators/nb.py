@@ -1,0 +1,196 @@
+"""Learned quality gate via multinomial Naive Bayes over hashed tokens
+(X47, training-pipeline extension surface) — the GPT-3 / CCNet-style
+classifier gate that is LEARNED from data rather than rule-based: train
+on a curated TARGET corpus against the RAW pool, then keep the raw
+documents the classifier scores toward the target class (GPT-3's
+WebText-vs-CommonCrawl quality classifier, Brown et al. 2020 appendix A;
+CCNet's target-LM ordering, Wenzek et al. 2020).
+
+Why Naive Bayes and not logistic regression: NB's fit IS two count
+tables — integer bucket counts plus totals — and its score is a sum of
+log count ratios. Both are exact fold math, so the entire train+score
+path replays in DuckDB for hash-golden verification (a trained LR's
+SGD trajectory never would). The score is the class log-odds
+
+    score(x) = [ ln n_target_docs − ln n_raw_docs ]           (prior)
+             + Σ_{tokens t ∈ x} [ ln p̂_T(b(t)) − ln p̂_R(b(t)) ]
+
+with p̂_c(b) = (count_c(b) + α) / (total_c + α·B) — add-alpha, so unseen
+buckets stay finite on both sides. score > 0 ⇔ P(target|x) > P(raw|x).
+
+Relation to the siblings: X29 (bigram-LM perplexity) gates on fluency
+under ONE reference model; X33 (DSIR) importance-RESAMPLES toward a
+target distribution with hashed-bigram ratios and no prior; this gate
+CLASSIFIES — two-class, unigram features, document prior — and is
+thresholded, not sampled.
+
+Frozen spec (engine-replayable, the repo's standard disciplines):
+
+- tokens: the bm25 tokenizer (lowercase, split on single space, drop
+  empties) hashed to ``n_buckets`` by the md5-bucket idiom
+  (operators/sampling.py): first 8 md5 hex chars as a BIGINT mod B;
+- counts and totals are exact integers (cast double for the ratios);
+- the per-document sum folds position-sorted token events
+  (order-canonicalized, operators/bm25.py discipline) + 6 dp rounding —
+  layout-independent, oracle-reproducible.
+
+Scale posture: both count tables are bucket-bounded (≤ n_buckets rows)
+and BROADCAST; totals and doc counts are scalars. Scoring explodes the
+corpus to skinny (id, pos, bucket) rows once and re-aggregates per doc
+— one shuffle on doc id; payloads never shuffle (``nb_filter`` re-joins
+ids semi-join-style). No UDFs anywhere.
+
+The DSIR lesson applies verbatim (operators/dsir.py:99): NB
+discriminates by RATE differences — fit on a target corpus large (or
+internally repetitive) enough that its characteristic tokens reach
+counts well above 1, or the smoothed ratios carry no signal.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["NbQualityModel", "nb_fit", "nb_scores", "nb_filter"]
+
+
+def _token_buckets(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, pos, b) hashed-unigram event rows — map-side only."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+        ).alias("toks"),
+    )
+    events = (
+        toks.filter(F.size("toks") >= 1)
+        .select(
+            F.col(id_col),
+            F.posexplode("toks").alias("pos", "tok"),
+        )
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+    return events.select(id_col, "pos", b.alias("b"))
+
+
+class NbQualityModel(NamedTuple):
+    """Fitted NB statistics: two bucket-bounded count tables
+    (≤ n_buckets rows each) + token totals + document counts (the class
+    prior) + the smoothing constant."""
+
+    target_counts: DataFrame  # (b, ct)
+    raw_counts: DataFrame  # (b, cr)
+    target_total: float  # token events in target
+    raw_total: float  # token events in raw
+    n_target_docs: int
+    n_raw_docs: int
+    n_buckets: int
+    alpha: float
+
+
+def nb_fit(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> NbQualityModel:
+    """Count hashed-token features over both classes. Each count table
+    is one group-by on the bucket key, ≤ n_buckets rows, broadcast at
+    scoring time. Document counts feed the class prior."""
+
+    def counts(df):
+        return (
+            _token_buckets(df, id_col, text_col, n_buckets)
+            .groupBy("b")
+            .agg(F.count("*").cast("double").alias("c"))
+        )
+
+    tc = counts(target).withColumnRenamed("c", "ct")
+    rc = counts(raw).withColumnRenamed("c", "cr")
+    tt = tc.agg(F.sum("ct")).collect()[0][0] or 0.0
+    rt = rc.agg(F.sum("cr")).collect()[0][0] or 0.0
+    return NbQualityModel(
+        tc,
+        rc,
+        float(tt),
+        float(rt),
+        int(target.count()),
+        int(raw.count()),
+        n_buckets,
+        float(alpha),
+    )
+
+
+def nb_scores(
+    docs: DataFrame,
+    model: NbQualityModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "score",
+    use_prior: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, score) — per-document NB class log-odds, summed
+    with the order-canonicalized fold and rounded to 6 dp. score > 0
+    means the classifier prefers the target class. Documents with zero
+    tokens carry no features and drop out (no evidence either way)."""
+    ev = _token_buckets(docs, id_col, text_col, model.n_buckets)
+    a, nb = model.alpha, float(model.n_buckets)
+    prior = (
+        math.log(model.n_target_docs) - math.log(model.n_raw_docs)
+        if use_prior
+        else 0.0
+    )
+    contrib = (
+        F.log(F.coalesce(F.col("ct"), F.lit(0.0)) + F.lit(a))
+        - F.lit(math.log(model.target_total + a * nb))
+        - F.log(F.coalesce(F.col("cr"), F.lit(0.0)) + F.lit(a))
+        + F.lit(math.log(model.raw_total + a * nb))
+    )
+    scored = (
+        ev.join(F.broadcast(model.target_counts), "b", "left")
+        .join(F.broadcast(model.raw_counts), "b", "left")
+        .select(id_col, "pos", contrib.alias("lr"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "lr"))),
+                    F.lit(float(prior)),
+                    lambda acc, x: acc + x["lr"],
+                ),
+                6,
+            ).alias(out_col),
+        )
+    )
+
+
+def nb_filter(
+    docs: DataFrame,
+    model: NbQualityModel,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_prior: bool = True,
+) -> DataFrame:
+    """Documents whose NB score exceeds ``threshold`` (default 0 — the
+    classifier's own decision boundary), payloads re-joined by id
+    (semi join; payloads never enter the scoring shuffle). Zero-token
+    documents carry no evidence and are dropped with the sub-threshold
+    rows (a quality gate has no reason to keep empty text)."""
+    keep = nb_scores(docs, model, id_col, text_col, use_prior=use_prior).filter(
+        F.col("score") > F.lit(threshold)
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")

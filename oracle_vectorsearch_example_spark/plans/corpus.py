@@ -44,6 +44,8 @@ def build_training_corpus(
     min_dup_span: int | None = None,
     perplexity_lm=None,
     max_ppl: float | None = None,
+    nb_model=None,
+    nb_min_score: float | None = None,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
     n_shards: int = 8,
@@ -81,6 +83,13 @@ def build_training_corpus(
     after): ``perplexity_lm`` (a :class:`~..functions.lm.BigramLM`,
     typically trained on a trusted reference corpus) + ``max_ppl`` drop
     documents the LM finds non-fluent, after the heuristic quality gate.
+
+    Optional learned quality gate (r8, the GPT-3 classifier step):
+    ``nb_model`` (a :class:`~..operators.nb.NbQualityModel`, fit
+    target-vs-raw with :func:`~..operators.nb.nb_fit`) + ``nb_min_score``
+    keep documents whose NB class log-odds exceed the threshold — runs
+    beside the LM gate, after the heuristic quality gate (model gates
+    see only deduped, rule-clean text, the CCNet ordering).
     Source-weighted mixtures compose DOWNSTREAM of this build (mixing
     before dedup would collapse the repeated epochs as duplicates): run
     the build per source, then ``operators.sampling.mix_sources`` over
@@ -187,6 +196,16 @@ def build_training_corpus(
 
         gated = perplexity_filter(
             gated, perplexity_lm, max_ppl, id_col=id_col, text_col=text_col
+        )
+
+    if nb_min_score is not None:
+        if nb_model is None:
+            raise ValueError("nb_min_score requires nb_model (an NbQualityModel)")
+        from oracle_vectorsearch_example_spark.operators.nb import nb_filter
+
+        gated = nb_filter(
+            gated, nb_model, threshold=nb_min_score,
+            id_col=id_col, text_col=text_col,
         )
 
     split = hash_split(gated, split_weights, id_col=id_col, seed=seed)

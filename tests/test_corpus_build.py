@@ -312,6 +312,50 @@ def test_corpus_build_with_perplexity_gate(spark):
         build_training_corpus(docs, max_ppl=10.0)
 
 
+def test_corpus_build_with_nb_gate(spark):
+    """r8: the learned NB quality gate drops off-distribution docs AFTER
+    dedup and the heuristic gate, beside the LM gate (GPT-3's classifier
+    step in CCNet's ordering)."""
+    from oracle_vectorsearch_example_spark.operators.nb import nb_fit
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    from oracle_vectorsearch_example_spark.operators.nb import nb_scores
+
+    fluent = "the quick brown fox jumps over the lazy dog and runs far"
+    rows = [(i, f"doc {i} " + fluent + f" tail {i}") for i in range(8)]
+    rows.append((50, "buy cheap deals now " * 6))  # spam, off-target
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(0, fluent), (1, fluent + " again " + fluent)],
+        "doc_id long, text string",
+    )
+    model = nb_fit(target, docs)
+
+    base = build_training_corpus(docs, n_shards=2)
+    base_ids = {r.doc_id for r in base["documents"].collect()}
+    assert 50 in base_ids  # without the gate the spam survives
+
+    # with a tiny corpus and V >> counts, add-alpha smoothing pushes all
+    # absolute log-odds negative — the classifier separates (spam scores
+    # well below every fluent doc), so threshold at the midpoint, the
+    # perplexity-gate test's convention
+    s = {r.doc_id: r.score for r in nb_scores(docs, model).collect()}
+    assert s[50] < min(s[i] for i in range(8))
+    thresh = (min(s[i] for i in range(8)) + s[50]) / 2
+
+    out = build_training_corpus(
+        docs, nb_model=model, nb_min_score=thresh, n_shards=2
+    )
+    ids = {r.doc_id for r in out["documents"].collect()}
+    assert 50 not in ids
+    assert ids == base_ids - {50}
+
+    with pytest.raises(ValueError, match="nb_model"):
+        build_training_corpus(docs, nb_min_score=0.0)
+
+
 def test_corpus_build_with_substring_pass(spark):
     """r7: min_dup_span cuts a shared passage before near-dup banding —
     two docs that only looked similar because of the passage must NOT
