@@ -3066,6 +3066,98 @@ def q_nb_quality(spark, sf):
     return nb_scores(raw, model).select("doc_id", "n_tokens", "score")
 
 
+
+
+@golden(
+    "url_canon",
+    """
+    WITH u0 AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Docs/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+               WHEN 1 THEN 'https://Example.com:443/docs/' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'http://example.com/docs/' || CAST(doc_id AS VARCHAR) || '///'
+               WHEN 3 THEN 'http://example.com:8080/p?z=' || CAST(doc_id AS VARCHAR) || '&y=2&utm_campaign=x'
+               WHEN 4 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+               ELSE '  https://sub.Example.com?a=' || CAST(doc_id AS VARCHAR) || ' '
+             END AS url
+      FROM documents WHERE doc_id < 600
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS u FROM u0),
+    parts AS (
+      -- DuckDB regexp_extract returns NULL on no match where Spark
+      -- returns '' — coalesce to keep the two specs identical
+      SELECT doc_id,
+             coalesce(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+             coalesce(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '') AS auth,
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+      FROM s1
+    ),
+    norm AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS host,
+             regexp_replace(auth, ':[0-9]+$', '') AS dom,
+             coalesce(regexp_extract(rest, '^([^?]*)', 1), '') AS path,
+             coalesce(regexp_extract(rest, '\\?(.*)$', 1), '') AS query
+      FROM parts
+    )
+    SELECT doc_id,
+           CASE WHEN scheme = '' THEN NULL
+                ELSE scheme || '://' || host ||
+                     (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                           ELSE regexp_replace(path, '/+$', '') END) ||
+                     -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                     (CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+                             string_split(query, '&'),
+                             x -> x <> '' AND NOT starts_with(lower(x), 'utm_'))), '&'), '') = ''
+                           THEN ''
+                           ELSE '?' || array_to_string(list_sort(list_filter(
+                             string_split(query, '&'),
+                             x -> x <> '' AND NOT starts_with(lower(x), 'utm_'))), '&')
+                      END)
+           END AS canonical_url,
+           CASE WHEN dom = '' THEN NULL ELSE dom END AS domain
+    FROM norm
+    """,
+)
+def q_url_canon(spark, sf):
+    """URL canonicalization (X48 — the CommonCrawl pre-step every public
+    pipeline runs before text dedup: CCNet/C4/RefinedWeb all collapse
+    trivially-different URLs first): messy URLs synthesized
+    deterministically from doc_id (6 rotating shapes: cased scheme+host
+    with default port + utm params + fragment; :443; trailing slashes;
+    non-default port kept; a non-URL → NULL; whitespace + empty path)
+    are canonicalized by the frozen pure-column-expr spec in
+    operators/urls.py — trim, fragment strip, scheme/host lowercase,
+    default-port drop, trailing-slash strip, empty path → '/', param
+    drop(empty|utm_*)+sort. The DuckDB oracle replays the identical
+    string surgery (same anchored regexes, same list lambdas)."""
+    from oracle_vectorsearch_example_spark.operators.urls import (
+        canonical_url,
+        url_domain,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 600)
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(6))
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW.Example.COM:80/Docs/"), d, F.lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("https://Example.com:443/docs/"), d))
+        .when(m == 2, F.concat(F.lit("http://example.com/docs/"), d, F.lit("///")))
+        .when(m == 3, F.concat(F.lit("http://example.com:8080/p?z="), d, F.lit("&y=2&utm_campaign=x")))
+        .when(m == 4, F.concat(F.lit("not a url "), d))
+        .otherwise(F.concat(F.lit("  https://sub.Example.com?a="), d, F.lit(" ")))
+    )
+    withu = docs.select("doc_id", url.alias("url"))
+    return withu.select(
+        "doc_id",
+        canonical_url("url").alias("canonical_url"),
+        url_domain("url").alias("domain"),
+    )
+
+
 _FUZZY_SQL = """
     WITH c AS (
       SELECT c_custkey AS id, c_name AS name FROM customer

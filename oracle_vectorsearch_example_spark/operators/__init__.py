@@ -96,6 +96,12 @@ from oracle_vectorsearch_example_spark.operators.dsir import (
     dsir_sample,
     dsir_scores,
 )
+from oracle_vectorsearch_example_spark.operators.urls import (
+    canonical_url,
+    domain_stats,
+    url_dedup,
+    url_domain,
+)
 from oracle_vectorsearch_example_spark.operators.nb import (
     NbQualityModel,
     nb_filter,
@@ -207,6 +213,10 @@ __all__ = [
     "dsir_fit",
     "dsir_scores",
     "dsir_sample",
+    "canonical_url",
+    "url_domain",
+    "url_dedup",
+    "domain_stats",
     "NbQualityModel",
     "nb_fit",
     "nb_scores",
