@@ -843,6 +843,55 @@ def main():
             "maxsim_candidates", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- fuzzy-join scale witness (X32, judge r7 #7): 200k names-grade
+    # strings (15 chars: 'cust' + 7 digits + 4 md5 hex), every even/odd
+    # id pair one planted single-char deletion apart — 100k true
+    # distance-1 matches. The golden proves the symmetric-delete
+    # blocker's COMPLETENESS at sf0.01 vs the exhaustive oracle; this
+    # entry prices it at scale and records the selectivity claim:
+    # candidate_fraction = |blocked pairs| / C(200k, 2) ≈ 2e10.
+    try:
+        from oracle_vectorsearch_example_spark.operators.fuzzy import (
+            fuzzy_self_candidates,
+            fuzzy_self_pairs,
+        )
+
+        fz = (
+            spark.range(200_000)
+            .selectExpr(
+                "id AS rid",
+                "concat('cust', lpad(CAST(id DIV 2 AS STRING), 7, '0'), "
+                "substring(md5(CAST(id DIV 2 AS STRING)), 1, 4)) AS nm",
+                "CAST(id DIV 2 % 8 AS INT) + 5 AS p",
+                "id % 2 AS odd",
+            )
+            .selectExpr(
+                "rid",
+                "CASE WHEN odd = 0 THEN nm ELSE "
+                "concat(substring(nm, 1, p - 1), substring(nm, p + 1, 64)) "
+                "END AS name",
+            )
+            .localCheckpoint()
+        )
+        run_entry(
+            "fuzzy_200k",
+            lambda: _execute(
+                fuzzy_self_pairs(fz, "name", id_col="rid", max_dist=1)
+            ),
+        )
+        n_fz = 200_000
+        n_cand = fuzzy_self_candidates(fz, "name", id_col="rid").count()
+        n_match = fuzzy_self_pairs(fz, "name", id_col="rid").count()
+        extras["fuzzy_200k"] = {
+            "n_rows": n_fz,
+            "n_candidates": n_cand,
+            "candidate_fraction": round(n_cand / (n_fz * (n_fz - 1) / 2), 10),
+            "n_matches": n_match,
+            "planted_pairs": 100_000,
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("fuzzy_200k", {"err": str(e).splitlines()[0][:200]})
+
     # --- bloom-pruned anti join (X40): the decontamination shape —
     # 2M parquet probe rows with incompressible ~512 B payloads against
     # a build side of 2M string keys (far past any broadcast threshold).

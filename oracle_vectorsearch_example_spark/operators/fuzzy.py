@@ -80,6 +80,32 @@ def _variant_frame(
     )
 
 
+def fuzzy_self_candidates(
+    df: DataFrame,
+    str_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+) -> DataFrame:
+    """The blocker's output before verification: distinct (id_a, id_b,
+    __sa, __sb) candidate pairs (id_a < id_b) sharing a deletion
+    variant. Public so scale witnesses can measure the blocked
+    candidate fraction (|candidates| / C(n,2)) — the selectivity claim
+    the whole scheme rests on — separately from verify cost."""
+    v = _variant_frame(df, id_col, str_col, max_dist)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"), "__variant"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"), "__variant"
+    )
+    return (
+        a.join(b, "__variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+
+
 def fuzzy_self_pairs(
     df: DataFrame,
     str_col: str,
@@ -89,19 +115,7 @@ def fuzzy_self_pairs(
     """(id_a, id_b, dist) for all pairs with Levenshtein distance ≤
     ``max_dist`` (id_a < id_b). Deletion-neighborhood blocking proposes,
     exact ``levenshtein`` verifies."""
-    v = _variant_frame(df, id_col, str_col, max_dist)
-    a = v.select(
-        F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"), "__variant"
-    )
-    b = v.select(
-        F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"), "__variant"
-    )
-    cand = (
-        a.join(b, "__variant")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
-        .distinct()
-    )
+    cand = fuzzy_self_candidates(df, str_col, id_col, max_dist)
     return (
         cand.withColumn("dist", F.levenshtein("__sa", "__sb").cast("long"))
         .filter(F.col("dist") <= max_dist)
