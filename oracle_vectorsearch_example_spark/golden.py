@@ -4235,6 +4235,24 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(docs, max_tokens=512, n_shards=8)
 
 
+@golden("pack_bfd")
+def q_pack_bfd(spark, sf):
+    """No-split sequence packing (X8+, rows-only by design — the
+    best-fit-decreasing greedy has no SQL replay; the python-reference
+    parity test in tests/test_packing.py pins the spec): whole documents
+    bin-packed into 512-token packs across 8 deterministic shards, one
+    applyInPandas task per shard over skinny (id, tokens) rows. Docs
+    longer than a pack truncate (the dataloader convention)."""
+    from oracle_vectorsearch_example_spark.operators.packing import (
+        pack_sequences_bfd,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    return pack_sequences_bfd(
+        docs, max_tokens=512, n_shards=8, overflow="truncate"
+    )
+
+
 _STRATIFIED_SQL = f"""
     WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -112,7 +112,10 @@ from oracle_vectorsearch_example_spark.operators.fuzzy import (
     fuzzy_join,
     fuzzy_self_pairs,
 )
-from oracle_vectorsearch_example_spark.operators.packing import pack_sequences
+from oracle_vectorsearch_example_spark.operators.packing import (
+    pack_sequences,
+    pack_sequences_bfd,
+)
 from oracle_vectorsearch_example_spark.operators.sampling import (
     deterministic_shuffle,
     group_sample,
@@ -232,6 +235,7 @@ __all__ = [
     "mix_sources",
     "deterministic_shuffle",
     "pack_sequences",
+    "pack_sequences_bfd",
     "zorder_write",
     "asof_join",
     "range_join",
