@@ -162,6 +162,50 @@ def perplexity_df(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    broadcast_lm: bool = False,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail partitioning (Wenzek et al. 2020 §4.3):
+    per ``group_col`` (typically language — CCNet cuts per language so
+    low-resource languages aren't judged by the dominant one's scale),
+    documents split into perplexity TERCILES: head = cleanest third,
+    middle, tail. Returns (id[, group], n_bigrams, ppl, bucket).
+
+    Frozen spec: cutoffs are the exact interpolated percentiles at 1/3
+    and 2/3 of the group's ppl values, rounded to 6 dp (both engines
+    interpolate rank p·(n−1) identically); bucket = head iff ppl ≤ c1,
+    middle iff ppl ≤ c2, else tail. The cutoff frame is group-bounded
+    metadata and broadcasts; payloads never shuffle."""
+    ppl = perplexity_df(docs, lm, id_col, text_col, broadcast_lm=broadcast_lm)
+    if group_col is not None:
+        ppl = ppl.join(docs.select(id_col, group_col), id_col)
+        cuts = ppl.groupBy(group_col)
+    else:
+        cuts = ppl.groupBy()
+    cuts = cuts.agg(
+        F.round(F.percentile("ppl", 1.0 / 3), 6).alias("__c1"),
+        F.round(F.percentile("ppl", 2.0 / 3), 6).alias("__c2"),
+    )
+    joined = (
+        ppl.join(F.broadcast(cuts), group_col)
+        if group_col is not None
+        else ppl.crossJoin(F.broadcast(cuts))
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("__c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    keep = [id_col] + ([group_col] if group_col is not None else [])
+    return joined.select(*keep, "n_bigrams", "ppl", bucket.alias(out_col))
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: BigramLM,

@@ -3690,6 +3690,74 @@ def q_lm_perplexity(spark, sf):
     return perplexity_df(score, lm).select("doc_id", "n_bigrams", "ppl")
 
 
+_PPL_BUCKETS_SQL = """
+    WITH tr AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    tre AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM tr
+    ),
+    bc AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*)::DOUBLE AS c12
+      FROM tre GROUP BY 1, 2
+    ),
+    cx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+    vv AS (
+      SELECT (count(DISTINCT t.w) + 1)::DOUBLE AS v
+      FROM tr, unnest(toks) AS t(w)
+    ),
+    ev AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM tre),
+    lp AS (
+      SELECT ev.doc_id,
+             -ln((coalesce(bc.c12, 0) + 0.1)
+                 / (coalesce(cx.c1, 0) + 0.1 * vv.v)) AS nlp
+      FROM ev LEFT JOIN bc USING (w1, w2) LEFT JOIN cx USING (w1)
+      CROSS JOIN vv
+    ),
+    ppl AS (
+      SELECT lp.doc_id, tr.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(exp(round(sum(nlp), 6) / count(*)), 4) AS ppl
+      FROM lp JOIN tr USING (doc_id) GROUP BY lp.doc_id, tr.lang
+    ),
+    cuts AS (
+      SELECT lang,
+             round(quantile_cont(ppl, 1.0/3), 6) AS c1,
+             round(quantile_cont(ppl, 2.0/3), 6) AS c2
+      FROM ppl GROUP BY 1
+    )
+    SELECT p.doc_id, p.lang, p.n_bigrams, p.ppl,
+           CASE WHEN p.ppl <= c.c1 THEN 'head'
+                WHEN p.ppl <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl p JOIN cuts c USING (lang)
+"""
+
+
+@golden("ppl_buckets", _PPL_BUCKETS_SQL)
+def q_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail corpus partitioning (X29+ — Wenzek et al.
+    2020 §4.3: the step AFTER perplexity scoring in the real CCNet
+    pipeline — per-LANGUAGE perplexity terciles, so low-resource
+    languages aren't judged on the dominant language's scale): the X29
+    bigram LM trained on 300 docs scores all 300, then each language
+    splits at its exact interpolated 1/3 and 2/3 percentiles (rounded
+    6 dp — both engines interpolate rank p·(n−1) identically). The
+    oracle replays LM train → score → quantile_cont cuts → CASE."""
+    from oracle_vectorsearch_example_spark.functions.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    train = read_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    lm = train_bigram_lm(train, alpha=0.1)
+    return perplexity_buckets(train, lm, group_col="lang").select(
+        "doc_id", "lang", "n_bigrams", "ppl", "bucket"
+    )
+
+
 _FILTERED_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 10),

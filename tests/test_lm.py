@@ -141,3 +141,55 @@ def test_no_python_udf_in_plan(spark, lm):
     docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
     plan = perplexity_df(docs, lm)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------- CCNet terciles (X29+)
+def test_buckets_tercile_sizes_and_order(spark, lm):
+    """9 docs with strictly increasing ppl split 3/3/3; head holds the
+    lowest-ppl third (CCNet's cleanest bucket)."""
+    from oracle_vectorsearch_example_spark.functions.lm import (
+        perplexity_buckets,
+    )
+
+    # vary OOV density to spread ppl: more 'z's -> higher perplexity
+    rows = [(i, "a b " * (9 - i) + "z y x w " * i) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs, lm).collect()
+    by_bucket: dict[str, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl"])
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3,
+    }
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_buckets_grouped_cuts_are_per_group(spark, lm):
+    """Per-group cuts: a group whose ppls are ALL higher than another's
+    still gets its own head/middle/tail — the CCNet per-language rule."""
+    from oracle_vectorsearch_example_spark.functions.lm import (
+        perplexity_buckets,
+    )
+
+    clean = [(i, "a b " * (6 - i) + "z " * i, "en") for i in range(6)]
+    noisy = [(10 + i, "z y x " * (i + 1) + "a b", "xx") for i in range(6)]
+    docs = spark.createDataFrame(
+        clean + noisy, "doc_id long, text string, lang string"
+    )
+    out = perplexity_buckets(docs, lm, group_col="lang").collect()
+    for lang in ("en", "xx"):
+        buckets = {r["bucket"] for r in out if r["lang"] == lang}
+        assert buckets == {"head", "middle", "tail"}, (lang, buckets)
+
+
+def test_buckets_layout_determinism(spark, lm):
+    from oracle_vectorsearch_example_spark.functions.lm import (
+        perplexity_buckets,
+    )
+
+    rows = [(i, "a b " * (9 - i) + "z y " * i) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, perplexity_buckets(docs, lm).collect()))
+    b = sorted(map(tuple, perplexity_buckets(docs.repartition(5), lm).collect()))
+    assert a == b
