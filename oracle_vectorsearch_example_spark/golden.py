@@ -3758,6 +3758,75 @@ def q_ppl_buckets(spark, sf):
     )
 
 
+_COLLAPSE_SQL = """
+    WITH e AS (
+      SELECT vec_id, vec_id % 100 AS doc_id,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+    sc AS (
+      SELECT q.qid, e.vec_id, e.doc_id,
+             1.0 - list_cosine_similarity(e.v, q.qv) AS dist
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+    ),
+    hits AS (
+      SELECT * FROM (
+        SELECT qid, vec_id, doc_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS r
+        FROM sc
+      ) WHERE r <= 40
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT qid, doc_id, vec_id, dist,
+               row_number() OVER (
+                 PARTITION BY qid, doc_id ORDER BY dist, vec_id) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT qid,
+           CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY dist, doc_id) AS BIGINT) AS rank,
+           doc_id, vec_id AS chunk_id
+    FROM best QUALIFY rank <= 5
+"""
+
+
+@golden("collapse_chunks", _COLLAPSE_SQL)
+def q_collapse_chunks(spark, sf):
+    """Document-level serving over chunk-level hits (the step every
+    consumer of the reference's doc_chunks data model needs,
+    01_pdf_to_vector.sql:60-97: a chunk top-k returns several chunks of
+    one strong document, crowding out the page of results): chunk hits
+    from exact top-40 cosine search (docs = embeddings folded 100-ways,
+    as the MaxSim golden) collapse to each document's best chunk (min
+    distance, chunk-id ties) and re-rank to the top-5 documents per
+    query. Rank-only output (the filtered_topk FP discipline); the
+    oracle replays search → per-doc best → re-rank with the same
+    deterministic tie-breaks."""
+    from oracle_vectorsearch_example_spark.operators.search import (
+        collapse_chunk_hits,
+        topk_search,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    chunks = emb.select(
+        "vec_id", F.pmod(F.col("vec_id"), F.lit(100)).cast("long").alias("doc_id")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = topk_search(emb, q, k=40, exclude_self=True)
+    out = collapse_chunk_hits(hits, chunks, k=5)
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("vec_id").alias("chunk_id"),
+    )
+
+
 _FILTERED_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 10),

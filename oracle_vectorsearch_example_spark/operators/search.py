@@ -438,3 +438,52 @@ def mrl_topk_search(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", base_id, "distance")
     )
+
+
+def collapse_chunk_hits(
+    hits: DataFrame,
+    mapping: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    chunk_id: str = "vec_id",
+    doc_id: str = "doc_id",
+    dist_col: str = "distance",
+) -> DataFrame:
+    """Document-level serving over chunk-level hits — the step every
+    consumer of the reference's data model needs: the corpus is MANY
+    chunks per document (doc_chunks(doc_id, chunk_id, embed_vector),
+    01_pdf_to_vector.sql:60-97) and a chunk-level top-k returns several
+    chunks of the same strong document, crowding out the rest of the
+    page of results. Collapse keeps each document's BEST chunk and
+    re-ranks documents:
+
+    - best chunk per (query, doc) = min distance, ties by chunk id;
+    - doc rank per query = (distance asc, doc id) over the survivors;
+    - top ``k`` docs returned as (query_id, rank, doc_id, chunk_id,
+      distance) — chunk_id kept so the caller can fetch the winning
+      passage (the snippet/rerank input).
+
+    ``hits`` is any search output (query_id, rank, chunk_id, distance)
+    — exact, IVF, HNSW, quantized all share the shape; ``mapping`` is
+    the skinny (chunk_id, doc_id) projection of the chunk table. Two
+    window functions over hit rows only (bounded at queries × k_in);
+    the corpus never enters the plan. Oversample the chunk-level k
+    (k_in ≈ k·avg_chunks_per_strong_doc) so collapsing still fills k
+    documents."""
+    j = hits.join(mapping.select(chunk_id, doc_id), chunk_id)
+    w_doc = Window.partitionBy(query_id, doc_id).orderBy(
+        F.col(dist_col).asc(), F.col(chunk_id).asc()
+    )
+    best = (
+        j.withColumn("__rn", F.row_number().over(w_doc))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w_q = Window.partitionBy(query_id).orderBy(
+        F.col(dist_col).asc(), F.col(doc_id).asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", doc_id, chunk_id, dist_col)
+    )

@@ -952,3 +952,79 @@ def test_ivf_rebalance_in_memory(emb, queries10):
     assert sorted((r.qid, r.rank, r.vec_id) for r in a.collect()) == sorted(
         (r.qid, r.rank, r.vec_id) for r in b.collect()
     )
+
+
+# --------------------------------------------- chunk-hit collapse (serving)
+def test_collapse_chunk_hits_basic(spark):
+    """Hand fixture: doc A's two chunks both beat doc B's one; collapse
+    keeps A's best chunk at rank 1, B at rank 2, and never returns two
+    rows for one doc."""
+    from oracle_vectorsearch_example_spark.operators.search import (
+        collapse_chunk_hits,
+    )
+
+    hits = spark.createDataFrame(
+        [
+            (0, 1, 100, 0.10),  # doc A chunk 100 (best)
+            (0, 2, 101, 0.12),  # doc A chunk 101
+            (0, 3, 200, 0.30),  # doc B
+            (0, 4, 102, 0.35),  # doc A again, worse
+            (1, 1, 200, 0.05),  # q1: doc B best
+            (1, 2, 100, 0.50),
+        ],
+        "qid long, rank long, vec_id long, distance double",
+    )
+    mapping = spark.createDataFrame(
+        [(100, 10), (101, 10), (102, 10), (200, 20)],
+        "vec_id long, doc_id long",
+    )
+    out = collapse_chunk_hits(hits, mapping, k=5)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [
+        (0, 1, 10, 100, 0.10),
+        (0, 2, 20, 200, 0.30),
+        (1, 1, 20, 200, 0.05),
+        (1, 2, 10, 100, 0.50),
+    ]
+
+
+def test_collapse_tie_breaks_and_k(spark):
+    from oracle_vectorsearch_example_spark.operators.search import (
+        collapse_chunk_hits,
+    )
+
+    # equal distances: best chunk per doc = smaller chunk id; doc order
+    # on equal distance = smaller doc id; k cuts after re-ranking
+    hits = spark.createDataFrame(
+        [(0, 1, 5, 0.2), (0, 2, 4, 0.2), (0, 3, 9, 0.2)],
+        "qid long, rank long, vec_id long, distance double",
+    )
+    mapping = spark.createDataFrame(
+        [(4, 1), (5, 1), (9, 2)], "vec_id long, doc_id long"
+    )
+    out = sorted(map(tuple, collapse_chunk_hits(hits, mapping, k=1).collect()))
+    assert out == [(0, 1, 1, 4, 0.2)]
+
+
+def test_collapse_layout_determinism(emb, spark):
+    from oracle_vectorsearch_example_spark.operators.search import (
+        collapse_chunk_hits,
+    )
+
+    chunks = emb.select(
+        "vec_id", F.pmod(F.col("vec_id"), F.lit(20)).cast("long").alias("doc_id")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = topk_search(emb, q, k=30, exclude_self=True)
+    a = sorted(map(tuple, collapse_chunk_hits(hits, chunks, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            collapse_chunk_hits(
+                hits.repartition(7), chunks.repartition(3), k=5
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 15
