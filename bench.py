@@ -654,6 +654,55 @@ def main():
             "corpus_build_2m", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- learned NB quality gate at 200k docs (X47, r8): fit on a 20k
+    # target slice, score the full 200k corpus — one broadcast join per
+    # count table + one skinny groupBy(doc) shuffle; payloads never move.
+    try:
+        from oracle_vectorsearch_example_spark.operators.nb import (
+            nb_fit,
+            nb_scores,
+        )
+
+        nb_docs = _ecf(spark, _corpus_base)
+        nb_model = nb_fit(
+            nb_docs.filter(F.col("doc_id") < 20_000), nb_docs
+        )
+        nb_model.target_counts.persist().count()
+        nb_model.raw_counts.persist().count()
+        run_entry(
+            "nb_quality_200k",
+            lambda: _execute(nb_scores(nb_docs, nb_model)),
+        )
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "nb_quality_200k", {"err": str(e).splitlines()[0][:200]}
+        )
+
+    # --- URL canonicalize + dedup at 2M synthetic URLs (X48, r8): pure
+    # map-side codegen canonicalization + ONE group-by on the canonical
+    # key. 4 spellings per page -> 500k survivors; extras record the
+    # collapse ratio.
+    try:
+        from oracle_vectorsearch_example_spark.operators.urls import url_dedup
+
+        urls_2m = spark.range(2_000_000).selectExpr(
+            "id AS doc_id",
+            "CASE CAST(id % 4 AS INT) "
+            "WHEN 0 THEN concat('http://Example', CAST(id DIV 4 % 1000 AS STRING), '.com/page/', CAST(id DIV 4 AS STRING)) "
+            "WHEN 1 THEN concat('HTTP://EXAMPLE', CAST(id DIV 4 % 1000 AS STRING), '.COM:80/page/', CAST(id DIV 4 AS STRING), '/') "
+            "WHEN 2 THEN concat('http://example', CAST(id DIV 4 % 1000 AS STRING), '.com/page/', CAST(id DIV 4 AS STRING), '?utm_source=x') "
+            "ELSE concat('http://example', CAST(id DIV 4 % 1000 AS STRING), '.com/page/', CAST(id DIV 4 AS STRING), '#top') END AS url",
+        ).localCheckpoint()
+        run_entry("url_dedup_2m", lambda: _execute(url_dedup(urls_2m)))
+        n_out = url_dedup(urls_2m).count()
+        extras["url_dedup_2m"] = {
+            "n_urls": 2_000_000,
+            "n_survivors": n_out,
+            "collapse_ratio": round(2_000_000 / max(n_out, 1), 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("url_dedup_2m", {"err": str(e).splitlines()[0][:200]})
+
     # --- IncrementalCorpus at production cadence (judge r7 #8): 12
     # ingests of 8k docs each with compact_every=5 — the policy is
     # tested for correctness (auto-compaction preserves the corpus);
