@@ -238,6 +238,129 @@ def text_metrics_df(df, text_col: str = "text"):
     ).drop("__toks", "__clean")
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules_df(
+    df,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+):
+    """The Gopher rule-based quality gate (Rae et al. 2021, §A1.1 —
+    the NAMED rule set most public pipelines cite, distinct from the
+    composite heuristic in :func:`text_metrics_df`): per document,
+
+    1. word count within [min_words, max_words];
+    2. mean word length within [min/max_mean_word_len];
+    3. symbol-to-word ratio ('#' chars + '…' chars + non-overlapping
+       '...' occurrences, over words) ≤ max_symbol_ratio;
+    4. fraction of non-blank lines starting with a bullet
+       ('•', '-', '*') ≤ max_bullet_line_frac;
+    5. fraction of non-blank lines ending with an ellipsis ≤
+       max_ellipsis_line_frac;
+    6. fraction of words containing ≥ 1 ASCII alphabetic char ≥
+       min_alpha_word_frac (the rule that makes Gopher an
+       English-corpus gate — CJK text fails it by design);
+    7. ≥ min_stop_hits DISTINCT Gopher stop words present
+       ({the, be, to, of, and, that, have, with}).
+
+    Appends the metric columns (6 dp — per-row arithmetic, identical on
+    both engines) and boolean ``gopher_pass``. Pure column expressions,
+    map-side, no shuffle; words tokenize once into a staged column."""
+    t = F.col(text_col)
+    _check_staging_free(df, ("__gw", "__gl"))
+    staged = df.withColumn(
+        "__gw", F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    ).withColumn(
+        "__gl",
+        F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit("")),
+    )
+    words, lines = F.col("__gw"), F.col("__gl")
+    n_words = F.size(words)
+    tok_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(
+        n_words > 0,
+        F.round(tok_chars.cast("double") / n_words.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_uni_ellip = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_dot_ellip = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.round(
+            (n_hash + n_uni_ellip + n_dot_ellip).cast("double")
+            / n_words.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("•")
+            | F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*"),
+        )
+    )
+    ellip = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("…") | F.rtrim(l).endswith("..."),
+        )
+    )
+    bullet_frac = F.when(
+        n_lines > 0, F.round(bullet.cast("double") / n_lines.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    ellip_frac = F.when(
+        n_lines > 0, F.round(ellip.cast("double") / n_lines.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, F.round(alpha.cast("double") / n_words.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), stops
+        )
+    )
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellip_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return staged.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": mean_wl,
+            "symbol_ratio": symbol_ratio,
+            "bullet_line_frac": bullet_frac,
+            "ellipsis_line_frac": ellip_frac,
+            "alpha_word_frac": alpha_frac,
+            "stop_hits": stop_hits.cast("long"),
+            "gopher_pass": passes,
+        }
+    ).drop("__gw", "__gl")
+
+
 def gram_hashes(text: Column, k: int = 8) -> Column:
     """Rolling k-gram hash stream of the normalized text: 32-bit md5-prefix
     ints, one per character position. Empty for texts shorter than k."""

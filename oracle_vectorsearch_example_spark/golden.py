@@ -3758,6 +3758,85 @@ def q_ppl_buckets(spark, sf):
     )
 
 
+_GOPHER_SQL = """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+    w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id,
+        len(words) AS nw,
+        CASE WHEN len(words) > 0 THEN round(
+          CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+               AS DOUBLE) / len(words), 6) ELSE 0.0 END AS mwl,
+        CASE WHEN len(words) > 0 THEN round(
+          CAST((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '…', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3
+            AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symr,
+        CASE WHEN len(lines) > 0 THEN round(
+          CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '•')
+               OR starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))
+            AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS bullf,
+        CASE WHEN len(lines) > 0 THEN round(
+          CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '…')
+               OR ends_with(rtrim(l), '...')))
+            AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS ellf,
+        CASE WHEN len(words) > 0 THEN round(
+          CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+            AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alphaf,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+            s -> list_contains(list_transform(words, x -> lower(x)), s)))
+          AS stops
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           mwl AS mean_word_len,
+           symr AS symbol_ratio,
+           bullf AS bullet_line_frac,
+           ellf AS ellipsis_line_frac,
+           alphaf AS alpha_word_frac,
+           CAST(stops AS BIGINT) AS stop_hits,
+           (nw >= 20 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+            AND symr <= 0.1 AND bullf <= 0.9 AND ellf <= 0.3
+            AND alphaf >= 0.8 AND stops >= 2) AS gopher_pass
+    FROM m
+"""
+
+
+@golden("gopher_rules", _GOPHER_SQL)
+def q_gopher_rules(spark, sf):
+    """The Gopher rule-based quality gate (Rae et al. 2021 §A1.1 — the
+    NAMED rule set most public pipelines cite, next to the composite
+    heuristic the corpus build uses): word-count bounds, mean word
+    length, symbol-to-word ratio (#/ellipsis), bullet- and
+    ellipsis-line fractions, alphabetic-word fraction, distinct
+    stop-word presence, and the conjunction as ``gopher_pass``
+    (min_words lowered to 20 for the fixture's short documents). All
+    per-row pure column expressions rounded to 6 dp; the oracle
+    replays every rule with DuckDB list lambdas."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_rules_df,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return gopher_rules_df(docs, min_words=20).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stop_hits",
+        "gopher_pass",
+    )
+
+
 _COLLAPSE_SQL = """
     WITH e AS (
       SELECT vec_id, vec_id % 100 AS doc_id,

@@ -166,3 +166,47 @@ def test_staged_metrics_refuse_colliding_columns(spark):
         repetition_metrics_df(df)
     with _pytest.raises(ValueError, match="__toks"):
         text_metrics_df(df)
+
+
+# ------------------------------------------------- Gopher rule gate (X50)
+def test_gopher_rules_hand_fixture(spark):
+    """Each rule witnessed by a doc that fails exactly it (plus one doc
+    passing all): symbol ratio, bullets, ellipses, alpha fraction,
+    min words, stop-word presence."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_rules_df,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is fine "
+        "to have with be of " * 4
+    )
+    rows = [
+        (1, good),                                        # passes all
+        (2, "# # # # # tiny"),                            # symbols + short
+        (3, "- b one\n- b two\n- b three\nnormal"),       # 75% bullets ok, short
+        (4, "dots...\nmore dots...\nclean"),              # 66% ellipsis lines
+        (5, "1 2 3 4 5 6 7 8 9 10"),                      # no alpha words
+        (6, ""),                                          # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules_df(df, min_words=5).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[1]["stop_hits"] == 8  # every Gopher stop word present
+    assert out[2]["symbol_ratio"] > 0.1 and out[2]["gopher_pass"] is False
+    assert out[3]["bullet_line_frac"] == 0.75
+    assert out[4]["ellipsis_line_frac"] == 0.666667
+    assert out[4]["gopher_pass"] is False
+    assert out[5]["alpha_word_frac"] == 0.0 and out[5]["gopher_pass"] is False
+    assert out[6]["n_words"] == 0 and out[6]["gopher_pass"] is False
+
+
+def test_gopher_rules_no_udf_no_shuffle(spark):
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_rules_df,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_rules_df(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
