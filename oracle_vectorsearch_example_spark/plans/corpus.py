@@ -46,6 +46,7 @@ def build_training_corpus(
     max_ppl: float | None = None,
     nb_model=None,
     nb_min_score: float | None = None,
+    gopher_kwargs: dict | None = None,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
     n_shards: int = 8,
@@ -83,6 +84,11 @@ def build_training_corpus(
     after): ``perplexity_lm`` (a :class:`~..functions.lm.BigramLM`,
     typically trained on a trusted reference corpus) + ``max_ppl`` drop
     documents the LM finds non-fluent, after the heuristic quality gate.
+
+    Optional Gopher rule gate (r8): ``gopher_kwargs`` (a dict — ``{}``
+    for the paper's thresholds, or override any) applies
+    :func:`~..functions.textstats.gopher_rules_df`'s named rule set
+    beside the heuristic quality gate, before the model gates.
 
     Optional learned quality gate (r8, the GPT-3 classifier step):
     ``nb_model`` (a :class:`~..operators.nb.NbQualityModel`, fit
@@ -186,6 +192,23 @@ def build_training_corpus(
         gate = gate & F.col("lang_guess").isin(langs)
     kept_ids = scored.filter(gate).select(id_col)
     gated = deduped.join(kept_ids, id_col, "left_semi")
+
+    # Gopher rule gate (r8, opt-in): the named Rae et al. 2021 rule set
+    # beside the composite heuristic — pass {} for the paper's
+    # thresholds or override any (e.g. {"min_words": 20}). Map-side,
+    # runs with the heuristic gate before the model gates.
+    if gopher_kwargs is not None:
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            gopher_rules_df,
+        )
+
+        g_ids = (
+            gopher_rules_df(gated.select(id_col, text_col), text_col,
+                            **gopher_kwargs)
+            .filter(F.col("gopher_pass"))
+            .select(id_col)
+        )
+        gated = gated.join(g_ids, id_col, "left_semi")
 
     if max_ppl is not None:
         if perplexity_lm is None:

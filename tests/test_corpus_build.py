@@ -356,6 +356,31 @@ def test_corpus_build_with_nb_gate(spark):
         build_training_corpus(docs, nb_min_score=0.0)
 
 
+def test_corpus_build_with_gopher_gate(spark):
+    """r8: the named Gopher rule set as an opt-in gate beside the
+    heuristic — a no-alpha-words doc survives the base build but fails
+    Gopher rule 6."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog and that have be"
+    rows = [(i, f"doc {i} " + fluent + f" tail {i}") for i in range(8)]
+    rows.append((50, " ".join(str(n) for n in range(40))))  # all-numeric
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = build_training_corpus(docs, n_shards=2)
+    base_ids = {r.doc_id for r in base["documents"].collect()}
+    assert 50 in base_ids
+
+    out = build_training_corpus(
+        docs, gopher_kwargs={"min_words": 5}, n_shards=2
+    )
+    ids = {r.doc_id for r in out["documents"].collect()}
+    assert 50 not in ids
+    assert ids == base_ids - {50}
+
+
 def test_corpus_build_with_substring_pass(spark):
     """r7: min_dup_span cuts a shared passage before near-dup banding —
     two docs that only looked similar because of the passage must NOT
