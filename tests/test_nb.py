@@ -143,3 +143,13 @@ def test_no_python_udf(frames, model):
     _, r = frames
     plan = nb_scores(r, model)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_count_tables_broadcast(frames, model):
+    """The 100 TB posture: both bucket-bounded count tables join
+    broadcast — the corpus-scaled event frame must never sort-merge
+    against metadata."""
+    _, r = frames
+    plan = nb_scores(r, model)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
