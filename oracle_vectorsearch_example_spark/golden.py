@@ -3758,6 +3758,77 @@ def q_ppl_buckets(spark, sf):
     )
 
 
+_GROUNDING_SQL = """
+    WITH a AS (
+      SELECT doc_id AS qid, text AS answer FROM documents WHERE doc_id < 100
+    ),
+    c AS (
+      SELECT a.qid, d.text AS context
+      FROM a JOIN documents d
+        ON d.doc_id = CASE WHEN a.qid % 3 = 0 THEN a.qid
+                           ELSE a.qid + 200 END
+    ),
+    ag AS (
+      SELECT qid,
+             list_filter(string_split(lower(answer), ' '), t -> t <> '') AS toks
+      FROM a
+    ),
+    ae AS (
+      SELECT qid, array_to_string(toks[i : i + 2], ' ') AS gram
+      FROM (SELECT qid, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM ag WHERE len(toks) >= 3)
+    ),
+    cg AS (
+      SELECT qid,
+             list_filter(string_split(lower(context), ' '), t -> t <> '') AS toks
+      FROM c
+    ),
+    ce AS (
+      SELECT DISTINCT qid, array_to_string(toks[i : i + 2], ' ') AS gram
+      FROM (SELECT qid, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM cg WHERE len(toks) >= 3)
+    )
+    SELECT ae.qid, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN ce.gram IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_supported,
+           round(CAST(sum(CASE WHEN ce.gram IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS grounding
+    FROM ae LEFT JOIN ce ON ae.qid = ce.qid AND ae.gram = ce.gram
+    GROUP BY ae.qid
+"""
+
+
+@golden("grounding", _GROUNDING_SQL)
+def q_grounding(spark, sf):
+    """Answer groundedness (X51 — the overlap half of RAGAS-style RAG
+    faithfulness): fraction of each answer's word-trigram occurrences
+    present anywhere in that query's retrieved context. Fixture:
+    answers = docs 0-99; context = the answer's own doc when qid % 3 = 0
+    (grounding exactly 1.0) else an unrelated doc (word-salad partial
+    overlap) — both engines build the same pairs and replay tokenize →
+    trigrams → distinct context grams → support join → ratio. Integer
+    counts; one (qid, gram) equi-join, payloads never shuffle."""
+    from oracle_vectorsearch_example_spark.operators.eval import (
+        grounding_score,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    ans = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("answer")
+    )
+    ctx_id = F.when(
+        F.pmod(F.col("qid"), F.lit(3)) == 0, F.col("qid")
+    ).otherwise(F.col("qid") + 200)
+    ctx = (
+        ans.select("qid", ctx_id.alias("__ctx_id"))
+        .join(docs, F.col("__ctx_id") == F.col("doc_id"))
+        .select("qid", F.col("text").alias("context"))
+    )
+    return grounding_score(ans, ctx, n=3).select(
+        "qid", "n_grams", "n_supported", "grounding"
+    )
+
+
 _GOPHER_SQL = """
     WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
     w AS (

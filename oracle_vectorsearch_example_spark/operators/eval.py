@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["eval_rankings", "eval_summary"]
+__all__ = ["eval_rankings", "eval_summary", "grounding_score"]
 
 
 def _canon_sum(col_struct: str, term_field: str):
@@ -177,3 +177,69 @@ def eval_summary(
         ],
     )
     return folded
+
+
+def grounding_score(
+    answers: DataFrame,
+    contexts: DataFrame,
+    n: int = 3,
+    query_id: str = "qid",
+    answer_col: str = "answer",
+    context_col: str = "context",
+) -> DataFrame:
+    """Answer groundedness — the RAG faithfulness proxy (the overlap
+    half of RAGAS-style faithfulness, public): the fraction of an
+    answer's word n-gram OCCURRENCES that appear anywhere in the same
+    query's retrieved context. An answer stitched from its context
+    scores ~1; a hallucinated answer scores ~0. Complements X45 (was
+    the RANKING right) with "did the ANSWER stay inside what was
+    retrieved".
+
+    Frozen spec: tokens = lowercase single-space split, drop empties
+    (the bm25 tokenizer); n-grams joined with single spaces; an answer
+    n-gram at position p is supported iff that exact n-gram occurs in
+    ANY context row of the query; score = supported / total, 6 dp
+    (integer counts — no fold discipline needed). Answers with fewer
+    than ``n`` tokens emit no n-grams and drop out (no evidence).
+
+    Plan shape: answers explode to skinny (qid, pos, gram) events;
+    contexts to DISTINCT (qid, gram) rows; one equi-join on
+    (qid, gram) — the join key includes the gram, so hot queries don't
+    skew a partition — then a per-query count aggregate. Payloads
+    never shuffle past tokenization."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def _grams(df, text_col, with_pos):
+        toks = df.select(
+            query_id,
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+            ).alias("toks"),
+        ).filter(F.size("toks") >= n)
+        ev = toks.select(
+            query_id,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}), "
+                    f"i -> struct(i AS pos, "
+                    f"array_join(slice(toks, i + 1, {n}), ' ') AS gram))"
+                )
+            ).alias("e"),
+        )
+        cols = [query_id, "e.gram"] + (["e.pos"] if with_pos else [])
+        return ev.select(*cols)
+
+    a = _grams(answers, answer_col, with_pos=True)
+    c = _grams(contexts, context_col, with_pos=False).distinct()
+    hit = c.withColumn("__hit", F.lit(1))
+    joined = a.join(hit, [query_id, "gram"], "left")
+    return joined.groupBy(query_id).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_supported"),
+        F.round(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("grounding"),
+    )

@@ -114,3 +114,82 @@ def test_layout_determinism(spark, fixture):
         )
     )
     assert a == b
+
+
+# --------------------------------------------- answer grounding (X51)
+def test_grounding_hand_fixture(spark):
+    from oracle_vectorsearch_example_spark.operators.eval import (
+        grounding_score,
+    )
+
+    answers = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # fully inside ctx
+            (2, "purple monkey dishwasher quantum"),  # nothing in ctx
+            (3, "the quick brown zebra runs"),  # partial
+            (4, "hi"),  # < n tokens: drops out
+        ],
+        "qid long, answer string",
+    )
+    contexts = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox"),
+            (3, "a b the quick brown c d"),
+            (4, "anything at all here"),
+        ],
+        "qid long, context string",
+    )
+    out = {r["qid"]: r for r in grounding_score(answers, contexts, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["grounding"] == 1.0 and out[1]["n_grams"] == 3
+    assert out[2]["grounding"] == 0.0
+    # answer 3 trigrams: "the quick brown"(hit), "quick brown zebra",
+    # "brown zebra runs" -> 1/3
+    assert out[3]["n_supported"] == 1
+    assert out[3]["grounding"] == 0.333333
+
+
+def test_grounding_unions_context_rows(spark):
+    """Support comes from ANY of the query's context rows (the
+    multi-passage RAG shape)."""
+    from oracle_vectorsearch_example_spark.operators.eval import (
+        grounding_score,
+    )
+
+    answers = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "qid long, answer string"
+    )
+    contexts = spark.createDataFrame(
+        [(1, "alpha beta gamma x"), (1, "y delta epsilon zeta")],
+        "qid long, context string",
+    )
+    [r] = grounding_score(answers, contexts, n=3).collect()
+    # trigrams: abg(hit ctx1), bgd(no), gde(no), dez(hit ctx2) -> 2/4
+    assert r["n_grams"] == 4 and r["n_supported"] == 2
+    assert r["grounding"] == 0.5
+
+
+def test_grounding_layout_determinism(spark):
+    from oracle_vectorsearch_example_spark.operators.eval import (
+        grounding_score,
+    )
+
+    answers = spark.createDataFrame(
+        [(i, f"w{i} common words here and w{i+1} more") for i in range(20)],
+        "qid long, answer string",
+    )
+    contexts = spark.createDataFrame(
+        [(i, f"common words here and maybe w{i}") for i in range(20)],
+        "qid long, context string",
+    )
+    a = sorted(map(tuple, grounding_score(answers, contexts).collect()))
+    b = sorted(
+        map(
+            tuple,
+            grounding_score(
+                answers.repartition(7), contexts.repartition(3)
+            ).collect(),
+        )
+    )
+    assert a == b
