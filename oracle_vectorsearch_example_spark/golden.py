@@ -5917,6 +5917,72 @@ def q_vector_outliers(spark, sf):
     return embedding_outliers(emb_d, centers, z=1.0)
 
 
+_PROTO_SQL = """
+    WITH ev AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i
+            FROM embeddings)
+    ),
+    c AS (SELECT dim, MIN(x) AS c0, MAX(x) AS c1 FROM ev GROUP BY 1),
+    d AS (
+      SELECT ev.vec_id,
+             round(sqrt(SUM((x - c0) * (x - c0))), 9) AS d0,
+             round(sqrt(SUM((x - c1) * (x - c1))), 9) AS d1
+      FROM ev JOIN c ON ev.dim = c.dim GROUP BY 1
+    ),
+    a AS (
+      SELECT vec_id,
+             CASE WHEN d1 < d0 THEN 1 ELSE 0 END AS cluster,
+             CASE WHEN d1 < d0 THEN d1 ELSE d0 END AS dist
+      FROM d
+    ),
+    r AS (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY dist, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster) AS n
+      FROM a
+    )
+    SELECT vec_id FROM r WHERE rn > CAST(floor(0.2 * n) AS BIGINT)
+"""
+
+
+@golden("prototype_prune", _PROTO_SQL)
+def q_prototype_prune(spark, sf):
+    """D4 diversification (X52 — Tirumala et al. 2023, arXiv:2308.12284:
+    the stage AFTER SemDeDup — drop each cluster's most PROTOTYPICAL
+    fraction, the rows closest to the centroid, keeping the diverse
+    shell): 20% pruned per cluster against the same exact MIN/MAX-vector
+    centers as the `vector_outliers` golden (the trick that keeps the
+    whole assignment-and-rank computation SQL-replayable; production
+    passes the SemDeDup KMeans centers). Survivor ids only — exact
+    integer floor cutoffs, deterministic (dist, id) ranks."""
+    from oracle_vectorsearch_example_spark.operators.outliers import (
+        prototype_prune,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    centers = spark.createDataFrame(
+        [
+            (0, [float(r["lo"]) for r in per_dim]),
+            (1, [float(r["hi"]) for r in per_dim]),
+        ],
+        "center_id int, center array<double>",
+    )
+    emb_d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return prototype_prune(emb_d, centers, drop_frac=0.2).select("vec_id")
+
+
 # ------------------------------------------------- retrieval evaluation (X45)
 _EVAL_SQL = """
     WITH res AS (

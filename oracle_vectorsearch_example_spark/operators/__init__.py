@@ -67,6 +67,7 @@ from oracle_vectorsearch_example_spark.operators.bloom import (
 from oracle_vectorsearch_example_spark.operators.outliers import (
     assign_centers,
     embedding_outliers,
+    prototype_prune,
 )
 from oracle_vectorsearch_example_spark.operators.eval import (
     eval_rankings,
@@ -203,6 +204,7 @@ __all__ = [
     "heavy_hitters",
     "assign_centers",
     "embedding_outliers",
+    "prototype_prune",
     "eval_rankings",
     "eval_summary",
     "psi_report",

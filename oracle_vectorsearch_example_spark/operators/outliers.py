@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assign_centers", "embedding_outliers"]
+__all__ = ["assign_centers", "embedding_outliers", "prototype_prune"]
 
 
 def _l2(a, b):
@@ -151,3 +151,48 @@ def embedding_outliers(
         .filter(F.col("zscore") > z)
         .select(id_col, "cluster", "dist", "zscore")
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    centers: DataFrame,
+    drop_frac: float = 0.1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    center_id: str = "center_id",
+    center_vec: str = "center",
+) -> DataFrame:
+    """D4's diversification stage (Tirumala et al. 2023, "D4: Improving
+    LLM Pretraining via Document De-Duplication and Diversification",
+    arXiv:2308.12284 — the step AFTER SemDeDup): within each cluster,
+    drop the ``drop_frac`` fraction of rows CLOSEST to the centroid —
+    the most prototypical documents, which near-duplicate the cluster's
+    central mass semantically and add the least marginal information —
+    keeping the cluster's diverse shell. The mirror image of
+    :func:`embedding_outliers` (which flags the far tail as corrupt).
+
+    Frozen spec: assignment via :func:`assign_centers` (L2, id
+    tie-break); per cluster, rank by (dist asc, id asc) and drop ranks
+    ≤ floor(drop_frac · cluster_size) — exact integer cutoffs, so the
+    survivor set is engine-replayable. Returns the SURVIVING rows of
+    ``df``, ids semi-joined back (payloads never shuffle).
+
+    Compose D4 as: ``semdedup(...)`` → ``prototype_prune(...)`` with
+    the same KMeans centers for both stages."""
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    a = assign_centers(df, centers, vec_col, id_col, center_id, center_vec)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    n = Window.partitionBy("cluster")
+    keep = (
+        a.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(n))
+        .filter(
+            F.col("__rn")
+            > F.floor(F.lit(float(drop_frac)) * F.col("__n")).cast("long")
+        )
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

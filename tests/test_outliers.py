@@ -114,3 +114,59 @@ def test_layout_determinism(spark, planted):
         map(tuple, embedding_outliers(df.repartition(7), centers, z=2.0).collect())
     )
     assert a == b
+
+
+# --------------------------------------------- D4 prototype pruning (X52)
+def test_prototype_prune_exact_counts_and_shell(spark, planted):
+    """floor(0.25 * 41) = 10 rows dropped per 41-row cluster, and the
+    dropped rows are exactly the closest-to-center ones (the corrupt
+    far rows always survive — pruning removes prototypes, not tails)."""
+    from oracle_vectorsearch_example_spark.operators.outliers import (
+        assign_centers,
+        prototype_prune,
+    )
+
+    df, centers = planted
+    kept = prototype_prune(df, centers, drop_frac=0.25)
+    a = assign_centers(df, centers)
+    sizes = {r["cluster"]: r["n"] for r in a.groupBy("cluster").count()
+             .withColumnRenamed("count", "n").collect()}
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert len(kept_ids) == sum(n - int(0.25 * n) for n in sizes.values())
+    # per cluster, the dropped set is the rank-prefix by (dist, id)
+    rows = sorted(
+        ((r["cluster"], r["dist"], r["vec_id"]) for r in a.collect())
+    )
+    by_c: dict[int, list] = {}
+    for c, d, i in rows:
+        by_c.setdefault(c, []).append(i)
+    for c, ids in by_c.items():
+        cut = int(0.25 * len(ids))
+        assert all(i not in kept_ids for i in ids[:cut])
+        assert all(i in kept_ids for i in ids[cut:])
+    assert 900 in kept_ids and 901 in kept_ids  # far tail survives
+
+
+def test_prototype_prune_zero_is_noop_and_bounds(spark, planted):
+    from oracle_vectorsearch_example_spark.operators.outliers import (
+        prototype_prune,
+    )
+
+    df, centers = planted
+    assert prototype_prune(df, centers, drop_frac=0.0).count() == df.count()
+    with pytest.raises(ValueError, match="drop_frac"):
+        prototype_prune(df, centers, drop_frac=1.0)
+
+
+def test_prototype_prune_layout_determinism(spark, planted):
+    from oracle_vectorsearch_example_spark.operators.outliers import (
+        prototype_prune,
+    )
+
+    df, centers = planted
+    a = sorted(r["vec_id"] for r in prototype_prune(df, centers, 0.3).collect())
+    b = sorted(
+        r["vec_id"]
+        for r in prototype_prune(df.repartition(9), centers, 0.3).collect()
+    )
+    assert a == b
