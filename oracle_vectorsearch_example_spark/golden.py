@@ -6521,11 +6521,15 @@ def q_pca_embed(spark, sf):
 # are deliberately EXCLUDED from seats (judge r7 #3): they print
 # `err: no_oracle` in the driver record while their tolerance/recall
 # gates already live in pytest — a seat spent on one is a seat wasted.
-# Still waiting after r8 (rotate into r9): the 3 remaining r05
-# evictees — simhash_neardup, stratified_sample, winnow_fingerprints —
-# plus everything r06/r07-witnessed now evicted, plus any goldens added
-# during r8 after this rotation froze (the window must not change
-# mid-round). Witness history is recomputable from CORRECTNESS_r0*.json.
+# Still waiting after r8 (rotate into r9), in priority order: (a) the
+# oracle-paired goldens ADDED during r8 after this rotation froze —
+# nb_quality, url_canon, ppl_buckets, collapse_chunks, gopher_rules,
+# grounding, prototype_prune — never driver-witnessed; (b) the 3
+# remaining r05 evictees — simhash_neardup, stratified_sample,
+# winnow_fingerprints; (c) everything r06/r07-witnessed now evicted.
+# (pack_bfd is rows-only — per judge r7 #3 it takes no seat.) The
+# window must not change mid-round. Witness history is recomputable
+# from CORRECTNESS_r0*.json.
 _PRIORITY = [
     # never driver-witnessed, oracle-paired (late-r7 adds; judge-verified)
     "bm25_topk", "hybrid_rrf", "bq_topk", "sparse_topk", "utl_to_summary",
