@@ -104,3 +104,89 @@ def remove_boilerplate_lines(
         .withColumn(text_col, F.coalesce(F.col("__text"), F.lit("")))
         .drop("__bid", "__text")
     )
+
+
+def c4_clean_df(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    bad_words: list[str] | None = None,
+    out_col: str = "text",
+):
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the NAMED
+    line+page rule set behind the Colossal Clean Crawled Corpus;
+    distinct from :func:`remove_boilerplate_lines`, which is
+    frequency-based across documents — C4's rules are local):
+
+    line level (a line survives iff ALL hold):
+    - ends with a terminal punctuation mark ('.', '!', '?', '\"')
+      after right-trim;
+    - contains at least ``min_words_per_line`` words;
+    - does not contain the word 'javascript' (case-insensitive).
+
+    page level (``c4_keep`` is true iff ALL hold on the KEPT text):
+    - at least ``min_sentences`` sentences (frozen proxy: occurrences
+      of [.!?] in the kept text);
+    - no 'lorem ipsum' (case-insensitive);
+    - no curly brace '{' (the code-page tell);
+    - no token from ``bad_words`` (lowercased whitespace-token match;
+      C4 uses a public blocklist — pass your own, default none).
+
+    Returns df with ``out_col`` rewritten to the kept lines joined by
+    newline, plus ``n_lines_kept``, ``n_sentences``, ``c4_keep``.
+    Dropping non-keep pages is the caller's one extra filter (kept
+    explicit so audits can count what WOULD drop). Pure column
+    expressions, map-side, no shuffle, no UDF."""
+    t = F.col(text_col)
+    term = ("." , "!", "?", '"')
+    kept_lines = F.filter(
+        F.split(t, "\n"),
+        lambda l: (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+            >= min_words_per_line
+        )
+        & ~F.lower(l).contains("javascript")
+        & (
+            F.rtrim(l).endswith(term[0])
+            | F.rtrim(l).endswith(term[1])
+            | F.rtrim(l).endswith(term[2])
+            | F.rtrim(l).endswith(term[3])
+        ),
+    )
+    staged = df.withColumn("__c4_kept", kept_lines)
+    return (
+        staged.withColumn("n_lines_kept", F.size("__c4_kept").cast("long"))
+        .withColumn(out_col, F.array_join(F.col("__c4_kept"), "\n"))
+        .withColumn(
+            "n_sentences",
+            F.size(
+                F.regexp_extract_all(
+                    F.col(out_col), F.lit(r"[.!?]"), F.lit(0)
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "c4_keep",
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.lower(F.col(out_col)).contains("lorem ipsum")
+            & ~F.col(out_col).contains("{")
+            & (
+                F.lit(True)
+                if not bad_words
+                else F.size(
+                    F.array_intersect(
+                        F.array_distinct(
+                            F.filter(
+                                F.split(F.lower(F.col(out_col)), r"\s+"),
+                                lambda w: w != F.lit(""),
+                            )
+                        ),
+                        F.array(*[F.lit(w.lower()) for w in bad_words]),
+                    )
+                )
+                == 0
+            ),
+        )
+        .drop("__c4_kept")
+    )

@@ -3758,6 +3758,96 @@ def q_ppl_buckets(spark, sf):
     )
 
 
+_C4_SQL = """
+    WITH d0 AS (
+      SELECT doc_id,
+             text || ' ok.' || chr(10)
+               || 'Also a second fine sentence appears here. And a third one arrives now.'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'Please enable javascript to continue viewing this.'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN chr(10) || 'var x = { a: 1 }; code block sentence here.'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(10) || 'Lorem ipsum dolor sit amet consectetur elit.'
+                       ELSE '' END
+               || chr(10) || 'too short.' AS text
+      FROM documents WHERE doc_id < 400
+    ),
+    k AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l ->
+               len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')
+               AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                    OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+             ) AS kept
+      FROM d0
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(kept) AS BIGINT) AS n_lines_kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS text
+      FROM k
+    )
+    SELECT doc_id, n_lines_kept,
+           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+           (len(regexp_extract_all(text, '[.!?]')) >= 3
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS c4_keep,
+           text
+    FROM m
+"""
+
+
+@golden("c4_clean", _C4_SQL)
+def q_c4_clean(spark, sf):
+    """The C4 cleaning rules (X53 — Raffel et al. 2020 §2.2, the NAMED
+    line+page rule set behind the Colossal Clean Crawled Corpus; local
+    rules, distinct from the cross-document frequency-based boilerplate
+    strip): composite pages synthesized identically on both engines
+    (a long terminal-punctuated line, a 3-sentence filler line, and —
+    rotating by doc_id — a javascript line, a curly-brace code line, a
+    lorem-ipsum line, plus an always-dropped short line). Verifies the
+    kept-line filter, the rebuilt text, the sentence-count proxy, and
+    the page-level keep bit, all replayed in DuckDB list lambdas."""
+    from oracle_vectorsearch_example_spark.functions.scrub import c4_clean_df
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    nl = F.lit("\n")
+    composite = F.concat(
+        F.col("text"),
+        F.lit(" ok."),
+        nl,
+        F.lit(
+            "Also a second fine sentence appears here. And a third one arrives now."
+        ),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(
+                nl, F.lit("Please enable javascript to continue viewing this.")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.concat(nl, F.lit("var x = { a: 1 }; code block sentence here.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(
+                nl, F.lit("Lorem ipsum dolor sit amet consectetur elit.")
+            ),
+        ).otherwise(F.lit("")),
+        nl,
+        F.lit("too short."),
+    )
+    aug = docs.select("doc_id", composite.alias("text"))
+    return c4_clean_df(aug).select(
+        "doc_id", "n_lines_kept", "n_sentences", "c4_keep", "text"
+    )
+
+
 _GROUNDING_SQL = """
     WITH a AS (
       SELECT doc_id AS qid, text AS answer FROM documents WHERE doc_id < 100

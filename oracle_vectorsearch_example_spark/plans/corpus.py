@@ -47,6 +47,7 @@ def build_training_corpus(
     nb_model=None,
     nb_min_score: float | None = None,
     gopher_kwargs: dict | None = None,
+    c4_kwargs: dict | None = None,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
     n_shards: int = 8,
@@ -84,6 +85,12 @@ def build_training_corpus(
     after): ``perplexity_lm`` (a :class:`~..functions.lm.BigramLM`,
     typically trained on a trusted reference corpus) + ``max_ppl`` drop
     documents the LM finds non-fluent, after the heuristic quality gate.
+
+    Optional C4 cleaning (r8), applied FIRST: ``c4_kwargs`` (``{}`` for
+    the paper's thresholds) runs :func:`~..functions.scrub.c4_clean_df`
+    — line filter rewrites text, pages failing the keep bit drop —
+    before any scrub/dedup (the rules are local and cheap; dropping
+    junk first shrinks everything downstream).
 
     Optional Gopher rule gate (r8): ``gopher_kwargs`` (a dict — ``{}``
     for the paper's thresholds, or override any) applies
@@ -127,6 +134,20 @@ def build_training_corpus(
         docs = dsir_sample(
             docs, model, n=dsir_keep_n, id_col=id_col, text_col=text_col,
             seed=seed,
+        )
+
+    # C4 rules FIRST (r8, opt-in): line filter + page keep-bit are
+    # local and cheap — drop the junk before anything shuffles. Pass {}
+    # for the paper's thresholds, or override any.
+    if c4_kwargs is not None:
+        from oracle_vectorsearch_example_spark.functions.scrub import (
+            c4_clean_df,
+        )
+
+        docs = (
+            c4_clean_df(docs, text_col, **c4_kwargs)
+            .filter(F.col("c4_keep"))
+            .drop("n_lines_kept", "n_sentences", "c4_keep")
         )
 
     # scrub BEFORE dedup (the C4 ordering): shared boilerplate lines

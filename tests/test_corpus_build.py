@@ -356,6 +356,27 @@ def test_corpus_build_with_nb_gate(spark):
         build_training_corpus(docs, nb_min_score=0.0)
 
 
+def test_corpus_build_with_c4_rules(spark):
+    """r8: C4 line+page rules run FIRST — a code page ('{') drops
+    entirely, and surviving pages lose their junk lines before dedup."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    good = (
+        "The quick brown fox jumps over the lazy dog today.\n"
+        "Another complete sentence with plenty of words appears.\n"
+        "A third proper sentence closes out the page."
+    )
+    rows = [(i, good + f"\nunique tail sentence number {i} ends fine.") for i in range(6)]
+    rows.append((50, "var x = { a: 1 }; code page sentence one.\n" + good))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = build_training_corpus(docs, c4_kwargs={}, n_shards=2)
+    ids = {r.doc_id for r in out["documents"].collect()}
+    assert 50 not in ids and ids  # code page dropped, others survive dedup
+
+
 def test_corpus_build_with_gopher_gate(spark):
     """r8: the named Gopher rule set as an opt-in gate beside the
     heuristic — a no-alpha-words doc survives the base build but fails

@@ -80,3 +80,50 @@ def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
         [(1, "\n".join(["spam"] * 50)), (2, "other")], "doc_id long, text string"
     )
     assert boilerplate_lines(df, min_docs=10).count() == 0
+
+
+# --------------------------------------------------- C4 rules (X53)
+def test_c4_line_and_page_rules(spark):
+    from oracle_vectorsearch_example_spark.functions.scrub import c4_clean_df
+
+    rows = [
+        (1, "This is a good sentence with many words.\nShort line.\n"
+            "Another fine long sentence ends here!\n"
+            "And a third proper sentence question mark?"),
+        (2, "no terminal punctuation on this line at all\nalso none here my friend"),
+        (3, "Enable javascript to view this page properly.\n"
+            "A good long sentence that survives intact."),
+        (4, "function foo() { return 1; } is a code sentence here.\n"
+            "More good words in a sentence here.\n"
+            "Third one is also quite fine today.\n"
+            "Fourth keeps the page alive maybe."),
+        (5, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "Second sentence is long and fine here.\n"
+            "Third sentence keeps it valid too."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean_df(df).collect()}
+    assert out[1]["c4_keep"] is True and out[1]["n_lines_kept"] == 3
+    assert "Short line." not in out[1]["text"]
+    assert out[2]["n_lines_kept"] == 0 and out[2]["c4_keep"] is False
+    assert "javascript" not in out[3]["text"]
+    assert out[3]["c4_keep"] is False  # 1 sentence < 3
+    assert out[4]["c4_keep"] is False  # curly brace page
+    assert out[5]["c4_keep"] is False  # lorem ipsum page
+
+
+def test_c4_bad_words_and_no_udf(spark):
+    from oracle_vectorsearch_example_spark.functions.scrub import c4_clean_df
+
+    df = spark.createDataFrame(
+        [(1, "A perfectly fine sentence with the word badterm inside here.\n"
+             "Second good sentence follows right after this one.\n"
+             "Third sentence completes the page nicely now.")],
+        "doc_id long, text string",
+    )
+    [clean] = c4_clean_df(df).collect()
+    assert clean["c4_keep"] is True
+    [flagged] = c4_clean_df(df, bad_words=["BADTERM"]).collect()
+    assert flagged["c4_keep"] is False
+    plan = c4_clean_df(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
