@@ -95,14 +95,12 @@ def url_dedup(
         canon.filter(F.col(out_col).isNotNull())
         .groupBy(out_col)
         .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+        .select(id_col, F.col(out_col))
     )
-    keep = winners.union(
-        canon.filter(F.col(out_col).isNull()).select(id_col)
-    )
-    return docs.join(keep, id_col, "left_semi").join(
-        canon.select(id_col, out_col), id_col, "left"
-    )
+    # one keep frame carrying the canon → docs join ONCE on the id
+    # (a semi join + a second left join would shuffle the payload twice)
+    keep = winners.union(canon.filter(F.col(out_col).isNull()))
+    return docs.join(keep, id_col, "inner")
 
 
 def domain_stats(
