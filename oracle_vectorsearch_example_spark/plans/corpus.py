@@ -48,6 +48,7 @@ def build_training_corpus(
     nb_min_score: float | None = None,
     gopher_kwargs: dict | None = None,
     c4_kwargs: dict | None = None,
+    url_col: str | None = None,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
     n_shards: int = 8,
@@ -85,6 +86,11 @@ def build_training_corpus(
     after): ``perplexity_lm`` (a :class:`~..functions.lm.BigramLM`,
     typically trained on a trusted reference corpus) + ``max_ppl`` drop
     documents the LM finds non-fluent, after the heuristic quality gate.
+
+    Optional URL dedup (r8), applied FIRST of all: ``url_col`` collapses
+    re-crawls keep-first by canonical URL
+    (:func:`~..operators.urls.url_dedup`) before any text stage — the
+    CommonCrawl ordering.
 
     Optional C4 cleaning (r8), applied FIRST: ``c4_kwargs`` (``{}`` for
     the paper's thresholds) runs :func:`~..functions.scrub.c4_clean_df`
@@ -134,6 +140,16 @@ def build_training_corpus(
         docs = dsir_sample(
             docs, model, n=dsir_keep_n, id_col=id_col, text_col=text_col,
             seed=seed,
+        )
+
+    # URL-level dedup FIRST of all (r8, opt-in — the CommonCrawl
+    # ordering: collapsing re-crawls of one page costs string surgery +
+    # one skinny group-by, so it runs before even the line rules)
+    if url_col is not None:
+        from oracle_vectorsearch_example_spark.operators.urls import url_dedup
+
+        docs = url_dedup(docs, url_col=url_col, id_col=id_col).drop(
+            "canonical_url"
         )
 
     # C4 rules FIRST (r8, opt-in): line filter + page keep-bit are

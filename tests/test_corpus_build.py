@@ -356,6 +356,26 @@ def test_corpus_build_with_nb_gate(spark):
         build_training_corpus(docs, nb_min_score=0.0)
 
 
+def test_corpus_build_with_url_dedup(spark):
+    """r8: url_col collapses re-crawls keep-first BEFORE any text stage;
+    the url column rides along as payload."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    page = "the quick brown fox jumps over the lazy dog once more"
+    rows = [
+        (1, "http://site.com/p1", page + " one"),
+        (2, "http://SITE.com/p1/", page + " two"),      # same canon as 1
+        (3, "http://site.com/p1?utm_source=x", page + " three"),  # same
+        (4, "http://site.com/p2", "completely different words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = build_training_corpus(docs, url_col="url", n_shards=2)
+    ids = sorted(r.doc_id for r in out["documents"].collect())
+    assert ids == [1, 4]
+
+
 def test_corpus_build_with_c4_rules(spark):
     """r8: C4 line+page rules run FIRST — a code page ('{') drops
     entirely, and surviving pages lose their junk lines before dedup."""
