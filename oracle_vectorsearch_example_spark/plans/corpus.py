@@ -322,6 +322,7 @@ class IncrementalCorpus:
         text_col: str = "text",
         quality_min: float = 0.0,
         langs: list[str] | None = None,
+        gopher_kwargs: dict | None = None,
         split_weights: dict[str, float] | None = None,
         num_hashes: int = 16,
         bands: int = 4,
@@ -337,6 +338,10 @@ class IncrementalCorpus:
         self.spark = spark
         self.id_col, self.text_col = id_col, text_col
         self.quality_min, self.langs = quality_min, langs
+        # gopher rules are a pure row FILTER (no text rewrite), applied
+        # post-dedup like the heuristic gate — so it commutes with when
+        # it runs and stays a READ-time knob (re-tune without re-ingest)
+        self.gopher_kwargs = gopher_kwargs
         self.split_weights, self.seed = split_weights, seed
         # auto-maintenance cadence (judge r6 #7): with compact_every=N,
         # every ingest that brings the band-table count to >= N triggers
@@ -426,6 +431,21 @@ class IncrementalCorpus:
             gate = gate & F.col("lang_guess").isin(self.langs)
         kept_ids = scored.filter(gate).select(self.id_col)
         gated = alive.join(kept_ids, self.id_col, "left_semi")
+        if self.gopher_kwargs is not None:
+            from oracle_vectorsearch_example_spark.functions.textstats import (
+                gopher_rules_df,
+            )
+
+            g_ids = (
+                gopher_rules_df(
+                    gated.select(self.id_col, self.text_col),
+                    self.text_col,
+                    **self.gopher_kwargs,
+                )
+                .filter(F.col("gopher_pass"))
+                .select(self.id_col)
+            )
+            gated = gated.join(g_ids, self.id_col, "left_semi")
         return hash_split(
             gated, self.split_weights, id_col=self.id_col, seed=self.seed
         )

@@ -28,11 +28,14 @@ def _corpus(spark, args):
     if args.split_weights:
         parts = [kv.split("=") for kv in args.split_weights.split(",")]
         weights = {k: float(v) for k, v in parts}
+    import json
+
     return IncrementalCorpus(
         spark,
         args.warehouse,
         quality_min=args.quality_min,
         langs=args.langs.split(",") if args.langs else None,
+        gopher_kwargs=json.loads(args.gopher) if args.gopher else None,
         split_weights=weights,
         compact_every=args.compact_every,
     )
@@ -43,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-w", "--warehouse", required=True)
     p.add_argument("--quality-min", type=float, default=0.0)
     p.add_argument("--langs", default=None, help="comma-separated lang codes")
+    p.add_argument(
+        "--gopher", default=None,
+        help="apply the Gopher rule gate at read time: '{}' for the "
+             "paper's thresholds, or a JSON dict of overrides "
+             "(e.g. '{\"min_words\": 20}')",
+    )
     p.add_argument(
         "--split-weights", default=None, help="e.g. train=0.9,val=0.05,test=0.05"
     )

@@ -483,3 +483,34 @@ def test_corpus_build_with_dsir_selection(spark):
     assert kept and all(d < 100 for d in kept)
     with pytest.raises(ValueError, match="dsir_target"):
         build_training_corpus(docs, dsir_keep_n=5)
+
+
+def test_incremental_gopher_gate_matches_full_build(spark, tmp_path):
+    """r8: the Gopher gate is a read-time knob on IncrementalCorpus and
+    yields the same documents table as the batch build with the same
+    kwargs (pure row filter, post-dedup on both paths)."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        IncrementalCorpus,
+        build_training_corpus,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    # the synthetic word salads carry at most one Gopher stop word, so
+    # relax min_stop_hits; the gate then bites via word count + stop-hit
+    gk = {"min_words": 25, "min_stop_hits": 1}
+    inc = IncrementalCorpus(spark, str(tmp_path / "wh"), gopher_kwargs=gk)
+    for i in range(3):
+        inc.ingest(docs.filter(F.col("doc_id") % 3 == i))
+    got = sorted(
+        (r.doc_id, r.split)
+        for r in inc.documents().select("doc_id", "split").collect()
+    )
+    full = build_training_corpus(docs, gopher_kwargs=gk, n_shards=2)
+    want = sorted(
+        (r.doc_id, r.split)
+        for r in full["documents"].select("doc_id", "split").collect()
+    )
+    assert got == want and got
+    # the gate actually bites on this fixture
+    base = IncrementalCorpus(spark, str(tmp_path / "wh"))
+    assert inc.documents().count() < base.documents().count()
