@@ -938,6 +938,65 @@ def main():
             "top5_agree": sum(1 for kk in brute if two.get(kk) == brute[kk]),
             "top5_total": len(brute),
         }
+
+        # positive control (the BQ two-point discipline): the random
+        # fixture above is the proxy's floor — REAL corpora cluster by
+        # topic, which is the structure doc centroids summarize. Build a
+        # clustered twin (200 docs × 20 tokens, 10 topic directions +
+        # per-token deterministic noise) and measure the same coverage/
+        # agreement; the pair brackets the serving plan's regime.
+        import numpy as _np
+
+        rng = _np.random.RandomState(7)
+        dirs = rng.randn(10, 32)
+        dirs /= _np.linalg.norm(dirs, axis=1, keepdims=True)
+        rows = []
+        for d in range(200):
+            base = dirs[d % 10]
+            for tkn in range(20):
+                v = base + rng.randn(32) * 0.15
+                rows.append((d, tkn, (v / _np.linalg.norm(v)).tolist()))
+        cl_tok = spark.createDataFrame(
+            rows, "doc_id long, tidx long, embedding array<double>"
+        ).localCheckpoint()
+        cl_q = cl_tok.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("qid"),
+            F.col("tidx").alias("qtidx"),
+            "embedding",
+        )
+        cl_cents = doc_centroids(cl_tok).localCheckpoint()
+        cl_qc = cl_cents.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cl_brute = {
+            (r["qid"], r["rank"]): r["doc_id"]
+            for r in maxsim_topk(
+                cl_tok, cl_q, k=5, qtok_col="qtidx", exclude_self=True
+            ).collect()
+        }
+        cl_cand = topk_search(
+            cl_cents, cl_qc, k=MS_N_CAND, base_id="doc_id", exclude_self=True
+        ).select("qid", "doc_id")
+        cl_cand_set = {(r["qid"], r["doc_id"]) for r in cl_cand.collect()}
+        cl_two = {
+            (r["qid"], r["rank"]): r["doc_id"]
+            for r in maxsim_topk(
+                cl_tok, cl_q, k=5, qtok_col="qtidx",
+                candidates=cl_cand, exclude_self=True,
+            ).collect()
+        }
+        cl_cov = sum(
+            1 for (qid, _), d in cl_brute.items() if (qid, d) in cl_cand_set
+        )
+        extras["maxsim_candidates"]["clustered_control"] = {
+            "n_docs": 200,
+            "topics": 10,
+            "cand_coverage_top5": round(cl_cov / max(len(cl_brute), 1), 4),
+            "top5_agree": sum(
+                1 for kk in cl_brute if cl_two.get(kk) == cl_brute[kk]
+            ),
+            "top5_total": len(cl_brute),
+        }
     except Exception as e:  # noqa: BLE001
         results.setdefault(
             "maxsim_candidates", {"err": str(e).splitlines()[0][:200]}
