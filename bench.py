@@ -703,6 +703,44 @@ def main():
     except Exception as e:  # noqa: BLE001
         results.setdefault("url_dedup_2m", {"err": str(e).splitlines()[0][:200]})
 
+    # --- C4 + Gopher rule gates at 200k docs (X53/X50, r8): both are
+    # pure map-side column expressions (no shuffle, no UDF) — this
+    # entry is the linear-throughput witness. The fixture's single-line
+    # no-punctuation docs mostly fail C4's line rule by construction;
+    # extras record the pass counts so the number stays a semantic
+    # witness, not just wall-clock.
+    try:
+        from oracle_vectorsearch_example_spark.functions.scrub import (
+            c4_clean_df,
+        )
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            gopher_rules_df,
+        )
+
+        rules_docs = _ecf(spark, _corpus_base)
+
+        def _rules():
+            both = gopher_rules_df(
+                c4_clean_df(rules_docs, out_col="c4_text"),
+                min_words=20,
+                min_stop_hits=0,
+            )
+            return both.select("doc_id", "c4_keep", "gopher_pass")
+
+        run_entry("rules_200k", lambda: _execute(_rules()))
+        agg = _rules().agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c4_keep").cast("long")).alias("c4"),
+            F.sum(F.col("gopher_pass").cast("long")).alias("gopher"),
+        ).collect()[0]
+        extras["rules_200k"] = {
+            "n_docs": int(agg["n"]),
+            "c4_keep": int(agg["c4"]),
+            "gopher_pass": int(agg["gopher"]),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("rules_200k", {"err": str(e).splitlines()[0][:200]})
+
     # --- IncrementalCorpus at production cadence (judge r7 #8): 12
     # ingests of 8k docs each with compact_every=5 — the policy is
     # tested for correctness (auto-compaction preserves the corpus);
