@@ -115,6 +115,13 @@ def nb_fit(
             .agg(F.count("*").cast("double").alias("c"))
         )
 
+    n_target_docs, n_raw_docs = target.count(), raw.count()
+    if n_target_docs == 0 or n_raw_docs == 0:
+        raise ValueError(
+            "nb_fit needs at least one document per class "
+            f"(target={n_target_docs}, raw={n_raw_docs}); an empty class "
+            "would make the log-prior undefined at scoring time"
+        )
     tc = counts(target).withColumnRenamed("c", "ct")
     rc = counts(raw).withColumnRenamed("c", "cr")
     tt = tc.agg(F.sum("ct")).collect()[0][0] or 0.0
@@ -124,8 +131,8 @@ def nb_fit(
         rc,
         float(tt),
         float(rt),
-        int(target.count()),
-        int(raw.count()),
+        int(n_target_docs),
+        int(n_raw_docs),
         n_buckets,
         float(alpha),
     )

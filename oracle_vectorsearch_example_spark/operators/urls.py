@@ -90,6 +90,11 @@ def url_dedup(
     quarantine decisions belong to the caller, and dropping them here
     would silently lose non-web documents. Payloads never shuffle: the
     winner set is a skinny (canon, id) frame semi-joined back."""
+    if out_col in docs.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in docs; "
+            "rename it or pass a different out_col"
+        )
     canon = docs.select(F.col(id_col), canonical_url(url_col).alias(out_col))
     winners = (
         canon.filter(F.col(out_col).isNotNull())
@@ -98,8 +103,10 @@ def url_dedup(
         .select(id_col, F.col(out_col))
     )
     # one keep frame carrying the canon → docs join ONCE on the id
-    # (a semi join + a second left join would shuffle the payload twice)
-    keep = winners.union(canon.filter(F.col(out_col).isNull()))
+    # (a semi join + a second left join would shuffle the payload twice);
+    # unionByName so a future column reorder in either select is a loud
+    # error instead of a silent mis-join
+    keep = winners.unionByName(canon.filter(F.col(out_col).isNull()))
     return docs.join(keep, id_col, "inner")
 
 

@@ -160,8 +160,18 @@ def build_training_corpus(
             c4_clean_df,
         )
 
+        # out_col MUST track text_col: c4_clean_df defaults out_col to
+        # the literal "text", so with text_col="body" the rewrite would
+        # land in a stray "text" column and every downstream stage would
+        # keep reading the dirty body (r8 ADVICE finding).
+        clash = {"text_col", "out_col"} & set(c4_kwargs)
+        if clash:
+            raise ValueError(
+                f"c4_kwargs must not set {sorted(clash)}; "
+                "build_training_corpus derives both from text_col"
+            )
         docs = (
-            c4_clean_df(docs, text_col, **c4_kwargs)
+            c4_clean_df(docs, text_col, out_col=text_col, **c4_kwargs)
             .filter(F.col("c4_keep"))
             .drop("n_lines_kept", "n_sentences", "c4_keep")
         )

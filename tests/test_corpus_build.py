@@ -514,3 +514,36 @@ def test_incremental_gopher_gate_matches_full_build(spark, tmp_path):
     # the gate actually bites on this fixture
     base = IncrementalCorpus(spark, str(tmp_path / "wh"))
     assert inc.documents().count() < base.documents().count()
+
+
+def test_corpus_build_c4_tracks_nondefault_text_col(spark):
+    """r8 ADVICE regression: with text_col != 'text' the C4 rewrite must
+    land IN text_col (not a stray 'text' column silently ignored by
+    every downstream stage)."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    good = (
+        "The quick brown fox jumps over the lazy dog today.\n"
+        "short junk line\n"
+        "Another complete sentence with plenty of words appears.\n"
+        "A third proper sentence closes out the page."
+    )
+    rows = [(i, good + f"\nunique tail sentence number {i} ends fine.") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, body string")
+    out = build_training_corpus(docs, text_col="body", c4_kwargs={}, n_shards=2)
+    surv = out["documents"]
+    assert "text" not in surv.columns
+    bodies = [r.body for r in surv.collect()]
+    assert bodies and all("short junk line" not in b for b in bodies)
+
+
+def test_corpus_build_c4_kwargs_reserved_keys_raise(spark):
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    docs = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="out_col"):
+        build_training_corpus(docs, c4_kwargs={"out_col": "clean"}, n_shards=1)

@@ -153,3 +153,14 @@ def test_count_tables_broadcast(frames, model):
     plan = nb_scores(r, model)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_empty_class_raises_descriptive(spark):
+    """r8 ADVICE regression: an empty class must fail loudly at fit time,
+    not as a bare math-domain error when the prior is taken at scoring."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    full = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one document"):
+        nb_fit(empty, full)
+    with pytest.raises(ValueError, match="at least one document"):
+        nb_fit(full, empty)

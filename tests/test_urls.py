@@ -123,3 +123,17 @@ def test_no_python_udf(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_out_col_collision_raises(spark):
+    """r8 ADVICE regression: a pre-existing out_col would produce
+    ambiguous duplicate columns downstream — refuse loudly."""
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x", "taken")],
+        "doc_id long, url string, canonical_url string",
+    )
+    with pytest.raises(ValueError, match="canonical_url"):
+        url_dedup(df)
+    # a non-colliding out_col still works
+    out = url_dedup(df, out_col="canon2")
+    assert "canon2" in out.columns and out.count() == 1
