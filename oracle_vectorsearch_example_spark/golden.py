@@ -3066,6 +3066,97 @@ def q_nb_quality(spark, sf):
     return nb_scores(raw, model).select("doc_id", "n_tokens", "score")
 
 
+_LANGID_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN lower(text)
+               WHEN 1 THEN lower(reverse(text))
+               ELSE lower(translate(text, 'aeiou', 'qxzvw'))
+             END AS lt,
+             CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'rv'
+                  ELSE 'vx' END AS lang
+      FROM documents WHERE doc_id < 400
+    ),
+    train AS (SELECT * FROM base WHERE doc_id < 300),
+    test AS (SELECT * FROM base WHERE doc_id >= 300),
+    tev AS (
+      SELECT lang, substr(lt, i, 3) AS g
+      FROM train, unnest(generate_series(1, len(lt) - 2)) AS u(i)
+    ),
+    cnt AS (
+      SELECT lang, (('0x' || substr(md5(g), 1, 8))::BIGINT % 4096) AS b,
+             count(*)::DOUBLE AS c
+      FROM tev GROUP BY 1, 2
+    ),
+    cls AS (SELECT lang, count(*)::BIGINT AS n_docs FROM train GROUP BY 1),
+    tot AS (SELECT lang, sum(c) AS total FROM cnt GROUP BY 1),
+    nd AS (SELECT count(*)::DOUBLE AS n FROM train),
+    ev AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(substr(lt, i, 3)), 1, 8))::BIGINT % 4096) AS b
+      FROM test, unnest(generate_series(1, len(lt) - 2)) AS u(i)
+    ),
+    lp AS (
+      SELECT ev.doc_id, cls.lang, cls.n_docs,
+             ln(coalesce(cnt.c, 0) + 1.0) - ln(tot.total + 4096.0) AS lr
+      FROM ev CROSS JOIN cls
+      JOIN tot USING (lang)
+      LEFT JOIN cnt ON cnt.lang = cls.lang AND cnt.b = ev.b
+    ),
+    sc AS (
+      SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
+             round(ln(n_docs::DOUBLE) - ln((SELECT n FROM nd)) + sum(lr),
+                   6) AS score
+      FROM lp GROUP BY doc_id, lang, n_docs
+    ),
+    pred AS (
+      SELECT doc_id, lang, n_grams, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM sc
+    )
+    SELECT doc_id, lang, n_grams, score FROM pred WHERE rn = 1
+"""
+
+
+@golden("langid", _LANGID_SQL)
+def q_langid(spark, sf):
+    """Language identification (X54 — the missing CCNet stage 1, Wenzek
+    et al. 2020 §4.1): hashed char-trigram multinomial NB, trained on a
+    300-doc labeled sample of three synthetic 'languages' derived
+    replayably from the documents text (identity / reversed / vowel-
+    substituted — three sharply different trigram distributions), then
+    predicting the held-out 100 docs. The ENTIRE train+predict path —
+    lowercase → trigram slice → md5-bucket hash → per-class counts →
+    prior + add-1 smoothed log-likelihood fold (6 dp) → argmax with
+    asc-lang tie-break — replays in DuckDB, which no fastText port
+    could offer."""
+    from oracle_vectorsearch_example_spark.operators.langid import (
+        langid_fit,
+        langid_predict,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    cls = F.col("doc_id") % 3
+    synth = (
+        F.when(cls == 0, F.col("text"))
+        .when(cls == 1, F.reverse(F.col("text")))
+        .otherwise(F.translate(F.col("text"), "aeiou", "qxzvw"))
+    )
+    lang = (
+        F.when(cls == 0, F.lit("en"))
+        .when(cls == 1, F.lit("rv"))
+        .otherwise(F.lit("vx"))
+    )
+    labeled = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", synth.alias("text"), lang.alias("lang")
+    )
+    test = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    ).select("doc_id", synth.alias("text"))
+    model = langid_fit(labeled, n=3, n_buckets=4096, alpha=1.0)
+    return langid_predict(test, model)
 
 
 @golden(
@@ -6616,14 +6707,15 @@ def q_pca_embed(spark, sf):
 # all judge-verified green at r8 end; (b) the 3 remaining r05 evictees;
 # (c) fill with the stalest survivors — r06-witnessed, non-tpch first
 # (operator-family diversity), then tpch in numeric-ish order. Left for
-# r10 (r06-witnessed, no seat this round): tpch_q13/q15/q16/q17/q19/
-# q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
+# r10 (r06-witnessed, no seat this round): tpch_q12/q13/q15/q16/q17/
+# q19/q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
 # bpe_tokens, rerank_ce, pca_embed, mmr_rerank, semdedup, onnx_embed,
 # ivf_accuracy_report, pack_bfd) take no seat (judge r7 #3). The window
 # must not change mid-round. Witness history is recomputable from
 # CORRECTNESS_r0*.json.
 _PRIORITY = [
-    # never driver-witnessed, oracle-paired (r8 adds; judge-verified)
+    # never driver-witnessed, oracle-paired (r9 adds, then r8 adds)
+    "langid",
     "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
     "gopher_rules", "grounding", "prototype_prune", "c4_clean",
     # stalest: last witnessed r05 (the 3 remaining evictees)
@@ -6640,7 +6732,6 @@ _PRIORITY = [
     "vector_topk_exact", "window_funcs",
     # last witnessed r06, tpch
     "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q12",
 ]
 
 

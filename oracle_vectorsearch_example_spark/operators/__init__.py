@@ -109,6 +109,13 @@ from oracle_vectorsearch_example_spark.operators.nb import (
     nb_fit,
     nb_scores,
 )
+from oracle_vectorsearch_example_spark.operators.langid import (
+    LangidModel,
+    langid_df,
+    langid_fit,
+    langid_predict,
+    langid_scores,
+)
 from oracle_vectorsearch_example_spark.operators.fuzzy import (
     fuzzy_join,
     fuzzy_self_pairs,
@@ -226,6 +233,11 @@ __all__ = [
     "nb_fit",
     "nb_scores",
     "nb_filter",
+    "LangidModel",
+    "langid_fit",
+    "langid_scores",
+    "langid_predict",
+    "langid_df",
     "fuzzy_self_pairs",
     "fuzzy_join",
     "hash_bucket",

@@ -1,0 +1,219 @@
+"""Language identification via multinomial Naive Bayes over hashed
+character n-grams (X54, training-pipeline extension surface) — the
+missing CCNet stage 1 (Wenzek et al. 2020 §4.1 runs fastText langid
+before anything else; every per-language stage downstream — the
+perplexity terciles' ``group_col``, the corpus ``langs=`` filter —
+needs a ``lang`` column from somewhere).
+
+Why NB over hashed char n-grams and not a fastText port: exactly the
+X47 argument (operators/nb.py) — NB's fit IS per-class integer count
+tables and its score is a sum of log count ratios, all exact fold math,
+so the ENTIRE train+predict path replays in DuckDB for hash-golden
+verification. A fastText port would carry trained float matrices no SQL
+engine could re-derive. Char n-grams (not words) are the classic langid
+feature (Cavnar & Trenkle 1994): scripts and orthography dominate the
+trigram distribution, so even a small labeled sample separates
+languages sharply.
+
+Frozen spec (engine-replayable):
+
+- grams: ``lower(text)`` sliced into ALL overlapping char n-grams of
+  length ``n`` (default 3), positions 1..len−n+1 — spaces kept (word
+  boundaries carry signal). Documents shorter than ``n`` chars yield no
+  evidence and take no label (NULL from :func:`langid_df`);
+- bucket: the md5-bucket idiom (operators/sampling.py) — first 8 md5
+  hex chars as a BIGINT mod ``n_buckets`` (default 4096);
+- score(doc, class c) = ln n_docs_c − ln n_docs
+    + Σ_grams [ ln(count_c(b) + α) − ln(total_c + α·B) ]
+  with the order-canonicalized fold (operators/bm25.py discipline) and
+  6 dp rounding — layout-independent, oracle-reproducible;
+- predict: argmax over the ROUNDED scores, ties broken by ascending
+  language code — deterministic in both engines (row_number over
+  (score desc, lang asc)).
+
+Scale posture: the model is (k·B)-bounded metadata — counts ≤ k·B rows,
+class table k rows — and BROADCASTS; scoring explodes the corpus to
+skinny (id, pos, b) gram rows once, widens them k-fold against the
+broadcast class table (k = number of languages, a handful), and
+re-aggregates per (doc, lang) — one shuffle on doc id; payloads never
+shuffle (:func:`langid_df` re-joins labels by id). No UDFs anywhere.
+
+Reference anchor: the reference's chunker takes a caller-declared
+``language => 'korean'`` (01_pdf_to_vector.sql:236 and
+docs/utl_to_chunks.md); this operator makes that declaration derivable
+from the text itself, as a real multilingual ingest would need.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["LangidModel", "langid_fit", "langid_scores", "langid_predict", "langid_df"]
+
+
+def _gram_buckets(
+    docs: DataFrame, id_col: str, text_col: str, n: int, n_buckets: int
+) -> DataFrame:
+    """(id, pos, b) hashed char-n-gram event rows — map-side only.
+    sequence() runs DESCENDING when start > stop, so short texts must be
+    guarded to an empty array, not handed to sequence."""
+    lt = F.lower(F.col(text_col))
+    pos_arr = F.when(
+        F.length(lt) >= n, F.sequence(F.lit(1), F.length(lt) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    ev = docs.select(
+        F.col(id_col), lt.alias("__lt"), F.explode(pos_arr).alias("pos")
+    ).select(
+        id_col, "pos", F.col("__lt").substr(F.col("pos"), F.lit(n)).alias("g")
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+    return ev.select(id_col, "pos", b.alias("b"))
+
+
+class LangidModel(NamedTuple):
+    """Fitted per-class statistics: one gram-count table bounded by
+    k·n_buckets rows and one k-row class table — both broadcast-sized
+    metadata for any real k."""
+
+    counts: DataFrame  # (lang, b, c)
+    classes: DataFrame  # (lang, total, n_docs)
+    total_docs: int
+    n: int
+    n_buckets: int
+    alpha: float
+
+
+def langid_fit(
+    labeled: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> LangidModel:
+    """Count hashed char-n-grams per language over a labeled sample.
+    One group-by on (lang, bucket) for the counts, one on lang for the
+    class table; both results are bounded metadata."""
+    total_docs = labeled.count()
+    if total_docs == 0:
+        raise ValueError("langid_fit needs at least one labeled document")
+    # the labeled sample is bounded by construction (someone hand- or
+    # tool-labeled it) — its skinny (id, lang) frame broadcasts, so the
+    # fit-time label join never sort-merges even when the model tables
+    # are recomputed lazily inside a scoring plan
+    ev = _gram_buckets(labeled, id_col, text_col, n, n_buckets).join(
+        F.broadcast(labeled.select(id_col, lang_col)), id_col
+    )
+    counts = (
+        ev.groupBy(F.col(lang_col).alias("lang"), "b")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    classes = (
+        labeled.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(
+            F.broadcast(
+                counts.groupBy("lang").agg(F.sum("c").alias("total"))
+            ),
+            "lang",
+            "left",
+        )
+        .select("lang", F.coalesce("total", F.lit(0.0)).alias("total"), "n_docs")
+    )
+    return LangidModel(counts, classes, int(total_docs), n, n_buckets, float(alpha))
+
+
+def langid_scores(
+    docs: DataFrame,
+    model: LangidModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, lang, n_grams, score) — one row per (document, class): the
+    NB log-posterior (class prior + add-alpha gram log-likelihoods),
+    canonical-fold summed, rounded to 6 dp. Documents with no grams
+    (shorter than n chars) carry no evidence and drop out."""
+    ev = _gram_buckets(docs, id_col, text_col, model.n, model.n_buckets)
+    a, nb = model.alpha, float(model.n_buckets)
+    # widen each gram event k-fold against the k-row class table, then
+    # look up this class's count for the bucket (absent → 0 + alpha)
+    crossed = ev.crossJoin(F.broadcast(model.classes)).join(
+        F.broadcast(model.counts), ["lang", "b"], "left"
+    )
+    contrib = (
+        F.log(F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(a))
+        - F.log(F.col("total") + F.lit(a * nb))
+    )
+    prior = F.log(F.col("n_docs").cast("double")) - F.lit(
+        math.log(model.total_docs)
+    )
+    return (
+        crossed.select(id_col, "lang", "pos", contrib.alias("lr"))
+        .groupBy(id_col, "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "lr"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["lr"],
+            ).alias("__ll"),
+        )
+        .join(F.broadcast(model.classes), "lang")
+        .select(
+            id_col,
+            "lang",
+            "n_grams",
+            F.round(prior + F.col("__ll"), 6).alias("score"),
+        )
+    )
+
+
+def langid_predict(
+    docs: DataFrame,
+    model: LangidModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, lang, n_grams, score) — the winning class per document:
+    argmax over the rounded scores, ties broken by ascending language
+    code (deterministic in any engine). Evidence-free documents take no
+    row here (and a NULL label in :func:`langid_df`)."""
+    scored = langid_scores(docs, model, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def langid_df(
+    docs: DataFrame,
+    model: LangidModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lang",
+) -> DataFrame:
+    """docs + ``out_col`` — the predicted language label, NULL for
+    documents too short to carry evidence (quarantine decisions belong
+    to the caller). Labels are a skinny (id, lang) frame joined back by
+    id; payloads never enter the scoring shuffle."""
+    if out_col in docs.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in docs; "
+            "rename it or pass a different out_col"
+        )
+    labels = langid_predict(docs, model, id_col, text_col).select(
+        id_col, F.col("lang").alias(out_col)
+    )
+    return docs.join(labels, id_col, "left")

@@ -46,6 +46,8 @@ def build_training_corpus(
     max_ppl: float | None = None,
     nb_model=None,
     nb_min_score: float | None = None,
+    langid_model=None,
+    lang_col: str = "lang",
     gopher_kwargs: dict | None = None,
     c4_kwargs: dict | None = None,
     url_col: str | None = None,
@@ -109,6 +111,16 @@ def build_training_corpus(
     keep documents whose NB class log-odds exceed the threshold — runs
     beside the LM gate, after the heuristic quality gate (model gates
     see only deduped, rule-clean text, the CCNet ordering).
+    Optional language identification (r9, the CCNet stage-1 step):
+    ``langid_model`` (a :class:`~..operators.langid.LangidModel`, fit on
+    a labeled sample with :func:`~..operators.langid.langid_fit`) derives
+    ``lang_col`` from the text when the column is absent — making the
+    ``langs=`` filter gate on LEARNED labels instead of the built-in
+    marker heuristic, and giving the per-language stages (perplexity
+    terciles' ``group_col``) a real source. A pre-existing ``lang_col``
+    is trusted as-is (caller-declared labels win; the model only fills
+    the gap).
+
     Source-weighted mixtures compose DOWNSTREAM of this build (mixing
     before dedup would collapse the repeated epochs as duplicates): run
     the build per source, then ``operators.sampling.mix_sources`` over
@@ -176,6 +188,22 @@ def build_training_corpus(
             .drop("n_lines_kept", "n_sentences", "c4_keep")
         )
 
+    # language identification AFTER the line rules, BEFORE everything
+    # per-language (r9, CCNet stage 1): derive lang_col from the text
+    # when absent; a pre-existing column is caller truth and wins
+    use_learned_lang = False
+    if langid_model is not None:
+        use_learned_lang = True
+        if lang_col not in docs.columns:
+            from oracle_vectorsearch_example_spark.operators.langid import (
+                langid_df,
+            )
+
+            docs = langid_df(
+                docs, langid_model, id_col=id_col, text_col=text_col,
+                out_col=lang_col,
+            )
+
     # scrub BEFORE dedup (the C4 ordering): shared boilerplate lines
     # inflate near-dup similarity between unrelated docs, and redacted
     # PII tokens must not differ between otherwise-identical docs
@@ -236,7 +264,8 @@ def build_training_corpus(
     scored = text_metrics_df(deduped, text_col)
     gate = F.col("quality") >= F.lit(quality_min)
     if langs:
-        gate = gate & F.col("lang_guess").isin(langs)
+        lang_src = lang_col if use_learned_lang else "lang_guess"
+        gate = gate & F.col(lang_src).isin(langs)
     kept_ids = scored.filter(gate).select(id_col)
     gated = deduped.join(kept_ids, id_col, "left_semi")
 
