@@ -361,6 +361,179 @@ def gopher_rules_df(
     ).drop("__gw", "__gl")
 
 
+def _dup_run_stats(sorted_arr: Column) -> Column:
+    """One O(m) run-length pass over a SORTED string array, returning a
+    struct of the §A1.2 building blocks: ``docc`` = occurrences that
+    belong to duplicated groups (count ≥ 2, first copy included — every
+    copy of a duplicated element is a duplicate of another), ``dch`` =
+    their summed char lengths, ``maxrun``/``bestlen`` = the most
+    frequent element's count and char length (ascending sort + strict
+    '>' keeps the lexicographically smallest on ties — deterministic in
+    any engine). Same single-aggregate discipline as
+    :func:`_top_run_fraction_of` — never a nested per-distinct count."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("docc"),
+        F.lit(0).cast("long").alias("dch"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("bestlen"),
+    )
+
+    def step(acc, x):
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        inc = (
+            F.when(same & (acc["run"] == 1), F.lit(2))
+            .when(same, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        new_best = run > acc["maxrun"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["docc"] + inc).alias("docc"),
+            (acc["dch"] + inc * F.length(x).cast("long")).alias("dch"),
+            F.when(new_best, run).otherwise(acc["maxrun"]).alias("maxrun"),
+            F.when(new_best, F.length(x)).otherwise(acc["bestlen"]).alias(
+                "bestlen"
+            ),
+        )
+
+    return F.aggregate(sorted_arr, init, step)
+
+
+def gopher_repetition_df(
+    df,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top2_char_frac: float = 0.20,
+    max_top3_char_frac: float = 0.18,
+    max_top4_char_frac: float = 0.16,
+    max_dup5_char_frac: float = 0.15,
+    max_dup6_char_frac: float = 0.14,
+    max_dup7_char_frac: float = 0.13,
+    max_dup8_char_frac: float = 0.12,
+    max_dup9_char_frac: float = 0.11,
+    max_dup10_char_frac: float = 0.10,
+):
+    """The full Gopher repetition-removal suite (Rae et al. 2021 §A1.2,
+    Table A1 — the NAMED set beside the §A1.1 quality rules of
+    :func:`gopher_rules_df`; default thresholds are the paper's):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of lines /
+      paragraphs that are duplicates (occurrences in groups appearing
+      ≥ 2 times, first copy included, over all kept lines/paragraphs);
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: fraction of
+      line/paragraph CHARACTERS inside those duplicated groups;
+    - ``top{2,3,4}_char_frac``: characters covered by the single most
+      frequent word n-gram (count × gram char length, over normalized
+      text chars; ties → lexicographically smallest gram);
+    - ``dup{5..10}_char_frac``: characters inside word n-grams occurring
+      ≥ 2 times — the frozen OCCURRENCE-SUM proxy (Σ count·len over
+      duplicated grams; overlapping occurrences counted each, so
+      degenerate repetition can exceed 1.0) for the paper's
+      position-coverage measure, chosen because it replays as exact
+      relational math in any SQL engine.
+
+    Frozen spec: lines = '\\n'-split, trimmed, empties dropped,
+    compared trimmed; paragraphs the same on '\\n{2,}'; words = the repo
+    tokenizer (lowercase, '\\s+'-split); gram char length includes its
+    single-space joins; char denominator for gram fractions =
+    length(words joined by single spaces); ratios 6 dp. Appends the 13
+    metric columns + ``n_lines``/``n_paras``/``n_words`` + boolean
+    ``repetition_pass``. Pure column expressions — each metric is one
+    sort + one O(m) run-length aggregate, map-side, no shuffle/UDF."""
+    t = F.col(text_col)
+    staging = ("__rw", "__rl", "__rp") + tuple(f"__s{n}" for n in range(2, 11)) + (
+        "__sl", "__sp",
+    )
+    _check_staging_free(df, staging)
+    staged = (
+        df.withColumn("__rw", tokens(t))
+        .withColumn(
+            "__rl",
+            F.array_sort(
+                F.filter(
+                    F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                    lambda l: l != F.lit(""),
+                )
+            ),
+        )
+        .withColumn(
+            "__rp",
+            F.array_sort(
+                F.filter(
+                    F.transform(F.split(t, r"\n{2,}"), lambda p_: F.trim(p_)),
+                    lambda p: p != F.lit(""),
+                )
+            ),
+        )
+    )
+    staged = staged.withColumn("__sl", _dup_run_stats(F.col("__rl"))).withColumn(
+        "__sp", _dup_run_stats(F.col("__rp"))
+    )
+    for n in range(2, 11):
+        staged = staged.withColumn(
+            f"__s{n}",
+            _dup_run_stats(F.array_sort(_ngrams(F.col("__rw"), n))),
+        )
+
+    def _arr_chars(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+
+    def _frac(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+
+    n_words = F.size(F.col("__rw"))
+    char_den = F.when(n_words > 0, _arr_chars(F.col("__rw")) + n_words - 1).otherwise(
+        F.lit(0).cast("long")
+    )
+    n_lines, n_paras = F.size(F.col("__rl")), F.size(F.col("__rp"))
+    line_chars, para_chars = _arr_chars(F.col("__rl")), _arr_chars(F.col("__rp"))
+    cols = {
+        "n_words": n_words.cast("long"),
+        "n_lines": n_lines.cast("long"),
+        "n_paras": n_paras.cast("long"),
+        "dup_line_frac": _frac(F.col("__sl.docc"), n_lines),
+        "dup_line_char_frac": _frac(F.col("__sl.dch"), line_chars),
+        "dup_para_frac": _frac(F.col("__sp.docc"), n_paras),
+        "dup_para_char_frac": _frac(F.col("__sp.dch"), para_chars),
+    }
+    for n in (2, 3, 4):
+        cols[f"top{n}_char_frac"] = _frac(
+            F.col(f"__s{n}.maxrun").cast("long") * F.col(f"__s{n}.bestlen"),
+            char_den,
+        )
+    for n in range(5, 11):
+        cols[f"dup{n}_char_frac"] = _frac(F.col(f"__s{n}.dch"), char_den)
+    out = staged.withColumns(cols)
+    passes = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_para_frac") <= max_dup_para_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("dup_para_char_frac") <= max_dup_para_char_frac)
+        & (F.col("top2_char_frac") <= max_top2_char_frac)
+        & (F.col("top3_char_frac") <= max_top3_char_frac)
+        & (F.col("top4_char_frac") <= max_top4_char_frac)
+        & (F.col("dup5_char_frac") <= max_dup5_char_frac)
+        & (F.col("dup6_char_frac") <= max_dup6_char_frac)
+        & (F.col("dup7_char_frac") <= max_dup7_char_frac)
+        & (F.col("dup8_char_frac") <= max_dup8_char_frac)
+        & (F.col("dup9_char_frac") <= max_dup9_char_frac)
+        & (F.col("dup10_char_frac") <= max_dup10_char_frac)
+    )
+    return out.withColumn("repetition_pass", passes).drop(*staging)
+
+
 def gram_hashes(text: Column, k: int = 8) -> Column:
     """Rolling k-gram hash stream of the normalized text: 32-bit md5-prefix
     ints, one per character position. Empty for texts shorter than k."""

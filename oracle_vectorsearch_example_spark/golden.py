@@ -3120,6 +3120,201 @@ _LANGID_SQL = """
 """
 
 
+_GOPHER_REP_SQL = """
+    WITH syn AS (
+      SELECT doc_id,
+             substr(text, 1, 60) AS l1,
+             substr(text, 61, 60) AS l2,
+             substr(text, 121, 60) AS l3
+      FROM documents WHERE doc_id < 250
+    ),
+    d AS (
+      SELECT doc_id,
+             l1 || chr(10) || l2 ||
+             CASE WHEN doc_id % 2 = 0 THEN chr(10) || l1 ELSE '' END ||
+             chr(10) || chr(10) || l3 ||
+             CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || l3
+                  ELSE '' END AS text
+      FROM syn
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS toks
+      FROM d
+    ),
+    ln AS (
+      SELECT doc_id, trim(l) AS e
+      FROM d, unnest(string_split(text, chr(10))) AS t(l)
+      WHERE trim(l) <> ''
+    ),
+    pr AS (
+      SELECT doc_id, trim(p) AS e
+      FROM d, unnest(string_split_regex(text, '\\n{2,}')) AS t(p)
+      WHERE trim(p) <> ''
+    ),
+    lc AS (SELECT doc_id, e, count(*) AS c FROM ln GROUP BY ALL),
+    pc AS (SELECT doc_id, e, count(*) AS c FROM pr GROUP BY ALL),
+    lstat AS (
+      SELECT doc_id, sum(c) AS n_lines,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS docc,
+             sum(c * len(e)) AS chars,
+             sum(CASE WHEN c >= 2 THEN c * len(e) ELSE 0 END) AS dch
+      FROM lc GROUP BY doc_id
+    ),
+    pstat AS (
+      SELECT doc_id, sum(c) AS n_paras,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS docc,
+             sum(c * len(e)) AS chars,
+             sum(CASE WHEN c >= 2 THEN c * len(e) ELSE 0 END) AS dch
+      FROM pc GROUP BY doc_id
+    ),
+    ns AS (SELECT unnest(generate_series(2, 10)) AS n),
+    gidx AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(1, len(toks) - n + 1)) AS i
+      FROM tok CROSS JOIN ns
+    ),
+    g AS (
+      SELECT doc_id, n, array_to_string(toks[i:i + n - 1], ' ') AS gr
+      FROM gidx
+    ),
+    gc AS (SELECT doc_id, n, gr, count(*) AS c FROM g GROUP BY ALL),
+    gdup AS (
+      SELECT doc_id, n,
+             sum(CASE WHEN c >= 2 THEN c * len(gr) ELSE 0 END) AS dch
+      FROM gc GROUP BY doc_id, n
+    ),
+    gtop AS (
+      SELECT doc_id, n, c * len(gr) AS topch,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, gr) AS rn
+      FROM gc
+    ),
+    gm AS (
+      SELECT gdup.doc_id,
+             max(CASE WHEN gdup.n = 2 THEN gtop.topch END) AS t2,
+             max(CASE WHEN gdup.n = 3 THEN gtop.topch END) AS t3,
+             max(CASE WHEN gdup.n = 4 THEN gtop.topch END) AS t4,
+             max(CASE WHEN gdup.n = 5 THEN gdup.dch END) AS d5,
+             max(CASE WHEN gdup.n = 6 THEN gdup.dch END) AS d6,
+             max(CASE WHEN gdup.n = 7 THEN gdup.dch END) AS d7,
+             max(CASE WHEN gdup.n = 8 THEN gdup.dch END) AS d8,
+             max(CASE WHEN gdup.n = 9 THEN gdup.dch END) AS d9,
+             max(CASE WHEN gdup.n = 10 THEN gdup.dch END) AS d10
+      FROM gdup JOIN gtop ON gtop.doc_id = gdup.doc_id
+                         AND gtop.n = gdup.n AND gtop.rn = 1
+      GROUP BY gdup.doc_id
+    ),
+    den AS (
+      SELECT doc_id, len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN len(array_to_string(toks, ' ')) ELSE 0 END AS cden
+      FROM tok
+    ),
+    fr AS (
+      SELECT d.doc_id,
+             den.n_words::BIGINT AS n_words,
+             coalesce(lstat.n_lines, 0)::BIGINT AS n_lines,
+             coalesce(pstat.n_paras, 0)::BIGINT AS n_paras,
+             CASE WHEN coalesce(lstat.n_lines, 0) > 0 THEN
+               round(lstat.docc::DOUBLE / lstat.n_lines, 6) ELSE 0.0 END
+               AS dup_line_frac,
+             CASE WHEN coalesce(lstat.chars, 0) > 0 THEN
+               round(lstat.dch::DOUBLE / lstat.chars, 6) ELSE 0.0 END
+               AS dup_line_char_frac,
+             CASE WHEN coalesce(pstat.n_paras, 0) > 0 THEN
+               round(pstat.docc::DOUBLE / pstat.n_paras, 6) ELSE 0.0 END
+               AS dup_para_frac,
+             CASE WHEN coalesce(pstat.chars, 0) > 0 THEN
+               round(pstat.dch::DOUBLE / pstat.chars, 6) ELSE 0.0 END
+               AS dup_para_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.t2, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS top2_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.t3, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS top3_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.t4, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS top4_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.d5, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS dup5_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.d6, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS dup6_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.d7, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS dup7_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.d8, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS dup8_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.d9, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS dup9_char_frac,
+             CASE WHEN den.cden > 0 THEN
+               round(coalesce(gm.d10, 0)::DOUBLE / den.cden, 6)
+               ELSE 0.0 END AS dup10_char_frac
+      FROM d
+      JOIN den USING (doc_id)
+      LEFT JOIN lstat USING (doc_id)
+      LEFT JOIN pstat USING (doc_id)
+      LEFT JOIN gm USING (doc_id)
+    )
+    SELECT *,
+           (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+            AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+            AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+            AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15
+            AND dup6_char_frac <= 0.14 AND dup7_char_frac <= 0.13
+            AND dup8_char_frac <= 0.12 AND dup9_char_frac <= 0.11
+            AND dup10_char_frac <= 0.10) AS repetition_pass
+    FROM fr
+"""
+
+
+@golden("gopher_repetition", _GOPHER_REP_SQL)
+def q_gopher_repetition(spark, sf):
+    """The full Gopher §A1.2 repetition suite (X50+ — Rae et al. 2021
+    Table A1): duplicate line/paragraph fractions, their char
+    fractions, top-2/3/4-gram char coverage, dup-5..10-gram char
+    fractions (frozen occurrence-sum proxy), and the paper-threshold
+    conjunction — over composite pages synthesized identically on both
+    engines (every 2nd doc repeats a line, every 3rd a paragraph). The
+    oracle replays line/para split → group counts and gram slice →
+    counts → top-1 tie-break relationally; Spark computes the same 16
+    numbers map-side as one sorted run-length fold per metric."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_repetition_df,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 250)
+    l1 = F.substring("text", 1, 60)
+    l2 = F.substring("text", 61, 60)
+    l3 = F.substring("text", 121, 60)
+    synth = F.concat(
+        l1, F.lit("\n"), l2,
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("\n"), l1)).otherwise(
+            F.lit("")
+        ),
+        F.lit("\n\n"), l3,
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("\n\n"), l3)).otherwise(
+            F.lit("")
+        ),
+    )
+    fixture = docs.select("doc_id", synth.alias("text"))
+    return gopher_repetition_df(fixture).select(
+        "doc_id", "n_words", "n_lines", "n_paras",
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top2_char_frac", "top3_char_frac", "top4_char_frac",
+        "dup5_char_frac", "dup6_char_frac", "dup7_char_frac",
+        "dup8_char_frac", "dup9_char_frac", "dup10_char_frac",
+        "repetition_pass",
+    )
+
+
 @golden("langid", _LANGID_SQL)
 def q_langid(spark, sf):
     """Language identification (X54 — the missing CCNet stage 1, Wenzek
@@ -6707,15 +6902,15 @@ def q_pca_embed(spark, sf):
 # all judge-verified green at r8 end; (b) the 3 remaining r05 evictees;
 # (c) fill with the stalest survivors — r06-witnessed, non-tpch first
 # (operator-family diversity), then tpch in numeric-ish order. Left for
-# r10 (r06-witnessed, no seat this round): tpch_q12/q13/q15/q16/q17/
-# q19/q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
+# r10 (r06-witnessed, no seat this round): tpch_q11/q12/q13/q15/q16/
+# q17/q19/q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
 # bpe_tokens, rerank_ce, pca_embed, mmr_rerank, semdedup, onnx_embed,
 # ivf_accuracy_report, pack_bfd) take no seat (judge r7 #3). The window
 # must not change mid-round. Witness history is recomputable from
 # CORRECTNESS_r0*.json.
 _PRIORITY = [
     # never driver-witnessed, oracle-paired (r9 adds, then r8 adds)
-    "langid",
+    "langid", "gopher_repetition",
     "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
     "gopher_rules", "grounding", "prototype_prune", "c4_clean",
     # stalest: last witnessed r05 (the 3 remaining evictees)
@@ -6731,7 +6926,7 @@ _PRIORITY = [
     "text_stats", "tumbling_window", "union_all", "vector_distances",
     "vector_topk_exact", "window_funcs",
     # last witnessed r06, tpch
-    "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9",
 ]
 
 

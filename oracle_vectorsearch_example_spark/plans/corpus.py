@@ -49,6 +49,7 @@ def build_training_corpus(
     langid_model=None,
     lang_col: str = "lang",
     gopher_kwargs: dict | None = None,
+    gopher_rep_kwargs: dict | None = None,
     c4_kwargs: dict | None = None,
     url_col: str | None = None,
     split_weights: dict[str, float] | None = None,
@@ -103,7 +104,10 @@ def build_training_corpus(
     Optional Gopher rule gate (r8): ``gopher_kwargs`` (a dict — ``{}``
     for the paper's thresholds, or override any) applies
     :func:`~..functions.textstats.gopher_rules_df`'s named rule set
-    beside the heuristic quality gate, before the model gates.
+    beside the heuristic quality gate, before the model gates;
+    ``gopher_rep_kwargs`` (r9) likewise applies the full §A1.2
+    repetition suite (:func:`~..functions.textstats.
+    gopher_repetition_df`, Table A1 thresholds by default).
 
     Optional learned quality gate (r8, the GPT-3 classifier step):
     ``nb_model`` (a :class:`~..operators.nb.NbQualityModel`, fit
@@ -285,6 +289,23 @@ def build_training_corpus(
             .select(id_col)
         )
         gated = gated.join(g_ids, id_col, "left_semi")
+
+    # Gopher §A1.2 repetition suite (r9, opt-in): the full named
+    # repetition-removal set beside the §A1.1 rules — pass {} for the
+    # paper's Table A1 thresholds or override any. Map-side like the
+    # rule gate (sorted run-length folds, no shuffle).
+    if gopher_rep_kwargs is not None:
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            gopher_repetition_df,
+        )
+
+        r_ids = (
+            gopher_repetition_df(gated.select(id_col, text_col), text_col,
+                                 **gopher_rep_kwargs)
+            .filter(F.col("repetition_pass"))
+            .select(id_col)
+        )
+        gated = gated.join(r_ids, id_col, "left_semi")
 
     if max_ppl is not None:
         if perplexity_lm is None:

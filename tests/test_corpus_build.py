@@ -547,3 +547,20 @@ def test_corpus_build_c4_kwargs_reserved_keys_raise(spark):
     docs = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
     with pytest.raises(ValueError, match="out_col"):
         build_training_corpus(docs, c4_kwargs={"out_col": "clean"}, n_shards=1)
+
+
+def test_corpus_build_with_repetition_gate(spark):
+    """r9: the §A1.2 repetition suite drops degenerate-repetition pages
+    that pass the §A1.1 rule gate."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    good = " ".join(f"alpha{j} beta{j} gamma{j} delta{j}" for j in range(15))
+    loop = "the same five words repeat " * 30
+    rows = [(i, good + f" tail{i}") for i in range(5)]
+    rows.append((50, loop))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_training_corpus(docs, gopher_rep_kwargs={}, n_shards=2)
+    ids = {r.doc_id for r in out["documents"].collect()}
+    assert 50 not in ids and ids

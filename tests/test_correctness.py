@@ -70,6 +70,8 @@ def test_driver_window_composition():
         "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
         "gopher_rules", "grounding", "prototype_prune", "c4_clean",
         "simhash_neardup", "stratified_sample", "winnow_fingerprints",
+        # r9 adds
+        "langid", "gopher_repetition",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"

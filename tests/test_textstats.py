@@ -210,3 +210,79 @@ def test_gopher_rules_no_udf_no_shuffle(spark):
     plan = gopher_rules_df(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_gopher_repetition_hand_fixture(spark):
+    """§A1.2 suite against hand-computed fractions (r9)."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_repetition_df,
+    )
+
+    rows = [
+        (1, "a b\na b\nc d"),                    # dup line 'a b' ×2 of 3
+        (2, "p q r\n\np q r\n\nx y z"),          # dup para ×2 of 3
+        (3, "w1 w2 w3 w1 w2 w3 w1 w2 w3 tail"),  # heavy gram repetition
+        (4, "unique words only here now friend"),
+        (5, ""),
+        (6, " padded \n padded \nother line"),   # compared TRIMMED
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition_df(df).collect()}
+
+    assert out[1]["n_lines"] == 3 and out[1]["dup_line_frac"] == 0.666667
+    assert out[1]["dup_line_char_frac"] == 0.666667  # 6 of 9 line chars
+    assert out[1]["n_paras"] == 1 and out[1]["dup_para_frac"] == 0.0
+    assert out[2]["dup_para_frac"] == 0.666667
+    assert out[2]["dup_para_char_frac"] == 0.666667
+    # doc 3: top bigram 'w1 w2' ×3, len 5, over 31 normalized chars
+    assert out[3]["top2_char_frac"] == round(15 / 31, 6)
+    # dup 5-grams: two groups ×2 occurrences, len 14 each → the frozen
+    # occurrence-sum proxy exceeds 1 on degenerate repetition
+    assert out[3]["dup5_char_frac"] == round(56 / 31, 6)
+    assert out[3]["repetition_pass"] is False
+    assert out[4]["dup_line_frac"] == 0.0
+    # all-unique grams: top bigram is the LEX-SMALLEST ('here now', len 8)
+    assert out[4]["top2_char_frac"] == round(8 / 33, 6)
+    assert out[5]["n_lines"] == 0 and out[5]["repetition_pass"] is True
+    # trimmed comparison: ' padded ' lines dedup against each other
+    assert out[6]["dup_line_frac"] == 0.666667
+    assert out[6]["dup_line_char_frac"] == round(12 / 22, 6)
+
+
+def test_gopher_repetition_thresholds_parameterized(spark):
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_repetition_df,
+    )
+
+    df = spark.createDataFrame([(1, "a b\na b\nc d\ne f\ng h")], "doc_id long, text string")
+    short_doc_tops = dict(
+        max_top2_char_frac=1.0, max_top3_char_frac=1.0, max_top4_char_frac=1.0,
+        max_dup_line_char_frac=1.0,
+    )
+    strict = gopher_repetition_df(df, max_dup_line_frac=0.1, **short_doc_tops).first()
+    loose = gopher_repetition_df(df, max_dup_line_frac=0.9, **short_doc_tops).first()
+    assert strict["repetition_pass"] is False
+    assert loose["repetition_pass"] is True
+
+
+def test_gopher_repetition_no_udf_no_shuffle(spark):
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_repetition_df,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        gopher_repetition_df(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_gopher_repetition_staging_collision(spark):
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_repetition_df,
+    )
+
+    df = spark.createDataFrame([(1, "x", "y")], "doc_id long, text string, __s5 string")
+    with pytest.raises(ValueError, match="collide"):
+        gopher_repetition_df(df)
