@@ -33,6 +33,12 @@ from oracle_vectorsearch_example_spark.functions.summary import (
     utl_to_summary,
 )
 from oracle_vectorsearch_example_spark.functions.snippet import snippet_df
+from oracle_vectorsearch_example_spark.functions.phash import (
+    phash_df,
+    phash_from_pixels,
+    phash_gray_expr,
+    phash_neardup_pairs,
+)
 from oracle_vectorsearch_example_spark.functions.scrub import (
     redact_pii_df,
     remove_boilerplate_lines,
@@ -83,6 +89,10 @@ __all__ = [
     "utl_to_summary",
     "summarize_df",
     "snippet_df",
+    "phash_df",
+    "phash_from_pixels",
+    "phash_gray_expr",
+    "phash_neardup_pairs",
     "redact_pii_df",
     "remove_boilerplate_lines",
     "detect_format",

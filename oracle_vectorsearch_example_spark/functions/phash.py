@@ -1,0 +1,296 @@
+"""Perceptual image hashing (X55, multimodal dedup surface) — the
+classic DCT pHash (Zauner 2010, "Implementation and Benchmarking of
+Perceptual Image Hash Functions"; the pHash.org algorithm): resize to
+32×32 grayscale, 2-D DCT, keep the 8×8 low-frequency band, threshold
+each coefficient against the band's median → a 63-bit signature whose
+hamming distance survives re-encoding, resizing and small edits. This
+is the image analog of the text near-dup canon (X2/X35): exact dedup
+catches byte-identical files; pHash catches the re-encoded/resized
+copies that dominate crawled image sets.
+
+Frozen FIXED-POINT spec (engine-replayable — the reason this golden can
+be hash-oracled where a float DCT never could):
+
+- grayscale: ``(299·R + 587·G + 114·B) // 1000`` (integer floor);
+- resize: point-sample ``g32[i][j] = gray[(i·h)//32][(j·w)//32]``;
+- DCT basis: ``T[u][x] = round(cos((2x+1)·u·π/64) · 32768)`` for
+  u∈0..7, x∈0..31 — materialized ONCE below as the integer constant
+  table ``PHASH_DCT_TABLE`` (both the Spark exprs and the DuckDB
+  oracle consume these exact integers, so no libm/rounding dependence
+  survives into the spec);
+- ``M1[u][y] = Σ_x T[u][x]·g32[x][y]``;
+  ``C[u][v] = Σ_y M1[u][y]·T[v][y]`` — all int64, no overflow
+  (|C| ≤ 32²·32768·255 ≈ 2.7e14);
+- band values: the 63 row-major C[u][v] with (0,0) excluded; median =
+  the 32nd smallest (lower median); bit_i = C_i > median;
+  ``phash = Σ bit_i << (62 − i)`` (non-negative, fits a BIGINT).
+
+Near-dup search: hamming ≤ d pairs via the pigeonhole band trick the
+BQ/minhash paths already use — split the 63 bits into d+1 bands; two
+hashes within hamming d must agree EXACTLY on ≥ 1 band, so candidates
+come from equality self-joins on (band_idx, band_value) — never
+all-pairs — and one XOR+bit_count verifies. Scale posture: candidate
+generation is d+1 skinny (id, band) frames; payloads never move.
+
+Reference anchor: the reference ingests documents as opaque binary +
+metadata (01_pdf_to_vector.sql:20-27 CREATE TABLE with BLOB column);
+this extends the same binary-column discipline to image identity.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PHASH_DCT_TABLE",
+    "phash_gray_expr",
+    "phash_from_gray32",
+    "phash_from_pixels",
+    "phash_gray_udf_df",
+    "phash_df",
+    "phash_neardup_pairs",
+]
+
+# T[u][x] = round(cos((2x+1)·u·π/64) · 32768), u∈0..7, x∈0..31 —
+# generated once from math.cos and frozen by inlining into every
+# consumer (column exprs, numpy path, oracle SQL) as plain integers.
+PHASH_DCT_TABLE: list[list[int]] = [
+    [round(math.cos((2 * x + 1) * u * math.pi / 64) * 32768) for x in range(32)]
+    for u in range(8)
+]
+_T_FLAT = [v for row in PHASH_DCT_TABLE for v in row]  # t(u,x) at u*32+x
+
+
+def phash_gray_expr(gray: Column) -> Column:
+    """The spec as pure column expressions: ``gray`` is a flat
+    1024-element int array (row-major 32×32) → BIGINT phash. This is
+    the normative implementation the golden hash-checks; the Arrow
+    path below is its exact integer equal (tested). The caller should
+    stage ``gray`` in its own projection (multi-referenced)."""
+    tarr = F.array(*[F.lit(v) for v in _T_FLAT])
+
+    def m1_entry(u, y):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.element_at(tarr, u * 32 + x + 1).cast("long")
+            * F.element_at(gray, x * 32 + y + 1).cast("long"),
+        )
+
+    m1 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda u: F.transform(
+                F.sequence(F.lit(0), F.lit(31)), lambda y: m1_entry(u, y)
+            ),
+        )
+    )
+
+    def from_m1(m1c: Column) -> Column:
+        cvals = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda u: F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda v: F.aggregate(
+                        F.sequence(F.lit(0), F.lit(31)),
+                        F.lit(0).cast("long"),
+                        lambda acc, y: acc
+                        + F.element_at(m1c, u * 32 + y + 1)
+                        * F.element_at(tarr, v * 32 + y + 1).cast("long"),
+                    ),
+                ),
+            )
+        )
+
+        pows = F.array(
+            *[F.lit(1 << (62 - i)).cast("long") for i in range(63)]
+        )
+
+        def from_band(vals: Column) -> Column:
+            med = F.element_at(F.array_sort(vals), 32)
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(62)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(
+                    F.element_at(vals, i + 1) > med,
+                    F.element_at(pows, i + 1),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+
+        # bind the 63-value band once via a HOF so it isn't re-evaluated
+        # per bit (transform over a 1-element array = a let-binding)
+        return F.element_at(
+            F.transform(
+                F.array(F.slice(cvals, 2, 63)), lambda band: from_band(band)
+            ),
+            1,
+        )
+
+    return F.element_at(
+        F.transform(F.array(m1), lambda m1c: from_m1(m1c)), 1
+    )
+
+
+def phash_from_gray32(g32) -> int:
+    """numpy int64 path over an already-sampled (32, 32) int gray matrix
+    — the EXACT integer equal of :func:`phash_gray_expr` (same table,
+    same median/bit rules; parity-tested)."""
+    import numpy as np
+
+    g32 = np.asarray(g32, dtype=np.int64).reshape(32, 32)
+    t = np.asarray(PHASH_DCT_TABLE, dtype=np.int64)  # (8, 32)
+    c = t @ g32 @ t.T  # (8, 8) int64
+    vals = c.flatten()[1:]  # 63 row-major, DC excluded
+    med = np.sort(vals)[31]
+    bits = vals > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << (62 - i)
+    return out
+
+
+def phash_from_pixels(px) -> int:
+    """numpy int64 reference/production path over an (h, w, 3) uint8 RGB
+    array — grayscale + point-sample per the frozen spec, then
+    :func:`phash_from_gray32`. Used inside the decode UDF."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.int64)
+    h, w = px.shape[0], px.shape[1]
+    gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    ri = (np.arange(32) * h) // 32
+    ci = (np.arange(32) * w) // 32
+    return phash_from_gray32(gray[np.ix_(ri, ci)])
+
+
+def phash_gray_udf_df(
+    df: DataFrame,
+    gray_col: str = "gray",
+    id_col: str = "doc_id",
+    out_col: str = "phash",
+) -> DataFrame:
+    """(id, phash) from flat 1024-int gray arrays via the Arrow path —
+    the fast equal of mapping :func:`phash_gray_expr` over the same
+    column (the interpreted-HOF expr spec costs ~250 ms/row; the numpy
+    matmul microseconds — equality is pytest-pinned, so the golden gate
+    runs this one)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _ph(s: pd.Series) -> pd.Series:
+        return s.map(lambda g: phash_from_gray32(g))
+
+    return df.select(id_col, _ph(F.col(gray_col)).alias(out_col))
+
+
+def phash_df(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    out_col: str = "phash",
+    on_error: str = "null",
+) -> DataFrame:
+    """(id, phash) — decode each binary image payload (the X4
+    magic-dispatched real decoders: BMP/PNG/GIF/TIFF/JPEG) and hash it.
+    Arrow-batched mapInPandas; undecodable payloads yield NULL
+    (``on_error='null'``) or raise (``'raise'``). Map-side only —
+    payloads never shuffle."""
+    if on_error not in ("null", "raise"):
+        raise ValueError("on_error must be 'null' or 'raise'")
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    schema = f"{id_col} long, {out_col} long"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                try:
+                    px = decode_image_pixels(bytes(row[payload_col]))
+                    out.append((row[id_col], phash_from_pixels(px)))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out.append((row[id_col], None))
+            yield pd.DataFrame(out, columns=[id_col, out_col])
+
+    return media.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — all pairs within ``max_hamming`` bits,
+    id_a < id_b. Pigeonhole banding: the 63 bits split into
+    ``max_hamming + 1`` bands, so any qualifying pair agrees exactly on
+    at least one band; candidates come from per-band equality
+    self-joins over skinny (id, band_val) rows (NEVER all-pairs), then
+    one XOR+bit_count verify. NULL hashes (failed decodes) drop out."""
+    if not 0 <= max_hamming <= 62:
+        raise ValueError("max_hamming must be in [0, 62]")
+    n_bands = max_hamming + 1
+    base = 63 // n_bands
+    extra = 63 % n_bands  # first `extra` bands get one extra bit
+    h = df.select(F.col(id_col), F.col(hash_col)).filter(
+        F.col(hash_col).isNotNull()
+    )
+    bands = []
+    start = 0
+    for k in range(n_bands):
+        width = base + (1 if k < extra else 0)
+        bands.append(
+            h.select(
+                id_col,
+                hash_col,
+                F.lit(k).alias("band"),
+                (
+                    F.shiftright(F.col(hash_col), start).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                ).alias("bval"),
+            )
+        )
+        start += width
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("__ha"),
+        "band",
+        "bval",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("__hb"),
+        "band",
+        "bval",
+    )
+    cand = (
+        left.join(right, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("__ha").bitwiseXOR(F.col("__hb"))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -3066,6 +3066,165 @@ def q_nb_quality(spark, sf):
     return nb_scores(raw, model).select("doc_id", "n_tokens", "score")
 
 
+def _phash_t_values() -> str:
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        PHASH_DCT_TABLE,
+    )
+
+    return ", ".join(
+        f"({u}, {x}, {tv})"
+        for u, row in enumerate(PHASH_DCT_TABLE)
+        for x, tv in enumerate(row)
+    )
+
+
+# The DCT basis constants are inlined into the oracle text from the SAME
+# Python list the Spark paths consume (functions/phash.py
+# PHASH_DCT_TABLE), so the fixed-point spec has no cross-engine float
+# dependence at all — both engines do pure int64 arithmetic.
+_PHASH_SQL = f"""
+    WITH t(u, x, tv) AS (VALUES {{T}}),
+    d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    g AS (
+      SELECT doc_id, p,
+             (doc_id * 7 + (p // 32) * 13 + (p % 32) * 31) % 256 AS gv
+      FROM d, unnest(generate_series(0, 1023)) AS s(p)
+    ),
+    m1 AS (
+      SELECT g.doc_id, t.u, g.p % 32 AS y, sum(t.tv * g.gv)::BIGINT AS m
+      FROM g JOIN t ON t.x = g.p // 32 GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT m1.doc_id, m1.u AS cu, t.u AS cv2, sum(m1.m * t.tv)::BIGINT AS cval
+      FROM m1 JOIN t ON t.x = m1.y GROUP BY 1, 2, 3
+    ),
+    v AS (
+      SELECT doc_id, cu * 8 + cv2 AS idx, cval
+      FROM c WHERE NOT (cu = 0 AND cv2 = 0)
+    ),
+    med AS (
+      SELECT doc_id, cval AS m FROM (
+        SELECT doc_id, cval,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cval) AS rn
+        FROM v
+      ) WHERE rn = 32
+    )
+    SELECT v.doc_id,
+           sum(CASE WHEN v.cval > med.m
+                    THEN 1::BIGINT << (62 - (v.idx - 1))
+                    ELSE 0 END)::BIGINT AS phash
+    FROM v JOIN med USING (doc_id) GROUP BY v.doc_id
+""".replace("{T}", _phash_t_values())
+
+
+@golden("image_phash", _PHASH_SQL)
+def q_image_phash(spark, sf):
+    """Perceptual image hash (X55 — the pHash.org DCT hash, Zauner
+    2010), FIXED-POINT frozen spec: 32×32 gray → int64 DCT with the
+    inlined Q15 cosine table → 8×8 low band → lower-median threshold →
+    63-bit signature. The fixture synthesizes gray matrices arithmetically
+    from doc_id (identically on both engines), so DuckDB replays the
+    ENTIRE hash — basis products, band median, bit packing — as exact
+    relational integer math. The Spark side runs the production Arrow
+    path, pytest-pinned equal to the normative column-expr spec
+    (phash_gray_expr)."""
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_gray_udf_df,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    gray = F.transform(
+        F.sequence(F.lit(0), F.lit(1023)),
+        lambda p: (
+            (F.col("doc_id") * 7 + F.floor(p / 32) * 13 + (p % 32) * 31) % 256
+        ).cast("int"),
+    )
+    fixture = docs.select("doc_id", gray.alias("gray"))
+    return phash_gray_udf_df(fixture)
+
+
+_PHASH_ND_SQL = f"""
+    WITH t(u, x, tv) AS (VALUES {{T}}),
+    d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    g AS (
+      SELECT doc_id, p,
+             ((doc_id % 5) * 37 + (p // 32) * 13 + (p % 32) * 31
+              + CASE WHEN p = (doc_id * 11) % 1024 THEN 7 ELSE 0 END)
+             % 256 AS gv
+      FROM d, unnest(generate_series(0, 1023)) AS s(p)
+    ),
+    m1 AS (
+      SELECT g.doc_id, t.u, g.p % 32 AS y, sum(t.tv * g.gv)::BIGINT AS m
+      FROM g JOIN t ON t.x = g.p // 32 GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT m1.doc_id, m1.u AS cu, t.u AS cv2, sum(m1.m * t.tv)::BIGINT AS cval
+      FROM m1 JOIN t ON t.x = m1.y GROUP BY 1, 2, 3
+    ),
+    v AS (
+      SELECT doc_id, cu * 8 + cv2 AS idx, cval
+      FROM c WHERE NOT (cu = 0 AND cv2 = 0)
+    ),
+    med AS (
+      SELECT doc_id, cval AS m FROM (
+        SELECT doc_id, cval,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cval) AS rn
+        FROM v
+      ) WHERE rn = 32
+    ),
+    ph AS (
+      SELECT v.doc_id,
+             sum(CASE WHEN v.cval > med.m
+                      THEN 1::BIGINT << (62 - (v.idx - 1))
+                      ELSE 0 END)::BIGINT AS phash
+      FROM v JOIN med USING (doc_id) GROUP BY v.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.phash, b.phash))::INTEGER AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 8
+""".replace("{T}", _phash_t_values())
+
+
+@golden("phash_neardup", _PHASH_ND_SQL)
+def q_phash_neardup(spark, sf):
+    """Perceptual near-dup pairs (X55): Spark finds hamming ≤ 8 pairs
+    via PIGEONHOLE BANDING (9 bands of 7 bits; a qualifying pair must
+    agree exactly on ≥ 1 band — candidates from per-band equality
+    self-joins, never all-pairs) + one XOR+bit_count verify; the oracle
+    computes the EXHAUSTIVE all-pairs answer, so the hash match
+    witnesses blocker COMPLETENESS — the fuzzy_pairs discipline. The
+    fixture plants 5 pattern classes with single-pixel perturbations:
+    within-class pairs land near, cross-class far."""
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_gray_udf_df,
+        phash_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    gray = F.transform(
+        F.sequence(F.lit(0), F.lit(1023)),
+        lambda p: (
+            (
+                (F.col("doc_id") % 5) * 37
+                + F.floor(p / 32) * 13
+                + (p % 32) * 31
+                + F.when(p == (F.col("doc_id") * 11) % 1024, 7).otherwise(0)
+            )
+            % 256
+        ).cast("int"),
+    )
+    fixture = docs.select("doc_id", gray.alias("gray"))
+    hashes = phash_gray_udf_df(fixture)
+    return phash_neardup_pairs(
+        hashes, id_col="doc_id", hash_col="phash", max_hamming=8
+    ).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "hamming",
+    )
+
+
 _LANGID_SQL = """
     WITH base AS (
       SELECT doc_id,
@@ -6902,15 +7061,15 @@ def q_pca_embed(spark, sf):
 # all judge-verified green at r8 end; (b) the 3 remaining r05 evictees;
 # (c) fill with the stalest survivors — r06-witnessed, non-tpch first
 # (operator-family diversity), then tpch in numeric-ish order. Left for
-# r10 (r06-witnessed, no seat this round): tpch_q11/q12/q13/q15/q16/
-# q17/q19/q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
+# r10 (r06-witnessed, no seat this round): tpch_q8/q9/q11/q12/q13/q15/
+# q16/q17/q19/q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
 # bpe_tokens, rerank_ce, pca_embed, mmr_rerank, semdedup, onnx_embed,
 # ivf_accuracy_report, pack_bfd) take no seat (judge r7 #3). The window
 # must not change mid-round. Witness history is recomputable from
 # CORRECTNESS_r0*.json.
 _PRIORITY = [
     # never driver-witnessed, oracle-paired (r9 adds, then r8 adds)
-    "langid", "gopher_repetition",
+    "langid", "gopher_repetition", "image_phash", "phash_neardup",
     "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
     "gopher_rules", "grounding", "prototype_prune", "c4_clean",
     # stalest: last witnessed r05 (the 3 remaining evictees)
@@ -6926,7 +7085,7 @@ _PRIORITY = [
     "text_stats", "tumbling_window", "union_all", "vector_distances",
     "vector_topk_exact", "window_funcs",
     # last witnessed r06, tpch
-    "tpch_q1", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9",
+    "tpch_q1", "tpch_q4", "tpch_q6",
 ]
 
 

@@ -71,7 +71,7 @@ def test_driver_window_composition():
         "gopher_rules", "grounding", "prototype_prune", "c4_clean",
         "simhash_neardup", "stratified_sample", "winnow_fingerprints",
         # r9 adds
-        "langid", "gopher_repetition",
+        "langid", "gopher_repetition", "image_phash", "phash_neardup",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"

@@ -1,0 +1,140 @@
+"""X55 perceptual image hashing — fixed-point spec parity (column-expr
+vs numpy), real-codec round trips, planted near-dup recovery, banding
+completeness vs brute force, error handling, plan/layout hygiene."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.phash import (
+    PHASH_DCT_TABLE,
+    phash_df,
+    phash_from_gray32,
+    phash_from_pixels,
+    phash_gray_expr,
+    phash_gray_udf_df,
+    phash_neardup_pairs,
+)
+
+
+def _pattern_px(h, w, seed):
+    """Deterministic non-trivial pixel pattern."""
+    x = np.arange(h)[:, None] * 13 + np.arange(w)[None, :] * 31 + seed * 7
+    px = np.stack([(x * 3) % 256, (x * 5) % 256, (x * 7) % 256], axis=-1)
+    return px.astype(np.uint8)
+
+
+def test_dct_table_frozen_shape():
+    assert len(PHASH_DCT_TABLE) == 8 and all(len(r) == 32 for r in PHASH_DCT_TABLE)
+    assert PHASH_DCT_TABLE[0] == [32768] * 32  # u=0 row: cos(0)=1
+
+
+def test_expr_equals_numpy(spark):
+    """The normative column-expr spec and the Arrow production path are
+    the same integer function."""
+    rows = []
+    for d in range(4):
+        g = [(d * 7 + (p // 32) * 13 + (p % 32) * 31) % 256 for p in range(1024)]
+        rows.append((d, g))
+    df = spark.createDataFrame(rows, "doc_id long, gray array<int>")
+    via_expr = {
+        r.doc_id: r.ph
+        for r in df.withColumn("ph", phash_gray_expr(F.col("gray"))).collect()
+    }
+    via_udf = {r.doc_id: r.phash for r in phash_gray_udf_df(df).collect()}
+    ref = {d: phash_from_gray32(g) for d, g in rows}
+    assert via_expr == ref and via_udf == ref
+    assert all(0 <= v < (1 << 63) for v in ref.values())
+
+
+def test_real_codec_roundtrip_identity(spark):
+    """The SAME pixels through BMP and PNG containers hash identically
+    (both lossless), and a perturbed copy lands within a small hamming
+    distance while a different pattern lands far — the property that
+    makes pHash a dedup key."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    px = _pattern_px(48, 64, seed=1)
+    near = px.copy()
+    near[:2, :2, :] = 255  # small corner edit
+    far = _pattern_px(48, 64, seed=9)[::-1, :, :]
+    rows = [
+        (1, bytearray(encode_bmp(px))),
+        (2, bytearray(encode_png(px))),
+        (3, bytearray(encode_bmp(near))),
+        (4, bytearray(encode_bmp(far))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.phash for r in phash_df(df).collect()}
+    assert got[1] == got[2] == phash_from_pixels(px)
+    ham_near = bin(got[1] ^ got[3]).count("1")
+    ham_far = bin(got[1] ^ got[4]).count("1")
+    assert ham_near <= 10 < ham_far
+
+
+def test_neardup_pairs_match_brute_force(spark):
+    """Pigeonhole banding finds EXACTLY the brute-force hamming ≤ d
+    set (completeness is a theorem; this pins the implementation)."""
+    rng = np.random.RandomState(7)
+    base = int(rng.randint(0, 1 << 31)) | (int(rng.randint(0, 1 << 31)) << 31)
+    hashes = {0: base}
+    for i in range(1, 30):
+        h = base
+        for b in rng.choice(63, size=int(rng.randint(0, 12)), replace=False):
+            h ^= 1 << int(b)
+        hashes[i] = h
+    df = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], "media_id long, phash long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(df, max_hamming=6).collect()
+    }
+    want = {}
+    for a in hashes:
+        for b in hashes:
+            if a < b:
+                d = bin(hashes[a] ^ hashes[b]).count("1")
+                if d <= 6:
+                    want[(a, b)] = d
+    assert got == want
+
+
+def test_neardup_null_hashes_drop(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, None)], "media_id long, phash long"
+    )
+    pairs = phash_neardup_pairs(df, max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_neardup_bounds(spark):
+    df = spark.createDataFrame([(1, 5)], "media_id long, phash long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        phash_neardup_pairs(df, max_hamming=63)
+
+
+def test_decode_error_null_or_raise(spark):
+    rows = [(1, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    assert phash_df(df).first().phash is None
+    with pytest.raises(Exception):
+        phash_df(df, on_error="raise").collect()
+
+
+def test_layout_determinism(spark):
+    from oracle_vectorsearch_example_spark.operators.multimodal import encode_bmp
+
+    rows = [
+        (i, bytearray(encode_bmp(_pattern_px(40, 40, seed=i % 3))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    a = sorted(map(tuple, phash_df(df).collect()))
+    b = sorted(map(tuple, phash_df(df.repartition(5)).collect()))
+    assert a == b
