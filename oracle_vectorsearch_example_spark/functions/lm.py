@@ -170,6 +170,7 @@ def perplexity_buckets(
     group_col: str | None = None,
     broadcast_lm: bool = False,
     out_col: str = "bucket",
+    approx: int | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail partitioning (Wenzek et al. 2020 §4.3):
     per ``group_col`` (typically language — CCNet cuts per language so
@@ -181,17 +182,36 @@ def perplexity_buckets(
     and 2/3 of the group's ppl values, rounded to 6 dp (both engines
     interpolate rank p·(n−1) identically); bucket = head iff ppl ≤ c1,
     middle iff ppl ≤ c2, else tail. The cutoff frame is group-bounded
-    metadata and broadcasts; payloads never shuffle."""
+    metadata and broadcasts; payloads never shuffle.
+
+    ``approx`` (r9, the 100 TB knob): the exact interpolated percentile
+    is a full-sort-shaped aggregate — at corpus scale pass an accuracy
+    (the Greenwald-Khanna inverse relative error of
+    ``percentile_approx``; 10000 ⇒ rank error ≤ n/10000) to compute the
+    cuts with the mergeable sketch instead. Sketch cuts are NOT part of
+    the hash-golden spec (approx ops are never hash-checked, SURVEY §5);
+    the tolerance gate in tests pins bucket-assignment agreement ≥ 0.999
+    against the exact cuts at 200k docs. Only documents whose ppl lands
+    between the exact and sketch cut can change bucket — the boundary
+    band the rank error bounds."""
     ppl = perplexity_df(docs, lm, id_col, text_col, broadcast_lm=broadcast_lm)
     if group_col is not None:
         ppl = ppl.join(docs.select(id_col, group_col), id_col)
         cuts = ppl.groupBy(group_col)
     else:
         cuts = ppl.groupBy()
-    cuts = cuts.agg(
-        F.round(F.percentile("ppl", 1.0 / 3), 6).alias("__c1"),
-        F.round(F.percentile("ppl", 2.0 / 3), 6).alias("__c2"),
-    )
+    if approx is not None:
+        if approx < 1:
+            raise ValueError("approx (percentile_approx accuracy) must be >= 1")
+        cuts = cuts.agg(
+            F.round(F.percentile_approx("ppl", 1.0 / 3, approx), 6).alias("__c1"),
+            F.round(F.percentile_approx("ppl", 2.0 / 3, approx), 6).alias("__c2"),
+        )
+    else:
+        cuts = cuts.agg(
+            F.round(F.percentile("ppl", 1.0 / 3), 6).alias("__c1"),
+            F.round(F.percentile("ppl", 2.0 / 3), 6).alias("__c2"),
+        )
     joined = (
         ppl.join(F.broadcast(cuts), group_col)
         if group_col is not None

@@ -54,6 +54,8 @@ def build_training_corpus(
     url_col: str | None = None,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
+    bpe_merges: list | None = None,
+    bpe_overflow: str = "error",
     n_shards: int = 8,
     seed: int = 42,
     warehouse=None,
@@ -124,6 +126,16 @@ def build_training_corpus(
     terciles' ``group_col``) a real source. A pre-existing ``lang_col``
     is trusted as-is (caller-declared labels win; the model only fills
     the gap).
+
+    Optional tokenizer-consistent packing (r9): ``bpe_merges`` (the
+    merge list from :func:`~..functions.bpe.train_bpe`) switches the
+    packs table to no-split Best-Fit-Decreasing packing
+    (:func:`~..operators.packing.pack_sequences_bfd`) with budgets in
+    MODEL-token units — each train document counted under the learned
+    merges via :func:`~..functions.bpe.bpe_encode_df` — instead of the
+    whitespace-token concat-split of :func:`pack_sequences`.
+    ``bpe_overflow`` forwards the too-long-document policy
+    (error/truncate/drop).
 
     Source-weighted mixtures compose DOWNSTREAM of this build (mixing
     before dedup would collapse the repeated epochs as duplicates): run
@@ -333,14 +345,41 @@ def build_training_corpus(
     # the dedup+gate upstream runs once, not once per written table
     split = split.persist()
     train = split.filter(F.col("split") == "train")
-    packs = pack_sequences(
-        train,
-        max_tokens=max_tokens,
-        id_col=id_col,
-        text_col=text_col,
-        n_shards=n_shards,
-        seed=seed,
-    )
+    if bpe_merges is not None:
+        # tokenizer-consistent packing (r9): pack budgets in MODEL-token
+        # units, not whitespace proxies — bpe_encode_df counts each
+        # train doc under the learned merges (skinny (id, n_tokens)
+        # frame; token arrays never leave the count stage), then BFD
+        # packs whole docs against those counts
+        from oracle_vectorsearch_example_spark.functions.bpe import (
+            bpe_encode_df,
+        )
+        from oracle_vectorsearch_example_spark.operators.packing import (
+            pack_sequences_bfd,
+        )
+
+        counts = bpe_encode_df(
+            train, bpe_merges, text_col=text_col, id_col=id_col
+        ).select(id_col, F.col("n_tokens").alias("__bpe_tokens"))
+        packs = pack_sequences_bfd(
+            train.join(counts, id_col),
+            max_tokens=max_tokens,
+            id_col=id_col,
+            text_col=text_col,
+            token_count_col="__bpe_tokens",
+            n_shards=n_shards,
+            seed=seed,
+            overflow=bpe_overflow,
+        )
+    else:
+        packs = pack_sequences(
+            train,
+            max_tokens=max_tokens,
+            id_col=id_col,
+            text_col=text_col,
+            n_shards=n_shards,
+            seed=seed,
+        )
     stats = split.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length(text_col)).alias("n_chars"),

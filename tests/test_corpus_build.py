@@ -564,3 +564,47 @@ def test_corpus_build_with_repetition_gate(spark):
     out = build_training_corpus(docs, gopher_rep_kwargs={}, n_shards=2)
     ids = {r.doc_id for r in out["documents"].collect()}
     assert 50 not in ids and ids
+
+
+def test_corpus_build_bpe_true_packing(spark):
+    """r9: bpe_merges= packs the train split BFD with budgets in
+    MODEL-token units — every pack's summed BPE token count fits
+    max_tokens even where the whitespace proxy would overflow (few
+    merges => multiple BPE tokens per word)."""
+    from oracle_vectorsearch_example_spark.functions.bpe import (
+        bpe_encode_df,
+        train_bpe,
+    )
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 17 + j) % 40}token" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, num_merges=8)
+    out = build_training_corpus(
+        docs, bpe_merges=merges, max_tokens=256, n_shards=2
+    )
+    packs = out["packs"]
+    surv = out["documents"].filter(F.col("split") == "train")
+    counts = bpe_encode_df(surv, merges).select(
+        "doc_id", F.col("n_tokens").alias("n_bpe")
+    )
+    per_pack = (
+        packs.join(counts, "doc_id")
+        .groupBy("shard", "pack_id")
+        .agg(F.sum("n_bpe").alias("tot"))
+        .collect()
+    )
+    assert per_pack and all(r.tot <= 256 for r in per_pack)
+    # BPE-true counts genuinely exceed the whitespace proxy here (each
+    # 'wNNtoken' word splits into several merges-era tokens), so the
+    # budget being honored is a model-unit statement, not a ws one
+    ws = surv.select(F.sum(F.size(F.split("text", r"\s+"))).alias("n")).first().n
+    bpe_total = counts.agg(F.sum("n_bpe")).first()[0]
+    assert bpe_total > ws
+    # one row per doc (no-split packing)
+    assert packs.count() == surv.count()

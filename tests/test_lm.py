@@ -193,3 +193,48 @@ def test_buckets_layout_determinism(spark, lm):
     a = sorted(map(tuple, perplexity_buckets(docs, lm).collect()))
     b = sorted(map(tuple, perplexity_buckets(docs.repartition(5), lm).collect()))
     assert a == b
+
+
+def test_buckets_approx_agrees_with_exact_at_200k(spark):
+    """r9 tolerance gate for the approx= knob: at 200k docs the
+    percentile_approx cuts must place >= 99.9% of documents in the same
+    tercile as the exact interpolated cuts. Only docs whose ppl lands
+    between the exact and sketch cut can differ -- the boundary band the
+    GK rank error (n/accuracy) bounds."""
+    import os
+
+    from oracle_vectorsearch_example_spark.functions.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+    from oracle_vectorsearch_example_spark.sources.corpus_fixture import (
+        ensure_corpus_fixture,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".corpus_fixture",
+    )
+    docs = ensure_corpus_fixture(spark, base)  # 200k cached parquet
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") < 5000))
+    exact = perplexity_buckets(docs, lm, broadcast_lm=True).select(
+        "doc_id", F.col("bucket").alias("b_exact")
+    )
+    approx = perplexity_buckets(
+        docs, lm, broadcast_lm=True, approx=10000
+    ).select("doc_id", F.col("bucket").alias("b_approx"))
+    j = exact.join(approx, "doc_id")
+    total = j.count()
+    agree = j.filter(F.col("b_exact") == F.col("b_approx")).count()
+    assert total == 200_000
+    assert agree / total >= 0.999, f"agreement {agree}/{total}"
+
+
+def test_buckets_approx_validation(spark, lm):
+    from oracle_vectorsearch_example_spark.functions.lm import (
+        perplexity_buckets,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="accuracy"):
+        perplexity_buckets(docs, lm, approx=0)
