@@ -741,6 +741,229 @@ def main():
     except Exception as e:  # noqa: BLE001
         results.setdefault("rules_200k", {"err": str(e).splitlines()[0][:200]})
 
+    # --- Gopher §A1.2 repetition suite at 200k docs (X50+, r9): 13
+    # metrics = 11 sorted run-length folds per doc, all map-side (no
+    # shuffle, no UDF) — the rules_200k-style linear-throughput witness
+    # for the heavier gate. Extras record the pass count so the number
+    # stays semantic.
+    try:
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            gopher_repetition_df,
+        )
+
+        rep_docs = _ecf(spark, _corpus_base)
+
+        def _rep():
+            return gopher_repetition_df(rep_docs).select(
+                "doc_id", "repetition_pass", "dup5_char_frac"
+            )
+
+        run_entry("repetition_200k", lambda: _execute(_rep()))
+        ragg = _rep().agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("repetition_pass").cast("long")).alias("p"),
+        ).collect()[0]
+        extras["repetition_200k"] = {
+            "n_docs": int(ragg["n"]),
+            "repetition_pass": int(ragg["p"]),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "repetition_200k", {"err": str(e).splitlines()[0][:200]}
+        )
+
+    # --- CCNet terciles with the approx knob at 200k docs (X29+, r9):
+    # percentile_approx (GK sketch, mergeable — the 100 TB path) vs the
+    # exact interpolated cuts; extras record the bucket agreement the
+    # pytest gate pins ≥ 0.999 and the exact path's wall for the
+    # trade-off.
+    try:
+        from oracle_vectorsearch_example_spark.functions.lm import (
+            perplexity_buckets,
+            train_bigram_lm,
+        )
+
+        ppl_docs = _ecf(spark, _corpus_base)
+        ppl_lm = train_bigram_lm(ppl_docs.filter(F.col("doc_id") < 5_000))
+        run_entry(
+            "ppl_buckets_200k",
+            lambda: _execute(
+                perplexity_buckets(
+                    ppl_docs, ppl_lm, broadcast_lm=True, approx=10_000
+                )
+            ),
+        )
+        t_ex = time.time()
+        exact_b = perplexity_buckets(
+            ppl_docs, ppl_lm, broadcast_lm=True
+        ).select("doc_id", F.col("bucket").alias("b_e"))
+        apx_b = perplexity_buckets(
+            ppl_docs, ppl_lm, broadcast_lm=True, approx=10_000
+        ).select("doc_id", F.col("bucket").alias("b_a"))
+        jn = exact_b.join(apx_b, "doc_id")
+        n_tot = jn.count()
+        n_agree = jn.filter(F.col("b_e") == F.col("b_a")).count()
+        extras["ppl_buckets_200k"] = {
+            "n_docs": n_tot,
+            "bucket_agreement": round(n_agree / max(n_tot, 1), 6),
+            "exact_plus_compare_wall": round(time.time() - t_ex, 3),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "ppl_buckets_200k", {"err": str(e).splitlines()[0][:200]}
+        )
+
+    # --- langid over 50k docs (X54, r9): model fit on a 6k labeled
+    # slice of three synthetic 'languages' (identity / reversed /
+    # digit-substituted — the fixture's words are digit-heavy, so the
+    # substitution is what makes the classes separable), then the
+    # broadcast-model distributive-sum scoring pass (canonical=False,
+    # the corpus-scale path) — the gram frame widens 3-fold via a
+    # literal-array explode, one skinny (doc, lang) shuffle. Extras
+    # record label accuracy on the known synthetic truth.
+    try:
+        from oracle_vectorsearch_example_spark.operators.langid import (
+            langid_fit,
+            langid_predict,
+        )
+
+        li_base = _ecf(spark, _corpus_base).filter(F.col("doc_id") < 50_000)
+        cls = F.col("doc_id") % 3
+        synth = (
+            F.when(cls == 0, F.col("text"))
+            .when(cls == 1, F.reverse(F.col("text")))
+            .otherwise(
+                F.translate(F.col("text"), "0123456789", "abcdefghij")
+            )
+        )
+        truth = (
+            F.when(cls == 0, F.lit("en"))
+            .when(cls == 1, F.lit("rv"))
+            .otherwise(F.lit("vx"))
+        )
+        li_docs = li_base.select(
+            "doc_id", synth.alias("text"), truth.alias("__truth")
+        ).localCheckpoint()
+        li_model = langid_fit(
+            li_docs.filter(F.col("doc_id") < 6_000).select(
+                "doc_id", "text", F.col("__truth").alias("lang")
+            )
+        )
+        li_model.counts.persist().count()
+        li_model.classes.persist().count()
+        run_entry(
+            "langid_50k",
+            lambda: _execute(
+                langid_predict(li_docs, li_model, canonical=False)
+            ),
+        )
+        pred = langid_predict(li_docs, li_model, canonical=False).join(
+            li_docs.select("doc_id", "__truth"), "doc_id"
+        )
+        n_pred = pred.count()
+        n_right = pred.filter(F.col("lang") == F.col("__truth")).count()
+        extras["langid_50k"] = {
+            "n_docs": 50_000,
+            "accuracy": round(n_right / max(n_pred, 1), 6),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("langid_50k", {"err": str(e).splitlines()[0][:200]})
+
+    # --- pHash at 50k images (X55, r9): synthetic 32×32 gray matrices
+    # (the decode stage is benched by the codec paths; this isolates
+    # hash throughput) → Arrow phash → banded hamming near-dup over the
+    # resulting signatures. Extras record pair counts and the banding's
+    # candidate discipline.
+    try:
+        from oracle_vectorsearch_example_spark.functions.phash import (
+            phash_gray_udf_df,
+            phash_neardup_pairs,
+        )
+
+        ph_n = 50_000
+        ph_gray = F.transform(
+            F.sequence(F.lit(0), F.lit(1023)),
+            lambda p: (
+                (
+                    (F.col("doc_id") % 512) * 37
+                    + F.floor(p / 32) * 13
+                    + (p % 32) * 31
+                    + F.when(p == (F.col("doc_id") * 11) % 1024, 7).otherwise(0)
+                )
+                % 256
+            ).cast("int"),
+        )
+        ph_docs = (
+            spark.range(ph_n)
+            .select(F.col("id").alias("doc_id"), ph_gray.alias("gray"))
+        )
+        run_entry("phash_50k", lambda: _execute(phash_gray_udf_df(ph_docs)))
+        ph_hashes = phash_gray_udf_df(ph_docs).localCheckpoint()
+        t_nd = time.time()
+        n_pairs = phash_neardup_pairs(
+            ph_hashes, id_col="doc_id", max_hamming=8
+        ).count()
+        extras["phash_50k"] = {
+            "n_images": ph_n,
+            "neardup_pairs_h8": n_pairs,
+            "neardup_wall": round(time.time() - t_nd, 3),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("phash_50k", {"err": str(e).splitlines()[0][:200]})
+
+    # --- BPE-true BFD packing at 48k docs (X8+/X21 composed, r9):
+    # merges learned on a 5k slice, every doc counted in model tokens
+    # (bpe_encode_df), whole docs packed Best-Fit-Decreasing. Extras
+    # record pack utilization — the number the packing exists to
+    # maximize.
+    try:
+        from oracle_vectorsearch_example_spark.functions.bpe import (
+            bpe_encode_df,
+            train_bpe,
+        )
+        from oracle_vectorsearch_example_spark.operators.packing import (
+            pack_sequences_bfd,
+        )
+
+        bfd_docs = (
+            _ecf(spark, _corpus_base)
+            .filter(F.col("doc_id") < 48_000)
+            .localCheckpoint()
+        )
+        bfd_merges = train_bpe(
+            bfd_docs.filter(F.col("doc_id") < 5_000), num_merges=200
+        )
+        bfd_max = 2048
+
+        def _bfd():
+            counts = bpe_encode_df(bfd_docs, bfd_merges).select(
+                "doc_id", F.col("n_tokens").alias("__bpe")
+            )
+            return pack_sequences_bfd(
+                bfd_docs.join(counts, "doc_id"),
+                max_tokens=bfd_max,
+                token_count_col="__bpe",
+                overflow="truncate",
+            )
+
+        run_entry("bfd_bpe_pack_48k", lambda: _execute(_bfd()))
+        packed = _bfd()
+        pagg = packed.agg(
+            F.sum("n_tokens").alias("tok"),
+            F.count_distinct("shard", "pack_id").alias("np"),
+        ).collect()[0]
+        extras["bfd_bpe_pack_48k"] = {
+            "n_docs": 48_000,
+            "n_packs": int(pagg["np"]),
+            "utilization": round(
+                float(pagg["tok"]) / (int(pagg["np"]) * bfd_max), 6
+            ),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "bfd_bpe_pack_48k", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- IncrementalCorpus at production cadence (judge r7 #8): 12
     # ingests of 8k docs each with compact_every=5 — the policy is
     # tested for correctness (auto-compaction preserves the corpus);

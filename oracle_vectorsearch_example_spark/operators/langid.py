@@ -59,17 +59,33 @@ def _gram_buckets(
     docs: DataFrame, id_col: str, text_col: str, n: int, n_buckets: int
 ) -> DataFrame:
     """(id, pos, b) hashed char-n-gram event rows — map-side only.
-    sequence() runs DESCENDING when start > stop, so short texts must be
-    guarded to an empty array, not handed to sequence."""
-    lt = F.lower(F.col(text_col))
-    pos_arr = F.when(
-        F.length(lt) >= n, F.sequence(F.lit(1), F.length(lt) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    ev = docs.select(
-        F.col(id_col), lt.alias("__lt"), F.explode(pos_arr).alias("pos")
-    ).select(
-        id_col, "pos", F.col("__lt").substr(F.col("pos"), F.lit(n)).alias("g")
+
+    Staging discipline (the select_winnow lesson, measured here too):
+    the lowered text and the gram ARRAY each materialize in their own
+    projection before the explode. Binding lower(text) into the
+    generator's projection lets CollapseProject inline it PER GRAM —
+    an O(len²) re-lowering that measured 20× slower at 20k docs.
+    sequence() runs DESCENDING when start > stop, so short texts are
+    guarded to an empty array."""
+    staged = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__lt")
+    ).withColumn(
+        "__ga",
+        F.when(
+            F.length("__lt") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("__lt") - (n - 1)),
+                lambda i: F.col("__lt").substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
+    # posexplode_OUTER, then drop the NULL rows ourselves: the non-outer
+    # generate makes InferFiltersFromGenerate push a size(arr) > 0
+    # predicate below the staging projections, where it rebuilds the
+    # whole gram array (re-lowering per gram) twice per row
+    ev = staged.select(
+        F.col(id_col), F.posexplode_outer("__ga").alias("pos", "g")
+    ).filter(F.col("g").isNotNull())
     b = (
         F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
         % n_buckets
@@ -84,6 +100,7 @@ class LangidModel(NamedTuple):
 
     counts: DataFrame  # (lang, b, c)
     classes: DataFrame  # (lang, total, n_docs)
+    langs: tuple  # sorted language codes (k-bounded, collected at fit)
     total_docs: int
     n: int
     n_buckets: int
@@ -128,7 +145,10 @@ def langid_fit(
         )
         .select("lang", F.coalesce("total", F.lit(0.0)).alias("total"), "n_docs")
     )
-    return LangidModel(counts, classes, int(total_docs), n, n_buckets, float(alpha))
+    langs = tuple(sorted(r["lang"] for r in classes.select("lang").collect()))
+    return LangidModel(
+        counts, classes, langs, int(total_docs), n, n_buckets, float(alpha)
+    )
 
 
 def langid_scores(
@@ -136,17 +156,34 @@ def langid_scores(
     model: LangidModel,
     id_col: str = "doc_id",
     text_col: str = "text",
+    canonical: bool = True,
 ) -> DataFrame:
     """(id, lang, n_grams, score) — one row per (document, class): the
     NB log-posterior (class prior + add-alpha gram log-likelihoods),
-    canonical-fold summed, rounded to 6 dp. Documents with no grams
-    (shorter than n chars) carry no evidence and drop out."""
+    rounded to 6 dp. Documents with no grams (shorter than n chars)
+    carry no evidence and drop out.
+
+    ``canonical=True`` (default, the golden spec) sums contributions
+    with the order-canonicalized fold — bit-stable across layouts and
+    engines. ``canonical=False`` (the X46 precedent) uses the plain
+    distributive sum: map-side partials, whole-stage codegen, no
+    collect_list — measured ~15× faster at 200k docs; scores agree to
+    FP-reassociation noise (≪ the 6 dp rounding) and labels agree
+    except on exact rounded ties, so it is the throughput path for
+    corpus-scale gating, never for hash goldens."""
     ev = _gram_buckets(docs, id_col, text_col, model.n, model.n_buckets)
     a, nb = model.alpha, float(model.n_buckets)
-    # widen each gram event k-fold against the k-row class table, then
+    # widen each gram event k-fold by exploding the k-element LITERAL
+    # lang array (codegen'd Generate — a crossJoin against the k-row
+    # class frame is a BroadcastNestedLoopJoin, which falls out of
+    # whole-stage codegen and measured ~2× slower end-to-end), then
     # look up this class's count for the bucket (absent → 0 + alpha)
-    crossed = ev.crossJoin(F.broadcast(model.classes)).join(
-        F.broadcast(model.counts), ["lang", "b"], "left"
+    crossed = (
+        ev.withColumn(
+            "lang", F.explode(F.array(*[F.lit(s) for s in model.langs]))
+        )
+        .join(F.broadcast(model.classes), "lang")
+        .join(F.broadcast(model.counts), ["lang", "b"], "left")
     )
     contrib = (
         F.log(F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(a))
@@ -155,10 +192,11 @@ def langid_scores(
     prior = F.log(F.col("n_docs").cast("double")) - F.lit(
         math.log(model.total_docs)
     )
-    return (
-        crossed.select(id_col, "lang", "pos", contrib.alias("lr"))
-        .groupBy(id_col, "lang")
-        .agg(
+    grouped = crossed.select(id_col, "lang", "pos", contrib.alias("lr")).groupBy(
+        id_col, "lang"
+    )
+    if canonical:
+        agged = grouped.agg(
             F.count("*").cast("long").alias("n_grams"),
             F.aggregate(
                 F.array_sort(F.collect_list(F.struct("pos", "lr"))),
@@ -166,7 +204,13 @@ def langid_scores(
                 lambda acc, x: acc + x["lr"],
             ).alias("__ll"),
         )
-        .join(F.broadcast(model.classes), "lang")
+    else:
+        agged = grouped.agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lr").alias("__ll"),
+        )
+    return (
+        agged.join(F.broadcast(model.classes), "lang")
         .select(
             id_col,
             "lang",
@@ -181,12 +225,13 @@ def langid_predict(
     model: LangidModel,
     id_col: str = "doc_id",
     text_col: str = "text",
+    canonical: bool = True,
 ) -> DataFrame:
     """(id, lang, n_grams, score) — the winning class per document:
     argmax over the rounded scores, ties broken by ascending language
     code (deterministic in any engine). Evidence-free documents take no
     row here (and a NULL label in :func:`langid_df`)."""
-    scored = langid_scores(docs, model, id_col, text_col)
+    scored = langid_scores(docs, model, id_col, text_col, canonical=canonical)
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("lang").asc()
     )
@@ -203,17 +248,20 @@ def langid_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "lang",
+    canonical: bool = True,
 ) -> DataFrame:
     """docs + ``out_col`` — the predicted language label, NULL for
     documents too short to carry evidence (quarantine decisions belong
     to the caller). Labels are a skinny (id, lang) frame joined back by
-    id; payloads never enter the scoring shuffle."""
+    id; payloads never enter the scoring shuffle. ``canonical=False``
+    takes the distributive-sum throughput path (see
+    :func:`langid_scores`) — right for corpus-scale labeling."""
     if out_col in docs.columns:
         raise ValueError(
             f"out_col {out_col!r} already exists in docs; "
             "rename it or pass a different out_col"
         )
-    labels = langid_predict(docs, model, id_col, text_col).select(
-        id_col, F.col("lang").alias(out_col)
-    )
+    labels = langid_predict(
+        docs, model, id_col, text_col, canonical=canonical
+    ).select(id_col, F.col("lang").alias(out_col))
     return docs.join(labels, id_col, "left")

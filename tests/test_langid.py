@@ -220,3 +220,25 @@ def test_corpus_build_with_langid(spark, model):
     )
     ids2 = sorted(r.doc_id for r in out2["documents"].collect())
     assert ids2 and all(400 <= i < 450 for i in ids2)
+
+
+def test_canonical_paths_agree(model, test_df):
+    """canonical=False (distributive sum, the corpus-scale path) gives
+    the same labels and 6dp-identical scores on non-pathological data."""
+    a = {
+        (r.doc_id, r.lang): r.score
+        for r in langid_scores(test_df, model, canonical=True).collect()
+    }
+    b = {
+        (r.doc_id, r.lang): r.score
+        for r in langid_scores(test_df, model, canonical=False).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-5)
+    la = {r.doc_id: r.lang for r in langid_predict(test_df, model).collect()}
+    lb = {
+        r.doc_id: r.lang
+        for r in langid_predict(test_df, model, canonical=False).collect()
+    }
+    assert la == lb
