@@ -422,6 +422,7 @@ class IncrementalCorpus:
         quality_min: float = 0.0,
         langs: list[str] | None = None,
         gopher_kwargs: dict | None = None,
+        gopher_rep_kwargs: dict | None = None,
         split_weights: dict[str, float] | None = None,
         num_hashes: int = 16,
         bands: int = 4,
@@ -437,10 +438,12 @@ class IncrementalCorpus:
         self.spark = spark
         self.id_col, self.text_col = id_col, text_col
         self.quality_min, self.langs = quality_min, langs
-        # gopher rules are a pure row FILTER (no text rewrite), applied
-        # post-dedup like the heuristic gate — so it commutes with when
-        # it runs and stays a READ-time knob (re-tune without re-ingest)
+        # gopher rules and the §A1.2 repetition suite are pure row
+        # FILTERS (no text rewrite), applied post-dedup like the
+        # heuristic gate — so they commute with when they run and stay
+        # READ-time knobs (re-tune without re-ingest)
         self.gopher_kwargs = gopher_kwargs
+        self.gopher_rep_kwargs = gopher_rep_kwargs
         self.split_weights, self.seed = split_weights, seed
         # auto-maintenance cadence (judge r6 #7): with compact_every=N,
         # every ingest that brings the band-table count to >= N triggers
@@ -545,6 +548,21 @@ class IncrementalCorpus:
                 .select(self.id_col)
             )
             gated = gated.join(g_ids, self.id_col, "left_semi")
+        if self.gopher_rep_kwargs is not None:
+            from oracle_vectorsearch_example_spark.functions.textstats import (
+                gopher_repetition_df,
+            )
+
+            r_ids = (
+                gopher_repetition_df(
+                    gated.select(self.id_col, self.text_col),
+                    self.text_col,
+                    **self.gopher_rep_kwargs,
+                )
+                .filter(F.col("repetition_pass"))
+                .select(self.id_col)
+            )
+            gated = gated.join(r_ids, self.id_col, "left_semi")
         return hash_split(
             gated, self.split_weights, id_col=self.id_col, seed=self.seed
         )

@@ -36,6 +36,9 @@ def _corpus(spark, args):
         quality_min=args.quality_min,
         langs=args.langs.split(",") if args.langs else None,
         gopher_kwargs=json.loads(args.gopher) if args.gopher else None,
+        gopher_rep_kwargs=(
+            json.loads(args.gopher_rep) if args.gopher_rep else None
+        ),
         split_weights=weights,
         compact_every=args.compact_every,
     )
@@ -51,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
         help="apply the Gopher rule gate at read time: '{}' for the "
              "paper's thresholds, or a JSON dict of overrides "
              "(e.g. '{\"min_words\": 20}')",
+    )
+    p.add_argument(
+        "--gopher-rep", default=None,
+        help="apply the Gopher §A1.2 repetition suite at read time: '{}' "
+             "for the paper's Table A1 thresholds, or a JSON dict of "
+             "overrides (e.g. '{\"max_dup_line_frac\": 0.5}')",
     )
     p.add_argument(
         "--split-weights", default=None, help="e.g. train=0.9,val=0.05,test=0.05"

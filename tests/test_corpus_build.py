@@ -608,3 +608,38 @@ def test_corpus_build_bpe_true_packing(spark):
     assert bpe_total > ws
     # one row per doc (no-split packing)
     assert packs.count() == surv.count()
+
+
+def test_incremental_repetition_gate_matches_full_build(spark, tmp_path):
+    """r9: the §A1.2 repetition suite is a read-time knob on
+    IncrementalCorpus and yields the same documents table as the batch
+    build with the same kwargs (pure row filter, post-dedup on both
+    paths)."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        IncrementalCorpus,
+        build_training_corpus,
+    )
+
+    base = read_table(spark, SF, "documents").select("doc_id", "text")
+    # plant degenerate-repetition docs the suite must drop on BOTH paths
+    loops = spark.createDataFrame(
+        [(9000 + i, "the same five words repeat " * 30) for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(loops)
+    rk = {"max_top2_char_frac": 1.0, "max_top3_char_frac": 1.0,
+          "max_top4_char_frac": 1.0}
+    inc = IncrementalCorpus(spark, str(tmp_path / "whr"), gopher_rep_kwargs=rk)
+    for i in range(2):
+        inc.ingest(docs.filter(F.col("doc_id") % 2 == i))
+    got = sorted(
+        (r.doc_id, r.split)
+        for r in inc.documents().select("doc_id", "split").collect()
+    )
+    full = build_training_corpus(docs, gopher_rep_kwargs=rk, n_shards=2)
+    want = sorted(
+        (r.doc_id, r.split)
+        for r in full["documents"].select("doc_id", "split").collect()
+    )
+    assert got == want and got
+    assert all(d < 9000 for d, _ in got)  # the planted loops dropped
