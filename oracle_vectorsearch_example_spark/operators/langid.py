@@ -106,6 +106,75 @@ class LangidModel(NamedTuple):
     n_buckets: int
     alpha: float
 
+    def save(self, path: str) -> str:
+        """Write the model as one JSON file (registry-compatible: hand
+        the path to ``ModelRegistry.load`` to catalog it like any other
+        model — the S7 semantics; a langid model is bounded metadata
+        exactly like IVF centroids or a PCA rotation). Counts collect
+        k·B-bounded, classes k-bounded — both driver-safe by
+        construction."""
+        import json
+        import os
+
+        counts = {lang: [] for lang in self.langs}
+        for r in self.counts.collect():
+            counts[r["lang"]].append([int(r["b"]), float(r["c"])])
+        for v in counts.values():
+            v.sort()
+        classes = {
+            r["lang"]: [float(r["total"]), int(r["n_docs"])]
+            for r in self.classes.collect()
+        }
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "kind": "langid_nb",
+                    "langs": list(self.langs),
+                    "counts": counts,
+                    "classes": classes,
+                    "total_docs": self.total_docs,
+                    "n": self.n,
+                    "n_buckets": self.n_buckets,
+                    "alpha": self.alpha,
+                },
+                fh,
+            )
+        os.replace(tmp, path)  # atomic, like the registry manifest
+        return path
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LangidModel":
+        import json
+
+        with open(path) as fh:
+            d = json.load(fh)
+        counts = spark.createDataFrame(
+            [
+                (lang, int(b), float(c))
+                for lang, rows in d["counts"].items()
+                for b, c in rows
+            ],
+            "lang string, b int, c double",
+        )
+        classes = spark.createDataFrame(
+            [
+                (lang, float(tot), int(nd))
+                for lang, (tot, nd) in d["classes"].items()
+            ],
+            "lang string, total double, n_docs long",
+        )
+        return cls(
+            counts,
+            classes,
+            tuple(d["langs"]),
+            int(d["total_docs"]),
+            int(d["n"]),
+            int(d["n_buckets"]),
+            float(d["alpha"]),
+        )
+
 
 def langid_fit(
     labeled: DataFrame,

@@ -242,3 +242,17 @@ def test_canonical_paths_agree(model, test_df):
         for r in langid_predict(test_df, model, canonical=False).collect()
     }
     assert la == lb
+
+
+def test_model_save_load_roundtrip(model, test_df, spark, tmp_path):
+    """S7 discipline: the model is bounded metadata — one atomic JSON
+    file, registry-compatible; a reloaded model scores identically."""
+    from oracle_vectorsearch_example_spark.operators.langid import LangidModel
+
+    p = str(tmp_path / "langid.json")
+    assert model.save(p) == p
+    m2 = LangidModel.load(spark, p)
+    assert m2.langs == model.langs and m2.n_buckets == model.n_buckets
+    a = sorted(map(tuple, langid_scores(test_df, model).collect()))
+    b = sorted(map(tuple, langid_scores(test_df, m2).collect()))
+    assert a == b
