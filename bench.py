@@ -880,14 +880,21 @@ def main():
             phash_neardup_pairs,
         )
 
+        # classes must differ STRUCTURALLY (per-class gradient slopes),
+        # not by a constant brightness offset — pHash is brightness-
+        # invariant by design (an offset only moves the DC coefficient),
+        # so offset-only classes all collapse to one near-dup cluster
+        # 512 classes < 23·29 = 667 keeps the cls → (row, col) slope map
+        # injective, so every class is structurally distinct
         ph_n = 50_000
+        ph_cls = F.col("doc_id") % 512
         ph_gray = F.transform(
             F.sequence(F.lit(0), F.lit(1023)),
             lambda p: (
                 (
-                    (F.col("doc_id") % 512) * 37
-                    + F.floor(p / 32) * 13
-                    + (p % 32) * 31
+                    ph_cls * 37
+                    + F.floor(p / 32) * (F.lit(7) + ph_cls % 23)
+                    + (p % 32) * (F.lit(11) + (ph_cls / 23).cast("long") % 29)
                     + F.when(p == (F.col("doc_id") * 11) % 1024, 7).otherwise(0)
                 )
                 % 256
