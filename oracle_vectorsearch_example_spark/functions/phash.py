@@ -54,6 +54,7 @@ __all__ = [
     "phash_gray_udf_df",
     "phash_df",
     "phash_neardup_pairs",
+    "dedup_images",
 ]
 
 # T[u][x] = round(cos((2x+1)·u·π/64) · 32768), u∈0..7, x∈0..31 —
@@ -294,3 +295,40 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_images(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    keep_undecodable: bool = True,
+) -> DataFrame:
+    """Corpus-level perceptual image dedup — the full X2-shaped pipeline
+    for the image modality: decode → pHash → banded hamming pairs →
+    connected-component closure → keep ONE canonical row (min id) per
+    visual cluster. Exact byte dups are a special case (hamming 0), so
+    this subsumes a sha-based exact pass. Undecodable payloads carry no
+    evidence; ``keep_undecodable`` passes them through (quarantine
+    decisions belong to the caller — the langid_df posture).
+
+    Scale posture: hashes are one map-side decode pass (payloads never
+    shuffle); pairs come from the pigeonhole band joins over skinny
+    (id, band) rows; the closure runs on the pair graph
+    (pointer-jumping, the X2/X6 machinery); losers anti-join back as an
+    id-only frame."""
+    from oracle_vectorsearch_example_spark.operators.dedup import (
+        dedup_by_components,
+    )
+
+    hashes = phash_df(
+        media, payload_col=payload_col, id_col=id_col, out_col="__ph"
+    )
+    pairs = phash_neardup_pairs(
+        hashes, id_col=id_col, hash_col="__ph", max_hamming=max_hamming
+    )
+    deduped = dedup_by_components(media, pairs, id_col=id_col)
+    if keep_undecodable:
+        return deduped
+    bad = hashes.filter(F.col("__ph").isNull()).select(id_col)
+    return deduped.join(bad, id_col, "left_anti")

@@ -95,6 +95,64 @@ class NbQualityModel(NamedTuple):
     n_buckets: int
     alpha: float
 
+    def save(self, path: str) -> str:
+        """Write the model as one atomic JSON file (registry-compatible
+        — the S7 semantics, like PcaModel/LangidModel): both count
+        tables collect n_buckets-bounded."""
+        import json
+        import os
+
+        tc = sorted(
+            [int(r["b"]), float(r["ct"])] for r in self.target_counts.collect()
+        )
+        rc = sorted(
+            [int(r["b"]), float(r["cr"])] for r in self.raw_counts.collect()
+        )
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "kind": "nb_quality",
+                    "target_counts": tc,
+                    "raw_counts": rc,
+                    "target_total": self.target_total,
+                    "raw_total": self.raw_total,
+                    "n_target_docs": self.n_target_docs,
+                    "n_raw_docs": self.n_raw_docs,
+                    "n_buckets": self.n_buckets,
+                    "alpha": self.alpha,
+                },
+                fh,
+            )
+        os.replace(tmp, path)  # atomic, like the registry manifest
+        return path
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NbQualityModel":
+        import json
+
+        with open(path) as fh:
+            d = json.load(fh)
+        tc = spark.createDataFrame(
+            [(int(b), float(c)) for b, c in d["target_counts"]],
+            "b int, ct double",
+        )
+        rc = spark.createDataFrame(
+            [(int(b), float(c)) for b, c in d["raw_counts"]],
+            "b int, cr double",
+        )
+        return cls(
+            tc,
+            rc,
+            float(d["target_total"]),
+            float(d["raw_total"]),
+            int(d["n_target_docs"]),
+            int(d["n_raw_docs"]),
+            int(d["n_buckets"]),
+            float(d["alpha"]),
+        )
+
 
 def nb_fit(
     target: DataFrame,

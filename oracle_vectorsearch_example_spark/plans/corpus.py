@@ -44,6 +44,8 @@ def build_training_corpus(
     min_dup_span: int | None = None,
     perplexity_lm=None,
     max_ppl: float | None = None,
+    ppl_keep_buckets: tuple | None = None,
+    ppl_approx: int | None = None,
     nb_model=None,
     nb_min_score: float | None = None,
     langid_model=None,
@@ -52,6 +54,7 @@ def build_training_corpus(
     gopher_rep_kwargs: dict | None = None,
     c4_kwargs: dict | None = None,
     url_col: str | None = None,
+    blocked_domains: list[str] | None = None,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 2048,
     bpe_merges: list | None = None,
@@ -127,6 +130,19 @@ def build_training_corpus(
     is trusted as-is (caller-declared labels win; the model only fills
     the gap).
 
+    Optional domain blocklist (r9): ``blocked_domains`` (requires
+    ``url_col``) drops pages whose host equals a listed domain or any
+    subdomain of one — the C4/RefinedWeb blocklist step, map-side over
+    a bounded caller list; unparseable URLs pass through.
+
+    Optional CCNet tercile selection (r9): ``ppl_keep_buckets`` (e.g.
+    ``("head", "middle")`` — the common CCNet recipe) keeps documents by
+    perplexity tercile instead of a global ``max_ppl`` threshold,
+    grouped PER LANGUAGE whenever ``lang_col`` is available (from
+    ``langid_model`` or caller-declared), so low-resource languages are
+    cut on their own scale; ``ppl_approx`` switches the cuts to the
+    percentile_approx sketch for corpus scale.
+
     Optional tokenizer-consistent packing (r9): ``bpe_merges`` (the
     merge list from :func:`~..functions.bpe.train_bpe`) switches the
     packs table to no-split Best-Fit-Decreasing packing
@@ -179,6 +195,22 @@ def build_training_corpus(
         docs = url_dedup(docs, url_col=url_col, id_col=id_col).drop(
             "canonical_url"
         )
+    # domain blocklist (r9, opt-in — the C4/RefinedWeb blocklist step):
+    # drop pages whose host is a blocked domain or any subdomain of one.
+    # Pure column exprs over a bounded caller list, map-side; rows with
+    # no parseable URL pass through (quarantine is the caller's call)
+    if blocked_domains is not None:
+        if url_col is None:
+            raise ValueError("blocked_domains requires url_col")
+        from oracle_vectorsearch_example_spark.operators.urls import url_domain
+
+        dom = url_domain(url_col)
+        blocked = None
+        for b in blocked_domains:
+            hit = (dom == b.lower()) | dom.endswith("." + b.lower())
+            blocked = hit if blocked is None else (blocked | hit)
+        if blocked is not None:
+            docs = docs.filter(dom.isNull() | ~blocked)
 
     # C4 rules FIRST (r8, opt-in): line filter + page keep-bit are
     # local and cheap — drop the junk before anything shuffles. Pass {}
@@ -329,6 +361,38 @@ def build_training_corpus(
         gated = perplexity_filter(
             gated, perplexity_lm, max_ppl, id_col=id_col, text_col=text_col
         )
+
+    # CCNet tercile gate (r9): keep only the named head/middle/tail
+    # buckets, cut PER LANGUAGE when a lang column is available (learned
+    # via langid_model or caller-declared) — Wenzek et al.'s actual
+    # selection step, where max_ppl is a single global threshold.
+    # ppl_approx forwards the percentile_approx accuracy for the
+    # sketch-cut path at corpus scale.
+    if ppl_keep_buckets is not None:
+        if perplexity_lm is None:
+            raise ValueError(
+                "ppl_keep_buckets requires perplexity_lm (a BigramLM)"
+            )
+        bad = set(ppl_keep_buckets) - {"head", "middle", "tail"}
+        if bad or not ppl_keep_buckets:
+            raise ValueError(
+                f"ppl_keep_buckets must name head/middle/tail, got "
+                f"{ppl_keep_buckets!r}"
+            )
+        from oracle_vectorsearch_example_spark.functions.lm import (
+            perplexity_buckets,
+        )
+
+        group = lang_col if lang_col in gated.columns else None
+        b_ids = (
+            perplexity_buckets(
+                gated, perplexity_lm, id_col=id_col, text_col=text_col,
+                group_col=group, broadcast_lm=True, approx=ppl_approx,
+            )
+            .filter(F.col("bucket").isin(list(ppl_keep_buckets)))
+            .select(id_col)
+        )
+        gated = gated.join(b_ids, id_col, "left_semi")
 
     if nb_min_score is not None:
         if nb_model is None:

@@ -643,3 +643,25 @@ def test_incremental_repetition_gate_matches_full_build(spark, tmp_path):
     )
     assert got == want and got
     assert all(d < 9000 for d, _ in got)  # the planted loops dropped
+
+
+def test_corpus_build_blocked_domains(spark):
+    """r9: the domain blocklist drops listed domains AND their
+    subdomains; other hosts and unparseable URLs pass through."""
+    rows = [
+        (1, "alpha beta gamma delta words one", "http://ok.com/a"),
+        (2, "epsilon zeta eta theta words two", "http://spam.com/x"),
+        (3, "iota kappa lambda mu words three", "http://sub.spam.com/y"),
+        (4, "nu xi omicron pi words four", "not a url"),
+        (5, "rho sigma tau upsilon words five", "http://notspam.com/z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = build_training_corpus(
+        docs, url_col="url", blocked_domains=["SPAM.com"], n_shards=1,
+        max_tokens=64,
+    )
+    kept = sorted(r.doc_id for r in out["documents"].collect())
+    assert kept == [1, 4, 5]
+
+    with pytest.raises(ValueError, match="url_col"):
+        build_training_corpus(docs, blocked_domains=["x.com"], n_shards=1)

@@ -256,3 +256,51 @@ def test_model_save_load_roundtrip(model, test_df, spark, tmp_path):
     a = sorted(map(tuple, langid_scores(test_df, model).collect()))
     b = sorted(map(tuple, langid_scores(test_df, m2).collect()))
     assert a == b
+
+
+def test_corpus_ccnet_chain_end_to_end(spark, model):
+    """The full CCNet recipe inside one build (r9): langid supplies the
+    lang column, the tercile gate keeps head+middle PER LANGUAGE — so a
+    fluent low-resource doc survives even when the dominant language's
+    ppl scale would have cut it globally."""
+    from oracle_vectorsearch_example_spark.functions.lm import train_bigram_lm
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    rows = []
+    for i in range(9):
+        # each doc textually DISTINCT (so the upstream MinHash dedup
+        # keeps all of them) with a per-language trigram signature and a
+        # strictly increasing rare-bigram noise tail for the ppl cuts
+        noise = ("zq " * i).strip()
+        rows.append((
+            600 + i,
+            f"the cat{i} sat on mat{i} and the dog{i} ran far{i} today "
+            f"{noise}".strip(),
+        ))
+        rows.append((
+            700 + i,
+            f"krz{i} vrt{i} str brg{i} drz vrt krz{i} str{i} brg "
+            f"{noise}".strip(),
+        ))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(docs)
+    out = build_training_corpus(
+        docs, langid_model=model, perplexity_lm=lm,
+        ppl_keep_buckets=("head", "middle"), n_shards=2, max_tokens=64,
+    )
+    kept = sorted(r.doc_id for r in out["documents"].collect())
+    # per-language terciles keep 6 of 9 in EACH language
+    assert len([d for d in kept if d < 700]) == 6
+    assert len([d for d in kept if d >= 700]) == 6
+
+    # validation: bad bucket names and missing lm raise
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="head/middle/tail"):
+        build_training_corpus(
+            docs, perplexity_lm=lm, ppl_keep_buckets=("best",), n_shards=1
+        )
+    with _pt.raises(ValueError, match="perplexity_lm"):
+        build_training_corpus(docs, ppl_keep_buckets=("head",), n_shards=1)

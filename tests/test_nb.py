@@ -164,3 +164,17 @@ def test_empty_class_raises_descriptive(spark):
         nb_fit(empty, full)
     with pytest.raises(ValueError, match="at least one document"):
         nb_fit(full, empty)
+
+
+def test_model_save_load_roundtrip(spark, model, frames, tmp_path):
+    """S7 discipline: the model is bounded metadata — one atomic JSON
+    file; a reloaded model scores identically."""
+    from oracle_vectorsearch_example_spark.operators.nb import NbQualityModel
+
+    _, raw = frames
+    p = str(tmp_path / "nb.json")
+    assert model.save(p) == p
+    m2 = NbQualityModel.load(spark, p)
+    a = sorted(map(tuple, nb_scores(raw, model).collect()))
+    b = sorted(map(tuple, nb_scores(raw, m2).collect()))
+    assert a == b

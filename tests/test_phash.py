@@ -138,3 +138,34 @@ def test_layout_determinism(spark):
     a = sorted(map(tuple, phash_df(df).collect()))
     b = sorted(map(tuple, phash_df(df.repartition(5)).collect()))
     assert a == b
+
+
+def test_dedup_images_end_to_end(spark):
+    """X55 composed into the X2 dedup shape: same pixels through two
+    containers + a near-dup edit collapse to ONE canonical row (min
+    id); distinct images and undecodable payloads survive."""
+    from oracle_vectorsearch_example_spark.functions.phash import dedup_images
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    px = _pattern_px(48, 64, seed=1)
+    near = px.copy()
+    near[:2, :2, :] = 255
+    far = _pattern_px(48, 64, seed=9)[::-1, :, :]
+    rows = [
+        (1, bytearray(encode_bmp(px))),
+        (2, bytearray(encode_png(px))),      # exact visual dup of 1
+        (3, bytearray(encode_bmp(near))),    # near dup of 1
+        (4, bytearray(encode_bmp(far))),     # distinct
+        (5, bytearray(b"not an image")),     # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(r.media_id for r in dedup_images(df, max_hamming=10).collect())
+    assert kept == [1, 4, 5]
+    kept2 = sorted(
+        r.media_id
+        for r in dedup_images(df, max_hamming=10, keep_undecodable=False).collect()
+    )
+    assert kept2 == [1, 4]
