@@ -485,6 +485,8 @@ class IncrementalCorpus:
         text_col: str = "text",
         quality_min: float = 0.0,
         langs: list[str] | None = None,
+        langid_model=None,
+        lang_col: str = "lang",
         gopher_kwargs: dict | None = None,
         gopher_rep_kwargs: dict | None = None,
         split_weights: dict[str, float] | None = None,
@@ -502,6 +504,11 @@ class IncrementalCorpus:
         self.spark = spark
         self.id_col, self.text_col = id_col, text_col
         self.quality_min, self.langs = quality_min, langs
+        # learned language labels are a pure row function of the text,
+        # so langid stays a READ-time knob too (swap the model without
+        # re-ingesting); a pre-existing lang_col in the raw batches is
+        # caller truth and wins, matching build_training_corpus
+        self.langid_model, self.lang_col = langid_model, lang_col
         # gopher rules and the §A1.2 repetition suite are pure row
         # FILTERS (no text rewrite), applied post-dedup like the
         # heuristic gate — so they commute with when they run and stay
@@ -591,10 +598,23 @@ class IncrementalCorpus:
         raw = reduce(DataFrame.unionByName, (self.wh.read(t) for t in tabs))
         keep = survivors(self.dedup.clusters()).withColumnRenamed("id", self.id_col)
         alive = raw.join(keep, self.id_col, "left_semi")
+        use_learned_lang = False
+        if self.langid_model is not None:
+            use_learned_lang = True
+            if self.lang_col not in alive.columns:
+                from oracle_vectorsearch_example_spark.operators.langid import (
+                    langid_df,
+                )
+
+                alive = langid_df(
+                    alive, self.langid_model, id_col=self.id_col,
+                    text_col=self.text_col, out_col=self.lang_col,
+                )
         scored = text_metrics_df(alive, self.text_col)
         gate = F.col("quality") >= F.lit(self.quality_min)
         if self.langs:
-            gate = gate & F.col("lang_guess").isin(self.langs)
+            lang_src = self.lang_col if use_learned_lang else "lang_guess"
+            gate = gate & F.col(lang_src).isin(self.langs)
         kept_ids = scored.filter(gate).select(self.id_col)
         gated = alive.join(kept_ids, self.id_col, "left_semi")
         if self.gopher_kwargs is not None:

@@ -304,3 +304,37 @@ def test_corpus_ccnet_chain_end_to_end(spark, model):
         )
     with _pt.raises(ValueError, match="perplexity_lm"):
         build_training_corpus(docs, ppl_keep_buckets=("head",), n_shards=1)
+
+
+def test_incremental_langid_gate_matches_full_build(spark, model, tmp_path):
+    """r9: langid is a read-time knob on IncrementalCorpus and yields
+    the same documents table as the batch build with the same model +
+    langs filter (labels are a pure row function of the text)."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        IncrementalCorpus,
+        build_training_corpus,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append((800 + i, f"the cat{i} sat on the mat{i} and the dog{i} ran far"))
+        rows.append((900 + i, f"krz{i} vrt str{i} brg drz{i} krz vrt{i} str brg"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = IncrementalCorpus(
+        spark, str(tmp_path / "whl"), langid_model=model, langs=["en"]
+    )
+    for i in range(2):
+        inc.ingest(docs.filter(F.col("doc_id") % 2 == i))
+    got = sorted(
+        (r.doc_id, r.split)
+        for r in inc.documents().select("doc_id", "split").collect()
+    )
+    full = build_training_corpus(
+        docs, langid_model=model, langs=["en"], n_shards=2
+    )
+    want = sorted(
+        (r.doc_id, r.split)
+        for r in full["documents"].select("doc_id", "split").collect()
+    )
+    assert got == want and got
+    assert all(d < 900 for d, _ in got)
