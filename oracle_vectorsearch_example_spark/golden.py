@@ -3225,6 +3225,69 @@ def q_phash_neardup(spark, sf):
     )
 
 
+_IMAGE_DEDUP_SQL = (
+    "WITH RECURSIVE "
+    + _PHASH_ND_SQL.strip().removeprefix("WITH").rsplit("SELECT a.doc_id", 1)[0]
+    + """, pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 8
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ), comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cid FROM reach GROUP BY u
+    )
+    SELECT d.doc_id FROM ph d LEFT JOIN comp USING (doc_id)
+    WHERE comp.cid IS NULL OR comp.cid = d.doc_id
+    """
+)
+
+
+@golden("image_dedup", _IMAGE_DEDUP_SQL)
+def q_image_dedup(spark, sf):
+    """Image dedup closure (X55+): pHash → banded hamming pairs →
+    connected-component closure → ONE canonical survivor (min id) per
+    visual cluster — the X2 fuzzy-dedup shape for the image modality.
+    The oracle recomputes the fixed-point hashes relationally, takes
+    EXHAUSTIVE pairs, and walks the closure with a recursive CTE (the
+    neardup_clusters discipline), so the hash match witnesses the whole
+    banding + pointer-jumping + keep-first pipeline end to end."""
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_gray_udf_df,
+        phash_neardup_pairs,
+    )
+    from oracle_vectorsearch_example_spark.operators.dedup import (
+        dedup_by_components,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    gray = F.transform(
+        F.sequence(F.lit(0), F.lit(1023)),
+        lambda p: (
+            (
+                (F.col("doc_id") % 5) * 37
+                + F.floor(p / 32) * 13
+                + (p % 32) * 31
+                + F.when(p == (F.col("doc_id") * 11) % 1024, 7).otherwise(0)
+            )
+            % 256
+        ).cast("int"),
+    )
+    fixture = docs.select("doc_id", gray.alias("gray"))
+    hashes = phash_gray_udf_df(fixture)
+    pairs = phash_neardup_pairs(
+        hashes, id_col="doc_id", hash_col="phash", max_hamming=8
+    )
+    return dedup_by_components(fixture, pairs, id_col="doc_id").select(
+        "doc_id"
+    )
+
+
 _LANGID_SQL = """
     WITH base AS (
       SELECT doc_id,
@@ -7061,8 +7124,8 @@ def q_pca_embed(spark, sf):
 # all judge-verified green at r8 end; (b) the 3 remaining r05 evictees;
 # (c) fill with the stalest survivors — r06-witnessed, non-tpch first
 # (operator-family diversity), then tpch in numeric-ish order. Left for
-# r10 (r06-witnessed, no seat this round): tpch_q8/q9/q11/q12/q13/q15/
-# q16/q17/q19/q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
+# r10 (r06-witnessed, no seat this round): tpch_q6/q8/q9/q11/q12/q13/
+# q15/q16/q17/q19/q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
 # bpe_tokens, rerank_ce, pca_embed, mmr_rerank, semdedup, onnx_embed,
 # ivf_accuracy_report, pack_bfd) take no seat (judge r7 #3). The window
 # must not change mid-round. Witness history is recomputable from
@@ -7070,6 +7133,7 @@ def q_pca_embed(spark, sf):
 _PRIORITY = [
     # never driver-witnessed, oracle-paired (r9 adds, then r8 adds)
     "langid", "gopher_repetition", "image_phash", "phash_neardup",
+    "image_dedup",
     "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
     "gopher_rules", "grounding", "prototype_prune", "c4_clean",
     # stalest: last witnessed r05 (the 3 remaining evictees)
@@ -7085,7 +7149,7 @@ _PRIORITY = [
     "text_stats", "tumbling_window", "union_all", "vector_distances",
     "vector_topk_exact", "window_funcs",
     # last witnessed r06, tpch
-    "tpch_q1", "tpch_q4", "tpch_q6",
+    "tpch_q1", "tpch_q4",
 ]
 
 
