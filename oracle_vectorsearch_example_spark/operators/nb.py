@@ -54,7 +54,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["NbQualityModel", "nb_fit", "nb_scores", "nb_filter"]
+__all__ = ["NbQualityModel", "nb_fit", "nb_scores", "nb_filter", "nb_pareto_scores", "nb_pareto_filter"]
 
 
 def _token_buckets(
@@ -259,3 +259,66 @@ def nb_filter(
         F.col("score") > F.lit(threshold)
     )
     return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def nb_pareto_scores(
+    docs: DataFrame,
+    model: NbQualityModel,
+    alpha: float = 9.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_prior: bool = True,
+) -> DataFrame:
+    """GPT-3's actual selection rule (Brown et al. 2020 appendix A): a
+    document is kept iff ``np.random.pareto(α) > 1 − document_score`` —
+    a STOCHASTIC gate that keeps some lower-scored documents (mostly
+    unlike the prompt distribution, "including, in the limit, some
+    documents judged as low quality"), instead of a hard threshold.
+
+    Frozen replayable spec: the per-document uniform is the md5-bucket
+    draw u = hash_bucket(seed, id)/10000 (the repo's hash-cutoff
+    sampling discipline — layout-independent, re-runnable), the Pareto
+    deviate is the standard inverse-CDF transform
+    ``(1−u)^(−1/α) − 1`` (numpy's ``pareto`` draw), the document score
+    is the sigmoid of the 6 dp class log-odds, and the kept bit
+    compares 6 dp roundings of both sides. Returns
+    (id, n_tokens, score, pareto, keep)."""
+    from oracle_vectorsearch_example_spark.operators.sampling import (
+        BUCKETS,
+        hash_bucket,
+    )
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    scored = nb_scores(docs, model, id_col, text_col, use_prior=use_prior)
+    u = hash_bucket(F.col(id_col), seed).cast("double") / F.lit(float(BUCKETS))
+    pareto = F.round(
+        F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0), 6
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "score",
+        pareto.alias("pareto"),
+        (pareto > F.round(F.lit(1.0) - p, 6)).alias("keep"),
+    )
+
+
+def nb_pareto_filter(
+    docs: DataFrame,
+    model: NbQualityModel,
+    alpha: float = 9.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_prior: bool = True,
+) -> DataFrame:
+    """Documents surviving the GPT-3 Pareto draw (see
+    :func:`nb_pareto_scores`), payloads re-joined by id semi-join-style
+    — the stochastic sibling of :func:`nb_filter`."""
+    keep = nb_pareto_scores(
+        docs, model, alpha, seed, id_col, text_col, use_prior=use_prior
+    ).filter(F.col("keep")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

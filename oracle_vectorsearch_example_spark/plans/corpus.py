@@ -48,6 +48,7 @@ def build_training_corpus(
     ppl_approx: int | None = None,
     nb_model=None,
     nb_min_score: float | None = None,
+    nb_pareto_alpha: float | None = None,
     langid_model=None,
     lang_col: str = "lang",
     gopher_kwargs: dict | None = None,
@@ -401,6 +402,28 @@ def build_training_corpus(
 
         gated = nb_filter(
             gated, nb_model, threshold=nb_min_score,
+            id_col=id_col, text_col=text_col,
+        )
+
+    # GPT-3's stochastic selection (r9, opt-in — the paper's actual
+    # rule, pareto(α) > 1 − score, instead of a hard threshold): keeps a
+    # deterministic-draw tail of lower-scored documents
+    if nb_pareto_alpha is not None:
+        if nb_model is None:
+            raise ValueError(
+                "nb_pareto_alpha requires nb_model (an NbQualityModel)"
+            )
+        if nb_min_score is not None:
+            raise ValueError(
+                "pass nb_min_score OR nb_pareto_alpha, not both "
+                "(hard threshold vs the GPT-3 stochastic gate)"
+            )
+        from oracle_vectorsearch_example_spark.operators.nb import (
+            nb_pareto_filter,
+        )
+
+        gated = nb_pareto_filter(
+            gated, nb_model, alpha=nb_pareto_alpha, seed=seed,
             id_col=id_col, text_col=text_col,
         )
 

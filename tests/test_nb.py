@@ -178,3 +178,58 @@ def test_model_save_load_roundtrip(spark, model, frames, tmp_path):
     a = sorted(map(tuple, nb_scores(raw, model).collect()))
     b = sorted(map(tuple, nb_scores(raw, m2).collect()))
     assert a == b
+
+
+def test_pareto_keeps_a_stochastic_tail(spark, model, frames):
+    """The GPT-3 rule's defining property: unlike the hard threshold,
+    the Pareto draw keeps SOME documents the threshold would drop (and
+    high-score docs keep with probability → 1). Deterministic: same
+    seed, same keep set, regardless of layout."""
+    from oracle_vectorsearch_example_spark.operators.nb import (
+        nb_pareto_filter,
+        nb_pareto_scores,
+    )
+
+    _, raw = frames
+    sc = nb_pareto_scores(raw, model, alpha=9.0, seed=42)
+    rows = sc.collect()
+    assert rows and all(r.pareto >= 0.0 for r in rows)
+    # keep bit consistent with the rule
+    import math as m
+
+    for r in rows:
+        want = r.pareto > round(1.0 - 1.0 / (1.0 + m.exp(-r.score)), 6)
+        assert r.keep == want
+    a = sorted(r.doc_id for r in nb_pareto_filter(raw, model).collect())
+    b = sorted(
+        r.doc_id for r in nb_pareto_filter(raw.repartition(5), model).collect()
+    )
+    assert a == b
+
+
+def test_pareto_alpha_validation(spark, model, frames):
+    from oracle_vectorsearch_example_spark.operators.nb import nb_pareto_scores
+
+    _, raw = frames
+    with pytest.raises(ValueError, match="alpha"):
+        nb_pareto_scores(raw, model, alpha=0.0)
+
+
+def test_corpus_pareto_gate_exclusive(spark, model):
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = build_training_corpus(
+        docs, nb_model=model, nb_pareto_alpha=9.0, n_shards=1, max_tokens=64
+    )
+    assert out["documents"].count() >= 0  # runs end to end
+    with pytest.raises(ValueError, match="not both"):
+        build_training_corpus(
+            docs, nb_model=model, nb_min_score=0.0, nb_pareto_alpha=9.0,
+            n_shards=1,
+        )
