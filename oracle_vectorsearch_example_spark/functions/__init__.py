@@ -24,6 +24,7 @@ from oracle_vectorsearch_example_spark.functions.rerank import (
 )
 from oracle_vectorsearch_example_spark.functions.lm import (
     BigramLM,
+    perplexity_buckets,
     perplexity_df,
     perplexity_filter,
     train_bigram_lm,
@@ -34,12 +35,14 @@ from oracle_vectorsearch_example_spark.functions.summary import (
 )
 from oracle_vectorsearch_example_spark.functions.snippet import snippet_df
 from oracle_vectorsearch_example_spark.functions.phash import (
+    dedup_images,
     phash_df,
     phash_from_pixels,
     phash_gray_expr,
     phash_neardup_pairs,
 )
 from oracle_vectorsearch_example_spark.functions.scrub import (
+    c4_clean_df,
     redact_pii_df,
     remove_boilerplate_lines,
 )
@@ -55,6 +58,8 @@ from oracle_vectorsearch_example_spark.functions.sql import register_sql_functio
 from oracle_vectorsearch_example_spark.functions.textstats import (
     bpe_ish_token_count,
     fingerprint,
+    gopher_repetition_df,
+    gopher_rules_df,
     lang_id,
     quality_score,
     winnow_fingerprints_df,
@@ -86,15 +91,20 @@ __all__ = [
     "train_bigram_lm",
     "perplexity_df",
     "perplexity_filter",
+    "perplexity_buckets",
     "utl_to_summary",
     "summarize_df",
     "snippet_df",
+    "dedup_images",
     "phash_df",
     "phash_from_pixels",
     "phash_gray_expr",
     "phash_neardup_pairs",
+    "c4_clean_df",
     "redact_pii_df",
     "remove_boilerplate_lines",
+    "gopher_rules_df",
+    "gopher_repetition_df",
     "detect_format",
     "extract_text",
     "extract_text_bytes",

@@ -107,6 +107,8 @@ from oracle_vectorsearch_example_spark.operators.nb import (
     NbQualityModel,
     nb_filter,
     nb_fit,
+    nb_pareto_filter,
+    nb_pareto_scores,
     nb_scores,
 )
 from oracle_vectorsearch_example_spark.operators.langid import (
@@ -233,6 +235,8 @@ __all__ = [
     "nb_fit",
     "nb_scores",
     "nb_filter",
+    "nb_pareto_scores",
+    "nb_pareto_filter",
     "LangidModel",
     "langid_fit",
     "langid_scores",
