@@ -3288,6 +3288,62 @@ def q_image_dedup(spark, sf):
     )
 
 
+_CTFIDF_SQL = """
+    WITH asg AS (
+      SELECT doc_id, doc_id % 4 AS cluster,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    ev AS (
+      SELECT cluster, unnest(toks) AS term FROM asg
+    ),
+    tf AS (
+      SELECT cluster, term, count(*)::BIGINT AS tf
+      FROM ev GROUP BY 1, 2
+    ),
+    ft AS (SELECT term, count(*)::BIGINT AS ft FROM ev GROUP BY 1),
+    tot AS (
+      SELECT count(*)::DOUBLE AS n_events,
+             count(DISTINCT cluster)::DOUBLE AS n_classes
+      FROM ev
+    ),
+    sc AS (
+      SELECT tf.cluster, tf.term, tf.tf,
+             round(tf.tf * ln(1.0 + (tot.n_events / tot.n_classes) / ft.ft),
+                   6) AS score
+      FROM tf JOIN ft USING (term) CROSS JOIN tot
+    ),
+    rk AS (
+      SELECT cluster, term, tf, score,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY score DESC, term) AS rank
+      FROM sc
+    )
+    SELECT cluster, rank, term, tf, score FROM rk WHERE rank <= 5
+"""
+
+
+@golden("ctfidf_topics", _CTFIDF_SQL)
+def q_ctfidf_topics(spark, sf):
+    """Cluster topic labels via c-TF-IDF (X56 — BERTopic's class-based
+    TF-IDF, Grootendorst 2022 §2.3): each cluster's documents form one
+    class document; terms rank by tf_{t,c} · ln(1 + A/f_t) with A = mean
+    events per class. Fixture clusters = doc_id % 4 (deterministic on
+    both engines); integer tf, 6 dp scores, (score desc, term asc)
+    rank — DuckDB replays tokenize → class counts → corpus counts →
+    score → windowed top-5 end to end."""
+    from oracle_vectorsearch_example_spark.operators.topics import (
+        ctfidf_terms,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    assign = docs.select(
+        "doc_id", (F.col("doc_id") % 4).alias("cluster")
+    )
+    return ctfidf_terms(docs, assign, top_k=5)
+
+
 _NB_PARETO_SQL = (
     "WITH sc AS ("
     + _NB_SQL
@@ -7163,8 +7219,8 @@ def q_pca_embed(spark, sf):
 # all judge-verified green at r8 end; (b) the 3 remaining r05 evictees;
 # (c) fill with the stalest survivors — r06-witnessed, non-tpch first
 # (operator-family diversity), then tpch in numeric-ish order. Left for
-# r10 (r06-witnessed, no seat this round): tpch_q4/q6/q8/q9/q11/q12/
-# q13/q15/q16/q17/q19/q2/q20/q21/q22. Rows-only entries (approx_count_distinct, ivf_search,
+# r10 (r06-witnessed, no seat this round): ALL tpch (q1-q22's r06
+# survivors: q1/q2/q4/q6/q8/q9/q11-q13/q15-q17/q19-q22). Rows-only entries (approx_count_distinct, ivf_search,
 # bpe_tokens, rerank_ce, pca_embed, mmr_rerank, semdedup, onnx_embed,
 # ivf_accuracy_report, pack_bfd) take no seat (judge r7 #3). The window
 # must not change mid-round. Witness history is recomputable from
@@ -7172,7 +7228,7 @@ def q_pca_embed(spark, sf):
 _PRIORITY = [
     # never driver-witnessed, oracle-paired (r9 adds, then r8 adds)
     "langid", "gopher_repetition", "image_phash", "phash_neardup",
-    "image_dedup", "nb_pareto",
+    "image_dedup", "nb_pareto", "ctfidf_topics",
     "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
     "gopher_rules", "grounding", "prototype_prune", "c4_clean",
     # stalest: last witnessed r05 (the 3 remaining evictees)
@@ -7187,8 +7243,6 @@ _PRIORITY = [
     "scan_region", "semdedup_exact", "stream_interval_join", "strings",
     "text_stats", "tumbling_window", "union_all", "vector_distances",
     "vector_topk_exact", "window_funcs",
-    # last witnessed r06, tpch
-    "tpch_q1",
 ]
 
 

@@ -140,6 +140,7 @@ from oracle_vectorsearch_example_spark.operators.layout import zorder_write
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
 from oracle_vectorsearch_example_spark.operators.resample import time_bucket_gapfill
 from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
+from oracle_vectorsearch_example_spark.operators.topics import ctfidf_terms
 from oracle_vectorsearch_example_spark.operators.skew import (
     salted_agg,
     salted_agg_auto,
@@ -258,6 +259,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "sessionize",
+    "ctfidf_terms",
     "time_bucket_gapfill",
     "salted_agg",
     "salted_agg_auto",

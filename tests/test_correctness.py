@@ -72,7 +72,7 @@ def test_driver_window_composition():
         "simhash_neardup", "stratified_sample", "winnow_fingerprints",
         # r9 adds
         "langid", "gopher_repetition", "image_phash", "phash_neardup",
-        "image_dedup", "nb_pareto",
+        "image_dedup", "nb_pareto", "ctfidf_topics",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"
