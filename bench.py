@@ -971,6 +971,43 @@ def main():
             "bfd_bpe_pack_48k", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- c-TF-IDF topic labels over 200k docs × 16 clusters (X56, r9):
+    # one explode → (cluster, term) group-by → vocabulary-keyed f_t
+    # join → bounded top-k window. Extras record the vocabulary size
+    # the f_t join is keyed on.
+    try:
+        from oracle_vectorsearch_example_spark.operators.topics import (
+            ctfidf_terms,
+        )
+
+        tp_docs = _ecf(spark, _corpus_base)
+        tp_assign = tp_docs.select(
+            "doc_id", (F.col("doc_id") % 16).alias("cluster")
+        )
+        run_entry(
+            "ctfidf_200k",
+            lambda: _execute(ctfidf_terms(tp_docs, tp_assign, top_k=10)),
+        )
+        vocab = (
+            tp_docs.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.trim("text")), r"\s+"),
+                        lambda t: t != F.lit(""),
+                    )
+                ).alias("t")
+            )
+            .agg(F.count_distinct("t"))
+            .collect()[0][0]
+        )
+        extras["ctfidf_200k"] = {
+            "n_docs": 200_000,
+            "n_clusters": 16,
+            "vocab_terms": int(vocab),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault("ctfidf_200k", {"err": str(e).splitlines()[0][:200]})
+
     # --- IncrementalCorpus at production cadence (judge r7 #8): 12
     # ingests of 8k docs each with compact_every=5 — the policy is
     # tested for correctness (auto-compaction preserves the corpus);
