@@ -169,3 +169,17 @@ def test_dedup_images_end_to_end(spark):
         for r in dedup_images(df, max_hamming=10, keep_undecodable=False).collect()
     )
     assert kept2 == [1, 4]
+
+
+def test_neardup_plan_no_cartesian(spark):
+    """The 100 TB posture: candidates come from band equality joins —
+    the plan must contain no CartesianProduct/all-pairs fallback."""
+    df = spark.createDataFrame(
+        [(i, i * 37) for i in range(20)], "media_id long, phash long"
+    )
+    plan = (
+        phash_neardup_pairs(df, max_hamming=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

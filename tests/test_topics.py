@@ -95,3 +95,14 @@ def test_composes_with_assign_centers(spark):
     by_market = [c for c, t in terms.items() if "market" in t]
     assert len(by_sports) == 1 and len(by_market) == 1
     assert by_sports != by_market
+
+
+def test_no_python_udf_no_cartesian(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assign = docs.select("doc_id", F.lit(0).alias("cluster"))
+    plan = (
+        ctfidf_terms(docs, assign)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
