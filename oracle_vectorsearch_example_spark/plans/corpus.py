@@ -1,19 +1,34 @@
 """End-to-end training-corpus build — the §2.12 surface composed.
 
 ``build_training_corpus`` chains the individual operators into the
-pipeline a 100 TB pre-training data build actually runs:
+pipeline a 100 TB pre-training data build actually runs — the full
+named public canon in one call, in the published order:
 
-1. **fuzzy dedup** — MinHash-LSH candidate pairs → connected-component
+1. **DSIR selection** (opt-in) — importance-resample toward a target;
+2. **URL dedup + domain blocklist** (opt-in) — collapse re-crawls,
+   drop blocked hosts, before any text stage (the CommonCrawl order);
+3. **C4 line/page rules** (opt-in) — local cleanup before anything
+   shuffles;
+4. **language identification** (opt-in) — langid_model derives
+   ``lang_col`` when absent (CCNet stage 1);
+5. **scrub passes** (opt-in) — boilerplate strip, PII redaction,
+   ExactSubstr duplicated-passage cuts, before near-dup banding;
+6. **fuzzy dedup** — MinHash-LSH candidate pairs → connected-component
    closure → one canonical doc per cluster (`dedup_by_components`);
-2. **quality/language gate** — single-tokenize text metrics
-   (`text_metrics_df`), filtered on quality score and optional language;
-3. **deterministic split** — `hash_split` into train/val/test, a pure
-   function of (seed, doc_id);
-4. **sequence packing** — the train split concat-and-chunked into
-   fixed-length packs (`pack_sequences`);
-5. **atomic publish** — all output tables committed in ONE
-   `Warehouse.commit` (snapshot isolation): readers see the whole corpus
-   version or none of it.
+7. **contamination + repetition gates** (opt-in) — benchmark
+   decontamination, dup-3-gram bound;
+8. **quality/language gates** — single-tokenize heuristic metrics,
+   plus the named Gopher §A1.1 rules and §A1.2 repetition suite;
+9. **model gates** (opt-in) — bigram-LM perplexity (global ``max_ppl``
+   or per-language CCNet terciles via ``ppl_keep_buckets``), NB
+   classifier (hard threshold or the GPT-3 Pareto draw);
+10. **deterministic split** — `hash_split` into train/val/test, a pure
+    function of (seed, doc_id);
+11. **sequence packing** — concat-split (`pack_sequences`) or, with
+    ``bpe_merges``, whole-doc BFD in model-token units;
+12. **atomic publish** — all output tables committed in ONE
+    `Warehouse.commit` (snapshot isolation): readers see the whole
+    corpus version or none of it.
 
 Plan shape at scale: stages 2–3 are map-side column work; the shuffles
 are exactly those of the member operators (dedup's band join + closure
