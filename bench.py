@@ -862,8 +862,12 @@ def main():
         )
         n_pred = pred.count()
         n_right = pred.filter(F.col("lang") == F.col("__truth")).count()
+        n_docs = li_docs.count()  # measured, not assumed — the corpus
+        # base can shrink and short docs (<3 chars) take no prediction
         extras["langid_50k"] = {
-            "n_docs": 50_000,
+            "n_docs": n_docs,
+            "n_pred": n_pred,
+            "coverage": round(n_pred / max(n_docs, 1), 6),
             "accuracy": round(n_right / max(n_pred, 1), 6),
         }
     except Exception as e:  # noqa: BLE001

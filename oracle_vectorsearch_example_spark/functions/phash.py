@@ -211,19 +211,28 @@ def phash_df(
         decode_image_pixels,
     )
 
-    schema = f"{id_col} long, {out_col} long"
+    from pyspark.sql import types as T
+
+    # id type follows the input (string/UUID media ids must not be
+    # cast to long by a hardcoded schema)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, media.schema[id_col].dataType),
+            T.StructField(out_col, T.LongType()),
+        ]
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for b in batches:
             out = []
-            for _, row in b.iterrows():
+            for mid, payload in zip(b[id_col], b[payload_col]):
                 try:
-                    px = decode_image_pixels(bytes(row[payload_col]))
-                    out.append((row[id_col], phash_from_pixels(px)))
+                    px = decode_image_pixels(bytes(payload))
+                    out.append((mid, phash_from_pixels(px)))
                 except Exception:
                     if on_error == "raise":
                         raise
-                    out.append((row[id_col], None))
+                    out.append((mid, None))
             yield pd.DataFrame(out, columns=[id_col, out_col])
 
     return media.select(id_col, payload_col).mapInPandas(run, schema)

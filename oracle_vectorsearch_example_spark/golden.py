@@ -3024,7 +3024,7 @@ _NB_SQL = """
       FROM raw
     ),
     ev AS (
-      SELECT doc_id,
+      SELECT doc_id, i,
              (('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 8192) AS b
       FROM rev
     ),
@@ -3034,14 +3034,18 @@ _NB_SQL = """
     nd AS (SELECT (SELECT count(*) FROM tgt) AS ntd,
                   (SELECT count(*) FROM raw) AS nrd),
     lp AS (
-      SELECT ev.doc_id,
+      SELECT ev.doc_id, ev.i,
              ln(coalesce(tc.ct, 0) + 1.0) - ln(tt.t + 8192.0)
            - ln(coalesce(rc.cr, 0) + 1.0) + ln(rt.t + 8192.0) AS lr
       FROM ev LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
       CROSS JOIN tt CROSS JOIN rt
     )
+    -- position-ordered fold matches the Spark side's canonical
+    -- array_sort(struct(pos, lr)) accumulation exactly (a plain sum()
+    -- folds in engine order; FP reassociation could flip the 6th dp)
     SELECT lp.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(ln(nd.ntd) - ln(nd.nrd) + sum(lr), 6) AS score
+           round(ln(nd.ntd) - ln(nd.nrd)
+                 + list_aggregate(list(lr ORDER BY i), 'sum'), 6) AS score
     FROM lp CROSS JOIN nd GROUP BY lp.doc_id, nd.ntd, nd.nrd
 """
 
@@ -3349,10 +3353,10 @@ _NB_PARETO_SQL = (
     + _NB_SQL
     + """)
     SELECT doc_id, n_tokens, score,
-           round(pow(1.0 - ((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           round(pow(1.0 - ((('0x' || substr(md5('pareto:42:' || CAST(doc_id AS VARCHAR)), 1, 8))
                              ::BIGINT % 10000) / 10000.0),
                      -1.0 / 9.0) - 1.0, 6) AS pareto,
-           (round(pow(1.0 - ((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           (round(pow(1.0 - ((('0x' || substr(md5('pareto:42:' || CAST(doc_id AS VARCHAR)), 1, 8))
                               ::BIGINT % 10000) / 10000.0),
                       -1.0 / 9.0) - 1.0, 6)
             > round(1.0 - 1.0 / (1.0 + exp(-score)), 6)) AS keep
@@ -3410,20 +3414,25 @@ _LANGID_SQL = """
     tot AS (SELECT lang, sum(c) AS total FROM cnt GROUP BY 1),
     nd AS (SELECT count(*)::DOUBLE AS n FROM train),
     ev AS (
-      SELECT doc_id,
+      SELECT doc_id, i,
              (('0x' || substr(md5(substr(lt, i, 3)), 1, 8))::BIGINT % 4096) AS b
       FROM test, unnest(generate_series(1, len(lt) - 2)) AS u(i)
     ),
     lp AS (
-      SELECT ev.doc_id, cls.lang, cls.n_docs,
+      SELECT ev.doc_id, ev.i, cls.lang, cls.n_docs,
              ln(coalesce(cnt.c, 0) + 1.0) - ln(tot.total + 4096.0) AS lr
       FROM ev CROSS JOIN cls
       JOIN tot USING (lang)
       LEFT JOIN cnt ON cnt.lang = cls.lang AND cnt.b = ev.b
     ),
     sc AS (
+      -- position-ordered fold == the Spark canonical
+      -- array_sort(struct(pos, lr)) accumulation; a plain sum() folds
+      -- in engine order and FP reassociation at a 6 dp boundary would
+      -- flip the score AND the argmax tie-break below
       SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
-             round(ln(n_docs::DOUBLE) - ln((SELECT n FROM nd)) + sum(lr),
+             round(ln(n_docs::DOUBLE) - ln((SELECT n FROM nd))
+                   + list_aggregate(list(lr ORDER BY i), 'sum'),
                    6) AS score
       FROM lp GROUP BY doc_id, lang, n_docs
     ),

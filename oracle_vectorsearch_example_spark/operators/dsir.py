@@ -20,7 +20,7 @@ Frozen spec (engine-replayable, the repo's standard disciplines):
 - per-document sum = the order-canonicalized fold (position-sorted
   events) + 6 dp rounding — layout-independent, oracle-reproducible;
 - sampling noise: Gumbel g(id) = −ln(−ln(u)) with u = (hash_bucket(id,
-  seed) + 0.5) / BUCKETS — a pure function of (id, seed), the X7
+  "dsir:<seed>") + 0.5) / BUCKETS — a pure function of (id, seed), the X7
   discipline (no RNG streams, reproducible under repartition). Top-n by
   (log w + g) is exactly sampling-without-replacement ∝ softmax(log w).
 
@@ -168,9 +168,12 @@ def dsir_sample(
     function of (corpus, target, seed), reproducible under repartition.
     Returns the selected documents (payload re-joined by id)."""
     scores = dsir_scores(docs, model, id_col, text_col)
-    u = (hash_bucket(F.col(id_col), seed).cast("double") + 0.5) / float(
-        BUCKETS
-    )
+    # salted sub-stream: sharing the bare (seed, id) bucket with
+    # hash_split would couple the Gumbel noise to split assignment
+    # (high-u picks could only land in high/val-test buckets)
+    u = (
+        hash_bucket(F.col(id_col), f"dsir:{seed}").cast("double") + 0.5
+    ) / float(BUCKETS)
     keyed = scores.withColumn("__g", F.col("logw") - F.log(-F.log(u)))
     picked = keyed.orderBy(
         F.col("__g").desc(), F.col(id_col)

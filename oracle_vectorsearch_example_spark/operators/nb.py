@@ -276,9 +276,14 @@ def nb_pareto_scores(
     unlike the prompt distribution, "including, in the limit, some
     documents judged as low quality"), instead of a hard threshold.
 
-    Frozen replayable spec: the per-document uniform is the md5-bucket
-    draw u = hash_bucket(seed, id)/10000 (the repo's hash-cutoff
-    sampling discipline — layout-independent, re-runnable), the Pareto
+    Frozen replayable spec: the per-document uniform is the SALTED
+    md5-bucket draw u = hash_bucket("pareto:<seed>", id)/10000 (the
+    repo's hash-cutoff sampling discipline — layout-independent,
+    re-runnable; the salt decorrelates this draw from
+    :func:`~.sampling.hash_split`'s bare-(seed, id) stream — sharing it
+    would make survival and split assignment the same uniform, so
+    marginal-quality survivors could never land in low train buckets
+    and val/test would skew low-scored), the Pareto
     deviate is the standard inverse-CDF transform
     ``(1−u)^(−1/α) − 1`` (numpy's ``pareto`` draw), the document score
     is the sigmoid of the 6 dp class log-odds, and the kept bit
@@ -292,7 +297,9 @@ def nb_pareto_scores(
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
     scored = nb_scores(docs, model, id_col, text_col, use_prior=use_prior)
-    u = hash_bucket(F.col(id_col), seed).cast("double") / F.lit(float(BUCKETS))
+    u = hash_bucket(F.col(id_col), f"pareto:{seed}").cast("double") / F.lit(
+        float(BUCKETS)
+    )
     pareto = F.round(
         F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0), 6
     )

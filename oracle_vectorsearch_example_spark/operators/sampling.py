@@ -36,8 +36,17 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
-def hash_bucket(id_col: Column, seed: int = 42, buckets: int = BUCKETS) -> Column:
-    """Deterministic bucket in [0, buckets) from md5("<seed>:<id>")."""
+def hash_bucket(
+    id_col: Column, seed: int | str = 42, buckets: int = BUCKETS
+) -> Column:
+    """Deterministic bucket in [0, buckets) from md5("<seed>:<id>").
+
+    ``seed`` may be a string salt such as ``"pareto:42"`` — operators
+    that draw their OWN randomness per row (Pareto gate, Gumbel noise)
+    must salt a sub-stream instead of reusing the bare split seed:
+    sharing the raw (seed, id) stream with :func:`hash_split` makes
+    survival and split assignment the SAME draw, so stochastic-gate
+    survivors are systematically sorted into high buckets (val/test)."""
     h = F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).cast("int")
 

@@ -207,6 +207,38 @@ def test_pareto_keeps_a_stochastic_tail(spark, model, frames):
     assert a == b
 
 
+def test_pareto_draw_salted_and_split_decorrelated(spark, model, frames):
+    """The Pareto uniform must come from md5("pareto:<seed>:<id>"), NOT
+    hash_split's bare md5("<seed>:<id>") stream: with a shared stream a
+    doc survives iff u clears a score-dependent floor AND the same u
+    picks its split, so marginal survivors could never reach low train
+    buckets and val/test would systematically skew low-quality."""
+    from oracle_vectorsearch_example_spark.operators.nb import (
+        nb_pareto_scores,
+    )
+
+    _, raw = frames
+    got = {
+        r.doc_id: r.pareto
+        for r in nb_pareto_scores(raw, model, alpha=9.0, seed=42).collect()
+    }
+
+    def u_from(salt, did):
+        h = hashlib.md5(f"{salt}:{did}".encode()).hexdigest()
+        return (int(h[:8], 16) % 10000) / 10000.0
+
+    for did, pareto in got.items():
+        want = round((1.0 - u_from("pareto:42", did)) ** (-1.0 / 9.0) - 1.0, 6)
+        assert pareto == pytest.approx(want, abs=1e-9)
+    # and the salted stream actually differs from the split stream
+    diverged = [
+        did
+        for did in got
+        if u_from("pareto:42", did) != u_from("42", did)
+    ]
+    assert diverged  # shared-seed coupling would make these identical
+
+
 def test_pareto_alpha_validation(spark, model, frames):
     from oracle_vectorsearch_example_spark.operators.nb import nb_pareto_scores
 

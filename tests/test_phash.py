@@ -127,6 +127,25 @@ def test_decode_error_null_or_raise(spark):
         phash_df(df, on_error="raise").collect()
 
 
+def test_string_media_ids(spark):
+    """phash_df derives the id field's type from the input schema —
+    string/UUID media ids must survive untouched, not be miscast by a
+    hardcoded `long` output schema."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import encode_bmp
+
+    px = _pattern_px(32, 32, seed=3)
+    rows = [
+        ("a-550e8400", bytearray(encode_bmp(px))),
+        ("b-e29b41d4", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = phash_df(df)
+    assert out.schema["media_id"].dataType.simpleString() == "string"
+    got = {r.media_id: r.phash for r in out.collect()}
+    assert got["a-550e8400"] == phash_from_pixels(px)
+    assert got["b-e29b41d4"] is None
+
+
 def test_layout_determinism(spark):
     from oracle_vectorsearch_example_spark.operators.multimodal import encode_bmp
 
