@@ -914,10 +914,36 @@ def main():
         n_pairs = phash_neardup_pairs(
             ph_hashes, id_col="doc_id", max_hamming=8
         ).count()
+        nd_wall = round(time.time() - t_nd, 3)
+        # candidate discipline under both banding schemes (r10): the
+        # plain d+1 pigeonhole (7-bit keys at d=8) vs Manku 12-block
+        # combination keys (C(12,4)=495 combos, 20-bit keys) — the
+        # at-scale knob; pair sets are provably identical, candidate
+        # volume is the trade
+        from oracle_vectorsearch_example_spark.functions.phash import (
+            phash_band_candidates,
+        )
+
+        all_pairs = ph_n * (ph_n - 1) / 2.0
+        cand_plain = phash_band_candidates(
+            ph_hashes, id_col="doc_id", max_hamming=8
+        ).count()
+        t_mk = time.time()
+        pairs_manku = phash_neardup_pairs(
+            ph_hashes, id_col="doc_id", max_hamming=8, n_blocks=12
+        ).count()
+        mk_wall = round(time.time() - t_mk, 3)
+        cand_manku = phash_band_candidates(
+            ph_hashes, id_col="doc_id", max_hamming=8, n_blocks=12
+        ).count()
         extras["phash_50k"] = {
             "n_images": ph_n,
             "neardup_pairs_h8": n_pairs,
-            "neardup_wall": round(time.time() - t_nd, 3),
+            "neardup_wall": nd_wall,
+            "neardup_pairs_manku12": pairs_manku,  # must equal _h8
+            "neardup_manku12_wall": mk_wall,
+            "candidate_fraction_plain": round(cand_plain / all_pairs, 8),
+            "candidate_fraction_manku12": round(cand_manku / all_pairs, 8),
         }
     except Exception as e:  # noqa: BLE001
         results.setdefault("phash_50k", {"err": str(e).splitlines()[0][:200]})

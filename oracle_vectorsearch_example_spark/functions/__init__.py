@@ -36,6 +36,7 @@ from oracle_vectorsearch_example_spark.functions.summary import (
 from oracle_vectorsearch_example_spark.functions.snippet import snippet_df
 from oracle_vectorsearch_example_spark.functions.phash import (
     dedup_images,
+    phash_band_candidates,
     phash_df,
     phash_from_pixels,
     phash_gray_expr,
@@ -96,6 +97,7 @@ __all__ = [
     "summarize_df",
     "snippet_df",
     "dedup_images",
+    "phash_band_candidates",
     "phash_df",
     "phash_from_pixels",
     "phash_gray_expr",

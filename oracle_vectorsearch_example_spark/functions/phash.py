@@ -39,6 +39,7 @@ this extends the same binary-column discipline to image identity.
 
 from __future__ import annotations
 
+import itertools
 import math
 from typing import Iterator
 
@@ -238,46 +239,124 @@ def phash_df(
     return media.select(id_col, payload_col).mapInPandas(run, schema)
 
 
-def phash_neardup_pairs(
+# combo counts at or under this stay on the literal-struct-array expr
+# path (codegen-safe); above it the Generate blows janino's method-size
+# limit, falls back to interpreted eval, and the numpy Arrow path wins
+# (~7× measured at C(12,4)=495). Tests monkeypatch this to 0 to pin the
+# two paths' banded keys equal.
+_ARROW_COMBO_THRESHOLD = 64
+
+
+def phash_band_candidates(
     df: DataFrame,
     id_col: str = "media_id",
     hash_col: str = "phash",
     max_hamming: int = 6,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) — all pairs within ``max_hamming`` bits,
-    id_a < id_b. Pigeonhole banding: the 63 bits split into
-    ``max_hamming + 1`` bands, so any qualifying pair agrees exactly on
-    at least one band; candidates come from per-band equality
-    self-joins over skinny (id, band_val) rows (NEVER all-pairs), then
-    one XOR+bit_count verify. NULL hashes (failed decodes) drop out."""
+    """(id_a, id_b, __ha, __hb) — the DISTINCT candidate pairs the
+    banding scheme proposes, before the hamming verify. Exposed so
+    benchmarks/audits can measure candidate volume (the quantity the
+    Manku ``n_blocks`` knob trades against key replication);
+    :func:`phash_neardup_pairs` is this plus one XOR+bit_count
+    verify."""
     if not 0 <= max_hamming <= 62:
         raise ValueError("max_hamming must be in [0, 62]")
-    n_bands = max_hamming + 1
-    base = 63 // n_bands
-    extra = 63 % n_bands  # first `extra` bands get one extra bit
+    d = max_hamming
+    b = (d + 1) if n_blocks is None else n_blocks
+    if not d < b <= 63:
+        raise ValueError(
+            f"n_blocks must be in (max_hamming, 63], got {n_blocks}"
+        )
+    combos = list(itertools.combinations(range(b), b - d))
+    if len(combos) > 512:
+        raise ValueError(
+            f"C({b}, {b - d}) = {len(combos)} key combinations — "
+            "row replication would dominate; pick n_blocks closer to "
+            "max_hamming + 1"
+        )
+    widths = [63 // b + (1 if k < 63 % b else 0) for k in range(b)]
+    starts = [sum(widths[:k]) for k in range(b)]
     h = df.select(F.col(id_col), F.col(hash_col)).filter(
         F.col(hash_col).isNotNull()
     )
-    bands = []
-    start = 0
-    for k in range(n_bands):
-        width = base + (1 if k < extra else 0)
-        bands.append(
-            h.select(
-                id_col,
-                hash_col,
-                F.lit(k).alias("band"),
-                (
-                    F.shiftright(F.col(hash_col), start).bitwiseAND(
-                        F.lit((1 << width) - 1).cast("long")
-                    )
-                ).alias("bval"),
+    if len(combos) <= _ARROW_COMBO_THRESHOLD:
+        # expr path: a literal struct array this size stays inside
+        # janino/codegen limits (the default d+1 pigeonhole always
+        # lands here — its combos are the d+1 single-block keys)
+        def block_val(k: int):
+            return F.shiftright(F.col(hash_col), starts[k]).bitwiseAND(
+                F.lit((1 << widths[k]) - 1).cast("long")
             )
+
+        entries = []
+        for ci, combo in enumerate(combos):
+            key = F.lit(0).cast("long")
+            shift = 0
+            for k in combo:
+                # shift is a Python int — the F.shiftleft constraint
+                key = key.bitwiseOR(F.shiftleft(block_val(k), shift))
+                shift += widths[k]
+            entries.append(
+                F.struct(F.lit(ci).alias("band"), key.alias("bval"))
+            )
+        banded = h.select(
+            id_col, hash_col, F.explode(F.array(*entries)).alias("__k")
+        ).select(
+            id_col,
+            hash_col,
+            F.col("__k.band").alias("band"),
+            F.col("__k.bval").alias("bval"),
         )
-        start += width
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    else:
+        # Arrow path: hundreds of combination keys blow the generated
+        # struct array past janino's method-size limit and the whole
+        # Generate falls back to interpreted eval (measured ~7× slower
+        # than this numpy loop at C(12,4)=495). The keys are identical
+        # integers — pytest pins the banded frames equal — computed as
+        # C(b,d) vectorized shift/or passes per Arrow batch, map-side.
+        import numpy as np
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(id_col, df.schema[id_col].dataType),
+                T.StructField(hash_col, T.LongType()),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bval", T.LongType()),
+            ]
+        )
+        n_c = len(combos)
+
+        def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for bt in batches:
+                if not len(bt):
+                    continue
+                hs = bt[hash_col].to_numpy(dtype=np.int64)
+                blocks = [
+                    (hs >> starts[k]) & ((1 << widths[k]) - 1)
+                    for k in range(b)
+                ]
+                keys = np.empty((n_c, len(hs)), dtype=np.int64)
+                for ci, combo in enumerate(combos):
+                    key = np.zeros(len(hs), dtype=np.int64)
+                    shift = 0
+                    for k in combo:
+                        key |= blocks[k] << shift
+                        shift += widths[k]
+                    keys[ci] = key
+                yield pd.DataFrame(
+                    {
+                        id_col: np.tile(bt[id_col].to_numpy(), n_c),
+                        hash_col: np.tile(hs, n_c),
+                        "band": np.repeat(
+                            np.arange(n_c, dtype=np.int32), len(hs)
+                        ),
+                        "bval": keys.reshape(-1),
+                    }
+                )
+
+        banded = h.mapInPandas(run, schema)
     left = banded.select(
         F.col(id_col).alias("id_a"),
         F.col(hash_col).alias("__ha"),
@@ -290,11 +369,46 @@ def phash_neardup_pairs(
         "band",
         "bval",
     )
-    cand = (
+    return (
         left.join(right, ["band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__ha", "__hb")
         .distinct()
+    )
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — all pairs within ``max_hamming`` bits,
+    id_a < id_b. Generalized pigeonhole banding (Manku, Jain & Das
+    Sarma 2007 §3, the simhash web-dedup construction): the 63 bits
+    split into ``n_blocks`` > d blocks; two hashes within hamming d
+    differ in at most d blocks, so they AGREE on every block of at
+    least one (n_blocks − d)-subset — candidates come from equality
+    self-joins on each subset's packed key (NEVER all-pairs), then one
+    XOR+bit_count verify. NULL hashes (failed decodes) drop out.
+
+    ``n_blocks=None`` (default) keeps d+1 blocks joined on single-block
+    keys — the plain pigeonhole. At web-crawl image counts raise it:
+    d+1 blocks at d=6 give 9-bit keys (~512 distinct values per band),
+    so buckets degenerate toward within-bucket all-pairs; n_blocks=9
+    joins on C(9,3)=84 three-block 21-bit keys instead — wider keys,
+    same no-false-negative guarantee, candidate volume traded against
+    a C(n_blocks, d)-fold row replication of the SKINNY key frame
+    (payloads and hashes are long scalars; nothing heavy replicates).
+    One pass over the input: keys explode from a literal struct array
+    (no per-band union re-scan)."""
+    cand = phash_band_candidates(
+        df,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
     )
     ham = F.bit_count(
         F.col("__ha").bitwiseXOR(F.col("__hb"))
@@ -311,6 +425,7 @@ def dedup_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
     max_hamming: int = 6,
+    n_blocks: int | None = None,
     keep_undecodable: bool = True,
 ) -> DataFrame:
     """Corpus-level perceptual image dedup — the full X2-shaped pipeline
@@ -334,7 +449,11 @@ def dedup_images(
         media, payload_col=payload_col, id_col=id_col, out_col="__ph"
     )
     pairs = phash_neardup_pairs(
-        hashes, id_col=id_col, hash_col="__ph", max_hamming=max_hamming
+        hashes,
+        id_col=id_col,
+        hash_col="__ph",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
     )
     deduped = dedup_by_components(media, pairs, id_col=id_col)
     if keep_undecodable:

@@ -77,9 +77,12 @@ def test_real_codec_roundtrip_identity(spark):
     assert ham_near <= 10 < ham_far
 
 
-def test_neardup_pairs_match_brute_force(spark):
-    """Pigeonhole banding finds EXACTLY the brute-force hamming ≤ d
-    set (completeness is a theorem; this pins the implementation)."""
+@pytest.mark.parametrize("n_blocks", [None, 9, 11])
+def test_neardup_pairs_match_brute_force(spark, n_blocks):
+    """Banding finds EXACTLY the brute-force hamming ≤ d set
+    (completeness is a theorem for EVERY valid n_blocks — the Manku
+    block-combination generalization must not change the answer, only
+    the candidate key width)."""
     rng = np.random.RandomState(7)
     base = int(rng.randint(0, 1 << 31)) | (int(rng.randint(0, 1 << 31)) << 31)
     hashes = {0: base}
@@ -93,7 +96,9 @@ def test_neardup_pairs_match_brute_force(spark):
     )
     got = {
         (r.id_a, r.id_b): r.hamming
-        for r in phash_neardup_pairs(df, max_hamming=6).collect()
+        for r in phash_neardup_pairs(
+            df, max_hamming=6, n_blocks=n_blocks
+        ).collect()
     }
     want = {}
     for a in hashes:
@@ -103,6 +108,47 @@ def test_neardup_pairs_match_brute_force(spark):
                 if d <= 6:
                     want[(a, b)] = d
     assert got == want
+
+
+def test_banding_expr_and_arrow_paths_pin_equal(spark, monkeypatch):
+    """The Arrow key generator (taken when the combination count blows
+    codegen limits) must emit EXACTLY the expr path's (band, bval)
+    keys — same parameters, both paths, identical candidate frames."""
+    import oracle_vectorsearch_example_spark.functions.phash as ph
+
+    rng = np.random.RandomState(3)
+    base = int(rng.randint(0, 1 << 31)) | (int(rng.randint(0, 1 << 31)) << 31)
+    rows = []
+    for i in range(40):  # clusters of near-dups so candidates exist
+        h = base if i % 4 == 0 else rows[-1][1]
+        for b in rng.choice(63, size=int(rng.randint(0, 4)), replace=False):
+            h ^= 1 << int(b)
+        rows.append((i, h))
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+
+    def cands():
+        return sorted(
+            (r["id_a"], r["id_b"], r["__ha"], r["__hb"])
+            for r in ph.phash_band_candidates(
+                df, max_hamming=4, n_blocks=7
+            ).collect()
+        )
+
+    expr_cands = cands()  # C(7,3)=35 ≤ 64 → expr path
+    monkeypatch.setattr(ph, "_ARROW_COMBO_THRESHOLD", 0)
+    arrow_cands = cands()  # same params forced through numpy
+    assert expr_cands == arrow_cands and expr_cands
+
+
+def test_neardup_n_blocks_validation(spark):
+    df = spark.createDataFrame([(1, 5)], "media_id long, phash long")
+    with pytest.raises(ValueError, match="n_blocks"):
+        phash_neardup_pairs(df, max_hamming=6, n_blocks=6)  # needs > d
+    with pytest.raises(ValueError, match="n_blocks"):
+        phash_neardup_pairs(df, max_hamming=6, n_blocks=64)
+    with pytest.raises(ValueError, match="combinations"):
+        # C(30, 24) is astronomically past the replication guard
+        phash_neardup_pairs(df, max_hamming=6, n_blocks=30)
 
 
 def test_neardup_null_hashes_drop(spark):
