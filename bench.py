@@ -767,6 +767,29 @@ def main():
             "n_docs": int(ragg["n"]),
             "repetition_pass": int(ragg["p"]),
         }
+
+        # Arrow throughput twin (r10): same 16 numbers, pytest-pinned
+        # equal to the expr spec — the corpus-scale gating path. Extras
+        # pin the pass count equal to the expr entry's.
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            gopher_repetition_arrow_df,
+        )
+
+        def _rep_arrow():
+            return gopher_repetition_arrow_df(rep_docs).select(
+                "doc_id", "repetition_pass", "dup5_char_frac"
+            )
+
+        run_entry("repetition_200k_arrow", lambda: _execute(_rep_arrow()))
+        raga = _rep_arrow().agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("repetition_pass").cast("long")).alias("p"),
+        ).collect()[0]
+        extras["repetition_200k_arrow"] = {
+            "n_docs": int(raga["n"]),
+            "repetition_pass": int(raga["p"]),
+            "pass_count_equals_expr": int(raga["p"]) == int(ragg["p"]),
+        }
     except Exception as e:  # noqa: BLE001
         results.setdefault(
             "repetition_200k", {"err": str(e).splitlines()[0][:200]}

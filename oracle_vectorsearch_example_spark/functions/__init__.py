@@ -59,6 +59,7 @@ from oracle_vectorsearch_example_spark.functions.sql import register_sql_functio
 from oracle_vectorsearch_example_spark.functions.textstats import (
     bpe_ish_token_count,
     fingerprint,
+    gopher_repetition_arrow_df,
     gopher_repetition_df,
     gopher_rules_df,
     lang_id,
@@ -106,6 +107,7 @@ __all__ = [
     "redact_pii_df",
     "remove_boilerplate_lines",
     "gopher_rules_df",
+    "gopher_repetition_arrow_df",
     "gopher_repetition_df",
     "detect_format",
     "extract_text",

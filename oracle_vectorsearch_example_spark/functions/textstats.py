@@ -17,6 +17,8 @@ Frozen specs (DuckDB-reimplementable for the oracle harness):
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -532,6 +534,145 @@ def gopher_repetition_df(
         & (F.col("dup10_char_frac") <= max_dup10_char_frac)
     )
     return out.withColumn("repetition_pass", passes).drop(*staging)
+
+
+def gopher_repetition_arrow_df(
+    df,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top2_char_frac: float = 0.20,
+    max_top3_char_frac: float = 0.18,
+    max_top4_char_frac: float = 0.16,
+    max_dup5_char_frac: float = 0.15,
+    max_dup6_char_frac: float = 0.14,
+    max_dup7_char_frac: float = 0.13,
+    max_dup8_char_frac: float = 0.12,
+    max_dup9_char_frac: float = 0.11,
+    max_dup10_char_frac: float = 0.10,
+):
+    """Arrow throughput twin of :func:`gopher_repetition_df` — the SAME
+    16 numbers + pass bit per document, computed per Arrow batch with
+    Counter/str ops instead of 11 interpreted HOF folds (Spark's
+    `aggregate` lambdas never reach codegen, and the fold cost — not
+    the algorithm — dominated the 200k bench at 0.21 ms/doc). The expr
+    version stays the golden/normative spec; this path is pytest-pinned
+    equal to it column-for-column (same fixture, incl. rounding and
+    null-text behavior) — the langid canonical=False / pHash Arrow-path
+    precedent. Use for corpus-scale gating; never for hash goldens.
+
+    Parity traps honored: Java ``\\s`` is ASCII-only (``re.ASCII``),
+    Spark ``trim`` strips 0x20 only, ``F.round`` is HALF_UP on the
+    double's shortest decimal repr (``Decimal(repr(x))``), and a NULL
+    text mirrors the expr path's NULL counts with 0.0 fractions."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+", re.ASCII)
+    nl2 = re.compile(r"\n{2,}")
+    thr = (
+        max_dup_line_frac, max_dup_para_frac, max_dup_line_char_frac,
+        max_dup_para_char_frac, max_top2_char_frac, max_top3_char_frac,
+        max_top4_char_frac, max_dup5_char_frac, max_dup6_char_frac,
+        max_dup7_char_frac, max_dup8_char_frac, max_dup9_char_frac,
+        max_dup10_char_frac,
+    )
+    metric_names = [
+        "n_words", "n_lines", "n_paras",
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top2_char_frac", "top3_char_frac", "top4_char_frac",
+        "dup5_char_frac", "dup6_char_frac", "dup7_char_frac",
+        "dup8_char_frac", "dup9_char_frac", "dup10_char_frac",
+        "repetition_pass",
+    ]
+    _check_staging_free(df, tuple(metric_names))
+    q6 = Decimal("0.000001")
+
+    def rnd(num: int, den: int) -> float:
+        if den <= 0:
+            return 0.0
+        return float(
+            Decimal(repr(num / den)).quantize(q6, rounding=ROUND_HALF_UP)
+        )
+
+    def dup_stats(items: list[str]) -> tuple[int, int, int, int]:
+        """(docc, dch, maxrun, bestlen) — Counter twin of the sorted
+        run-length fold (ascending order + strict '>' == most frequent
+        with lexicographically smallest tie-break)."""
+        from collections import Counter
+
+        c = Counter(items)
+        docc = dch = maxrun = bestlen = 0
+        for x in sorted(c):
+            n = c[x]
+            if n >= 2:
+                docc += n
+                dch += n * len(x)
+            if n > maxrun:
+                maxrun, bestlen = n, len(x)
+        return docc, dch, maxrun, bestlen
+
+    def one(text) -> list:
+        if text is None:
+            # expr parity: size(NULL array) is NULL under Spark 4's
+            # defaults; fractions guard to 0.0 and the pass bit holds
+            return [None, None, None] + [0.0] * 13 + [True]
+        low = text.strip(" ").lower()
+        toks = [w for w in ws.split(low) if w]
+        lines = [x for x in (s.strip(" ") for s in text.split("\n")) if x]
+        paras = [x for x in (s.strip(" ") for s in nl2.split(text)) if x]
+        nw, nl, np_ = len(toks), len(lines), len(paras)
+        char_den = sum(len(w) for w in toks) + nw - 1 if nw > 0 else 0
+        line_chars = sum(len(x) for x in lines)
+        para_chars = sum(len(x) for x in paras)
+        l_docc, l_dch, _, _ = dup_stats(lines)
+        p_docc, p_dch, _, _ = dup_stats(paras)
+        row = [
+            nw, nl, np_,
+            rnd(l_docc, nl), rnd(l_dch, line_chars),
+            rnd(p_docc, np_), rnd(p_dch, para_chars),
+        ]
+        for n in (2, 3, 4):
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(nw - n + 1)
+            ]
+            _, _, maxrun, bestlen = dup_stats(grams)
+            row.append(rnd(maxrun * bestlen, char_den))
+        for n in range(5, 11):
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(nw - n + 1)
+            ]
+            docc, dch, _, _ = dup_stats(grams)
+            row.append(rnd(dch, char_den))
+        row.append(all(v <= t for v, t in zip(row[3:16], thr)))
+        return row
+
+    fields = list(df.schema.fields) + [
+        T.StructField("n_words", T.LongType()),
+        T.StructField("n_lines", T.LongType()),
+        T.StructField("n_paras", T.LongType()),
+        *[
+            T.StructField(nm, T.DoubleType())
+            for nm in metric_names[3:16]
+        ],
+        T.StructField("repetition_pass", T.BooleanType()),
+    ]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            vals = [one(t) for t in b[text_col]]
+            out = b.copy()
+            for j, nm in enumerate(metric_names):
+                out[nm] = [v[j] for v in vals]
+            yield out
+
+    return df.mapInPandas(run, schema)
 
 
 def gram_hashes(text: Column, k: int = 8) -> Column:

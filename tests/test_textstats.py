@@ -249,6 +249,42 @@ def test_gopher_repetition_hand_fixture(spark):
     assert out[6]["dup_line_char_frac"] == round(12 / 22, 6)
 
 
+def test_gopher_repetition_arrow_pinned_to_expr_spec(spark):
+    """The Arrow throughput twin must emit EXACTLY the expr spec's 16
+    numbers + pass bit — column for column on a fixture spanning dup
+    lines/paras, gram repetition, trimmed comparison, tabs/CRs
+    (Java \\s parity), non-ASCII spaces (must NOT split: Java \\s is
+    ASCII-only), empty text, and NULL text (expr yields size(NULL)=−1
+    counts + 0.0 fractions)."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        gopher_repetition_arrow_df,
+        gopher_repetition_df,
+    )
+
+    rows = [
+        (1, "a b\na b\nc d"),
+        (2, "p q r\n\np q r\n\nx y z"),
+        (3, "w1 w2 w3 w1 w2 w3 w1 w2 w3 tail"),
+        (4, "unique words only here now friend"),
+        (5, ""),
+        (6, " padded \n padded \nother line"),
+        (7, "tab\tsplit\tand\rcr and\x0bvt"),        # ASCII \s variants
+        (8, "nbsp joined stays one token"),  # unicode spaces
+        (9, "MiXeD Case DUP line\nmixed case dup line"),
+        (10, None),
+        (11, "x " * 300 + "y"),                      # long degenerate doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r["doc_id"]: r.asDict() for r in gopher_repetition_df(df).collect()}
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_arrow_df(df).collect()
+    }
+    assert set(want) == set(got)
+    for did in want:
+        assert got[did] == want[did], f"doc {did}: {got[did]} != {want[did]}"
+
+
 def test_gopher_repetition_thresholds_parameterized(spark):
     from oracle_vectorsearch_example_spark.functions.textstats import (
         gopher_repetition_df,
