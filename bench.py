@@ -1112,6 +1112,89 @@ def main():
             "incremental_corpus_12", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- incremental IMAGE dedup at ingest cadence (X55+, r10): 8
+    # ingests of 2k real-BMP payloads (500 visual classes + near/exact
+    # variants) into a warehouse-backed IncrementalImageDedup. The
+    # operational claim mirrors incremental_corpus_12: per-ingest wall
+    # stays flat — each batch decodes ONCE, joins banded keys against
+    # persisted band tables (O(batch), not O(corpus)).
+    try:
+        import shutil
+        import tempfile
+
+        from oracle_vectorsearch_example_spark.operators.incremental import (
+            IncrementalImageDedup,
+        )
+
+        def _img_rows(ids_df):
+            from pyspark.sql import types as T
+
+            def gen(batches):
+                import numpy as np
+
+                from oracle_vectorsearch_example_spark.operators.multimodal import (
+                    encode_bmp,
+                )
+
+                for bt in batches:
+                    out = []
+                    for mid in bt["media_id"]:
+                        cls = int(mid) % 500
+                        x = (
+                            np.arange(32)[:, None] * (13 + cls % 7)
+                            + np.arange(32)[None, :] * (31 + cls % 11)
+                            + cls * 7
+                        )
+                        px = np.stack(
+                            [(x * 3) % 256, (x * 5) % 256, (x * 7) % 256],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        if mid >= 8_000:  # later copies: small corner edit
+                            px = px.copy()
+                            px[:2, :2, :] = 255
+                        out.append((int(mid), bytearray(encode_bmp(px))))
+                    import pandas as _pd
+
+                    yield _pd.DataFrame(
+                        out, columns=["media_id", "payload"]
+                    )
+
+            schema = T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("payload", T.BinaryType()),
+                ]
+            )
+            return ids_df.mapInPandas(gen, schema)
+
+        img_media = _img_rows(
+            spark.range(16_000).select(F.col("id").alias("media_id"))
+        ).localCheckpoint()
+        img_root = tempfile.mkdtemp(prefix="bench_inc_images_")
+        try:
+            iinc = IncrementalImageDedup(spark, img_root, max_hamming=8)
+            per_ing = []
+            t_all = time.time()
+            for i in range(8):
+                b = img_media.filter(F.col("media_id") % 8 == i)
+                t0 = time.time()
+                iinc.ingest(b)
+                per_ing.append(round(time.time() - t0, 3))
+            n_surv = iinc.survivors().count()
+            results["incremental_images_8"] = round(time.time() - t_all, 3)
+            extras["incremental_images_8"] = {
+                "n_batches": 8,
+                "images_per_batch": 2_000,
+                "per_ingest_sec": per_ing,
+                "survivors": n_surv,
+            }
+        finally:
+            shutil.rmtree(img_root, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "incremental_images_8", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- exact substring dedup at 200k docs (X35): timed ONCE (the
     # corpus-build convention — a 20 s entry would dominate a median-of-3
     # ladder); the extras record what it actually cut, so the number is

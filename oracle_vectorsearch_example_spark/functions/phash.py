@@ -247,19 +247,21 @@ def phash_df(
 _ARROW_COMBO_THRESHOLD = 64
 
 
-def phash_band_candidates(
+def phash_band_table(
     df: DataFrame,
     id_col: str = "media_id",
     hash_col: str = "phash",
     max_hamming: int = 6,
     n_blocks: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, __ha, __hb) — the DISTINCT candidate pairs the
-    banding scheme proposes, before the hamming verify. Exposed so
-    benchmarks/audits can measure candidate volume (the quantity the
-    Manku ``n_blocks`` knob trades against key replication);
-    :func:`phash_neardup_pairs` is this plus one XOR+bit_count
-    verify."""
+    """(id, hash, band, bval) — the banded-key blocking index for one
+    hash frame: the pigeonhole/Manku combination keys under which any
+    two hashes within ``max_hamming`` bits MUST share at least one
+    (band, bval) row. The image analog of
+    :func:`~..operators.dedup.minhash_band_table`, and persistable the
+    same way (incremental ingest appends one band table per batch; the
+    hash rides along so candidate joins verify without a second
+    signature lookup). NULL hashes drop out."""
     if not 0 <= max_hamming <= 62:
         raise ValueError("max_hamming must be in [0, 62]")
     d = max_hamming
@@ -357,6 +359,29 @@ def phash_band_candidates(
                 )
 
         banded = h.mapInPandas(run, schema)
+    return banded
+
+
+def phash_band_candidates(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, __ha, __hb) — the DISTINCT candidate pairs the
+    banding scheme proposes, before the hamming verify. Exposed so
+    benchmarks/audits can measure candidate volume (the quantity the
+    Manku ``n_blocks`` knob trades against key replication);
+    :func:`phash_neardup_pairs` is this plus one XOR+bit_count
+    verify."""
+    banded = phash_band_table(
+        df,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
     left = banded.select(
         F.col(id_col).alias("id_a"),
         F.col(hash_col).alias("__ha"),

@@ -266,3 +266,173 @@ class IncrementalDedup:
         return self.wh.commit(
             {first: bands}, drop=[t for t in tabs if t != first]
         )
+
+
+def image_dedup_incremental(
+    new_media: DataFrame,
+    state: tuple[DataFrame, DataFrame] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+    small_graph_edges: int = 1 << 18,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a new IMAGE batch into pHash dedup state — the X55+ sibling
+    of :func:`dedup_incremental` (same contract, same state shape, same
+    batch-equals-full-recompute guarantee): ``state`` is ``(bands,
+    clusters)``; ``bands`` = union of prior batches'
+    :func:`~..functions.phash.phash_band_table` rows
+    ``(id_col, phash, band, bval)`` — each image decodes and hashes
+    EXACTLY once, in the batch that ingested it; ``clusters`` covers
+    every seen image (undecodable payloads carry no hash evidence and
+    sit as self-rooted singletons, the ``dedup_images
+    keep_undecodable`` posture). Returns ``(new_bands, clusters')``.
+
+    One structural difference from the MinHash version: a shared band
+    key is only a CANDIDATE for pHash (banding is complete, not exact),
+    so both the new-new and new-old edge sets verify hamming ≤ d with
+    one XOR+bit_count before entering the closure — against the old
+    DOC's hash (rides in its band row), with the old id then mapped to
+    its cluster root exactly as the text version does. Scale shape per
+    batch: one decode pass over the batch, one (band, bval) equi-join
+    of batch bands against stored bands, a batch-sized verified edge
+    frame into the closure. Payloads never shuffle, never re-decode."""
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_band_table,
+        phash_df,
+        phash_neardup_pairs,
+    )
+
+    hashes = phash_df(
+        new_media, payload_col=payload_col, id_col=id_col, out_col="phash"
+    )
+    new_bands = phash_band_table(
+        hashes,
+        id_col=id_col,
+        hash_col="phash",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+    new_ids = new_media.select(F.col(id_col).cast("long").alias("id"))
+    nn_edges = phash_neardup_pairs(
+        hashes,
+        id_col=id_col,
+        hash_col="phash",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    ).select("id_a", "id_b")
+
+    if state is None:
+        comp = neardup_components(
+            nn_edges,
+            checkpoint_dir=checkpoint_dir,
+            small_graph_edges=small_graph_edges,
+        )
+        clusters = (
+            new_ids.join(comp, "id", "left")
+            .select("id", F.coalesce("component_id", "id").alias("component_id"))
+        )
+        return new_bands, clusters
+
+    old_bands, old_clusters = state
+    hits = new_bands.select(
+        F.col(id_col).alias("id_a"), F.col("phash").alias("__ha"),
+        "band", "bval",
+    ).join(
+        old_bands.select(
+            F.col(id_col).alias("__old_id"), F.col("phash").alias("__hb"),
+            "band", "bval",
+        ),
+        ["band", "bval"],
+    ).filter(
+        F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        <= F.lit(max_hamming)
+    )
+    no_edges = (
+        hits.join(
+            old_clusters.select(
+                F.col("id").alias("__old_id"),
+                F.col("component_id").alias("id_b"),
+            ),
+            "__old_id",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    edges = nn_edges.unionByName(no_edges)
+    comp = neardup_components(
+        edges, checkpoint_dir=checkpoint_dir, small_graph_edges=small_graph_edges
+    )
+    root_map = comp.select(
+        F.col("id").alias("__root"), F.col("component_id").alias("__new_root")
+    )
+    updated_old = old_clusters.join(
+        root_map, old_clusters["component_id"] == F.col("__root"), "left"
+    ).select(
+        old_clusters["id"],
+        F.coalesce("__new_root", old_clusters["component_id"]).alias(
+            "component_id"
+        ),
+    )
+    new_clusters = new_ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component_id", "id").alias("component_id")
+    )
+    return new_bands, updated_old.unionByName(new_clusters)
+
+
+class IncrementalImageDedup(IncrementalDedup):
+    """Warehouse-backed incremental IMAGE dedup: per-batch immutable
+    pHash band tables + one cluster table, committed atomically — the
+    :class:`IncrementalDedup` machinery (state/survivors/compact/params
+    pin) with :func:`image_dedup_incremental` doing the fold. The
+    params pin stores ``max_hamming``/``n_blocks`` (−1 = default d+1
+    pigeonhole): band tables built under different banding schemes key
+    different block layouts, so mixing them would silently lose
+    recall — exactly the MinHash-parameter hazard."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        prefix: str = "imgdedup",
+        payload_col: str = "payload",
+        id_col: str = "media_id",
+        max_hamming: int = 6,
+        n_blocks: int | None = None,
+        small_graph_edges: int = 1 << 18,
+    ):
+        from oracle_vectorsearch_example_spark.sources.txn import Warehouse
+
+        self.wh = Warehouse(spark, root)
+        self.prefix = prefix
+        # reuses the base params-pin plumbing: text_col slot carries the
+        # payload column name; n_blocks=None pins as -1 (must be an int)
+        self.text_col = payload_col
+        self.id_col = id_col
+        self.params = dict(
+            max_hamming=max_hamming,
+            n_blocks=-1 if n_blocks is None else n_blocks,
+        )
+        self.small_graph_edges = small_graph_edges
+
+    def ingest(self, batch: DataFrame) -> int:
+        params_df = self._check_params()
+        n = len(self._band_tables())
+        nb = None if self.params["n_blocks"] == -1 else self.params["n_blocks"]
+        new_bands, clusters = image_dedup_incremental(
+            batch,
+            self.state(),
+            payload_col=self.text_col,
+            id_col=self.id_col,
+            max_hamming=self.params["max_hamming"],
+            n_blocks=nb,
+            small_graph_edges=self.small_graph_edges,
+        )
+        tables = {
+            f"{self.prefix}_bands_{n:06d}": new_bands,
+            f"{self.prefix}_clusters": clusters,
+        }
+        if params_df is not None:
+            tables[f"{self.prefix}_params"] = params_df
+        return self.wh.commit(tables)

@@ -1,0 +1,164 @@
+"""Incremental IMAGE dedup (X55+ at production cadence, r10): batch
+results must EXACTLY equal a full dedup_images recompute over the union
+— including cluster merges through a bridging image, survivor
+revocation by a smaller-id duplicate, and undecodable pass-through —
+with each image decoded in exactly one ingest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.phash import (
+    dedup_images,
+    phash_from_pixels,
+)
+from oracle_vectorsearch_example_spark.operators.incremental import (
+    IncrementalImageDedup,
+    image_dedup_incremental,
+    survivors,
+)
+
+D = 8  # max_hamming used throughout
+
+
+def _pattern(h, w, seed):
+    x = np.arange(h)[:, None] * 13 + np.arange(w)[None, :] * 31 + seed * 7
+    px = np.stack([(x * 3) % 256, (x * 5) % 256, (x * 7) % 256], axis=-1)
+    return px.astype(np.uint8)
+
+
+def _near(px):
+    out = px.copy()
+    out[:2, :2, :] = 255  # small corner edit — stays within D bits
+    return out
+
+
+def _bmp(px):
+    from oracle_vectorsearch_example_spark.operators.multimodal import encode_bmp
+
+    return bytearray(encode_bmp(px))
+
+
+def _ham(a, b):
+    return bin(a ^ b).count("1")
+
+
+@pytest.fixture(scope="module")
+def bridge_px():
+    """A, B, C with ham(A,B) > D but ham(A,C) ≤ D and ham(B,C) ≤ D —
+    C bridges two otherwise-distinct visual clusters. Preconditions
+    asserted so a pHash spec change can't silently hollow the test."""
+    A = _pattern(64, 64, 1)
+    B = A.copy()
+    B[:12, :, :] = 255 - B[:12, :, :]  # invert a top stripe
+    C = ((A.astype(int) + B.astype(int)) // 2).astype(np.uint8)
+    ha, hb, hc = (phash_from_pixels(x) for x in (A, B, C))
+    assert _ham(ha, hb) > D and _ham(ha, hc) <= D and _ham(hb, hc) <= D
+    return A, B, C
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def _full_survivors(spark, rows):
+    return sorted(
+        r.media_id
+        for r in dedup_images(_media(spark, rows), max_hamming=D).collect()
+    )
+
+
+def _surv_ids(clusters):
+    return sorted(r["id"] for r in survivors(clusters).collect())
+
+
+def test_two_batches_equal_full_recompute(spark):
+    """Interleaved split; near copies and exact re-encodes land in the
+    opposite batch from their originals — cross-batch candidates in
+    both directions."""
+    classes = [_pattern(48, 48, s) for s in (1, 5, 9)]
+    rows = []
+    for i in range(12):
+        px = classes[i % 3]
+        rows.append((i, _bmp(px if i < 6 else _near(px))))
+    b1 = [r for r in rows if r[0] % 2 == 0]
+    b2 = [r for r in rows if r[0] % 2 == 1]
+    bands1, clusters1 = image_dedup_incremental(
+        _media(spark, b1), max_hamming=D
+    )
+    _, clusters2 = image_dedup_incremental(
+        _media(spark, b2), (bands1, clusters1), max_hamming=D
+    )
+    assert _surv_ids(clusters2) == _full_survivors(spark, rows)
+
+
+def test_bridge_merges_and_revokes_survivor(spark, bridge_px):
+    A, B, C = bridge_px
+    lone = _pattern(64, 64, 40)[::-1, :, :]
+    b1 = [(10, _bmp(A)), (20, _bmp(B)), (30, _bmp(lone))]
+    b2 = [(5, _bmp(A)), (15, _bmp(C))]  # exact dup of A + the bridge
+    bands1, clusters1 = image_dedup_incremental(
+        _media(spark, b1), max_hamming=D
+    )
+    assert {(r["id"], r["component_id"]) for r in clusters1.collect()} == {
+        (10, 10), (20, 20), (30, 30),
+    }
+    _, clusters2 = image_dedup_incremental(
+        _media(spark, b2), (bands1, clusters1), max_hamming=D
+    )
+    got = {(r["id"], r["component_id"]) for r in clusters2.collect()}
+    # the bridge merged {10} and {20}; duplicate id 5 < 10 roots it all
+    assert got == {(5, 5), (10, 5), (15, 5), (20, 5), (30, 30)}
+    assert _surv_ids(clusters2) == [5, 30]
+    assert _full_survivors(spark, b1 + b2) == [5, 30]
+
+
+def test_undecodable_singletons_pass_through(spark):
+    px = _pattern(32, 32, 2)
+    b1 = [(1, _bmp(px)), (2, bytearray(b"not an image"))]
+    b2 = [(3, bytearray(b"also junk")), (4, _bmp(px))]
+    bands1, clusters1 = image_dedup_incremental(
+        _media(spark, b1), max_hamming=D
+    )
+    _, clusters2 = image_dedup_incremental(
+        _media(spark, b2), (bands1, clusters1), max_hamming=D
+    )
+    got = {(r["id"], r["component_id"]) for r in clusters2.collect()}
+    assert got == {(1, 1), (2, 2), (3, 3), (4, 1)}
+    assert _surv_ids(clusters2) == [1, 2, 3]
+
+
+def test_warehouse_ingest_survivors_and_params(spark, tmp_path):
+    classes = [_pattern(40, 40, s) for s in (3, 7)]
+    rows = [(i, _bmp(classes[i % 2] if i < 4 else _near(classes[i % 2])))
+            for i in range(8)]
+    inc = IncrementalImageDedup(
+        spark, str(tmp_path / "wh"), max_hamming=D
+    )
+    inc.ingest(_media(spark, rows[:4]))
+    inc.ingest(_media(spark, rows[4:]))
+    assert sorted(
+        r["id"] for r in inc.survivors().collect()
+    ) == _full_survivors(spark, rows)
+    # parameter pin: a different banding scheme must be refused
+    bad = IncrementalImageDedup(
+        spark, str(tmp_path / "wh"), max_hamming=D, n_blocks=12
+    )
+    with pytest.raises(ValueError, match="parameters"):
+        bad.ingest(_media(spark, [(99, _bmp(classes[0]))]))
+
+
+def test_warehouse_compact_preserves_results(spark, tmp_path):
+    px = _pattern(36, 36, 11)
+    inc = IncrementalImageDedup(spark, str(tmp_path / "wh"), max_hamming=D)
+    inc.ingest(_media(spark, [(1, _bmp(px)), (2, _bmp(_near(px)))]))
+    inc.ingest(_media(spark, [(3, _bmp(px))]))
+    before = _surv_ids(inc.clusters())
+    assert inc.compact() is not None
+    assert len(inc._band_tables()) == 1
+    assert _surv_ids(inc.clusters()) == before
+    # further ingests keep working against the compacted band table
+    inc.ingest(_media(spark, [(0, _bmp(px))]))
+    assert _surv_ids(inc.clusters()) == [0, ] + [x for x in before if x != 1]
