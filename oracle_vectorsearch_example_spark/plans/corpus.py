@@ -26,9 +26,12 @@ named public canon in one call, in the published order:
     function of (seed, doc_id);
 11. **sequence packing** — concat-split (`pack_sequences`) or, with
     ``bpe_merges``, whole-doc BFD in model-token units;
-12. **atomic publish** — all output tables committed in ONE
-    `Warehouse.commit` (snapshot isolation): readers see the whole
-    corpus version or none of it.
+12. **image modality** (opt-in, r10) — `dedup_images` visual near-dup
+    collapse + owning-document gate + X4 decode features
+    (``on_error='null'``) over a linked ``media`` table;
+13. **atomic publish** — all output tables (including ``media``)
+    committed in ONE `Warehouse.commit` (snapshot isolation): readers
+    see the whole corpus version or none of it.
 
 Plan shape at scale: stages 2–3 are map-side column work; the shuffles
 are exactly those of the member operators (dedup's band join + closure
@@ -75,6 +78,12 @@ def build_training_corpus(
     max_tokens: int = 2048,
     bpe_merges: list | None = None,
     bpe_overflow: str = "error",
+    media: DataFrame | None = None,
+    media_id_col: str = "media_id",
+    media_doc_col: str | None = None,
+    image_payload_col: str = "payload",
+    phash_max_hamming: int = 6,
+    phash_n_blocks: int | None = None,
     n_shards: int = 8,
     seed: int = 42,
     warehouse=None,
@@ -168,6 +177,21 @@ def build_training_corpus(
     whitespace-token concat-split of :func:`pack_sequences`.
     ``bpe_overflow`` forwards the too-long-document policy
     (error/truncate/drop).
+
+    Optional image modality (r10): ``media`` — a table of image rows
+    (``media_id_col``, ``image_payload_col`` binary, optionally
+    ``media_doc_col`` linking each image to its owning document) —
+    runs the X55+ pipeline before publish: visual near-dup collapse
+    (:func:`~..functions.phash.dedup_images` — decode → pHash → Manku
+    banding per ``phash_max_hamming``/``phash_n_blocks`` → component
+    closure, keep-first; exact byte dups are hamming 0), drops images
+    whose owning document was gated/deduped out (when ``media_doc_col``
+    is given), appends the X4 decode features
+    (:func:`~..operators.multimodal.image_features` with
+    ``on_error='null'`` — one corrupt payload must not kill the build),
+    and commits the resulting ``media`` table IN THE SAME atomic
+    ``Warehouse.commit`` as documents/packs/stats — readers see text
+    and images from one corpus version or neither.
 
     Source-weighted mixtures compose DOWNSTREAM of this build (mixing
     before dedup would collapse the repeated epochs as duplicates): run
@@ -488,6 +512,42 @@ def build_training_corpus(
     )
 
     tables = {"documents": split, "packs": packs, "stats": stats}
+
+    if media is not None:
+        from oracle_vectorsearch_example_spark.functions.phash import (
+            dedup_images,
+        )
+        from oracle_vectorsearch_example_spark.operators.multimodal import (
+            image_features,
+        )
+
+        kept_media = dedup_images(
+            media,
+            payload_col=image_payload_col,
+            id_col=media_id_col,
+            max_hamming=phash_max_hamming,
+            n_blocks=phash_n_blocks,
+        )
+        if media_doc_col is not None:
+            # an image whose owning document was deduped/gated out of
+            # the corpus does not ship (semi join on the skinny id
+            # frame; payloads stay put)
+            kept_media = kept_media.join(
+                split.select(F.col(id_col).alias(media_doc_col)),
+                media_doc_col,
+                "left_semi",
+            )
+        feats = image_features(
+            kept_media.select(media_id_col, image_payload_col),
+            payload_col=image_payload_col,
+            id_col=media_id_col,
+            on_error="null",
+        )
+        # image_features emits its fixed schema keyed "media_id"
+        if media_id_col != "media_id":
+            feats = feats.withColumnRenamed("media_id", media_id_col)
+        tables["media"] = kept_media.join(feats, media_id_col, "left")
+
     if warehouse is not None:
         warehouse.commit(tables)
         tables = {name: warehouse.read(name) for name in tables}

@@ -665,3 +665,69 @@ def test_corpus_build_blocked_domains(spark):
 
     with pytest.raises(ValueError, match="url_col"):
         build_training_corpus(docs, blocked_domains=["x.com"], n_shards=1)
+
+
+def test_corpus_build_media_modality(spark, tmp_path):
+    """r10: the image modality composes into the build — planted visual
+    near-dups survive as ONE canonical row, images of gated-out docs
+    drop, undecodable payloads ship with null features, and the media
+    table lands in the SAME atomic commit as documents/packs/stats."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+    from oracle_vectorsearch_example_spark.sources.txn import Warehouse
+
+    def px(seed):
+        x = np.arange(40)[:, None] * 13 + np.arange(40)[None, :] * 31 + seed * 7
+        return np.stack(
+            [(x * 3) % 256, (x * 5) % 256, (x * 7) % 256], axis=-1
+        ).astype(np.uint8)
+
+    # textually distinct docs (the MinHash-aware fixture discipline)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon words"),
+            (2, "zeta eta theta iota kappa tokens"),
+            (3, "lambda mu nu xi omicron phrases"),
+        ],
+        "doc_id long, text string",
+    )
+    a = px(1)
+    near = a.copy()
+    near[:2, :2, :] = 255
+    media_rows = [
+        # doc 1: three visual copies (BMP, PNG re-encode, near edit)
+        (10, 1, bytearray(encode_bmp(a))),
+        (11, 1, bytearray(encode_png(a))),
+        (12, 1, bytearray(encode_bmp(near))),
+        # doc 2: distinct image + an undecodable payload
+        (20, 2, bytearray(encode_bmp(px(9)[::-1, :, :]))),
+        (21, 2, bytearray(b"corrupt bytes")),
+        # doc 99 does not exist in the corpus → its image must drop
+        (90, 99, bytearray(encode_bmp(px(5)))),
+    ]
+    media = spark.createDataFrame(
+        media_rows, "media_id long, doc_id long, payload binary"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    out = build_training_corpus(
+        docs,
+        media=media,
+        media_doc_col="doc_id",
+        phash_max_hamming=10,
+        n_shards=1,
+        max_tokens=64,
+        warehouse=wh,
+    )
+    got = {r.media_id: r for r in out["media"].collect()}
+    # near-dup cluster {10, 11, 12} → one canonical row (min id)
+    assert sorted(got) == [10, 20, 21]
+    assert got[10].width == 40 and got[10].height == 40
+    assert got[21].width is None  # undecodable: shipped, null features
+    # same atomic version: every table readable from the one commit
+    v = wh.current_version()
+    for t in ("documents", "packs", "stats", "media"):
+        assert wh.read(t, version=v).count() == out[t].count()
