@@ -892,6 +892,27 @@ def main():
             "n_pred": n_pred,
             "coverage": round(n_pred / max(n_docs, 1), 6),
             "accuracy": round(n_right / max(n_pred, 1), 6),
+            "model_rows": int(li_model.counts.count()),
+        }
+
+        # model-compression point (r10): per-language top-256 buckets —
+        # the size/accuracy trade the prune knob exists to expose
+        li_pruned = langid_fit(
+            li_docs.filter(F.col("doc_id") < 6_000).select(
+                "doc_id", "text", F.col("__truth").alias("lang")
+            ),
+            top_buckets=256,
+        )
+        li_pruned.counts.persist().count()
+        predp = langid_predict(li_docs, li_pruned, canonical=False).join(
+            li_docs.select("doc_id", "__truth"), "doc_id"
+        )
+        np_right = predp.filter(F.col("lang") == F.col("__truth")).count()
+        np_pred = predp.count()
+        extras["langid_50k_pruned"] = {
+            "top_buckets": 256,
+            "model_rows": int(li_pruned.counts.count()),
+            "accuracy": round(np_right / max(np_pred, 1), 6),
         }
     except Exception as e:  # noqa: BLE001
         results.setdefault("langid_50k", {"err": str(e).splitlines()[0][:200]})

@@ -3680,6 +3680,78 @@ def q_langid(spark, sf):
     return langid_predict(test, model)
 
 
+def _sql_swap(sql: str, old: str, new: str) -> str:
+    """Oracle-template edit that fails LOUDLY if the anchor drifted."""
+    if old not in sql:
+        raise RuntimeError(f"oracle template drift: {old!r} not found")
+    return sql.replace(old, new)
+
+
+# pruned-model variant: the count table passes the prune rule (count
+# floor + per-language top-k, asc-bucket tie-break) while `tot` keeps
+# the FULL gram mass — pruned cells score as unseen (0 + alpha)
+_LANGID_PRUNED_SQL = _sql_swap(
+    _LANGID_SQL,
+    "nd AS (",
+    """cntk AS (
+      SELECT lang, b, c FROM (
+        SELECT lang, b, c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, b ASC) AS rn
+        FROM cnt WHERE c >= 2.0
+      ) WHERE rn <= 800
+    ),
+    nd AS (""",
+)
+_LANGID_PRUNED_SQL = _sql_swap(
+    _LANGID_PRUNED_SQL, "coalesce(cnt.c, 0)", "coalesce(cntk.c, 0)"
+)
+_LANGID_PRUNED_SQL = _sql_swap(
+    _LANGID_PRUNED_SQL,
+    "LEFT JOIN cnt ON cnt.lang = cls.lang AND cnt.b = ev.b",
+    "LEFT JOIN cntk ON cntk.lang = cls.lang AND cntk.b = ev.b",
+)
+
+
+@golden("langid_pruned", _LANGID_PRUNED_SQL)
+def q_langid_pruned(spark, sf):
+    """Compressed langid model (X54+, r10 — the CCNet-style deployment
+    knob): same synthetic-language fixture as `langid`, fit with
+    min_count=2 + top_buckets=800 — rare (lang, bucket) cells drop,
+    class totals keep the full gram mass, pruned cells score as unseen.
+    The prune rule is a filter + row_number over the count table, so
+    DuckDB replays the ENTIRE pruned train+predict path exactly as the
+    unpruned golden does."""
+    from oracle_vectorsearch_example_spark.operators.langid import (
+        langid_fit,
+        langid_predict,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    cls = F.col("doc_id") % 3
+    synth = (
+        F.when(cls == 0, F.col("text"))
+        .when(cls == 1, F.reverse(F.col("text")))
+        .otherwise(F.translate(F.col("text"), "aeiou", "qxzvw"))
+    )
+    lang = (
+        F.when(cls == 0, F.lit("en"))
+        .when(cls == 1, F.lit("rv"))
+        .otherwise(F.lit("vx"))
+    )
+    labeled = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", synth.alias("text"), lang.alias("lang")
+    )
+    test = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    ).select("doc_id", synth.alias("text"))
+    model = langid_fit(
+        labeled, n=3, n_buckets=4096, alpha=1.0,
+        min_count=2, top_buckets=800,
+    )
+    return langid_predict(test, model)
+
+
 @golden(
     "url_canon",
     """

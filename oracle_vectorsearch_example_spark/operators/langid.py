@@ -184,10 +184,23 @@ def langid_fit(
     n: int = 3,
     n_buckets: int = 4096,
     alpha: float = 1.0,
+    min_count: float | None = None,
+    top_buckets: int | None = None,
 ) -> LangidModel:
     """Count hashed char-n-grams per language over a labeled sample.
     One group-by on (lang, bucket) for the counts, one on lang for the
-    class table; both results are bounded metadata."""
+    class table; both results are bounded metadata.
+
+    Model compression (r10, the CCNet-style deployment knob): rare
+    buckets carry little evidence but most of the model's rows —
+    ``min_count`` drops (lang, bucket) cells below the count floor;
+    ``top_buckets`` keeps only each language's k highest-count cells
+    (ties broken by ascending bucket — deterministic in any engine).
+    Pruned cells score as UNSEEN (0 + α) while ``total`` keeps the
+    full unpruned gram mass, so surviving ratios stay calibrated — the
+    standard count-pruning approximation, and still exact fold math:
+    the prune rule is a filter/row_number over the count table, so the
+    whole pruned train+predict path remains DuckDB-replayable."""
     total_docs = labeled.count()
     if total_docs == 0:
         raise ValueError("langid_fit needs at least one labeled document")
@@ -215,6 +228,18 @@ def langid_fit(
         .select("lang", F.coalesce("total", F.lit(0.0)).alias("total"), "n_docs")
     )
     langs = tuple(sorted(r["lang"] for r in classes.select("lang").collect()))
+    # prune AFTER the class totals: total keeps the full gram mass
+    if min_count is not None:
+        counts = counts.filter(F.col("c") >= F.lit(float(min_count)))
+    if top_buckets is not None:
+        w = Window.partitionBy("lang").orderBy(
+            F.col("c").desc(), F.col("b").asc()
+        )
+        counts = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_buckets)
+            .drop("__rn")
+        )
     return LangidModel(
         counts, classes, langs, int(total_docs), n, n_buckets, float(alpha)
     )

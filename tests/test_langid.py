@@ -338,3 +338,91 @@ def test_incremental_langid_gate_matches_full_build(spark, model, tmp_path):
     )
     assert got == want and got
     assert all(d < 900 for d, _ in got)
+
+
+def _py_scores_pruned(text, n=3, n_buckets=512, alpha=1.0,
+                      min_count=None, top_buckets=None):
+    """Independent reference with the r10 prune rule: count floor +
+    per-language top-k (count desc, bucket asc), totals UNPRUNED."""
+    counts, ndocs = {}, {}
+    for _, t, lang in LABELED:
+        ndocs[lang] = ndocs.get(lang, 0) + 1
+        lt = t.lower()
+        cl = counts.setdefault(lang, {})
+        for i in range(len(lt) - n + 1):
+            b = _py_bucket(lt[i : i + n], n_buckets)
+            cl[b] = cl.get(b, 0) + 1
+    total_docs = sum(ndocs.values())
+    lt = text.lower()
+    grams = [
+        _py_bucket(lt[i : i + n], n_buckets) for i in range(len(lt) - n + 1)
+    ]
+    out = {}
+    for lang in sorted(ndocs):
+        full = counts[lang]
+        total = sum(full.values())  # full mass, never pruned
+        kept = dict(full)
+        if min_count is not None:
+            kept = {b: c for b, c in kept.items() if c >= min_count}
+        if top_buckets is not None:
+            order = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
+            kept = dict(order[:top_buckets])
+        s = math.log(ndocs[lang]) - math.log(total_docs)
+        for b in grams:
+            s += math.log(kept.get(b, 0) + alpha) - math.log(
+                total + alpha * n_buckets
+            )
+        out[lang] = round(s, 6)
+    return out
+
+
+def test_pruned_fit_matches_independent_python(spark, test_df):
+    """min_count + top_buckets prune exactly per the frozen rule —
+    scores equal the python reference computed with pruned counts and
+    FULL totals."""
+    lab = spark.createDataFrame(LABELED, "doc_id long, text string, lang string")
+    pruned = langid_fit(
+        lab, n=3, n_buckets=512, alpha=1.0, min_count=2, top_buckets=10
+    )
+    got = {
+        (r.doc_id, r.lang): r.score
+        for r in langid_scores(test_df, pruned).collect()
+    }
+    for doc_id, text in TEST:
+        if len(text) < 3:
+            continue
+        ref = _py_scores_pruned(text, min_count=2, top_buckets=10)
+        for lang, s in ref.items():
+            assert got[(doc_id, lang)] == pytest.approx(s, abs=2e-6)
+
+
+def test_pruned_model_smaller_and_still_separates(spark, model, test_df):
+    """The whole point of the knob: far fewer count rows, same labels
+    on sharply-separated classes."""
+    lab = spark.createDataFrame(LABELED, "doc_id long, text string, lang string")
+    pruned = langid_fit(
+        lab, n=3, n_buckets=512, alpha=1.0, min_count=2
+    )
+    assert pruned.counts.count() < model.counts.count()
+    full_labels = {
+        r.doc_id: r.lang for r in langid_predict(test_df, model).collect()
+    }
+    pruned_labels = {
+        r.doc_id: r.lang for r in langid_predict(test_df, pruned).collect()
+    }
+    assert pruned_labels == full_labels  # agreement on this fixture
+
+
+def test_pruned_model_save_load_roundtrip(spark, test_df, tmp_path):
+    from oracle_vectorsearch_example_spark.operators.langid import LangidModel
+
+    lab = spark.createDataFrame(LABELED, "doc_id long, text string, lang string")
+    pruned = langid_fit(
+        lab, n=3, n_buckets=512, alpha=1.0, min_count=2, top_buckets=10
+    )
+    p = str(tmp_path / "langid_pruned.json")
+    assert pruned.save(p) == p
+    m2 = LangidModel.load(spark, p)
+    a = sorted(map(tuple, langid_scores(test_df, pruned).collect()))
+    b = sorted(map(tuple, langid_scores(test_df, m2).collect()))
+    assert a == b
