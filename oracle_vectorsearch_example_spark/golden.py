@@ -3348,6 +3348,101 @@ def q_ctfidf_topics(spark, sf):
     return ctfidf_terms(docs, assign, top_k=5)
 
 
+_TOPIC_STATS_SQL = rf"""
+    WITH asg AS (
+      SELECT doc_id, doc_id % 4 AS cluster, text, {_SQL_TOKENS} AS toks,
+             list_transform({_SQL_TOKENS},
+                            s -> regexp_replace(s, '[.!?,;:]', '', 'g')) AS clean
+      FROM documents WHERE doc_id < 400
+    ),
+    m AS (
+      SELECT doc_id, cluster, toks,
+             len(toks) AS n_tok,
+             len(list_filter(clean, t -> list_contains(
+                 ['the','and','of','to','a','el','la','de','y','que'], t)))
+                 AS stop_hits,
+             len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+             length(text) AS n_char,
+             coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                 AS tok_chars
+      FROM asg
+    ),
+    q AS (
+      SELECT cluster, n_tok,
+             CAST(floor((0.4 * least((CASE WHEN n_tok > 0
+                         THEN CAST(tok_chars AS DOUBLE) / n_tok
+                         ELSE 0 END) / 8.0, 1.0)
+                  + 0.3 * (CASE WHEN n_tok > 0
+                           THEN CAST(stop_hits AS DOUBLE) / n_tok
+                           ELSE 0 END)
+                  + 0.3 * (1.0 - least(CASE WHEN n_char > 0
+                                       THEN CAST(n_punct AS DOUBLE) / n_char
+                                       ELSE 0 END, 1.0))) * 1e6 + 0.5)
+                  AS BIGINT) AS qi
+      FROM m
+    ),
+    per AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             sum(qi) AS sq
+      FROM q GROUP BY 1
+    ),
+    ev AS (SELECT cluster, unnest(toks) AS term FROM asg),
+    tf AS (
+      SELECT cluster, term, count(*)::BIGINT AS tf
+      FROM ev GROUP BY 1, 2
+    ),
+    ft AS (SELECT term, count(*)::BIGINT AS ft FROM ev GROUP BY 1),
+    tot AS (
+      SELECT count(*)::DOUBLE AS n_events,
+             count(DISTINCT cluster)::DOUBLE AS n_classes
+      FROM ev
+    ),
+    rk AS (
+      SELECT tf.cluster, tf.term,
+             row_number() OVER (PARTITION BY tf.cluster ORDER BY
+                 round(tf.tf * ln(1.0 + (tot.n_events / tot.n_classes)
+                                        / ft.ft), 6) DESC, tf.term)
+                 AS rank
+      FROM tf JOIN ft USING (term) CROSS JOIN tot
+    ),
+    lbl AS (
+      SELECT cluster, string_agg(term, ' ' ORDER BY rank) AS top_terms
+      FROM rk WHERE rank <= 5 GROUP BY 1
+    )
+    SELECT per.cluster, n_docs, n_tokens, top_terms,
+           round(CAST(sq AS DOUBLE) / (n_docs * 1e6), 6) AS mean_quality
+    FROM per JOIN lbl USING (cluster)
+"""
+
+
+@golden("topic_stats", _TOPIC_STATS_SQL)
+def q_topic_stats(spark, sf):
+    """Curator topic report (X56 consumed, r10): per-cluster survivor
+    counts, exact token totals, the top-5 c-TF-IDF label string, and
+    mean gate quality — the mean computed as an integer sum of
+    floor(quality·1e6 + 0.5) per doc, so the aggregate is exact
+    associative math that hash-matches under any layout (and still one
+    map-side partial at 100 TB — no canonical fold needed). DuckDB
+    replays tokenize → quality → scaled-integer mean → c-TF-IDF rank →
+    ordered string_agg end to end."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        text_metrics_df,
+    )
+    from oracle_vectorsearch_example_spark.operators.topics import (
+        topic_stats,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    assign = docs.select("doc_id", (F.col("doc_id") % 4).alias("cluster"))
+    qdocs = text_metrics_df(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "text", "quality"
+    )
+    return topic_stats(
+        qdocs, assign, top_k=5, metric_cols=("quality",)
+    )
+
+
 _NB_PARETO_SQL = (
     "WITH sc AS ("
     + _NB_SQL

@@ -140,7 +140,10 @@ from oracle_vectorsearch_example_spark.operators.layout import zorder_write
 from oracle_vectorsearch_example_spark.operators.joins import asof_join, range_join
 from oracle_vectorsearch_example_spark.operators.resample import time_bucket_gapfill
 from oracle_vectorsearch_example_spark.operators.sessionize import sessionize
-from oracle_vectorsearch_example_spark.operators.topics import ctfidf_terms
+from oracle_vectorsearch_example_spark.operators.topics import (
+    ctfidf_terms,
+    topic_stats,
+)
 from oracle_vectorsearch_example_spark.operators.skew import (
     salted_agg,
     salted_agg_auto,
@@ -260,6 +263,7 @@ __all__ = [
     "range_join",
     "sessionize",
     "ctfidf_terms",
+    "topic_stats",
     "time_bucket_gapfill",
     "salted_agg",
     "salted_agg_auto",

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ctfidf_terms"]
+__all__ = ["ctfidf_terms", "topic_stats"]
 
 
 def ctfidf_terms(
@@ -95,3 +95,78 @@ def ctfidf_terms(
         .filter(F.col("rank") <= top_k)
         .select(cluster_col, "rank", "term", "tf", "score")
     )
+
+
+def topic_stats(
+    docs: DataFrame,
+    assign: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str = "cluster",
+    top_k: int = 5,
+    metric_cols: tuple = (),
+) -> DataFrame:
+    """(cluster, n_docs, n_tokens, top_terms[, mean_<m>...]) — the
+    curator report that CONSUMES the X56 labels (r10): per cluster, how
+    many documents survived, how many whitespace tokens they carry, the
+    top-k c-TF-IDF terms concatenated in rank order, and the mean of
+    each named per-document metric column (e.g. the gate stage's
+    ``quality`` or a perplexity score). This is the table a curator
+    reads to decide mixture weights or triage a contaminated topic —
+    :func:`~..plans.corpus.build_training_corpus(topic_assign=)` emits
+    it beside documents/packs/stats.
+
+    Frozen spec: n_tokens = Σ ws-token counts (integer, exact);
+    mean_<m> = round(Σ floor(m·1e6 + 0.5) / (n_docs·1e6), 6) — per-doc
+    metrics are scaled to integers BEFORE summing, so the aggregate is
+    exact associative integer math (hash-stable under any partition
+    layout, unlike a double sum) and still one map-side partial
+    aggregate at 100 TB (no canonical collect_list fold needed);
+    ``floor(x·1e6 + 0.5)`` is HALF_UP identically in any engine for the
+    non-negative metrics this reports. top_terms joins from
+    :func:`ctfidf_terms` per its spec."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = docs.join(assign.select(id_col, cluster_col), id_col)
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).alias("n_tokens"),
+    ]
+    for m in metric_cols:
+        aggs.append(
+            F.sum(
+                F.floor(F.col(m) * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias(f"__s_{m}")
+        )
+    per = base.groupBy(cluster_col).agg(*aggs)
+    for m in metric_cols:
+        per = per.withColumn(
+            f"mean_{m}",
+            F.round(
+                F.col(f"__s_{m}").cast("double")
+                / (F.col("n_docs").cast("double") * F.lit(1e6)),
+                6,
+            ),
+        ).drop(f"__s_{m}")
+    label = (
+        ctfidf_terms(
+            docs, assign, id_col=id_col, text_col=text_col,
+            cluster_col=cluster_col, top_k=top_k,
+        )
+        .groupBy(cluster_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                    lambda x: x["term"],
+                ),
+            ).alias("top_terms")
+        )
+    )
+    out_cols = [cluster_col, "n_docs", "n_tokens", "top_terms"] + [
+        f"mean_{m}" for m in metric_cols
+    ]
+    return per.join(label, cluster_col, "left").select(*out_cols)

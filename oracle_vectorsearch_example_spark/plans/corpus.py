@@ -84,6 +84,8 @@ def build_training_corpus(
     image_payload_col: str = "payload",
     phash_max_hamming: int = 6,
     phash_n_blocks: int | None = None,
+    topic_assign: DataFrame | None = None,
+    topic_top_k: int = 5,
     n_shards: int = 8,
     seed: int = 42,
     warehouse=None,
@@ -192,6 +194,14 @@ def build_training_corpus(
     and commits the resulting ``media`` table IN THE SAME atomic
     ``Warehouse.commit`` as documents/packs/stats — readers see text
     and images from one corpus version or neither.
+
+    Optional topic report (r10): ``topic_assign`` (an (id, cluster)
+    frame from IVF assignment, SemDeDup blocks, or ``assign_centers``)
+    emits a ``topics`` table — per-cluster survivor counts, token
+    totals, c-TF-IDF labels (:func:`~..operators.topics.topic_stats`,
+    ``topic_top_k`` terms), and mean gate quality over the final gated
+    documents — in the same atomic publish; the curator's
+    mixture-weight / contamination-triage view of what survived.
 
     Source-weighted mixtures compose DOWNSTREAM of this build (mixing
     before dedup would collapse the repeated epochs as duplicates): run
@@ -512,6 +522,26 @@ def build_training_corpus(
     )
 
     tables = {"documents": split, "packs": packs, "stats": stats}
+
+    if topic_assign is not None:
+        # curator report (r10, X56 consumed): per-cluster survivor
+        # counts + c-TF-IDF labels + mean gate quality over the FINAL
+        # gated documents — the table mixture-weight decisions read
+        from oracle_vectorsearch_example_spark.operators.topics import (
+            topic_stats,
+        )
+
+        qdocs = text_metrics_df(
+            split.select(id_col, text_col), text_col
+        ).select(id_col, text_col, "quality")
+        tables["topics"] = topic_stats(
+            qdocs,
+            topic_assign,
+            id_col=id_col,
+            text_col=text_col,
+            top_k=topic_top_k,
+            metric_cols=("quality",),
+        )
 
     if media is not None:
         from oracle_vectorsearch_example_spark.functions.phash import (

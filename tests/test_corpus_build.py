@@ -731,3 +731,20 @@ def test_corpus_build_media_modality(spark, tmp_path):
     v = wh.current_version()
     for t in ("documents", "packs", "stats", "media"):
         assert wh.read(t, version=v).count() == out[t].count()
+
+
+def test_corpus_build_topic_report(spark, docs):
+    """r10: topic_assign= emits the curator 'topics' table over the
+    FINAL gated documents — every reported cluster doc count sums to
+    the surviving corpus, labels non-empty, mean quality in [0, 1]."""
+    assign = docs.select("doc_id", (F.col("doc_id") % 3).alias("cluster"))
+    out = build_training_corpus(
+        docs, max_tokens=256, n_shards=2, topic_assign=assign,
+        topic_top_k=3,
+    )
+    topics = out["topics"].collect()
+    assert topics
+    assert sum(r.n_docs for r in topics) == out["documents"].count()
+    for r in topics:
+        assert r.top_terms and len(r.top_terms.split(" ")) <= 3
+        assert 0.0 <= r.mean_quality <= 1.0

@@ -106,3 +106,60 @@ def test_no_python_udf_no_cartesian(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_topic_stats_hand_computed(spark):
+    """The curator report (r10): counts/tokens exact, label in rank
+    order, mean metric = scaled-integer mean matching a python
+    reference computed doc-by-doc."""
+    from oracle_vectorsearch_example_spark.operators.topics import topic_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple shared", 0.25),
+            (2, "apple shared", 0.75),
+            (3, "banana banana shared", 0.5),
+            (4, "banana shared", 0.1),
+        ],
+        "doc_id long, text string, q double",
+    )
+    assign = docs.select(
+        "doc_id", (F.col("doc_id") <= 2).cast("int").alias("cluster")
+    )
+    got = {
+        r.cluster: r
+        for r in topic_stats(
+            docs, assign, top_k=2, metric_cols=("q",)
+        ).collect()
+    }
+    assert got[1].n_docs == 2 and got[1].n_tokens == 5
+    assert got[0].n_docs == 2 and got[0].n_tokens == 5
+    assert got[1].top_terms == "apple shared"
+    assert got[0].top_terms == "banana shared"
+
+    def mean_q(vals):
+        s = sum(math.floor(v * 1e6 + 0.5) for v in vals)
+        return round(s / (len(vals) * 1e6), 6)
+
+    assert got[1].mean_q == pytest.approx(mean_q([0.25, 0.75]))
+    assert got[0].mean_q == pytest.approx(mean_q([0.5, 0.1]))
+
+
+def test_topic_stats_layout_determinism(spark):
+    from oracle_vectorsearch_example_spark.operators.topics import topic_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 5} common text", float(i % 7) / 7.0) for i in range(40)],
+        "doc_id long, text string, q double",
+    )
+    assign = docs.select("doc_id", (F.col("doc_id") % 3).alias("cluster"))
+    a = sorted(map(tuple, topic_stats(docs, assign, metric_cols=("q",)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            topic_stats(
+                docs.repartition(7), assign.coalesce(1), metric_cols=("q",)
+            ).collect(),
+        )
+    )
+    assert a == b
