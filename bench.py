@@ -1216,6 +1216,81 @@ def main():
             "incremental_images_8", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- audio fingerprint dedup at 20k clips (X57, r10): real PCM16
+    # WAV payloads (400 acoustic classes + near/exact variants, 2048
+    # samples each) → decode → 63-bit energy-envelope delta-sign hash →
+    # shared banding → closure. Witnesses decode+hash throughput and
+    # class recovery (survivors ≈ the 400 classes, minus the handful of
+    # genuine envelope collisions a 63-bit single-band code admits).
+    try:
+        from oracle_vectorsearch_example_spark.functions.afp import (
+            afp_df,
+            dedup_audio,
+        )
+
+        def _wav_rows(ids_df):
+            from pyspark.sql import types as T
+
+            def gen(batches):
+                import io
+                import wave
+
+                import numpy as np
+                import pandas as _pd
+
+                for bt in batches:
+                    out = []
+                    for mid in bt["media_id"]:
+                        # classes need a structural (quadratic-stride)
+                        # component — two-tone envelopes alone collide
+                        # across classes in a 63-bit delta-sign code
+                        cls = int(mid) % 400
+                        t = np.arange(2048)
+                        x = (
+                            6000 * np.sin(2 * np.pi * t / (24 + cls % 37))
+                            + ((t * t * (7 + cls)) % 4001)
+                            - 2000
+                        )
+                        if mid >= 10_000:  # later copies: tiny edit
+                            x = x + np.where(t % 97 == 0, 150, 0)
+                        x = np.clip(x, -32768, 32767).astype("<i2")
+                        buf = io.BytesIO()
+                        with wave.open(buf, "wb") as w:
+                            w.setnchannels(1)
+                            w.setsampwidth(2)
+                            w.setframerate(16000)
+                            w.writeframes(x.tobytes())
+                        out.append((int(mid), bytearray(buf.getvalue())))
+                    yield _pd.DataFrame(
+                        out, columns=["media_id", "payload"]
+                    )
+
+            schema = T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("payload", T.BinaryType()),
+                ]
+            )
+            return ids_df.mapInPandas(gen, schema)
+
+        wav_media = _wav_rows(
+            spark.range(20_000).select(F.col("id").alias("media_id"))
+        ).localCheckpoint()
+        run_entry(
+            "audio_fp_20k", lambda: _execute(afp_df(wav_media))
+        )
+        t_ad = time.time()
+        n_kept = dedup_audio(wav_media, max_hamming=2).count()
+        extras["audio_fp_20k"] = {
+            "n_clips": 20_000,
+            "dedup_survivors": n_kept,
+            "dedup_wall": round(time.time() - t_ad, 3),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "audio_fp_20k", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- exact substring dedup at 200k docs (X35): timed ONCE (the
     # corpus-build convention — a 20 s entry would dominate a median-of-3
     # ladder); the extras record what it actually cut, so the number is

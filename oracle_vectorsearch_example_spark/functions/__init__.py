@@ -34,6 +34,12 @@ from oracle_vectorsearch_example_spark.functions.summary import (
     utl_to_summary,
 )
 from oracle_vectorsearch_example_spark.functions.snippet import snippet_df
+from oracle_vectorsearch_example_spark.functions.afp import (
+    afp_df,
+    afp_expr,
+    afp_from_samples,
+    dedup_audio,
+)
 from oracle_vectorsearch_example_spark.functions.phash import (
     dedup_images,
     phash_band_candidates,
@@ -73,6 +79,10 @@ from oracle_vectorsearch_example_spark.functions.vectors import (
 )
 
 __all__ = [
+    "afp_df",
+    "afp_expr",
+    "afp_from_samples",
+    "dedup_audio",
     "cosine_distance",
     "cosine_similarity",
     "dot_product",

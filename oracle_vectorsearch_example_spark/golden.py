@@ -3121,6 +3121,123 @@ _PHASH_SQL = f"""
 """.replace("{T}", _phash_t_values())
 
 
+_AFP_PCM = "((doc_id * 31 + i * i * 7) % 20001) - 10000"
+
+_AFP_SQL = f"""
+    WITH pcm AS (
+      SELECT doc_id, i, {_AFP_PCM} AS v
+      FROM documents, unnest(generate_series(1, 512)) u(i)
+      WHERE doc_id < 200
+    ),
+    en AS (
+      SELECT doc_id, (i - 1) // 8 AS k, sum(abs(v)) AS e
+      FROM pcm GROUP BY 1, 2
+    )
+    SELECT a.doc_id,
+           CAST(sum(CASE WHEN b.e > a.e
+                         THEN CAST(pow(2.0, a.k) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS afp
+    FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+    GROUP BY a.doc_id
+"""
+
+
+def _afp_pcm_col(extra=None):
+    """The shared synthetic-PCM column: 512 ints per doc, identical
+    integer math on both engines (negative values exercise abs)."""
+    base = lambda i: (  # noqa: E731
+        (F.col("doc_id") * 31 + i * i * 7) % 20001 - 10000
+    )
+    if extra is None:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(512)),
+            lambda i: base(i).cast("long"),
+        )
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(512)),
+        lambda i: (base(i) + extra(i)).cast("long"),
+    )
+
+
+@golden("audio_fp", _AFP_SQL)
+def q_audio_fp(spark, sf):
+    """Audio fingerprint (X57, r10 — Haitsma & Kalker 2002's
+    band-energy-delta idea frozen as integer math): 512-sample PCM
+    synthesized relationally per doc → 64 L1 frame energies → 63
+    delta-sign bits → BIGINT. n = 512 makes the floor frame boundaries
+    uniform ((i−1)//8), so DuckDB replays the ENTIRE hash — energies,
+    comparisons, bit packing — as relational int64 math."""
+    from oracle_vectorsearch_example_spark.functions.afp import afp_expr
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", afp_expr(_afp_pcm_col()).alias("afp")
+    )
+
+
+_AFP_NEARDUP_SQL = """
+    WITH pcm AS (
+      SELECT doc_id, i,
+             ((i * i * (7 + doc_id % 20)) % 20001) - 10000
+             + (CASE WHEN i = (doc_id % 512) + 1
+                     THEN doc_id % 1000 ELSE 0 END) AS v
+      FROM documents, unnest(generate_series(1, 512)) u(i)
+      WHERE doc_id < 200
+    ),
+    en AS (
+      SELECT doc_id, (i - 1) // 8 AS k, sum(abs(v)) AS e
+      FROM pcm GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN b.e > a.e
+                           THEN CAST(pow(2.0, a.k) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS afp
+      FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+      GROUP BY a.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.afp, b.afp))::INTEGER AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 6
+"""
+
+
+@golden("audio_neardup", _AFP_NEARDUP_SQL)
+def q_audio_neardup(spark, sf):
+    """Acoustic near-dup pairs (X57): 20 STRUCTURALLY distinct signal
+    classes (per-class quadratic stride — an additive class offset
+    would shift every sample equally and leave the energy envelope,
+    hence the delta-sign code, identical across classes: the pHash
+    brightness-offset lesson in audio form) with a one-sample per-doc
+    perturbation (within-class near dups).
+    Spark finds hamming ≤ 6 pairs via the SHARED pigeonhole banding
+    (phash_neardup_pairs — 63-bit signatures are codec-agnostic); the
+    oracle computes the EXHAUSTIVE all-pairs answer over relationally
+    replayed fingerprints — blocker completeness, the fuzzy_pairs /
+    phash_neardup discipline."""
+    from oracle_vectorsearch_example_spark.functions.afp import afp_expr
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    cls_base = lambda i: (  # noqa: E731
+        (i * i * (F.lit(7) + F.col("doc_id") % 20)) % 20001 - 10000
+    )
+    bump = lambda i: F.when(  # noqa: E731
+        i == (F.col("doc_id") % 512) + 1, F.col("doc_id") % 1000
+    ).otherwise(F.lit(0))
+    pcm = F.transform(
+        F.sequence(F.lit(1), F.lit(512)),
+        lambda i: (cls_base(i) + bump(i)).cast("long"),
+    )
+    hashes = docs.select("doc_id", afp_expr(pcm).alias("afp"))
+    return phash_neardup_pairs(
+        hashes, id_col="doc_id", hash_col="afp", max_hamming=6
+    )
+
+
 @golden("image_phash", _PHASH_SQL)
 def q_image_phash(spark, sf):
     """Perceptual image hash (X55 — the pHash.org DCT hash, Zauner

@@ -1,0 +1,144 @@
+"""X57 audio fingerprint — expr/numpy spec parity, real-codec round
+trips (WAV + FLAC of the same signal hash identically), amplitude-scale
+invariance, near-dup recovery through the shared banding, error
+handling, layout determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.afp import (
+    afp_df,
+    afp_expr,
+    afp_from_samples,
+    dedup_audio,
+)
+
+
+def _sig(seed, n=2048):
+    """Deterministic int16-range test signal with real structure."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    x = (
+        6000 * np.sin(2 * np.pi * t / (40 + seed))
+        + 2000 * np.sin(2 * np.pi * t / 7)
+        + rng.randint(-300, 300, n)
+    )
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def _wav(x):
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        make_simple_wav,
+    )
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(x.astype("<i2").tobytes())
+    return bytearray(buf.getvalue())
+
+
+def _flac(x):
+    from oracle_vectorsearch_example_spark.functions.flac import (
+        make_simple_flac,
+    )
+
+    return bytearray(make_simple_flac(x, sample_rate=16000))
+
+
+def test_expr_equals_numpy(spark):
+    rows = [(i, [int(v) for v in _sig(i, 700 + 13 * i)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, pcm array<long>")
+    got = {
+        r.doc_id: r.afp
+        for r in df.select("doc_id", afp_expr(F.col("pcm")).alias("afp")).collect()
+    }
+    for i, pcm in rows:
+        assert got[i] == afp_from_samples(np.array(pcm))
+
+
+def test_short_clip_hashes_null(spark):
+    df = spark.createDataFrame(
+        [(1, list(range(63))), (2, list(range(64)))],
+        "doc_id long, pcm array<long>",
+    )
+    got = {
+        r.doc_id: r.afp
+        for r in df.select("doc_id", afp_expr(F.col("pcm")).alias("afp")).collect()
+    }
+    assert got[1] is None and got[2] is not None
+    assert afp_from_samples(np.arange(63)) is None
+
+
+def test_amplitude_scale_invariance():
+    """Volume changes preserve energy ORDER — the delta-sign code is
+    invariant under positive scaling."""
+    x = _sig(3)
+    assert afp_from_samples(x) == afp_from_samples((x.astype(np.int64) * 4))
+
+
+def test_wav_flac_same_signal_same_hash(spark):
+    """The SAME samples through WAV and FLAC containers (both lossless)
+    hash identically; a lightly noised copy lands near; a different
+    signal lands far."""
+    x = _sig(7)
+    near = x.astype(np.int64)
+    near = near + np.where(np.arange(len(near)) % 97 == 0, 150, 0)
+    near = np.clip(near, -32768, 32767).astype(np.int16)
+    far = _sig(23)
+    rows = [
+        (1, _wav(x)),
+        (2, _flac(x)),
+        (3, _wav(near)),
+        (4, _wav(far)),
+        (5, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.afp for r in afp_df(df).collect()}
+    assert got[1] == got[2] == afp_from_samples(x)
+    assert got[5] is None
+    ham_near = bin(got[1] ^ got[3]).count("1")
+    ham_far = bin(got[1] ^ got[4]).count("1")
+    assert ham_near <= 8 < ham_far
+    with pytest.raises(Exception):
+        afp_df(df, on_error="raise").collect()
+
+
+def test_dedup_audio_end_to_end(spark):
+    x = _sig(11)
+    near = np.clip(
+        x.astype(np.int64)
+        + np.where(np.arange(len(x)) % 101 == 0, 120, 0),
+        -32768,
+        32767,
+    ).astype(np.int16)
+    rows = [
+        (1, _wav(x)),
+        (2, _flac(x)),       # exact acoustic dup of 1
+        (3, _wav(near)),     # near dup of 1
+        (4, _wav(_sig(29))),  # distinct
+        (5, bytearray(b"junk")),  # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(r.media_id for r in dedup_audio(df, max_hamming=8).collect())
+    assert kept == [1, 4, 5]
+    kept2 = sorted(
+        r.media_id
+        for r in dedup_audio(df, max_hamming=8, keep_undecodable=False).collect()
+    )
+    assert kept2 == [1, 4]
+
+
+def test_layout_determinism(spark):
+    rows = [(i, _wav(_sig(i % 3))) for i in range(9)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    a = sorted(map(tuple, afp_df(df).collect()))
+    b = sorted(map(tuple, afp_df(df.repartition(5)).collect()))
+    assert a == b
