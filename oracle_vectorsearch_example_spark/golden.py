@@ -5321,6 +5321,59 @@ _CONTAM_SQL = f"""
 """
 
 
+_CONTAM_REPORT_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, unnest(generate_series(1, len(t) - 2)),
+                             unnest(generate_series(1, len(t) - 2)) + 2), ' ') AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    bench_ids AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+    bench AS (SELECT doc_id, shingle FROM grams WHERE doc_id % 17 = 0),
+    corpus AS (SELECT doc_id, shingle FROM grams WHERE doc_id % 17 <> 0),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM bench GROUP BY 1),
+    hits AS (
+      SELECT bench.doc_id AS bid, bench.shingle, corpus.doc_id AS cid
+      FROM bench JOIN corpus USING (shingle)
+    ),
+    per AS (
+      SELECT bid, count(DISTINCT shingle)::BIGINT AS n_matched,
+             count(DISTINCT cid)::BIGINT AS n_corpus_docs
+      FROM hits GROUP BY 1
+    )
+    SELECT b.doc_id, coalesce(sz.n_grams, 0) AS n_grams,
+           coalesce(per.n_matched, 0) AS n_matched,
+           CASE WHEN coalesce(sz.n_grams, 0) > 0
+                THEN round(CAST(coalesce(per.n_matched, 0) AS DOUBLE)
+                           / sz.n_grams, 6)
+                ELSE 0.0 END AS overlap_frac,
+           coalesce(per.n_corpus_docs, 0) AS n_corpus_docs,
+           coalesce(per.n_matched, 0) > 0 AS dirty
+    FROM bench_ids b
+    LEFT JOIN sz ON sz.doc_id = b.doc_id
+    LEFT JOIN per ON per.bid = b.doc_id
+"""
+
+
+@golden("contamination_report", _CONTAM_REPORT_SQL)
+def q_contamination_report(spark, sf):
+    """Contamination audit (X58, r10 — the GPT-3 appendix-C clean/dirty
+    eval analysis, the flip side of `decontaminate`): per benchmark doc
+    (doc_id % 17 == 0), its distinct 3-gram count, how many of those
+    appear anywhere in the corpus, the dirtiness fraction, and how many
+    distinct corpus docs share a gram. The benchmark side broadcasts;
+    only matched hits shuffle."""
+    from oracle_vectorsearch_example_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_report(corpus, bench, n=3)
+
+
 @golden("decontaminate", _CONTAM_SQL)
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (r4; the GPT-3/PaLM-style n-gram overlap

@@ -41,6 +41,7 @@ from oracle_vectorsearch_example_spark.operators.quantize import (
     sq8_topk_search,
 )
 from oracle_vectorsearch_example_spark.operators.dedup import (
+    contamination_report,
     decontaminate,
     dedup_by_components,
     exact_dedup,
@@ -202,6 +203,7 @@ __all__ = [
     "simhash",
     "neardup_components",
     "dedup_by_components",
+    "contamination_report",
     "decontaminate",
     "source_overlap",
     "exact_substring_dedup",

@@ -573,6 +573,79 @@ def decontaminate(
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """The contamination AUDIT (X58, r10) — the flip side of
+    :func:`decontaminate`: instead of dropping training docs, report
+    per BENCHMARK example how contaminated IT is, the GPT-3 appendix-C
+    "clean vs dirty eval" analysis (Brown et al. 2020 measure each eval
+    example's n-gram overlap with the training set and re-score on the
+    clean split; PaLM reports the same per-set fractions). Returns one
+    row per benchmark doc:
+
+    - ``n_grams``: its distinct n-gram count (0 for sub-n docs);
+    - ``n_matched``: how many of those appear ANYWHERE in the corpus;
+    - ``overlap_frac`` = round(n_matched / n_grams, 6) (0.0 when no
+      grams) — the dirtiness fraction;
+    - ``n_corpus_docs``: distinct corpus docs sharing ≥1 gram (triage:
+      one hot document vs diffuse leakage);
+    - ``dirty``: n_matched > 0 — the GPT-3 flag.
+
+    100 TB shape: the benchmark side is small by definition — its
+    (id, shingle) frame BROADCASTS; corpus shingles stream past the
+    broadcast join map-side and only the matched hits (skinny
+    (bench id, corpus id, shingle) rows, bounded by benchmark size ×
+    match multiplicity) shuffle into the per-example counts. The
+    corpus is never re-keyed, never collected."""
+    bid = bench_id_col or id_col
+    b = shingle_df(
+        benchmark, bench_text_col or text_col, bid, n=n, hashed=False
+    ).select(F.col(bid).alias("__bid"), "shingle")
+    c = shingle_df(corpus, text_col, id_col, n=n, hashed=False).select(
+        F.col(id_col).alias("__cid"), "shingle"
+    )
+    sizes = benchmark.select(F.col(bid).alias("__bid")).join(
+        b.groupBy("__bid").agg(F.count("*").cast("long").alias("n_grams")),
+        "__bid",
+        "left",
+    ).select("__bid", F.coalesce("n_grams", F.lit(0)).alias("n_grams"))
+    hits = c.join(F.broadcast(b), "shingle")
+    per = hits.groupBy("__bid").agg(
+        F.count_distinct("shingle").cast("long").alias("n_matched"),
+        F.count_distinct("__cid").cast("long").alias("n_corpus_docs"),
+    )
+    joined = sizes.join(per, "__bid", "left").select(
+        "__bid",
+        "n_grams",
+        F.coalesce("n_matched", F.lit(0).cast("long")).alias("n_matched"),
+        F.coalesce("n_corpus_docs", F.lit(0).cast("long")).alias(
+            "n_corpus_docs"
+        ),
+    )
+    return joined.select(
+        F.col("__bid").alias(bid),
+        "n_grams",
+        "n_matched",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.col("n_matched").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("overlap_frac"),
+        "n_corpus_docs",
+        (F.col("n_matched") > 0).alias("dirty"),
+    )
+
+
 def neardup_components(
     pairs: DataFrame,
     id_a: str = "id_a",

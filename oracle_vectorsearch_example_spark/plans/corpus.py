@@ -57,6 +57,7 @@ def build_training_corpus(
     max_dup3_frac: float | None = None,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 13,
+    emit_contamination_report: bool = False,
     redact_pii: bool = False,
     boilerplate_min_docs: int | None = None,
     min_dup_span: int | None = None,
@@ -194,6 +195,13 @@ def build_training_corpus(
     and commits the resulting ``media`` table IN THE SAME atomic
     ``Warehouse.commit`` as documents/packs/stats — readers see text
     and images from one corpus version or neither.
+
+    Optional contamination audit (r10): ``emit_contamination_report``
+    (requires ``benchmark``) publishes an X58
+    :func:`~..operators.dedup.contamination_report` of the FINAL
+    documents against the benchmark at ``contamination_ngram`` — the
+    residual-leakage proof (every ``dirty`` flag False after the gate)
+    shipped in the same atomic publish.
 
     Optional topic report (r10): ``topic_assign`` (an (id, cluster)
     frame from IVF assignment, SemDeDup blocks, or ``assign_centers``)
@@ -522,6 +530,25 @@ def build_training_corpus(
     )
 
     tables = {"documents": split, "packs": packs, "stats": stats}
+
+    if emit_contamination_report:
+        # residual-leakage audit (r10, X58): the report measures the
+        # FINAL shipped documents against the benchmark at the same n
+        # as the decontamination gate, so the published corpus carries
+        # verifiable evidence that every dirty flag is False (or, when
+        # no benchmark gate ran, exactly what leaks)
+        if benchmark is None:
+            raise ValueError(
+                "emit_contamination_report requires benchmark (a DataFrame)"
+            )
+        from oracle_vectorsearch_example_spark.operators.dedup import (
+            contamination_report,
+        )
+
+        tables["contamination"] = contamination_report(
+            split, benchmark, n=contamination_ngram,
+            id_col=id_col, text_col=text_col,
+        )
 
     if topic_assign is not None:
         # curator report (r10, X56 consumed): per-cluster survivor

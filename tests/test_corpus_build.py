@@ -748,3 +748,22 @@ def test_corpus_build_topic_report(spark, docs):
     for r in topics:
         assert r.top_terms and len(r.top_terms.split(" ")) <= 3
         assert 0.0 <= r.mean_quality <= 1.0
+
+
+def test_corpus_build_contamination_residual_report(spark, docs):
+    """r10: emit_contamination_report publishes the residual-leakage
+    audit beside the corpus — after the decontamination gate at the
+    same n, every benchmark example must report dirty=False."""
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    out = build_training_corpus(
+        docs, benchmark=bench, contamination_ngram=3,
+        emit_contamination_report=True, max_tokens=256, n_shards=2,
+    )
+    rep = out["contamination"].collect()
+    assert len(rep) == bench.count()  # every benchmark example reported
+    assert all(r.dirty is False and r.n_matched == 0 for r in rep)
+
+    with pytest.raises(ValueError, match="benchmark"):
+        build_training_corpus(
+            docs, emit_contamination_report=True, max_tokens=256
+        )

@@ -204,6 +204,43 @@ def test_ngram_contamination_flags_overlap(spark):
     assert decontaminate(corpus, bench, n=13).count() == 3
 
 
+def test_contamination_report_per_example(spark):
+    """X58 (r10): the audit reports per BENCHMARK example — counts,
+    dirtiness fraction, and how many corpus docs leak into it; clean
+    examples and sub-n examples appear with zeros."""
+    from oracle_vectorsearch_example_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark plans"),
+            (3, "we sampled the quick brown fox for evaluation"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "quick brown fox benchmarks"),   # leaked by docs 1, 3
+            (101, "pristine evaluation example text"),  # clean
+            (102, "too short"),                     # < 3 tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination_report(corpus, bench, n=3).collect()}
+    assert set(got) == {100, 101, 102}
+    # 100: grams {"quick brown fox", "brown fox benchmarks"}; only the
+    # first appears in the corpus, in two distinct docs
+    assert got[100].n_grams == 2 and got[100].n_matched == 1
+    assert got[100].overlap_frac == 0.5 and got[100].n_corpus_docs == 2
+    assert got[100].dirty is True
+    assert got[101].n_matched == 0 and got[101].dirty is False
+    assert got[101].overlap_frac == 0.0
+    assert got[102].n_grams == 0 and got[102].overlap_frac == 0.0
+    assert got[102].dirty is False
+
+
 def test_ngram_contamination_broadcasts_benchmark(spark):
     """The benchmark side must BROADCAST (it is small by definition): the
     corpus-side shingles never shuffle for the join."""
