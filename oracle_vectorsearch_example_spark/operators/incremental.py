@@ -268,29 +268,52 @@ class IncrementalDedup:
         )
 
 
-def image_dedup_incremental(
+# signature extractors for media_dedup_incremental, pinned by NAME in
+# warehouse params (a callable couldn't be) — each maps a (id, payload)
+# frame to (id, phash) with NULL for undecodable/evidence-free payloads
+def _hash_media(signature, media, payload_col, id_col):
+    if signature == "phash":
+        from oracle_vectorsearch_example_spark.functions.phash import phash_df
+
+        return phash_df(
+            media, payload_col=payload_col, id_col=id_col, out_col="phash"
+        )
+    if signature == "afp":
+        from oracle_vectorsearch_example_spark.functions.afp import afp_df
+
+        return afp_df(
+            media, payload_col=payload_col, id_col=id_col, out_col="phash"
+        )
+    raise ValueError(f"unknown signature {signature!r} (phash or afp)")
+
+
+def media_dedup_incremental(
     new_media: DataFrame,
     state: tuple[DataFrame, DataFrame] | None = None,
     payload_col: str = "payload",
     id_col: str = "media_id",
     max_hamming: int = 6,
     n_blocks: int | None = None,
+    signature: str = "phash",
     checkpoint_dir: str | None = None,
     small_graph_edges: int = 1 << 18,
 ) -> tuple[DataFrame, DataFrame]:
-    """Fold a new IMAGE batch into pHash dedup state — the X55+ sibling
-    of :func:`dedup_incremental` (same contract, same state shape, same
-    batch-equals-full-recompute guarantee): ``state`` is ``(bands,
-    clusters)``; ``bands`` = union of prior batches'
+    """Fold a new MEDIA batch into 63-bit-signature dedup state — the
+    X55+/X57 sibling of :func:`dedup_incremental` (same contract, same
+    state shape, same batch-equals-full-recompute guarantee): ``state``
+    is ``(bands, clusters)``; ``bands`` = union of prior batches'
     :func:`~..functions.phash.phash_band_table` rows
-    ``(id_col, phash, band, bval)`` — each image decodes and hashes
+    ``(id_col, phash, band, bval)`` — each payload decodes and hashes
     EXACTLY once, in the batch that ingested it; ``clusters`` covers
-    every seen image (undecodable payloads carry no hash evidence and
+    every seen item (undecodable payloads carry no hash evidence and
     sit as self-rooted singletons, the ``dedup_images
-    keep_undecodable`` posture). Returns ``(new_bands, clusters')``.
+    keep_undecodable`` posture). ``signature`` picks the extractor:
+    ``'phash'`` (images, X55) or ``'afp'`` (audio, X57) — the banding,
+    verify, and closure are signature-agnostic 63-bit machinery.
+    Returns ``(new_bands, clusters')``.
 
     One structural difference from the MinHash version: a shared band
-    key is only a CANDIDATE for pHash (banding is complete, not exact),
+    key is only a CANDIDATE for hamming banding (complete, not exact),
     so both the new-new and new-old edge sets verify hamming ≤ d with
     one XOR+bit_count before entering the closure — against the old
     DOC's hash (rides in its band row), with the old id then mapped to
@@ -300,13 +323,10 @@ def image_dedup_incremental(
     frame into the closure. Payloads never shuffle, never re-decode."""
     from oracle_vectorsearch_example_spark.functions.phash import (
         phash_band_table,
-        phash_df,
         phash_neardup_pairs,
     )
 
-    hashes = phash_df(
-        new_media, payload_col=payload_col, id_col=id_col, out_col="phash"
-    )
+    hashes = _hash_media(signature, new_media, payload_col, id_col)
     new_bands = phash_band_table(
         hashes,
         id_col=id_col,
@@ -381,15 +401,101 @@ def image_dedup_incremental(
     return new_bands, updated_old.unionByName(new_clusters)
 
 
-class IncrementalImageDedup(IncrementalDedup):
-    """Warehouse-backed incremental IMAGE dedup: per-batch immutable
-    pHash band tables + one cluster table, committed atomically — the
+def image_dedup_incremental(
+    new_media: DataFrame,
+    state: tuple[DataFrame, DataFrame] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+    small_graph_edges: int = 1 << 18,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`media_dedup_incremental` with ``signature='phash'`` —
+    the image entry point."""
+    return media_dedup_incremental(
+        new_media,
+        state,
+        payload_col=payload_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        signature="phash",
+        checkpoint_dir=checkpoint_dir,
+        small_graph_edges=small_graph_edges,
+    )
+
+
+class IncrementalMediaDedup(IncrementalDedup):
+    """Warehouse-backed incremental MEDIA dedup (images via pHash,
+    audio via the X57 fingerprint): per-batch immutable band tables +
+    one cluster table, committed atomically — the
     :class:`IncrementalDedup` machinery (state/survivors/compact/params
-    pin) with :func:`image_dedup_incremental` doing the fold. The
+    pin) with :func:`media_dedup_incremental` doing the fold. The
     params pin stores ``max_hamming``/``n_blocks`` (−1 = default d+1
-    pigeonhole): band tables built under different banding schemes key
-    different block layouts, so mixing them would silently lose
-    recall — exactly the MinHash-parameter hazard."""
+    pigeonhole) AND the signature name: band tables built under
+    different banding schemes or hash functions key different layouts,
+    so mixing them would silently lose recall — exactly the
+    MinHash-parameter hazard."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        prefix: str = "mediadedup",
+        payload_col: str = "payload",
+        id_col: str = "media_id",
+        max_hamming: int = 6,
+        n_blocks: int | None = None,
+        signature: str = "phash",
+        small_graph_edges: int = 1 << 18,
+    ):
+        from oracle_vectorsearch_example_spark.sources.txn import Warehouse
+
+        if signature not in ("phash", "afp"):
+            raise ValueError(
+                f"unknown signature {signature!r} (phash or afp)"
+            )
+        self.wh = Warehouse(spark, root)
+        self.prefix = prefix
+        # reuses the base params-pin plumbing: text_col slot carries the
+        # payload column name; n_blocks=None pins as -1 (must be an int)
+        self.text_col = payload_col
+        self.id_col = id_col
+        self.signature = signature
+        self.params = dict(
+            max_hamming=max_hamming,
+            n_blocks=-1 if n_blocks is None else n_blocks,
+            signature=signature,
+        )
+        self.small_graph_edges = small_graph_edges
+
+    def ingest(self, batch: DataFrame) -> int:
+        params_df = self._check_params()
+        n = len(self._band_tables())
+        nb = None if self.params["n_blocks"] == -1 else self.params["n_blocks"]
+        new_bands, clusters = media_dedup_incremental(
+            batch,
+            self.state(),
+            payload_col=self.text_col,
+            id_col=self.id_col,
+            max_hamming=self.params["max_hamming"],
+            n_blocks=nb,
+            signature=self.signature,
+            small_graph_edges=self.small_graph_edges,
+        )
+        tables = {
+            f"{self.prefix}_bands_{n:06d}": new_bands,
+            f"{self.prefix}_clusters": clusters,
+        }
+        if params_df is not None:
+            tables[f"{self.prefix}_params"] = params_df
+        return self.wh.commit(tables)
+
+
+class IncrementalImageDedup(IncrementalMediaDedup):
+    """:class:`IncrementalMediaDedup` pinned to ``signature='phash'``
+    under the original ``imgdedup`` prefix."""
 
     def __init__(
         self,
@@ -402,37 +508,14 @@ class IncrementalImageDedup(IncrementalDedup):
         n_blocks: int | None = None,
         small_graph_edges: int = 1 << 18,
     ):
-        from oracle_vectorsearch_example_spark.sources.txn import Warehouse
-
-        self.wh = Warehouse(spark, root)
-        self.prefix = prefix
-        # reuses the base params-pin plumbing: text_col slot carries the
-        # payload column name; n_blocks=None pins as -1 (must be an int)
-        self.text_col = payload_col
-        self.id_col = id_col
-        self.params = dict(
+        super().__init__(
+            spark,
+            root,
+            prefix=prefix,
+            payload_col=payload_col,
+            id_col=id_col,
             max_hamming=max_hamming,
-            n_blocks=-1 if n_blocks is None else n_blocks,
+            n_blocks=n_blocks,
+            signature="phash",
+            small_graph_edges=small_graph_edges,
         )
-        self.small_graph_edges = small_graph_edges
-
-    def ingest(self, batch: DataFrame) -> int:
-        params_df = self._check_params()
-        n = len(self._band_tables())
-        nb = None if self.params["n_blocks"] == -1 else self.params["n_blocks"]
-        new_bands, clusters = image_dedup_incremental(
-            batch,
-            self.state(),
-            payload_col=self.text_col,
-            id_col=self.id_col,
-            max_hamming=self.params["max_hamming"],
-            n_blocks=nb,
-            small_graph_edges=self.small_graph_edges,
-        )
-        tables = {
-            f"{self.prefix}_bands_{n:06d}": new_bands,
-            f"{self.prefix}_clusters": clusters,
-        }
-        if params_df is not None:
-            tables[f"{self.prefix}_params"] = params_df
-        return self.wh.commit(tables)

@@ -162,3 +162,67 @@ def test_warehouse_compact_preserves_results(spark, tmp_path):
     # further ingests keep working against the compacted band table
     inc.ingest(_media(spark, [(0, _bmp(px))]))
     assert _surv_ids(inc.clusters()) == [0, ] + [x for x in before if x != 1]
+
+
+def test_audio_signature_two_batches_equal_full_recompute(spark):
+    """signature='afp' (X57): the same state machinery folds AUDIO
+    batches — incremental survivors equal a full dedup_audio recompute
+    on the union, and the params pin refuses a signature mismatch."""
+    import io
+    import wave
+
+    from oracle_vectorsearch_example_spark.functions.afp import dedup_audio
+    from oracle_vectorsearch_example_spark.operators.incremental import (
+        IncrementalMediaDedup,
+        media_dedup_incremental,
+    )
+
+    def wav(cls, edit=False):
+        t = np.arange(1024)
+        x = 5000 * np.sin(2 * np.pi * t / (20 + cls * 9)) + (
+            (t * t * (7 + cls)) % 3001
+        ) - 1500
+        if edit:
+            x = x + np.where(t % 89 == 0, 120, 0)
+        x = np.clip(x, -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.tobytes())
+        return bytearray(buf.getvalue())
+
+    rows = [(i, wav(i % 3, edit=i >= 6)) for i in range(12)]
+    media = _media(spark, rows)
+    b1 = _media(spark, [r for r in rows if r[0] % 2 == 0])
+    b2 = _media(spark, [r for r in rows if r[0] % 2 == 1])
+    bands1, clusters1 = media_dedup_incremental(
+        b1, max_hamming=2, signature="afp"
+    )
+    _, clusters2 = media_dedup_incremental(
+        b2, (bands1, clusters1), max_hamming=2, signature="afp"
+    )
+    full = sorted(
+        r.media_id for r in dedup_audio(media, max_hamming=2).collect()
+    )
+    assert _surv_ids(clusters2) == full
+
+
+def test_media_dedup_signature_pin(spark, tmp_path):
+    from oracle_vectorsearch_example_spark.operators.incremental import (
+        IncrementalMediaDedup,
+    )
+
+    px = _pattern(32, 32, 4)
+    inc = IncrementalMediaDedup(
+        spark, str(tmp_path / "wh"), signature="phash", max_hamming=D
+    )
+    inc.ingest(_media(spark, [(1, _bmp(px))]))
+    other = IncrementalMediaDedup(
+        spark, str(tmp_path / "wh"), signature="afp", max_hamming=D
+    )
+    with pytest.raises(ValueError, match="parameters"):
+        other.ingest(_media(spark, [(2, _bmp(px))]))
+    with pytest.raises(ValueError, match="signature"):
+        IncrementalMediaDedup(spark, str(tmp_path / "wh2"), signature="md5")
