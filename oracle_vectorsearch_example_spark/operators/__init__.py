@@ -91,7 +91,11 @@ from oracle_vectorsearch_example_spark.operators.sketch import (
 from oracle_vectorsearch_example_spark.operators.semdedup import semdedup
 from oracle_vectorsearch_example_spark.operators.incremental import (
     IncrementalDedup,
+    IncrementalImageDedup,
+    IncrementalMediaDedup,
     dedup_incremental,
+    image_dedup_incremental,
+    media_dedup_incremental,
 )
 from oracle_vectorsearch_example_spark.operators.dsir import (
     dsir_fit,
@@ -229,7 +233,11 @@ __all__ = [
     "pca_topk_search",
     "semdedup",
     "IncrementalDedup",
+    "IncrementalImageDedup",
+    "IncrementalMediaDedup",
     "dedup_incremental",
+    "image_dedup_incremental",
+    "media_dedup_incremental",
     "dsir_fit",
     "dsir_scores",
     "dsir_sample",
