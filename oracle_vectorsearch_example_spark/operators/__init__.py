@@ -138,6 +138,7 @@ from oracle_vectorsearch_example_spark.operators.sampling import (
     hash_sample,
     hash_split,
     mix_sources,
+    temperature_multipliers,
     repeat_epochs,
     stratified_sample,
 )
@@ -265,6 +266,7 @@ __all__ = [
     "stratified_sample",
     "repeat_epochs",
     "mix_sources",
+    "temperature_multipliers",
     "deterministic_shuffle",
     "pack_sequences",
     "pack_sequences_bfd",

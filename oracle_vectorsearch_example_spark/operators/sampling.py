@@ -200,6 +200,33 @@ def mix_sources(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def temperature_multipliers(
+    sizes: dict[str, int],
+    alpha: float = 0.3,
+    total: int | None = None,
+) -> dict[str, float]:
+    """Epoch multipliers for :func:`mix_sources` from temperature
+    sampling (the multilingual/multi-source recipe of XLM-R, Conneau et
+    al. 2020 §3.1, α ≈ 0.3; mT5 and the LLaMA data mixtures follow the
+    same shape): sample share q_s ∝ (n_s/N)^α — α < 1 upsamples small
+    sources relative to their natural share — then multiplier_s =
+    q_s·T / n_s so the mixture totals ``total`` documents (default: the
+    natural corpus size N). Driver-side arithmetic over the bounded
+    source-size dict; compose as
+    ``mix_sources({s: (df_s, m[s]) for ...})``."""
+    if not sizes:
+        raise ValueError("temperature_multipliers needs at least one source")
+    if any(n <= 0 for n in sizes.values()):
+        raise ValueError(f"source sizes must be positive, got {sizes}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    n_total = float(sum(sizes.values()))
+    t = float(total) if total is not None else n_total
+    shares = {s: (n / n_total) ** alpha for s, n in sizes.items()}
+    z = sum(shares.values())
+    return {s: (shares[s] / z) * t / sizes[s] for s in sizes}
+
+
 def group_sample(
     df: DataFrame,
     n: int,

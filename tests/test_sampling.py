@@ -239,3 +239,41 @@ def test_group_sample_fixed_count(spark):
     assert len(s_old & s_new) >= 1
     with pytest.raises(ValueError, match="n must be"):
         group_sample(df, 0, "g")
+
+
+def test_temperature_multipliers(spark):
+    """XLM-R temperature sampling (r10): alpha < 1 upsamples the small
+    source; alpha = 1 reproduces natural proportions (all multipliers
+    1.0 at total=N); the mixture totals the requested budget through
+    mix_sources' epoch arithmetic."""
+    from oracle_vectorsearch_example_spark.operators.sampling import (
+        mix_sources,
+        temperature_multipliers,
+    )
+
+    sizes = {"big": 9000, "small": 1000}
+    nat = temperature_multipliers(sizes, alpha=1.0)
+    assert nat["big"] == pytest.approx(1.0) and nat["small"] == pytest.approx(1.0)
+    m = temperature_multipliers(sizes, alpha=0.3)
+    # expected mixture size is conserved...
+    assert sum(m[s] * sizes[s] for s in sizes) == pytest.approx(10_000)
+    # ...while the small source is upsampled and the big one trimmed
+    assert m["small"] > 1.0 > m["big"]
+    # hand-check one share: q_small = .1^.3 / (.9^.3 + .1^.3)
+    q_small = 0.1**0.3 / (0.9**0.3 + 0.1**0.3)
+    assert m["small"] == pytest.approx(q_small * 10_000 / 1000)
+
+    # composes with mix_sources: realized doc counts track q_s * T
+    big = spark.range(900).select(F.col("id").alias("doc_id"))
+    small = spark.range(900, 1000).select(F.col("id").alias("doc_id"))
+    mm = temperature_multipliers({"big": 900, "small": 100}, alpha=0.3)
+    mixed = mix_sources({"big": (big, mm["big"]), "small": (small, mm["small"])})
+    counts = {r.source: r.n for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    q_small2 = 0.1**0.3 / (0.9**0.3 + 0.1**0.3)
+    assert counts["small"] == pytest.approx(q_small2 * 1000, abs=12)
+    assert counts["big"] == pytest.approx((1 - q_small2) * 1000, abs=12)
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_multipliers(sizes, alpha=0.0)
+    with pytest.raises(ValueError, match="positive"):
+        temperature_multipliers({"x": 0})
