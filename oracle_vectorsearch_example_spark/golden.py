@@ -7579,7 +7579,17 @@ def q_pca_embed(spark, sf):
 # mmr_rerank, semdedup, onnx_embed, ivf_accuracy_report, pack_bfd) take
 # no seat (judge r7 #3). The window must not change mid-round. Witness
 # history is recomputable from CORRECTNESS_r0*.json.
+# (d) the 5 oracle-paired goldens ADDED during r10 (never witnessed)
+# take head seats — langid_pruned, topic_stats, audio_fp,
+# audio_neardup, contamination_report — evicting 5 more r07 fills
+# whose family keeps a seat: json_get (json_shred r9), parse_vector
+# (vector_distances r9), collect_sorted_words (arrays seated), math
+# (dates + strings-r9 cover the scalar family), gif_frames
+# (image_decode r9, jpeg_decode seated). They join the r11 roll list.
 _PRIORITY = [
+    # never driver-witnessed (r10 adds)
+    "langid_pruned", "topic_stats", "audio_fp", "audio_neardup",
+    "contamination_report",
     # stalest: last witnessed r06 — the 16 TPC-H survivors
     "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
@@ -7588,10 +7598,10 @@ _PRIORITY = [
     "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18",
     # stalest survivors: last witnessed r07, non-tpch
     "anti_join", "arrays", "boilerplate_removal", "chunk_ids",
-    "collect_sorted_words", "count_distinct", "cross_join", "dates",
-    "except_all_keys", "fk_violations", "gif_frames", "grouping_sets",
-    "jpeg_decode", "json_get", "left_join_zero_orders", "math",
-    "multimodal_features", "parse_vector", "percentile_gate",
+    "count_distinct", "cross_join", "dates",
+    "except_all_keys", "fk_violations", "grouping_sets",
+    "jpeg_decode", "left_join_zero_orders",
+    "multimodal_features", "percentile_gate",
     "pii_redact", "pivot", "projection", "range_join", "rollup",
     "salted_join_agg", "semi_join", "topk_rows", "unicode_nfc",
 ]

@@ -68,6 +68,9 @@ def test_driver_window_composition():
         # r07 tpch; evicted long-green rows remain registered +
         # oracle-verified in the full compare_oracle sweep.
         *{f"tpch_q{i}" for i in range(1, 23)},
+        # r10 adds (never witnessed) take head seats
+        "langid_pruned", "topic_stats", "audio_fp", "audio_neardup",
+        "contamination_report",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"
