@@ -80,6 +80,7 @@ def build_training_corpus(
     bpe_merges: list | None = None,
     bpe_overflow: str = "error",
     media: DataFrame | None = None,
+    media_kind: str = "image",
     media_id_col: str = "media_id",
     media_doc_col: str | None = None,
     image_payload_col: str = "payload",
@@ -181,10 +182,12 @@ def build_training_corpus(
     ``bpe_overflow`` forwards the too-long-document policy
     (error/truncate/drop).
 
-    Optional image modality (r10): ``media`` — a table of image rows
-    (``media_id_col``, ``image_payload_col`` binary, optionally
-    ``media_doc_col`` linking each image to its owning document) —
-    runs the X55+ pipeline before publish: visual near-dup collapse
+    Optional media modality (r10): ``media`` — a table of binary
+    payload rows (``media_id_col``, ``image_payload_col``, optionally
+    ``media_doc_col`` linking each item to its owning document) —
+    runs the perceptual-dedup pipeline before publish. ``media_kind``
+    picks it: ``'image'`` (X55+ pHash) or ``'audio'`` (X57 fingerprint
+    + ``audio_features``). For images: visual near-dup collapse
     (:func:`~..functions.phash.dedup_images` — decode → pHash → Manku
     banding per ``phash_max_hamming``/``phash_n_blocks`` → component
     closure, keep-first; exact byte dups are hamming 0), drops images
@@ -571,14 +574,25 @@ def build_training_corpus(
         )
 
     if media is not None:
-        from oracle_vectorsearch_example_spark.functions.phash import (
-            dedup_images,
-        )
-        from oracle_vectorsearch_example_spark.operators.multimodal import (
-            image_features,
-        )
-
-        kept_media = dedup_images(
+        if media_kind == "image":
+            from oracle_vectorsearch_example_spark.functions.phash import (
+                dedup_images as _dedup_media,
+            )
+            from oracle_vectorsearch_example_spark.operators.multimodal import (
+                image_features as _media_features,
+            )
+        elif media_kind == "audio":
+            from oracle_vectorsearch_example_spark.functions.afp import (
+                dedup_audio as _dedup_media,
+            )
+            from oracle_vectorsearch_example_spark.operators.multimodal import (
+                audio_features as _media_features,
+            )
+        else:
+            raise ValueError(
+                f"media_kind must be 'image' or 'audio', got {media_kind!r}"
+            )
+        kept_media = _dedup_media(
             media,
             payload_col=image_payload_col,
             id_col=media_id_col,
@@ -586,7 +600,7 @@ def build_training_corpus(
             n_blocks=phash_n_blocks,
         )
         if media_doc_col is not None:
-            # an image whose owning document was deduped/gated out of
+            # a payload whose owning document was deduped/gated out of
             # the corpus does not ship (semi join on the skinny id
             # frame; payloads stay put)
             kept_media = kept_media.join(
@@ -594,13 +608,13 @@ def build_training_corpus(
                 media_doc_col,
                 "left_semi",
             )
-        feats = image_features(
+        feats = _media_features(
             kept_media.select(media_id_col, image_payload_col),
             payload_col=image_payload_col,
             id_col=media_id_col,
             on_error="null",
         )
-        # image_features emits its fixed schema keyed "media_id"
+        # the feature extractors emit their fixed schema keyed "media_id"
         if media_id_col != "media_id":
             feats = feats.withColumnRenamed("media_id", media_id_col)
         tables["media"] = kept_media.join(feats, media_id_col, "left")

@@ -767,3 +767,57 @@ def test_corpus_build_contamination_residual_report(spark, docs):
         build_training_corpus(
             docs, emit_contamination_report=True, max_tokens=256
         )
+
+
+def test_corpus_build_audio_media_modality(spark, tmp_path):
+    """r10: media_kind='audio' routes the media table through the X57
+    fingerprint dedup + audio_features — acoustic copies collapse to
+    one canonical row in the same atomic publish."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav(seed):
+        t = np.arange(1024)
+        x = 5000 * np.sin(2 * np.pi * t / (18 + seed * 11)) + (
+            (t * t * (5 + seed)) % 3001
+        ) - 1500
+        x = np.clip(x, -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.tobytes())
+        return bytearray(buf.getvalue())
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon words"),
+            (2, "zeta eta theta iota kappa tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (10, 1, wav(1)),
+            (11, 1, wav(1)),   # exact acoustic copy → collapses
+            (20, 2, wav(9)),
+            (21, 2, bytearray(b"junk")),  # undecodable, null features
+        ],
+        "media_id long, doc_id long, payload binary",
+    )
+    out = build_training_corpus(
+        docs, media=media, media_kind="audio", media_doc_col="doc_id",
+        phash_max_hamming=2, n_shards=1, max_tokens=64,
+    )
+    got = {r.media_id: r for r in out["media"].collect()}
+    assert sorted(got) == [10, 20, 21]
+    assert got[10].n_samples == 1024 and got[10].sample_rate == 16000
+    assert got[21].n_samples is None
+
+    with pytest.raises(ValueError, match="media_kind"):
+        build_training_corpus(
+            docs, media=media, media_kind="video", max_tokens=64
+        )
