@@ -608,6 +608,11 @@ def build_training_corpus(
                 media_doc_col,
                 "left_semi",
             )
+        # feature extraction decodes a second time BY DESIGN: it runs
+        # only over the deduped+gated SURVIVORS (often a small fraction
+        # of the raw media at web scale), while the dedup hash pass
+        # touched every payload exactly once — cheaper than carrying
+        # decoded pixels/samples through the closure shuffle
         feats = _media_features(
             kept_media.select(media_id_col, image_payload_col),
             payload_col=image_payload_col,
