@@ -3238,6 +3238,130 @@ def q_audio_neardup(spark, sf):
     )
 
 
+_VIDEO_NEARDUP_SQL = f"""
+    WITH t(u, x, tv) AS (VALUES {{T}}),
+    d AS (
+      SELECT doc_id AS vid, f.fidx
+      FROM documents, (VALUES (0), (1), (2), (3)) f(fidx)
+      WHERE doc_id < 30
+    ),
+    g AS (
+      SELECT vid, fidx, p,
+             ((vid % 6) * 37 + fidx * 53
+              + (p // 32) * (13 + vid % 6)
+              + (p % 32) * (31 + 2 * (vid % 6))
+              + CASE WHEN p = (vid * 7) % 1024 THEN 5 ELSE 0 END) % 256
+                 AS gv
+      FROM d, unnest(generate_series(0, 1023)) AS s(p)
+    ),
+    m1 AS (
+      SELECT g.vid, g.fidx, t.u, g.p % 32 AS y,
+             sum(t.tv * g.gv)::BIGINT AS m
+      FROM g JOIN t ON t.x = g.p // 32 GROUP BY 1, 2, 3, 4
+    ),
+    c AS (
+      SELECT m1.vid, m1.fidx, m1.u AS cu, t.u AS cv2,
+             sum(m1.m * t.tv)::BIGINT AS cval
+      FROM m1 JOIN t ON t.x = m1.y GROUP BY 1, 2, 3, 4
+    ),
+    v AS (
+      SELECT vid, fidx, cu * 8 + cv2 AS idx, cval
+      FROM c WHERE NOT (cu = 0 AND cv2 = 0)
+    ),
+    med AS (
+      SELECT vid, fidx, cval AS m FROM (
+        SELECT vid, fidx, cval,
+               row_number() OVER (PARTITION BY vid, fidx
+                                  ORDER BY cval) AS rn
+        FROM v
+      ) WHERE rn = 32
+    ),
+    h AS (
+      SELECT v.vid, v.fidx,
+             sum(CASE WHEN v.cval > med.m
+                      THEN 1::BIGINT << (62 - (v.idx - 1))
+                      ELSE 0 END)::BIGINT AS ph
+      FROM v JOIN med USING (vid, fidx) GROUP BY v.vid, v.fidx
+    ),
+    mt AS (
+      SELECT a.vid AS va, b.vid AS vb, a.fidx AS fa, b.fidx AS fb
+      FROM h a JOIN h b
+        ON a.vid < b.vid AND bit_count(xor(a.ph, b.ph)) <= 10
+    ),
+    per AS (
+      SELECT va, vb, count(DISTINCT fa)::BIGINT AS matched_a,
+             count(DISTINCT fb)::BIGINT AS matched_b
+      FROM mt GROUP BY 1, 2
+    ),
+    n AS (SELECT vid, count(*)::BIGINT AS nf FROM h GROUP BY 1)
+    SELECT per.va AS id_a, per.vb AS id_b,
+           na.nf AS n_a, nb.nf AS n_b, matched_a, matched_b,
+           round(least(CAST(matched_a AS DOUBLE) / na.nf,
+                       CAST(matched_b AS DOUBLE) / nb.nf), 6) AS cover
+    FROM per
+    JOIN n na ON na.vid = per.va
+    JOIN n nb ON nb.vid = per.vb
+    WHERE least(CAST(matched_a AS DOUBLE) / na.nf,
+                CAST(matched_b AS DOUBLE) / nb.nf) >= 0.5
+""".replace("{T}", _phash_t_values())
+
+
+@golden("video_neardup", _VIDEO_NEARDUP_SQL)
+def q_video_neardup(spark, sf):
+    """Video near-dup pairs (X59, r10 — frame-signature copy detection,
+    the TRECVID shape): 30 synthetic 4-frame videos in 6 STRUCTURALLY
+    distinct visual classes (per-class gradient slopes — the pHash
+    brightness lesson) with a one-pixel per-video watermark; within a
+    class every same-index frame lands within hamming 10, across
+    classes ≥ 20 apart, so mutual frame coverage is exactly 1.0 for the
+    60 within-class video pairs and 0 elsewhere. Spark hashes frames on
+    the pinned Arrow path and runs the banding + coverage aggregation;
+    DuckDB replays the ENTIRE pipeline — fixed-point DCT per frame,
+    EXHAUSTIVE frame pairs, per-pair distinct-frame coverage — as
+    relational int64 math."""
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_gray_udf_df,
+    )
+    from oracle_vectorsearch_example_spark.operators.video import (
+        video_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 30)
+    frames = docs.select(
+        F.col("doc_id").alias("vid"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("fidx"),
+    )
+    cls = F.col("vid") % 6
+    gray = F.transform(
+        F.sequence(F.lit(0), F.lit(1023)),
+        lambda p: (
+            (
+                cls * 37
+                + F.col("fidx") * 53
+                + F.floor(p / 32) * (F.lit(13) + cls)
+                + (p % 32) * (F.lit(31) + 2 * cls)
+                + F.when(p == (F.col("vid") * 7) % 1024, 5).otherwise(0)
+            )
+            % 256
+        ).cast("int"),
+    )
+    packed = frames.select(
+        (F.col("vid") * F.lit(1 << 20) + F.col("fidx")).alias("fk"),
+        gray.alias("gray"),
+    )
+    hashed = phash_gray_udf_df(packed, gray_col="gray", id_col="fk")
+    fh = hashed.select(
+        F.shiftright(F.col("fk"), 20).alias("media_id"),
+        F.col("fk").bitwiseAND(F.lit((1 << 20) - 1)).cast("int").alias(
+            "frame_idx"
+        ),
+        "phash",
+    )
+    return video_neardup_pairs(
+        fh, id_col="media_id", max_hamming=10, min_frame_cover=0.5
+    )
+
+
 @golden("image_phash", _PHASH_SQL)
 def q_image_phash(spark, sf):
     """Perceptual image hash (X55 — the pHash.org DCT hash, Zauner
@@ -7585,11 +7709,12 @@ def q_pca_embed(spark, sf):
 # whose family keeps a seat: json_get (json_shred r9), parse_vector
 # (vector_distances r9), collect_sorted_words (arrays seated), math
 # (dates + strings-r9 cover the scalar family), gif_frames
-# (image_decode r9, jpeg_decode seated). They join the r11 roll list.
+# (image_decode r9, jpeg_decode seated), topk_rows (filtered_topk r9;
+# evicted for video_neardup). They join the r11 roll list.
 _PRIORITY = [
     # never driver-witnessed (r10 adds)
     "langid_pruned", "topic_stats", "audio_fp", "audio_neardup",
-    "contamination_report",
+    "contamination_report", "video_neardup",
     # stalest: last witnessed r06 — the 16 TPC-H survivors
     "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
@@ -7603,7 +7728,7 @@ _PRIORITY = [
     "jpeg_decode", "left_join_zero_orders",
     "multimodal_features", "percentile_gate",
     "pii_redact", "pivot", "projection", "range_join", "rollup",
-    "salted_join_agg", "semi_join", "topk_rows", "unicode_nfc",
+    "salted_join_agg", "semi_join", "unicode_nfc",
 ]
 
 

@@ -102,6 +102,11 @@ from oracle_vectorsearch_example_spark.operators.dsir import (
     dsir_sample,
     dsir_scores,
 )
+from oracle_vectorsearch_example_spark.operators.video import (
+    dedup_videos,
+    video_frame_hashes,
+    video_neardup_pairs,
+)
 from oracle_vectorsearch_example_spark.operators.urls import (
     canonical_url,
     domain_stats,
@@ -267,6 +272,9 @@ __all__ = [
     "repeat_epochs",
     "mix_sources",
     "temperature_multipliers",
+    "dedup_videos",
+    "video_frame_hashes",
+    "video_neardup_pairs",
     "deterministic_shuffle",
     "pack_sequences",
     "pack_sequences_bfd",

@@ -70,7 +70,7 @@ def test_driver_window_composition():
         *{f"tpch_q{i}" for i in range(1, 23)},
         # r10 adds (never witnessed) take head seats
         "langid_pruned", "topic_stats", "audio_fp", "audio_neardup",
-        "contamination_report",
+        "contamination_report", "video_neardup",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"

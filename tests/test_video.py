@@ -1,0 +1,136 @@
+"""X59 video near-dup — frame-hash sampling parity with sample_frames,
+coverage semantics over synthetic hash frames (frame-index-agnostic
+matching, thresholds, packing guard), and real animated-GIF dedup end
+to end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.operators.video import (
+    dedup_videos,
+    video_frame_hashes,
+    video_neardup_pairs,
+)
+
+
+def _px(seed, h=32, w=32):
+    """Coarse-colored pattern (GIF writers need ≤256 palette colors)."""
+    x = (np.arange(h)[:, None] // 4) * 16 + (np.arange(w)[None, :] // 4) * 8
+    v = ((x + seed * 32) % 256).astype(np.uint8)
+    return np.stack([v, (v * 2) % 256, (v * 3) % 256], axis=-1)
+
+
+def _gif(frames, delays_cs=None):
+    from oracle_vectorsearch_example_spark.functions.gif import (
+        make_animated_gif,
+    )
+
+    return bytearray(make_animated_gif(frames, delays_cs))
+
+
+def test_frame_hash_sampling_matches_sample_frames(spark):
+    """video_frame_hashes follows the sample_frames rule exactly and
+    its hashes equal pHashing the frames sample_frames emits."""
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_from_pixels,
+    )
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_image_pixels,
+        sample_frames,
+    )
+
+    frames = [_px(s) for s in (0, 3, 6)]
+    media = spark.createDataFrame(
+        [(1, _gif(frames, [100, 100, 100]))],  # 1 fps worth of frames
+        "media_id long, payload binary",
+    )
+    got = {
+        r.frame_idx: (r.ts_sec, r.phash)
+        for r in video_frame_hashes(media, fps=1.0, max_frames=8).collect()
+    }
+    want = {}
+    for r in sample_frames(media, fps=1.0, max_frames=8, decode="real").collect():
+        px = decode_image_pixels(bytes(r.payload))
+        want[r.frame_idx] = (r.ts_sec, phash_from_pixels(px))
+    assert got == want and len(got) == 3
+
+
+def test_coverage_semantics_on_hash_frames(spark):
+    """Direct pair math: a shifted copy (same hashes, different frame
+    indexes) still matches fully; a half-overlap sits exactly at cover
+    0.5; disjoint videos pair nowhere."""
+    h = [int(x) for x in (1 << 5, 1 << 15, 1 << 25, 1 << 35)]
+    far = [int(1 << 55) | 0b111111, int(1 << 54) | 0b1010101]
+    rows = (
+        [(1, i, h[i]) for i in range(4)]
+        + [(2, i, h[(i + 2) % 4]) for i in range(4)]  # shifted full copy
+        + [(3, 0, h[0]), (3, 1, far[0])]              # half overlap w/ 1
+        + [(4, 0, far[1])]                            # disjoint
+    )
+    fh = spark.createDataFrame(rows, "media_id long, frame_idx int, phash long")
+    got = {
+        (r.id_a, r.id_b): (r.matched_a, r.matched_b, r.cover)
+        for r in video_neardup_pairs(
+            fh, max_hamming=0, min_frame_cover=0.5
+        ).collect()
+    }
+    assert got[(1, 2)] == (4, 4, 1.0)  # frame order ignored
+    assert got[(1, 3)] == (1, 1, 0.25) if (1, 3) in got else True
+    # (1,3): matched 1 of 4 vs 1 of 2 → least = 0.25 < 0.5 → excluded
+    assert (1, 3) not in got and (1, 4) not in got
+    # lowering the bar admits the half-overlap pair at its true cover
+    got2 = {
+        (r.id_a, r.id_b): r.cover
+        for r in video_neardup_pairs(
+            fh, max_hamming=0, min_frame_cover=0.25
+        ).collect()
+    }
+    assert got2[(1, 3)] == 0.25 and got2[(2, 3)] == 0.25
+
+    with pytest.raises(ValueError, match="min_frame_cover"):
+        video_neardup_pairs(fh, min_frame_cover=0.0)
+    bad = spark.createDataFrame(
+        [(1 << 50, 0, 5)], "media_id long, frame_idx int, phash long"
+    )
+    with pytest.raises(Exception, match="packs"):
+        video_neardup_pairs(bad).collect()
+
+
+def test_dedup_videos_end_to_end(spark):
+    """Real animated GIFs: an exact re-encode and a per-frame near
+    edit collapse onto the original; a different video and a
+    non-video payload survive."""
+    base = [_px(s) for s in (0, 3, 6)]
+    near = []
+    for f in base:
+        g = f.copy()
+        g[:4, :4, :] = f[4, 4, :]  # small corner patch, palette-safe
+        near.append(g)
+    other = [_px(s)[::-1, :, :] for s in (10, 13, 16)]
+    rows = [
+        (1, _gif(base)),
+        (2, _gif(base)),    # exact copy
+        (3, _gif(near)),    # near copy
+        (4, _gif(other)),   # distinct
+        (5, bytearray(b"not a video")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(
+        r.media_id
+        for r in dedup_videos(
+            media, fps=10.0, max_frames=8, max_hamming=10
+        ).collect()
+    )
+    assert kept == [1, 4, 5]
+
+
+def test_layout_determinism(spark):
+    frames = [_px(s) for s in (1, 4)]
+    rows = [(i, _gif(frames)) for i in range(6)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    a = sorted(map(tuple, video_frame_hashes(media).collect()))
+    b = sorted(map(tuple, video_frame_hashes(media.repartition(4)).collect()))
+    assert a == b
