@@ -86,6 +86,7 @@ def build_training_corpus(
     image_payload_col: str = "payload",
     phash_max_hamming: int = 6,
     phash_n_blocks: int | None = None,
+    media_kwargs: dict | None = None,
     topic_assign: DataFrame | None = None,
     topic_top_k: int = 5,
     n_shards: int = 8,
@@ -186,8 +187,11 @@ def build_training_corpus(
     payload rows (``media_id_col``, ``image_payload_col``, optionally
     ``media_doc_col`` linking each item to its owning document) —
     runs the perceptual-dedup pipeline before publish. ``media_kind``
-    picks it: ``'image'`` (X55+ pHash) or ``'audio'`` (X57 fingerprint
-    + ``audio_features``). For images: visual near-dup collapse
+    picks it: ``'image'`` (X55+ pHash), ``'audio'`` (X57 fingerprint +
+    ``audio_features``), or ``'video'`` (X59 frame-signature coverage;
+    features = sampled frame count + duration; ``media_kwargs``
+    forwards fps=/max_frames=/min_frame_cover=). For images: visual
+    near-dup collapse
     (:func:`~..functions.phash.dedup_images` — decode → pHash → Manku
     banding per ``phash_max_hamming``/``phash_n_blocks`` → component
     closure, keep-first; exact byte dups are hamming 0), drops images
@@ -574,6 +578,7 @@ def build_training_corpus(
         )
 
     if media is not None:
+        _media_features = None
         if media_kind == "image":
             from oracle_vectorsearch_example_spark.functions.phash import (
                 dedup_images as _dedup_media,
@@ -588,16 +593,24 @@ def build_training_corpus(
             from oracle_vectorsearch_example_spark.operators.multimodal import (
                 audio_features as _media_features,
             )
+        elif media_kind == "video":
+            from oracle_vectorsearch_example_spark.operators.video import (
+                dedup_videos as _dedup_media,
+            )
         else:
             raise ValueError(
-                f"media_kind must be 'image' or 'audio', got {media_kind!r}"
+                "media_kind must be 'image', 'audio', or 'video', "
+                f"got {media_kind!r}"
             )
+        # media_kwargs forwards kind-specific knobs (video: fps=,
+        # max_frames=, min_frame_cover=; audio/image: keep_undecodable=)
         kept_media = _dedup_media(
             media,
             payload_col=image_payload_col,
             id_col=media_id_col,
             max_hamming=phash_max_hamming,
             n_blocks=phash_n_blocks,
+            **(media_kwargs or {}),
         )
         if media_doc_col is not None:
             # a payload whose owning document was deduped/gated out of
@@ -613,15 +626,40 @@ def build_training_corpus(
         # of the raw media at web scale), while the dedup hash pass
         # touched every payload exactly once — cheaper than carrying
         # decoded pixels/samples through the closure shuffle
-        feats = _media_features(
-            kept_media.select(media_id_col, image_payload_col),
-            payload_col=image_payload_col,
-            id_col=media_id_col,
-            on_error="null",
-        )
-        # the feature extractors emit their fixed schema keyed "media_id"
-        if media_id_col != "media_id":
-            feats = feats.withColumnRenamed("media_id", media_id_col)
+        if _media_features is not None:
+            feats = _media_features(
+                kept_media.select(media_id_col, image_payload_col),
+                payload_col=image_payload_col,
+                id_col=media_id_col,
+                on_error="null",
+            )
+            # the feature extractors emit their fixed schema keyed
+            # "media_id"
+            if media_id_col != "media_id":
+                feats = feats.withColumnRenamed("media_id", media_id_col)
+        else:
+            # video: features derive from the sampled frame hashes —
+            # frame count + duration (undecodable payloads have no
+            # frame rows and report NULLs via the left join)
+            from oracle_vectorsearch_example_spark.operators.video import (
+                video_frame_hashes,
+            )
+
+            mk = media_kwargs or {}
+            feats = (
+                video_frame_hashes(
+                    kept_media.select(media_id_col, image_payload_col),
+                    payload_col=image_payload_col,
+                    id_col=media_id_col,
+                    fps=mk.get("fps", 1.0),
+                    max_frames=mk.get("max_frames", 16),
+                )
+                .groupBy(media_id_col)
+                .agg(
+                    F.count("*").cast("long").alias("n_frames"),
+                    F.max("ts_sec").alias("duration_sec"),
+                )
+            )
         tables["media"] = kept_media.join(feats, media_id_col, "left")
 
     if warehouse is not None:

@@ -819,5 +819,46 @@ def test_corpus_build_audio_media_modality(spark, tmp_path):
 
     with pytest.raises(ValueError, match="media_kind"):
         build_training_corpus(
-            docs, media=media, media_kind="video", max_tokens=64
+            docs, media=media, media_kind="hologram", max_tokens=64
         )
+
+
+def test_corpus_build_video_media_modality(spark):
+    """r10: media_kind='video' routes through X59 — duplicate animated
+    GIFs collapse; features come from the sampled frames (count +
+    duration); non-video payloads ship with NULL features."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.gif import (
+        make_animated_gif,
+    )
+
+    def px(seed):
+        x = (np.arange(24)[:, None] // 4) * 16 + (np.arange(24)[None, :] // 4) * 8
+        v = ((x + seed * 32) % 256).astype(np.uint8)
+        return np.stack([v, (v * 2) % 256, (v * 3) % 256], axis=-1)
+
+    vid_a = bytearray(make_animated_gif([px(0), px(3)]))
+    vid_b = bytearray(make_animated_gif([px(9)[::-1], px(12)[::-1]]))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta words"), (2, "zeta eta theta iota words")],
+        "doc_id long, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (10, 1, vid_a),
+            (11, 1, bytearray(bytes(vid_a))),  # byte-identical copy
+            (20, 2, vid_b),
+            (21, 2, bytearray(b"not a gif")),
+        ],
+        "media_id long, doc_id long, payload binary",
+    )
+    out = build_training_corpus(
+        docs, media=media, media_kind="video", media_doc_col="doc_id",
+        phash_max_hamming=6, n_shards=1, max_tokens=64,
+        media_kwargs={"fps": 10.0, "max_frames": 8},
+    )
+    got = {r.media_id: r for r in out["media"].collect()}
+    assert sorted(got) == [10, 20, 21]
+    assert got[10].n_frames == 2 and got[10].duration_sec > 0
+    assert got[21].n_frames is None
