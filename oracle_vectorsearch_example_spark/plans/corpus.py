@@ -26,9 +26,10 @@ named public canon in one call, in the published order:
     function of (seed, doc_id);
 11. **sequence packing** — concat-split (`pack_sequences`) or, with
     ``bpe_merges``, whole-doc BFD in model-token units;
-12. **image modality** (opt-in, r10) — `dedup_images` visual near-dup
-    collapse + owning-document gate + X4 decode features
-    (``on_error='null'``) over a linked ``media`` table;
+12. **media modality** (opt-in, r10) — perceptual dedup of a linked
+    ``media`` table (images via X55 pHash, audio via the X57
+    fingerprint, video via X59 frame coverage) + owning-document gate
+    + decode features (``on_error='null'``);
 13. **atomic publish** — all output tables (including ``media``)
     committed in ONE `Warehouse.commit` (snapshot isolation): readers
     see the whole corpus version or none of it.
