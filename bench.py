@@ -1291,6 +1291,87 @@ def main():
             "audio_fp_20k", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- video frame-hash dedup at 5k clips (X59, r10): real animated
+    # GIFs (250 visual classes × 2 frames, byte-identical + near
+    # copies) → real frame decode + pHash → coverage pairs → closure.
+    try:
+        from oracle_vectorsearch_example_spark.operators.video import (
+            dedup_videos,
+            video_frame_hashes,
+        )
+
+        def _gif_rows(ids_df):
+            from pyspark.sql import types as T
+
+            def gen(batches):
+                import numpy as np
+                import pandas as _pd
+
+                from oracle_vectorsearch_example_spark.functions.gif import (
+                    make_animated_gif,
+                )
+
+                for bt in batches:
+                    out = []
+                    for mid in bt["media_id"]:
+                        # per-class SLOPES (injective 23x29 map), values
+                        # quantized to 32 levels so the two frames stay
+                        # inside the GIF writer's 256-color palette
+                        cls = int(mid) % 250
+                        r = np.arange(48)[:, None]
+                        c = np.arange(48)[None, :]
+                        frames = []
+                        for fidx in (0, 1):
+                            v = (
+                                r * (13 + cls % 23)
+                                + c * (11 + cls % 29)
+                                + fidx * 89
+                                + cls * 7
+                            ) % 256
+                            v = (v // 8 * 8).astype("uint8")
+                            px = np.stack([v, v, v], axis=-1)
+                            if mid >= 2_500:  # later copies: corner edit
+                                px = px.copy()
+                                px[:4, :4, :] = px[8, 8, :]
+                            frames.append(px)
+                        out.append(
+                            (int(mid), bytearray(make_animated_gif(frames)))
+                        )
+                    yield _pd.DataFrame(
+                        out, columns=["media_id", "payload"]
+                    )
+
+            schema = T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("payload", T.BinaryType()),
+                ]
+            )
+            return ids_df.mapInPandas(gen, schema)
+
+        gif_media = _gif_rows(
+            spark.range(5_000).select(F.col("id").alias("media_id"))
+        ).localCheckpoint()
+        run_entry(
+            "video_dedup_5k",
+            lambda: _execute(
+                video_frame_hashes(gif_media, fps=10.0, max_frames=4)
+            ),
+        )
+        t_vd = time.time()
+        n_vkept = dedup_videos(
+            gif_media, fps=10.0, max_frames=4, max_hamming=10
+        ).count()
+        extras["video_dedup_5k"] = {
+            "n_videos": 5_000,
+            "dedup_survivors": n_vkept,
+            "dedup_wall": round(time.time() - t_vd, 3),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "video_dedup_5k", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- exact substring dedup at 200k docs (X35): timed ONCE (the
     # corpus-build convention — a 20 s entry would dominate a median-of-3
     # ladder); the extras record what it actually cut, so the number is
