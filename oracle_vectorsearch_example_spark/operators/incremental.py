@@ -220,11 +220,45 @@ class IncrementalDedup:
             ),
         )
 
-    def ingest(self, batch: DataFrame) -> int:
+    def seen_batch(self, batch_id: int) -> bool:
+        """True iff a PUBLISHED ingest already carries ``batch_id`` in
+        the ledger — the exactly-once predicate for streaming replays
+        (a foreachBatch retry re-delivers the same batch_id)."""
+        name = f"{self.prefix}_ledger"
+        if name not in self.wh.tables():
+            return False
+        return (
+            self.wh.read(name)
+            .filter(F.col("batch_id") == int(batch_id))
+            .count()
+            > 0
+        )
+
+    def _ledger_row(self, batch_id: int, band_table: str) -> DataFrame:
+        row = self.wh.spark.createDataFrame(
+            [(int(batch_id), band_table)],
+            "batch_id long, band_table string",
+        )
+        name = f"{self.prefix}_ledger"
+        if name in self.wh.tables():
+            return self.wh.read(name).unionByName(row)
+        return row
+
+    def ingest(self, batch: DataFrame, batch_id: int | None = None) -> int:
         """Dedup ``batch`` against everything seen; returns the committed
         warehouse version. Batch numbering = count of existing band
         tables, so retries after a failed (unpublished) commit reuse the
-        same slot instead of leaking one."""
+        same slot instead of leaking one.
+
+        ``batch_id`` (streaming exactly-once contract): when given, the
+        id is committed to a ledger table IN THE SAME atomic manifest
+        swap as the bands/clusters, and an ingest whose id is already
+        ledgered is a published-replay NO-OP (returns the current
+        version) — a crashed foreachBatch that re-delivers the batch
+        cannot double-ingest; a crash BEFORE publish left no ledger row,
+        so the retry runs normally."""
+        if batch_id is not None and self.seen_batch(batch_id):
+            return self.wh.current_version()
         params_df = self._check_params()
         n = len(self._band_tables())
         new_bands, clusters = dedup_incremental(
@@ -235,12 +269,17 @@ class IncrementalDedup:
             small_graph_edges=self.small_graph_edges,
             **self.params,
         )
+        band_name = f"{self.prefix}_bands_{n:06d}"
         tables = {
-            f"{self.prefix}_bands_{n:06d}": new_bands,
+            band_name: new_bands,
             f"{self.prefix}_clusters": clusters,
         }
         if params_df is not None:  # first ingest: pin the parameters
             tables[f"{self.prefix}_params"] = params_df
+        if batch_id is not None:
+            tables[f"{self.prefix}_ledger"] = self._ledger_row(
+                batch_id, band_name
+            )
         return self.wh.commit(tables)
 
     def compact(self) -> int | None:
@@ -470,7 +509,11 @@ class IncrementalMediaDedup(IncrementalDedup):
         )
         self.small_graph_edges = small_graph_edges
 
-    def ingest(self, batch: DataFrame) -> int:
+    def ingest(self, batch: DataFrame, batch_id: int | None = None) -> int:
+        """See :meth:`IncrementalDedup.ingest` — same contract,
+        including the ``batch_id`` exactly-once ledger."""
+        if batch_id is not None and self.seen_batch(batch_id):
+            return self.wh.current_version()
         params_df = self._check_params()
         n = len(self._band_tables())
         nb = None if self.params["n_blocks"] == -1 else self.params["n_blocks"]
@@ -484,12 +527,17 @@ class IncrementalMediaDedup(IncrementalDedup):
             signature=self.signature,
             small_graph_edges=self.small_graph_edges,
         )
+        band_name = f"{self.prefix}_bands_{n:06d}"
         tables = {
-            f"{self.prefix}_bands_{n:06d}": new_bands,
+            band_name: new_bands,
             f"{self.prefix}_clusters": clusters,
         }
         if params_df is not None:
             tables[f"{self.prefix}_params"] = params_df
+        if batch_id is not None:
+            tables[f"{self.prefix}_ledger"] = self._ledger_row(
+                batch_id, band_name
+            )
         return self.wh.commit(tables)
 
 

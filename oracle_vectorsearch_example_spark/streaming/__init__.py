@@ -2,6 +2,9 @@ from oracle_vectorsearch_example_spark.streaming.cdc import (
     apply_changes_sink,
     latest_change_per_key,
 )
+from oracle_vectorsearch_example_spark.streaming.media import (
+    media_dedup_sink,
+)
 from oracle_vectorsearch_example_spark.streaming.ingest import (
     dedup_events,
     dedup_stream,
@@ -23,5 +26,6 @@ __all__ = [
     "enrich_stream",
     "ingest_documents_stream",
     "apply_changes_sink",
+    "media_dedup_sink",
     "latest_change_per_key",
 ]

@@ -226,3 +226,64 @@ def test_media_dedup_signature_pin(spark, tmp_path):
         other.ingest(_media(spark, [(2, _bmp(px))]))
     with pytest.raises(ValueError, match="signature"):
         IncrementalMediaDedup(spark, str(tmp_path / "wh2"), signature="md5")
+
+
+def test_batch_id_ledger_replay_is_noop(spark, tmp_path):
+    """Exactly-once contract: re-ingesting under an already-PUBLISHED
+    batch_id is a no-op (same version, same band tables, same
+    clusters); a new batch_id ingests normally. Applies to the text
+    class too (the ledger lives in the shared base)."""
+    px = _pattern(32, 32, 6)
+    inc = IncrementalImageDedup(spark, str(tmp_path / "wh"), max_hamming=D)
+    v1 = inc.ingest(_media(spark, [(1, _bmp(px))]), batch_id=0)
+    before = _surv_ids(inc.clusters())
+    v_replay = inc.ingest(
+        _media(spark, [(1, _bmp(px)), (2, _bmp(px))]), batch_id=0
+    )
+    assert v_replay == v1  # published replay: nothing ingested
+    assert len(inc._band_tables()) == 1
+    assert _surv_ids(inc.clusters()) == before
+    v2 = inc.ingest(_media(spark, [(2, _bmp(px))]), batch_id=1)
+    assert v2 > v1 and len(inc._band_tables()) == 2
+    assert _surv_ids(inc.clusters()) == [1]  # 2 deduped against 1
+
+
+def test_streaming_media_dedup_sink_matches_batch(spark, tmp_path):
+    """availableNow file-source stream through media_dedup_sink ==
+    batch dedup_images over the same payloads, and the ledger carries
+    one row per delivered micro-batch."""
+    from oracle_vectorsearch_example_spark.operators.incremental import (
+        IncrementalMediaDedup,
+    )
+    from oracle_vectorsearch_example_spark.streaming.media import (
+        media_dedup_sink,
+    )
+
+    classes = [_pattern(40, 40, s) for s in (2, 8)]
+    rows = [
+        (i, bytes(_bmp(classes[i % 2] if i < 3 else _near(classes[i % 2]))))
+        for i in range(6)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    root = str(tmp_path / "wh")
+    q = (
+        media_dedup_sink(stream, root, max_hamming=D)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    inc = IncrementalMediaDedup(spark, root, max_hamming=D)
+    got = sorted(r["id"] for r in inc.survivors().collect())
+    assert got == _full_survivors(spark, [(i, bytearray(p)) for i, p in rows])
+    ledger = inc.wh.read("mediadedup_ledger")
+    assert ledger.count() == len(inc._band_tables())
+    assert ledger.count() == ledger.select("batch_id").distinct().count()
