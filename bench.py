@@ -984,7 +984,10 @@ def main():
             "n_images": ph_n,
             "neardup_pairs_h8": n_pairs,
             "neardup_wall": nd_wall,
-            "neardup_pairs_manku12": pairs_manku,  # must equal _h8
+            "neardup_pairs_manku12": pairs_manku,
+            # explicit equality witness (r10 ADVICE): a silent pair-set
+            # divergence between the banding schemes must show here
+            "pairs_equal_plain": bool(pairs_manku == n_pairs),
             "neardup_manku12_wall": mk_wall,
             "candidate_fraction_plain": round(cand_plain / all_pairs, 8),
             "candidate_fraction_manku12": round(cand_manku / all_pairs, 8),

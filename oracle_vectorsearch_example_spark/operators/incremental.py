@@ -359,11 +359,30 @@ def media_dedup_incremental(
     its cluster root exactly as the text version does. Scale shape per
     batch: one decode pass over the batch, one (band, bval) equi-join
     of batch bands against stored bands, a batch-sized verified edge
-    frame into the closure. Payloads never shuffle, never re-decode."""
+    frame into the closure. Payloads never shuffle, never re-decode.
+
+    Id contract (r10 ADVICE): the cluster frame keys on LONG ids —
+    same global-unique-long contract as :func:`dedup_incremental` —
+    so ``id_col`` MUST be an integral type; a string/UUID id would
+    cast to NULL silently and corrupt the cluster table, so it raises
+    here instead (the non-incremental ``dedup_images``/``dedup_audio``
+    paths keep native ids end-to-end and stay UUID-safe)."""
+    from pyspark.sql.types import IntegralType
+
     from oracle_vectorsearch_example_spark.functions.phash import (
         phash_band_table,
         phash_neardup_pairs,
     )
+
+    _idt = new_media.schema[id_col].dataType
+    if not isinstance(_idt, IntegralType):
+        raise ValueError(
+            f"media_dedup_incremental: id column {id_col!r} must be an "
+            f"integral type (long-id cluster contract, like "
+            f"dedup_incremental), got {_idt.simpleString()}; use "
+            f"dedup_images/dedup_audio for string/UUID ids or map ids "
+            f"to global-unique longs first"
+        )
 
     hashes = _hash_media(signature, new_media, payload_col, id_col)
     new_bands = phash_band_table(

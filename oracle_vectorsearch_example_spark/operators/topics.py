@@ -122,8 +122,13 @@ def topic_stats(
     exact associative integer math (hash-stable under any partition
     layout, unlike a double sum) and still one map-side partial
     aggregate at 100 TB (no canonical collect_list fold needed);
-    ``floor(x·1e6 + 0.5)`` is HALF_UP identically in any engine for the
-    non-negative metrics this reports. top_terms joins from
+    ``floor(x·1e6 + 0.5)`` is HALF_UP identically in any engine ONLY
+    for non-negative values — ``metric_cols`` MUST be non-negative
+    per-document scores (quality in [0,1], perplexity > 0, counts); a
+    negative metric (NB log-odds, log-perplexity) would round
+    half-toward-+inf and drift from true HALF_UP at the 6th dp, so the
+    plan guards it: any negative metric value raises in-plan rather
+    than silently drifting (r10 ADVICE). top_terms joins from
     :func:`ctfidf_terms` per its spec."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
@@ -135,9 +140,23 @@ def topic_stats(
         F.sum(F.size(toks).cast("long")).alias("n_tokens"),
     ]
     for m in metric_cols:
+        # fail-fast non-negativity guard: the scaled-integer HALF_UP
+        # identity only holds for m >= 0 (see docstring)
+        checked = F.when(
+            F.col(m) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"topic_stats: metric column {m!r} must be "
+                        "non-negative (scaled-integer HALF_UP mean), got "
+                    ),
+                    F.col(m).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col(m))
         aggs.append(
             F.sum(
-                F.floor(F.col(m) * F.lit(1e6) + F.lit(0.5)).cast("long")
+                F.floor(checked * F.lit(1e6) + F.lit(0.5)).cast("long")
             ).alias(f"__s_{m}")
         )
     per = base.groupBy(cluster_col).agg(*aggs)

@@ -33,7 +33,8 @@ pointer-jumping machinery.
 
 Composite-key packing contract: frame keys pack as
 ``video_id · 2^20 + frame_idx`` — ids must be non-negative longs below
-2^42 and ``max_frames ≤ 2^20`` (guarded loudly). Same caller contract
+2^43 and ``max_frames ≤ 2^20`` (guarded loudly; (2^43−1)·2^20 + frame
+stays within int64). Same caller contract
 family as ``dedup_incremental``'s global-unique-long ids.
 """
 

@@ -287,3 +287,17 @@ def test_streaming_media_dedup_sink_matches_batch(spark, tmp_path):
     ledger = inc.wh.read("mediadedup_ledger")
     assert ledger.count() == len(inc._band_tables())
     assert ledger.count() == ledger.select("batch_id").distinct().count()
+
+
+def test_media_dedup_string_ids_raise(spark):
+    # long-id cluster contract (r10 ADVICE): a string/UUID id would
+    # cast to NULL silently — fail fast instead
+    from oracle_vectorsearch_example_spark.operators.incremental import (
+        media_dedup_incremental,
+    )
+
+    media = spark.createDataFrame(
+        [("uuid-a", bytearray(b"\x00"))], "media_id string, payload binary"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        media_dedup_incremental(media)

@@ -163,3 +163,17 @@ def test_topic_stats_layout_determinism(spark):
         )
     )
     assert a == b
+
+
+def test_topic_stats_negative_metric_raises(spark):
+    # the scaled-integer HALF_UP identity only holds for m >= 0; a
+    # negative metric must raise in-plan, not drift at the 6th dp
+    from oracle_vectorsearch_example_spark.operators.topics import topic_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b", 0.5), (2, "c", -0.3)],
+        "doc_id long, text string, q double",
+    )
+    assign = docs.select("doc_id", F.lit(0).alias("cluster"))
+    with pytest.raises(Exception, match="non-negative"):
+        topic_stats(docs, assign, metric_cols=("q",)).collect()
