@@ -1196,7 +1196,14 @@ def main():
         ).localCheckpoint()
         img_root = tempfile.mkdtemp(prefix="bench_inc_images_")
         try:
-            iinc = IncrementalImageDedup(spark, img_root, max_hamming=8)
+            # compact_every=4 (r11): without a cadence the per-ingest
+            # wall crept 3.3 → 5.0 s over these 8 ingests (r10 record)
+            # from band-table union WIDTH; the cadence folds inside
+            # ingest and the series must now stay flat
+            iinc = IncrementalImageDedup(
+                spark, img_root, max_hamming=8, compact_every=4,
+                expire_keep_last=2,
+            )
             per_ing = []
             t_all = time.time()
             for i in range(8):
@@ -1211,6 +1218,8 @@ def main():
                 "images_per_batch": 2_000,
                 "per_ingest_sec": per_ing,
                 "survivors": n_surv,
+                "compact_every": 4,
+                "band_tables_final": len(iinc._band_tables()),
             }
         finally:
             shutil.rmtree(img_root, ignore_errors=True)
