@@ -790,6 +790,34 @@ def main():
             "repetition_pass": int(raga["p"]),
             "pass_count_equals_expr": int(raga["p"]) == int(ragg["p"]),
         }
+
+        # Corpus gate composition (r11): build_training_corpus now
+        # routes the gate through the Arrow twin by default
+        # (gopher_rep_engine='arrow'); bench the ACTUAL corpus code
+        # path — _repetition_gate (score, keep pass, semi-join) — under
+        # both engines, recording identical survivor counts. This is
+        # the before/after of the r10 verdict's "the pipeline should
+        # default to the twin it just built".
+        from oracle_vectorsearch_example_spark.plans.corpus import (
+            _repetition_gate,
+        )
+
+        gate_walls = {}
+        gate_surv = {}
+        for eng in ("expr", "arrow"):
+            t0 = time.time()
+            gate_surv[eng] = _repetition_gate(
+                rep_docs, "doc_id", "text", {}, eng
+            ).count()
+            gate_walls[eng] = round(time.time() - t0, 3)
+        results["corpus_rep_gate_200k"] = gate_walls["arrow"]
+        extras["corpus_rep_gate_200k"] = {
+            "n_docs": int(ragg["n"]),
+            "wall_expr": gate_walls["expr"],
+            "wall_arrow": gate_walls["arrow"],
+            "survivors": gate_surv["arrow"],
+            "survivors_equal": gate_surv["arrow"] == gate_surv["expr"],
+        }
     except Exception as e:  # noqa: BLE001
         results.setdefault(
             "repetition_200k", {"err": str(e).splitlines()[0][:200]}

@@ -862,3 +862,36 @@ def test_corpus_build_video_media_modality(spark):
     assert sorted(got) == [10, 20, 21]
     assert got[10].n_frames == 2 and got[10].duration_sec > 0
     assert got[21].n_frames is None
+
+
+def test_corpus_repetition_engines_identical_survivors(spark):
+    """r11: the corpus repetition gate defaults to the Arrow twin; both
+    engines must yield IDENTICAL documents tables on a corpus mixing
+    real sf0.001 text with planted degenerate-repetition pages (the
+    twins are column-pinned in test_textstats; this pins the
+    COMPOSITION — gate + semi-join inside build_training_corpus)."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        build_training_corpus,
+    )
+
+    base = read_table(spark, SF, "documents").select("doc_id", "text")
+    loops = spark.createDataFrame(
+        [(9000 + i, "the same five words repeat " * 30) for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(loops)
+
+    def run(engine):
+        out = build_training_corpus(
+            docs, gopher_rep_kwargs={}, gopher_rep_engine=engine, n_shards=2
+        )
+        return sorted(
+            (r.doc_id, r.split)
+            for r in out["documents"].select("doc_id", "split").collect()
+        )
+
+    arrow, expr = run("arrow"), run("expr")
+    assert arrow == expr and arrow
+    assert all(d < 9000 for d, _ in arrow)  # planted loops dropped by both
+    with pytest.raises(ValueError, match="gopher_rep_engine"):
+        run("vectorised")
