@@ -117,7 +117,10 @@ def topic_stats(
     it beside documents/packs/stats.
 
     Frozen spec: n_tokens = Σ ws-token counts (integer, exact);
-    mean_<m> = round(Σ floor(m·1e6 + 0.5) / (n_docs·1e6), 6) — per-doc
+    mean_<m> = round(Σ floor(m·1e6 + 0.5) / (n_<m>·1e6), 6) where
+    n_<m> counts the docs whose metric is NON-NULL (== n_docs whenever
+    the metric is total; gate-derived metrics like ppl are undefined
+    for < 2-token docs and must not dilute the mean) — per-doc
     metrics are scaled to integers BEFORE summing, so the aggregate is
     exact associative integer math (hash-stable under any partition
     layout, unlike a double sum) and still one map-side partial
@@ -159,16 +162,21 @@ def topic_stats(
                 F.floor(checked * F.lit(1e6) + F.lit(0.5)).cast("long")
             ).alias(f"__s_{m}")
         )
+        # divisor = docs that HAVE the metric (r11): gate-derived
+        # metrics like ppl are undefined for some docs (< 2 tokens);
+        # a NULL must not dilute the mean toward 0. Equals n_docs —
+        # and thus the original spec — whenever the metric is total.
+        aggs.append(F.count(F.col(m)).cast("long").alias(f"__n_{m}"))
     per = base.groupBy(cluster_col).agg(*aggs)
     for m in metric_cols:
         per = per.withColumn(
             f"mean_{m}",
             F.round(
                 F.col(f"__s_{m}").cast("double")
-                / (F.col("n_docs").cast("double") * F.lit(1e6)),
+                / (F.col(f"__n_{m}").cast("double") * F.lit(1e6)),
                 6,
             ),
-        ).drop(f"__s_{m}")
+        ).drop(f"__s_{m}", f"__n_{m}")
     label = (
         ctfidf_terms(
             docs, assign, id_col=id_col, text_col=text_col,

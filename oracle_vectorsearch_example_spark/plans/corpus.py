@@ -125,6 +125,7 @@ def build_training_corpus(
     media_kwargs: dict | None = None,
     topic_assign: DataFrame | None = None,
     topic_top_k: int = 5,
+    topic_metric_cols: tuple | None = None,
     n_shards: int = 8,
     seed: int = 42,
     warehouse=None,
@@ -259,6 +260,17 @@ def build_training_corpus(
     ``topic_top_k`` terms), and mean gate quality over the final gated
     documents — in the same atomic publish; the curator's
     mixture-weight / contamination-triage view of what survived.
+    ``topic_metric_cols`` (r11) picks the per-doc metrics averaged per
+    cluster: ``None`` (default) forwards what the gates already
+    computed — ``quality`` always, plus ``ppl`` whenever
+    ``perplexity_lm`` ran (re-scored over the FINAL documents with the
+    same LM, so the curator reads the number the gate actually used).
+    An explicit tuple may name ``quality``, ``ppl`` (requires
+    ``perplexity_lm``), or any numeric column riding through the build
+    (caller-supplied metadata); unknown names raise. NB log-odds are
+    deliberately NOT auto-forwarded — they can be negative, and
+    ``topic_stats``' scaled-integer HALF_UP mean is only exact for
+    non-negative metrics (it raises in-plan on negatives).
 
     Source-weighted mixtures compose DOWNSTREAM of this build (mixing
     before dedup would collapse the repeated epochs as duplicates): run
@@ -593,22 +605,62 @@ def build_training_corpus(
 
     if topic_assign is not None:
         # curator report (r10, X56 consumed): per-cluster survivor
-        # counts + c-TF-IDF labels + mean gate quality over the FINAL
-        # gated documents — the table mixture-weight decisions read
+        # counts + c-TF-IDF labels + mean gate metrics over the FINAL
+        # gated documents — the table mixture-weight decisions read.
+        # r11: metrics follow the gates that ran (judge r10 #7) —
+        # quality always, ppl when a perplexity gate had an LM.
         from oracle_vectorsearch_example_spark.operators.topics import (
             topic_stats,
         )
 
+        if topic_metric_cols is None:
+            metrics = ("quality",) + (
+                ("ppl",) if perplexity_lm is not None else ()
+            )
+        else:
+            metrics = tuple(topic_metric_cols)
         qdocs = text_metrics_df(
             split.select(id_col, text_col), text_col
         ).select(id_col, text_col, "quality")
+        if "ppl" in metrics:
+            if perplexity_lm is None:
+                raise ValueError(
+                    "topic_metric_cols names 'ppl' but no perplexity_lm "
+                    "was given to score it"
+                )
+            from oracle_vectorsearch_example_spark.functions.lm import (
+                perplexity_df,
+            )
+
+            # left join: < 2-token docs carry no ppl; topic_stats'
+            # non-null divisor keeps the mean over scored docs only
+            qdocs = qdocs.join(
+                perplexity_df(
+                    split.select(id_col, text_col), perplexity_lm,
+                    id_col=id_col, text_col=text_col, broadcast_lm=True,
+                ).select(id_col, "ppl"),
+                id_col,
+                "left",
+            )
+        unknown = [
+            m for m in metrics
+            if m not in qdocs.columns and m not in split.columns
+        ]
+        if unknown:
+            raise ValueError(
+                f"topic_metric_cols {unknown!r} are neither gate-derived "
+                f"(quality, ppl) nor columns of the documents table"
+            )
+        extra = [m for m in metrics if m not in qdocs.columns]
+        if extra:
+            qdocs = qdocs.join(split.select(id_col, *extra), id_col)
         tables["topics"] = topic_stats(
             qdocs,
             topic_assign,
             id_col=id_col,
             text_col=text_col,
             top_k=topic_top_k,
-            metric_cols=("quality",),
+            metric_cols=metrics,
         )
 
     if media is not None:
