@@ -5,6 +5,9 @@ from oracle_vectorsearch_example_spark.streaming.cdc import (
 from oracle_vectorsearch_example_spark.streaming.media import (
     media_dedup_sink,
 )
+from oracle_vectorsearch_example_spark.streaming.text import (
+    text_dedup_sink,
+)
 from oracle_vectorsearch_example_spark.streaming.ingest import (
     dedup_events,
     dedup_stream,
@@ -27,5 +30,6 @@ __all__ = [
     "ingest_documents_stream",
     "apply_changes_sink",
     "media_dedup_sink",
+    "text_dedup_sink",
     "latest_change_per_key",
 ]
