@@ -317,6 +317,12 @@ def phash_band_table(
         # than this numpy loop at C(12,4)=495). The keys are identical
         # integers — pytest pins the banded frames equal — computed as
         # C(b,d) vectorized shift/or passes per Arrow batch, map-side.
+        # r11 shape: Python returns ONE row per input with the keys as
+        # an array column and the (band, bval) explode happens JVM-side
+        # (posexplode, codegen'd) — crossing Arrow with n rows × one
+        # array instead of C(b,d)·n scalar rows cut the 100k-signature
+        # key generation 12.5 → ~3 s (row overhead, not payload bytes,
+        # dominated).
         import numpy as np
         from pyspark.sql import types as T
 
@@ -324,8 +330,7 @@ def phash_band_table(
             [
                 T.StructField(id_col, df.schema[id_col].dataType),
                 T.StructField(hash_col, T.LongType()),
-                T.StructField("band", T.IntegerType()),
-                T.StructField("bval", T.LongType()),
+                T.StructField("__keys", T.ArrayType(T.LongType())),
             ]
         )
         n_c = len(combos)
@@ -339,27 +344,83 @@ def phash_band_table(
                     (hs >> starts[k]) & ((1 << widths[k]) - 1)
                     for k in range(b)
                 ]
-                keys = np.empty((n_c, len(hs)), dtype=np.int64)
+                keys = np.empty((len(hs), n_c), dtype=np.int64)
                 for ci, combo in enumerate(combos):
                     key = np.zeros(len(hs), dtype=np.int64)
                     shift = 0
                     for k in combo:
                         key |= blocks[k] << shift
                         shift += widths[k]
-                    keys[ci] = key
+                    keys[:, ci] = key
                 yield pd.DataFrame(
                     {
-                        id_col: np.tile(bt[id_col].to_numpy(), n_c),
-                        hash_col: np.tile(hs, n_c),
-                        "band": np.repeat(
-                            np.arange(n_c, dtype=np.int32), len(hs)
-                        ),
-                        "bval": keys.reshape(-1),
+                        id_col: bt[id_col].to_numpy(),
+                        hash_col: hs,
+                        "__keys": list(keys),
                     }
                 )
 
-        banded = h.mapInPandas(run, schema)
+        banded = (
+            h.mapInPandas(run, schema)
+            .select(
+                id_col,
+                hash_col,
+                F.posexplode("__keys").alias("band", "bval"),
+            )
+            .select(id_col, hash_col, "band", "bval")
+        )
     return banded
+
+
+def _band_candidates_raw(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    n_blocks: int | None,
+) -> DataFrame:
+    """Candidate pairs WITHOUT the dedup — a pair sharing k bands
+    appears k times. Internal: callers either ``.distinct()`` here
+    (the audit view) or verify hamming FIRST and dedup the
+    much smaller survivor set (:func:`phash_neardup_pairs`)."""
+    banded = phash_band_table(
+        df,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+    # One explicit shuffle on the join keys, shared by both sides of
+    # the self-join (identical exchange subtree => ReusedExchange): at
+    # Manku parameters the banded frame is C(b, d)·n rows, and without
+    # this the mapInPandas key generation ran ONCE PER SIDE — measured
+    # 2× the dominant cost at 100k signatures.
+    banded = banded.repartition("band", "bval")
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("__ha"),
+        "band",
+        "bval",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("__hb"),
+        "band",
+        "bval",
+    )
+    # merge (sort-merge) hint (r11): the banded frame is NEVER
+    # broadcastable at Manku parameters, but the planner can't see
+    # that through the mapInPandas stage (unknown stats inherit the
+    # skinny input's size estimate), and a misestimated broadcast of a
+    # 50M-row band table OOMed the driver in the crossover bench.
+    # Sort-merge is the strategy that degrades gracefully at every
+    # scale (it spills; shuffle-hash build maps don't, and 32
+    # concurrent tasks sharing one local JVM killed those too).
+    return (
+        left.hint("merge").join(right.hint("merge"), ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+    )
 
 
 def phash_band_candidates(
@@ -374,32 +435,11 @@ def phash_band_candidates(
     benchmarks/audits can measure candidate volume (the quantity the
     Manku ``n_blocks`` knob trades against key replication);
     :func:`phash_neardup_pairs` is this plus one XOR+bit_count
-    verify."""
-    banded = phash_band_table(
-        df,
-        id_col=id_col,
-        hash_col=hash_col,
-        max_hamming=max_hamming,
-        n_blocks=n_blocks,
-    )
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col(hash_col).alias("__ha"),
-        "band",
-        "bval",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col(hash_col).alias("__hb"),
-        "band",
-        "bval",
-    )
-    return (
-        left.join(right, ["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ha", "__hb")
-        .distinct()
-    )
+    verify (with the dedup deferred past the verify, where the row
+    set is orders of magnitude smaller)."""
+    return _band_candidates_raw(
+        df, id_col, hash_col, max_hamming, n_blocks
+    ).distinct()
 
 
 def phash_neardup_pairs(
@@ -426,14 +466,21 @@ def phash_neardup_pairs(
     same no-false-negative guarantee, candidate volume traded against
     a C(n_blocks, d)-fold row replication of the SKINNY key frame
     (payloads and hashes are long scalars; nothing heavy replicates).
+    Measured crossover (r11, random 63-bit signatures at d=8,
+    local[32]): plain wins through ~400k; at 1M n_blocks=10 wins 1.6×;
+    at 2M it wins 3.3× (35 vs 115 s) — see bench
+    ``manku_crossover_2m``. Raise n_blocks further only when bucket
+    fill (candidate fraction), not key replication, dominates: at 2M,
+    n_blocks=12's 495 replicas still cost more wall than its 27×-lower
+    candidate volume saves.
     One pass over the input: keys explode from a literal struct array
-    (no per-band union re-scan)."""
-    cand = phash_band_candidates(
-        df,
-        id_col=id_col,
-        hash_col=hash_col,
-        max_hamming=max_hamming,
-        n_blocks=n_blocks,
+    (no per-band union re-scan). The pair dedup runs AFTER the
+    XOR+bit_count verify (r11): a pair sharing k bands is verified k
+    times (a few integer ops) instead of shuffling the full candidate
+    multiset through a distinct — at 100k random signatures the
+    candidate set is 400M rows and the verified set is thousands."""
+    cand = _band_candidates_raw(
+        df, id_col, hash_col, max_hamming, n_blocks
     )
     ham = F.bit_count(
         F.col("__ha").bitwiseXOR(F.col("__hb"))
@@ -442,6 +489,7 @@ def phash_neardup_pairs(
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
