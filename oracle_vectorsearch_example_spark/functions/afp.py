@@ -53,10 +53,19 @@ N_FRAMES = 64
 _POW2 = [1 << k for k in range(N_FRAMES - 1)]
 
 
-def afp_expr(pcm: Column) -> Column:
+def afp_expr(pcm: Column, energy: str = "l1") -> Column:
     """63-bit fingerprint of an ``array<long>`` PCM column — the
-    normative frozen spec as pure column expressions (map-side, no
+    normative frozen spec as pure column exprs (map-side, no
     UDF). NULL for arrays shorter than 64 samples.
+
+    ``energy`` picks the frame statistic: ``'l1'`` (Σ|x|, the golden
+    spec) or ``'l2'`` (Σx², r11) — the SECOND code of the dual-code
+    dedup (Haitsma & Kalker's actual system hashes many bands; with
+    no FFT offline, the L2 envelope is the second independent view:
+    same frames, different nonlinearity, so cross-class L1-order
+    collisions rarely survive in L2 order). Both are exact int64
+    (|x| ≤ 32767 ⇒ x² ≤ 2³⁰; frames of < 2³³ samples cannot
+    overflow).
 
     Expression shape (the select_winnow lesson, re-learned here the
     hard way): each sub-expression embeds exactly ONCE. Frame
@@ -66,6 +75,13 @@ def afp_expr(pcm: Column) -> Column:
     an element_at(energies, k) per bit would inline the whole O(n)
     energies transform 126×, which measured minutes-per-200-rows
     interpreted."""
+    if energy not in ("l1", "l2"):
+        raise ValueError("energy must be 'l1' or 'l2'")
+    stat = (
+        (lambda acc, x: acc + F.abs(x))
+        if energy == "l1"
+        else (lambda acc, x: acc + x * x)
+    )
     n = F.size(pcm)
     energies = F.transform(
         F.sequence(F.lit(0), F.lit(N_FRAMES - 1)),
@@ -79,7 +95,7 @@ def afp_expr(pcm: Column) -> Column:
                 ).cast("int"),
             ),
             F.lit(0).cast("long"),
-            lambda acc, x: acc + F.abs(x),
+            stat,
         ),
     )
     pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
@@ -107,12 +123,14 @@ def afp_expr(pcm: Column) -> Column:
     return F.when(n >= N_FRAMES, packed)
 
 
-def afp_from_samples(samples) -> int | None:
+def afp_from_samples(samples, energy: str = "l1") -> int | None:
     """numpy reference of :func:`afp_expr` (pinned equal in pytest):
     (n,) or (n, channels) int array — channel 0, same floor-boundary
-    frames, L1 energies, delta-sign bits."""
+    frames, L1 (or ``energy='l2'``) energies, delta-sign bits."""
     import numpy as np
 
+    if energy not in ("l1", "l2"):
+        raise ValueError("energy must be 'l1' or 'l2'")
     x = np.asarray(samples)
     if x.ndim == 2:
         x = x[:, 0]
@@ -120,6 +138,8 @@ def afp_from_samples(samples) -> int | None:
     if n < N_FRAMES:
         return None
     a = np.abs(x.astype(np.int64))
+    if energy == "l2":
+        a = a * a
     bounds = [(k * n) // N_FRAMES for k in range(N_FRAMES + 1)]
     e = np.add.reduceat(a, bounds[:-1])
     h = 0
@@ -162,35 +182,43 @@ def afp_df(
     id_col: str = "media_id",
     out_col: str = "afp",
     on_error: str = "null",
+    l2_col: str | None = None,
 ) -> DataFrame:
-    """(id, afp) — decode each binary audio payload (WAV/FLAC) and
-    fingerprint it. Arrow-batched mapInPandas, map-side only; payloads
-    never shuffle. ``on_error='null'`` (default) also covers clips
-    shorter than 64 samples (no evidence)."""
+    """(id, afp[, afp_l2]) — decode each binary audio payload
+    (WAV/FLAC) and fingerprint it. Arrow-batched mapInPandas, map-side
+    only; payloads never shuffle. ``on_error='null'`` (default) also
+    covers clips shorter than 64 samples (no evidence). ``l2_col``
+    (r11) additionally emits the L2-envelope second code from the SAME
+    decode pass — decode dominates the cost, so the dual-code dedup
+    must never decode twice."""
     if on_error not in ("null", "raise"):
         raise ValueError("on_error must be 'null' or 'raise'")
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField(id_col, media.schema[id_col].dataType),
-            T.StructField(out_col, T.LongType()),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, media.schema[id_col].dataType),
+        T.StructField(out_col, T.LongType()),
+    ]
+    if l2_col is not None:
+        fields.append(T.StructField(l2_col, T.LongType()))
+    schema = T.StructType(fields)
+    cols = [f.name for f in fields]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for b in batches:
             out = []
             for mid, payload in zip(b[id_col], b[payload_col]):
                 try:
-                    out.append(
-                        (mid, afp_from_samples(_decode_pcm(bytes(payload))))
-                    )
+                    pcm = _decode_pcm(bytes(payload))
+                    row = (mid, afp_from_samples(pcm))
+                    if l2_col is not None:
+                        row += (afp_from_samples(pcm, energy="l2"),)
                 except Exception:
                     if on_error == "raise":
                         raise
-                    out.append((mid, None))
-            yield pd.DataFrame(out, columns=[id_col, out_col])
+                    row = (mid,) + (None,) * (len(cols) - 1)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
 
     return media.select(id_col, payload_col).mapInPandas(run, schema)
 
@@ -202,6 +230,7 @@ def dedup_audio(
     max_hamming: int = 8,
     n_blocks: int | None = None,
     keep_undecodable: bool = True,
+    dual_code: bool = False,
 ) -> DataFrame:
     """Corpus-level perceptual AUDIO dedup — decode → fingerprint →
     banded hamming pairs → component closure → keep ONE canonical row
@@ -209,7 +238,19 @@ def dedup_audio(
     banding and closure are the SAME machinery as
     :func:`~.phash.dedup_images` (63-bit signatures are codec-agnostic);
     undecodable or sub-64-sample payloads carry no evidence and pass
-    through under ``keep_undecodable``."""
+    through under ``keep_undecodable``.
+
+    ``dual_code`` (r11, Haitsma & Kalker's multi-band idea): ONE decode
+    pass emits the L1 golden code AND the L2 second code; a pair is a
+    duplicate iff within ``max_hamming`` on BOTH. Cross-class L1
+    envelope collisions (the measured 10/400-class recovery gap)
+    rarely collide in L2 order too, while true near-copies stay within
+    d on both codes (measured 0/400 recall loss on the bench fixture).
+    Candidates stay complete from the L1 bands alone — a pair within d
+    on both codes is within d on the first, so it already shares an L1
+    band (the union-of-bands construction is redundant under AND
+    verification); the L2 verify is two hash lookups + XOR per
+    L1-verified pair. The single-code L1 path stays the golden."""
     from oracle_vectorsearch_example_spark.functions.phash import (
         phash_neardup_pairs,
     )
@@ -218,7 +259,11 @@ def dedup_audio(
     )
 
     hashes = afp_df(
-        media, payload_col=payload_col, id_col=id_col, out_col="__afp"
+        media,
+        payload_col=payload_col,
+        id_col=id_col,
+        out_col="__afp",
+        l2_col="__afp2" if dual_code else None,
     )
     pairs = phash_neardup_pairs(
         hashes,
@@ -227,6 +272,29 @@ def dedup_audio(
         max_hamming=max_hamming,
         n_blocks=n_blocks,
     )
+    if dual_code:
+        h2 = hashes.select(id_col, "__afp2").filter(
+            F.col("__afp2").isNotNull()
+        )
+        pairs = (
+            pairs.join(
+                h2.select(
+                    F.col(id_col).alias("id_a"), F.col("__afp2").alias("__a2")
+                ),
+                "id_a",
+            )
+            .join(
+                h2.select(
+                    F.col(id_col).alias("id_b"), F.col("__afp2").alias("__b2")
+                ),
+                "id_b",
+            )
+            .filter(
+                F.bit_count(F.col("__a2").bitwiseXOR(F.col("__b2")))
+                <= max_hamming
+            )
+            .select("id_a", "id_b", "hamming")
+        )
     deduped = dedup_by_components(media, pairs, id_col=id_col)
     if keep_undecodable:
         return deduped

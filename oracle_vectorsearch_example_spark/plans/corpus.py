@@ -233,7 +233,9 @@ def build_training_corpus(
     picks it: ``'image'`` (X55+ pHash), ``'audio'`` (X57 fingerprint +
     ``audio_features``), or ``'video'`` (X59 frame-signature coverage;
     features = sampled frame count + duration; ``media_kwargs``
-    forwards fps=/max_frames=/min_frame_cover=). For images: visual
+    forwards kind-specific knobs — video fps=/max_frames=/
+    min_frame_cover=, audio ``dual_code=True`` for the r11 two-code
+    verify that separates single-code envelope collisions). For images: visual
     near-dup collapse
     (:func:`~..functions.phash.dedup_images` — decode → pHash → Manku
     banding per ``phash_max_hamming``/``phash_n_blocks`` → component
