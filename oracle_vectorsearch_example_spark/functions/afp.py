@@ -43,6 +43,7 @@ __all__ = [
     "afp_expr",
     "afp_from_samples",
     "afp_df",
+    "dual_code_pairs",
     "dedup_audio",
 ]
 
@@ -223,6 +224,52 @@ def afp_df(
     return media.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def dual_code_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    col1: str = "afp",
+    col2: str = "afp_l2",
+    max_hamming: int = 8,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs within ``max_hamming`` bits on
+    BOTH 63-bit codes (``hamming`` reports the first code's distance,
+    the single-code convention). Candidates stay complete from the
+    FIRST code's bands alone: a pair within d on both codes is within d
+    on the first, so it already shares a first-code band — the
+    union-of-bands construction is redundant under AND verification.
+    The second verify is two skinny hash joins + one XOR per
+    first-code-verified pair; rows whose second code is NULL carry no
+    dual evidence and drop out (matching the single-code NULL rule)."""
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_neardup_pairs,
+    )
+
+    pairs = phash_neardup_pairs(
+        hashes,
+        id_col=id_col,
+        hash_col=col1,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+    h2 = hashes.select(id_col, col2).filter(F.col(col2).isNotNull())
+    return (
+        pairs.join(
+            h2.select(F.col(id_col).alias("id_a"), F.col(col2).alias("__a2")),
+            "id_a",
+        )
+        .join(
+            h2.select(F.col(id_col).alias("id_b"), F.col(col2).alias("__b2")),
+            "id_b",
+        )
+        .filter(
+            F.bit_count(F.col("__a2").bitwiseXOR(F.col("__b2")))
+            <= max_hamming
+        )
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def dedup_audio(
     media: DataFrame,
     payload_col: str = "payload",
@@ -265,35 +312,22 @@ def dedup_audio(
         out_col="__afp",
         l2_col="__afp2" if dual_code else None,
     )
-    pairs = phash_neardup_pairs(
-        hashes,
-        id_col=id_col,
-        hash_col="__afp",
-        max_hamming=max_hamming,
-        n_blocks=n_blocks,
-    )
     if dual_code:
-        h2 = hashes.select(id_col, "__afp2").filter(
-            F.col("__afp2").isNotNull()
+        pairs = dual_code_pairs(
+            hashes,
+            id_col=id_col,
+            col1="__afp",
+            col2="__afp2",
+            max_hamming=max_hamming,
+            n_blocks=n_blocks,
         )
-        pairs = (
-            pairs.join(
-                h2.select(
-                    F.col(id_col).alias("id_a"), F.col("__afp2").alias("__a2")
-                ),
-                "id_a",
-            )
-            .join(
-                h2.select(
-                    F.col(id_col).alias("id_b"), F.col("__afp2").alias("__b2")
-                ),
-                "id_b",
-            )
-            .filter(
-                F.bit_count(F.col("__a2").bitwiseXOR(F.col("__b2")))
-                <= max_hamming
-            )
-            .select("id_a", "id_b", "hamming")
+    else:
+        pairs = phash_neardup_pairs(
+            hashes,
+            id_col=id_col,
+            hash_col="__afp",
+            max_hamming=max_hamming,
+            n_blocks=n_blocks,
         )
     deduped = dedup_by_components(media, pairs, id_col=id_col)
     if keep_undecodable:

@@ -63,14 +63,18 @@ def test_driver_window_composition():
     assert not missing, f"_PRIORITY entries not registered: {missing}"
     assert names[:50] == prio
     must_record = {
-        # r10 allocation (judge r9 #1): ALL 22 TPC-H queries — the 16
-        # r06 survivors (stalest witnesses in the registry) plus the 6
-        # r07 tpch; evicted long-green rows remain registered +
+        # r11 allocation (judge r10 #1): the ENTIRE 20-entry r07 roll
+        # list the r10 verdict ordered seated; evicted long-green rows
+        # (incl. all 22 TPC-H, green r10) remain registered +
         # oracle-verified in the full compare_oracle sweep.
-        *{f"tpch_q{i}" for i in range(1, 23)},
-        # r10 adds (never witnessed) take head seats
-        "langid_pruned", "topic_stats", "audio_fp", "audio_neardup",
-        "contamination_report", "video_neardup",
+        "chunker_cjk", "ivf_exhaustive", "sql_vector_topk",
+        "embedding_neardup", "jaccard_neardup", "simhash_fingerprint",
+        "stream_dedup", "stream_enrich", "sessionize", "sliding_window",
+        "sq8_topk", "zorder_keys", "percentiles", "cube", "json_get",
+        "parse_vector", "collect_sorted_words", "math", "gif_frames",
+        "topk_rows",
+        # r11 adds (never witnessed) take head seats
+        "audio_fp_l2", "audio_neardup_dual", "gopher_repetition_arrow",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"
