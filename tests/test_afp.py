@@ -215,3 +215,25 @@ def test_dual_code_separates_l1_collisions(spark):
     )
     assert single == [1]        # false merge: everything collapses to 1
     assert dual == [1, 2]       # collision separated, true copy merged
+
+
+def test_dual_code_pairs_plan_no_cartesian(spark):
+    """The 100 TB posture holds for the dual verify too: candidates
+    come from first-code band equality joins, the L2 verify is two
+    skinny equi-joins — no CartesianProduct/NLJ anywhere, no Python in
+    the pair path."""
+    from oracle_vectorsearch_example_spark.functions.afp import (
+        dual_code_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 37, i * 91) for i in range(20)],
+        "media_id long, afp long, afp_l2 long",
+    )
+    plan = (
+        dual_code_pairs(df, max_hamming=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
