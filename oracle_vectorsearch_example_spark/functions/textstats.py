@@ -137,6 +137,30 @@ def _check_staging_free(df, names: tuple[str, ...]) -> None:
         )
 
 
+def barrier_filter(df, cond: Column):
+    """``df.filter(cond)`` behind a predicate-pushdown BARRIER — use
+    whenever ``cond`` references DERIVED METRIC COLUMNS of the staged
+    frames in this module (r11, measured 12–400× at 20k–200k docs).
+
+    The trap: ``PushPredicateThroughNonJoin`` substitutes the staged
+    aliases into the filter condition and pushes it below every staged
+    projection — re-inlining e.g. the tokenize into each HOF lambda
+    body, where interpreted evaluation recomputes it PER ELEMENT (the
+    select_winnow lesson, triggered by the OPTIMIZER instead of the
+    author). Projections of the same columns stay fast because
+    ``CollapseProject`` has a repeated-alias guard that predicate
+    pushdown lacks. A non-deterministic column in the projection blocks
+    the push, but only if the filter references it — an unused column
+    is pruned first, restoring a deterministic projection; hence the
+    conjunct below. Results are identical to ``df.filter(cond)`` (the
+    guard conjunct is always true); only the plan changes."""
+    _check_staging_free(df, ("__pd_barrier",))
+    out = df.withColumn("__pd_barrier", F.monotonically_increasing_id())
+    return out.filter(cond & (F.col("__pd_barrier") >= 0)).drop(
+        "__pd_barrier"
+    )
+
+
 def repetition_metrics_df(df, text_col: str = "text"):
     """Per-document repetition signals of the publicly described
     Gopher/MassiveText quality rules, STAGED for scale: duplicate 2-/3-

@@ -59,7 +59,11 @@ def _repetition_gate(
     ``'arrow'`` (default at the call sites, r11): the Arrow batch path,
     12.7× the interpreted-HOF exprs at 200k and pytest-pinned
     column-equal to them; ``'expr'``: the normative column-expression
-    spec (stays the golden)."""
+    spec (stays the golden). The expr path filters through
+    :func:`~..functions.textstats.barrier_filter` (r11, measured 12× at
+    200k — 434 → 37 s: predicate pushdown re-inlined the staged
+    tokenize into every HOF lambda; the r9/r10 corpus gate silently
+    paid this — see the helper's docstring)."""
     if engine == "arrow":
         from oracle_vectorsearch_example_spark.functions.textstats import (
             gopher_repetition_arrow_df as rep_df,
@@ -72,12 +76,16 @@ def _repetition_gate(
         raise ValueError(
             f"unknown gopher_rep_engine {engine!r} ('arrow' or 'expr')"
         )
-    r_ids = (
-        rep_df(gated.select(id_col, text_col), text_col, **rep_kwargs)
-        .filter(F.col("repetition_pass"))
-        .select(id_col)
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        barrier_filter,
     )
-    return gated.join(r_ids, id_col, "left_semi")
+
+    scored = rep_df(gated.select(id_col, text_col), text_col, **rep_kwargs)
+    if engine == "expr":
+        scored = barrier_filter(scored, F.col("repetition_pass"))
+    else:  # mapInPandas is already a physical barrier
+        scored = scored.filter(F.col("repetition_pass"))
+    return gated.join(scored.select(id_col), id_col, "left_semi")
 
 
 def build_training_corpus(
@@ -351,11 +359,14 @@ def build_training_corpus(
                 f"c4_kwargs must not set {sorted(clash)}; "
                 "build_training_corpus derives both from text_col"
             )
-        docs = (
-            c4_clean_df(docs, text_col, out_col=text_col, **c4_kwargs)
-            .filter(F.col("c4_keep"))
-            .drop("n_lines_kept", "n_sentences", "c4_keep")
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            barrier_filter,
         )
+
+        docs = barrier_filter(
+            c4_clean_df(docs, text_col, out_col=text_col, **c4_kwargs),
+            F.col("c4_keep"),
+        ).drop("n_lines_kept", "n_sentences", "c4_keep")
 
     # language identification AFTER the line rules, BEFORE everything
     # per-language (r9, CCNet stage 1): derive lang_col from the text
@@ -419,23 +430,29 @@ def build_training_corpus(
         )
     if max_dup3_frac is not None:
         # staged form: the scalar dup_ngram_fraction inlines the tokenize
-        # into every lambda element (measured 35x slower at sf0.1)
+        # into every lambda element (measured 35x slower at sf0.1) — and
+        # the filter needs the r11 pushdown barrier or the optimizer
+        # re-creates exactly that inlining (measured 400x at 20k)
         from oracle_vectorsearch_example_spark.functions.textstats import (
+            barrier_filter,
             repetition_metrics_df,
         )
 
-        deduped = (
-            repetition_metrics_df(deduped, text_col)
-            .filter(F.col("dup3_frac") <= F.lit(max_dup3_frac))
-            .drop("dup2_frac", "dup3_frac", "top_word_frac")
-        )
+        deduped = barrier_filter(
+            repetition_metrics_df(deduped, text_col),
+            F.col("dup3_frac") <= F.lit(max_dup3_frac),
+        ).drop("dup2_frac", "dup3_frac", "top_word_frac")
+
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        barrier_filter as _bf,
+    )
 
     scored = text_metrics_df(deduped, text_col)
     gate = F.col("quality") >= F.lit(quality_min)
     if langs:
         lang_src = lang_col if use_learned_lang else "lang_guess"
         gate = gate & F.col(lang_src).isin(langs)
-    kept_ids = scored.filter(gate).select(id_col)
+    kept_ids = _bf(scored, gate).select(id_col)
     gated = deduped.join(kept_ids, id_col, "left_semi")
 
     # Gopher rule gate (r8, opt-in): the named Rae et al. 2021 rule set
@@ -447,12 +464,11 @@ def build_training_corpus(
             gopher_rules_df,
         )
 
-        g_ids = (
+        g_ids = _bf(
             gopher_rules_df(gated.select(id_col, text_col), text_col,
-                            **gopher_kwargs)
-            .filter(F.col("gopher_pass"))
-            .select(id_col)
-        )
+                            **gopher_kwargs),
+            F.col("gopher_pass"),
+        ).select(id_col)
         gated = gated.join(g_ids, id_col, "left_semi")
 
     # Gopher §A1.2 repetition suite (r9, opt-in): the full named
@@ -912,27 +928,30 @@ class IncrementalCorpus:
                     alive, self.langid_model, id_col=self.id_col,
                     text_col=self.text_col, out_col=self.lang_col,
                 )
+        from oracle_vectorsearch_example_spark.functions.textstats import (
+            barrier_filter,
+        )
+
         scored = text_metrics_df(alive, self.text_col)
         gate = F.col("quality") >= F.lit(self.quality_min)
         if self.langs:
             lang_src = self.lang_col if use_learned_lang else "lang_guess"
             gate = gate & F.col(lang_src).isin(self.langs)
-        kept_ids = scored.filter(gate).select(self.id_col)
+        kept_ids = barrier_filter(scored, gate).select(self.id_col)
         gated = alive.join(kept_ids, self.id_col, "left_semi")
         if self.gopher_kwargs is not None:
             from oracle_vectorsearch_example_spark.functions.textstats import (
                 gopher_rules_df,
             )
 
-            g_ids = (
+            g_ids = barrier_filter(
                 gopher_rules_df(
                     gated.select(self.id_col, self.text_col),
                     self.text_col,
                     **self.gopher_kwargs,
-                )
-                .filter(F.col("gopher_pass"))
-                .select(self.id_col)
-            )
+                ),
+                F.col("gopher_pass"),
+            ).select(self.id_col)
             gated = gated.join(g_ids, self.id_col, "left_semi")
         if self.gopher_rep_kwargs is not None:
             gated = _repetition_gate(

@@ -322,3 +322,41 @@ def test_gopher_repetition_staging_collision(spark):
     df = spark.createDataFrame([(1, "x", "y")], "doc_id long, text string, __s5 string")
     with pytest.raises(ValueError, match="collide"):
         gopher_repetition_df(df)
+
+
+def test_barrier_filter_blocks_predicate_pushdown(spark):
+    """r11: filtering on a staged metric column lets predicate pushdown
+    substitute the staged aliases into the condition and push it below
+    the projections — re-inlining the tokenize into every HOF lambda
+    (measured 400x at 20k for the dup3 gate). barrier_filter must keep
+    the Filter ABOVE the staged projection, referencing the projected
+    column; results identical either way."""
+    from oracle_vectorsearch_example_spark.functions.textstats import (
+        barrier_filter,
+        gopher_repetition_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x " * 40)], "doc_id long, text string"
+    )
+    scored = gopher_repetition_df(df)
+
+    def filter_lines(frame):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.split("\n") if "Filter " in ln]
+
+    naked = scored.filter(F.col("repetition_pass")).select("doc_id")
+    assert any("split(" in ln for ln in filter_lines(naked))  # the trap
+
+    safe = barrier_filter(scored, F.col("repetition_pass")).select("doc_id")
+    lines = filter_lines(safe)
+    assert lines and all("split(" not in ln for ln in lines)
+    # results identical
+    assert sorted(r.doc_id for r in safe.collect()) == sorted(
+        r.doc_id for r in naked.collect()
+    )
+    # staging-collision guard applies to the barrier column too
+    with pytest.raises(ValueError, match="collide"):
+        barrier_filter(
+            scored.withColumn("__pd_barrier", F.lit(1)), F.lit(True)
+        )
