@@ -137,7 +137,13 @@ def c4_clean_df(
     newline, plus ``n_lines_kept``, ``n_sentences``, ``c4_keep``.
     Dropping non-keep pages is the caller's one extra filter (kept
     explicit so audits can count what WOULD drop). Pure column
-    expressions, map-side, no shuffle, no UDF."""
+    expressions, map-side, no shuffle, no UDF.
+
+    Filtering on ``c4_keep`` must go through
+    :func:`~.textstats.barrier_filter` — a plain ``.filter`` lets
+    predicate pushdown re-inline the staged line transforms into
+    every HOF lambda (r11).
+    """
     t = F.col(text_col)
     term = ("." , "!", "?", '"')
     kept_lines = F.filter(

@@ -173,6 +173,12 @@ def repetition_metrics_df(df, text_col: str = "text"):
     tokenize per element (the ``select_winnow`` lesson); the top-word
     share is a sort + single run-length aggregate, never a nested
     per-distinct-token count. Row-local throughout: no shuffle, no UDF.
+    
+
+    Filtering on the returned METRIC COLUMNS must go through
+    :func:`barrier_filter` — a plain ``.filter`` lets predicate
+    pushdown re-inline the staged tokenize into every HOF lambda
+    (r11; measured 12-400x).
     """
     _check_staging_free(df, ("__toks", "__g2", "__g3", "__sorted"))
     staged = df.withColumn("__toks", tokens(F.col(text_col)))
@@ -228,7 +234,13 @@ def text_metrics_df(df, text_col: str = "text"):
     materialized columns, then compute counts/lang/quality from the arrays.
     Same outputs as the per-column functions above (which re-tokenize per
     metric when composed — fine for one metric, 5× the work for five).
-    Adds: ws_tokens, bpe_tokens, fp, lang_guess, quality."""
+    Adds: ws_tokens, bpe_tokens, fp, lang_guess, quality.
+
+    Filtering on the returned METRIC COLUMNS must go through
+    :func:`barrier_filter` — a plain ``.filter`` lets predicate
+    pushdown re-inline the staged tokenize into every HOF lambda
+    (r11; measured 12-400x).
+    """
     t = F.col(text_col)
     _check_staging_free(df, ("__toks", "__clean"))
     staged = df.withColumn("__toks", tokens(t)).withColumn(
@@ -300,7 +312,13 @@ def gopher_rules_df(
 
     Appends the metric columns (6 dp — per-row arithmetic, identical on
     both engines) and boolean ``gopher_pass``. Pure column expressions,
-    map-side, no shuffle; words tokenize once into a staged column."""
+    map-side, no shuffle; words tokenize once into a staged column.
+
+    Filtering on the returned METRIC COLUMNS must go through
+    :func:`barrier_filter` — a plain ``.filter`` lets predicate
+    pushdown re-inline the staged tokenize into every HOF lambda
+    (r11; measured 12-400x).
+    """
     t = F.col(text_col)
     _check_staging_free(df, ("__gw", "__gl"))
     staged = df.withColumn(
@@ -473,7 +491,13 @@ def gopher_repetition_df(
     length(words joined by single spaces); ratios 6 dp. Appends the 13
     metric columns + ``n_lines``/``n_paras``/``n_words`` + boolean
     ``repetition_pass``. Pure column expressions — each metric is one
-    sort + one O(m) run-length aggregate, map-side, no shuffle/UDF."""
+    sort + one O(m) run-length aggregate, map-side, no shuffle/UDF.
+
+    Filtering on the returned METRIC COLUMNS must go through
+    :func:`barrier_filter` — a plain ``.filter`` lets predicate
+    pushdown re-inline the staged tokenize into every HOF lambda
+    (r11; measured 12-400x).
+    """
     t = F.col(text_col)
     staging = ("__rw", "__rl", "__rp") + tuple(f"__s{n}" for n in range(2, 11)) + (
         "__sl", "__sp",
