@@ -360,7 +360,21 @@ def _hash_media(signature, media, payload_col, id_col):
         return afp_df(
             media, payload_col=payload_col, id_col=id_col, out_col="phash"
         )
-    raise ValueError(f"unknown signature {signature!r} (phash or afp)")
+    if signature == "afp_dual":
+        # r11: ONE decode pass emits both codes; the second rides the
+        # band rows so old-batch verifies never re-decode
+        from oracle_vectorsearch_example_spark.functions.afp import afp_df
+
+        return afp_df(
+            media,
+            payload_col=payload_col,
+            id_col=id_col,
+            out_col="phash",
+            l2_col="phash2",
+        )
+    raise ValueError(
+        f"unknown signature {signature!r} (phash, afp or afp_dual)"
+    )
 
 
 def media_dedup_incremental(
@@ -384,9 +398,14 @@ def media_dedup_incremental(
     every seen item (undecodable payloads carry no hash evidence and
     sit as self-rooted singletons, the ``dedup_images
     keep_undecodable`` posture). ``signature`` picks the extractor:
-    ``'phash'`` (images, X55) or ``'afp'`` (audio, X57) — the banding,
-    verify, and closure are signature-agnostic 63-bit machinery.
-    Returns ``(new_bands, clusters')``.
+    ``'phash'`` (images, X55), ``'afp'`` (audio, X57), or
+    ``'afp_dual'`` (audio dual-code, r11: the L2 second code rides the
+    band rows as ``phash2`` and every edge — new-new and new-old —
+    verifies within ``max_hamming`` on BOTH codes, matching
+    ``dedup_audio(dual_code=True)``; candidates stay complete from the
+    first code's bands) — the banding, verify, and closure are
+    signature-agnostic 63-bit machinery. Returns
+    ``(new_bands, clusters')``.
 
     One structural difference from the MinHash version: a shared band
     key is only a CANDIDATE for hamming banding (complete, not exact),
@@ -421,6 +440,7 @@ def media_dedup_incremental(
             f"to global-unique longs first"
         )
 
+    dual = signature == "afp_dual"
     hashes = _hash_media(signature, new_media, payload_col, id_col)
     new_bands = phash_band_table(
         hashes,
@@ -429,14 +449,34 @@ def media_dedup_incremental(
         max_hamming=max_hamming,
         n_blocks=n_blocks,
     )
+    if dual:
+        # phash non-null implies phash2 non-null (same decode, same
+        # length rule), so the inner join loses no band rows
+        new_bands = new_bands.join(
+            hashes.select(id_col, "phash2"), id_col
+        )
     new_ids = new_media.select(F.col(id_col).cast("long").alias("id"))
-    nn_edges = phash_neardup_pairs(
-        hashes,
-        id_col=id_col,
-        hash_col="phash",
-        max_hamming=max_hamming,
-        n_blocks=n_blocks,
-    ).select("id_a", "id_b")
+    if dual:
+        from oracle_vectorsearch_example_spark.functions.afp import (
+            dual_code_pairs,
+        )
+
+        nn_edges = dual_code_pairs(
+            hashes,
+            id_col=id_col,
+            col1="phash",
+            col2="phash2",
+            max_hamming=max_hamming,
+            n_blocks=n_blocks,
+        ).select("id_a", "id_b")
+    else:
+        nn_edges = phash_neardup_pairs(
+            hashes,
+            id_col=id_col,
+            hash_col="phash",
+            max_hamming=max_hamming,
+            n_blocks=n_blocks,
+        ).select("id_a", "id_b")
 
     if state is None:
         comp = neardup_components(
@@ -451,18 +491,30 @@ def media_dedup_incremental(
         return new_bands, clusters
 
     old_bands, old_clusters = state
-    hits = new_bands.select(
+    left_cols = [
         F.col(id_col).alias("id_a"), F.col("phash").alias("__ha"),
-        "band", "bval",
-    ).join(
-        old_bands.select(
-            F.col(id_col).alias("__old_id"), F.col("phash").alias("__hb"),
-            "band", "bval",
-        ),
-        ["band", "bval"],
-    ).filter(
+        F.col("band"), F.col("bval"),
+    ]
+    right_cols = [
+        F.col(id_col).alias("__old_id"), F.col("phash").alias("__hb"),
+        F.col("band"), F.col("bval"),
+    ]
+    if dual:
+        left_cols.append(F.col("phash2").alias("__ha2"))
+        right_cols.append(F.col("phash2").alias("__hb2"))
+    verify = (
         F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
         <= F.lit(max_hamming)
+    )
+    if dual:
+        verify = verify & (
+            F.bit_count(F.col("__ha2").bitwiseXOR(F.col("__hb2")))
+            <= F.lit(max_hamming)
+        )
+    hits = (
+        new_bands.select(*left_cols)
+        .join(old_bands.select(*right_cols), ["band", "bval"])
+        .filter(verify)
     )
     no_edges = (
         hits.join(
@@ -523,7 +575,8 @@ def image_dedup_incremental(
 
 class IncrementalMediaDedup(IncrementalDedup):
     """Warehouse-backed incremental MEDIA dedup (images via pHash,
-    audio via the X57 fingerprint): per-batch immutable band tables +
+    audio via the X57 fingerprint — single- or dual-code via
+    ``signature='afp_dual'``, r11): per-batch immutable band tables +
     one cluster table, committed atomically — the
     :class:`IncrementalDedup` machinery (state/survivors/compact/params
     pin) with :func:`media_dedup_incremental` doing the fold. The
@@ -549,9 +602,9 @@ class IncrementalMediaDedup(IncrementalDedup):
     ):
         from oracle_vectorsearch_example_spark.sources.txn import Warehouse
 
-        if signature not in ("phash", "afp"):
+        if signature not in ("phash", "afp", "afp_dual"):
             raise ValueError(
-                f"unknown signature {signature!r} (phash or afp)"
+                f"unknown signature {signature!r} (phash, afp or afp_dual)"
             )
         self.wh = Warehouse(spark, root)
         self.prefix = prefix

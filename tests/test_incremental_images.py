@@ -328,3 +328,87 @@ def test_compact_cadence_media_equals_full(spark, tmp_path):
     # knob validation mirrors IncrementalCorpus
     with pytest.raises(ValueError, match="compact_every"):
         IncrementalImageDedup(spark, str(tmp_path / "w2"), compact_every=1)
+
+
+def _collision_wav(cls, edit=False):
+    """The audio_fp_20k bench waveform family — classes 93/241 are a
+    measured L1-code collision (hamming 0) whose L2 codes differ
+    (see test_afp); preconditions re-asserted by the dual expectations
+    below."""
+    import io
+    import wave
+
+    t = np.arange(2048)
+    x = 6000 * np.sin(2 * np.pi * t / (24 + cls % 37)) + (
+        (t * t * (7 + cls)) % 4001
+    ) - 2000
+    if edit:
+        x = x + np.where(t % 97 == 0, 150, 0)
+    x = np.clip(x, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(x.tobytes())
+    return bytearray(buf.getvalue())
+
+
+def test_dual_code_incremental_equals_full(spark, tmp_path):
+    """r11: signature='afp_dual' folds batches with BOTH codes verified
+    on every edge (new-new and new-old), exactly matching a full
+    dedup_audio(dual_code=True) recompute — the measured L1-collision
+    class pair stays separated even when its members arrive in
+    DIFFERENT batches (the new-old verify path), while true near-copies
+    merge; plain 'afp' state refuses an 'afp_dual' ingest."""
+    from oracle_vectorsearch_example_spark.functions.afp import dedup_audio
+    from oracle_vectorsearch_example_spark.operators.incremental import (
+        IncrementalMediaDedup,
+        media_dedup_incremental,
+    )
+
+    rows = [
+        (1, _collision_wav(93)),
+        (2, _collision_wav(241)),
+        (3, _collision_wav(93, edit=True)),
+        (4, _collision_wav(241, edit=True)),
+    ]
+    media = _media(spark, rows)
+    D2 = 2
+    full = sorted(
+        r.media_id
+        for r in dedup_audio(media, max_hamming=D2, dual_code=True).collect()
+    )
+    assert full == [1, 2]  # collision separated, edits merged
+    # single-code control: everything collapses (the false merge)
+    assert sorted(
+        r.media_id for r in dedup_audio(media, max_hamming=D2).collect()
+    ) == [1]
+
+    # incremental, collision members split ACROSS batches: batch 1 has
+    # {1, 4}, batch 2 has {2, 3} — both cross-batch edges (1~3, 2~4)
+    # and the cross-batch collision (1 vs 2) exercise the new-old verify
+    b1 = _media(spark, [rows[0], rows[3]])
+    b2 = _media(spark, [rows[1], rows[2]])
+    bands1, clusters1 = media_dedup_incremental(
+        b1, max_hamming=D2, signature="afp_dual"
+    )
+    _, clusters2 = media_dedup_incremental(
+        b2, (bands1, clusters1), max_hamming=D2, signature="afp_dual"
+    )
+    got = sorted((r["id"], r["component_id"]) for r in clusters2.collect())
+    assert got == [(1, 1), (2, 2), (3, 1), (4, 2)]
+    assert sorted(r["id"] for r in survivors(clusters2).collect()) == full
+
+    # warehouse face + params pin
+    inc = IncrementalMediaDedup(
+        spark, str(tmp_path / "wh"), max_hamming=D2, signature="afp_dual"
+    )
+    inc.ingest(b1)
+    inc.ingest(b2)
+    assert sorted(r["id"] for r in inc.survivors().collect()) == full
+    bad = IncrementalMediaDedup(
+        spark, str(tmp_path / "wh"), max_hamming=D2, signature="afp"
+    )
+    with pytest.raises(ValueError, match="parameters"):
+        bad.ingest(b1)
