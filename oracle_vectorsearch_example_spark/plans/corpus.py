@@ -856,14 +856,24 @@ class IncrementalCorpus:
     def _batch_tables(self) -> list[str]:
         return sorted(t for t in self.wh.tables() if t.startswith("docs_"))
 
-    def ingest(self, batch: DataFrame) -> int:
+    def ingest(self, batch: DataFrame, batch_id: int | None = None) -> int:
         """Fold one raw batch in; returns the committed version. The raw
         rows are stored unfiltered (gates run at read, so re-tuning
-        quality_min later never needs a re-ingest)."""
+        quality_min later never needs a re-ingest).
+
+        ``batch_id`` (streaming exactly-once contract, r11): same
+        ledger discipline as :meth:`~..operators.incremental.
+        IncrementalDedup.ingest` — the id commits in the SAME atomic
+        manifest swap as docs/bands/clusters, so a published replay
+        (a foreachBatch retry re-delivering the batch) is a version
+        no-op and an unpublished crash retries cleanly. The streaming
+        face is :func:`~..streaming.text.corpus_ingest_sink`."""
         from oracle_vectorsearch_example_spark.operators.incremental import (
             dedup_incremental,
         )
 
+        if batch_id is not None and self.dedup.seen_batch(batch_id):
+            return self.wh.current_version()
         params_df = self.dedup._check_params()  # mismatched MinHash params
         n = len(self._batch_tables())            # would silently lose recall
         new_bands, clusters = dedup_incremental(
@@ -878,6 +888,10 @@ class IncrementalCorpus:
         }
         if params_df is not None:
             tables["dedup_params"] = params_df
+        if batch_id is not None:
+            tables["dedup_ledger"] = self.dedup._ledger_row(
+                batch_id, f"dedup_bands_{n:06d}"
+            )
         version = self.wh.commit(tables)
         if (
             self.compact_every is not None

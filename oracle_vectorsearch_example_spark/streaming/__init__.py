@@ -6,6 +6,7 @@ from oracle_vectorsearch_example_spark.streaming.media import (
     media_dedup_sink,
 )
 from oracle_vectorsearch_example_spark.streaming.text import (
+    corpus_ingest_sink,
     text_dedup_sink,
 )
 from oracle_vectorsearch_example_spark.streaming.ingest import (
@@ -31,5 +32,6 @@ __all__ = [
     "apply_changes_sink",
     "media_dedup_sink",
     "text_dedup_sink",
+    "corpus_ingest_sink",
     "latest_change_per_key",
 ]

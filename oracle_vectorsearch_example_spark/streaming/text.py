@@ -47,3 +47,33 @@ def text_dedup_sink(
         inc.ingest(batch_df, batch_id=batch_id)
 
     return docs_stream.writeStream.foreachBatch(sink)
+
+
+def corpus_ingest_sink(
+    docs_stream: DataFrame,
+    warehouse_root: str,
+    **corpus_kwargs,
+):
+    """``foreachBatch`` ingest of a streaming raw-document frame into
+    ``IncrementalCorpus(warehouse_root, **corpus_kwargs)`` — the FULL
+    corpus pipeline as a streaming sink (r11): each micro-batch stores
+    its raw docs, folds the MinHash dedup state, and ledgers the batch
+    id in one atomic manifest swap (exactly-once, like
+    :func:`text_dedup_sink`); gates/splits stay READ-time knobs, so the
+    curated corpus is ``IncrementalCorpus(spark, root, ...).documents()``
+    at any point. Pass ``compact_every=`` for long streams. Returns the
+    ``DataStreamWriter``; the caller sets ``checkpointLocation``/trigger
+    and ``start()``s."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        IncrementalCorpus,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        inc = IncrementalCorpus(
+            batch_df.sparkSession, warehouse_root, **corpus_kwargs
+        )
+        inc.ingest(batch_df, batch_id=batch_id)
+
+    return docs_stream.writeStream.foreachBatch(sink)

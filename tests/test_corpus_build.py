@@ -950,3 +950,58 @@ def test_corpus_topic_report_forwards_gate_metrics(spark):
             docs, n_shards=2, topic_assign=assign,
             topic_metric_cols=("nope",),
         )
+
+
+def test_streaming_corpus_ingest_sink_matches_batch(spark, tmp_path):
+    """r11: availableNow stream through corpus_ingest_sink == the same
+    batches ingested directly; one ledger row per micro-batch; a
+    ledgered replay is a published version no-op; documents() reads the
+    same curated corpus either way."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        IncrementalCorpus,
+    )
+    from oracle_vectorsearch_example_spark.streaming.text import (
+        corpus_ingest_sink,
+    )
+
+    base = read_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    base.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    root = str(tmp_path / "wh_stream")
+    q = (
+        corpus_ingest_sink(stream, root, quality_min=0.2)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    inc = IncrementalCorpus(spark, root, quality_min=0.2)
+    got = sorted(
+        (r.doc_id, r.split)
+        for r in inc.documents().select("doc_id", "split").collect()
+    )
+
+    # batch twin over one direct ingest of everything
+    root_b = str(tmp_path / "wh_batch")
+    incb = IncrementalCorpus(spark, root_b, quality_min=0.2)
+    incb.ingest(base)
+    want = sorted(
+        (r.doc_id, r.split)
+        for r in incb.documents().select("doc_id", "split").collect()
+    )
+    assert got == want and got
+
+    ledger = inc.wh.read("dedup_ledger")
+    n_batches = len(inc._batch_tables())
+    assert ledger.count() == n_batches
+    assert ledger.count() == ledger.select("batch_id").distinct().count()
+    # published replay no-op
+    v = inc.wh.current_version()
+    seen = ledger.select("batch_id").first().batch_id
+    assert inc.ingest(base.limit(3), batch_id=seen) == v
+    assert inc.wh.current_version() == v
