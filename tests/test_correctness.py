@@ -75,6 +75,7 @@ def test_driver_window_composition():
         "topk_rows",
         # r11 adds (never witnessed) take head seats
         "audio_fp_l2", "audio_neardup_dual", "gopher_repetition_arrow",
+        "topic_stats_ppl",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"
