@@ -1035,8 +1035,12 @@ def main():
     # the knob for the next decade of scale); 10 is the crossover
     # winner here. Pair sets pinned equal in-run.
     try:
+        # self-contained imports (ADVICE r11): phash_50k's try block
+        # also imports phash_neardup_pairs, but if that block fails
+        # before its import this one must still run independently
         from oracle_vectorsearch_example_spark.functions.phash import (
             phash_band_table,
+            phash_neardup_pairs,
         )
 
         mk_n = 2_000_000

@@ -64,9 +64,17 @@ def afp_expr(pcm: Column, energy: str = "l1") -> Column:
     dedup (Haitsma & Kalker's actual system hashes many bands; with
     no FFT offline, the L2 envelope is the second independent view:
     same frames, different nonlinearity, so cross-class L1-order
-    collisions rarely survive in L2 order). Both are exact int64
-    (|x| ≤ 32767 ⇒ x² ≤ 2³⁰; frames of < 2³³ samples cannot
-    overflow).
+    collisions rarely survive in L2 order). The L2 path REQUIRES
+    samples in the 16-bit range (|x| ≤ 2¹⁵ ⇒ x² ≤ 2³⁰; frames of
+    < 2³³ samples cannot overflow int64) — that is a caller
+    precondition, not a property of every decoder: FLAC STREAMINFO
+    admits 20/24/32-bit samples (flac.py ``_SAMPLE_SIZES``), whose
+    squares can wrap int64 (and would raise under ANSI-mode Spark).
+    :func:`afp_df` enforces it by right-shifting wider decodes by
+    ``bps − 16`` before the L2 code (deterministic, order-preserving
+    up to floor); :func:`afp_from_samples` raises loudly instead of
+    wrapping. The L1 path needs no shift: Σ|x| ≤ n·2³¹ stays exact
+    for any real clip.
 
     Expression shape (the select_winnow lesson, re-learned here the
     hard way): each sub-expression embeds exactly ONCE. Frame
@@ -127,7 +135,10 @@ def afp_expr(pcm: Column, energy: str = "l1") -> Column:
 def afp_from_samples(samples, energy: str = "l1") -> int | None:
     """numpy reference of :func:`afp_expr` (pinned equal in pytest):
     (n,) or (n, channels) int array — channel 0, same floor-boundary
-    frames, L1 (or ``energy='l2'``) energies, delta-sign bits."""
+    frames, L1 (or ``energy='l2'``) energies, delta-sign bits. The L2
+    path raises on samples outside the 16-bit range instead of silently
+    wrapping int64 (right-shift wider decodes by ``bps − 16`` first —
+    :func:`afp_df` does)."""
     import numpy as np
 
     if energy not in ("l1", "l2"):
@@ -140,6 +151,13 @@ def afp_from_samples(samples, energy: str = "l1") -> int | None:
         return None
     a = np.abs(x.astype(np.int64))
     if energy == "l2":
+        if n and int(a.max()) > (1 << 15):
+            raise ValueError(
+                "l2 energy requires samples within the 16-bit range "
+                f"(max |x| = {int(a.max())}): right-shift wider decodes "
+                "by bps-16 before fingerprinting (afp_df does this); "
+                "x*x would otherwise wrap int64"
+            )
         a = a * a
     bounds = [(k * n) // N_FRAMES for k in range(N_FRAMES + 1)]
     e = np.add.reduceat(a, bounds[:-1])
@@ -151,8 +169,11 @@ def afp_from_samples(samples, energy: str = "l1") -> int | None:
 
 
 def _decode_pcm(data: bytes):
-    """(n_samples, channels) int array from WAV (stdlib) or FLAC (the
-    X4 real decoder), magic-dispatched — raw samples, not stats."""
+    """((n_samples, channels) int array, bits_per_sample) from WAV
+    (stdlib) or FLAC (the X4 real decoder), magic-dispatched — raw
+    samples, not stats. ``bps`` is the container-declared width (WAV
+    path: always 16; FLAC: STREAMINFO, 8..32) so the L2 envelope can
+    right-shift wide samples deterministically."""
     import io as _io
     import wave as _wave
 
@@ -162,10 +183,11 @@ def _decode_pcm(data: bytes):
     if data[:4] == b"fLaC":
         from oracle_vectorsearch_example_spark.functions.flac import (
             decode_flac,
+            flac_bps,
         )
 
         _, pcm = decode_flac(data)
-        return pcm
+        return pcm, flac_bps(data)
     with _wave.open(_io.BytesIO(data), "rb") as w:
         if w.getsampwidth() != 2:
             raise NotImplementedError(
@@ -174,7 +196,7 @@ def _decode_pcm(data: bytes):
             )
         nch = w.getnchannels()
         raw = w.readframes(w.getnframes())
-    return np.frombuffer(raw, dtype="<i2").reshape(-1, nch)
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, nch), 16
 
 
 def afp_df(
@@ -191,7 +213,12 @@ def afp_df(
     covers clips shorter than 64 samples (no evidence). ``l2_col``
     (r11) additionally emits the L2-envelope second code from the SAME
     decode pass — decode dominates the cost, so the dual-code dedup
-    must never decode twice."""
+    must never decode twice. Decodes wider than 16 bits (FLAC admits
+    20/24/32) are right-shifted by ``bps − 16`` for the L2 code only
+    (r12, ADVICE r11: x² would wrap int64 above 2¹⁵) — deterministic
+    and order-preserving up to floor, so re-encodes at the same bps
+    hash identically; the L1 golden code always hashes the raw
+    samples."""
     if on_error not in ("null", "raise"):
         raise ValueError("on_error must be 'null' or 'raise'")
     from pyspark.sql import types as T
@@ -210,10 +237,11 @@ def afp_df(
             out = []
             for mid, payload in zip(b[id_col], b[payload_col]):
                 try:
-                    pcm = _decode_pcm(bytes(payload))
+                    pcm, bps = _decode_pcm(bytes(payload))
                     row = (mid, afp_from_samples(pcm))
                     if l2_col is not None:
-                        row += (afp_from_samples(pcm, energy="l2"),)
+                        wide = pcm >> (bps - 16) if bps > 16 else pcm
+                        row += (afp_from_samples(wide, energy="l2"),)
                 except Exception:
                     if on_error == "raise":
                         raise

@@ -173,6 +173,25 @@ def _decode_subframe(br: _Bits, block_size: int, bps: int) -> list[int]:
     return out
 
 
+def flac_bps(data: bytes) -> int:
+    """Bits per sample from the STREAMINFO block (RFC 9639 §8.2) —
+    the declared width (8..32), without decoding any audio frames.
+    Consumers that square samples (the X57 L2 envelope) use this to
+    pick a deterministic right-shift to the 16-bit range."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC marker)")
+    pos = 4
+    while True:
+        hdr = data[pos]
+        (ln,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + ln]
+        if hdr & 0x7F == 0:
+            return (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+        pos += 4 + ln
+        if hdr & 0x80:
+            raise ValueError("FLAC stream without STREAMINFO")
+
+
 def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, (n_samples, n_channels) int32 array) from a FLAC
     stream (fixed-predictor subset; LPC raises by name)."""
@@ -333,11 +352,13 @@ def _lpc_quantized(ch: list[int], order: int, prec: int = 14,
 
 def make_simple_flac(
     samples: np.ndarray, sample_rate: int = 16000, block_size: int = 4096,
-    lpc_order: int = 0,
+    lpc_order: int = 0, bps: int = 16,
 ) -> bytes:
-    """PCM16 → FLAC (fixed blocking, independent channels, per-frame
+    """PCM → FLAC (fixed blocking, independent channels, per-frame
     fixed-predictor order 0–2 chosen by residual magnitude, one Rice
-    partition). ``samples``: (n,) or (n, channels) int16. Lossless:
+    partition). ``samples``: (n,) or (n, channels) ints within ``bps``
+    bits (16 default; 8/12/20/24/32 allowed — the widths a frame
+    header can code directly, RFC 9639 §9.1.4). Lossless:
     ``decode_flac(make_simple_flac(x))[1] == x`` exactly.
 
     ``lpc_order > 0`` writes LPC subframes instead (order capped by the
@@ -348,7 +369,13 @@ def make_simple_flac(
     if x.ndim == 1:
         x = x[:, None]
     n, nch = x.shape
-    bps = 16
+    ss_codes = {v: k for k, v in _SAMPLE_SIZES.items()}  # width -> code
+    if bps not in ss_codes:
+        raise ValueError(
+            f"bps must be one of {sorted(ss_codes)} (got {bps})")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if n and (int(x.min()) < lo or int(x.max()) > hi):
+        raise ValueError(f"samples exceed the {bps}-bit range")
 
     out = bytearray(b"fLaC")
     si = bytearray()
@@ -373,7 +400,7 @@ def make_simple_flac(
         bw.write(7, 4)  # block size: 16-bit value follows
         bw.write(0, 4)  # sample rate: from STREAMINFO
         bw.write(nch - 1, 4)  # independent channels
-        bw.write(4, 3)  # 16-bit samples
+        bw.write(ss_codes[bps], 3)  # sample size code (4 = 16-bit)
         bw.write(0, 1)  # reserved
         # coded frame number (UTF-8 style)
         if fno < 0x80:
@@ -426,8 +453,8 @@ def make_simple_flac(
             else:
                 bw.write(8 + order, 6)  # FIXED subframe, given order
             bw.write(0, 1)  # no wasted bits
-            for i in range(order):  # warm-up samples
-                bw.write(ch[i] & 0xFFFF, 16)
+            for i in range(order):  # warm-up samples: bps bits each
+                bw.write(ch[i] & ((1 << bps) - 1), bps)
             if lpc:
                 q, shift = lpc
                 prec = 14

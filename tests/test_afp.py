@@ -237,3 +237,54 @@ def test_dual_code_pairs_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_wide_flac_l2_shifted_not_wrapped(spark):
+    """ADVICE r11: FLAC admits 20/24/32-bit samples whose squares can
+    wrap int64. afp_df right-shifts wide decodes by bps-16 for the L2
+    code (deterministic, same-bps re-encodes hash identically), the L1
+    golden code hashes raw samples unchanged, and afp_from_samples
+    raises loudly on wide input instead of silently wrapping."""
+    from oracle_vectorsearch_example_spark.functions.flac import (
+        make_simple_flac,
+    )
+
+    rng = np.random.RandomState(3)
+    # loud 24-bit signal: well outside the int16 range
+    x24 = (_sig(3).astype(np.int64) * 200 + rng.randint(-500, 500, 2048))
+    x24 = np.clip(x24, -(1 << 23), (1 << 23) - 1)
+    blob = bytearray(make_simple_flac(x24, bps=24))
+
+    with pytest.raises(ValueError, match="16-bit range"):
+        afp_from_samples(x24, energy="l2")
+
+    media = spark.createDataFrame(
+        [(1, blob)], "media_id long, payload binary"
+    )
+    row = afp_df(media, l2_col="afp_l2").first()
+    assert row.afp == afp_from_samples(x24)            # L1: raw samples
+    assert row.afp_l2 == afp_from_samples(x24 >> 8, energy="l2")
+    assert row.afp_l2 is not None
+
+
+def test_flac_24bit_lossless_roundtrip():
+    """The bps= encoder knob writes real 20/24-bit streams the decoder
+    recovers exactly (frame-header sample-size codes 5/6)."""
+    from oracle_vectorsearch_example_spark.functions.flac import (
+        decode_flac,
+        flac_bps,
+        make_simple_flac,
+    )
+
+    rng = np.random.RandomState(11)
+    for bps in (20, 24):
+        lim = 1 << (bps - 1)
+        x = rng.randint(-lim, lim, 777).astype(np.int64)
+        blob = make_simple_flac(x, bps=bps, block_size=256)
+        assert flac_bps(blob) == bps
+        _, pcm = decode_flac(blob)
+        assert np.array_equal(pcm[:, 0], x)
+    with pytest.raises(ValueError, match="bps must be"):
+        make_simple_flac(np.zeros(64, dtype=np.int64), bps=17)
+    with pytest.raises(ValueError, match="exceed"):
+        make_simple_flac(np.full(64, 40000, dtype=np.int64), bps=16)
