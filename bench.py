@@ -1502,6 +1502,102 @@ def main():
             "video_dedup_5k", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- MJPEG-AVI video dedup at 2k clips (X59 tail, r12): the second
+    # real container — RIFF chunk walk + T.81 JPEG frames, half the
+    # clips muxed WITHOUT DHT segments (the implicit-tables MJPEG
+    # convention) to exercise Annex K re-injection. 200 visual classes
+    # × 10 copies (5 exact re-encodes + 5 corner-edited); recovery =
+    # how many classes survive as exactly one canonical clip.
+    try:
+        from oracle_vectorsearch_example_spark.operators.video import (
+            dedup_videos,
+            video_frame_hashes,
+        )
+
+        def _avi_rows(ids_df):
+            from pyspark.sql import types as T
+
+            def gen(batches):
+                import numpy as np
+                import pandas as _pd
+
+                from oracle_vectorsearch_example_spark.functions.avi import (
+                    make_simple_avi,
+                )
+
+                for bt in batches:
+                    out = []
+                    for mid in bt["media_id"]:
+                        cls = int(mid) % 200
+                        r = np.arange(48)[:, None]
+                        c = np.arange(48)[None, :]
+                        frames = []
+                        for fidx in (0, 1):
+                            v = (
+                                r * (13 + cls % 23)
+                                + c * (11 + cls % 29)
+                                + fidx * 89
+                                + cls * 7
+                            ) % 256
+                            px = np.stack([v, v, v], axis=-1).astype(
+                                "uint8"
+                            )
+                            if mid >= 1_000:  # later copies: corner edit
+                                px = px.copy()
+                                px[:4, :4, :] = px[8, 8, :]
+                            frames.append(px)
+                        out.append(
+                            (
+                                int(mid),
+                                bytearray(
+                                    make_simple_avi(
+                                        frames,
+                                        fps=10.0,
+                                        quality=85,
+                                        strip_dht=bool(mid % 2),
+                                    )
+                                ),
+                            )
+                        )
+                    yield _pd.DataFrame(
+                        out, columns=["media_id", "payload"]
+                    )
+
+            schema = T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("payload", T.BinaryType()),
+                ]
+            )
+            return ids_df.mapInPandas(gen, schema)
+
+        avi_media = _avi_rows(
+            spark.range(2_000).select(F.col("id").alias("media_id"))
+        ).localCheckpoint()
+        run_entry(
+            "video_dedup_avi_2k",
+            lambda: _execute(
+                video_frame_hashes(avi_media, fps=10.0, max_frames=4)
+            ),
+        )
+        t_av = time.time()
+        avi_kept = dedup_videos(
+            avi_media, fps=10.0, max_frames=4, max_hamming=10
+        ).count()
+        # survivors < n_classes ⇒ cross-class merges (visually similar
+        # gradient slopes within hamming 10); survivors > n_classes ⇒
+        # missed copies. Both directions read off the one count.
+        extras["video_dedup_avi_2k"] = {
+            "n_videos": 2_000,
+            "n_classes": 200,
+            "dedup_survivors": int(avi_kept),
+            "dedup_wall": round(time.time() - t_av, 3),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "video_dedup_avi_2k", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- exact substring dedup at 200k docs (X35): timed ONCE (the
     # corpus-build convention — a 20 s entry would dominate a median-of-3
     # ladder); the extras record what it actually cut, so the number is

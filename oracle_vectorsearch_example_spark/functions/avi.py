@@ -1,0 +1,327 @@
+"""MJPEG-in-AVI container (X59 tail, r12) — the second real video
+container after GIF, opened with ZERO new gated math: the RIFF/AVI
+container is a stdlib chunk walk (the same RIFF framing as WAV —
+multimodal.py:79) and every ``00dc`` frame chunk is a baseline JPEG
+the existing T.81 decoder (:mod:`.jpeg`) already handles. The
+reference's document-conversion surface claims ~150 formats via its
+closed converter (01_pdf_to_vector.sql:196-205); this module keeps the
+honest-offline subset growing. H.264/MP4/WebM still need a real codec
+and stay rejected BY NAME.
+
+Container facts used (public AVI RIFF spec, msdn AVIMAINHEADER /
+AVISTREAMHEADER / BITMAPINFOHEADER layouts):
+
+- ``RIFF <size> 'AVI '`` root; children are plain ``<fourcc><u32le
+  size>`` chunks, odd sizes padded to even; ``LIST <size> <type>``
+  nests.
+- ``hdrl`` LIST: ``avih`` (56-byte main header: µs/frame, total
+  frames, streams, width, height) then one ``strl`` LIST per stream
+  with ``strh`` (fccType ``vids``, fccHandler, dwScale/dwRate — the
+  frame clock: fps = rate/scale) and ``strf`` (BITMAPINFOHEADER whose
+  ``biCompression`` fourcc names the codec — ``MJPG`` here).
+- ``movi`` LIST: frame chunks named ``NNdc``/``NNdb`` (compressed /
+  uncompressed DIB of stream NN). Each MJPG frame is a self-contained
+  baseline JPEG — except that many real muxers strip the DHT segment
+  (the historic "MJPEG has implicit Huffman tables" convention from
+  the OpenDML era): decoders MUST fall back to the T.81 Annex K
+  standard tables. ``_ensure_dht`` re-injects them when absent, so
+  both full-JFIF and stripped streams decode.
+- ``idx1``: optional seek index; not needed for a linear walk.
+
+Scale notes: ``avi_frame_table`` walks chunk HEADERS only (no pixel
+decode), so fps-based frame sampling decodes exactly the sampled
+frames — a constant-frame-clock container gives random access the GIF
+path (which must composite every frame up to the target) cannot.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "avi_frame_table",
+    "decode_avi_frames",
+    "decode_video_frames",
+    "make_simple_avi",
+]
+
+
+def _fourcc(b: bytes) -> str:
+    return b.decode("latin-1")
+
+
+def avi_frame_table(data: bytes) -> tuple[float, list[bytes]]:
+    """(fps, [raw frame bytes]) from an MJPEG AVI — chunk walk only,
+    NO pixel decode (callers sample by timestamp first, then decode
+    just the frames they keep). Non-AVI RIFF, missing headers, and
+    non-MJPG codecs (H264/avc1/raw DIB/...) raise by name."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/'AVI ' signature)")
+
+    fps: float | None = None
+    vids_stream: int | None = None
+    frames: list[bytes] = []
+    stream_no = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, vids_stream, stream_no
+        while pos + 8 <= end:
+            ckid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError(
+                    f"AVI chunk {_fourcc(ckid)!r} overruns its parent"
+                )
+            if ckid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list type
+            elif ckid == b"strh":
+                fcc_type = data[body_start : body_start + 4]
+                if fcc_type == b"vids":
+                    handler = data[body_start + 4 : body_start + 8]
+                    scale, rate = struct.unpack(
+                        "<II", data[body_start + 20 : body_start + 28]
+                    )
+                    if handler not in (b"MJPG", b"mjpg", b"\x00" * 4):
+                        raise NotImplementedError(
+                            f"AVI video codec {_fourcc(handler)!r} needs a "
+                            "real codec (only MJPG decodes offline)"
+                        )
+                    if scale == 0 or rate == 0:
+                        raise ValueError("AVI strh with zero frame clock")
+                    fps = rate / scale
+                    vids_stream = stream_no
+                stream_no += 1
+            elif ckid == b"strf" and vids_stream == stream_no - 1:
+                compression = data[body_start + 16 : body_start + 20]
+                if compression not in (b"MJPG", b"mjpg"):
+                    raise NotImplementedError(
+                        f"AVI biCompression {_fourcc(compression)!r} needs "
+                        "a real codec (only MJPG decodes offline)"
+                    )
+            elif (
+                len(ckid) == 4
+                and ckid[2:4] in (b"dc", b"db")
+                and ckid[:2].isdigit()
+            ):
+                if vids_stream is not None and int(ckid[:2]) == vids_stream:
+                    frames.append(data[body_start:body_end])
+            pos = body_end + (size & 1)  # RIFF even padding
+
+    (root_size,) = struct.unpack("<I", data[4:8])
+    walk(12, min(8 + root_size, len(data)))
+    if fps is None:
+        raise ValueError("AVI without a 'vids' stream header")
+    return fps, frames
+
+
+# standard DHT segment (T.81 Annex K tables, all four), built once —
+# injected into DHT-less MJPEG frames per the implicit-tables convention
+def _std_dht_segment() -> bytes:
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        STD_AC_CHROM,
+        STD_AC_LUM,
+        STD_DC_CHROM,
+        STD_DC_LUM,
+    )
+
+    body = bytearray()
+    for tc_th, (bits, vals) in (
+        (0x00, STD_DC_LUM),
+        (0x10, STD_AC_LUM),
+        (0x01, STD_DC_CHROM),
+        (0x11, STD_AC_CHROM),
+    ):
+        body.append(tc_th)
+        body += bytes(bits)
+        body += bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + bytes(body)
+
+
+_STD_DHT: bytes | None = None
+
+
+def _ensure_dht(frame: bytes) -> bytes:
+    """Re-inject the Annex K Huffman tables into a DHT-less MJPEG frame
+    (inserted right after SOI; a frame that already carries any DHT is
+    returned untouched)."""
+    global _STD_DHT
+    if b"\xff\xc4" in frame:
+        return frame
+    if frame[:2] != b"\xff\xd8":
+        raise ValueError("AVI MJPG frame is not a JPEG (missing SOI)")
+    if _STD_DHT is None:
+        _STD_DHT = _std_dht_segment()
+    return frame[:2] + _STD_DHT + frame[2:]
+
+
+def decode_avi_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[tuple[float, np.ndarray]]:
+    """All frames of an MJPEG AVI as ``(timestamp_seconds, (h, w, 3)
+    uint8 RGB)`` — the exact return shape of
+    :func:`~.gif.decode_gif_frames`, so every consumer of the GIF list
+    (frame sampling, pHash, features) works unchanged. Frame i sits at
+    ``i / fps`` on the strh frame clock."""
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+    )
+
+    fps, raw = avi_frame_table(data)
+    if max_frames is not None:
+        raw = raw[:max_frames]
+    return [
+        (i / fps, decode_jpeg_pixels(_ensure_dht(fr)))
+        for i, fr in enumerate(raw)
+    ]
+
+
+def decode_video_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[tuple[float, np.ndarray]]:
+    """Magic-dispatched video decode: GIF87a/GIF89a → the X4 animation
+    decoder; RIFF+'AVI ' → MJPEG AVI; everything else (MP4/H.264,
+    WebM, ...) raises by name — mixed columns fail loudly per payload
+    under ``on_error='raise'`` and carry no evidence under 'null'."""
+    data = bytes(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from oracle_vectorsearch_example_spark.functions.gif import (
+            decode_gif_frames,
+        )
+
+        return decode_gif_frames(data, max_frames=max_frames)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_frames(data, max_frames=max_frames)
+    raise NotImplementedError(
+        "real frame decode is built-in for GIF and MJPEG AVI only; "
+        "other containers (MP4/H.264, WebM) need ffmpeg (absent here)"
+    )
+
+
+def make_simple_avi(
+    frames: list[np.ndarray],
+    fps: float = 10.0,
+    quality: int = 90,
+    strip_dht: bool = False,
+) -> bytes:
+    """Deterministic MJPEG AVI fixture writer: each (h, w, 3) uint8 RGB
+    frame is encoded with the X4 baseline JPEG encoder and muxed as a
+    ``00dc`` chunk; ``hdrl`` carries a real avih + vids strh/strf
+    (fps = dwRate/dwScale, scale fixed at 1000) and an ``idx1`` index
+    is written for container realism. ``strip_dht=True`` removes the
+    Huffman-table segments from every frame (the historic MJPEG
+    implicit-tables muxer convention) to exercise the decoder's
+    Annex K re-injection path. Lossy like any JPEG round trip, but
+    byte-deterministic for fixed inputs."""
+    from oracle_vectorsearch_example_spark.functions.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("make_simple_avi needs at least one frame")
+    h, w = frames[0].shape[:2]
+    scale = 1000
+    rate = round(fps * scale)
+    if rate <= 0:
+        raise ValueError("fps too small for the 1/1000s frame clock")
+
+    payloads = []
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share one size")
+        jp = encode_jpeg(np.asarray(fr, dtype=np.uint8), quality=quality)
+        if strip_dht:
+            jp = _strip_dht(jp)
+        payloads.append(jp)
+    max_size = max(len(p) for p in payloads)
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return ckid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I",
+        round(1_000_000 * scale / rate),  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(payloads),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_size,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            scale,
+            rate,
+            0,  # dwStart
+            len(payloads),  # dwLength (frames)
+            max_size,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality: default
+            0,  # dwSampleSize: varying
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        w,
+        h,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        w * h * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+
+    movi_body = bytearray()
+    offsets = []  # offsets relative to the start of the 'movi' type tag
+    for p in payloads:
+        offsets.append(4 + len(movi_body))
+        movi_body += chunk(b"00dc", p)
+    movi = lst(b"movi", bytes(movi_body))
+
+    idx1 = bytearray()
+    for off, p in zip(offsets, payloads):
+        idx1 += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+
+    body = hdrl + movi + chunk(b"idx1", bytes(idx1))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Remove every DHT (FFC4) segment from a JPEG stream (marker walk,
+    stops at SOS — entropy data can contain any byte pair)."""
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos < len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise ValueError("JPEG marker walk lost sync")
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:  # SOS: keep the rest verbatim
+            out += jpeg[pos:]
+            break
+        (seg_len,) = struct.unpack(">H", jpeg[pos + 2 : pos + 4])
+        if marker != 0xC4:
+            out += jpeg[pos : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    return bytes(out)

@@ -251,12 +251,13 @@ def sample_frames(
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     if decode == "real":
-        # REAL for GIF (r7: functions/gif.py decodes + composites frames);
-        # other containers (MP4/H.264, WebM, AVI) need ffmpeg, absent here,
+        # REAL for GIF (r7: functions/gif.py decodes + composites frames)
+        # and MJPEG AVI (r12: functions/avi.py RIFF walk + T.81 JPEG);
+        # other containers (MP4/H.264, WebM) need ffmpeg, absent here,
         # and raise by name per payload so mixed columns fail loudly.
         def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from oracle_vectorsearch_example_spark.functions.gif import (
-                decode_gif_frames,
+            from oracle_vectorsearch_example_spark.functions.avi import (
+                decode_video_frames,
             )
             from oracle_vectorsearch_example_spark.functions.gif import (
                 make_animated_gif,
@@ -268,12 +269,7 @@ def sample_frames(
                     pdf["media_id"].tolist(), pdf["payload"].tolist()
                 ):
                     payload = bytes(p) if p is not None else b""
-                    if payload[:6] not in (b"GIF87a", b"GIF89a"):
-                        raise NotImplementedError(
-                            "real frame sampling is built-in for GIF only; "
-                            "other containers need ffmpeg (absent here)"
-                        )
-                    decoded = decode_gif_frames(payload)
+                    decoded = decode_video_frames(payload)
                     # sample at the requested fps against real timestamps
                     duration = decoded[-1][0]
                     want, last_t = [], None

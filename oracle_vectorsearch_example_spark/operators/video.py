@@ -12,9 +12,12 @@ match in the other. Frozen spec:
 
 - frames: the :func:`~.multimodal.sample_frames` rule (nearest
   decoded frame at-or-before ``i/fps``, deduped by timestamp, at most
-  ``max_frames``) over the X4 real GIF animation decoder; undecodable
-  or non-GIF payloads yield NO frame rows under ``on_error='null'`` —
-  such videos carry no evidence and pass through dedup as singletons;
+  ``max_frames``) over the X4 real GIF animation decoder or the r12
+  MJPEG-AVI chunk walk (functions/avi.py — only sampled frames are
+  JPEG-decoded); undecodable or unsupported containers (MP4/H.264/
+  WebM reject by name) yield NO frame rows under ``on_error='null'``
+  — such videos carry no evidence and pass through dedup as
+  singletons;
 - frame match: XOR+bit_count hamming ≤ ``max_hamming`` between frame
   pHashes, candidates from the SHARED X55 banding (pigeonhole or
   Manku ``n_blocks`` — never all-pairs), frame index ignored at match
@@ -60,12 +63,19 @@ def video_frame_hashes(
     on_error: str = "null",
 ) -> DataFrame:
     """(id, frame_idx, ts_sec, phash) — sample frames at ``fps`` from
-    each GIF payload (real animation decode: compositing, disposal,
-    transparency) and pHash each COMPOSITED frame. One Arrow-batched
-    map-side pass; sampling follows the `sample_frames` rule exactly
+    each GIF or MJPEG-AVI payload (real decode: GIF compositing/
+    disposal/transparency via functions/gif.py, RIFF chunk walk +
+    T.81 baseline JPEG via functions/avi.py, incl. the DHT-less MJPEG
+    muxer convention) and pHash each frame. One Arrow-batched map-side
+    pass; sampling follows the `sample_frames` rule exactly
     (parity-pinned in tests) without the re-encode round trip, and
-    hashes the decoded pixels directly. ``on_error='null'``: a payload
-    that fails to decode (or is not a GIF) emits no frame rows."""
+    hashes the decoded pixels directly. The AVI path exploits the
+    container's constant frame clock: timestamps come from chunk
+    headers alone, so only the SAMPLED frames are JPEG-decoded — a
+    1-hour clip sampled at 16 frames decodes 16 JPEGs, not 36k.
+    ``on_error='null'``: a payload that fails to decode (or is an
+    unsupported container — MP4/H.264/WebM reject by name) emits no
+    frame rows."""
     if on_error not in ("null", "raise"):
         raise ValueError("on_error must be 'null' or 'raise'")
     from pyspark.sql import types as T
@@ -80,38 +90,62 @@ def video_frame_hashes(
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        from oracle_vectorsearch_example_spark.functions.gif import (
-            decode_gif_frames,
+        from oracle_vectorsearch_example_spark.functions.avi import (
+            _ensure_dht,
+            avi_frame_table,
+            decode_video_frames,
+        )
+        from oracle_vectorsearch_example_spark.functions.jpeg import (
+            decode_jpeg_pixels,
         )
         from oracle_vectorsearch_example_spark.functions.phash import (
             phash_from_pixels,
         )
+
+        def sample_timestamps(ts: list[float]) -> list[int]:
+            # the sample_frames rule on timestamps alone: nearest
+            # at-or-before target, deduped by timestamp
+            duration = ts[-1]
+            want, last_t = [], None
+            for i in range(max_frames):
+                target = i / fps
+                if target > duration and i > 0:
+                    break
+                cand = [j for j, t0 in enumerate(ts) if t0 <= target]
+                j = cand[-1] if cand else 0
+                if last_t == ts[j]:
+                    continue
+                last_t = ts[j]
+                want.append(j)
+            return want
 
         for b in batches:
             out = []
             for mid, payload in zip(b[id_col], b[payload_col]):
                 try:
                     data = bytes(payload)
-                    if data[:6] not in (b"GIF87a", b"GIF89a"):
-                        raise NotImplementedError(
-                            "real frame sampling is built-in for GIF only"
+                    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                        # timestamps from chunk headers; decode only
+                        # the sampled frames
+                        nat_fps, raw = avi_frame_table(data)
+                        ts = [j / nat_fps for j in range(len(raw))]
+                        if not ts:
+                            raise ValueError("AVI with no video frames")
+                        picked = sample_timestamps(ts)
+                        sampled = [
+                            (
+                                ts[j],
+                                decode_jpeg_pixels(_ensure_dht(raw[j])),
+                            )
+                            for j in picked
+                        ]
+                    else:
+                        decoded = decode_video_frames(data)
+                        picked = sample_timestamps(
+                            [t0 for t0, _ in decoded]
                         )
-                    decoded = decode_gif_frames(data)
-                    duration = decoded[-1][0]
-                    # the sample_frames rule: nearest at-or-before
-                    # target, deduped by timestamp
-                    want, last_t = [], None
-                    for i in range(max_frames):
-                        target = i / fps
-                        if target > duration and i > 0:
-                            break
-                        cand = [f for f in decoded if f[0] <= target]
-                        t0, fr = cand[-1] if cand else decoded[0]
-                        if last_t == t0:
-                            continue
-                        last_t = t0
-                        want.append((t0, fr))
-                    for i, (t0, fr) in enumerate(want):
+                        sampled = [decoded[j] for j in picked]
+                    for i, (t0, fr) in enumerate(sampled):
                         out.append(
                             (mid, i, float(t0), phash_from_pixels(fr))
                         )

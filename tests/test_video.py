@@ -134,3 +134,107 @@ def test_layout_determinism(spark):
     a = sorted(map(tuple, video_frame_hashes(media).collect()))
     b = sorted(map(tuple, video_frame_hashes(media.repartition(4)).collect()))
     assert a == b
+
+
+def _avi(frames, fps=10.0, **kw):
+    from oracle_vectorsearch_example_spark.functions.avi import (
+        make_simple_avi,
+    )
+
+    return bytearray(make_simple_avi(frames, fps=fps, **kw))
+
+
+def test_avi_container_roundtrip():
+    """MJPEG AVI fixture writer ↔ chunk-walk parser: frame clock from
+    strh dwRate/dwScale, every 00dc chunk decodes through the T.81
+    baseline decoder (lossy-close pixels), DHT-stripped streams (the
+    historic MJPEG implicit-tables convention) decode bit-identically
+    after Annex K re-injection, and non-MJPG codecs reject by name."""
+    from oracle_vectorsearch_example_spark.functions.avi import (
+        avi_frame_table,
+        decode_avi_frames,
+    )
+
+    frames = [_px(s, h=48, w=64) for s in (0, 2, 4)]
+    blob = bytes(_avi(frames, fps=4.0))
+    fps, raw = avi_frame_table(blob)
+    assert fps == 4.0 and len(raw) == 3
+    dec = decode_avi_frames(blob)
+    assert [t for t, _ in dec] == [0.0, 0.25, 0.5]
+    for (_, got), want in zip(dec, frames):
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 4.0
+
+    stripped = bytes(_avi(frames, fps=4.0, strip_dht=True))
+    assert len(stripped) < len(blob)  # tables actually removed
+    dec2 = decode_avi_frames(stripped)
+    assert all(
+        np.array_equal(a[1], b[1]) for a, b in zip(dec, dec2)
+    )
+
+    h264 = bytearray(blob)
+    h264 = h264.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="H264"):
+        avi_frame_table(bytes(h264))
+
+
+def test_avi_frame_hashes_match_gif_twin(spark):
+    """The SAME pixel frames muxed as animated GIF and as MJPEG AVI
+    yield near-identical frame pHashes (both containers decode to the
+    same pixels up to JPEG loss), and the AVI path samples by the
+    frame clock without decoding unsampled frames."""
+    frames = [_px(s) for s in (0, 3, 6)]
+    media = spark.createDataFrame(
+        [(1, _gif(frames, [100, 100, 100])), (2, _avi(frames, fps=1.0))],
+        "media_id long, payload binary",
+    )
+    fh = video_frame_hashes(media, fps=1.0, max_frames=8)
+    rows = {(r.media_id, r.frame_idx): r for r in fh.collect()}
+    assert sorted(rows) == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2)]
+    for i in range(3):
+        g, a = rows[(1, i)], rows[(2, i)]
+        assert g.ts_sec == a.ts_sec
+        # GIF is lossless, AVI is JPEG-lossy: hashes agree within a
+        # small hamming distance
+        assert bin(g.phash ^ a.phash).count("1") <= 6
+
+
+def test_dedup_videos_mixed_containers(spark):
+    """dedup_videos accepts a MIXED column of GIF and MJPEG-AVI
+    payloads: an AVI re-encode of a GIF collapses onto it; distinct
+    clips and undecodable payloads survive (on_error='null')."""
+    base = [_px(s) for s in (0, 3, 6)]
+    other = [_px(s)[::-1, :, :] for s in (10, 13, 16)]
+    rows = [
+        (1, _gif(base)),
+        (2, _avi(base, fps=10.0)),           # cross-container re-encode
+        (3, _avi(base, fps=10.0, strip_dht=True)),  # DHT-less muxer
+        (4, _avi(other, fps=10.0)),          # distinct
+        (5, bytearray(b"\x00\x00\x01\xbaMP4-ish")),  # no evidence
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(
+        r.media_id
+        for r in dedup_videos(
+            media, fps=10.0, max_frames=8, max_hamming=10
+        ).collect()
+    )
+    assert kept == [1, 4, 5]
+
+
+def test_sample_frames_real_avi(spark):
+    """multimodal.sample_frames(decode='real') dispatches AVI too and
+    emits the sampled frames as standalone image payloads."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_image_pixels,
+        sample_frames,
+    )
+
+    frames = [_px(s, h=16, w=16) for s in (1, 5)]
+    media = spark.createDataFrame(
+        [(7, _avi(frames, fps=1.0))], "media_id long, payload binary"
+    )
+    got = sample_frames(media, fps=1.0, max_frames=4, decode="real").collect()
+    assert [r.frame_idx for r in got] == [0, 1]
+    px = decode_image_pixels(bytes(got[1].payload))
+    assert px.shape == (16, 16, 3)
