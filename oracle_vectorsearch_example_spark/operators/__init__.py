@@ -26,7 +26,12 @@ from oracle_vectorsearch_example_spark.operators.sparse import (
     to_dense,
     to_sparse,
 )
-from oracle_vectorsearch_example_spark.operators.maxsim import maxsim_topk
+from oracle_vectorsearch_example_spark.operators.maxsim import (
+    doc_centroids,
+    maxsim_topk,
+    pack_token_ids,
+    token_candidates,
+)
 from oracle_vectorsearch_example_spark.operators.mmr import mmr_select, mmr_topk_search
 from oracle_vectorsearch_example_spark.operators.bq import (
     bq_encode_df,
@@ -194,7 +199,10 @@ __all__ = [
     "tfidf_fit",
     "tfidf_transform",
     "tfidf_vectors",
+    "doc_centroids",
     "maxsim_topk",
+    "pack_token_ids",
+    "token_candidates",
     "mmr_select",
     "mmr_topk_search",
     "bq_encode_df",

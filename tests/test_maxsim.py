@@ -124,3 +124,112 @@ def test_layout_independence_and_jvm_plan(spark, fixture):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.fixture(scope="module")
+def random_fixture(spark):
+    """The bench's negative-control geometry: 100 docs x 20 fully
+    random token vectors — no cluster structure for a centroid to
+    summarize (the r11 0/15 finding)."""
+    rng = np.random.default_rng(21)
+    rows = []
+    for doc in range(100):
+        for t in range(20):
+            v = rng.normal(size=16)
+            rows.append((doc, t, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "doc_id long, tidx long, embedding array<double>"
+    ).cache()
+
+
+def test_token_candidates_recover_on_unclustered(spark, random_fixture):
+    """Judge r11 #3 done-criterion: on the RANDOM fixture, token-probe
+    stage 1 reaches top-5 agreement >= 13/15 at candidate fraction
+    <= 0.3 (the centroid proxy's floor here is ~0/15)."""
+    from oracle_vectorsearch_example_spark.operators.maxsim import (
+        token_candidates,
+    )
+
+    tok = random_fixture
+    q = tok.filter("doc_id < 3").select(
+        F.col("doc_id").alias("qid"),
+        F.col("tidx").alias("qtidx"),
+        "embedding",
+    )
+    brute = {
+        (r.qid, r.rank): r.doc_id
+        for r in maxsim_topk(
+            tok, q, k=5, qtok_col="qtidx", exclude_self=True
+        ).collect()
+    }
+    cand = token_candidates(
+        tok, q, n_per_token=32, max_candidates=25,
+        qtok_col="qtidx", exclude_self=True,
+    )
+    per_q = {}
+    for r in cand.collect():
+        per_q.setdefault(r.qid, set()).add(r.doc_id)
+    assert max(len(v) for v in per_q.values()) <= 25  # frac <= 0.25
+    assert all(r not in per_q.get(r, set()) for r in per_q)  # no self
+    two = {
+        (r.qid, r.rank): r.doc_id
+        for r in maxsim_topk(
+            tok, q, k=5, qtok_col="qtidx",
+            candidates=cand, exclude_self=True,
+        ).collect()
+    }
+    agree = sum(1 for kk in brute if two.get(kk) == brute[kk])
+    assert agree >= 13, f"top5 agreement {agree}/15 below the 13/15 bar"
+
+
+def test_token_candidates_ivf_engine(spark, random_fixture):
+    """The 100 TB stage-1 shape: an IvfIndex over pack_token_ids rows
+    serves the probes via cluster-pruned search_df; at full probe
+    depth (nprobe = n_clusters) the candidate set equals the exact
+    engine's."""
+    from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+    from oracle_vectorsearch_example_spark.operators.maxsim import (
+        pack_token_ids,
+        token_candidates,
+    )
+
+    tok = random_fixture
+    q = tok.filter("doc_id < 2").select(
+        F.col("doc_id").alias("qid"),
+        F.col("tidx").alias("qtidx"),
+        "embedding",
+    )
+    packed = pack_token_ids(tok)
+    idx = IvfIndex.build(packed, n_clusters=8, seed=42)
+    exact = {
+        (r.qid, r.doc_id)
+        for r in token_candidates(
+            tok, q, n_per_token=8, max_candidates=15,
+            qtok_col="qtidx", exclude_self=True,
+        ).collect()
+    }
+    via_ivf = {
+        (r.qid, r.doc_id)
+        for r in token_candidates(
+            tok, q, n_per_token=8, max_candidates=15,
+            qtok_col="qtidx", exclude_self=True,
+            index=idx, nprobe=8,
+        ).collect()
+    }
+    assert via_ivf == exact
+
+
+def test_token_candidates_packing_guard(spark, random_fixture):
+    from oracle_vectorsearch_example_spark.operators.maxsim import (
+        token_candidates,
+    )
+
+    q_bad = random_fixture.filter("doc_id < 1").select(
+        F.col("doc_id").alias("qid"),
+        (F.col("tidx") - 5).alias("qtidx"),  # negative token index
+        "embedding",
+    )
+    with pytest.raises(Exception, match="packing contract"):
+        token_candidates(
+            random_fixture, q_bad, n_per_token=2, qtok_col="qtidx"
+        ).collect()
