@@ -4682,6 +4682,92 @@ def q_maxsim_topk(spark, sf):
     )
 
 
+_MAXSIM_STAGE1_SQL = """
+    WITH tok AS (
+      SELECT vec_id % 100 AS doc_id, vec_id // 100 AS tidx,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT doc_id AS qid, tidx AS qtidx, v AS qv
+          FROM tok WHERE doc_id < 3),
+    probe AS (
+      SELECT q.qid, q.qtidx, t.doc_id,
+             list_cosine_similarity(t.v, q.qv) AS sim,
+             row_number() OVER (
+               PARTITION BY q.qid, q.qtidx
+               ORDER BY list_cosine_similarity(t.v, q.qv) DESC, t.doc_id
+             ) AS rn
+      FROM tok t CROSS JOIN q
+    ),
+    ev AS (
+      SELECT qid, qtidx, doc_id, max(sim) AS best
+      FROM probe WHERE rn <= 32 AND doc_id <> qid
+      GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT qid, doc_id,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(sum(best), 6) DESC, doc_id
+             ) AS crn
+      FROM ev GROUP BY 1, 2
+      QUALIFY crn <= 25
+    ),
+    sims AS (
+      SELECT q.qid, t.doc_id, q.qtidx,
+             max(list_cosine_similarity(t.v, q.qv)) AS best
+      FROM tok t
+      CROSS JOIN q
+      JOIN cand ON cand.qid = q.qid AND cand.doc_id = t.doc_id
+      GROUP BY 1, 2, 3
+    ),
+    sc AS (SELECT qid, doc_id, round(sum(best), 6) AS score
+           FROM sims GROUP BY 1, 2)
+    SELECT qid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score
+    FROM sc QUALIFY rank <= 5
+"""
+
+
+@golden("maxsim_token_stage1", _MAXSIM_STAGE1_SQL)
+def q_maxsim_token_stage1(spark, sf):
+    """Two-stage MaxSim through the r12 token-probe stage 1 (X27+,
+    judge r11 #3 — operators/maxsim.py ``token_candidates``): each
+    query token probes its 32 nearest corpus token rows (self rows
+    rank but are then excluded, the fixture's self-retrieval
+    convention), per-(query, token, doc) best similarities SUM into a
+    6 dp truncated MaxSim score, the top-25 docs per query become the
+    stage-2 budget, and ``maxsim_topk(candidates=)`` reranks exactly
+    those. DuckDB replays the whole pipeline: ranked probes →
+    truncated-score budget → candidate-restricted MaxSim — so the
+    serving path (not just the brute-force twin) is hash-witnessed."""
+    from oracle_vectorsearch_example_spark.operators.maxsim import (
+        maxsim_topk,
+        token_candidates,
+    )
+
+    e = read_table(spark, sf, "embeddings")
+    tok = e.select(
+        F.pmod(F.col("vec_id"), F.lit(100)).cast("long").alias("doc_id"),
+        F.expr("vec_id DIV 100").cast("long").alias("tidx"),
+        "embedding",
+    )
+    q = tok.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), F.col("tidx").alias("qtidx"), "embedding"
+    )
+    cand = token_candidates(
+        tok, q, n_per_token=32, max_candidates=25,
+        qtok_col="qtidx", exclude_self=True,
+    )
+    hits = maxsim_topk(
+        tok, q, k=5, qtok_col="qtidx", candidates=cand, exclude_self=True
+    )
+    return hits.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 _BM25_QUERIES = [
     (0, "spark join hash table"),
     (1, "fast scan filter value"),
@@ -7983,14 +8069,18 @@ def q_pca_embed(spark, sf):
 # EXPLICITLY overrides the r7 "no seat for rows-only" policy for this
 # round so the driver records err-free execution rows for them (they
 # print `err: no_oracle`, which is the expected record, not a failure;
-# their tolerance/recall gates live in pytest); (d) the remaining 15
-# seats go to the stalest r09-witnessed survivors, one seat per
-# operator family (joins/scrub/topics/incremental-dedup/exact-dedup/
-# extract/flagship/resample/image-dedup/ivf/json/langid/packing/
-# streaming/urls). The 35 r09 entries that roll to r13 all hold an
-# r10/r11/this-window family witness — audit with
-# scripts/witness_table.py (WITNESS.md). The window must not change
-# mid-round.
+# their tolerance/recall gates live in pytest); (d)
+# `maxsim_token_stage1`, the oracle-paired golden ADDED in r12
+# (token-probe stage 1, judge r11 #3) — new goldens take head seats
+# (r11 precedent), evicting the url_canon fill (urls family keeps its
+# r09 witness and the canonicalization spec is frozen pure exprs —
+# the lowest-risk family to roll); (e) the remaining 14 seats go to
+# the stalest r09-witnessed survivors, one seat per operator family
+# (joins/scrub/topics/incremental-dedup/exact-dedup/extract/flagship/
+# resample/image-dedup/ivf/json/langid/packing/streaming). The r09
+# entries that roll to r13 all hold an r10/r11/this-window family
+# witness — audit with scripts/witness_table.py (WITNESS.md). The
+# window must not change mid-round.
 _PRIORITY = [
     # (a) the 24 r08-stale oracle-paired goldens, alphabetical
     "array_hof", "audio_decode", "auto_salted_agg", "binary_stats",
@@ -8006,11 +8096,13 @@ _PRIORITY = [
     "bpe_tokens", "ivf_accuracy_report", "mmr_rerank", "pack_bfd",
     "pca_embed", "rerank_ce", "semdedup", "onnx_embed",
     "approx_count_distinct", "ivf_search",
-    # (d) stalest r09 fills, one seat per family
+    # (d) the r12 add (never witnessed; oracle-paired)
+    "maxsim_token_stage1",
+    # (e) stalest r09 fills, one seat per family
     "asof_join", "c4_clean", "ctfidf_topics", "dedup_incremental",
     "exact_dedup", "extract_text", "flagship_search", "gapfill_locf",
     "image_dedup", "ivf_search_df", "json_shred", "langid",
-    "pack_sequences", "tumbling_window", "url_canon",
+    "pack_sequences", "tumbling_window",
 ]
 
 

@@ -214,11 +214,14 @@ def token_candidates(
     )
     if exclude_self:
         ev = ev.filter(F.col(id_col) != F.col(query_id))
+    # 6 dp selection score (the repo's layout-independence discipline:
+    # an unrounded float sum is partition-order-dependent at ulp level,
+    # which could flip the budget boundary between runs)
     scored = (
         ev.groupBy(query_id, "__qtidx", id_col)
         .agg(F.max("__sim").alias("__best"))
         .groupBy(query_id, id_col)
-        .agg(F.sum("__best").alias("__score"))
+        .agg(F.round(F.sum("__best"), 6).alias("__score"))
     )
     if max_candidates is None:
         return scored.select(query_id, id_col)
