@@ -171,9 +171,10 @@ def afp_from_samples(samples, energy: str = "l1") -> int | None:
 def _decode_pcm(data: bytes):
     """((n_samples, channels) int array, bits_per_sample) from WAV
     (stdlib) or FLAC (the X4 real decoder), magic-dispatched — raw
-    samples, not stats. ``bps`` is the container-declared width (WAV
-    path: always 16; FLAC: STREAMINFO, 8..32) so the L2 envelope can
-    right-shift wide samples deterministically."""
+    samples, not stats. ``bps`` is the container-declared width (WAV:
+    PCM8 unsigned-centered / 16 / packed s24 / s32, r12; FLAC:
+    STREAMINFO, 8..32) so the L2 envelope can right-shift wide samples
+    deterministically."""
     import io as _io
     import wave as _wave
 
@@ -189,14 +190,27 @@ def _decode_pcm(data: bytes):
         _, pcm = decode_flac(data)
         return pcm, flac_bps(data)
     with _wave.open(_io.BytesIO(data), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError(
-                f"only PCM16 WAV is decoded without media libs "
-                f"(got sample width {w.getsampwidth()})"
-            )
+        width = w.getsampwidth()
         nch = w.getnchannels()
         raw = w.readframes(w.getnframes())
-    return np.frombuffer(raw, dtype="<i2").reshape(-1, nch), 16
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").reshape(-1, nch), 16
+    if width == 1:  # PCM8 WAV is UNSIGNED (RIFF spec) → center at 0
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+        return x.reshape(-1, nch), 8
+    if width == 3:  # packed little-endian s24 → sign-extend via i32
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        )
+        return x.reshape(-1, nch), 24
+    if width == 4:
+        return np.frombuffer(raw, dtype="<i4").reshape(-1, nch), 32
+    raise NotImplementedError(
+        f"WAV sample width {width} bytes is not PCM8/16/24/32"
+    )
 
 
 def afp_df(

@@ -288,3 +288,62 @@ def test_flac_24bit_lossless_roundtrip():
         make_simple_flac(np.zeros(64, dtype=np.int64), bps=17)
     with pytest.raises(ValueError, match="exceed"):
         make_simple_flac(np.full(64, 40000, dtype=np.int64), bps=16)
+
+
+def _wav_width(x, width, nch=1):
+    """Raw WAV writer at an arbitrary sample width (stdlib wave only
+    validates the header; bytes are ours)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(16000)
+        if width == 1:
+            raw = (np.asarray(x) + 128).astype(np.uint8).tobytes()
+        elif width == 2:
+            raw = np.asarray(x).astype("<i2").tobytes()
+        elif width == 3:
+            v = np.asarray(x).astype(np.int32)
+            b = np.zeros((len(v), 3), np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            raw = b.tobytes()
+        else:
+            raw = np.asarray(x).astype("<i4").tobytes()
+        w.writeframes(raw)
+    return bytearray(buf.getvalue())
+
+
+def test_wav_widths_decode_and_hash(spark):
+    """r12: PCM8/24/32 WAV decode through the same bps-aware path as
+    FLAC — 24/32-bit L2 codes right-shift to the 16-bit range, PCM8
+    centers the unsigned samples, and the SAME signal rendered at
+    16 and 24 bits yields the same L1 fingerprint (pure amplitude
+    scaling preserves energy order)."""
+    from oracle_vectorsearch_example_spark.functions.afp import _decode_pcm
+
+    x16 = _sig(5).astype(np.int64)
+    cases = [
+        (1, np.clip(x16 >> 8, -128, 127)),
+        (2, x16),
+        (3, np.clip(x16 << 8, -(1 << 23), (1 << 23) - 1)),
+        (4, np.clip(x16 << 8, -(1 << 23), (1 << 23) - 1)),
+    ]
+    rows = [
+        (w, _wav_width(v, w)) for w, v in cases
+    ]
+    for (w, v), (_, blob) in zip(cases, rows):
+        pcm, bps = _decode_pcm(bytes(blob))
+        assert bps == {1: 8, 2: 16, 3: 24, 4: 32}[w]
+        assert np.array_equal(pcm[:, 0], v)
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.afp, r.afp_l2)
+           for r in afp_df(media, l2_col="afp_l2").collect()}
+    assert all(v[0] is not None and v[1] is not None for v in got.values())
+    # 16-bit vs 24-bit render of the same signal: identical L1 code
+    # (exact 256x scaling preserves the strict energy order)
+    assert got[2][0] == got[3][0]
