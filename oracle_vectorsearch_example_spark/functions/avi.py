@@ -1,8 +1,11 @@
-"""MJPEG-in-AVI container (X59 tail, r12) — the second real video
+"""AVI video container (X59 tail, r12) — the second real video
 container after GIF, opened with ZERO new gated math: the RIFF/AVI
 container is a stdlib chunk walk (the same RIFF framing as WAV —
-multimodal.py:79) and every ``00dc`` frame chunk is a baseline JPEG
-the existing T.81 decoder (:mod:`.jpeg`) already handles. The
+multimodal.py:79) and both supported codecs reuse machinery that
+already exists — every MJPG ``00dc`` frame chunk is a baseline JPEG
+the T.81 decoder (:mod:`.jpeg`) handles, and raw BI_RGB ``00db``
+frames are bottom-up padded BGR rows (the BMP pixel layout
+``operators/multimodal.py`` already decodes structurally). The
 reference's document-conversion surface claims ~150 formats via its
 closed converter (01_pdf_to_vector.sql:196-205); this module keeps the
 honest-offline subset growing. H.264/MP4/WebM still need a real codec
@@ -18,14 +21,16 @@ AVISTREAMHEADER / BITMAPINFOHEADER layouts):
   frames, streams, width, height) then one ``strl`` LIST per stream
   with ``strh`` (fccType ``vids``, fccHandler, dwScale/dwRate — the
   frame clock: fps = rate/scale) and ``strf`` (BITMAPINFOHEADER whose
-  ``biCompression`` fourcc names the codec — ``MJPG`` here).
+  ``biCompression`` fourcc names the codec — ``MJPG`` or 0/BI_RGB
+  here).
 - ``movi`` LIST: frame chunks named ``NNdc``/``NNdb`` (compressed /
   uncompressed DIB of stream NN). Each MJPG frame is a self-contained
   baseline JPEG — except that many real muxers strip the DHT segment
   (the historic "MJPEG has implicit Huffman tables" convention from
   the OpenDML era): decoders MUST fall back to the T.81 Annex K
   standard tables. ``_ensure_dht`` re-injects them when absent, so
-  both full-JFIF and stripped streams decode.
+  both full-JFIF and stripped streams decode. BI_RGB frames are raw
+  bottom-up BGR24 rows, each row padded to 4 bytes (the DIB layout).
 - ``idx1``: optional seek index; not needed for a linear walk.
 
 Scale notes: ``avi_frame_table`` walks chunk HEADERS only (no pixel
@@ -52,22 +57,24 @@ def _fourcc(b: bytes) -> str:
     return b.decode("latin-1")
 
 
-def avi_frame_table(data: bytes) -> tuple[float, list[bytes]]:
-    """(fps, [raw frame bytes]) from an MJPEG AVI — chunk walk only,
-    NO pixel decode (callers sample by timestamp first, then decode
-    just the frames they keep). Non-AVI RIFF, missing headers, and
-    non-MJPG codecs (H264/avc1/raw DIB/...) raise by name."""
+def avi_frame_table(data: bytes) -> tuple[dict, list[bytes]]:
+    """(meta, [raw frame bytes]) from an AVI — chunk walk only, NO
+    pixel decode (callers sample by timestamp first, then decode just
+    the frames they keep). ``meta`` carries ``fps``, ``codec``
+    (``'MJPG'`` or ``'DIB'``), ``width``, ``height``, ``bpp``.
+    Non-AVI RIFF, missing headers, and codecs needing real decoders
+    (H264/avc1/...) raise by name; so do non-24-bit raw DIBs."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (missing RIFF/'AVI ' signature)")
 
-    fps: float | None = None
+    meta: dict = {}
     vids_stream: int | None = None
     frames: list[bytes] = []
     stream_no = 0
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps, vids_stream, stream_no
+        nonlocal vids_stream, stream_no
         while pos + 8 <= end:
             ckid = data[pos : pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -86,23 +93,44 @@ def avi_frame_table(data: bytes) -> tuple[float, list[bytes]]:
                     scale, rate = struct.unpack(
                         "<II", data[body_start + 20 : body_start + 28]
                     )
-                    if handler not in (b"MJPG", b"mjpg", b"\x00" * 4):
+                    if handler not in (
+                        b"MJPG", b"mjpg", b"DIB ", b"\x00" * 4
+                    ):
                         raise NotImplementedError(
                             f"AVI video codec {_fourcc(handler)!r} needs a "
-                            "real codec (only MJPG decodes offline)"
+                            "real codec (only MJPG and raw BI_RGB decode "
+                            "offline)"
                         )
                     if scale == 0 or rate == 0:
                         raise ValueError("AVI strh with zero frame clock")
-                    fps = rate / scale
+                    meta["fps"] = rate / scale
                     vids_stream = stream_no
                 stream_no += 1
             elif ckid == b"strf" and vids_stream == stream_no - 1:
+                (w, h) = struct.unpack(
+                    "<ii", data[body_start + 4 : body_start + 12]
+                )
+                (bpp,) = struct.unpack(
+                    "<H", data[body_start + 14 : body_start + 16]
+                )
                 compression = data[body_start + 16 : body_start + 20]
-                if compression not in (b"MJPG", b"mjpg"):
+                if compression in (b"MJPG", b"mjpg"):
+                    meta["codec"] = "MJPG"
+                elif compression == b"\x00\x00\x00\x00":  # BI_RGB
+                    if bpp != 24:
+                        raise NotImplementedError(
+                            f"raw BI_RGB AVI at {bpp} bpp is not decoded "
+                            "(24-bit BGR only)"
+                        )
+                    meta["codec"] = "DIB"
+                else:
                     raise NotImplementedError(
                         f"AVI biCompression {_fourcc(compression)!r} needs "
-                        "a real codec (only MJPG decodes offline)"
+                        "a real codec (only MJPG and raw BI_RGB decode "
+                        "offline)"
                     )
+                meta["width"], meta["height"], meta["bpp"] = w, abs(h), bpp
+                meta["topdown"] = h < 0  # negative height = top-down DIB
             elif (
                 len(ckid) == 4
                 and ckid[2:4] in (b"dc", b"db")
@@ -114,9 +142,11 @@ def avi_frame_table(data: bytes) -> tuple[float, list[bytes]]:
 
     (root_size,) = struct.unpack("<I", data[4:8])
     walk(12, min(8 + root_size, len(data)))
-    if fps is None:
+    if "fps" not in meta:
         raise ValueError("AVI without a 'vids' stream header")
-    return fps, frames
+    if "codec" not in meta:
+        raise ValueError("AVI vids stream without a strf format block")
+    return meta, frames
 
 
 # standard DHT segment (T.81 Annex K tables, all four), built once —
@@ -159,34 +189,50 @@ def _ensure_dht(frame: bytes) -> bytes:
     return frame[:2] + _STD_DHT + frame[2:]
 
 
+def _decode_frame(raw: bytes, meta: dict) -> np.ndarray:
+    """One AVI frame chunk → (h, w, 3) uint8 RGB under ``meta``."""
+    if meta["codec"] == "MJPG":
+        from oracle_vectorsearch_example_spark.functions.jpeg import (
+            decode_jpeg_pixels,
+        )
+
+        return decode_jpeg_pixels(_ensure_dht(raw))
+    w, h = meta["width"], meta["height"]
+    stride = ((w * 3 + 3) // 4) * 4  # DIB rows pad to 4 bytes
+    if len(raw) < stride * h:
+        raise ValueError(
+            f"raw DIB frame too short: {len(raw)} < {stride * h}"
+        )
+    rows = np.frombuffer(raw[: stride * h], dtype=np.uint8)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not meta.get("topdown"):
+        rows = rows[::-1]  # DIBs are bottom-up unless height < 0
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
 def decode_avi_frames(
     data: bytes, max_frames: int | None = None
 ) -> list[tuple[float, np.ndarray]]:
-    """All frames of an MJPEG AVI as ``(timestamp_seconds, (h, w, 3)
-    uint8 RGB)`` — the exact return shape of
-    :func:`~.gif.decode_gif_frames`, so every consumer of the GIF list
-    (frame sampling, pHash, features) works unchanged. Frame i sits at
-    ``i / fps`` on the strh frame clock."""
-    from oracle_vectorsearch_example_spark.functions.jpeg import (
-        decode_jpeg_pixels,
-    )
-
-    fps, raw = avi_frame_table(data)
+    """All frames of an MJPEG or raw-BI_RGB AVI as
+    ``(timestamp_seconds, (h, w, 3) uint8 RGB)`` — the exact return
+    shape of :func:`~.gif.decode_gif_frames`, so every consumer of the
+    GIF list (frame sampling, pHash, features) works unchanged. Frame
+    i sits at ``i / fps`` on the strh frame clock."""
+    meta, raw = avi_frame_table(data)
     if max_frames is not None:
         raw = raw[:max_frames]
-    return [
-        (i / fps, decode_jpeg_pixels(_ensure_dht(fr)))
-        for i, fr in enumerate(raw)
-    ]
+    fps = meta["fps"]
+    return [(i / fps, _decode_frame(fr, meta)) for i, fr in enumerate(raw)]
 
 
 def decode_video_frames(
     data: bytes, max_frames: int | None = None
 ) -> list[tuple[float, np.ndarray]]:
     """Magic-dispatched video decode: GIF87a/GIF89a → the X4 animation
-    decoder; RIFF+'AVI ' → MJPEG AVI; everything else (MP4/H.264,
-    WebM, ...) raises by name — mixed columns fail loudly per payload
-    under ``on_error='raise'`` and carry no evidence under 'null'."""
+    decoder; RIFF+'AVI ' → MJPEG / raw-DIB AVI; everything else
+    (MP4/H.264, WebM, ...) raises by name — mixed columns fail loudly
+    per payload under ``on_error='raise'`` and carry no evidence under
+    'null'."""
     data = bytes(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from oracle_vectorsearch_example_spark.functions.gif import (
@@ -197,8 +243,9 @@ def decode_video_frames(
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi_frames(data, max_frames=max_frames)
     raise NotImplementedError(
-        "real frame decode is built-in for GIF and MJPEG AVI only; "
-        "other containers (MP4/H.264, WebM) need ffmpeg (absent here)"
+        "real frame decode is built-in for GIF and AVI (MJPG / raw "
+        "BI_RGB) only; other containers (MP4/H.264, WebM) need ffmpeg "
+        "(absent here)"
     )
 
 
@@ -207,18 +254,24 @@ def make_simple_avi(
     fps: float = 10.0,
     quality: int = 90,
     strip_dht: bool = False,
+    codec: str = "MJPG",
 ) -> bytes:
-    """Deterministic MJPEG AVI fixture writer: each (h, w, 3) uint8 RGB
-    frame is encoded with the X4 baseline JPEG encoder and muxed as a
-    ``00dc`` chunk; ``hdrl`` carries a real avih + vids strh/strf
-    (fps = dwRate/dwScale, scale fixed at 1000) and an ``idx1`` index
-    is written for container realism. ``strip_dht=True`` removes the
-    Huffman-table segments from every frame (the historic MJPEG
-    implicit-tables muxer convention) to exercise the decoder's
-    Annex K re-injection path. Lossy like any JPEG round trip, but
-    byte-deterministic for fixed inputs."""
-    from oracle_vectorsearch_example_spark.functions.jpeg import encode_jpeg
+    """Deterministic AVI fixture writer: each (h, w, 3) uint8 RGB frame
+    is muxed as a ``00dc``/``00db`` chunk; ``hdrl`` carries a real
+    avih + vids strh/strf (fps = dwRate/dwScale, scale fixed at 1000)
+    and an ``idx1`` index is written for container realism.
 
+    ``codec='MJPG'`` (default) encodes frames with the X4 baseline
+    JPEG encoder (lossy like any JPEG round trip, byte-deterministic
+    for fixed inputs); ``strip_dht=True`` removes the Huffman-table
+    segments from every frame (the historic MJPEG implicit-tables
+    muxer convention) to exercise the decoder's Annex K re-injection
+    path. ``codec='DIB'`` writes raw BI_RGB bottom-up BGR24 rows —
+    LOSSLESS, so container round trips are pixel-exact."""
+    if codec not in ("MJPG", "DIB"):
+        raise ValueError(f"codec must be MJPG or DIB (got {codec!r})")
+    if strip_dht and codec != "MJPG":
+        raise ValueError("strip_dht only applies to the MJPG codec")
     if not frames:
         raise ValueError("make_simple_avi needs at least one frame")
     h, w = frames[0].shape[:2]
@@ -231,10 +284,21 @@ def make_simple_avi(
     for fr in frames:
         if fr.shape[:2] != (h, w):
             raise ValueError("all frames must share one size")
-        jp = encode_jpeg(np.asarray(fr, dtype=np.uint8), quality=quality)
-        if strip_dht:
-            jp = _strip_dht(jp)
-        payloads.append(jp)
+        fr = np.asarray(fr, dtype=np.uint8)
+        if codec == "MJPG":
+            from oracle_vectorsearch_example_spark.functions.jpeg import (
+                encode_jpeg,
+            )
+
+            p = encode_jpeg(fr, quality=quality)
+            if strip_dht:
+                p = _strip_dht(p)
+        else:
+            stride = ((w * 3 + 3) // 4) * 4
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)
+            p = rows.tobytes()
+        payloads.append(p)
     max_size = max(len(p) for p in payloads)
 
     def chunk(ckid: bytes, body: bytes) -> bytes:
@@ -258,9 +322,10 @@ def make_simple_avi(
         h,
         0, 0, 0, 0,  # dwReserved
     )
+    handler = b"MJPG" if codec == "MJPG" else b"DIB "
     strh = (
         b"vids"
-        + b"MJPG"
+        + handler
         + struct.pack(
             "<IHHIIIIIIII4H",
             0,  # dwFlags
@@ -276,6 +341,7 @@ def make_simple_avi(
             0, 0, w, h,  # rcFrame
         )
     )
+    compression = b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00"
     strf = struct.pack(
         "<IiiHH4sIiiII",
         40,  # biSize
@@ -283,7 +349,7 @@ def make_simple_avi(
         h,
         1,  # biPlanes
         24,  # biBitCount
-        b"MJPG",  # biCompression
+        compression,
         w * h * 3,  # biSizeImage
         0, 0, 0, 0,
     )
@@ -293,16 +359,17 @@ def make_simple_avi(
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
 
+    frame_ckid = b"00dc" if codec == "MJPG" else b"00db"
     movi_body = bytearray()
     offsets = []  # offsets relative to the start of the 'movi' type tag
     for p in payloads:
         offsets.append(4 + len(movi_body))
-        movi_body += chunk(b"00dc", p)
+        movi_body += chunk(frame_ckid, p)
     movi = lst(b"movi", bytes(movi_body))
 
     idx1 = bytearray()
     for off, p in zip(offsets, payloads):
-        idx1 += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+        idx1 += frame_ckid + struct.pack("<III", 0x10, off, len(p))
 
     body = hdrl + movi + chunk(b"idx1", bytes(idx1))
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body

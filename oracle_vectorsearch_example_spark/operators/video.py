@@ -91,12 +91,9 @@ def video_frame_hashes(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from oracle_vectorsearch_example_spark.functions.avi import (
-            _ensure_dht,
+            _decode_frame,
             avi_frame_table,
             decode_video_frames,
-        )
-        from oracle_vectorsearch_example_spark.functions.jpeg import (
-            decode_jpeg_pixels,
         )
         from oracle_vectorsearch_example_spark.functions.phash import (
             phash_from_pixels,
@@ -127,16 +124,14 @@ def video_frame_hashes(
                     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
                         # timestamps from chunk headers; decode only
                         # the sampled frames
-                        nat_fps, raw = avi_frame_table(data)
+                        avi_meta, raw = avi_frame_table(data)
+                        nat_fps = avi_meta["fps"]
                         ts = [j / nat_fps for j in range(len(raw))]
                         if not ts:
                             raise ValueError("AVI with no video frames")
                         picked = sample_timestamps(ts)
                         sampled = [
-                            (
-                                ts[j],
-                                decode_jpeg_pixels(_ensure_dht(raw[j])),
-                            )
+                            (ts[j], _decode_frame(raw[j], avi_meta))
                             for j in picked
                         ]
                     else:

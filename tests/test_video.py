@@ -5,6 +5,8 @@ to end."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -157,8 +159,8 @@ def test_avi_container_roundtrip():
 
     frames = [_px(s, h=48, w=64) for s in (0, 2, 4)]
     blob = bytes(_avi(frames, fps=4.0))
-    fps, raw = avi_frame_table(blob)
-    assert fps == 4.0 and len(raw) == 3
+    meta, raw = avi_frame_table(blob)
+    assert meta["fps"] == 4.0 and meta["codec"] == "MJPG" and len(raw) == 3
     dec = decode_avi_frames(blob)
     assert [t for t, _ in dec] == [0.0, 0.25, 0.5]
     for (_, got), want in zip(dec, frames):
@@ -238,3 +240,51 @@ def test_sample_frames_real_avi(spark):
     assert [r.frame_idx for r in got] == [0, 1]
     px = decode_image_pixels(bytes(got[1].payload))
     assert px.shape == (16, 16, 3)
+
+
+def test_avi_raw_dib_lossless_roundtrip(spark):
+    """codec='DIB' writes raw BI_RGB bottom-up BGR24 rows — a LOSSLESS
+    container round trip (pixel-exact, unlike the JPEG path), decoded
+    through the same frame-table walk; mixed MJPG/DIB/GIF columns
+    dedup together."""
+    from oracle_vectorsearch_example_spark.functions.avi import (
+        avi_frame_table,
+        decode_avi_frames,
+    )
+
+    frames = [_px(s, h=17, w=21) for s in (0, 3, 6)]  # odd sizes: padding
+    blob = bytes(_avi(frames, fps=2.0, codec="DIB"))
+    meta, raw = avi_frame_table(blob)
+    assert meta["codec"] == "DIB" and meta["bpp"] == 24
+    dec = decode_avi_frames(blob)
+    assert [t for t, _ in dec] == [0.0, 0.5, 1.0]
+    for (_, got), want in zip(dec, frames):
+        assert np.array_equal(got, want)  # lossless
+
+    # a 16-bpp raw DIB rejects by name; strip_dht is MJPG-only
+    bad = blob.replace(
+        struct.pack("<H", 24) + b"\x00\x00\x00\x00",
+        struct.pack("<H", 16) + b"\x00\x00\x00\x00",
+    )
+    with pytest.raises(NotImplementedError, match="16 bpp"):
+        avi_frame_table(bad)
+    with pytest.raises(ValueError, match="strip_dht"):
+        _avi(frames, codec="DIB", strip_dht=True)
+
+    # mixed-container dedup: DIB copy of the GIF collapses onto it
+    base = [_px(s) for s in (0, 3, 6)]
+    media = spark.createDataFrame(
+        [
+            (1, _gif(base)),
+            (2, _avi(base, fps=10.0, codec="DIB")),
+            (3, _avi([f[::-1] for f in base], fps=10.0, codec="DIB")),
+        ],
+        "media_id long, payload binary",
+    )
+    kept = sorted(
+        r.media_id
+        for r in dedup_videos(
+            media, fps=10.0, max_frames=8, max_hamming=10
+        ).collect()
+    )
+    assert kept == [1, 3]
