@@ -1981,6 +1981,98 @@ def main():
             "maxsim_candidates", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- MaxSim stage-1 at 50k token rows (r12): the serving-scale
+    # witness for token_candidates — exact BLAS probes vs IVF-served
+    # probes (IvfIndex over pack_token_ids rows, cluster-pruned
+    # search_df) on a 2.5k-doc × 20-token corpus. Records both walls
+    # and the candidate-set agreement at the probed depth; the IVF
+    # path is what a 100 TB deployment runs (probes never touch the
+    # full token table), the exact path is its recall ceiling.
+    try:
+        import numpy as _np
+
+        from oracle_vectorsearch_example_spark.operators.ivf import IvfIndex
+        from oracle_vectorsearch_example_spark.operators.maxsim import (
+            maxsim_topk as _st_maxsim,
+            pack_token_ids,
+            token_candidates,
+        )
+
+        rng = _np.random.RandomState(17)
+        dirs50 = rng.randn(50, 32)
+        dirs50 /= _np.linalg.norm(dirs50, axis=1, keepdims=True)
+        rows = []
+        for d in range(2_500):
+            base = dirs50[d % 50]
+            for tkn in range(20):
+                v = base + rng.randn(32) * 0.6  # mildly clustered
+                rows.append(
+                    (d, tkn, (v / _np.linalg.norm(v)).tolist())
+                )
+        st_tok = spark.createDataFrame(
+            rows, "doc_id long, tidx long, embedding array<double>"
+        ).localCheckpoint()
+        st_q = st_tok.filter(F.col("doc_id") < 4).select(
+            F.col("doc_id").alias("qid"),
+            F.col("tidx").alias("qtidx"),
+            "embedding",
+        )
+        t0 = time.time()
+        st_idx = IvfIndex.build(
+            pack_token_ids(st_tok), n_clusters=64, seed=42
+        )
+        st_build = round(time.time() - t0, 3)
+
+        def _st_top5(cand):
+            return {
+                (r["qid"], r["rank"]): r["doc_id"]
+                for r in _st_maxsim(
+                    st_tok, st_q, k=5, qtok_col="qtidx",
+                    candidates=cand, exclude_self=True,
+                ).collect()
+            }
+
+        t0 = time.time()
+        exact_cand = token_candidates(
+            st_tok, st_q, n_per_token=16, max_candidates=50,
+            qtok_col="qtidx", exclude_self=True,
+        )
+        exact_set = {
+            (r["qid"], r["doc_id"]) for r in exact_cand.collect()
+        }
+        w_exact = round(time.time() - t0, 3)
+        t0 = time.time()
+        ivf_cand = token_candidates(
+            st_tok, st_q, n_per_token=16, max_candidates=50,
+            qtok_col="qtidx", exclude_self=True,
+            index=st_idx, nprobe=16,
+        )
+        ivf_set = {(r["qid"], r["doc_id"]) for r in ivf_cand.collect()}
+        w_ivf = round(time.time() - t0, 3)
+        # the number that matters: does the IVF-served stage 1 change
+        # the RERANKED top-5? (candidate tails can differ harmlessly)
+        ex_top, iv_top = _st_top5(exact_cand), _st_top5(ivf_cand)
+        results["maxsim_stage1_50k"] = w_ivf
+        extras["maxsim_stage1_50k"] = {
+            "n_token_rows": 50_000,
+            "n_docs": 2_500,
+            "ivf_build_sec": st_build,
+            "wall_exact": w_exact,
+            "wall_ivf_nprobe16": w_ivf,
+            "cand_agreement": round(
+                len(exact_set & ivf_set) / max(len(exact_set), 1), 4
+            ),
+            "top5_agree_vs_exact": sum(
+                1 for k in ex_top if iv_top.get(k) == ex_top[k]
+            ),
+            "top5_total": len(ex_top),
+            "n_candidates": len(exact_set),
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "maxsim_stage1_50k", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- fuzzy-join scale witness (X32, judge r7 #7): 200k names-grade
     # strings (15 chars: 'cust' + 7 digits + 4 md5 hex), every even/odd
     # id pair one planted single-char deletion apart — 100k true
