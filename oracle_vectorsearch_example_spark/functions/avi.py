@@ -225,14 +225,20 @@ def decode_avi_frames(
     return [(i / fps, _decode_frame(fr, meta)) for i, fr in enumerate(raw)]
 
 
+_MOV_LEADING_ATOMS = (
+    b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot",
+)
+
+
 def decode_video_frames(
     data: bytes, max_frames: int | None = None
 ) -> list[tuple[float, np.ndarray]]:
     """Magic-dispatched video decode: GIF87a/GIF89a → the X4 animation
-    decoder; RIFF+'AVI ' → MJPEG / raw-DIB AVI; everything else
-    (MP4/H.264, WebM, ...) raises by name — mixed columns fail loudly
-    per payload under ``on_error='raise'`` and carry no evidence under
-    'null'."""
+    decoder; RIFF+'AVI ' → MJPEG / raw-DIB AVI; a leading QuickTime
+    atom → 'jpeg'-codec MOV (:mod:`.mov`); everything else (H.264 in
+    any container, WebM, ...) raises by name — mixed columns fail
+    loudly per payload under ``on_error='raise'`` and carry no
+    evidence under 'null'."""
     data = bytes(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from oracle_vectorsearch_example_spark.functions.gif import (
@@ -242,10 +248,16 @@ def decode_video_frames(
         return decode_gif_frames(data, max_frames=max_frames)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi_frames(data, max_frames=max_frames)
+    if len(data) >= 12 and data[4:8] in _MOV_LEADING_ATOMS:
+        from oracle_vectorsearch_example_spark.functions.mov import (
+            decode_mov_frames,
+        )
+
+        return decode_mov_frames(data, max_frames=max_frames)
     raise NotImplementedError(
-        "real frame decode is built-in for GIF and AVI (MJPG / raw "
-        "BI_RGB) only; other containers (MP4/H.264, WebM) need ffmpeg "
-        "(absent here)"
+        "real frame decode is built-in for GIF, AVI (MJPG / raw "
+        "BI_RGB) and MOV ('jpeg' codec) only; other containers "
+        "(H.264/MP4, WebM) need ffmpeg (absent here)"
     )
 
 

@@ -269,6 +269,13 @@ def sample_frames(
                     pdf["media_id"].tolist(), pdf["payload"].tolist()
                 ):
                     payload = bytes(p) if p is not None else b""
+                    # GIF sources re-emit sampled frames as single-frame
+                    # GIFs (palette-safe by construction, the r7 frozen
+                    # shape); AVI/MOV frames come out of a JPEG or raw
+                    # decode with arbitrarily many colors, so they emit
+                    # as lossless BMP instead (decode_image_pixels
+                    # magic-dispatches both on the consumer side)
+                    is_gif = payload[:6] in (b"GIF87a", b"GIF89a")
                     decoded = decode_video_frames(payload)
                     # sample at the requested fps against real timestamps
                     duration = decoded[-1][0]
@@ -288,7 +295,11 @@ def sample_frames(
                         ids.append(mid)
                         idxs.append(i)
                         tss.append(float(t0))
-                        frames.append(make_animated_gif([fr]))
+                        frames.append(
+                            make_animated_gif([fr])
+                            if is_gif
+                            else encode_bmp(fr)
+                        )
                 yield pd.DataFrame(
                     {
                         "media_id": ids,

@@ -134,6 +134,28 @@ def video_frame_hashes(
                             (ts[j], _decode_frame(raw[j], avi_meta))
                             for j in picked
                         ]
+                    elif len(data) >= 12 and data[4:8] in (
+                        b"ftyp", b"moov", b"mdat", b"wide", b"free",
+                        b"skip", b"pnot",
+                    ):
+                        # MOV: timestamps from the stts sample table;
+                        # decode only the sampled frames
+                        from oracle_vectorsearch_example_spark.functions.jpeg import (  # noqa: E501
+                            decode_jpeg_pixels,
+                        )
+                        from oracle_vectorsearch_example_spark.functions.mov import (  # noqa: E501
+                            mov_frame_table,
+                        )
+
+                        mov_meta, raw = mov_frame_table(data)
+                        ts = mov_meta["timestamps"]
+                        if not ts:
+                            raise ValueError("MOV with no video frames")
+                        picked = sample_timestamps(ts)
+                        sampled = [
+                            (ts[j], decode_jpeg_pixels(raw[j]))
+                            for j in picked
+                        ]
                     else:
                         decoded = decode_video_frames(data)
                         picked = sample_timestamps(

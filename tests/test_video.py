@@ -288,3 +288,61 @@ def test_avi_raw_dib_lossless_roundtrip(spark):
         ).collect()
     )
     assert kept == [1, 3]
+
+
+def test_mov_container_and_mixed_dedup(spark):
+    """r12: 'jpeg'-codec QuickTime MOV decodes through the atom walk +
+    T.81 decoder — timestamps from the stts sample table, only sampled
+    frames decoded in video_frame_hashes; avc1 (H.264) rejects by
+    name; a MOV re-encode collapses onto its GIF original in a mixed
+    GIF/AVI/MOV column."""
+    from oracle_vectorsearch_example_spark.functions.mov import (
+        decode_mov_frames,
+        make_simple_mov,
+        mov_frame_table,
+    )
+
+    frames = [_px(s) for s in (0, 3, 6)]
+    blob = bytes(make_simple_mov(frames, fps=1.0))
+    meta, raw = mov_frame_table(blob)
+    assert meta["codec"] == "jpeg" and meta["timestamps"] == [0.0, 1.0, 2.0]
+    assert (meta["width"], meta["height"]) == (32, 32)
+    dec = decode_mov_frames(blob)
+    for (_, got), want in zip(dec, frames):
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 4.0
+
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mov_frame_table(blob.replace(b"jpeg", b"avc1", 1))
+
+    base = [_px(s) for s in (0, 3, 6)]
+    other = [_px(s)[::-1, :, :] for s in (10, 13, 16)]
+    media = spark.createDataFrame(
+        [
+            (1, _gif(base)),
+            (2, bytearray(make_simple_mov(base, fps=10.0))),
+            (3, _avi(base, fps=10.0)),
+            (4, bytearray(make_simple_mov(other, fps=10.0))),
+        ],
+        "media_id long, payload binary",
+    )
+    kept = sorted(
+        r.media_id
+        for r in dedup_videos(
+            media, fps=10.0, max_frames=8, max_hamming=10
+        ).collect()
+    )
+    assert kept == [1, 4]
+
+    # sample_frames(decode='real') dispatches MOV too
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    got = sample_frames(
+        spark.createDataFrame(
+            [(9, bytearray(make_simple_mov(frames, fps=1.0)))],
+            "media_id long, payload binary",
+        ),
+        fps=1.0, max_frames=4, decode="real",
+    ).collect()
+    assert [r.frame_idx for r in got] == [0, 1, 2]
