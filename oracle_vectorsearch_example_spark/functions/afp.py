@@ -170,10 +170,12 @@ def afp_from_samples(samples, energy: str = "l1") -> int | None:
 
 def _decode_pcm(data: bytes):
     """((n_samples, channels) int array, bits_per_sample) from WAV
-    (stdlib) or FLAC (the X4 real decoder), magic-dispatched — raw
+    (stdlib), FLAC (the X4 real decoder), AIFF (big-endian PCM) or
+    Sun AU (PCM / G.711 µ-law / A-law), magic-dispatched — raw
     samples, not stats. ``bps`` is the container-declared width (WAV:
     PCM8 unsigned-centered / 16 / packed s24 / s32, r12; FLAC:
-    STREAMINFO, 8..32) so the L2 envelope can right-shift wide samples
+    STREAMINFO, 8..32; AIFF COMM 8/16/24/32; AU encodings 1-5, 27)
+    so the L2 envelope can right-shift wide samples
     deterministically."""
     import io as _io
     import wave as _wave
@@ -189,6 +191,10 @@ def _decode_pcm(data: bytes):
 
         _, pcm = decode_flac(data)
         return pcm, flac_bps(data)
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(data)
+    if data[:4] == b".snd":
+        return _decode_au(data)
     with _wave.open(_io.BytesIO(data), "rb") as w:
         width = w.getsampwidth()
         nch = w.getnchannels()
@@ -210,6 +216,140 @@ def _decode_pcm(data: bytes):
         return np.frombuffer(raw, dtype="<i4").reshape(-1, nch), 32
     raise NotImplementedError(
         f"WAV sample width {width} bytes is not PCM8/16/24/32"
+    )
+
+
+def _decode_aiff(data: bytes):
+    """AIFF/AIFC (r12): FORM chunk walk — COMM (channels, frames,
+    bits, 80-bit extended sample rate) + SSND big-endian PCM. AIFC
+    compression types other than 'NONE' (sowt etc.) reject by name."""
+    import struct as _struct
+
+    import numpy as np
+
+    nch = bits = nframes = None
+    ssnd = None
+    pos = 12
+    end = 8 + _struct.unpack(">I", data[4:8])[0]
+    while pos + 8 <= min(end, len(data)):
+        cid = data[pos : pos + 4]
+        (ln,) = _struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if cid == b"COMM":
+            nch, nframes, bits = _struct.unpack(">hIh", body[:8])
+            if data[8:12] == b"AIFC" and len(body) >= 22:
+                ctype = body[18:22]
+                if ctype not in (b"NONE", b"\x00\x00\x00\x00"):
+                    raise NotImplementedError(
+                        f"AIFC compression {ctype!r} needs a real codec "
+                        "(only NONE/PCM decodes offline)"
+                    )
+        elif cid == b"SSND":
+            (off, _blk) = _struct.unpack(">II", body[:8])
+            ssnd = body[8 + off :]
+        pos += 8 + ln + (ln & 1)  # IFF even padding
+    if nch is None or ssnd is None:
+        raise ValueError("AIFF without COMM/SSND chunks")
+    if bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"AIFF {bits}-bit samples unsupported")
+    width = bits // 8
+    n = len(ssnd) // (width * nch) * nch
+    if width == 1:  # AIFF PCM8 is SIGNED (unlike WAV)
+        x = np.frombuffer(ssnd[:n], dtype=np.int8).astype(np.int32)
+    elif width == 2:
+        x = np.frombuffer(ssnd[: 2 * n], dtype=">i2").astype(np.int32)
+    elif width == 3:
+        b = np.frombuffer(ssnd[: 3 * n], dtype=np.uint8).reshape(-1, 3)
+        x = (
+            (b[:, 0].astype(np.int8).astype(np.int32) << 16)
+            | (b[:, 1].astype(np.int32) << 8)
+            | b[:, 2].astype(np.int32)
+        )
+    else:
+        x = np.frombuffer(ssnd[: 4 * n], dtype=">i4").astype(np.int64)
+    return x.reshape(-1, nch), bits
+
+
+# G.711 µ-law / A-law → linear PCM16 expansion tables (ITU-T G.711,
+# the exact reference expansion — real math, not a stub)
+def _g711_tables():
+    import numpy as np
+
+    u = np.arange(256, dtype=np.int32) ^ 0xFF  # µ-law stores inverted
+    sign = np.where(u & 0x80, -1, 1)
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    ulaw = sign * (((mant << 3) + 0x84) << exp) - sign * 0x84
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55  # A-law even-bit inversion
+    # A-law sign bit 1 = POSITIVE (opposite of mu-law)
+    sign_a = np.where(a & 0x80, 1, -1)
+    exp_a = (a >> 4) & 0x07
+    mant_a = a & 0x0F
+    mag = np.where(
+        exp_a == 0,
+        (mant_a << 4) + 8,
+        ((mant_a << 4) + 0x108) << (exp_a - 1),
+    )
+    alaw = sign_a * mag
+    return ulaw.astype(np.int16), alaw.astype(np.int16)
+
+
+_G711: tuple | None = None
+
+
+def _decode_au(data: bytes):
+    """Sun AU / .snd (r12): big-endian header (magic, data offset,
+    size, encoding, rate, channels) + data. Encodings: 1 = G.711
+    µ-law, 2/3/4/5 = signed PCM 8/16/24/32, 27 = G.711 A-law;
+    anything else (ADPCM, float) rejects by name."""
+    import struct as _struct
+
+    import numpy as np
+
+    global _G711
+    _, off, _size, enc, _rate, nch = _struct.unpack(">6I", data[:24])
+    body = data[off:]
+    if enc in (1, 27):
+        if _G711 is None:
+            _G711 = _g711_tables()
+        table = _G711[0] if enc == 1 else _G711[1]
+        x = table[np.frombuffer(body, dtype=np.uint8)].astype(np.int32)
+        n = len(x) // nch * nch
+        return x[:n].reshape(-1, nch), 16
+    if enc == 2:
+        x = np.frombuffer(body, dtype=np.int8).astype(np.int32)
+        n = len(x) // nch * nch
+        return x[:n].reshape(-1, nch), 8
+    if enc == 3:
+        n = len(body) // (2 * nch) * nch
+        return (
+            np.frombuffer(body[: 2 * n], dtype=">i2")
+            .astype(np.int32)
+            .reshape(-1, nch),
+            16,
+        )
+    if enc == 4:
+        b = np.frombuffer(body, dtype=np.uint8)
+        n = len(b) // (3 * nch) * nch
+        b = b[: 3 * n].reshape(-1, 3)
+        x = (
+            (b[:, 0].astype(np.int8).astype(np.int32) << 16)
+            | (b[:, 1].astype(np.int32) << 8)
+            | b[:, 2].astype(np.int32)
+        )
+        return x.reshape(-1, nch), 24
+    if enc == 5:
+        n = len(body) // (4 * nch) * nch
+        return (
+            np.frombuffer(body[: 4 * n], dtype=">i4")
+            .astype(np.int64)
+            .reshape(-1, nch),
+            32,
+        )
+    raise NotImplementedError(
+        f"AU encoding {enc} needs a real codec (PCM 2-5 and G.711 "
+        "mu-law/A-law 1/27 decode offline)"
     )
 
 

@@ -347,3 +347,110 @@ def test_wav_widths_decode_and_hash(spark):
     # 16-bit vs 24-bit render of the same signal: identical L1 code
     # (exact 256x scaling preserves the strict energy order)
     assert got[2][0] == got[3][0]
+
+
+def _aiff(x, bits=16, nch=1, rate=16000):
+    """Minimal AIFF writer: FORM/COMM/SSND, big-endian PCM."""
+    import struct
+
+    v = np.asarray(x, dtype=np.int64)
+    if bits == 8:
+        body = v.astype(np.int8).tobytes()
+    elif bits == 16:
+        body = v.astype(">i2").tobytes()
+    elif bits == 24:
+        b = np.zeros((len(v), 3), np.uint8)
+        b[:, 0] = (v >> 16) & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = v & 0xFF
+        body = b.tobytes()
+    else:
+        body = v.astype(">i4").tobytes()
+    # 80-bit extended float for the sample rate (exponent+mantissa)
+    import math
+
+    m, e = math.frexp(rate)
+    ext = struct.pack(">H", e + 16382) + struct.pack(
+        ">Q", int(m * (1 << 64))
+    )
+    comm = struct.pack(">hIh", nch, len(v) // nch, bits) + ext
+    ssnd = struct.pack(">II", 0, 0) + body
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    return bytearray(
+        b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+    )
+
+
+def _au(body_bytes, enc, nch=1, rate=16000):
+    import struct
+
+    return bytearray(
+        b".snd"
+        + struct.pack(">5I", 24, len(body_bytes), enc, rate, nch)
+        + body_bytes
+    )
+
+
+def test_aiff_au_decode_and_hash(spark):
+    """r12: AIFF (big-endian PCM) and Sun AU (PCM + G.711 mu/A-law)
+    decode through the same bps-aware path; the same signal rendered
+    as WAV and AIFF hashes identically, G.711 expansion endpoints
+    match the published ITU tables, and unsupported encodings reject
+    by name."""
+    from oracle_vectorsearch_example_spark.functions.afp import (
+        _decode_pcm,
+        _g711_tables,
+    )
+
+    x = _sig(9).astype(np.int64)
+    # AIFF 16-bit == WAV 16-bit, exact samples and equal fingerprint
+    pcm_a, bps_a = _decode_pcm(bytes(_aiff(x)))
+    assert bps_a == 16 and np.array_equal(pcm_a[:, 0], x)
+    media = spark.createDataFrame(
+        [(1, _wav(x.astype(np.int16))), (2, _aiff(x))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.afp for r in afp_df(media).collect()}
+    assert got[1] == got[2]
+
+    # AIFF 24-bit big-endian recovers exactly; AIFC sowt rejects
+    x24 = np.clip(x << 8, -(1 << 23), (1 << 23) - 1)
+    pcm24, bps24 = _decode_pcm(bytes(_aiff(x24, bits=24)))
+    assert bps24 == 24 and np.array_equal(pcm24[:, 0], x24)
+    sowt = bytes(_aiff(x)).replace(b"AIFF", b"AIFC", 1)
+    # (COMM too short to carry a compressor in this fixture; craft one)
+    from oracle_vectorsearch_example_spark.functions.afp import _decode_aiff
+    import struct as _st
+
+    comm = _st.pack(">hIh", 1, len(x), 16) + b"\x40\x0c" + b"\x00" * 8
+    comm += b"sowt" + b"\x00"
+    blob = (
+        b"FORM"
+        + _st.pack(">I", 4 + 8 + len(comm))
+        + b"AIFC"
+        + b"COMM"
+        + _st.pack(">I", len(comm))
+        + comm
+    )
+    with pytest.raises(NotImplementedError, match="sowt"):
+        _decode_aiff(blob)
+
+    # G.711 endpoints vs the published ITU expansion tables
+    ulaw, alaw = _g711_tables()
+    assert ulaw[0xFF] == 0 and ulaw[0x7F] == 0
+    assert ulaw[0x00] == -32124 and ulaw[0x80] == 32124
+    assert alaw[0x55] == -8 and alaw[0xD5] == 8  # smallest magnitudes
+    assert alaw[0x2A] == -32256 and alaw[0xAA] == 32256
+
+    # AU PCM16 roundtrip and mu-law silence
+    au16 = _au(x.astype(">i2").tobytes(), enc=3)
+    pcm_u, bps_u = _decode_pcm(bytes(au16))
+    assert bps_u == 16 and np.array_equal(pcm_u[:, 0], x)
+    au_ul = _au(bytes([0xFF] * 256), enc=1)
+    pcm_ul, _ = _decode_pcm(bytes(au_ul))
+    assert np.all(pcm_ul == 0)
+    with pytest.raises(NotImplementedError, match="encoding 23"):
+        _decode_pcm(bytes(_au(b"\x00" * 64, enc=23)))
