@@ -12,12 +12,14 @@ match in the other. Frozen spec:
 
 - frames: the :func:`~.multimodal.sample_frames` rule (nearest
   decoded frame at-or-before ``i/fps``, deduped by timestamp, at most
-  ``max_frames``) over the X4 real GIF animation decoder or the r12
-  MJPEG-AVI chunk walk (functions/avi.py — only sampled frames are
-  JPEG-decoded); undecodable or unsupported containers (MP4/H.264/
-  WebM reject by name) yield NO frame rows under ``on_error='null'``
-  — such videos carry no evidence and pass through dedup as
-  singletons;
+  ``max_frames``) over the X4 real GIF animation decoder, the r12
+  AVI chunk walk (functions/avi.py — MJPG via T.81 or raw BI_RGB
+  DIB; only sampled frames decode) or the r12 QuickTime MOV atom
+  walk (functions/mov.py — 'jpeg' samples, stts timestamps, same
+  sampled-only decode); undecodable or unsupported containers
+  (H.264 in any container, WebM — reject by name) yield NO frame
+  rows under ``on_error='null'`` — such videos carry no evidence
+  and pass through dedup as singletons;
 - frame match: XOR+bit_count hamming ≤ ``max_hamming`` between frame
   pHashes, candidates from the SHARED X55 banding (pigeonhole or
   Manku ``n_blocks`` — never all-pairs), frame index ignored at match
