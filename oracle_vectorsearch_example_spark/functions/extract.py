@@ -90,8 +90,10 @@ def _normalize_ws(s: str) -> str:
 # ------------------------------------------------------------------ dispatch
 def detect_format(data: bytes) -> str:
     """Sniff the payload format from magic bytes: ``pdf`` / ``docx`` /
-    ``xlsx`` / ``pptx`` / ``rtf`` / ``html`` / ``text`` / ``empty`` /
-    ``cfb`` (legacy .doc/.xls/.ppt compound file) / ``binary``."""
+    ``xlsx`` / ``pptx`` / ``odt`` / ``ods`` / ``odp`` / ``epub`` (r12:
+    ODF + EPUB via the stored ``mimetype`` first member) / ``rtf`` /
+    ``html`` / ``text`` / ``empty`` / ``cfb`` (legacy .doc/.xls/.ppt
+    compound file) / ``binary``."""
     if not data:
         return "empty"
     if data[:5] == b"%PDF-":
@@ -115,6 +117,21 @@ def detect_format(data: bytes) -> str:
                     return "xlsx"
                 if "ppt/presentation.xml" in names:
                     return "pptx"
+                if "mimetype" in names:
+                    # ODF and EPUB both pin their type in a stored
+                    # 'mimetype' first member (ODF 1.2 §3.3 / OCF 3.0)
+                    mt = zf.read("mimetype")[:64]
+                    if mt.startswith(b"application/epub+zip"):
+                        return "epub"
+                    odf = b"application/vnd.oasis.opendocument."
+                    if mt.startswith(odf + b"text"):
+                        return "odt"
+                    if mt.startswith(odf + b"spreadsheet"):
+                        return "ods"
+                    if mt.startswith(odf + b"presentation"):
+                        return "odp"
+                if "content.xml" in names:
+                    return "odt"  # mimetype-less ODF: generic handler
         except zipfile.BadZipFile:
             pass
         return "binary"
@@ -1020,8 +1037,16 @@ def extract_text_bytes(
         return ""
     if f == "pdf":
         return _pdf_extract(bytes(data), engine)
-    if f in ("docx", "xlsx", "pptx"):
-        handler = {"docx": _docx_extract, "xlsx": _xlsx_extract, "pptx": _pptx_extract}[f]
+    if f in ("docx", "xlsx", "pptx", "odt", "ods", "odp", "epub"):
+        handler = {
+            "docx": _docx_extract,
+            "xlsx": _xlsx_extract,
+            "pptx": _pptx_extract,
+            "odt": _odf_extract,
+            "ods": _odf_extract,
+            "odp": _odf_extract,
+            "epub": _epub_extract,
+        }[f]
         try:
             return handler(bytes(data))
         except Exception:
@@ -1297,6 +1322,253 @@ def make_cid_pdf(text: str) -> bytes:
     return _pdf_assemble(objs)
 
 
+# ------------------------------------------------------------ ODF / EPUB
+_ODF_TEXT_NS = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+
+def _odf_extract(data: bytes) -> str:
+    """Text of ``content.xml`` (ODF 1.2: odt/ods/odp share the schema —
+    every visible run lives in a ``text:p``/``text:h``): paragraphs in
+    document order; ``text:tab``/``text:line-break`` contribute a
+    space, ``text:s`` its ``text:c`` count of spaces (the ODF
+    whitespace-compression elements)."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = ElementTree.fromstring(zf.read("content.xml"))
+
+    def para_text(p) -> str:
+        buf: list[str] = []
+
+        def walk(el):
+            if el.text:
+                buf.append(el.text)
+            for ch in el:
+                tag = ch.tag
+                if tag in (
+                    f"{_ODF_TEXT_NS}tab",
+                    f"{_ODF_TEXT_NS}line-break",
+                ):
+                    buf.append(" ")
+                elif tag == f"{_ODF_TEXT_NS}s":
+                    buf.append(
+                        " " * int(ch.get(f"{_ODF_TEXT_NS}c", "1"))
+                    )
+                walk(ch)
+                if ch.tail:
+                    buf.append(ch.tail)
+
+        walk(p)
+        return "".join(buf)
+
+    paras = [
+        para_text(el)
+        for el in root.iter()
+        if el.tag in (f"{_ODF_TEXT_NS}p", f"{_ODF_TEXT_NS}h")
+    ]
+    return _normalize_ws("\n".join(paras))
+
+
+def _epub_extract(data: bytes) -> str:
+    """Text of an EPUB (OCF zip): ``META-INF/container.xml`` names the
+    OPF package file, whose manifest+spine give the reading-order
+    XHTML documents; each strips through the HTML extractor."""
+    import io
+    import posixpath
+    import zipfile
+    from xml.etree import ElementTree
+
+    cns = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+    ons = "{http://www.idpf.org/2007/opf}"
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        container = ElementTree.fromstring(
+            zf.read("META-INF/container.xml")
+        )
+        rootfile = container.find(f".//{cns}rootfile")
+        if rootfile is None:
+            raise ValueError("EPUB container.xml without a rootfile")
+        opf_path = rootfile.get("full-path")
+        opf = ElementTree.fromstring(zf.read(opf_path))
+        manifest = {
+            item.get("id"): item.get("href")
+            for item in opf.iter(f"{ons}item")
+        }
+        base = posixpath.dirname(opf_path)
+        texts: list[str] = []
+        for ref in opf.iter(f"{ons}itemref"):
+            href = manifest.get(ref.get("idref"))
+            if not href:
+                continue
+            member = posixpath.join(base, href) if base else href
+            texts.append(
+                _html_extract(zf.read(member).decode("utf-8", "replace"))
+            )
+    return _normalize_ws("\n".join(texts))
+
+
+_ODF_MIMETYPES = {
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+}
+
+
+def make_simple_odf(text: str, kind: str = "odt", *, wrap: int = 80) -> bytes:
+    """Write a minimal valid ODF document (``odt``/``ods``/``odp``)
+    containing ``text`` as wrapped paragraphs — odt as body
+    paragraphs, ods as one ``text:p`` per spreadsheet cell, odp as
+    text-box frames across slides. Every variant embeds a ``text:s``
+    double-space and a ``text:tab`` so the whitespace-element paths
+    stay exercised. Byte-deterministic (fixed zip timestamps; stored
+    ``mimetype`` first member, per ODF 1.2 §3.3)."""
+    from xml.sax.saxutils import escape
+
+    if kind not in _ODF_MIMETYPES:
+        raise ValueError(f"kind must be odt/ods/odp (got {kind!r})")
+    norm = _normalize_ws(text)
+    lines = textwrap.wrap(
+        norm, wrap, break_long_words=False, break_on_hyphens=False
+    ) or [""]
+
+    def para(line: str) -> str:
+        # exercise text:s / text:tab: replace ONE mid-line space with
+        # each (both normalize back to a single space)
+        mid = line.find(" ", len(line) // 2)
+        if mid > 0:
+            a, b = escape(line[:mid]), escape(line[mid + 1 :])
+            return f"<text:p>{a}<text:tab/>{b}</text:p>"
+        return f"<text:p>{escape(line)}</text:p>"
+
+    office = 'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+    textns = 'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+    if kind == "odt":
+        body = (
+            "<office:text>"
+            + "".join(para(ln) for ln in lines)
+            + "</office:text>"
+        )
+        extra = ""
+    elif kind == "ods":
+        tablens = (
+            'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+        )
+        cells = "".join(
+            f"<table:table-row><table:table-cell>{para(ln)}"
+            "</table:table-cell></table:table-row>"
+            for ln in lines
+        )
+        body = (
+            "<office:spreadsheet>"
+            f'<table:table table:name="Sheet1">{cells}</table:table>'
+            "</office:spreadsheet>"
+        )
+        extra = " " + tablens
+    else:  # odp
+        drawns = (
+            'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"'
+        )
+        pages = []
+        for i in range(0, len(lines), 2):
+            boxes = "".join(
+                f"<draw:frame><draw:text-box>{para(ln)}"
+                "</draw:text-box></draw:frame>"
+                for ln in lines[i : i + 2]
+            )
+            pages.append(
+                f'<draw:page draw:name="page{i // 2 + 1}">{boxes}'
+                "</draw:page>"
+            )
+        body = (
+            "<office:presentation>" + "".join(pages) + "</office:presentation>"
+        )
+        extra = " " + drawns
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f"<office:document-content {office} {textns}{extra} "
+        'office:version="1.2"><office:body>'
+        + body
+        + "</office:body></office:document-content>"
+    )
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest='
+        '"urn:oasis:names:tc:opendocument:xmlns:manifest:1.0" '
+        'manifest:version="1.2">'
+        f'<manifest:file-entry manifest:full-path="/" '
+        f'manifest:media-type="{_ODF_MIMETYPES[kind]}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/>'
+        "</manifest:manifest>"
+    )
+    return _write_fixture_zip(
+        [
+            ("mimetype", _ODF_MIMETYPES[kind]),
+            ("META-INF/manifest.xml", manifest),
+            ("content.xml", content),
+        ]
+    )
+
+
+def make_simple_epub(text: str, *, wrap: int = 80, chapters: int = 2) -> bytes:
+    """Write a minimal valid EPUB (OCF zip: mimetype + container.xml +
+    OPF manifest/spine + XHTML chapters) containing ``text`` split
+    across ``chapters`` reading-order documents. Byte-deterministic."""
+    from xml.sax.saxutils import escape
+
+    norm = _normalize_ws(text)
+    lines = textwrap.wrap(
+        norm, wrap, break_long_words=False, break_on_hyphens=False
+    ) or [""]
+    chapters = max(1, min(chapters, len(lines)))
+    per = (len(lines) + chapters - 1) // chapters
+    chunks = [lines[i : i + per] for i in range(0, len(lines), per)]
+
+    members: list[tuple[str, str]] = []
+    items, refs = [], []
+    for i, chunk in enumerate(chunks, 1):
+        body = "".join(f"<p>{escape(ln)}</p>" for ln in chunk)
+        members.append(
+            (
+                f"OEBPS/chap{i}.xhtml",
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+                f"<title></title></head><body>{body}"
+                "</body></html>",
+            )
+        )
+        items.append(
+            f'<item id="c{i}" href="chap{i}.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+        )
+        refs.append(f'<itemref idref="c{i}"/>')
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        '<dc:identifier id="uid">fixture</dc:identifier>'
+        "<dc:title>fixture</dc:title><dc:language>en</dc:language>"
+        "</metadata>"
+        f"<manifest>{''.join(items)}</manifest>"
+        f"<spine>{''.join(refs)}</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<container version="1.0" xmlns='
+        '"urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    return _write_fixture_zip(
+        [("mimetype", "application/epub+zip")]
+        + [("META-INF/container.xml", container), ("OEBPS/content.opf", opf)]
+        + members
+    )
+
+
 def render_document(text: str | None, fmt: str) -> bytes | None:
     """Render plain text to ``fmt`` bytes with the matching fixture writer
     (``pdf`` / ``html`` / ``text``) — the inverse of extraction under the
@@ -1335,6 +1607,10 @@ def render_document(text: str | None, fmt: str) -> bytes | None:
         )
 
         return make_simple_ppt(text)
+    if fmt in ("odt", "ods", "odp"):
+        return make_simple_odf(text, fmt)
+    if fmt == "epub":
+        return make_simple_epub(text)
     return text.encode("utf-8")
 
 

@@ -6961,6 +6961,58 @@ def q_extract_text(spark, sf):
     )
 
 
+_EXTRACT_ODF_SQL = r"""
+    WITH d AS (SELECT doc_id,
+                      regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+               FROM documents)
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'odt'
+                WHEN 1 THEN 'ods' WHEN 2 THEN 'odp'
+                ELSE 'epub' END AS fmt,
+           CAST(length(norm) AS BIGINT) AS n_chars_x,
+           substr(norm, 1, 40) AS prefix
+    FROM d
+"""
+
+
+@golden("extract_text_odf", _EXTRACT_ODF_SQL)
+def q_extract_text_odf(spark, sf):
+    """D1 breadth, r12 — OpenDocument (odt/ods/odp: zip + content.xml,
+    paragraphs/cells/text-boxes through one ODF 1.2 text:p walk incl.
+    the text:s / text:tab whitespace elements) and EPUB (OCF zip:
+    container.xml → OPF manifest/spine → reading-order XHTML through
+    the HTML extractor). Same roundtrip contract as `extract_text`:
+    ``extract(render(text)) == normalize_ws(text)``, a quarter of the
+    rows per format — the reference's converter claims these formats
+    among its ~150 (01_pdf_to_vector.sql:196-205)."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        extract_text,
+        render_document_col,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    fmt = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("odt"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("ods"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("odp"))
+        .otherwise(F.lit("epub"))
+    )
+    rendered = docs.select(
+        "doc_id",
+        fmt.alias("fmt"),
+        render_document_col(F.col("text"), fmt).alias("payload"),
+    )
+    extracted = rendered.withColumn(
+        "xtext", extract_text(F.col("payload"), engine="builtin")
+    )
+    return extracted.select(
+        "doc_id",
+        "fmt",
+        F.length("xtext").cast("long").alias("n_chars_x"),
+        F.substring("xtext", 1, 40).alias("prefix"),
+    )
+
+
 @golden("bpe_tokens")
 def q_bpe_tokens(spark, sf):
     """REAL byte-pair encoding (r7; Sennrich et al. 2016 — upgrades the
@@ -8096,12 +8148,13 @@ _PRIORITY = [
     "bpe_tokens", "ivf_accuracy_report", "mmr_rerank", "pack_bfd",
     "pca_embed", "rerank_ce", "semdedup", "onnx_embed",
     "approx_count_distinct", "ivf_search",
-    # (d) the r12 add (never witnessed; oracle-paired)
-    "maxsim_token_stage1",
+    # (d) the r12 adds (never witnessed; oracle-paired) — the second
+    # evicts the json_shred fill (json family keeps its r09 witness)
+    "maxsim_token_stage1", "extract_text_odf",
     # (e) stalest r09 fills, one seat per family
     "asof_join", "c4_clean", "ctfidf_topics", "dedup_incremental",
     "exact_dedup", "extract_text", "flagship_search", "gapfill_locf",
-    "image_dedup", "ivf_search_df", "json_shred", "langid",
+    "image_dedup", "ivf_search_df", "langid",
     "pack_sequences", "tumbling_window",
 ]
 

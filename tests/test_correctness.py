@@ -78,8 +78,8 @@ def test_driver_window_composition():
         "bpe_tokens", "ivf_accuracy_report", "mmr_rerank", "pack_bfd",
         "pca_embed", "rerank_ce", "semdedup", "onnx_embed",
         "approx_count_distinct", "ivf_search",
-        # the r12 add takes a head seat (r11 precedent)
-        "maxsim_token_stage1",
+        # the r12 adds take head seats (r11 precedent)
+        "maxsim_token_stage1", "extract_text_odf",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"

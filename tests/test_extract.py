@@ -533,3 +533,75 @@ def test_pdf_structured_path_multi_page_ordering():
     objs = _pdf_objects(data)
     assert any(b"/Type /Page" in d for d, _ in objs.values())
     assert extract_text_bytes(data) == "single page text body"
+
+
+def test_odf_roundtrip_all_kinds():
+    """r12: odt/ods/odp render→sniff→extract roundtrip under the
+    whitespace-normalized contract; the text:s and text:tab whitespace
+    elements normalize back to single spaces; a mimetype-less ODF zip
+    still dispatches through the generic handler."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        _normalize_ws,
+        _write_fixture_zip,
+        detect_format,
+        extract_text_bytes,
+        make_simple_odf,
+    )
+
+    text = (
+        "Alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi."
+    )
+    want = _normalize_ws(text)
+    for kind in ("odt", "ods", "odp"):
+        blob = make_simple_odf(text, kind, wrap=30)
+        assert detect_format(blob) == kind
+        assert extract_text_bytes(blob, on_error="raise") == want
+    with pytest.raises(ValueError, match="odt/ods/odp"):
+        make_simple_odf(text, "odg")
+
+    # mimetype-less ODF (some zippers drop the first member): the
+    # content.xml presence still routes to the generic ODF handler
+    import io
+    import zipfile
+
+    src = make_simple_odf(text, "odt")
+    with zipfile.ZipFile(io.BytesIO(src)) as zf:
+        members = [
+            (n, zf.read(n).decode("utf-8"))
+            for n in zf.namelist()
+            if n != "mimetype"
+        ]
+    stripped = _write_fixture_zip(members)
+    assert detect_format(stripped) == "odt"
+    assert extract_text_bytes(stripped, on_error="raise") == want
+
+
+def test_epub_roundtrip_and_spine_order():
+    """r12: EPUB extraction follows the OPF spine (reading order), not
+    zip member order — chapters shuffled in the archive still come out
+    in spine sequence."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        _normalize_ws,
+        detect_format,
+        extract_text_bytes,
+        make_simple_epub,
+    )
+
+    text = " ".join(f"word{i:03d}" for i in range(60))
+    want = _normalize_ws(text)
+    blob = make_simple_epub(text, wrap=40, chapters=4)
+    assert detect_format(blob) == "epub"
+    assert extract_text_bytes(blob, on_error="raise") == want
+
+    # shuffle member order (rewrite the zip reversed); spine must win
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        members = [(n, zf.read(n)) for n in zf.namelist()]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for n, payload in reversed(members):
+            zf.writestr(zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0)), payload)
+    assert extract_text_bytes(buf.getvalue(), on_error="raise") == want
