@@ -6565,6 +6565,62 @@ def q_image_decode(spark, sf):
 
 
 @golden(
+    "image_decode_ext",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           CAST(8 + doc_id % 8 AS INTEGER) AS height,
+           CAST(doc_id * 37 % 256 AS DOUBLE) AS mean_r,
+           CAST(doc_id * 59 % 256 AS DOUBLE) AS mean_g,
+           CAST(doc_id * 83 % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_image_decode_ext(spark, sf):
+    """X4 image-format breadth (r12): ids rotate through binary P6 and
+    ASCII P3 netpbm, uncompressed and RLE Targa (v2 footer sniffed —
+    TGA has no leading magic), and 24-bpp DIB ICO — the same
+    format-blind arithmetic oracle as `image_decode`, so a decode bug
+    in any of the five new containers cannot hide."""
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        image_features,
+        make_simple_ico,
+        make_simple_ppm,
+        make_simple_tga,
+    )
+
+    @F.pandas_udf("binary")
+    def mk_img(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            w = 8 + int(i) % 16
+            h = 8 + int(i) % 8
+            rgb = (
+                int(i) * 37 % 256,
+                int(i) * 59 % 256,
+                int(i) * 83 % 256,
+            )
+            k = int(i) % 5
+            if k == 0:
+                out.append(make_simple_ppm(w, h, rgb))
+            elif k == 1:
+                out.append(make_simple_ppm(w, h, rgb, ascii_=True))
+            elif k == 2:
+                out.append(make_simple_tga(w, h, rgb))
+            elif k == 3:
+                out.append(make_simple_tga(w, h, rgb, rle=True))
+            else:
+                out.append(make_simple_ico(w, h, rgb))
+        return pd.Series(out, dtype=object)
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), mk_img("doc_id").alias("payload")
+    )
+    return image_features(media)
+
+
+@golden(
     "jpeg_decode",
     """
     SELECT doc_id AS media_id,
@@ -8148,12 +8204,14 @@ _PRIORITY = [
     "bpe_tokens", "ivf_accuracy_report", "mmr_rerank", "pack_bfd",
     "pca_embed", "rerank_ce", "semdedup", "onnx_embed",
     "approx_count_distinct", "ivf_search",
-    # (d) the r12 adds (never witnessed; oracle-paired) — the second
-    # evicts the json_shred fill (json family keeps its r09 witness)
-    "maxsim_token_stage1", "extract_text_odf",
+    # (d) the r12 adds (never witnessed; oracle-paired) — they evict
+    # the json_shred and exact_dedup fills (both families keep an r09
+    # witness; the dedup family is multiply covered by the seated
+    # dedup_incremental plus the r10/r11 near-dup witnesses)
+    "maxsim_token_stage1", "extract_text_odf", "image_decode_ext",
     # (e) stalest r09 fills, one seat per family
     "asof_join", "c4_clean", "ctfidf_topics", "dedup_incremental",
-    "exact_dedup", "extract_text", "flagship_search", "gapfill_locf",
+    "extract_text", "flagship_search", "gapfill_locf",
     "image_dedup", "ivf_search_df", "langid",
     "pack_sequences", "tumbling_window",
 ]

@@ -591,9 +591,214 @@ def decode_image_pixels(data: bytes) -> "_np.ndarray":
         )
 
         return decode_tiff_pixels(data)
+    if data[:2] in (b"P6", b"P5", b"P3", b"P2") and (
+        len(data) > 2 and data[2:3].isspace()
+    ):  # netpbm (r12)
+        return decode_ppm_pixels(data)
+    if data[:4] == b"\x00\x00\x01\x00":  # ICO (r12)
+        return decode_ico_pixels(data)
+    if data[-18:] == b"TRUEVISION-XFILE.\x00":  # TGA v2 footer (r12)
+        return decode_tga_pixels(data)
     raise ValueError(
-        "unrecognized image payload (expected BMP, PNG, JPEG, GIF, or TIFF)"
+        "unrecognized image payload (expected BMP, PNG, JPEG, GIF, TIFF, "
+        "PPM/PGM, ICO, or footered TGA)"
     )
+
+
+def decode_ppm_pixels(data: bytes) -> "_np.ndarray":
+    """netpbm (r12): binary P6 (RGB) / P5 (gray) and ASCII P3 / P2 —
+    whitespace-and-comment tokenized header (the netpbm spec), maxval
+    ≤ 255 (16-bit rasters reject by name). Gray replicates to RGB."""
+    import numpy as _np
+
+    magic = data[:2]
+    pos = 2
+    tokens: list[int] = []
+    # tokenize header: whitespace-separated ints, '#' comments to EOL
+    while len(tokens) < (3 if magic in (b"P6", b"P5") else 3):
+        if pos >= len(data):
+            raise ValueError("netpbm header truncated")
+        c = data[pos : pos + 1]
+        if c == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError(
+            f"netpbm maxval {maxval} > 255 (16-bit rasters) unsupported"
+        )
+    nch = 3 if magic in (b"P6", b"P3") else 1
+    if magic in (b"P6", b"P5"):
+        pos += 1  # exactly one whitespace byte after maxval (spec)
+        raster = _np.frombuffer(
+            data[pos : pos + w * h * nch], dtype=_np.uint8
+        )
+    else:
+        vals = data[pos:].split()
+        raster = _np.array(vals[: w * h * nch], dtype=_np.uint8)
+    if raster.size < w * h * nch:
+        raise ValueError("netpbm raster truncated")
+    px = raster.reshape(h, w, nch)
+    if nch == 1:
+        px = _np.repeat(px, 3, axis=2)
+    return px.copy()
+
+
+def make_simple_ppm(
+    width: int, height: int, rgb: tuple[int, int, int], ascii_: bool = False
+) -> bytes:
+    """Solid-color netpbm fixture: binary P6 (default) or ASCII P3."""
+    import numpy as _np
+
+    px = _np.zeros((height, width, 3), _np.uint8)
+    px[:] = rgb
+    if ascii_:
+        body = "\n".join(
+            " ".join(str(v) for v in row.reshape(-1))
+            for row in px
+        )
+        return f"P3\n{width} {height}\n255\n{body}\n".encode()
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def decode_tga_pixels(data: bytes) -> "_np.ndarray":
+    """Targa TGA (r12): type 2 (uncompressed truecolor) and type 10
+    (RLE truecolor), 24/32 bpp BGR(A), honoring the origin bit
+    (bit 5 of the descriptor: 0 = bottom-up). Color-mapped and gray
+    types reject by name."""
+    import struct as _struct
+
+    import numpy as _np
+
+    id_len, cmap_type, img_type = data[0], data[1], data[2]
+    w, h = _struct.unpack("<HH", data[12:16])
+    bpp, desc = data[16], data[17]
+    if cmap_type != 0 or img_type not in (2, 10):
+        raise NotImplementedError(
+            f"TGA image type {img_type}/cmap {cmap_type} unsupported "
+            "(truecolor 2/10 only)"
+        )
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"TGA {bpp} bpp unsupported (24/32)")
+    nb = bpp // 8
+    pos = 18 + id_len + 0  # no color map (cmap_type 0)
+    need = w * h * nb
+    if img_type == 2:
+        raster = _np.frombuffer(data[pos : pos + need], dtype=_np.uint8)
+        if raster.size < need:
+            raise ValueError("TGA raster truncated")
+    else:  # RLE packets
+        out = bytearray()
+        while len(out) < need:
+            hdr = data[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                out += data[pos : pos + nb] * count
+                pos += nb
+            else:  # raw packet
+                out += data[pos : pos + nb * count]
+                pos += nb * count
+        raster = _np.frombuffer(bytes(out[:need]), dtype=_np.uint8)
+    px = raster.reshape(h, w, nb)[:, :, :3][:, :, ::-1]  # BGR(A) → RGB
+    if not desc & 0x20:  # origin bit clear: bottom-up rows
+        px = px[::-1]
+    return px.copy()
+
+
+def make_simple_tga(
+    width: int, height: int, rgb: tuple[int, int, int], rle: bool = False
+) -> bytes:
+    """Solid-color TGA fixture (24 bpp, bottom-up, v2 footer so the
+    magic-less format stays sniffable): type 2, or type 10 RLE with
+    maximal 128-pixel run packets."""
+    import struct as _struct
+
+    hdr = bytes([0, 0, 10 if rle else 2]) + b"\x00" * 9 + _struct.pack(
+        "<HH", width, height
+    ) + bytes([24, 0])
+    bgr = bytes([rgb[2], rgb[1], rgb[0]])
+    if rle:
+        body = bytearray()
+        n = width * height
+        while n > 0:
+            run = min(128, n)
+            body += bytes([0x80 | (run - 1)]) + bgr
+            n -= run
+        raster = bytes(body)
+    else:
+        raster = bgr * (width * height)
+    footer = (
+        _struct.pack("<II", 0, 0) + b"TRUEVISION-XFILE.\x00"
+    )
+    return hdr + raster + footer
+
+
+def decode_ico_pixels(data: bytes) -> "_np.ndarray":
+    """Windows ICO (r12): first directory entry; the image payload is
+    either an embedded PNG (Vista+ convention — existing decoder) or a
+    BITMAPINFOHEADER DIB whose height covers XOR+AND masks (24/32 bpp
+    decoded; the AND mask is ignored — solid icons carry no
+    transparency evidence)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    (count,) = _struct.unpack("<H", data[4:6])
+    if count < 1:
+        raise ValueError("ICO with no images")
+    # ICONDIRENTRY: w h colors res planes bpp size offset
+    _w8, _h8 = data[6], data[7]
+    size, off = _struct.unpack("<II", data[14:22])
+    payload = data[off : off + size]
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png_pixels(payload)
+    (bisize, w, h2) = _struct.unpack("<Iii", payload[:12])
+    (bpp,) = _struct.unpack("<H", payload[14:16])
+    if bpp not in (24, 32):
+        raise NotImplementedError(
+            f"ICO DIB {bpp} bpp unsupported (24/32 truecolor only)"
+        )
+    h = h2 // 2  # DIB height covers XOR + AND masks
+    nb = bpp // 8
+    stride = ((w * nb + 3) // 4) * 4
+    xor = payload[bisize : bisize + stride * h]
+    rows = _np.frombuffer(xor, dtype=_np.uint8).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)[:, :, :3][:, :, ::-1]
+    return px[::-1].copy()  # DIB rows are bottom-up
+
+
+def make_simple_ico(
+    width: int, height: int, rgb: tuple[int, int, int]
+) -> bytes:
+    """Solid-color ICO fixture: one 24-bpp DIB entry (XOR image +
+    zeroed AND mask, bottom-up padded rows)."""
+    import struct as _struct
+
+    nb = 3
+    stride = ((width * nb + 3) // 4) * 4
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * width).ljust(stride, b"\x00")
+    and_stride = ((width + 31) // 32) * 4
+    dib = (
+        _struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height * 2, 1, 24, 0, 0, 0, 0, 0, 0,
+        )
+        + row * height
+        + b"\x00" * (and_stride * height)
+    )
+    entry = _struct.pack(
+        "<BBBBHHII",
+        width % 256, height % 256, 0, 0, 1, 24, len(dib), 22,
+    )
+    return _struct.pack("<HHH", 0, 1, 1) + entry + dib
 
 
 def decode_image_bytes(data: bytes) -> tuple[int, int, float, float, float]:

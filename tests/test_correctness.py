@@ -79,7 +79,7 @@ def test_driver_window_composition():
         "pca_embed", "rerank_ce", "semdedup", "onnx_embed",
         "approx_count_distinct", "ivf_search",
         # the r12 adds take head seats (r11 precedent)
-        "maxsim_token_stage1", "extract_text_odf",
+        "maxsim_token_stage1", "extract_text_odf", "image_decode_ext",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"

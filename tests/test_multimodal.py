@@ -388,3 +388,61 @@ def test_features_on_error_null(spark):
     assert agot[1].n_samples == 100 and agot[2].rms is None
     with pytest.raises(Exception):
         audio_features(wdf).collect()
+
+
+def test_new_image_formats_decode():
+    """r12 format breadth: netpbm (P6/P5/P3/P2), TGA (raw + RLE, origin
+    bit), ICO (DIB and PNG payloads) all decode to exact pixels; 16-bit
+    netpbm and color-mapped TGA reject by name."""
+    import struct
+
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_tga_pixels,
+        encode_png,
+        make_simple_ico,
+        make_simple_ppm,
+        make_simple_tga,
+    )
+
+    # non-solid pattern through hand-built P6 and raw TGA
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    p6 = b"P6\n# comment\n6 4\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image_pixels(p6), px)
+
+    # TGA type 2, TOP-DOWN origin (descriptor bit 5 set), BGR order
+    tga = (
+        bytes([0, 0, 2]) + b"\x00" * 9
+        + struct.pack("<HH", 6, 4) + bytes([24, 0x20])
+        + px[:, :, ::-1].tobytes()
+        + struct.pack("<II", 0, 0) + b"TRUEVISION-XFILE.\x00"
+    )
+    assert np.array_equal(decode_tga_pixels(tga), px)
+    # bottom-up (writer default) roundtrip
+    assert np.array_equal(
+        decode_image_pixels(make_simple_tga(6, 4, (9, 8, 7)))[0, 0],
+        np.array([9, 8, 7]),
+    )
+
+    # ICO with an embedded PNG payload (Vista+ convention)
+    png = encode_png(px)
+    entry = struct.pack("<BBBBHHII", 6, 4, 0, 0, 1, 32, len(png), 22)
+    ico_png = struct.pack("<HHH", 0, 1, 1) + entry + png
+    assert np.array_equal(decode_image_pixels(ico_png), px)
+    # DIB form
+    assert np.array_equal(
+        decode_image_pixels(make_simple_ico(5, 3, (1, 2, 3)))[0, 0],
+        np.array([1, 2, 3]),
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="65535"):
+        decode_image_pixels(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    bad_tga = bytearray(make_simple_tga(4, 4, (0, 0, 0)))
+    bad_tga[2] = 1  # color-mapped type
+    bad_tga[1] = 1
+    with _pytest.raises(NotImplementedError, match="type 1"):
+        decode_tga_pixels(bytes(bad_tga))
