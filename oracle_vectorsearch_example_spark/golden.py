@@ -6579,9 +6579,14 @@ def q_image_decode(spark, sf):
 def q_image_decode_ext(spark, sf):
     """X4 image-format breadth (r12): ids rotate through binary P6 and
     ASCII P3 netpbm, uncompressed and RLE Targa (v2 footer sniffed —
-    TGA has no leading magic), and 24-bpp DIB ICO — the same
-    format-blind arithmetic oracle as `image_decode`, so a decode bug
-    in any of the five new containers cannot hide."""
+    TGA has no leading magic), 24-bpp DIB ICO, and VP8L lossless WebP
+    (real prefix-code bitstream, subtract-green transform + color
+    cache in the fixture) — the same format-blind arithmetic oracle
+    as `image_decode`, so a decode bug in any of the six new
+    containers cannot hide."""
+    from oracle_vectorsearch_example_spark.functions.webp import (
+        make_simple_webp,
+    )
     from oracle_vectorsearch_example_spark.operators.multimodal import (
         image_features,
         make_simple_ico,
@@ -6591,6 +6596,8 @@ def q_image_decode_ext(spark, sf):
 
     @F.pandas_udf("binary")
     def mk_img(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
         out = []
         for i in ids:
             w = 8 + int(i) % 16
@@ -6600,7 +6607,7 @@ def q_image_decode_ext(spark, sf):
                 int(i) * 59 % 256,
                 int(i) * 83 % 256,
             )
-            k = int(i) % 5
+            k = int(i) % 6
             if k == 0:
                 out.append(make_simple_ppm(w, h, rgb))
             elif k == 1:
@@ -6609,8 +6616,16 @@ def q_image_decode_ext(spark, sf):
                 out.append(make_simple_tga(w, h, rgb))
             elif k == 3:
                 out.append(make_simple_tga(w, h, rgb, rle=True))
-            else:
+            elif k == 4:
                 out.append(make_simple_ico(w, h, rgb))
+            else:
+                px = np.zeros((h, w, 3), np.uint8)
+                px[:] = rgb
+                out.append(
+                    make_simple_webp(
+                        px, subtract_green=True, use_cache_bits=2
+                    )
+                )
         return pd.Series(out, dtype=object)
 
     docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 100)

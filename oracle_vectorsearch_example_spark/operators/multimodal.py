@@ -597,11 +597,17 @@ def decode_image_pixels(data: bytes) -> "_np.ndarray":
         return decode_ppm_pixels(data)
     if data[:4] == b"\x00\x00\x01\x00":  # ICO (r12)
         return decode_ico_pixels(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":  # VP8L (r12)
+        from oracle_vectorsearch_example_spark.functions.webp import (
+            decode_webp_pixels,
+        )
+
+        return decode_webp_pixels(data)
     if data[-18:] == b"TRUEVISION-XFILE.\x00":  # TGA v2 footer (r12)
         return decode_tga_pixels(data)
     raise ValueError(
         "unrecognized image payload (expected BMP, PNG, JPEG, GIF, TIFF, "
-        "PPM/PGM, ICO, or footered TGA)"
+        "PPM/PGM, ICO, WebP-lossless, or footered TGA)"
     )
 
 
