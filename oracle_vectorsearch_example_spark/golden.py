@@ -6581,15 +6581,16 @@ def q_image_decode_ext(spark, sf):
     ASCII P3 netpbm, uncompressed and RLE Targa (v2 footer sniffed —
     TGA has no leading magic), 24-bpp DIB ICO, and VP8L lossless WebP
     (real prefix-code bitstream, subtract-green transform + color
-    cache in the fixture) — the same format-blind arithmetic oracle
-    as `image_decode`, so a decode bug in any of the six new
-    containers cannot hide."""
+    cache in the fixture), plus RLE truecolor PCX — the same
+    format-blind arithmetic oracle as `image_decode`, so a decode bug
+    in any of the seven new containers cannot hide."""
     from oracle_vectorsearch_example_spark.functions.webp import (
         make_simple_webp,
     )
     from oracle_vectorsearch_example_spark.operators.multimodal import (
         image_features,
         make_simple_ico,
+        make_simple_pcx,
         make_simple_ppm,
         make_simple_tga,
     )
@@ -6607,7 +6608,7 @@ def q_image_decode_ext(spark, sf):
                 int(i) * 59 % 256,
                 int(i) * 83 % 256,
             )
-            k = int(i) % 6
+            k = int(i) % 7
             if k == 0:
                 out.append(make_simple_ppm(w, h, rgb))
             elif k == 1:
@@ -6618,6 +6619,8 @@ def q_image_decode_ext(spark, sf):
                 out.append(make_simple_tga(w, h, rgb, rle=True))
             elif k == 4:
                 out.append(make_simple_ico(w, h, rgb))
+            elif k == 5:
+                out.append(make_simple_pcx(w, h, rgb))
             else:
                 px = np.zeros((h, w, 3), np.uint8)
                 px[:] = rgb

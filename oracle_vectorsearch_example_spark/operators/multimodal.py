@@ -603,11 +603,18 @@ def decode_image_pixels(data: bytes) -> "_np.ndarray":
         )
 
         return decode_webp_pixels(data)
+    if (
+        data[:1] == b"\x0a"
+        and len(data) > 67
+        and data[2] == 1
+        and data[3] in (1, 2, 4, 8)
+    ):  # PCX (r12): weak 1-byte magic, so require sane header fields
+        return decode_pcx_pixels(data)
     if data[-18:] == b"TRUEVISION-XFILE.\x00":  # TGA v2 footer (r12)
         return decode_tga_pixels(data)
     raise ValueError(
         "unrecognized image payload (expected BMP, PNG, JPEG, GIF, TIFF, "
-        "PPM/PGM, ICO, WebP-lossless, or footered TGA)"
+        "PPM/PGM, ICO, WebP-lossless, PCX, or footered TGA)"
     )
 
 
@@ -779,6 +786,73 @@ def decode_ico_pixels(data: bytes) -> "_np.ndarray":
     rows = _np.frombuffer(xor, dtype=_np.uint8).reshape(h, stride)
     px = rows[:, : w * nb].reshape(h, w, nb)[:, :, :3][:, :, ::-1]
     return px[::-1].copy()  # DIB rows are bottom-up
+
+
+def decode_pcx_pixels(data: bytes) -> "_np.ndarray":
+    """ZSoft PCX (r12): version 5 truecolor — 8 bits/plane × 3 planes,
+    RLE encoding 1 (top two bits set = run of ``byte & 0x3F``),
+    plane-sequential scanlines padded to bytes_per_line. Paletted
+    depths reject by name."""
+    import struct as _struct
+
+    import numpy as _np
+
+    if data[0] != 0x0A:
+        raise ValueError("not a PCX (missing 0x0A manufacturer byte)")
+    encoding, bpp = data[2], data[3]
+    xmin, ymin, xmax, ymax = _struct.unpack("<4H", data[4:12])
+    planes = data[65]
+    (bpl,) = _struct.unpack("<H", data[66:68])
+    if encoding != 1:
+        raise NotImplementedError(f"PCX encoding {encoding} (RLE=1 only)")
+    if bpp != 8 or planes != 3:
+        raise NotImplementedError(
+            f"PCX {bpp} bpp × {planes} planes unsupported "
+            "(24-bit truecolor only; paletted PCX rejects)"
+        )
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    # RLE decode the full raster: h scanlines × planes × bpl bytes
+    need = h * planes * bpl
+    out = bytearray()
+    pos = 128
+    while len(out) < need:
+        byte = data[pos]
+        pos += 1
+        if byte >= 0xC0:
+            out += bytes([data[pos]]) * (byte & 0x3F)
+            pos += 1
+        else:
+            out.append(byte)
+    rows = _np.frombuffer(bytes(out[:need]), dtype=_np.uint8).reshape(
+        h, planes, bpl
+    )
+    return _np.moveaxis(rows[:, :, :w], 1, 2).copy()
+
+
+def make_simple_pcx(
+    width: int, height: int, rgb: tuple[int, int, int]
+) -> bytes:
+    """Solid-color truecolor PCX fixture (real RLE runs)."""
+    import struct as _struct
+
+    hdr = bytearray(128)
+    hdr[0] = 0x0A
+    hdr[1] = 5  # version
+    hdr[2] = 1  # RLE
+    hdr[3] = 8  # bits per plane
+    _struct.pack_into("<4H", hdr, 4, 0, 0, width - 1, height - 1)
+    hdr[65] = 3  # planes
+    bpl = width + (width & 1)  # even bytes per line
+    _struct.pack_into("<H", hdr, 66, bpl)
+    body = bytearray()
+    for _y in range(height):
+        for v in rgb:
+            n = bpl
+            while n > 0:
+                run = min(63, n)
+                body += bytes([0xC0 | run, v])
+                n -= run
+    return bytes(hdr) + bytes(body)
 
 
 def make_simple_ico(

@@ -446,3 +446,36 @@ def test_new_image_formats_decode():
     bad_tga[1] = 1
     with _pytest.raises(NotImplementedError, match="type 1"):
         decode_tga_pixels(bytes(bad_tga))
+
+
+def test_pcx_decode():
+    """r12: truecolor PCX — RLE runs + literal bytes, plane-sequential
+    scanlines with even padding; paletted depths reject by name."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_pcx_pixels,
+        make_simple_pcx,
+    )
+
+    assert np.all(
+        decode_image_pixels(make_simple_pcx(13, 9, (10, 20, 30)))
+        == (10, 20, 30)
+    )
+    # literal scanline with padding: w=3, bpl=4
+    hdr = bytearray(128)
+    hdr[0], hdr[1], hdr[2], hdr[3] = 0x0A, 5, 1, 8
+    struct.pack_into("<4H", hdr, 4, 0, 0, 2, 0)
+    hdr[65] = 3
+    struct.pack_into("<H", hdr, 66, 4)
+    body = bytes([1, 2, 3, 0, 4, 5, 6, 0, 7, 8, 9, 0])
+    got = decode_pcx_pixels(bytes(hdr) + body)
+    assert got.tolist() == [[[1, 4, 7], [2, 5, 8], [3, 6, 9]]]
+    bad = bytearray(make_simple_pcx(4, 4, (0, 0, 0)))
+    bad[65] = 1  # one plane (paletted)
+    with _pytest.raises(NotImplementedError, match="planes"):
+        decode_pcx_pixels(bytes(bad))
