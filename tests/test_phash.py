@@ -248,3 +248,47 @@ def test_neardup_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_format_image_dedup_r12(spark):
+    """The r12 format doors integrate with the X55 dedup path for
+    free (phash_df decodes via the shared dispatcher): the SAME pixels
+    as BMP, lossless WebP, PCX and TGA collapse to one canonical
+    image, while a different pattern survives."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        dedup_images,
+    )
+    from oracle_vectorsearch_example_spark.functions.webp import (
+        make_simple_webp,
+    )
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        encode_bmp,
+        make_simple_pcx,
+        make_simple_tga,
+    )
+
+    x = (np.arange(32)[:, None] * 5 + np.arange(32)[None, :] * 9) % 256
+    px = np.stack([x, (x * 2) % 256, (x * 3) % 256], axis=-1).astype(
+        np.uint8
+    )
+    other = px[::-1, :, :].copy()
+    # PCX/TGA writers are solid-color-only; hand them the real pattern
+    # through the formats that encode arbitrary pixels, and use solid
+    # variants for the rest of the family sweep
+    rows = [
+        (1, bytearray(encode_bmp(px))),
+        (2, bytearray(make_simple_webp(px, subtract_green=True))),
+        (3, bytearray(make_simple_webp(px, use_cache_bits=4))),
+        (4, bytearray(encode_bmp(other))),
+        (5, bytearray(make_simple_pcx(32, 32, (40, 80, 120)))),
+        (6, bytearray(make_simple_tga(32, 32, (40, 80, 120)))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(
+        r.media_id for r in dedup_images(media, max_hamming=2).collect()
+    )
+    # 1≡2≡3 (same pixels, three containers), 5≡6 (same solid color,
+    # two containers), 4 distinct
+    assert kept == [1, 4, 5]
