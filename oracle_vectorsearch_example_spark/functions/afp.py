@@ -195,6 +195,14 @@ def _decode_pcm(data: bytes):
         return _decode_aiff(data)
     if data[:4] == b".snd":
         return _decode_au(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        # the audio TRACK of a video container (r12): dedup_audio over
+        # AVI soundtracks with no extra wiring
+        from oracle_vectorsearch_example_spark.functions.avi import (
+            avi_audio_pcm,
+        )
+
+        return avi_audio_pcm(data)
     with _wave.open(_io.BytesIO(data), "rb") as w:
         width = w.getsampwidth()
         nch = w.getnchannels()
@@ -298,6 +306,21 @@ def _g711_tables():
 _G711: tuple | None = None
 
 
+def _g711_decode(raw: bytes, mu: bool, nch: int = 1):
+    """((n, nch) int array, 16) from G.711-coded bytes (µ-law or
+    A-law) via the ITU expansion tables — shared by the AU and AVI
+    audio paths."""
+    import numpy as np
+
+    global _G711
+    if _G711 is None:
+        _G711 = _g711_tables()
+    table = _G711[0] if mu else _G711[1]
+    x = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.int32)
+    n = len(x) // nch * nch
+    return x[:n].reshape(-1, nch), 16
+
+
 def _decode_au(data: bytes):
     """Sun AU / .snd (r12): big-endian header (magic, data offset,
     size, encoding, rate, channels) + data. Encodings: 1 = G.711
@@ -307,16 +330,10 @@ def _decode_au(data: bytes):
 
     import numpy as np
 
-    global _G711
     _, off, _size, enc, _rate, nch = _struct.unpack(">6I", data[:24])
     body = data[off:]
     if enc in (1, 27):
-        if _G711 is None:
-            _G711 = _g711_tables()
-        table = _G711[0] if enc == 1 else _G711[1]
-        x = table[np.frombuffer(body, dtype=np.uint8)].astype(np.int32)
-        n = len(x) // nch * nch
-        return x[:n].reshape(-1, nch), 16
+        return _g711_decode(body, mu=(enc == 1), nch=nch)
     if enc == 2:
         x = np.frombuffer(body, dtype=np.int8).astype(np.int32)
         n = len(x) // nch * nch

@@ -46,6 +46,7 @@ import struct
 import numpy as np
 
 __all__ = [
+    "avi_audio_pcm",
     "avi_frame_table",
     "decode_avi_frames",
     "decode_video_frames",
@@ -225,6 +226,106 @@ def decode_avi_frames(
     return [(i / fps, _decode_frame(fr, meta)) for i, fr in enumerate(raw)]
 
 
+def avi_audio_pcm(data: bytes):
+    """((n_samples, channels) int array, bits_per_sample) from an
+    AVI's FIRST audio stream (r12): strh ``auds`` + strf WAVEFORMATEX
+    (wFormatTag 1 = integer PCM at 8/16/24/32 bits — the afp WAV width
+    rules, PCM8 unsigned-centered; tag 7 = G.711 µ-law, 6 = A-law via
+    the ITU tables) and the stream's ``NNwb`` chunks concatenated in
+    file order. Compressed tags (MP3 = 0x55, AAC = 0xFF, ...) reject
+    by name. Composes ``dedup_audio`` over video files' soundtracks."""
+    import numpy as np
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/'AVI ' signature)")
+
+    fmt: dict = {}
+    auds_stream: int | None = None
+    chunks: list[bytes] = []
+    stream_no = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal auds_stream, stream_no
+        while pos + 8 <= end:
+            ckid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError(
+                    f"AVI chunk {_fourcc(ckid)!r} overruns its parent"
+                )
+            if ckid == b"LIST":
+                walk(body_start + 4, body_end)
+            elif ckid == b"strh":
+                if (
+                    data[body_start : body_start + 4] == b"auds"
+                    and auds_stream is None
+                ):
+                    auds_stream = stream_no
+                stream_no += 1
+            elif ckid == b"strf" and auds_stream == stream_no - 1 and not fmt:
+                tag, nch, rate = struct.unpack(
+                    "<HHI", data[body_start : body_start + 8]
+                )
+                (bits,) = struct.unpack(
+                    "<H", data[body_start + 14 : body_start + 16]
+                )
+                fmt.update(tag=tag, nch=nch, rate=rate, bits=bits)
+            elif (
+                len(ckid) == 4
+                and ckid[2:4] == b"wb"
+                and ckid[:2].isdigit()
+                and auds_stream is not None
+                and int(ckid[:2]) == auds_stream
+            ):
+                chunks.append(data[body_start:body_end])
+            pos = body_end + (size & 1)
+
+    (root_size,) = struct.unpack("<I", data[4:8])
+    walk(12, min(8 + root_size, len(data)))
+    if auds_stream is None or not fmt:
+        raise ValueError("AVI without an audio stream header")
+    raw = b"".join(chunks)
+    nch = max(1, fmt["nch"])
+    tag, bits = fmt["tag"], fmt["bits"]
+    if tag in (6, 7):  # G.711 A-law / µ-law
+        from oracle_vectorsearch_example_spark.functions.afp import (
+            _g711_decode,
+        )
+
+        return _g711_decode(raw, mu=(tag == 7), nch=nch)
+    if tag != 1:
+        raise NotImplementedError(
+            f"AVI audio wFormatTag 0x{tag:02x} needs a real codec "
+            "(PCM=1 and G.711 6/7 decode offline)"
+        )
+    if bits == 8:  # PCM8 WAV convention: unsigned, center at 0
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+        n = len(x) // nch * nch
+        return x[:n].reshape(-1, nch), 8
+    if bits == 16:
+        x = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+        n = len(x) // nch * nch
+        return x[:n].reshape(-1, nch), 16
+    if bits == 24:
+        b = np.frombuffer(raw[: len(raw) // 3 * 3], dtype=np.uint8)
+        b = b.reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        )
+        n = len(x) // nch * nch
+        return x[:n].reshape(-1, nch), 24
+    if bits == 32:
+        x = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<i4")
+        n = len(x) // nch * nch
+        return x[:n].reshape(-1, nch), 32
+    raise NotImplementedError(f"AVI PCM {bits}-bit samples unsupported")
+
+
 _MOV_LEADING_ATOMS = (
     b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot",
 )
@@ -267,6 +368,8 @@ def make_simple_avi(
     quality: int = 90,
     strip_dht: bool = False,
     codec: str = "MJPG",
+    audio_samples=None,
+    audio_rate: int = 16000,
 ) -> bytes:
     """Deterministic AVI fixture writer: each (h, w, 3) uint8 RGB frame
     is muxed as a ``00dc``/``00db`` chunk; ``hdrl`` carries a real
@@ -328,7 +431,7 @@ def make_simple_avi(
         0x10,  # dwFlags: AVIF_HASINDEX
         len(payloads),  # dwTotalFrames
         0,  # dwInitialFrames
-        1,  # dwStreams
+        2 if audio_samples is not None else 1,  # dwStreams
         max_size,  # dwSuggestedBufferSize
         w,
         h,
@@ -365,11 +468,45 @@ def make_simple_avi(
         w * h * 3,  # biSizeImage
         0, 0, 0, 0,
     )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih)
-        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    audio_raw = None
+    if audio_samples is not None:
+        x = np.asarray(audio_samples)
+        if x.ndim == 1:
+            x = x[:, None]
+        nch_a = x.shape[1]
+        audio_raw = x.astype("<i2").tobytes()
+        strh_a = (
+            b"auds"
+            + b"\x00" * 4
+            + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0,
+                1,  # dwScale (samples)
+                audio_rate,  # dwRate
+                0,
+                len(x),  # dwLength (samples)
+                len(audio_raw),
+                0xFFFFFFFF,
+                2 * nch_a,  # dwSampleSize (PCM16 block)
+                0, 0, 0, 0,
+            )
+        )
+        # WAVEFORMATEX: PCM16
+        strf_a = struct.pack(
+            "<HHIIHHH",
+            1,  # wFormatTag = PCM
+            nch_a,
+            audio_rate,
+            audio_rate * 2 * nch_a,  # avg bytes/sec
+            2 * nch_a,  # block align
+            16,  # bits per sample
+            0,  # cbSize
+        )
+        strl += lst(
+            b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)
+        )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
 
     frame_ckid = b"00dc" if codec == "MJPG" else b"00db"
     movi_body = bytearray()
@@ -377,11 +514,18 @@ def make_simple_avi(
     for p in payloads:
         offsets.append(4 + len(movi_body))
         movi_body += chunk(frame_ckid, p)
+    if audio_raw is not None:
+        offsets.append(4 + len(movi_body))
+        movi_body += chunk(b"01wb", audio_raw)
     movi = lst(b"movi", bytes(movi_body))
 
     idx1 = bytearray()
     for off, p in zip(offsets, payloads):
         idx1 += frame_ckid + struct.pack("<III", 0x10, off, len(p))
+    if audio_raw is not None:
+        idx1 += b"01wb" + struct.pack(
+            "<III", 0x10, offsets[-1], len(audio_raw)
+        )
 
     body = hdrl + movi + chunk(b"idx1", bytes(idx1))
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body

@@ -454,3 +454,43 @@ def test_aiff_au_decode_and_hash(spark):
     assert np.all(pcm_ul == 0)
     with pytest.raises(NotImplementedError, match="encoding 23"):
         _decode_pcm(bytes(_au(b"\x00" * 64, enc=23)))
+
+
+def test_avi_audio_track_dedup(spark):
+    """r12: the PCM audio TRACK of an AVI decodes through the same
+    magic dispatch as standalone audio — an AVI whose soundtrack is a
+    WAV clip's signal dedups WITH that WAV; compressed audio tags
+    (MP3 = 0x55) reject by name."""
+    import struct
+
+    from oracle_vectorsearch_example_spark.functions.afp import (
+        dedup_audio,
+    )
+    from oracle_vectorsearch_example_spark.functions.avi import (
+        avi_audio_pcm,
+        make_simple_avi,
+    )
+
+    sig = _sig(4)
+    frames = [np.full((8, 8, 3), 30 * i, np.uint8) for i in range(2)]
+    avi = bytearray(
+        make_simple_avi(frames, codec="DIB", audio_samples=sig)
+    )
+    other = bytearray(
+        make_simple_avi(frames, codec="DIB", audio_samples=_sig(11))
+    )
+    media = spark.createDataFrame(
+        [(1, _wav(sig)), (2, avi), (3, other)],
+        "media_id long, payload binary",
+    )
+    kept = sorted(
+        r.media_id for r in dedup_audio(media, max_hamming=0).collect()
+    )
+    assert kept == [1, 3]  # AVI soundtrack merged with its WAV twin
+
+    # mp3-tagged stream rejects by name (wFormatTag 0x55)
+    bad = bytes(avi).replace(
+        struct.pack("<HH", 1, 1), struct.pack("<HH", 0x55, 1), 1
+    )
+    with pytest.raises(NotImplementedError, match="0x55"):
+        avi_audio_pcm(bad)
