@@ -203,6 +203,14 @@ def _decode_pcm(data: bytes):
         )
 
         return avi_audio_pcm(data)
+    if len(data) >= 12 and data[4:8] in (
+        b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot",
+    ):
+        from oracle_vectorsearch_example_spark.functions.mov import (
+            mov_audio_pcm,
+        )
+
+        return mov_audio_pcm(data)
     with _wave.open(_io.BytesIO(data), "rb") as w:
         width = w.getsampwidth()
         nch = w.getnchannels()

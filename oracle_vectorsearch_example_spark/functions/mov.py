@@ -31,9 +31,10 @@ import struct
 import numpy as np
 
 __all__ = [
-    "mov_frame_table",
     "decode_mov_frames",
     "make_simple_mov",
+    "mov_audio_pcm",
+    "mov_frame_table",
 ]
 
 _CONTAINERS = {
@@ -80,6 +81,7 @@ def _walk_track(data: bytes, pos: int, end: int) -> dict:
             if count >= 1:
                 e = body + 8
                 t["codec"] = data[e + 4 : e + 8]
+                t["stsd_entry"] = e  # per-type fields re-read by kind
                 # video sample description: 6 reserved + 2 dataref +
                 # ver(2) rev(2) vendor(4) tq(4) sq(4) w(2) h(2)
                 t["width"], t["height"] = struct.unpack(
@@ -213,17 +215,100 @@ def decode_mov_frames(
     return [(t, decode_jpeg_pixels(fr)) for t, fr in zip(ts, raw)]
 
 
+def _resolve_samples(t: dict, data: bytes) -> list[bytes]:
+    """(offset, size) per sample via the stsc chunk map → raw bytes."""
+    sizes = t.get("sizes", [])
+    chunks = t.get("chunks", [])
+    stsc = t.get("stsc", [(1, 1, 1)])
+    out: list[bytes] = []
+    sample = 0
+    for ci in range(len(chunks)):
+        spc = 1
+        for first, per, _sdid in stsc:
+            if ci + 1 >= first:
+                spc = per
+        off = chunks[ci]
+        for _ in range(spc):
+            if sample >= len(sizes):
+                break
+            sz = sizes[sample]
+            out.append(data[off : off + sz])
+            off += sz
+            sample += 1
+    return out
+
+
+def mov_audio_pcm(data: bytes):
+    """((n_samples, channels) int array, bits_per_sample) from a MOV's
+    FIRST sound track (r12): ``hdlr`` subtype ``soun``, sample
+    description codecs ``twos`` (big-endian PCM), ``sowt``
+    (little-endian PCM), ``raw `` (8-bit unsigned, centered like WAV
+    PCM8), ``ulaw``/``alaw`` (G.711 via the shared ITU tables);
+    compressed codecs (mp4a/AAC, ima4, ...) reject by name. The
+    MOV twin of :func:`~.avi.avi_audio_pcm` — ``dedup_audio`` spans
+    QuickTime soundtracks too."""
+    import numpy as np
+
+    data = bytes(data)
+    if len(data) < 12 or data[4:8] not in (
+        b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot",
+    ):
+        raise ValueError("not a QuickTime MOV (no leading ftyp/moov/mdat)")
+    sound = None
+    for typ, body, nxt in _atoms(data, 0, len(data)):
+        if typ == b"moov":
+            for t2, b2, n2 in _atoms(data, body, nxt):
+                if t2 == b"trak":
+                    t = _walk_track(data, b2, n2)
+                    if t.get("handler") == b"soun":
+                        sound = t
+                        break
+    if sound is None or "codec" not in sound:
+        raise ValueError("MOV without a sound track")
+    codec = sound["codec"]
+    # sound description v0: 6 reserved + 2 dataref + ver(2) rev(2)
+    # vendor(4) channels(2) bits(2) ... — channels at entry+24
+    e = sound["stsd_entry"]
+    (nch,) = struct.unpack(">H", data[e + 24 : e + 26])
+    nch = max(1, nch)
+    raw = b"".join(_resolve_samples(sound, data))
+    if codec in (b"ulaw", b"alaw"):
+        from oracle_vectorsearch_example_spark.functions.afp import (
+            _g711_decode,
+        )
+
+        return _g711_decode(raw, mu=(codec == b"ulaw"), nch=nch)
+    if codec == b"raw ":  # 8-bit unsigned, center at 0
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+        n = len(x) // nch * nch
+        return x[:n].reshape(-1, nch), 8
+    if codec in (b"twos", b"sowt"):
+        dt = ">i2" if codec == b"twos" else "<i2"
+        x = np.frombuffer(raw[: len(raw) // 2 * 2], dtype=dt).astype(
+            np.int16
+        )
+        n = len(x) // nch * nch
+        return x[:n].reshape(-1, nch), 16
+    raise NotImplementedError(
+        f"MOV audio codec {codec.decode('latin-1')!r} needs a real codec "
+        "(twos/sowt/raw /ulaw/alaw decode offline)"
+    )
+
+
 def _atom(typ: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + typ + body
 
 
 def make_simple_mov(
-    frames: list[np.ndarray], fps: float = 10.0, quality: int = 90
+    frames: list[np.ndarray], fps: float = 10.0, quality: int = 90,
+    audio_samples=None, audio_rate: int = 16000,
 ) -> bytes:
     """Deterministic 'jpeg'-codec MOV fixture writer: samples in one
     ``mdat`` (one chunk per sample), a full ``moov`` sample table
     (stsd/stts/stsc/stsz/stco over a 1000-unit timescale), ``hdlr``
-    subtype ``vide``. Lossy like any JPEG round trip,
+    subtype ``vide``. ``audio_samples`` (int16, (n,) or (n, nch)) adds
+    a second ``soun`` trak — ``twos`` big-endian PCM16 as one whole-
+    stream sample. Lossy like any JPEG round trip (audio lossless),
     byte-deterministic for fixed inputs."""
     from oracle_vectorsearch_example_spark.functions.jpeg import encode_jpeg
 
@@ -243,15 +328,25 @@ def make_simple_mov(
             encode_jpeg(np.asarray(fr, dtype=np.uint8), quality=quality)
         )
 
+    audio_raw = None
+    nch_a = 1
+    if audio_samples is not None:
+        ax = np.asarray(audio_samples)
+        if ax.ndim == 1:
+            ax = ax[:, None]
+        nch_a = ax.shape[1]
+        audio_raw = ax.astype(">i2").tobytes()
+
     ftyp = _atom(b"ftyp", b"qt  " + struct.pack(">I", 0) + b"qt  ")
     # mdat goes before moov so stco offsets are known when moov writes
-    mdat_body = b"".join(payloads)
+    mdat_body = b"".join(payloads) + (audio_raw or b"")
     mdat_start = len(ftyp) + 8  # offset of first sample byte
     offsets = []
     acc = mdat_start
     for p in payloads:
         offsets.append(acc)
         acc += len(p)
+    audio_offset = acc
     mdat = _atom(b"mdat", mdat_body)
 
     n = len(payloads)
@@ -329,5 +424,58 @@ def make_simple_mov(
         + b"\x00" * 24
         + struct.pack(">I", 2),  # next track id
     )
+    if audio_raw is not None:
+        n_samp = len(audio_raw) // (2 * nch_a)
+        stsd_a = _atom(
+            b"stsd",
+            struct.pack(">II", 0, 1)
+            + struct.pack(">I", 36)
+            + b"twos"
+            + b"\x00" * 6
+            + struct.pack(">H", 1)  # data reference index
+            + struct.pack(">HH", 0, 0)  # version, revision
+            + b"\x00" * 4  # vendor
+            + struct.pack(">HH", nch_a, 16)  # channels, bits
+            + struct.pack(">HH", 0, 0)  # compression id, packet size
+            + struct.pack(">I", (audio_rate & 0xFFFF) << 16 | 0),
+        )
+        # one whole-stream sample: stts(1, n), stsz(1 entry), one chunk
+        stts_a = _atom(b"stts", struct.pack(">IIII", 0, 1, 1, n_samp))
+        stsc_a = _atom(
+            b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 1, 1)
+        )
+        stsz_a = _atom(
+            b"stsz", struct.pack(">III", 0, 0, 1)
+            + struct.pack(">I", len(audio_raw))
+        )
+        stco_a = _atom(
+            b"stco", struct.pack(">II", 0, 1)
+            + struct.pack(">I", audio_offset)
+        )
+        stbl_a = _atom(b"stbl", stsd_a + stts_a + stsc_a + stsz_a + stco_a)
+        smhd = _atom(b"smhd", struct.pack(">IHH", 0, 0, 0))
+        minf_a = _atom(b"minf", smhd + dinf + stbl_a)
+        hdlr_a = _atom(
+            b"hdlr",
+            struct.pack(">I", 0) + b"mhlr" + b"soun" + b"\x00" * 12 + b"\x00",
+        )
+        mdhd_a = _atom(
+            b"mdhd",
+            struct.pack(">IIIII", 0, 0, 0, audio_rate, n_samp)
+            + struct.pack(">HH", 0, 0),
+        )
+        mdia_a = _atom(b"mdia", mdhd_a + hdlr_a + minf_a)
+        tkhd_a = _atom(
+            b"tkhd",
+            struct.pack(">IIIII", 0x0000000F, 0, 0, 2, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+            + struct.pack(
+                ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", 0, 0),
+        )
+        trak += _atom(b"trak", tkhd_a + mdia_a)
     moov = _atom(b"moov", mvhd + trak)
     return ftyp + mdat + moov

@@ -494,3 +494,35 @@ def test_avi_audio_track_dedup(spark):
     )
     with pytest.raises(NotImplementedError, match="0x55"):
         avi_audio_pcm(bad)
+
+
+def test_mov_audio_track_dedup(spark):
+    """r12: a MOV's 'twos' PCM soundtrack decodes through the magic
+    dispatch and dedups with its WAV twin; compressed MOV audio
+    (mp4a) rejects by name."""
+    from oracle_vectorsearch_example_spark.functions.afp import (
+        dedup_audio,
+    )
+    from oracle_vectorsearch_example_spark.functions.mov import (
+        make_simple_mov,
+        mov_audio_pcm,
+    )
+
+    sig = _sig(6)
+    frames = [np.full((8, 8, 3), 30 * i, np.uint8) for i in range(2)]
+    mov = bytearray(
+        make_simple_mov(frames, fps=5.0, audio_samples=sig)
+    )
+    media = spark.createDataFrame(
+        [(1, _wav(sig)), (2, mov),
+         (3, bytearray(make_simple_mov(frames, fps=5.0,
+                                       audio_samples=_sig(12))))],
+        "media_id long, payload binary",
+    )
+    kept = sorted(
+        r.media_id for r in dedup_audio(media, max_hamming=0).collect()
+    )
+    assert kept == [1, 3]
+
+    with pytest.raises(NotImplementedError, match="mp4a"):
+        mov_audio_pcm(bytes(mov).replace(b"twos", b"mp4a"))
