@@ -73,13 +73,23 @@ from oracle_vectorsearch_example_spark.streaming.ingest import (
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+# COUNT-shaped oracles (r12 verdict #2): the SQL pins row cardinality and
+# column names relationally, but one or more value columns carry sentinels
+# because the operator has no SQL replay (ANN probes, greedy packing, ONNX
+# forward passes, HLL estimates). The driver still runs them — its
+# rows_match/schema_match go green; hash_match is intentionally not
+# comparable and the local gate (tests/test_correctness.py,
+# scripts/compare_oracle.py) checks rows + columns only for these names.
+COUNT_ORACLE: set[str] = set()
 
 
-def golden(name: str, sql: str | None = None):
+def golden(name: str, sql: str | None = None, count_only: bool = False):
     def dec(fn):
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
+            if count_only:
+                COUNT_ORACLE.add(name)
         return fn
 
     return dec
@@ -1975,7 +1985,19 @@ def q_embed_double(spark, sf):
     )
 
 
-@golden("onnx_embed")
+@golden(
+    "onnx_embed",
+    """
+    -- COUNT-shaped oracle (r12 verdict #2): pins row cardinality and
+    -- column names; the transformer forward pass is not SQL-expressible,
+    -- so c0/c1 are sentinels and the value hash is intentionally not
+    -- comparable. Numeric contract: tests/test_onnx_contract.py.
+    SELECT doc_id, CAST(16 AS BIGINT) AS dim,
+           CAST(0 AS DOUBLE) AS c0, CAST(0 AS DOUBLE) AS c1
+    FROM documents WHERE doc_id < 50
+    """,
+    count_only=True,
+)
 def q_onnx_embed(spark, sf):
     """REAL ONNX graph inference as a query (r6; the reference's core
     VECTOR_EMBEDDING capability — in-DB MiniLM inference,
@@ -2842,7 +2864,20 @@ def q_substring_dedup(spark, sf):
     )
 
 
-@golden("ivf_accuracy_report")
+@golden(
+    "ivf_accuracy_report",
+    """
+    -- COUNT-shaped oracle (r12 verdict #2): every_depth=True pins the
+    -- curve to exactly n_clusters=16 rows with nprobe real; the recall
+    -- values live in the trained centroids (no SQL replay), so they are
+    -- sentinels and the value hash is intentionally not comparable.
+    -- Curve correctness is pinned in tests/test_search_ivf.py.
+    SELECT CAST(r.range + 1 AS INTEGER) AS nprobe, CAST(0 AS DOUBLE) AS recall,
+           CAST(0 AS BIGINT) AS n_recalled, CAST(0 AS BIGINT) AS n_true
+    FROM range(16) r
+    """,
+    count_only=True,
+)
 def q_ivf_accuracy_report(spark, sf):
     """Index accuracy curve as a query (D5+ — the
     DBMS_VECTOR.INDEX_ACCURACY_REPORT analog; operational sibling of
@@ -2860,7 +2895,7 @@ def q_ivf_accuracy_report(spark, sf):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return idx.accuracy_report(q, k=5, exclude_self=True)
+    return idx.accuracy_report(q, k=5, exclude_self=True, every_depth=True)
 
 
 @golden(
@@ -6066,7 +6101,26 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(docs, max_tokens=512, n_shards=8)
 
 
-@golden("pack_bfd")
+@golden(
+    "pack_bfd",
+    r"""
+    -- COUNT-shaped oracle (r12 verdict #2): no-split packing emits
+    -- exactly one row per non-empty document; doc_id and n_tokens
+    -- (whitespace count clamped to the 512 pack size) are real, the
+    -- BFD greedy has no SQL replay so shard/pack_id/pack_offset are
+    -- sentinels and the value hash is intentionally not comparable.
+    -- The pick sequence is pinned in tests/test_packing.py.
+    SELECT CAST(0 AS INTEGER) AS shard, CAST(0 AS BIGINT) AS pack_id,
+           doc_id, CAST(0 AS BIGINT) AS pack_offset,
+           CAST(least(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')), 512) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> x <> '')) > 0
+    """,
+    count_only=True,
+)
 def q_pack_bfd(spark, sf):
     """No-split sequence packing (X8+, rows-only by design — the
     best-fit-decreasing greedy has no SQL replay; the python-reference
@@ -7087,17 +7141,30 @@ def q_extract_text_odf(spark, sf):
     )
 
 
-@golden("bpe_tokens")
+@golden(
+    "bpe_tokens",
+    """
+    -- COUNT-shaped oracle (r12 verdict #2): pins row cardinality and
+    -- column names; the BPE merge loop is not SQL-expressible, so the
+    -- value columns are sentinels and the value hash is intentionally
+    -- not comparable. The numeric contract lives in tests/test_bpe.py.
+    SELECT doc_id, CAST(0 AS BIGINT) AS n_tokens, '' AS head_tokens
+    FROM documents WHERE doc_id < 200
+    """,
+    count_only=True,
+)
 def q_bpe_tokens(spark, sf):
     """REAL byte-pair encoding (r7; Sennrich et al. 2016 — upgrades the
     token-counting surface from a BPE-ish regex to the actual algorithm):
     merges train on the corpus word histogram (one distributed shuffle,
     driver-side merge loop — how real tokenizer trainers work), then the
-    corpus encodes through the learned ranks. Rows-only: the iterative
-    merge learning is not SQL-expressible; the trainer is pinned against
-    an independently written reference implementation and the paper's
-    worked example in tests/test_bpe.py, and merges are a deterministic,
-    layout-independent function of (corpus, num_merges)."""
+    corpus encodes through the learned ranks. Count-oracle only: the
+    iterative merge learning is not SQL-expressible; the trainer is
+    pinned against an independently written reference implementation and
+    the paper's worked example in tests/test_bpe.py, and merges are a
+    deterministic, layout-independent function of (corpus, num_merges).
+    head_tokens is JSON-serialized (SURVEY §5.2: every output column
+    scalar — arrays broke the driver's canonicalizer in r12)."""
     from oracle_vectorsearch_example_spark.functions.bpe import (
         bpe_encode_df,
         train_bpe,
@@ -7108,23 +7175,52 @@ def q_bpe_tokens(spark, sf):
     enc = bpe_encode_df(docs.filter(F.col("doc_id") < 200), merges)
     return enc.select(
         "doc_id", "n_tokens",
-        F.slice("tokens", 1, 5).alias("head_tokens"),
+        F.to_json(F.slice("tokens", 1, 5)).alias("head_tokens"),
     )
 
 
-# ---------------------------------------- approx / ANN (no SQL oracle — the
-# driver records the weaker rows-only check; SURVEY.md §5: never hash-check
-# approximate operators)
-@golden("approx_count_distinct")
+# ---------------------------------------- approx / ANN (COUNT-shaped oracles
+# per r12 verdict #2: the row cardinality and column names are pinned
+# relationally; value columns the engine can't replay in SQL carry sentinels,
+# so the driver's rows_match/schema_match go green while hash_match stays
+# intentionally incomparable. SURVEY.md §5: never hash-check approximate
+# operators — their numeric contracts are tolerance-gated in tests/)
+@golden(
+    "approx_count_distinct",
+    """
+    -- COUNT-shaped oracle (r12 verdict #2): pins the group cardinality
+    -- and column names; HLL++ estimates are engine-specific, so
+    -- approx_users is a sentinel and the value hash is intentionally
+    -- not comparable (SURVEY §5: never hash-check approx operators).
+    SELECT event_type, CAST(0 AS BIGINT) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+    count_only=True,
+)
 def q_approx_count_distinct(spark, sf):
-    """HLL++ approximate distinct (DQ-17*; A3) — tolerance-only."""
+    """HLL++ approximate distinct (DQ-17*; A3) — count-oracle +
+    tolerance tests only."""
     ev = read_table(spark, sf, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
     )
 
 
-@golden("ivf_search")
+@golden(
+    "ivf_search",
+    """
+    -- COUNT-shaped oracle (r12 verdict #2): an IVF search returns
+    -- exactly k rows per query (every nprobe=4-of-16 probe set holds
+    -- >= k candidates at every test SF); qid and rank are real, the
+    -- neighbor ids depend on the trained centroids so vec_id is a
+    -- sentinel and the value hash is intentionally not comparable.
+    -- Recall vs exact is gated in tests/test_search_ivf.py.
+    SELECT q.vec_id AS qid, CAST(r.range + 1 AS INTEGER) AS rank,
+           CAST(-1 AS BIGINT) AS vec_id
+    FROM embeddings q CROSS JOIN range(10) r WHERE q.vec_id < 10
+    """,
+    count_only=True,
+)
 def q_ivf_search(spark, sf):
     """IVF ANN search (DQ-37*; D5 — the NEIGHBOR PARTITIONS index analog,
     01_pdf_to_vector.sql:93-97): KMeans clusters + nprobe-pruned exact
@@ -7757,7 +7853,20 @@ def q_ndcg_eval(spark, sf):
 
 
 # ------------------------------------------------- MMR diversification (X44)
-@golden("mmr_rerank")
+@golden(
+    "mmr_rerank",
+    """
+    -- COUNT-shaped oracle (r12 verdict #2): MMR returns exactly k rows
+    -- per query (5 queries x k=10); qid and rank are real, the greedy
+    -- argmax pick has no SQL replay so vec_id/distance are sentinels
+    -- and the value hash is intentionally not comparable. The pick
+    -- sequence is pinned in tests/test_mmr.py.
+    SELECT q.vec_id AS qid, CAST(r.range + 1 AS BIGINT) AS rank,
+           CAST(-1 AS BIGINT) AS vec_id, CAST(0 AS DOUBLE) AS distance
+    FROM embeddings q CROSS JOIN range(10) r WHERE q.vec_id < 5
+    """,
+    count_only=True,
+)
 def q_mmr_rerank(spark, sf):
     """Diversified vector top-k via Maximal Marginal Relevance (X44,
     rows-only by design — the greedy argmax loop has no SQL replay; the
@@ -8158,16 +8267,28 @@ def q_merge_upsert(spark, sf):
 
 
 # ------------------------------------------------------ PCA whitening (X42)
-@golden("pca_embed")
+@golden(
+    "pca_embed",
+    """
+    -- COUNT-shaped oracle (r12 verdict #2): pins row cardinality and
+    -- column names; eigh has no SQL replay, so `pca` is a sentinel and
+    -- the value hash is intentionally not comparable. Numeric contracts
+    -- live in tests/test_pca.py.
+    SELECT vec_id, '' AS pca FROM embeddings
+    """,
+    count_only=True,
+)
 def q_pca_embed(spark, sf):
-    """PCA projection of the embeddings table (X42, rows-only by design
-    — eigh has no SQL replay; the hard contracts live in tests/
+    """PCA projection of the embeddings table (X42, count-oracle only by
+    design — eigh has no SQL replay; the hard contracts live in tests/
     test_pca.py: numpy parity, orthonormality, EXACT repartition
     equality of the canonical two-level moment fold, rotation-
     invariance of full-dim search). Fit is layout-independent
     (bucket-by-id-hash, ascending-id fold per bucket, ascending-bucket
     driver fold); transform is a map-side Arrow matmul. Returns the
-    top-4 components per vector, rounded to 6dp."""
+    top-4 components per vector, rounded to 6dp and JSON-serialized
+    (SURVEY §5.2: every output column scalar — arrays broke the
+    driver's canonicalizer in r12)."""
     from oracle_vectorsearch_example_spark.operators.pca import pca_fit
 
     emb = read_table(spark, sf, "embeddings")
@@ -8175,7 +8296,9 @@ def q_pca_embed(spark, sf):
     out = model.transform(emb, vec_col="embedding", out_col="pca", k=4)
     return out.select(
         "vec_id",
-        F.transform(F.col("pca"), lambda x: F.round(x, 6)).alias("pca"),
+        F.to_json(
+            F.transform(F.col("pca"), lambda x: F.round(x, 6))
+        ).alias("pca"),
     )
 
 

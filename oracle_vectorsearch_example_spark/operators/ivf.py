@@ -676,6 +676,7 @@ class IvfIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
         exclude_self: bool = False,
+        every_depth: bool = False,
     ) -> DataFrame:
         """The DBMS_VECTOR.INDEX_ACCURACY_REPORT analog (the operational
         sibling of the reference's TARGET ACCURACY clause,
@@ -685,22 +686,28 @@ class IvfIndex:
         pass (a true neighbor is recalled at depth p iff its cluster
         ranks ≤ p), not k × n_clusters repeated searches. Pick an
         operating point by reading the curve; ``calibrate`` returns the
-        minimal depth for one target."""
+        minimal depth for one target. ``every_depth=True`` emits one
+        row per depth 1..n_clusters (the cumulative step curve at a
+        FIXED shape — n_clusters rows regardless of where recall
+        improves), so callers that pin the output cardinality (the
+        ``ivf_accuracy_report`` golden's count-shaped oracle) get a
+        data-independent row count."""
         ranks = self._truth_cluster_ranks(
             queries, k, query_id, query_vec, exclude_self
         )
         spark = queries.sparkSession
         schema = "nprobe int, recall double, n_recalled long, n_true long"
-        if not ranks:
+        if not ranks and not every_depth:
             return spark.createDataFrame([], schema)
         n = len(ranks)
         rows, seen = [], 0
         from collections import Counter
 
         by_depth = Counter(ranks)
-        for p in sorted(by_depth):
-            seen += by_depth[p]
-            rows.append((p, round(seen / n, 6), seen, n))
+        depths = range(1, len(self.centroids) + 1) if every_depth else sorted(by_depth)
+        for p in depths:
+            seen += by_depth.get(p, 0)
+            rows.append((p, round(seen / n, 6) if n else 0.0, seen, n))
         return spark.createDataFrame(rows, schema)
 
     def search(

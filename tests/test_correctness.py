@@ -32,6 +32,13 @@ def test_matches_oracle(spark, sf_dir, con, name):
     drows = res.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    if name in golden.COUNT_ORACLE:
+        # COUNT-shaped oracle (r12 verdict #2): the SQL pins cardinality
+        # and column names only — value columns carry sentinels because
+        # the operator has no SQL replay (hash intentionally incomparable)
+        assert len(srows) == len(drows), (
+            f"{name}: row counts differ {len(srows)} vs {len(drows)}")
+        return
     sn, dn = normalize(srows, scols), normalize(drows, dcols)
     assert len(sn) == len(dn), f"{name}: row counts differ {len(sn)} vs {len(dn)}"
     if sn != dn:
