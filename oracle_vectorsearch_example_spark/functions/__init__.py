@@ -40,6 +40,15 @@ from oracle_vectorsearch_example_spark.functions.afp import (
     afp_from_samples,
     dedup_audio,
 )
+from oracle_vectorsearch_example_spark.functions.mp3 import (
+    dedup_mp3,
+    make_simple_mp3,
+    mp3_frame_table,
+    mp3_gain_code,
+    mp3_gain_code_df,
+    mp3_gain_envelope,
+    mp3_side_info,
+)
 from oracle_vectorsearch_example_spark.functions.phash import (
     dedup_images,
     phash_band_candidates,
@@ -107,6 +116,13 @@ __all__ = [
     "utl_to_summary",
     "summarize_df",
     "snippet_df",
+    "dedup_mp3",
+    "make_simple_mp3",
+    "mp3_frame_table",
+    "mp3_gain_code",
+    "mp3_gain_code_df",
+    "mp3_gain_envelope",
+    "mp3_side_info",
     "dedup_images",
     "phash_band_candidates",
     "phash_df",

@@ -211,6 +211,19 @@ def _decode_pcm(data: bytes):
         )
 
         return mov_audio_pcm(data)
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        # named gate (r13): Layer III PCM needs the ISO-tabulated
+        # Huffman tables + 512-tap synthesis window, absent in this
+        # no-egress container and not formula-derivable; the codec-
+        # domain evidence path is functions.mp3.dedup_mp3 (gain
+        # envelope from side info — no PCM required)
+        raise NotImplementedError(
+            "MPEG audio (MP3) PCM decode needs the ISO Huffman/synthesis"
+            "-window tables, absent here; use functions.mp3.dedup_mp3 / "
+            "mp3_gain_code_df for codec-domain dedup evidence"
+        )
     with _wave.open(_io.BytesIO(data), "rb") as w:
         width = w.getsampwidth()
         nch = w.getnchannels()

@@ -176,15 +176,40 @@ def _std_dht_segment() -> bytes:
 _STD_DHT: bytes | None = None
 
 
+def _has_dht(frame: bytes) -> bool:
+    """True iff the stream carries a real FFC4 DHT MARKER — a marker
+    walk like ``_strip_dht``'s, not a substring scan: the byte pair
+    0xFF 0xC4 legitimately occurs inside other segment payloads (DQT
+    values at low quality, APPn/thumbnail data), which made a
+    genuinely DHT-stripped frame look table-complete and fail the
+    T.81 decode (ADVICE r12)."""
+    pos = 2
+    n = len(frame)
+    while pos + 4 <= n:
+        if frame[pos] != 0xFF:
+            return False  # lost sync — let the real decoder complain
+        marker = frame[pos + 1]
+        if marker == 0xC4:
+            return True
+        if marker == 0xDA:  # SOS: entropy data follows, no DHT came
+            return False
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # bare markers
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", frame[pos + 2 : pos + 4])
+        pos += 2 + seg_len
+    return False
+
+
 def _ensure_dht(frame: bytes) -> bytes:
     """Re-inject the Annex K Huffman tables into a DHT-less MJPEG frame
     (inserted right after SOI; a frame that already carries any DHT is
     returned untouched)."""
     global _STD_DHT
-    if b"\xff\xc4" in frame:
-        return frame
     if frame[:2] != b"\xff\xd8":
         raise ValueError("AVI MJPG frame is not a JPEG (missing SOI)")
+    if _has_dht(frame):
+        return frame
     if _STD_DHT is None:
         _STD_DHT = _std_dht_segment()
     return frame[:2] + _STD_DHT + frame[2:]

@@ -138,17 +138,29 @@ def mov_frame_table(data: bytes) -> tuple[dict, list[bytes]]:
     ):
         raise ValueError("not a QuickTime MOV (no leading ftyp/moov/mdat)")
 
+    # prefer an explicit 'vide' handler across ALL traks before falling
+    # back to handler-less ones; a sound trak also carries codec+chunks,
+    # so a MOV whose 'soun' trak precedes the video trak must not win
+    # the fallback (ADVICE r12 — mirror of mov_audio_pcm's 'soun' match)
     video = None
+    fallback = None
     for typ, body, nxt in _atoms(data, 0, len(data)):
         if typ == b"moov":
             for t2, b2, n2 in _atoms(data, body, nxt):
                 if t2 == b"trak":
                     t = _walk_track(data, b2, n2)
-                    if t.get("handler") == b"vide" or (
-                        "codec" in t and "chunks" in t
-                    ):
+                    if t.get("handler") == b"vide":
                         video = t
                         break
+                    if (
+                        fallback is None
+                        and t.get("handler") != b"soun"
+                        and "codec" in t
+                        and "chunks" in t
+                    ):
+                        fallback = t
+    if video is None:
+        video = fallback
     if video is None or "codec" not in video:
         raise ValueError("MOV without a video track")
     codec = video["codec"]
@@ -302,13 +314,17 @@ def _atom(typ: bytes, body: bytes) -> bytes:
 def make_simple_mov(
     frames: list[np.ndarray], fps: float = 10.0, quality: int = 90,
     audio_samples=None, audio_rate: int = 16000,
+    audio_first: bool = False,
 ) -> bytes:
     """Deterministic 'jpeg'-codec MOV fixture writer: samples in one
     ``mdat`` (one chunk per sample), a full ``moov`` sample table
     (stsd/stts/stsc/stsz/stco over a 1000-unit timescale), ``hdlr``
     subtype ``vide``. ``audio_samples`` (int16, (n,) or (n, nch)) adds
     a second ``soun`` trak — ``twos`` big-endian PCM16 as one whole-
-    stream sample. Lossy like any JPEG round trip (audio lossless),
+    stream sample; ``audio_first=True`` writes the sound trak BEFORE
+    the video trak (real muxers emit either order — the reader must
+    not take the first codec-bearing trak as video, ADVICE r12).
+    Lossy like any JPEG round trip (audio lossless),
     byte-deterministic for fixed inputs."""
     from oracle_vectorsearch_example_spark.functions.jpeg import encode_jpeg
 
@@ -476,6 +492,7 @@ def make_simple_mov(
             )
             + struct.pack(">II", 0, 0),
         )
-        trak += _atom(b"trak", tkhd_a + mdia_a)
+        trak_a = _atom(b"trak", tkhd_a + mdia_a)
+        trak = trak_a + trak if audio_first else trak + trak_a
     moov = _atom(b"moov", mvhd + trak)
     return ftyp + mdat + moov

@@ -308,7 +308,11 @@ def _cash(l: int, t: int, tl: int) -> int:
     for shift in (24, 16, 8, 0):
         a = (ave >> shift) & 0xFF
         c = (tl >> shift) & 0xFF
-        out |= _clamp(a + (a - c) // 2) << shift
+        # spec's C `(a - c) / 2` truncates toward zero — Python's floor
+        # division differs for negative odd deltas (ADVICE r12)
+        d = a - c
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= _clamp(a + half) << shift
     return out
 
 
@@ -363,7 +367,10 @@ def _inv_predictor(argb: np.ndarray, pred_img: np.ndarray, bits: int) -> None:
                 l = int(argb[y, x - 1])
                 t = int(argb[y - 1, x])
                 tl = int(argb[y - 1, x - 1])
-                tr = int(argb[y - 1, x + 1]) if x + 1 < w else int(argb[y - 1, 0])
+                # rightmost column: TR is the leftmost pixel of the SAME
+                # row — (0, y) is already reconstructed in scan order
+                # (spec rule; ADVICE r12 — was previous row's leftmost)
+                tr = int(argb[y - 1, x + 1]) if x + 1 < w else int(argb[y, 0])
                 pred = _predict(mode, l, t, tl, tr)
             v = int(argb[y, x])
             out = 0
@@ -613,10 +620,12 @@ def make_simple_webp(
                     l_ = int(recon[y, x - 1])
                     t_ = int(recon[y - 1, x])
                     tl = int(recon[y - 1, x - 1])
+                    # mirror of the decoder's rightmost-column TR rule:
+                    # leftmost pixel of the SAME row (ADVICE r12)
                     tr = (
                         int(recon[y - 1, x + 1])
                         if x + 1 < w
-                        else int(recon[y - 1, 0])
+                        else int(recon[y, 0])
                     )
                     pred = _predict(predictor_mode, l_, t_, tl, tr)
                 v = int(recon[y, x])

@@ -719,6 +719,41 @@ class IncrementalMediaDedup(IncrementalDedup):
             drop=[t for t in tabs if t != first],
         )
 
+    def _check_params(self) -> DataFrame | None:
+        """Base pin check plus the r12→r13 migration (ADVICE r12): a
+        warehouse created under the pre-auto default ``n_blocks=None``
+        stores pin −1; opening it under the new ``'auto'`` default
+        (pin −2) is NOT a parameter conflict — plain d+1 banding is
+        exactly what auto mode starts from. Adopt it: re-pin to −2 and
+        record plain as the effective scheme in one atomic commit
+        (the band keys are untouched, so no re-key is needed); the
+        auto crossover then governs future ingests like any auto
+        warehouse. Every other mismatch still refuses loudly."""
+        name = f"{self.prefix}_params"
+        if self.params["n_blocks"] == -2 and name in self.wh.tables():
+            stored = self.wh.read(name).collect()[0].asDict()
+            mine = dict(
+                self.params, text_col=self.text_col, id_col=self.id_col
+            )
+            if stored.get("n_blocks") == -1 and {
+                k: stored[k] for k in mine if k != "n_blocks"
+            } == {k: mine[k] for k in mine if k != "n_blocks"}:
+                migrated = dict(stored, n_blocks=-2)
+                params_df = self.wh.spark.createDataFrame(
+                    [tuple(migrated[k] for k in sorted(migrated))],
+                    ", ".join(
+                        f"{k} {'string' if isinstance(migrated[k], str) else 'int'}"
+                        for k in sorted(migrated)
+                    ),
+                )
+                banding_row = self.wh.spark.createDataFrame(
+                    [(-1,)], "n_blocks_effective int"
+                )
+                self.wh.commit(
+                    {name: params_df, f"{self.prefix}_banding": banding_row}
+                )
+        return super()._check_params()
+
     def ingest(self, batch: DataFrame, batch_id: int | None = None) -> int:
         """See :meth:`IncrementalDedup.ingest` — same contract,
         including the ``batch_id`` exactly-once ledger. Under
@@ -727,7 +762,9 @@ class IncrementalMediaDedup(IncrementalDedup):
         small, Manku 10-block keys from ``manku_auto_at`` signatures —
         with a transactional re-key of the persisted band tables at
         the flip (results are scheme-invariant; only the candidate
-        discipline changes)."""
+        discipline changes). Warehouses created under the old
+        ``n_blocks=None`` default migrate transparently (see
+        ``_check_params``)."""
         if batch_id is not None and self.seen_batch(batch_id):
             return self.wh.current_version()
         params_df = self._check_params()

@@ -186,7 +186,14 @@ def token_candidates(
                 F.col(qtok_col).cast("string"),
             )
         ),
-    ).otherwise(F.col(query_id) * lim + F.col(qtok_col))
+    ).otherwise(
+        # cast BEFORE multiplying: IntegerType ids would stay 32-bit and
+        # silently wrap for qid >= 2^11 under non-ANSI Spark, aliasing
+        # __qkey past the guard (ADVICE r12) — the cast makes the whole
+        # expression 64-bit, matching the 2^43 contract advertised above
+        F.col(query_id).cast("long") * F.lit(lim).cast("long")
+        + F.col(qtok_col).cast("long")
+    )
     q = query_tokens.select(
         guard.alias("__qkey"), F.col(vec_col).alias("qvec")
     )
@@ -257,7 +264,12 @@ def pack_token_ids(
                 "(need 0 <= tidx < 2^20, 0 <= doc_id < 2^43)"
             )
         ),
-    ).otherwise(F.col(id_col) * lim + F.col(tok_col))
+    ).otherwise(
+        # 64-bit packing regardless of the caller's id type (ADVICE r12;
+        # same hazard as token_candidates)
+        F.col(id_col).cast("long") * F.lit(lim).cast("long")
+        + F.col(tok_col).cast("long")
+    )
     return corpus_tokens.select(
         packed.alias("vec_id"), F.col(vec_col).alias("embedding")
     )

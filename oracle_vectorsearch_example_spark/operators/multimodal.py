@@ -81,15 +81,39 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, list[float]]:
         feats = [float(nch), rate / 48000.0, n / max(rate, 1), rms / 32768.0, zcr,
                  0.0, 0.0, 0.0]
         return None, None, [round(f, 6) for f in feats[:FEATURE_DIM]]
-    # MP3/H.264 stay gated on principle, not effort: correct decode
-    # requires ISO-tabulated constants (the Layer III polyphase synthesis
-    # window, CABAC init tables) that are not derivable from a formula —
-    # a from-memory approximation would decode real files subtly wrong,
-    # which is worse than a named rejection. Every format above is
-    # implemented from spec-derivable math and round-trip-verified.
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        # MP3 (r13): STRUCTURAL features from the frame/side-info walk
+        # (duration, rate, channels, gain-envelope stats) — real
+        # evidence with no PCM. Full PCM decode stays gated below.
+        from oracle_vectorsearch_example_spark.functions.mp3 import (
+            mp3_gain_envelope,
+            mp3_frame_table,
+        )
+
+        meta, _ = mp3_frame_table(payload)
+        env = mp3_gain_envelope(payload)
+        mean_g = float(env.mean()) if len(env) else 0.0
+        std_g = float(env.std()) if len(env) else 0.0
+        feats = [float(meta["nch"]), meta["sample_rate"] / 48000.0,
+                 meta["duration_sec"], mean_g / 255.0, std_g / 255.0,
+                 (meta["bitrate_kbps"] or 0) / 320.0, 0.0, 0.0]
+        return None, None, [round(f, 6) for f in feats[:FEATURE_DIM]]
+    # MP3-PCM/H.264 stay gated on principle, not effort: correct decode
+    # requires ISO-tabulated constants (the Layer III Huffman tables +
+    # polyphase synthesis window, CABAC init tables) that are not
+    # derivable from a formula — a from-memory approximation would
+    # decode real files subtly wrong, which is worse than a named
+    # rejection. Every format above is implemented from spec-derivable
+    # math and round-trip-verified; MP3 contributes STRUCTURAL
+    # (side-info) evidence above without touching PCM.
     raise NotImplementedError(
         "real decode covers built-in-decodable formats only (BMP, PNG, "
-        "baseline JPEG, PCM WAV); MP3/H.264 need ffmpeg, absent here"
+        "baseline JPEG, PCM WAV, MP3 structural); MP3-PCM/H.264 need "
+        "ffmpeg, absent here"
     )
 
 

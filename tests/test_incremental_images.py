@@ -507,3 +507,37 @@ def test_auto_manku_flips_at_threshold(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="parameters"):
         bad.ingest(_media(spark, rows[:2]))
+
+
+def test_legacy_none_pin_migrates_to_auto(spark, tmp_path):
+    """A warehouse created under the pre-auto default n_blocks=None
+    (pin −1) must open and ingest under the new 'auto' default instead
+    of refusing every future ingest (ADVICE r12): plain banding is
+    exactly what auto starts from, so the pin re-writes to −2 with an
+    effective-plain banding row in one commit, band keys untouched,
+    and results still equal the full recompute."""
+    classes = [_pattern(40, 40, s) for s in (3, 7)]
+    rows = [(i, _bmp(classes[i % 2] if i < 4 else _near(classes[i % 2])))
+            for i in range(8)]
+    legacy = IncrementalImageDedup(
+        spark, str(tmp_path / "wh"), max_hamming=D, n_blocks=None
+    )
+    legacy.ingest(_media(spark, rows[:4]))
+    assert legacy.params["n_blocks"] == -1
+
+    auto = IncrementalImageDedup(spark, str(tmp_path / "wh"), max_hamming=D)
+    assert auto.params["n_blocks"] == -2
+    auto.ingest(_media(spark, rows[4:]))  # used to raise ValueError
+    assert sorted(
+        r["id"] for r in auto.survivors().collect()
+    ) == _full_survivors(spark, rows)
+    stored = auto.wh.read("imgdedup_params").collect()[0].asDict()
+    assert stored["n_blocks"] == -2
+    assert auto._effective_n_blocks() is None  # plain adopted
+
+    # an explicit non-default int still refuses against the migrated pin
+    bad = IncrementalImageDedup(
+        spark, str(tmp_path / "wh"), max_hamming=D, n_blocks=12
+    )
+    with pytest.raises(ValueError, match="parameters"):
+        bad.ingest(_media(spark, [(99, _bmp(classes[0]))]))

@@ -233,3 +233,40 @@ def test_token_candidates_packing_guard(spark, random_fixture):
         token_candidates(
             random_fixture, q_bad, n_per_token=2, qtok_col="qtidx"
         ).collect()
+
+
+def test_integer_ids_pack_64bit(spark):
+    """IntegerType ids >= 2048 used to wrap 32-bit in the packed key
+    (qid * 2^20 stayed IntegerType under non-ANSI Spark), producing
+    aliased/negative __qkey values that passed the 2^43 guard yet
+    unpacked to wrong ids (ADVICE r12). Pin the cast-before-multiply
+    fix on both pack_token_ids and token_candidates."""
+    from oracle_vectorsearch_example_spark.operators.maxsim import (
+        pack_token_ids,
+        token_candidates,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for doc in (2047, 2048, 5000):  # straddle the 2^11 wrap threshold
+        for t in range(3):
+            rows.append((doc, t, [float(x) for x in rng.normal(size=8)]))
+    tok = spark.createDataFrame(
+        rows, "doc_id int, tidx int, embedding array<double>"
+    )
+
+    packed = pack_token_ids(tok)
+    assert dict(packed.dtypes)["vec_id"] == "bigint"
+    got = sorted(r.vec_id for r in packed.collect())
+    want = sorted((d << 20) + t for d, t, _ in rows)
+    assert got == want, "packed keys wrapped 32-bit"
+
+    q = tok.filter("doc_id = 5000 and tidx = 0").select(
+        F.col("doc_id").alias("qid"),
+        F.col("tidx").alias("qtidx"),
+        "embedding",
+    )
+    cand = token_candidates(tok, q, n_per_token=4, qtok_col="qtidx")
+    out = cand.collect()
+    assert out and all(r.qid == 5000 for r in out)
+    assert all(0 <= r.doc_id <= 5000 for r in out)

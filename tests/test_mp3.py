@@ -1,0 +1,200 @@
+"""MP3 structural walk + codec-domain dedup (r13): writer↔parser
+roundtrips over every supported layout, named gates for what real
+decode would need, the gain-envelope code's robustness boundary, and
+real-world conformance against a LAME-era MPEG-2 LSF file."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.functions.mp3 import (
+    dedup_mp3,
+    make_simple_mp3,
+    mp3_frame_table,
+    mp3_gain_code,
+    mp3_gain_code_df,
+    mp3_gain_envelope,
+    mp3_side_info,
+)
+
+_REAL_MP3 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/"
+    "test.mp3"
+)
+
+
+def _gains(n=128, seed=0):
+    return ((np.arange(n) * 37 + seed * 11) % 256).astype(np.int64)
+
+
+def _ham(a, b):
+    return bin(a ^ b).count("1")
+
+
+@pytest.mark.parametrize(
+    "rate,version,gpf",
+    [(44100, "1", 2), (48000, "1", 2), (32000, "1", 2),
+     (22050, "2", 1), (16000, "2", 1), (8000, "2.5", 1)],
+)
+def test_roundtrip_all_rates(rate, version, gpf):
+    g = _gains()
+    blob = make_simple_mp3(g, sample_rate=rate)
+    meta, frames = mp3_frame_table(blob)
+    assert meta["version"] == version
+    assert meta["sample_rate"] == rate and meta["nch"] == 1
+    assert meta["n_frames"] == len(g) // gpf
+    assert not meta["vbr"] and not meta["has_xing"]
+    assert np.array_equal(mp3_gain_envelope(blob), g)
+    # frame table offsets tile the stream exactly
+    assert frames[0][0] == 0
+    for (o1, l1), (o2, _) in zip(frames, frames[1:]):
+        assert o1 + l1 == o2
+
+
+def test_stereo_and_side_info_fields():
+    g = np.stack([_gains(), (_gains() + 5) % 256], axis=1)
+    blob = make_simple_mp3(g, nch=2)
+    meta, si = mp3_side_info(blob)
+    assert meta["nch"] == 2 and meta["side_len"] == 32
+    first = si[0][0]  # frame 0, granule 0
+    assert [ch["global_gain"] for ch in first] == [int(g[0, 0]), int(g[0, 1])]
+    assert all(
+        ch["big_values"] == 0 and ch["part2_3_length"] == 0
+        and ch["block_type"] == 0
+        for fr in si for gr in fr for ch in gr
+    )
+    # envelope = per-granule max over channels
+    assert np.array_equal(
+        mp3_gain_envelope(blob), np.maximum(g[:, 0], g[:, 1])
+    )
+
+
+def test_id3_and_xing_are_transparent():
+    g = _gains()
+    plain = make_simple_mp3(g)
+    tagged = make_simple_mp3(g, id3_bytes=200, xing=True)
+    m, _ = mp3_frame_table(tagged)
+    assert m["has_xing"]
+    assert np.array_equal(mp3_gain_envelope(tagged), g)
+    assert mp3_gain_code(tagged) == mp3_gain_code(plain)
+
+
+def test_named_gates_and_no_evidence():
+    g = _gains()
+    blob = bytearray(make_simple_mp3(g))
+    # Layer II: header layer bits 10 (byte1 bit2:1 = 0b10 at bits 1-2)
+    l2 = bytes([blob[0], (blob[1] & ~0x06) | (2 << 1)]) + bytes(blob[2:])
+    with pytest.raises(NotImplementedError, match="Layer II"):
+        mp3_frame_table(l2)
+    l1 = bytes([blob[0], (blob[1] & ~0x06) | (3 << 1)]) + bytes(blob[2:])
+    with pytest.raises(NotImplementedError, match="Layer I"):
+        mp3_frame_table(l1)
+    free = bytes(blob[:2]) + bytes([blob[2] & 0x0F]) + bytes(blob[3:])
+    with pytest.raises(NotImplementedError, match="free-format"):
+        mp3_frame_table(free)
+    with pytest.raises(ValueError, match="no MPEG"):
+        mp3_frame_table(b"not audio at all" * 10)
+    # < 64 granules carries no evidence → NULL code, like afp's rule
+    assert mp3_gain_code(make_simple_mp3(_gains(32))) is None
+
+
+def test_gain_code_robustness_boundary():
+    """Retag/re-mux copies hash identically; a few silence pad frames
+    move few bits on a SMOOTH (realistic) loudness envelope — boundary
+    shifts only flip bits where the envelope direction flips within a
+    frame; a different signal is far."""
+    i = np.arange(256)
+    smooth = (128 + 80 * np.sin(2 * np.pi * i / 48)).astype(np.int64)
+    base = mp3_gain_code(make_simple_mp3(smooth))
+    padded = np.concatenate(
+        [np.zeros(4, np.int64), smooth, np.zeros(4, np.int64)]
+    )
+    assert _ham(base, mp3_gain_code(make_simple_mp3(padded))) <= 8
+    other = (128 + 80 * np.sin(2 * np.pi * (i * 3 + 17) / 80)).astype(
+        np.int64
+    )
+    assert _ham(base, mp3_gain_code(make_simple_mp3(other))) > 8
+
+
+def test_pcm_paths_reject_mp3_by_name():
+    """dedup_audio's PCM decode names the gate and points at the
+    codec-domain path; MP3 rows pass through as undecodable."""
+    from oracle_vectorsearch_example_spark.functions.afp import _decode_pcm
+
+    blob = make_simple_mp3(_gains())
+    with pytest.raises(NotImplementedError, match="dedup_mp3"):
+        _decode_pcm(blob)
+    with pytest.raises(NotImplementedError, match="dedup_mp3"):
+        _decode_pcm(b"ID3\x04\x00\x00\x00\x00\x00\x00" + blob)
+
+
+def test_dedup_mp3_end_to_end(spark):
+    """Retagged + Xing-prefixed copies of the same encode collapse;
+    a different encode and a non-MP3 payload survive."""
+    g = _gains()
+    rows = [
+        (1, bytearray(make_simple_mp3(g))),
+        (2, bytearray(make_simple_mp3(g, id3_bytes=64))),       # retag
+        (3, bytearray(make_simple_mp3(g, xing=True))),          # re-mux
+        (4, bytearray(make_simple_mp3(_gains(seed=9) ^ 170))),  # distinct
+        (5, bytearray(b"not audio")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(
+        r.media_id for r in dedup_mp3(media, max_hamming=4).collect()
+    )
+    assert kept == [1, 4, 5]
+    # codes: NULL only for the non-MP3 row
+    codes = {
+        r.media_id: r.mp3_gain_code
+        for r in mp3_gain_code_df(media).collect()
+    }
+    assert codes[5] is None and all(
+        codes[i] is not None for i in (1, 2, 3, 4)
+    )
+    # layout independence
+    a = sorted(codes.items())
+    b = sorted(
+        (r.media_id, r.mp3_gain_code)
+        for r in mp3_gain_code_df(media.repartition(4)).collect()
+    )
+    assert a == b
+
+
+def test_multimodal_real_features_mp3(spark):
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        _real_decode,
+    )
+
+    blob = make_simple_mp3(_gains(), sample_rate=44100)
+    w, h, feats = _real_decode(blob)
+    assert w is None and h is None
+    assert feats[0] == 1.0                      # mono
+    assert feats[1] == round(44100 / 48000, 6)  # rate
+    assert feats[2] > 1.0                       # duration ~1.67 s
+    with pytest.raises(NotImplementedError, match="H.264|ffmpeg"):
+        _real_decode(b"\x00\x00\x00\x01gibberish-annexb")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_REAL_MP3), reason="real-world fixture absent"
+)
+def test_real_world_lsf_file_conformance():
+    """A real (non-repo-written) MPEG-2 LSF mono file: the frame walk
+    holds sync across the whole stream and the side-info field widths
+    land on a coherent gain read — any misalignment would scatter the
+    per-granule gains to noise."""
+    data = open(_REAL_MP3, "rb").read()
+    meta, frames = mp3_frame_table(data)
+    assert meta["version"] == "2" and meta["lsf"]
+    assert meta["sample_rate"] == 22050 and meta["nch"] == 1
+    assert meta["n_frames"] >= 40
+    env = mp3_gain_envelope(data)
+    assert len(env) == meta["n_frames"] * meta["granules"]
+    # a constant-tone test file: every granule's gain is identical —
+    # the strongest possible sync/width check over 45 frames
+    assert env.min() == env.max()

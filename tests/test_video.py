@@ -346,3 +346,63 @@ def test_mov_container_and_mixed_dedup(spark):
         fps=1.0, max_frames=4, decode="real",
     ).collect()
     assert [r.frame_idx for r in got] == [0, 1, 2]
+
+
+def test_mov_audio_first_trak_order():
+    """A MOV whose 'soun' trak precedes the video trak must still yield
+    the video track: audio traks also carry codec+chunks, so a
+    first-match fallback used to take 'twos' as the video codec and
+    raise (silently dropping frame evidence under on_error='null')
+    (ADVICE r12). Audio extraction must be order-insensitive too."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.mov import (
+        make_simple_mov,
+        mov_audio_pcm,
+        mov_frame_table,
+    )
+
+    frames = [_px(s) for s in (0, 3, 6)]
+    sig = (np.sin(np.arange(800) * 0.05) * 9000).astype(np.int16)
+    blob = bytes(
+        make_simple_mov(frames, fps=1.0, audio_samples=sig, audio_first=True)
+    )
+    meta, raw = mov_frame_table(blob)
+    assert meta["codec"] == "jpeg" and len(raw) == 3
+    assert meta["timestamps"] == [0.0, 1.0, 2.0]
+    pcm, bits = mov_audio_pcm(blob)
+    assert bits == 16 and pcm.shape == (800, 1)
+    assert np.array_equal(pcm[:, 0], sig)
+
+
+def test_ensure_dht_ignores_ffc4_in_payloads():
+    """The DHT presence check must walk markers, not substring-scan:
+    the byte pair FF C4 inside a COM/APPn payload made a genuinely
+    DHT-stripped frame look table-complete, so the Annex K tables were
+    never injected and the decode failed — evidence silently dropped
+    under on_error='null' (ADVICE r12)."""
+    import struct as _struct
+
+    from oracle_vectorsearch_example_spark.functions.avi import (
+        _ensure_dht,
+        _has_dht,
+        _strip_dht,
+    )
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    frame = _px(3, h=16, w=16)
+    full = encode_jpeg(frame, quality=90)
+    stripped = _strip_dht(full)
+    # plant FF C4 inside a COM segment right after SOI
+    payload = b"x\xff\xc4y"
+    com = b"\xff\xfe" + _struct.pack(">H", 2 + len(payload)) + payload
+    booby = stripped[:2] + com + stripped[2:]
+    assert b"\xff\xc4" in booby and not _has_dht(booby)
+    assert _has_dht(full)
+    fixed = _ensure_dht(booby)
+    assert _has_dht(fixed)
+    got = decode_jpeg_pixels(fixed)
+    assert got.shape == frame.shape

@@ -163,3 +163,36 @@ def test_short_distance_map_gated():
     riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
     with pytest.raises(NotImplementedError, match="neighborhood"):
         decode_webp_pixels(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_cash_truncates_toward_zero():
+    """Mode-13 ClampAddSubtractHalf uses the spec's C `/2` (truncation
+    toward zero), not Python floor division — they differ for negative
+    odd deltas (ADVICE r12). Channel setup: a=avg2(l,t)=11, c=14 →
+    delta=-3 → trunc gives 11-1=10 (floor would give 9)."""
+    from oracle_vectorsearch_example_spark.functions.webp import _cash
+
+    l = (0xFF << 24) | 10
+    t = (0xFF << 24) | 13
+    tl = (0xFF << 24) | 14
+    assert _cash(l, t, tl) & 0xFF == 10
+
+
+def test_rightmost_column_tr_is_same_row_leftmost():
+    """Spec rule for the TR pixel on the rightmost column: the leftmost
+    pixel of the SAME row, already reconstructed in scan order (ADVICE
+    r12 — previously fell back to the previous row's leftmost). Zero
+    residuals make every pixel equal its predictor, so (1, w-1) under
+    mode 3 (TR) must equal argb[1, 0], not argb[0, 0]."""
+    from oracle_vectorsearch_example_spark.functions.webp import (
+        _inv_predictor,
+    )
+
+    w = 3
+    argb = np.zeros((2, w), dtype=np.uint32)
+    argb[0, 0] = 0x00010203  # residual at origin (pred is 0xFF000000)
+    argb[1, 0] = 0x00050505  # residual vs T=argb[0,0]
+    pred_img = np.array([[3 << 8]], dtype=np.uint32)  # mode 3 everywhere
+    _inv_predictor(argb, pred_img, bits=8)
+    assert argb[1, 0] != argb[0, 0]
+    assert argb[1, w - 1] == argb[1, 0]
