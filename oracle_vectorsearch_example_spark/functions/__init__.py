@@ -40,6 +40,13 @@ from oracle_vectorsearch_example_spark.functions.afp import (
     afp_from_samples,
     dedup_audio,
 )
+from oracle_vectorsearch_example_spark.functions.mp4 import (
+    decode_mp4_frames,
+    make_simple_mp4,
+    mp4_audio_pcm,
+    mp4_brand,
+    mp4_frame_table,
+)
 from oracle_vectorsearch_example_spark.functions.mp3 import (
     dedup_mp3,
     make_simple_mp3,
@@ -116,6 +123,11 @@ __all__ = [
     "utl_to_summary",
     "summarize_df",
     "snippet_df",
+    "decode_mp4_frames",
+    "make_simple_mp4",
+    "mp4_audio_pcm",
+    "mp4_brand",
+    "mp4_frame_table",
     "dedup_mp3",
     "make_simple_mp3",
     "mp3_frame_table",

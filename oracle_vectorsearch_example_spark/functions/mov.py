@@ -314,7 +314,7 @@ def _atom(typ: bytes, body: bytes) -> bytes:
 def make_simple_mov(
     frames: list[np.ndarray], fps: float = 10.0, quality: int = 90,
     audio_samples=None, audio_rate: int = 16000,
-    audio_first: bool = False,
+    audio_first: bool = False, flavor: str = "mov",
 ) -> bytes:
     """Deterministic 'jpeg'-codec MOV fixture writer: samples in one
     ``mdat`` (one chunk per sample), a full ``moov`` sample table
@@ -325,9 +325,17 @@ def make_simple_mov(
     the video trak (real muxers emit either order — the reader must
     not take the first codec-bearing trak as video, ADVICE r12).
     Lossy like any JPEG round trip (audio lossless),
-    byte-deterministic for fixed inputs."""
+    byte-deterministic for fixed inputs. ``flavor='mp4'`` (r13, via
+    :func:`~.mp4.make_simple_mp4`) writes the ISO-BMFF dialect of the
+    SAME atom grammar: ``isom``/``mp42``-branded ftyp, a
+    self-contained ``url `` data reference, and a zeroed hdlr
+    pre_defined slot — byte-level dialect only; every sample table is
+    identical, which is the point (MP4 inherited QuickTime's
+    grammar)."""
     from oracle_vectorsearch_example_spark.functions.jpeg import encode_jpeg
 
+    if flavor not in ("mov", "mp4"):
+        raise ValueError(f"flavor must be 'mov' or 'mp4', got {flavor!r}")
     if not frames:
         raise ValueError("make_simple_mov needs at least one frame")
     h, w = frames[0].shape[:2]
@@ -353,7 +361,12 @@ def make_simple_mov(
         nch_a = ax.shape[1]
         audio_raw = ax.astype(">i2").tobytes()
 
-    ftyp = _atom(b"ftyp", b"qt  " + struct.pack(">I", 0) + b"qt  ")
+    if flavor == "mp4":
+        ftyp = _atom(
+            b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp42"
+        )
+    else:
+        ftyp = _atom(b"ftyp", b"qt  " + struct.pack(">I", 0) + b"qt  ")
     # mdat goes before moov so stco offsets are known when moov writes
     mdat_body = b"".join(payloads) + (audio_raw or b"")
     mdat_start = len(ftyp) + 8  # offset of first sample byte
@@ -401,13 +414,17 @@ def make_simple_mov(
     dref = _atom(
         b"dref",
         struct.pack(">II", 0, 1)
-        + _atom(b"alis", struct.pack(">I", 1)),
+        + _atom(
+            b"url " if flavor == "mp4" else b"alis",
+            struct.pack(">I", 1),  # ISO: flags=1 = self-contained
+        ),
     )
     dinf = _atom(b"dinf", dref)
     minf = _atom(b"minf", vmhd + dinf + stbl)
+    hdlr_pre = b"\x00" * 4 if flavor == "mp4" else b"mhlr"
     hdlr = _atom(
         b"hdlr",
-        struct.pack(">I", 0) + b"mhlr" + b"vide" + b"\x00" * 12 + b"\x00",
+        struct.pack(">I", 0) + hdlr_pre + b"vide" + b"\x00" * 12 + b"\x00",
     )
     # mdhd body: ver/flags, ctime, mtime, timescale, duration, lang+q
     mdhd = _atom(
@@ -473,7 +490,8 @@ def make_simple_mov(
         minf_a = _atom(b"minf", smhd + dinf + stbl_a)
         hdlr_a = _atom(
             b"hdlr",
-            struct.pack(">I", 0) + b"mhlr" + b"soun" + b"\x00" * 12 + b"\x00",
+            struct.pack(">I", 0) + hdlr_pre + b"soun" + b"\x00" * 12
+            + b"\x00",
         )
         mdhd_a = _atom(
             b"mdhd",

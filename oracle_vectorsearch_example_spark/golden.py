@@ -3385,6 +3385,133 @@ def q_mp3_gain_code(spark, sf):
     return mp3_gain_code_df(media, id_col="doc_id")
 
 
+_MP4_AUDIO_SQL = f"""
+    WITH pcm AS (
+      SELECT doc_id, i, {_AFP_PCM} AS v
+      FROM documents, unnest(generate_series(1, 512)) u(i)
+      WHERE doc_id < 120
+    ),
+    en AS (
+      SELECT doc_id, (i - 1) // 8 AS k, sum(abs(v)) AS e
+      FROM pcm GROUP BY 1, 2
+    )
+    SELECT a.doc_id,
+           CAST(sum(CASE WHEN b.e > a.e
+                         THEN CAST(pow(2.0, a.k) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS afp
+    FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+    GROUP BY a.doc_id
+"""
+
+
+@golden("mp4_audio_fp", _MP4_AUDIO_SQL)
+def q_mp4_audio_fp(spark, sf):
+    """ISO-BMFF soundtrack fingerprint (X59 tail, r13 — judge r12 #5):
+    the audio_fp synthetic PCM, muxed into REAL MP4 containers
+    (make_simple_mp4: isom ftyp, url dataref, twos PCM trak beside a
+    one-frame jpeg video trak) and decoded back through the magic
+    dispatch (afp_df → mov_audio_pcm — MP4 needs zero new wiring).
+    The oracle replays the fingerprint math relationally, so the hash
+    pins the whole container→PCM→code chain."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.functions.afp import afp_df
+    from oracle_vectorsearch_example_spark.functions.mp4 import (
+        make_simple_mp4,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def write_mp4(batches):
+        import numpy as np
+
+        frame = np.full((8, 8, 3), 128, np.uint8)
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                did = int(did)
+                i = np.arange(1, 513, dtype=np.int64)
+                pcm = ((did * 31 + i * i * 7) % 20001 - 10000).astype(
+                    np.int16
+                )
+                out.append(
+                    (did, make_simple_mp4([frame], fps=1.0,
+                                          audio_samples=pcm))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    media = docs.select("doc_id").mapInPandas(write_mp4, schema)
+    return afp_df(media, id_col="doc_id")
+
+
+_MP4_META_SQL = """
+    SELECT doc_id,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           round(CAST((1 + doc_id % 3) * 200 AS DOUBLE) / 1000, 6)
+             AS ts_last
+    FROM documents WHERE doc_id < 120
+"""
+
+
+@golden("mp4_frame_meta", _MP4_META_SQL)
+def q_mp4_frame_meta(spark, sf):
+    """ISO-BMFF video sample-table walk (X59 tail, r13): per-doc MP4s
+    with 2 + doc_id%3 jpeg frames at 5 fps, parsed back through the
+    shared stsd/stts/stsc/stsz/stco walk — frame counts, stsd
+    dimensions, and stts-derived last timestamps all replayed
+    relationally from the construction. Pins the CONTAINER arithmetic
+    (the part MP4 adds over MOV) with a full value hash."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.functions.mp4 import (
+        make_simple_mp4,
+        mp4_frame_table,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ts_last", T.DoubleType()),
+    ])
+
+    def meta_rows(batches):
+        import numpy as np
+
+        base = [
+            np.full((16, 16, 3), 40 * k, np.uint8) for k in range(4)
+        ]
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                blob = make_simple_mp4(base[:n], fps=5.0)
+                meta, frames = mp4_frame_table(blob)
+                out.append((
+                    did,
+                    len(frames),
+                    meta["width"],
+                    meta["height"],
+                    round(meta["timestamps"][-1], 6),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "width", "height",
+                         "ts_last"],
+            )
+
+    return docs.select("doc_id").mapInPandas(meta_rows, schema)
+
+
 _MP3_NEARDUP_SQL = """
     WITH g AS (
       SELECT doc_id, i,
@@ -8480,31 +8607,33 @@ def q_pca_embed(spark, sf):
 # entries that roll to r13 all hold an r10/r11/this-window family
 # witness — audit with scripts/witness_table.py (WITNESS.md). The
 # window must not change mid-round.
+# r13 window (judge r12 #3, list verbatim): unseat the 40 fresh r12
+# passes and the 10 now-witnessed rows-only entries; seat the stalest
+# r09-witnessed oracle-paired goldens with the new r13 goldens at head.
 _PRIORITY = [
-    # (a) the 24 r08-stale oracle-paired goldens, alphabetical
-    "array_hof", "audio_decode", "auto_salted_agg", "binary_stats",
-    "bloom_anti", "bm25_prf", "bq_topk", "chunker_normalized",
-    "correlated_subquery", "decontaminate", "doc_stats",
-    "edit_distance", "except_keys", "group_sample", "heavy_hitters",
-    "histogram", "hnsw_filtered", "intersect_keys", "lm_perplexity",
-    "mrl_topk", "repetition_stats", "semantic_chunks",
-    "stratified_numeric", "window_extras",
-    # (b) never driver-checked oracle-paired r11 add
-    "phash_neardup_manku10",
-    # (c) the 10 never/stale rows-only entries (judge r11 #1 override)
-    "bpe_tokens", "ivf_accuracy_report", "mmr_rerank", "pack_bfd",
-    "pca_embed", "rerank_ce", "semdedup", "onnx_embed",
-    "approx_count_distinct", "ivf_search",
-    # (d) the r12 adds (never witnessed; oracle-paired) — they evict
-    # the json_shred and exact_dedup fills (both families keep an r09
-    # witness; the dedup family is multiply covered by the seated
-    # dedup_incremental plus the r10/r11 near-dup witnesses)
-    "maxsim_token_stage1", "extract_text_odf", "image_decode_ext",
-    # (e) stalest r09 fills, one seat per family
-    "asof_join", "c4_clean", "ctfidf_topics", "dedup_incremental",
-    "extract_text", "flagship_search", "gapfill_locf",
-    "image_dedup", "ivf_search_df", "langid",
-    "pack_sequences", "tumbling_window",
+    # (a) the r13 adds (never witnessed; all oracle-paired — MP3/MP4
+    # container doors, judge r12 #4/#5)
+    "mp3_gain_code", "mp3_neardup", "mp4_audio_fp", "mp4_frame_meta",
+    # (b) the two r12-errored seats, re-run first with their array
+    # outputs serialized + COUNT-shaped oracles (judge r12 #1/#2)
+    "bpe_tokens", "pca_embed",
+    # (c) ALL 38 r09-witnessed oracle-paired goldens (WITNESS.md
+    # stalest tier), alphabetical
+    "chunker_conformance", "collapse_chunks", "exact_dedup",
+    "explode_words", "filter_agg", "filtered_topk",
+    "flagship_search_ivf", "gopher_repetition", "gopher_rules",
+    "grounding", "hash_split", "image_decode", "image_phash",
+    "ivf_add_search", "ivf_materialized", "join_agg", "json_shred",
+    "minhash_lsh", "nb_pareto", "nb_quality", "neardup_clusters",
+    "phash_neardup", "ppl_buckets", "profile_table",
+    "prototype_prune", "scan_region", "semdedup_exact",
+    "simhash_neardup", "stratified_sample", "stream_interval_join",
+    "strings", "text_stats", "union_all", "url_canon",
+    "vector_distances", "vector_topk_exact", "window_funcs",
+    "winnow_fingerprints",
+    # (d) r10-stalest fills: the tpch family head (the judge-named
+    # block), q1..q6
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
 ]
 
 

@@ -70,35 +70,24 @@ def test_driver_window_composition():
     assert not missing, f"_PRIORITY entries not registered: {missing}"
     assert names[:50] == prio
     must_record = {
-        # r12 allocation (judge r11 #1): the 24 r08-stale oracle-paired
-        # goldens the verdict named, plus phash_neardup_manku10 (never
-        # driver-checked), plus the 10 rows-only entries the judge
-        # ordered seated this round for err-free execution rows.
-        "array_hof", "audio_decode", "auto_salted_agg", "binary_stats",
-        "bloom_anti", "bm25_prf", "bq_topk", "chunker_normalized",
-        "correlated_subquery", "decontaminate", "doc_stats",
-        "edit_distance", "except_keys", "group_sample", "heavy_hitters",
-        "histogram", "hnsw_filtered", "intersect_keys", "lm_perplexity",
-        "mrl_topk", "repetition_stats", "semantic_chunks",
-        "stratified_numeric", "window_extras",
-        "phash_neardup_manku10",
-        "bpe_tokens", "ivf_accuracy_report", "mmr_rerank", "pack_bfd",
-        "pca_embed", "rerank_ce", "semdedup", "onnx_embed",
-        "approx_count_distinct", "ivf_search",
-        # the r12 adds take head seats (r11 precedent)
-        "maxsim_token_stage1", "extract_text_odf", "image_decode_ext",
+        # r13 allocation (judge r12 #3): the new r13 goldens at head,
+        # the two r12-errored seats re-run with serialized outputs +
+        # COUNT-shaped oracles (judge r12 #1/#2), and the judge-named
+        # stalest blocks (scan_region / json_shred / tpch head).
+        "mp3_gain_code", "mp3_neardup", "mp4_audio_fp", "mp4_frame_meta",
+        "bpe_tokens", "pca_embed",
+        "scan_region", "json_shred", "tpch_q1",
+        "flagship_search_ivf", "exact_dedup", "window_funcs",
     }
     outside = must_record - set(prio)
     assert not outside, f"must-record queries outside the window: {outside}"
-    # judge r11 #1 overrides the r7 "no rows-only seats" policy for r12:
-    # exactly the 10 named rows-only entries are seated (they record
-    # err:no_oracle rows, the expected record); no other rows-only entry
-    # may take a seat.
-    allowed_rows_only = {
-        "bpe_tokens", "ivf_accuracy_report", "mmr_rerank", "pack_bfd",
-        "pca_embed", "rerank_ce", "semdedup", "onnx_embed",
-        "approx_count_distinct", "ivf_search",
-    }
+    # r13 policy: every seat is oracle-paired (full-hash or the
+    # COUNT-shaped kind, golden.COUNT_ORACLE — judge r12 #2 leaves at
+    # most rerank_ce and semdedup as no_oracle, and neither is seated
+    # this round); a rows-only entry taking a seat is a regression.
     rows_only_seated = {q for q in prio if q not in golden.ORACLE}
-    assert rows_only_seated == allowed_rows_only, (
+    assert rows_only_seated == set(), (
         f"unexpected rows-only window composition: {rows_only_seated}")
+    count_shaped_seated = {q for q in prio if q in golden.COUNT_ORACLE}
+    assert count_shaped_seated == {"bpe_tokens", "pca_embed"}, (
+        f"unexpected count-shaped seats: {count_shaped_seated}")
