@@ -55,6 +55,8 @@ from oracle_vectorsearch_example_spark.functions.mp3 import (
     mp3_gain_code_df,
     mp3_gain_envelope,
     mp3_side_info,
+    mp3_tag_text,
+    mp3_tags,
 )
 from oracle_vectorsearch_example_spark.functions.phash import (
     dedup_images,
@@ -135,6 +137,8 @@ __all__ = [
     "mp3_gain_code_df",
     "mp3_gain_envelope",
     "mp3_side_info",
+    "mp3_tag_text",
+    "mp3_tags",
     "dedup_images",
     "phash_band_candidates",
     "phash_df",

@@ -92,8 +92,10 @@ def detect_format(data: bytes) -> str:
     """Sniff the payload format from magic bytes: ``pdf`` / ``docx`` /
     ``xlsx`` / ``pptx`` / ``odt`` / ``ods`` / ``odp`` / ``epub`` (r12:
     ODF + EPUB via the stored ``mimetype`` first member) / ``rtf`` /
-    ``html`` / ``text`` / ``empty`` / ``cfb`` (legacy .doc/.xls/.ppt
-    compound file) / ``binary``."""
+    ``mp3`` (r13: ID3v2 header or MPEG frame sync — before the text
+    fallback, since "ID3" is valid UTF-8) / ``html`` / ``text`` /
+    ``empty`` / ``cfb`` (legacy .doc/.xls/.ppt compound file) /
+    ``binary``."""
     if not data:
         return "empty"
     if data[:5] == b"%PDF-":
@@ -137,6 +139,23 @@ def detect_format(data: bytes) -> str:
         return "binary"
     if data[:5] == b"{\\rtf":
         return "rtf"
+    if (
+        data[:3] == b"ID3"
+        and len(data) >= 10
+        and data[3] <= 10  # plausible major version (2/3/4 in the wild)
+        and (data[5] & 0x0F) == 0  # flags low nibble always clear
+        and max(data[6:10]) < 0x80  # syncsafe size bytes
+    ) or (
+        len(data) >= 4
+        and data[0] == 0xFF
+        and (data[1] & 0xE0) == 0xE0
+        and (data[1] >> 3) & 3 != 1  # not the reserved version id
+        and (data[2] >> 4) & 0xF not in (0, 15)  # real bitrate index
+    ):
+        # MPEG audio (r13): sniffed BEFORE the text fallback — an
+        # ID3v2 header is valid UTF-8 ("ID3...") and must not read as
+        # a text document
+        return "mp3"
     head = data[:1024].lstrip()
     low = head[:64].lower()
     if low.startswith((b"<!doctype html", b"<html", b"<?xml")) or b"<html" in head[:256].lower():
@@ -1049,6 +1068,22 @@ def extract_text_bytes(
         }[f]
         try:
             return handler(bytes(data))
+        except Exception:
+            if on_error == "raise":
+                raise
+            return None
+    if f == "mp3":
+        # D1 over audio (r13): the extractable text of an MP3 is its
+        # ID3 metadata (title/artist/album/year/genre/track) — audio
+        # content itself would need the gated PCM decode. Tagless
+        # files yield "" (no text, honestly), not NULL (the payload
+        # IS a recognized format).
+        from oracle_vectorsearch_example_spark.functions.mp3 import (
+            mp3_tag_text,
+        )
+
+        try:
+            return _normalize_ws(mp3_tag_text(bytes(data)))
         except Exception:
             if on_error == "raise":
                 raise

@@ -56,6 +56,7 @@ evidence path for the MP3 slice of such a corpus.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -69,6 +70,8 @@ __all__ = [
     "mp3_gain_envelope",
     "mp3_gain_code",
     "mp3_gain_code_df",
+    "mp3_tags",
+    "mp3_tag_text",
     "dedup_mp3",
     "make_simple_mp3",
 ]
@@ -263,6 +266,119 @@ def mp3_frame_table(data: bytes) -> tuple[dict, list[tuple[int, int]]]:
     return meta, frames
 
 
+# ID3 text-frame ids → canonical tag keys, per ID3v2.2 (3-char) and
+# v2.3/v2.4 (4-char) — the public informal standards (id3.org)
+_ID3_KEYS_V3 = {
+    b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+    b"TYER": "year", b"TDRC": "year", b"TCON": "genre",
+    b"TRCK": "track",
+}
+_ID3_KEYS_V2 = {
+    b"TT2": "title", b"TP1": "artist", b"TAL": "album",
+    b"TYE": "year", b"TCO": "genre", b"TRK": "track",
+}
+_TAG_ORDER = ("title", "artist", "album", "year", "genre", "track")
+
+
+def _id3_text(payload: bytes) -> str:
+    """Decode one ID3v2 text-frame payload: leading encoding byte
+    0 = latin-1, 1 = utf-16 with BOM, 2 = utf-16be, 3 = utf-8;
+    terminators and padding stripped."""
+    if not payload:
+        return ""
+    enc, body = payload[0], payload[1:]
+    try:
+        if enc == 0:
+            s = body.decode("latin-1")
+        elif enc == 1:
+            s = body.decode("utf-16")
+        elif enc == 2:
+            s = body.decode("utf-16-be")
+        elif enc == 3:
+            s = body.decode("utf-8")
+        else:
+            return ""
+    except UnicodeDecodeError:
+        return ""
+    return s.split("\x00")[0].strip()
+
+
+def mp3_tags(data: bytes) -> dict[str, str]:
+    """Text metadata from ID3v2 (2.2/2.3/2.4 text frames; global
+    unsynchronisation undone; extended headers skipped) with an ID3v1
+    trailer fallback for keys v2 did not provide. Keys: title /
+    artist / album / year / genre / track — only non-empty values
+    appear. Purely structural (public id3.org layouts); no audio
+    decode involved."""
+    data = bytes(data)
+    out: dict[str, str] = {}
+    if data[:3] == b"ID3" and len(data) >= 10 and data[3] != 0xFF:
+        major, flags = data[3], data[5]
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        tag = data[10:10 + size]
+        if flags & 0x80:  # global unsynchronisation: FF 00 → FF
+            tag = tag.replace(b"\xff\x00", b"\xff")
+        pos = 0
+        if major >= 3 and flags & 0x40 and len(tag) >= 4:
+            (ext,) = struct.unpack(">I", tag[:4])
+            if major == 4:  # v2.4 extended size is syncsafe + inclusive
+                ext = ((tag[0] & 0x7F) << 21) | ((tag[1] & 0x7F) << 14) | \
+                      ((tag[2] & 0x7F) << 7) | (tag[3] & 0x7F)
+                pos = ext
+            else:  # v2.3: size excludes the 4 size bytes
+                pos = 4 + ext
+        keys = _ID3_KEYS_V2 if major == 2 else _ID3_KEYS_V3
+        idlen = 3 if major == 2 else 4
+        hdrlen = 6 if major == 2 else 10
+        while pos + hdrlen <= len(tag):
+            fid = tag[pos:pos + idlen]
+            if fid == b"\x00" * idlen or not fid.strip(b"\x00"):
+                break  # padding
+            if major == 2:
+                fsize = (tag[pos + 3] << 16) | (tag[pos + 4] << 8) | \
+                        tag[pos + 5]
+            elif major == 4:  # syncsafe frame sizes
+                fsize = ((tag[pos + 4] & 0x7F) << 21) | \
+                        ((tag[pos + 5] & 0x7F) << 14) | \
+                        ((tag[pos + 6] & 0x7F) << 7) | \
+                        (tag[pos + 7] & 0x7F)
+            else:  # v2.3 plain big-endian
+                (fsize,) = struct.unpack(">I", tag[pos + 4:pos + 8])
+            body = tag[pos + hdrlen:pos + hdrlen + fsize]
+            key = keys.get(fid)
+            if key and key not in out:
+                val = _id3_text(body)
+                if val:
+                    out[key] = val
+            pos += hdrlen + fsize
+    # ID3v1 trailer: fixed 128-byte latin-1 record, fills gaps only
+    if len(data) >= 128 and data[-128:-125] == b"TAG":
+        v1 = data[-128:]
+
+        def _f(a, b):
+            return v1[a:b].split(b"\x00")[0].decode(
+                "latin-1", "replace"
+            ).strip()
+
+        for key, val in (
+            ("title", _f(3, 33)), ("artist", _f(33, 63)),
+            ("album", _f(63, 93)), ("year", _f(93, 97)),
+        ):
+            if val and key not in out:
+                out[key] = val
+    return out
+
+
+def mp3_tag_text(data: bytes) -> str:
+    """The tag record as one whitespace-joined line in the fixed
+    ``title artist album year genre track`` key order — the D1
+    (UTL_TO_TEXT) view of an MP3 payload: audio carries no extractable
+    text without PCM decode, but its metadata does."""
+    tags = mp3_tags(data)
+    return " ".join(tags[k] for k in _TAG_ORDER if k in tags)
+
+
 def _side_info_one(br: _BitReader, lsf: bool, nch: int) -> list[list[dict]]:
     """[granule][channel] dicts for one frame's side info block."""
     br.read(8 if lsf else 9)  # main_data_begin
@@ -427,6 +543,7 @@ def make_simple_mp3(
     bitrate_kbps: int | None = None,
     xing: bool = False,
     id3_bytes: int = 0,
+    tags: dict | None = None,
 ) -> bytes:
     """Structurally valid Layer III GAIN-CARRIER frames — NOT an audio
     encoder: every granule is the all-zero spectrum real encoders emit
@@ -441,7 +558,9 @@ def make_simple_mp3(
     (n must be even), LSF rates 1. ``xing`` plants an ``Xing`` marker
     in an extra leading frame (the VBR-header convention) to exercise
     the skip; ``id3_bytes`` prepends a minimal ID3v2 tag of that body
-    size."""
+    size; ``tags`` (r13) writes REAL ID3v2.4 UTF-8 text frames
+    (title/artist/album/year/genre/track) into that tag —
+    :func:`mp3_tags` reads them back, the D1 metadata roundtrip."""
     g = np.asarray(gains, dtype=np.int64)
     if g.ndim == 1:
         g = np.repeat(g[:, None], nch, axis=1)
@@ -511,11 +630,25 @@ def make_simple_mp3(
         return header + body + b"\x00" * (frame_len - 4 - len(body))
 
     out = bytearray()
-    if id3_bytes:
+    if id3_bytes or tags:
+        frames_b = b""
+        if tags:
+            rev = {v: k for k, v in _ID3_KEYS_V3.items() if k != "year"}
+            rev["year"] = b"TDRC"  # the v2.4 timestamp frame
+            for key in _TAG_ORDER:
+                if key not in tags:
+                    continue
+                body = b"\x03" + str(tags[key]).encode("utf-8")
+                n = len(body)
+                frames_b += rev[key] + bytes([
+                    (n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F,
+                ]) + b"\x00\x00" + body
+        body_len = len(frames_b) + id3_bytes
         out += b"ID3\x04\x00\x00" + bytes([
-            (id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
-            (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F,
-        ]) + b"\x00" * id3_bytes
+            (body_len >> 21) & 0x7F, (body_len >> 14) & 0x7F,
+            (body_len >> 7) & 0x7F, body_len & 0x7F,
+        ]) + frames_b + b"\x00" * id3_bytes
     if xing:
         out += frame(np.zeros((gpf, nch), dtype=np.int64), True)
     for i in range(0, len(g), gpf):

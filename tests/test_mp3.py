@@ -198,3 +198,74 @@ def test_real_world_lsf_file_conformance():
     # a constant-tone test file: every granule's gain is identical —
     # the strongest possible sync/width check over 45 frames
     assert env.min() == env.max()
+
+
+def test_id3_tags_all_versions():
+    """ID3v2.4 writer↔parser roundtrip (UTF-8 frames), hand-built
+    v2.3 (plain BE sizes, UTF-16 BOM text) and v2.2 (3-char ids,
+    3-byte sizes), ID3v1 trailer fallback filling only the gaps."""
+    import struct as _s
+
+    from oracle_vectorsearch_example_spark.functions.mp3 import (
+        mp3_tag_text,
+        mp3_tags,
+    )
+
+    g = _gains(8)
+    b0 = make_simple_mp3(g)
+    tagged = make_simple_mp3(
+        g, tags={"title": "Héllo Wörld", "artist": "A B", "year": "2024"}
+    )
+    assert mp3_tags(tagged) == {
+        "title": "Héllo Wörld", "artist": "A B", "year": "2024",
+    }
+    assert mp3_tag_text(tagged) == "Héllo Wörld A B 2024"
+    # the tag rides transparently: audio walk unaffected
+    assert np.array_equal(mp3_gain_envelope(tagged), g)
+
+    fr = (b"TIT2" + _s.pack(">I", 1 + len("Song".encode("utf-16")))
+          + b"\x00\x00" + b"\x01" + "Song".encode("utf-16"))
+    fr += b"TPE1" + _s.pack(">I", 5) + b"\x00\x00" + b"\x00Band"
+    n = len(fr)
+    v23 = (b"ID3\x03\x00\x00"
+           + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F]) + fr + b0)
+    assert mp3_tags(v23) == {"title": "Song", "artist": "Band"}
+
+    fr2 = (b"TT2" + bytes([0, 0, 5]) + b"\x00Tiny"
+           + b"TP1" + bytes([0, 0, 3]) + b"\x00Me")
+    n = len(fr2)
+    v22 = (b"ID3\x02\x00\x00"
+           + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F]) + fr2)
+    assert mp3_tags(v22) == {"title": "Tiny", "artist": "Me"}
+
+    v1 = (v23 + b"TAG" + b"V1 Title".ljust(30, b"\x00")
+          + b"V1 Artist".ljust(30, b"\x00") + b"Alb".ljust(30, b"\x00")
+          + b"1999" + b"\x00" * 31)
+    t = mp3_tags(v1)
+    # v2 wins where present; v1 fills the rest
+    assert t["title"] == "Song" and t["album"] == "Alb"
+    assert t["year"] == "1999"
+
+
+def test_extract_text_dispatches_mp3():
+    """D1 over audio: detect_format sniffs MP3 before the text
+    fallback (an ID3 header is valid UTF-8), extract_text_bytes
+    returns the normalized tag line, and a tagless MP3 yields ''
+    (recognized format, no text) rather than NULL."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        detect_format,
+        extract_text_bytes,
+    )
+
+    g = _gains(8)
+    tagged = make_simple_mp3(g, tags={"title": "Doc  Title", "track": "7"})
+    assert detect_format(tagged) == "mp3"
+    assert extract_text_bytes(tagged) == "Doc Title 7"  # ws-normalized
+    bare = make_simple_mp3(g)
+    assert detect_format(bare) == "mp3"
+    assert extract_text_bytes(bare) == ""
+    # a text document that merely STARTS with "ID3" stays text
+    doc = b"ID3 tags are a metadata container for MP3 files." * 4
+    assert detect_format(doc) == "text"
