@@ -372,8 +372,20 @@ def _hash_media(signature, media, payload_col, id_col):
             out_col="phash",
             l2_col="phash2",
         )
+    if signature == "mp3_gain":
+        # r13: the MP3 codec-domain gain-envelope code — its own
+        # signature NAME (and hence its own pinned warehouse) so gain
+        # codes can never band-join PCM afp codes across a state dir
+        from oracle_vectorsearch_example_spark.functions.mp3 import (
+            mp3_gain_code_df,
+        )
+
+        return mp3_gain_code_df(
+            media, payload_col=payload_col, id_col=id_col, out_col="phash"
+        )
     raise ValueError(
-        f"unknown signature {signature!r} (phash, afp or afp_dual)"
+        f"unknown signature {signature!r} "
+        "(phash, afp, afp_dual or mp3_gain)"
     )
 
 
@@ -610,9 +622,10 @@ class IncrementalMediaDedup(IncrementalDedup):
     ):
         from oracle_vectorsearch_example_spark.sources.txn import Warehouse
 
-        if signature not in ("phash", "afp", "afp_dual"):
+        if signature not in ("phash", "afp", "afp_dual", "mp3_gain"):
             raise ValueError(
-                f"unknown signature {signature!r} (phash, afp or afp_dual)"
+                f"unknown signature {signature!r} "
+                "(phash, afp, afp_dual or mp3_gain)"
             )
         if n_blocks is not None and not isinstance(n_blocks, int):
             if n_blocks != "auto":

@@ -269,3 +269,40 @@ def test_extract_text_dispatches_mp3():
     # a text document that merely STARTS with "ID3" stays text
     doc = b"ID3 tags are a metadata container for MP3 files." * 4
     assert detect_format(doc) == "text"
+
+
+def test_incremental_mp3_dedup_matches_full(spark, tmp_path):
+    """signature='mp3_gain' (r13): two warehouse ingests of tagged /
+    remuxed MP3 copies equal the full dedup_mp3 recompute over the
+    union; the signature NAME pins the warehouse so gain codes can
+    never band-join a PCM-afp state dir."""
+    from oracle_vectorsearch_example_spark.operators.incremental import (
+        IncrementalMediaDedup,
+    )
+
+    def blob(cls, var):
+        g = ((np.arange(128) * (3 + cls * 7)) + cls) % 256
+        return bytearray(make_simple_mp3(
+            g, xing=(var % 2 == 1), id3_bytes=(var * 13) % 48
+        ))
+
+    rows = [(cls * 10 + var, blob(cls, var))
+            for cls in range(4) for var in range(4)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    inc = IncrementalMediaDedup(
+        spark, str(tmp_path / "wh"), signature="mp3_gain", max_hamming=4
+    )
+    inc.ingest(media.filter(F.col("media_id") % 2 == 0))
+    inc.ingest(media.filter(F.col("media_id") % 2 == 1))
+    got = sorted(r["id"] for r in inc.survivors().collect())
+    want = sorted(
+        r.media_id for r in dedup_mp3(media, max_hamming=4).collect()
+    )
+    assert got == want
+    # a PCM-afp handle refuses the mp3_gain state
+    bad = IncrementalMediaDedup(
+        spark, str(tmp_path / "wh"), signature="afp", max_hamming=4
+    )
+    with pytest.raises(ValueError, match="parameters"):
+        bad.ingest(media.limit(1))
