@@ -24,8 +24,9 @@ def media_dedup_sink(
 ):
     """``foreachBatch`` ingest of a streaming (id, payload) frame into
     ``IncrementalMediaDedup(warehouse_root, **inc_kwargs)`` — pass
-    ``signature='afp'`` for audio, ``prefix=``/``max_hamming=`` etc.
-    as for the batch class. Long-running streams should pass
+    ``signature='afp'`` for audio, ``'mp3_gain'`` for MP3 codec-domain
+    dedup (r13), ``prefix=``/``max_hamming=`` etc. as for the batch
+    class. Long-running streams should pass
     ``compact_every=N`` (r11): per-ingest cost creeps with band-table
     union WIDTH, and the cadence folds + expires + vacuums inside the
     same ingest call, keeping per-micro-batch wall flat at

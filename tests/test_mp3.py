@@ -306,3 +306,25 @@ def test_incremental_mp3_dedup_matches_full(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="parameters"):
         bad.ingest(media.limit(1))
+
+
+def test_crc_frames_offset_side_info():
+    """protection_bit=0 frames carry a 2-byte CRC between header and
+    side info; the walk skips it structurally (no CRC verification —
+    implementing the checksum from memory with only our own writer to
+    check against would be the mirrored-quirk hazard; offsets are the
+    spec-certain part). Rebuild each written frame with the CRC slot
+    inserted and 2 pad bytes dropped, keeping frame lengths intact."""
+    g = _gains(16)
+    blob = bytearray(make_simple_mp3(g))
+    meta, frames = mp3_frame_table(bytes(blob))
+    out = bytearray()
+    for off, ln in frames:
+        fr = bytearray(blob[off:off + ln])
+        fr[1] &= ~1  # protection bit 0 = CRC present
+        rebuilt = fr[:4] + b"\xAB\xCD" + fr[4:-2]  # dummy CRC, keep len
+        assert len(rebuilt) == ln
+        out += rebuilt
+    m2, f2 = mp3_frame_table(bytes(out))
+    assert m2["crc"] and m2["n_frames"] == meta["n_frames"]
+    assert np.array_equal(mp3_gain_envelope(bytes(out)), g)
