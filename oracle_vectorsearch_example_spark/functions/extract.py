@@ -156,6 +156,10 @@ def detect_format(data: bytes) -> str:
         # ID3v2 header is valid UTF-8 ("ID3...") and must not read as
         # a text document
         return "mp3"
+    if data[:4] == b"OggS":
+        return "ogg"
+    if data[:4] == b"fLaC":
+        return "flac"
     head = data[:1024].lstrip()
     low = head[:64].lower()
     if low.startswith((b"<!doctype html", b"<html", b"<?xml")) or b"<html" in head[:256].lower():
@@ -1084,6 +1088,22 @@ def extract_text_bytes(
 
         try:
             return _normalize_ws(mp3_tag_text(bytes(data)))
+        except Exception:
+            if on_error == "raise":
+                raise
+            return None
+    if f in ("ogg", "flac"):
+        # same D1 posture as mp3 (r13): the extractable text of an
+        # audio container is its VorbisComment metadata; codec
+        # payloads stay gated
+        from oracle_vectorsearch_example_spark.functions.ogg import (
+            flac_tag_text,
+            ogg_tag_text,
+        )
+
+        try:
+            fn = ogg_tag_text if f == "ogg" else flac_tag_text
+            return _normalize_ws(fn(bytes(data)))
         except Exception:
             if on_error == "raise":
                 raise

@@ -352,7 +352,7 @@ def _lpc_quantized(ch: list[int], order: int, prec: int = 14,
 
 def make_simple_flac(
     samples: np.ndarray, sample_rate: int = 16000, block_size: int = 4096,
-    lpc_order: int = 0, bps: int = 16,
+    lpc_order: int = 0, bps: int = 16, tags: dict | None = None,
 ) -> bytes:
     """PCM → FLAC (fixed blocking, independent channels, per-frame
     fixed-predictor order 0–2 chosen by residual magnitude, one Rice
@@ -364,7 +364,9 @@ def make_simple_flac(
     ``lpc_order > 0`` writes LPC subframes instead (order capped by the
     block) wherever the quantized Levinson–Durbin fit beats the best
     fixed predictor's residual cost — the real codec's mode decision,
-    and the encoder twin of the LPC decode path."""
+    and the encoder twin of the LPC decode path. ``tags`` (r13) adds a
+    VORBIS_COMMENT metadata block (canonical keys, the
+    :func:`~.ogg.flac_tags` reader's input) after STREAMINFO."""
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -388,7 +390,25 @@ def make_simple_flac(
     ])
     si += struct.pack(">I", n & 0xFFFFFFFF)
     si += b"\x00" * 16  # MD5 unknown
-    out += bytes([0x80]) + struct.pack(">I", len(si))[1:] + si
+    last_si = 0x80 if not tags else 0x00
+    out += bytes([last_si]) + struct.pack(">I", len(si))[1:] + si
+    if tags:
+        from oracle_vectorsearch_example_spark.functions.mp3 import (
+            _TAG_ORDER,
+        )
+        from oracle_vectorsearch_example_spark.functions.ogg import _VC_KEYS
+
+        rev = {v: k for k, v in _VC_KEYS.items()}
+        vendor = b"oves-fixture"
+        vc = struct.pack("<I", len(vendor)) + vendor
+        items = [
+            f"{rev[k]}={tags[k]}".encode("utf-8")
+            for k in _TAG_ORDER if k in tags
+        ]
+        vc += struct.pack("<I", len(items))
+        for it in items:
+            vc += struct.pack("<I", len(it)) + it
+        out += bytes([0x84]) + struct.pack(">I", len(vc))[1:] + vc
 
     for fno, start in enumerate(range(0, n, block_size)):
         blk = x[start : start + block_size]

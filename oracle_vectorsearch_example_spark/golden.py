@@ -3460,6 +3460,89 @@ def q_extract_text_mp3(spark, sf):
     )
 
 
+_EXTRACT_AUDIO_TAGS_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
+                           WHEN 2 THEN 'ogg' ELSE 'flac' END AS fmt,
+           'Doc ' || CAST(doc_id AS VARCHAR)
+             || ' Author ' || CAST(doc_id % 7 AS VARCHAR)
+             || ' ' || CAST(1990 + doc_id % 35 AS VARCHAR)
+             AS xtext
+    FROM documents WHERE doc_id < 160
+"""
+
+
+@golden("extract_text_audio_tags", _EXTRACT_AUDIO_TAGS_SQL)
+def q_extract_text_audio_tags(spark, sf):
+    """Cross-container audio metadata extraction (r13): the SAME tag
+    record written as ID3v2.4 (MP3), OpusTags / Vorbis comment header
+    (Ogg), and a FLAC VORBIS_COMMENT block, all through the one
+    production extract path (detect_format → per-container tag walk →
+    shared fixed key order → whitespace normalization). The oracle
+    replays text AND detected format relationally — pinning that D1
+    treats every audio container uniformly."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        detect_format,
+        extract_text,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 160)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def write_tagged(batches):
+        import numpy as np
+
+        from oracle_vectorsearch_example_spark.functions.flac import (
+            make_simple_flac,
+        )
+        from oracle_vectorsearch_example_spark.functions.mp3 import (
+            make_simple_mp3,
+        )
+        from oracle_vectorsearch_example_spark.functions.ogg import (
+            make_simple_ogg,
+        )
+
+        gains = (np.arange(8, dtype=np.int64) * 20) % 256
+        sig = (np.arange(128, dtype=np.int64) % 60 - 30).astype(np.int16)
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                did = int(did)
+                tags = {
+                    "title": f"Doc {did}",
+                    "artist": f"Author {did % 7}",
+                    "year": str(1990 + did % 35),
+                }
+                kind = did % 4
+                if kind == 0:
+                    payload = make_simple_mp3(gains, tags=tags)
+                elif kind == 1:
+                    payload = make_simple_ogg("opus", tags=tags)
+                elif kind == 2:
+                    payload = make_simple_ogg("vorbis", tags=tags)
+                else:
+                    payload = make_simple_flac(sig, tags=tags)
+                # REAL sniff, not the construction constant — pins the
+                # magic-byte dispatch alongside the tag walk
+                out.append((did, detect_format(payload), payload))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "fmt", "payload"]
+            )
+
+    media = docs.select("doc_id").mapInPandas(write_tagged, schema)
+    return media.select(
+        "doc_id",
+        "fmt",
+        extract_text(F.col("payload")).alias("xtext"),
+    )
+
+
 _MP4_AUDIO_SQL = f"""
     WITH pcm AS (
       SELECT doc_id, i, {_AFP_PCM} AS v

@@ -1,0 +1,105 @@
+"""Ogg/Opus/Vorbis structural walk + VorbisComment tags (r13): page
+layer roundtrips, stream identity, tag extraction across Ogg and bare
+FLAC, named gates for codec payloads, D1 extract dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oracle_vectorsearch_example_spark.functions.ogg import (
+    flac_tag_text,
+    flac_tags,
+    make_simple_ogg,
+    ogg_meta,
+    ogg_page_table,
+    ogg_tag_text,
+    ogg_tags,
+    parse_vorbis_comments,
+)
+
+_TAGS = {"title": "Süß & Salzig", "artist": "The Bäck", "year": "2023"}
+
+
+def test_page_walk_and_identity_opus():
+    blob = make_simple_ogg("opus", tags=_TAGS, n_audio_pages=4,
+                           granules_per_page=960)
+    pages = ogg_page_table(blob)
+    assert len(pages) == 6  # BOS + tags + 4 audio
+    assert pages[0]["flags"] & 0x02 and pages[-1]["flags"] & 0x04
+    assert [p["seq"] for p in pages] == list(range(6))
+    m = ogg_meta(blob)
+    assert m["codec"] == "opus" and m["rate"] == 48000 and m["nch"] == 1
+    # duration: 4*960 granules minus 312 pre-skip @ 48 kHz
+    assert m["duration_sec"] == (4 * 960 - 312) / 48000.0
+    assert ogg_tags(blob) == _TAGS
+    assert ogg_tag_text(blob) == "Süß & Salzig The Bäck 2023"
+
+
+def test_page_walk_and_identity_vorbis():
+    blob = make_simple_ogg("vorbis", tags=_TAGS, rate=44100,
+                           nch=2, n_audio_pages=2,
+                           granules_per_page=44100)
+    m = ogg_meta(blob)
+    assert m["codec"] == "vorbis" and m["rate"] == 44100 and m["nch"] == 2
+    assert m["duration_sec"] == 2.0
+    assert ogg_tags(blob) == _TAGS
+
+
+def test_named_gates_and_malformed():
+    blob = bytearray(make_simple_ogg("opus"))
+    with pytest.raises(NotImplementedError, match="Theora"):
+        ogg_meta(bytes(blob).replace(b"OpusHead", b"\x80theora\x00"[:8]))
+    with pytest.raises(NotImplementedError, match="FLAC-in-Ogg"):
+        ogg_meta(bytes(blob).replace(b"OpusHead", b"\x7fFLAC\x00\x00\x00"))
+    with pytest.raises(ValueError, match="OggS"):
+        ogg_page_table(b"not an ogg file at all")
+    # comment parser ignores malformed/unknown items
+    assert parse_vorbis_comments(b"\x00") == {}
+    vc = (b"\x02\x00\x00\x00vn" + b"\x02\x00\x00\x00"
+          + b"\x09\x00\x00\x00TITLE=abc"
+          + b"\x08\x00\x00\x00WEIRD=xx")
+    assert parse_vorbis_comments(vc) == {"title": "abc"}
+
+
+def test_flac_vorbis_comment_block():
+    """make_simple_flac(tags=) writes a real VORBIS_COMMENT block;
+    flac_tags reads it back; the audio still decodes losslessly and
+    the fingerprint path is unaffected by the extra metadata block."""
+    from oracle_vectorsearch_example_spark.functions.afp import (
+        afp_from_samples,
+    )
+    from oracle_vectorsearch_example_spark.functions.flac import (
+        decode_flac,
+        make_simple_flac,
+    )
+
+    sig = (np.sin(np.arange(600) * 0.05) * 9000).astype(np.int16)
+    plain = make_simple_flac(sig, sample_rate=16000)
+    tagged = make_simple_flac(sig, sample_rate=16000, tags=_TAGS)
+    assert flac_tags(tagged) == _TAGS and flac_tags(plain) == {}
+    _, pcm = decode_flac(tagged)
+    assert np.array_equal(pcm[:, 0], sig)
+    assert afp_from_samples(pcm) == afp_from_samples(sig)
+    assert flac_tag_text(tagged) == "Süß & Salzig The Bäck 2023"
+
+
+def test_extract_text_dispatches_ogg_and_flac():
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        detect_format,
+        extract_text_bytes,
+    )
+    from oracle_vectorsearch_example_spark.functions.flac import (
+        make_simple_flac,
+    )
+
+    ogg = make_simple_ogg("opus", tags={"title": "A  B", "track": "2"})
+    assert detect_format(ogg) == "ogg"
+    assert extract_text_bytes(ogg) == "A B 2"
+    assert extract_text_bytes(make_simple_ogg("vorbis")) == ""
+
+    sig = (np.arange(100) % 50).astype(np.int16)
+    fl = make_simple_flac(sig, tags={"artist": "Me"})
+    assert detect_format(fl) == "flac"
+    assert extract_text_bytes(fl) == "Me"
+    assert extract_text_bytes(make_simple_flac(sig)) == ""
