@@ -40,6 +40,14 @@ from oracle_vectorsearch_example_spark.functions.afp import (
     afp_from_samples,
     dedup_audio,
 )
+from oracle_vectorsearch_example_spark.functions.avi import (
+    riff_info_tags,
+    riff_tag_text,
+)
+from oracle_vectorsearch_example_spark.functions.mov import (
+    mov_tag_text,
+    mov_tags,
+)
 from oracle_vectorsearch_example_spark.functions.ogg import (
     flac_tag_text,
     flac_tags,
@@ -157,6 +165,10 @@ __all__ = [
     "ogg_tag_text",
     "ogg_tags",
     "parse_vorbis_comments",
+    "riff_info_tags",
+    "riff_tag_text",
+    "mov_tag_text",
+    "mov_tags",
     "dedup_images",
     "phash_band_candidates",
     "phash_df",

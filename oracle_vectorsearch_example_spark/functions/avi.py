@@ -51,7 +51,69 @@ __all__ = [
     "decode_avi_frames",
     "decode_video_frames",
     "make_simple_avi",
+    "riff_info_tags",
+    "riff_tag_text",
 ]
+
+# RIFF LIST-INFO chunk ids → the shared canonical tag keys (the
+# mp3/_TAG_ORDER vocabulary) — the public Multimedia Programming
+# Interface INFO vocabulary; applies to AVI and WAV alike
+_INFO_KEYS = {
+    b"INAM": "title", b"IART": "artist", b"IPRD": "album",
+    b"ICRD": "year", b"IGNR": "genre", b"ITRK": "track",
+}
+
+
+def riff_info_tags(data: bytes) -> dict[str, str]:
+    """Canonical tags from a RIFF file's ``LIST INFO`` chunk (AVI and
+    WAV share the layout): NUL-terminated values, UTF-8 with a
+    latin-1 fallback. Empty dict when no INFO list exists."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or len(data) < 12:
+        raise ValueError("not a RIFF file")
+    out: dict[str, str] = {}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            ckid = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body, bend = pos + 8, pos + 8 + size
+            if bend > end:
+                break  # tolerate a truncated trailing chunk
+            if ckid == b"LIST":
+                if data[body:body + 4] == b"INFO":
+                    ipos = body + 4
+                    while ipos + 8 <= bend:
+                        iid = data[ipos:ipos + 4]
+                        (iln,) = struct.unpack(
+                            "<I", data[ipos + 4:ipos + 8]
+                        )
+                        raw = data[ipos + 8:ipos + 8 + iln]
+                        key = _INFO_KEYS.get(iid)
+                        if key and key not in out:
+                            txt = raw.split(b"\x00")[0]
+                            try:
+                                val = txt.decode("utf-8")
+                            except UnicodeDecodeError:
+                                val = txt.decode("latin-1")
+                            if val.strip():
+                                out[key] = val.strip()
+                        ipos += 8 + iln + (iln & 1)
+                else:
+                    walk(body + 4, bend)
+            pos = bend + (size & 1)
+
+    walk(12, len(data))
+    return out
+
+
+def riff_tag_text(data: bytes) -> str:
+    """The INFO record as one line in the shared fixed key order (the
+    :func:`~.mp3.mp3_tag_text` contract)."""
+    from oracle_vectorsearch_example_spark.functions.mp3 import _TAG_ORDER
+
+    tags = riff_info_tags(data)
+    return " ".join(tags[k] for k in _TAG_ORDER if k in tags)
 
 
 def _fourcc(b: bytes) -> str:
@@ -395,6 +457,7 @@ def make_simple_avi(
     codec: str = "MJPG",
     audio_samples=None,
     audio_rate: int = 16000,
+    info: dict | None = None,
 ) -> bytes:
     """Deterministic AVI fixture writer: each (h, w, 3) uint8 RGB frame
     is muxed as a ``00dc``/``00db`` chunk; ``hdrl`` carries a real
@@ -552,7 +615,20 @@ def make_simple_avi(
             "<III", 0x10, offsets[-1], len(audio_raw)
         )
 
-    body = hdrl + movi + chunk(b"idx1", bytes(idx1))
+    info_list = b""
+    if info:
+        from oracle_vectorsearch_example_spark.functions.mp3 import (
+            _TAG_ORDER,
+        )
+
+        rev = {v: k for k, v in _INFO_KEYS.items()}
+        items = b"".join(
+            chunk(rev[k], str(info[k]).encode("utf-8") + b"\x00")
+            for k in _TAG_ORDER if k in info
+        )
+        info_list = lst(b"INFO", items)
+
+    body = hdrl + info_list + movi + chunk(b"idx1", bytes(idx1))
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
 
 

@@ -160,6 +160,16 @@ def detect_format(data: bytes) -> str:
         return "ogg"
     if data[:4] == b"fLaC":
         return "flac"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mov" if data[8:12] == b"qt  " else "mp4"
+    if len(data) >= 12 and data[4:8] in (
+        b"moov", b"mdat", b"wide", b"pnot",
+    ):
+        return "mov"  # ftyp-less QuickTime (legal leading atoms)
     head = data[:1024].lstrip()
     low = head[:64].lower()
     if low.startswith((b"<!doctype html", b"<html", b"<?xml")) or b"<html" in head[:256].lower():
@@ -1103,6 +1113,24 @@ def extract_text_bytes(
 
         try:
             fn = ogg_tag_text if f == "ogg" else flac_tag_text
+            return _normalize_ws(fn(bytes(data)))
+        except Exception:
+            if on_error == "raise":
+                raise
+            return None
+    if f in ("avi", "wav", "mov", "mp4"):
+        # same D1 posture (r13): a media container's extractable text
+        # is its metadata — RIFF LIST-INFO for AVI/WAV, moov/udta
+        # (QuickTime text atoms or MP4 meta/ilst) for MOV/MP4
+        from oracle_vectorsearch_example_spark.functions.avi import (
+            riff_tag_text,
+        )
+        from oracle_vectorsearch_example_spark.functions.mov import (
+            mov_tag_text,
+        )
+
+        try:
+            fn = riff_tag_text if f in ("avi", "wav") else mov_tag_text
             return _normalize_ws(fn(bytes(data)))
         except Exception:
             if on_error == "raise":

@@ -35,7 +35,83 @@ __all__ = [
     "make_simple_mov",
     "mov_audio_pcm",
     "mov_frame_table",
+    "mov_tag_text",
+    "mov_tags",
 ]
+
+# user-data metadata atoms → the shared canonical tag keys. Two public
+# dialects share the fourccs: classic QuickTime puts international
+# text atoms ([u16 size][u16 lang]text) directly under moov/udta;
+# MP4/iTunes nests them under udta/meta(fullbox)/ilst with each value
+# in a 'data' child (type 1 = UTF-8).
+_UDTA_KEYS = {
+    b"\xa9nam": "title", b"\xa9ART": "artist", b"\xa9alb": "album",
+    b"\xa9day": "year", b"\xa9gen": "genre",
+}
+
+
+def mov_tags(data: bytes) -> dict[str, str]:
+    """Canonical tags from ``moov/udta`` — both the QuickTime text-atom
+    dialect and the MP4 ``meta/ilst`` dialect. Empty dict when the
+    file carries no user data."""
+    data = bytes(data)
+    if len(data) < 12 or data[4:8] not in (
+        b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip", b"pnot",
+    ):
+        raise ValueError("not a QuickTime/ISO-BMFF file")
+    out: dict[str, str] = {}
+
+    def read_ilst(pos: int, end: int) -> None:
+        for item, ib, ie in _atoms(data, pos, end):
+            key = _UDTA_KEYS.get(item)
+            if not key or key in out:
+                continue
+            for child, cb, _ce in _atoms(data, ib, ie):
+                if child == b"data" and _ce - cb >= 8:
+                    dtype = struct.unpack(">I", data[cb:cb + 4])[0]
+                    if dtype & 0xFF == 1:  # UTF-8 text
+                        val = data[cb + 8:_ce].decode(
+                            "utf-8", "replace"
+                        ).strip()
+                        if val:
+                            out[key] = val
+                    break
+
+    def read_udta(pos: int, end: int) -> None:
+        for typ, body, nxt in _atoms(data, pos, end):
+            if typ == b"meta":
+                # ISO 'meta' is a FullBox: 4 version/flags bytes
+                # precede the children
+                for t2, b2, n2 in _atoms(data, body + 4, nxt):
+                    if t2 == b"ilst":
+                        read_ilst(b2, n2)
+            else:
+                key = _UDTA_KEYS.get(typ)
+                if key and key not in out and nxt - body >= 4:
+                    (size, _lang) = struct.unpack(
+                        ">HH", data[body:body + 4]
+                    )
+                    val = data[body + 4:body + 4 + size].decode(
+                        "utf-8", "replace"
+                    ).strip()
+                    if val:
+                        out[key] = val
+
+    for typ, body, nxt in _atoms(data, 0, len(data)):
+        if typ == b"moov":
+            for t2, b2, n2 in _atoms(data, body, nxt):
+                if t2 == b"udta":
+                    read_udta(b2, n2)
+    return out
+
+
+def mov_tag_text(data: bytes) -> str:
+    """The user-data record as one line in the shared fixed key order
+    (the :func:`~.mp3.mp3_tag_text` contract)."""
+    from oracle_vectorsearch_example_spark.functions.mp3 import _TAG_ORDER
+
+    tags = mov_tags(data)
+    return " ".join(tags[k] for k in _TAG_ORDER if k in tags)
 
 _CONTAINERS = {
     b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta",
@@ -315,6 +391,7 @@ def make_simple_mov(
     frames: list[np.ndarray], fps: float = 10.0, quality: int = 90,
     audio_samples=None, audio_rate: int = 16000,
     audio_first: bool = False, flavor: str = "mov",
+    tags: dict | None = None,
 ) -> bytes:
     """Deterministic 'jpeg'-codec MOV fixture writer: samples in one
     ``mdat`` (one chunk per sample), a full ``moov`` sample table
@@ -512,5 +589,44 @@ def make_simple_mov(
         )
         trak_a = _atom(b"trak", tkhd_a + mdia_a)
         trak = trak_a + trak if audio_first else trak + trak_a
-    moov = _atom(b"moov", mvhd + trak)
+    udta = b""
+    if tags:
+        from oracle_vectorsearch_example_spark.functions.mp3 import (
+            _TAG_ORDER,
+        )
+
+        rev = {v: k for k, v in _UDTA_KEYS.items()}
+        if flavor == "mp4":
+            # iTunes-style: udta/meta(fullbox)/hdlr(mdir)/ilst/©xxx/data
+            items = b""
+            for k in _TAG_ORDER:
+                if k not in tags or k not in rev:
+                    continue
+                val = str(tags[k]).encode("utf-8")
+                d = _atom(
+                    b"data", struct.pack(">II", 1, 0) + val
+                )
+                items += _atom(rev[k], d)
+            hdlr_m = _atom(
+                b"hdlr",
+                struct.pack(">I", 0) + b"\x00" * 4 + b"mdir"
+                + b"appl" + b"\x00" * 9,
+            )
+            meta = _atom(
+                b"meta",
+                struct.pack(">I", 0) + hdlr_m + _atom(b"ilst", items),
+            )
+            udta = _atom(b"udta", meta)
+        else:
+            # classic QuickTime international text atoms
+            body = b""
+            for k in _TAG_ORDER:
+                if k not in tags or k not in rev:
+                    continue
+                val = str(tags[k]).encode("utf-8")
+                body += _atom(
+                    rev[k], struct.pack(">HH", len(val), 0) + val
+                )
+            udta = _atom(b"udta", body)
+    moov = _atom(b"moov", mvhd + trak + udta)
     return ftyp + mdat + moov

@@ -85,6 +85,7 @@ def make_simple_mp4(
     audio_samples=None,
     audio_rate: int = 16000,
     audio_first: bool = False,
+    tags: dict | None = None,
 ) -> bytes:
     """Deterministic ISO-BMFF fixture writer — ``'jpeg'``-codec video
     samples plus an optional ``twos`` PCM16 sound trak, in the ISO
@@ -99,4 +100,5 @@ def make_simple_mp4(
         audio_rate=audio_rate,
         audio_first=audio_first,
         flavor="mp4",
+        tags=tags,
     )

@@ -3462,8 +3462,10 @@ def q_extract_text_mp3(spark, sf):
 
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
-                           WHEN 2 THEN 'ogg' ELSE 'flac' END AS fmt,
+           CASE doc_id % 8 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
+                           WHEN 2 THEN 'ogg' WHEN 3 THEN 'flac'
+                           WHEN 4 THEN 'avi' WHEN 5 THEN 'wav'
+                           WHEN 6 THEN 'mov' ELSE 'mp4' END AS fmt,
            'Doc ' || CAST(doc_id AS VARCHAR)
              || ' Author ' || CAST(doc_id % 7 AS VARCHAR)
              || ' ' || CAST(1990 + doc_id % 35 AS VARCHAR)
@@ -3474,13 +3476,14 @@ _EXTRACT_AUDIO_TAGS_SQL = """
 
 @golden("extract_text_audio_tags", _EXTRACT_AUDIO_TAGS_SQL)
 def q_extract_text_audio_tags(spark, sf):
-    """Cross-container audio metadata extraction (r13): the SAME tag
+    """Cross-container media metadata extraction (r13): the SAME tag
     record written as ID3v2.4 (MP3), OpusTags / Vorbis comment header
-    (Ogg), and a FLAC VORBIS_COMMENT block, all through the one
-    production extract path (detect_format → per-container tag walk →
-    shared fixed key order → whitespace normalization). The oracle
-    replays text AND detected format relationally — pinning that D1
-    treats every audio container uniformly."""
+    (Ogg), a FLAC VORBIS_COMMENT block, RIFF LIST-INFO (AVI + WAV),
+    QuickTime udta text atoms (MOV), and MP4 meta/ilst — all through
+    the one production extract path (detect_format → per-container
+    tag walk → shared fixed key order → whitespace normalization).
+    The oracle replays text AND detected format relationally —
+    pinning that D1 treats every media container uniformly."""
     from pyspark.sql import types as T
 
     from oracle_vectorsearch_example_spark.functions.extract import (
@@ -3496,13 +3499,24 @@ def q_extract_text_audio_tags(spark, sf):
     ])
 
     def write_tagged(batches):
+        import struct as _s
+
         import numpy as np
 
+        from oracle_vectorsearch_example_spark.functions.avi import (
+            make_simple_avi,
+        )
         from oracle_vectorsearch_example_spark.functions.flac import (
             make_simple_flac,
         )
+        from oracle_vectorsearch_example_spark.functions.mov import (
+            make_simple_mov,
+        )
         from oracle_vectorsearch_example_spark.functions.mp3 import (
             make_simple_mp3,
+        )
+        from oracle_vectorsearch_example_spark.functions.mp4 import (
+            make_simple_mp4,
         )
         from oracle_vectorsearch_example_spark.functions.ogg import (
             make_simple_ogg,
@@ -3510,6 +3524,26 @@ def q_extract_text_audio_tags(spark, sf):
 
         gains = (np.arange(8, dtype=np.int64) * 20) % 256
         sig = (np.arange(128, dtype=np.int64) % 60 - 30).astype(np.int16)
+        frames = [np.full((8, 8, 3), v, np.uint8) for v in (40, 90)]
+
+        def wav_with_info(tags):
+            # raw RIFF/WAVE (PCM16 silence) + LIST INFO — stdlib wave
+            # can't write INFO chunks
+            pcm = b"\x00\x00" * 64
+            fmt = (b"fmt " + _s.pack("<I", 16)
+                   + _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+            dat = b"data" + _s.pack("<I", len(pcm)) + pcm
+            items = b""
+            for cid, key in ((b"INAM", "title"), (b"IART", "artist"),
+                             (b"ICRD", "year")):
+                v = tags[key].encode("utf-8") + b"\x00"
+                items += cid + _s.pack("<I", len(v)) + v + (
+                    b"\x00" if len(v) & 1 else b"")
+            info = (b"LIST" + _s.pack("<I", 4 + len(items))
+                    + b"INFO" + items)
+            body = b"WAVE" + fmt + dat + info
+            return b"RIFF" + _s.pack("<I", len(body)) + body
+
         for b in batches:
             out = []
             for did in b["doc_id"]:
@@ -3519,15 +3553,23 @@ def q_extract_text_audio_tags(spark, sf):
                     "artist": f"Author {did % 7}",
                     "year": str(1990 + did % 35),
                 }
-                kind = did % 4
+                kind = did % 8
                 if kind == 0:
                     payload = make_simple_mp3(gains, tags=tags)
                 elif kind == 1:
                     payload = make_simple_ogg("opus", tags=tags)
                 elif kind == 2:
                     payload = make_simple_ogg("vorbis", tags=tags)
-                else:
+                elif kind == 3:
                     payload = make_simple_flac(sig, tags=tags)
+                elif kind == 4:
+                    payload = make_simple_avi(frames, fps=5.0, info=tags)
+                elif kind == 5:
+                    payload = wav_with_info(tags)
+                elif kind == 6:
+                    payload = make_simple_mov(frames, fps=5.0, tags=tags)
+                else:
+                    payload = make_simple_mp4(frames, fps=5.0, tags=tags)
                 # REAL sniff, not the construction constant — pins the
                 # magic-byte dispatch alongside the tag walk
                 out.append((did, detect_format(payload), payload))

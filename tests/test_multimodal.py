@@ -178,10 +178,16 @@ def test_real_decode_rejects_compressed():
 
     from oracle_vectorsearch_example_spark.operators.multimodal import _real_decode
 
-    # MP3 (ID3 container) stays a named rejection; baseline JPEG now
-    # decodes for real (r6) — its rejection case moved to progressive
-    with _pytest.raises(NotImplementedError, match="MP3"):
+    # r13: MP3 yields STRUCTURAL features (frame/side-info walk —
+    # tested in test_mp3); an ID3-tagged payload with no MPEG frames
+    # inside fails the sync walk loudly (undecodable → null under the
+    # Spark path's on_error). PCM decode itself stays gated (named
+    # rejection lives in afp._decode_pcm, pinned in test_mp3).
+    with _pytest.raises(ValueError, match="no MPEG"):
         _real_decode(b"ID3\x04\x00 fake mp3 bytes")
+    # H.264 Annex-B remains the named codec gate
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        _real_decode(b"\x00\x00\x00\x01\x67compressed-bitstream")
 
 
 def test_image_audio_features_spark(spark):

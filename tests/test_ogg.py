@@ -103,3 +103,66 @@ def test_extract_text_dispatches_ogg_and_flac():
     assert detect_format(fl) == "flac"
     assert extract_text_bytes(fl) == "Me"
     assert extract_text_bytes(make_simple_flac(sig)) == ""
+
+
+def test_video_container_tags_and_extract():
+    """RIFF LIST-INFO (AVI + WAV) and moov/udta (QuickTime text atoms
+    + MP4 meta/ilst) read back through the shared tag contract; the
+    metadata rides transparently past the frame/audio walks; the D1
+    extract path dispatches all four (r13)."""
+    import io
+    import struct
+    import wave
+
+    from oracle_vectorsearch_example_spark.functions.avi import (
+        avi_frame_table,
+        make_simple_avi,
+        riff_info_tags,
+    )
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        detect_format,
+        extract_text_bytes,
+    )
+    from oracle_vectorsearch_example_spark.functions.mov import (
+        make_simple_mov,
+        mov_frame_table,
+        mov_tags,
+    )
+    from oracle_vectorsearch_example_spark.functions.mp4 import (
+        make_simple_mp4,
+    )
+
+    T = {"title": "Vid Töne", "artist": "Cam 1", "year": "2022"}
+    frames = [np.full((16, 16, 3), 30 * s, np.uint8) for s in (1, 2)]
+
+    avi = make_simple_avi(frames, fps=5.0, info=T)
+    assert riff_info_tags(avi) == T
+    assert len(avi_frame_table(avi)[1]) == 2  # INFO transparent
+    assert detect_format(avi) == "avi"
+    assert extract_text_bytes(avi) == "Vid Töne Cam 1 2022"
+
+    mov = make_simple_mov(frames, fps=5.0, tags=T)
+    mp4 = make_simple_mp4(frames, fps=5.0, tags=T)
+    assert mov_tags(mov) == T and mov_tags(mp4) == T
+    assert len(mov_frame_table(mov)[1]) == 2
+    assert (detect_format(mov), detect_format(mp4)) == ("mov", "mp4")
+    assert extract_text_bytes(mov) == extract_text_bytes(mp4) \
+        == "Vid Töne Cam 1 2022"
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 100)
+    wav = bytearray(buf.getvalue())
+    items = b"INAM" + struct.pack("<I", 6) + b"Sound\x00"
+    wav += b"LIST" + struct.pack("<I", 4 + len(items)) + b"INFO" + items
+    struct.pack_into("<I", wav, 4, len(wav) - 8)
+    assert detect_format(bytes(wav)) == "wav"
+    assert riff_info_tags(bytes(wav)) == {"title": "Sound"}
+    assert extract_text_bytes(bytes(wav)) == "Sound"
+
+    # untagged containers: recognized format, no text → ""
+    assert extract_text_bytes(make_simple_avi(frames, fps=5.0)) == ""
+    assert extract_text_bytes(make_simple_mp4(frames, fps=5.0)) == ""
