@@ -44,6 +44,12 @@ from oracle_vectorsearch_example_spark.functions.avi import (
     riff_info_tags,
     riff_tag_text,
 )
+from oracle_vectorsearch_example_spark.functions.ebml import (
+    make_simple_mkv,
+    mkv_meta,
+    mkv_tag_text,
+    mkv_tags,
+)
 from oracle_vectorsearch_example_spark.functions.mov import (
     mov_tag_text,
     mov_tags,
@@ -169,6 +175,10 @@ __all__ = [
     "riff_tag_text",
     "mov_tag_text",
     "mov_tags",
+    "make_simple_mkv",
+    "mkv_meta",
+    "mkv_tag_text",
+    "mkv_tags",
     "dedup_images",
     "phash_band_candidates",
     "phash_df",

@@ -442,10 +442,27 @@ def decode_video_frames(
         )
 
         return decode_mov_frames(data, max_frames=max_frames)
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        # WebM/Matroska (r13): the ELEMENT layer parses for real
+        # (functions.ebml — doc type, tracks, duration, tags); frame
+        # payloads are VP8/VP9/AV1 and stay gated. Name the codec in
+        # the rejection so the evidence gap is attributable per file.
+        from oracle_vectorsearch_example_spark.functions.ebml import (
+            mkv_meta,
+        )
+
+        codecs = ", ".join(
+            sorted({t.get("codec_id", "?") for t in mkv_meta(data)["tracks"]})
+        ) or "no tracks"
+        raise NotImplementedError(
+            f"WebM/Matroska frame payloads ({codecs}) need real codecs "
+            "(VP8/VP9/AV1 gated by name); the element layer parses via "
+            "functions.ebml.mkv_meta/mkv_tags"
+        )
     raise NotImplementedError(
         "real frame decode is built-in for GIF, AVI (MJPG / raw "
         "BI_RGB) and MOV ('jpeg' codec) only; other containers "
-        "(H.264/MP4, WebM) need ffmpeg (absent here)"
+        "(H.264/MP4) need ffmpeg (absent here)"
     )
 
 

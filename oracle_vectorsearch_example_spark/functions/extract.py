@@ -170,6 +170,8 @@ def detect_format(data: bytes) -> str:
         b"moov", b"mdat", b"wide", b"pnot",
     ):
         return "mov"  # ftyp-less QuickTime (legal leading atoms)
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return "mkv"  # EBML magic: WebM/Matroska
     head = data[:1024].lstrip()
     low = head[:64].lower()
     if low.startswith((b"<!doctype html", b"<html", b"<?xml")) or b"<html" in head[:256].lower():
@@ -1132,6 +1134,17 @@ def extract_text_bytes(
         try:
             fn = riff_tag_text if f in ("avi", "wav") else mov_tag_text
             return _normalize_ws(fn(bytes(data)))
+        except Exception:
+            if on_error == "raise":
+                raise
+            return None
+    if f == "mkv":
+        from oracle_vectorsearch_example_spark.functions.ebml import (
+            mkv_tag_text,
+        )
+
+        try:
+            return _normalize_ws(mkv_tag_text(bytes(data)))
         except Exception:
             if on_error == "raise":
                 raise

@@ -3462,10 +3462,11 @@ def q_extract_text_mp3(spark, sf):
 
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
-           CASE doc_id % 8 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
+           CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
                            WHEN 2 THEN 'ogg' WHEN 3 THEN 'flac'
                            WHEN 4 THEN 'avi' WHEN 5 THEN 'wav'
-                           WHEN 6 THEN 'mov' ELSE 'mp4' END AS fmt,
+                           WHEN 6 THEN 'mov' WHEN 7 THEN 'mp4'
+                           ELSE 'mkv' END AS fmt,
            'Doc ' || CAST(doc_id AS VARCHAR)
              || ' Author ' || CAST(doc_id % 7 AS VARCHAR)
              || ' ' || CAST(1990 + doc_id % 35 AS VARCHAR)
@@ -3505,6 +3506,9 @@ def q_extract_text_audio_tags(spark, sf):
 
         from oracle_vectorsearch_example_spark.functions.avi import (
             make_simple_avi,
+        )
+        from oracle_vectorsearch_example_spark.functions.ebml import (
+            make_simple_mkv,
         )
         from oracle_vectorsearch_example_spark.functions.flac import (
             make_simple_flac,
@@ -3553,7 +3557,7 @@ def q_extract_text_audio_tags(spark, sf):
                     "artist": f"Author {did % 7}",
                     "year": str(1990 + did % 35),
                 }
-                kind = did % 8
+                kind = did % 9
                 if kind == 0:
                     payload = make_simple_mp3(gains, tags=tags)
                 elif kind == 1:
@@ -3568,8 +3572,10 @@ def q_extract_text_audio_tags(spark, sf):
                     payload = wav_with_info(tags)
                 elif kind == 6:
                     payload = make_simple_mov(frames, fps=5.0, tags=tags)
-                else:
+                elif kind == 7:
                     payload = make_simple_mp4(frames, fps=5.0, tags=tags)
+                else:
+                    payload = make_simple_mkv(tags=tags)
                 # REAL sniff, not the construction constant — pins the
                 # magic-byte dispatch alongside the tag walk
                 out.append((did, detect_format(payload), payload))

@@ -166,3 +166,51 @@ def test_video_container_tags_and_extract():
     # untagged containers: recognized format, no text → ""
     assert extract_text_bytes(make_simple_avi(frames, fps=5.0)) == ""
     assert extract_text_bytes(make_simple_mp4(frames, fps=5.0)) == ""
+
+
+def test_mkv_element_walk_and_tags():
+    """WebM/Matroska (r13): EBML varint coding, Info/Tracks/Tags
+    walk, duration from TimestampScale x Duration, named codec gate
+    at the frame-decode consumer, D1 extract dispatch."""
+    from oracle_vectorsearch_example_spark.functions.avi import (
+        decode_video_frames,
+    )
+    from oracle_vectorsearch_example_spark.functions.ebml import (
+        make_simple_mkv,
+        mkv_meta,
+        mkv_tag_text,
+        mkv_tags,
+    )
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        detect_format,
+        extract_text_bytes,
+    )
+
+    T = {"title": "Clip Ä", "artist": "Cam", "year": "2021"}
+    blob = make_simple_mkv(
+        tags=T, audio=("A_OPUS", 48000, 2), duration_sec=3.5,
+        codec_id="V_VP9", width=640, height=360,
+    )
+    m = mkv_meta(blob)
+    assert m["doc_type"] == "webm"
+    assert abs(m["duration_sec"] - 3.5) < 1e-9
+    assert m["tracks"][0] == {
+        "type": "video", "codec_id": "V_VP9", "width": 640, "height": 360,
+    }
+    assert m["tracks"][1] == {
+        "type": "audio", "codec_id": "A_OPUS", "rate": 48000.0, "nch": 2,
+    }
+    assert mkv_tags(blob) == T
+    assert mkv_tag_text(blob) == "Clip Ä Cam 2021"
+    assert detect_format(blob) == "mkv"
+    assert extract_text_bytes(blob) == "Clip Ä Cam 2021"
+    assert extract_text_bytes(make_simple_mkv()) == ""
+
+    # the frame-decode consumer names the actual codecs in its gate
+    with pytest.raises(NotImplementedError, match="V_VP9.*A_OPUS|A_OPUS.*V_VP9"):
+        decode_video_frames(blob)
+    with pytest.raises(ValueError, match="EBML"):
+        mkv_meta(b"RIFF not ebml at all")
+    # matroska doctype reads identically
+    assert mkv_meta(make_simple_mkv(doc_type="matroska"))["doc_type"] \
+        == "matroska"
