@@ -3460,6 +3460,70 @@ def q_extract_text_mp3(spark, sf):
     )
 
 
+_WARC_EXTRACT_SQL = """
+    SELECT doc_id,
+           CAST(200 AS INTEGER) AS http_status,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' says '
+             || CAST(doc_id * 7 % 100 AS VARCHAR) || '.' AS text
+    FROM documents WHERE doc_id < 150
+"""
+
+
+@golden("warc_extract", _WARC_EXTRACT_SQL)
+def q_warc_extract(spark, sf):
+    """WARC shard ingestion (r13 — the Common Crawl shape, the FIRST
+    operator of a 100 TB text pipeline): per-doc HTML wrapped into
+    REAL ISO 28500 response records (half the shards gzip-per-member,
+    the spec's record-at-time layout), read back through the
+    DISTRIBUTED reader (`read_warc` files_df path — binaryFile-shaped
+    rows through the same Arrow mapInPandas), HTTP split + D1 HTML
+    extraction included. The oracle replays uri→id, status, and the
+    extracted text relationally — the whole shard→rows chain
+    hash-pinned. Scale shape: one task per shard, no Exchange before
+    the reader (plan-asserted in tests/test_warc.py)."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.sources.warc import read_warc
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def write_shards(batches):
+        from oracle_vectorsearch_example_spark.sources.warc import (
+            make_simple_warc,
+        )
+
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                did = int(did)
+                rec = {
+                    "warc_type": "response",
+                    "target_uri": f"http://corpus.test/{did}",
+                    "html": (
+                        f"<html><body><p>Doc {did} says "
+                        f"{did * 7 % 100}.</p></body></html>"
+                    ),
+                }
+                out.append((
+                    f"mem://warc/{did:06d}.warc",
+                    make_simple_warc([rec], gzip_members=did % 2 == 1),
+                ))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = docs.select("doc_id").mapInPandas(write_shards, schema)
+    rows = read_warc(spark, files_df=files)
+    return rows.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("http_status"),
+        F.col("text"),
+    )
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -8820,7 +8884,7 @@ _PRIORITY = [
     # (a) the r13 adds (never witnessed; all oracle-paired — MP3/MP4
     # container doors, judge r12 #4/#5)
     "mp3_gain_code", "mp3_neardup", "mp4_audio_fp", "mp4_frame_meta",
-    "extract_text_mp3",
+    "extract_text_mp3", "warc_extract",
     # (b) the two r12-errored seats, re-run first with their array
     # outputs serialized + COUNT-shaped oracles (judge r12 #1/#2)
     "bpe_tokens", "pca_embed",
@@ -8840,7 +8904,7 @@ _PRIORITY = [
     "winnow_fingerprints",
     # (d) r10-stalest fills: the tpch family head (the judge-named
     # block)
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
 ]
 
 

@@ -11,8 +11,18 @@ from oracle_vectorsearch_example_spark.sources.txn import (
     Warehouse,
     merge_rows,
 )
+from oracle_vectorsearch_example_spark.sources.warc import (
+    make_simple_warc,
+    parse_warc,
+    read_warc,
+    warc_record_rows,
+)
 
 __all__ = [
+    "make_simple_warc",
+    "parse_warc",
+    "read_warc",
+    "warc_record_rows",
     "TABLES",
     "read_table",
     "read_binary_files",

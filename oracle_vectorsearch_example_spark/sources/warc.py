@@ -1,0 +1,304 @@
+"""WARC / WET web-archive source (r13) — the shard format of the
+training-data world: Common Crawl publishes its corpus as WARC
+(ISO 28500 response records carrying raw HTTP) and WET (``conversion``
+records carrying pre-extracted text), and a 100 TB text pipeline's
+FIRST operator is "turn a directory of .warc.gz shards into a
+(url, date, text) DataFrame". Everything here is stdlib + existing
+repo machinery: the record grammar is line-oriented headers +
+Content-Length bodies, per-record gzip members decompress with zlib,
+and HTML payloads extract through the existing D1 path
+(functions/extract.py) — no new gated math.
+
+Format facts used (public ISO 28500 / WARC 1.1 spec + the Common
+Crawl layout):
+
+- A WARC file is a sequence of records: ``WARC/1.X`` version line,
+  ``Name: value`` headers (notably WARC-Type, WARC-Target-URI,
+  WARC-Date, WARC-Record-ID, Content-Type, Content-Length), one blank
+  line, exactly Content-Length body bytes, then two CRLFs.
+- ``.warc.gz`` files concatenate one gzip MEMBER per record (the spec's
+  record-at-time compression recommendation) so readers can split
+  without decompressing the whole shard; whole-file gzip also occurs
+  and both decode here.
+- ``response`` records wrap a full HTTP response: status line +
+  headers, CRLFCRLF, payload. The payload's text extracts via
+  :func:`~..functions.extract.extract_text_bytes` (HTML and every
+  other D1 format ride the same dispatch).
+- ``conversion`` records (WET) carry UTF-8 text directly.
+
+Scale shape: ``read_warc`` is ``binaryFile`` → Arrow-batched
+``mapInPandas`` — one task per shard, records never shuffle, text
+extraction is map-side; the 1000-executor story is "point it at the
+bucket". (Per-shard memory holds one decompressed shard — the Common
+Crawl convention of ~1 GB gzip members; for bigger monoliths, split
+upstream.)
+
+Reference anchor: the reference's directory-object ingest
+(01_pdf_to_vector.sql:111-116) is this operator's single-machine
+ancestor — BLOBs in a directory become rows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "make_simple_warc",
+    "parse_warc",
+    "read_warc",
+    "warc_record_rows",
+]
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream; plain data
+    passes through untouched."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out += d.decompress(data[pos:])
+        pos = n - len(d.unused_data)
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """All records of one WARC/WET shard as dicts: ``warc_type``,
+    ``target_uri``, ``warc_date``, ``record_id``, ``content_type``,
+    ``body`` (exact Content-Length bytes). Gzip (member-wise or whole)
+    is transparent. Raises ValueError when the stream carries no WARC
+    version line."""
+    data = _gunzip_members(bytes(data))
+    pos = 0
+    n = len(data)
+    out: list[dict] = []
+    while pos < n:
+        # tolerate inter-record CRLFs
+        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            break
+        version = data[pos:eol].strip()
+        if not version.startswith(b"WARC/"):
+            raise ValueError(
+                f"not a WARC record at offset {pos} "
+                f"(got {version[:20]!r})"
+            )
+        pos = eol + 1
+        headers: dict[str, str] = {}
+        while pos < n:
+            eol = data.find(b"\n", pos)
+            if eol < 0:
+                raise ValueError("WARC headers truncated")
+            line = data[pos:eol].rstrip(b"\r")
+            pos = eol + 1
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError as e:
+            raise ValueError(
+                "WARC record without a numeric Content-Length"
+            ) from e
+        body = data[pos:pos + length]
+        if len(body) != length:
+            raise ValueError("WARC body truncated vs Content-Length")
+        pos += length
+        out.append({
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "record_id": headers.get("warc-record-id"),
+            "content_type": headers.get("content-type"),
+            "body": body,
+        })
+    if not out:
+        raise ValueError("no WARC records found")
+    return out
+
+
+def _http_split(body: bytes) -> tuple[int | None, bytes]:
+    """(status_code, payload) from an HTTP response block; (None, body)
+    when the body is not HTTP."""
+    if not body.startswith(b"HTTP/"):
+        return None, body
+    head, sep, payload = body.partition(b"\r\n\r\n")
+    if not sep:
+        head, sep, payload = body.partition(b"\n\n")
+    status = None
+    first = head.split(b"\n", 1)[0].split()
+    if len(first) >= 2 and first[1].isdigit():
+        status = int(first[1])
+    return status, payload
+
+
+def warc_record_rows(
+    data: bytes,
+    keep_types: tuple[str, ...] = ("response", "conversion"),
+    extract: bool = True,
+) -> list[tuple]:
+    """Flat rows for one shard: ``(record_id, warc_type, target_uri,
+    warc_date, http_status, text)``. ``response`` bodies are split
+    into HTTP status + payload and the payload extracts through the
+    D1 dispatch; ``conversion`` (WET) bodies decode as UTF-8 text
+    directly; other types are dropped per ``keep_types``.
+    ``extract=False`` returns the raw payload bytes in the last slot
+    instead (the pass-through for media payloads headed to the dedup
+    operators)."""
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        extract_text_bytes,
+    )
+
+    rows = []
+    for r in parse_warc(data):
+        if r["warc_type"] not in keep_types:
+            continue
+        status = None
+        payload = r["body"]
+        if r["warc_type"] == "response":
+            status, payload = _http_split(payload)
+        if not extract:
+            rows.append((
+                r["record_id"], r["warc_type"], r["target_uri"],
+                r["warc_date"], status, payload,
+            ))
+            continue
+        if r["warc_type"] == "conversion":
+            text = payload.decode("utf-8", "replace")
+            text = " ".join(text.split())
+        else:
+            text = extract_text_bytes(payload)
+        rows.append((
+            r["record_id"], r["warc_type"], r["target_uri"],
+            r["warc_date"], status, text,
+        ))
+    return rows
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str | None = None,
+    files_df: DataFrame | None = None,
+    keep_types: tuple[str, ...] = ("response", "conversion"),
+    on_error: str = "null",
+) -> DataFrame:
+    """Directory of ``.warc(.gz)`` / ``.wet(.gz)`` shards → a
+    ``(shard, record_id, warc_type, target_uri, warc_date,
+    http_status, text)`` DataFrame: ``binaryFile`` scan + one
+    Arrow-batched ``mapInPandas`` — records never shuffle, extraction
+    is map-side, a corrupt shard yields one NULL-text marker row
+    under ``on_error='null'`` (named row, not silence) or raises
+    under ``'raise'``. Pass ``files_df`` (``path, content`` columns)
+    to source shards from anywhere else (a Warehouse table, a stream
+    batch)."""
+    if on_error not in ("null", "raise"):
+        raise ValueError("on_error must be 'null' or 'raise'")
+    if (path is None) == (files_df is None):
+        raise ValueError("pass exactly one of path= or files_df=")
+    if files_df is None:
+        from oracle_vectorsearch_example_spark.sources.io import (
+            read_binary_files,
+        )
+
+        files_df = read_binary_files(spark, path).select("path", "content")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("shard", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for shard, content in zip(b["path"], b["content"]):
+                try:
+                    for row in warc_record_rows(
+                        bytes(content), keep_types=keep_types
+                    ):
+                        out.append((shard,) + row)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out.append((shard, None, None, None, None, None, None))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files_df.mapInPandas(run, schema)
+
+
+def make_simple_warc(
+    records: list[dict],
+    gzip_members: bool = False,
+) -> bytes:
+    """Deterministic WARC shard writer for fixtures/goldens: each
+    record dict gives ``warc_type`` plus optional ``target_uri`` /
+    ``warc_date`` / ``record_id`` and either ``html`` (wrapped as a
+    full HTTP/1.1 200 response record), ``text`` (a WET ``conversion``
+    record), or raw ``body`` bytes. ``gzip_members=True`` writes the
+    spec's one-gzip-member-per-record layout (zlib, fixed mtime 0 so
+    output is byte-deterministic)."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        rtype = rec["warc_type"]
+        if "html" in rec:
+            payload = rec["html"]
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload
+            )
+            ctype = "application/http; msgtype=response"
+        elif "text" in rec:
+            body = rec["text"].encode("utf-8")
+            ctype = "text/plain"
+        else:
+            body = bytes(rec.get("body", b""))
+            ctype = rec.get("content_type", "application/octet-stream")
+        headers = [
+            ("WARC-Type", rtype),
+            ("WARC-Record-ID",
+             rec.get("record_id", f"<urn:uuid:fixture-{i:08d}>")),
+            ("WARC-Date", rec.get("warc_date", "2024-01-01T00:00:00Z")),
+            ("Content-Type", rec.get("content_type", ctype)),
+            ("Content-Length", str(len(body))),
+        ]
+        if rec.get("target_uri"):
+            headers.insert(2, ("WARC-Target-URI", rec["target_uri"]))
+        blob = (
+            b"WARC/1.0\r\n"
+            + b"".join(f"{k}: {v}\r\n".encode() for k, v in headers)
+            + b"\r\n" + body + b"\r\n\r\n"
+        )
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            member = co.compress(blob) + co.flush()
+            # pin the gzip header mtime to 0 for byte determinism
+            member = member[:4] + struct.pack("<I", 0) + member[8:]
+            out += member
+        else:
+            out += blob
+    return bytes(out)

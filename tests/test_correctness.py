@@ -75,7 +75,7 @@ def test_driver_window_composition():
         # COUNT-shaped oracles (judge r12 #1/#2), and the judge-named
         # stalest blocks (scan_region / json_shred / tpch head).
         "mp3_gain_code", "mp3_neardup", "mp4_audio_fp", "mp4_frame_meta",
-        "extract_text_mp3", "bpe_tokens", "pca_embed",
+        "extract_text_mp3", "warc_extract", "bpe_tokens", "pca_embed",
         "scan_region", "json_shred", "tpch_q1",
         "flagship_search_ivf", "exact_dedup", "window_funcs",
     }

@@ -1,0 +1,113 @@
+"""WARC/WET source (r13): record grammar, gzip-member transparency,
+the distributed reader over real shard files, error posture, and
+composition into the dedup operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.sources.warc import (
+    make_simple_warc,
+    parse_warc,
+    read_warc,
+    warc_record_rows,
+)
+
+
+def _recs(n=4, base=0):
+    out = [{"warc_type": "warcinfo", "text": "fixture shard"}]
+    for i in range(base, base + n):
+        out.append({
+            "warc_type": "response",
+            "target_uri": f"http://corpus.test/{i}",
+            "html": f"<html><body><h1>Page {i}</h1>"
+                    f"<p>Body   text {i * 7}.</p></body></html>",
+        })
+        out.append({
+            "warc_type": "conversion",
+            "target_uri": f"http://corpus.test/{i}",
+            "text": f"WET text {i * 7}",
+        })
+    return out
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_record_grammar_and_extraction(gz):
+    blob = make_simple_warc(_recs(3), gzip_members=gz)
+    all_recs = parse_warc(blob)
+    assert [r["warc_type"] for r in all_recs] == \
+        ["warcinfo"] + ["response", "conversion"] * 3
+    assert all(
+        r["body"][:9] == b"HTTP/1.1 " for r in all_recs
+        if r["warc_type"] == "response"
+    )
+    rows = warc_record_rows(blob)
+    assert len(rows) == 6  # warcinfo dropped
+    resp = [r for r in rows if r[1] == "response"]
+    assert all(r[4] == 200 for r in resp)
+    assert resp[0][5] == "Page 0 Body text 0."
+    wet = [r for r in rows if r[1] == "conversion"]
+    assert wet[1][5] == "WET text 7" and wet[1][4] is None
+    # raw pass-through keeps payload bytes
+    raw = warc_record_rows(blob, extract=False)
+    assert isinstance(raw[0][5], (bytes, bytearray))
+    # byte determinism incl. gzip member mtime pin
+    assert make_simple_warc(_recs(3), gzip_members=gz) == blob
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    """binaryFile scan over a directory of .warc.gz shards → rows;
+    a corrupt shard yields one named NULL marker row (not silence);
+    layout-independent."""
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s in range(3):
+        (d / f"shard-{s}.warc.gz").write_bytes(
+            make_simple_warc(_recs(4, base=s * 4), gzip_members=True)
+        )
+    (d / "broken.warc.gz").write_bytes(b"\x1f\x8bnot really gzip")
+
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    good = [r for r in rows if r.record_id is not None]
+    bad = [r for r in rows if r.record_id is None]
+    assert len(good) == 3 * 8 and len(bad) == 1
+    assert bad[0].shard.endswith("broken.warc.gz")
+    uris = {r.target_uri for r in good}
+    assert uris == {f"http://corpus.test/{i}" for i in range(12)}
+    # one shard → its 8 records stay together, no shuffle needed:
+    # plan has no Exchange before the mapInPandas
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("ArrowEvalPython")[0]
+
+    with pytest.raises(Exception, match="decompress|gzip|WARC"):
+        read_warc(spark, str(d), on_error="raise").collect()
+
+
+def test_wet_rows_feed_dedup(spark):
+    """The WET path composes straight into the corpus operators: text
+    rows from shards → exact_dedup keeps one copy per duplicated
+    page."""
+    from oracle_vectorsearch_example_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    recs = []
+    for i in range(6):
+        recs.append({
+            "warc_type": "conversion",
+            "target_uri": f"http://corpus.test/{i}",
+            "text": f"page body {i % 3}",  # 3 distinct, each twice
+        })
+    files = spark.createDataFrame(
+        [("mem://s0", bytearray(make_simple_warc(recs)))],
+        "path string, content binary",
+    )
+    df = read_warc(spark, files_df=files).withColumn(
+        "doc_id",
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long"),
+    )
+    kept = exact_dedup(df, text_col="text", id_col="doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2]
