@@ -1778,6 +1778,76 @@ def main():
             "mp3_gain_scan_20k", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- WARC shard ingestion at 500 shards / 10k records (r13): the
+    # Common Crawl entry operator — gzip-member decode + record walk +
+    # HTTP split + D1 HTML extraction, one task per shard.
+    try:
+        from pyspark.sql import types as T
+
+        from oracle_vectorsearch_example_spark.sources.warc import (
+            read_warc,
+        )
+
+        def _warc_rows(ids_df):
+            def gen(batches):
+                import pandas as _pd
+
+                from oracle_vectorsearch_example_spark.sources.warc import (
+                    make_simple_warc,
+                )
+
+                for b in batches:
+                    out = []
+                    for sid in b["shard_id"]:
+                        sid = int(sid)
+                        recs = [
+                            {
+                                "warc_type": "response",
+                                "target_uri":
+                                    f"http://bench.test/{sid}/{i}",
+                                "html": (
+                                    f"<html><body><h1>Shard {sid}</h1>"
+                                    + "".join(
+                                        f"<p>para {j} of rec {i} text "
+                                        f"{(sid * 31 + i * 7 + j) % 997}"
+                                        "</p>"
+                                        for j in range(6)
+                                    )
+                                    + "</body></html>"
+                                ),
+                            }
+                            for i in range(20)
+                        ]
+                        out.append((
+                            f"mem://bench/{sid:05d}.warc.gz",
+                            bytearray(
+                                make_simple_warc(recs, gzip_members=True)
+                            ),
+                        ))
+                    yield _pd.DataFrame(out, columns=["path", "content"])
+
+            schema = T.StructType([
+                T.StructField("path", T.StringType()),
+                T.StructField("content", T.BinaryType()),
+            ])
+            return ids_df.mapInPandas(gen, schema)
+
+        warc_files = _warc_rows(
+            spark.range(500).select(F.col("id").alias("shard_id"))
+        ).localCheckpoint()
+        run_entry(
+            "warc_read_500",
+            lambda: _execute(read_warc(spark, files_df=warc_files)),
+        )
+        extras["warc_read_500"] = {
+            "n_shards": 500, "records_per_shard": 20,
+            "gzip_members": True,
+        }
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "warc_read_500", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- MP4/ISO-BMFF container walk at 2k clips (r13, judge r12 #5):
     # the AVI bench's geometry muxed as MP4 — same frame pHash path,
     # fourth container through one dispatch.
