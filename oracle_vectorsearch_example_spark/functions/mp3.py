@@ -70,6 +70,7 @@ __all__ = [
     "mp3_gain_envelope",
     "mp3_gain_code",
     "mp3_gain_code_df",
+    "mp3_album_art",
     "mp3_tags",
     "mp3_tag_text",
     "dedup_mp3",
@@ -303,6 +304,47 @@ def _id3_text(payload: bytes) -> str:
     return s.split("\x00")[0].strip()
 
 
+def _id3v2_frames(data: bytes):
+    """Yield ``(major_version, frame_id, frame_body)`` for every frame
+    of a leading ID3v2.2/2.3/2.4 tag (global unsync undone, extended
+    header skipped); yields nothing when no tag leads the stream."""
+    if not (data[:3] == b"ID3" and len(data) >= 10 and data[3] != 0xFF):
+        return
+    major, flags = data[3], data[5]
+    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+           ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    tag = data[10:10 + size]
+    if flags & 0x80:  # global unsynchronisation: FF 00 → FF
+        tag = tag.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if major >= 3 and flags & 0x40 and len(tag) >= 4:
+        (ext,) = struct.unpack(">I", tag[:4])
+        if major == 4:  # v2.4 extended size is syncsafe + inclusive
+            ext = ((tag[0] & 0x7F) << 21) | ((tag[1] & 0x7F) << 14) | \
+                  ((tag[2] & 0x7F) << 7) | (tag[3] & 0x7F)
+            pos = ext
+        else:  # v2.3: size excludes the 4 size bytes
+            pos = 4 + ext
+    idlen = 3 if major == 2 else 4
+    hdrlen = 6 if major == 2 else 10
+    while pos + hdrlen <= len(tag):
+        fid = tag[pos:pos + idlen]
+        if fid == b"\x00" * idlen or not fid.strip(b"\x00"):
+            break  # padding
+        if major == 2:
+            fsize = (tag[pos + 3] << 16) | (tag[pos + 4] << 8) | \
+                    tag[pos + 5]
+        elif major == 4:  # syncsafe frame sizes
+            fsize = ((tag[pos + 4] & 0x7F) << 21) | \
+                    ((tag[pos + 5] & 0x7F) << 14) | \
+                    ((tag[pos + 6] & 0x7F) << 7) | \
+                    (tag[pos + 7] & 0x7F)
+        else:  # v2.3 plain big-endian
+            (fsize,) = struct.unpack(">I", tag[pos + 4:pos + 8])
+        yield major, fid, tag[pos + hdrlen:pos + hdrlen + fsize]
+        pos += hdrlen + fsize
+
+
 def mp3_tags(data: bytes) -> dict[str, str]:
     """Text metadata from ID3v2 (2.2/2.3/2.4 text frames; global
     unsynchronisation undone; extended headers skipped) with an ID3v1
@@ -312,46 +354,13 @@ def mp3_tags(data: bytes) -> dict[str, str]:
     decode involved."""
     data = bytes(data)
     out: dict[str, str] = {}
-    if data[:3] == b"ID3" and len(data) >= 10 and data[3] != 0xFF:
-        major, flags = data[3], data[5]
-        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
-               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-        tag = data[10:10 + size]
-        if flags & 0x80:  # global unsynchronisation: FF 00 → FF
-            tag = tag.replace(b"\xff\x00", b"\xff")
-        pos = 0
-        if major >= 3 and flags & 0x40 and len(tag) >= 4:
-            (ext,) = struct.unpack(">I", tag[:4])
-            if major == 4:  # v2.4 extended size is syncsafe + inclusive
-                ext = ((tag[0] & 0x7F) << 21) | ((tag[1] & 0x7F) << 14) | \
-                      ((tag[2] & 0x7F) << 7) | (tag[3] & 0x7F)
-                pos = ext
-            else:  # v2.3: size excludes the 4 size bytes
-                pos = 4 + ext
+    for major, fid, body in _id3v2_frames(data):
         keys = _ID3_KEYS_V2 if major == 2 else _ID3_KEYS_V3
-        idlen = 3 if major == 2 else 4
-        hdrlen = 6 if major == 2 else 10
-        while pos + hdrlen <= len(tag):
-            fid = tag[pos:pos + idlen]
-            if fid == b"\x00" * idlen or not fid.strip(b"\x00"):
-                break  # padding
-            if major == 2:
-                fsize = (tag[pos + 3] << 16) | (tag[pos + 4] << 8) | \
-                        tag[pos + 5]
-            elif major == 4:  # syncsafe frame sizes
-                fsize = ((tag[pos + 4] & 0x7F) << 21) | \
-                        ((tag[pos + 5] & 0x7F) << 14) | \
-                        ((tag[pos + 6] & 0x7F) << 7) | \
-                        (tag[pos + 7] & 0x7F)
-            else:  # v2.3 plain big-endian
-                (fsize,) = struct.unpack(">I", tag[pos + 4:pos + 8])
-            body = tag[pos + hdrlen:pos + hdrlen + fsize]
-            key = keys.get(fid)
-            if key and key not in out:
-                val = _id3_text(body)
-                if val:
-                    out[key] = val
-            pos += hdrlen + fsize
+        key = keys.get(fid)
+        if key and key not in out:
+            val = _id3_text(body)
+            if val:
+                out[key] = val
     # ID3v1 trailer: fixed 128-byte latin-1 record, fills gaps only
     if len(data) >= 128 and data[-128:-125] == b"TAG":
         v1 = data[-128:]
@@ -368,6 +377,51 @@ def mp3_tags(data: bytes) -> dict[str, str]:
             if val and key not in out:
                 out[key] = val
     return out
+
+
+def _skip_terminated(body: bytes, pos: int, enc: int) -> int:
+    """Index past a NUL-terminated string starting at ``pos``: single
+    NUL for latin-1/UTF-8 encodings, double NUL on an even boundary
+    for the UTF-16 family."""
+    if enc in (1, 2):
+        p = pos
+        while p + 1 < len(body):
+            if body[p] == 0 and body[p + 1] == 0:
+                return p + 2
+            p += 2
+        return len(body)
+    i = body.find(b"\x00", pos)
+    return len(body) if i < 0 else i + 1
+
+
+def mp3_album_art(data: bytes) -> tuple[str, bytes] | None:
+    """(mime, image bytes) of the FIRST embedded picture — APIC
+    (ID3v2.3/2.4: encoding + MIME + picture type + description +
+    data) or PIC (v2.2: encoding + 3-char format + type + description
+    + data). None when the file carries no picture. The bytes feed
+    the X55 image path directly (`phash_df` / `dedup_images` decode
+    JPEG/PNG/BMP...), so album-art dedup is a composition, not a new
+    operator."""
+    data = bytes(data)
+    for major, fid, body in _id3v2_frames(data):
+        if major == 2 and fid == b"PIC" and len(body) >= 6:
+            enc = body[0]
+            fmt = body[1:4].decode("latin-1").strip("\x00 ").upper()
+            pos = _skip_terminated(body, 5, enc)  # past description
+            mime = {"JPG": "image/jpeg", "PNG": "image/png"}.get(
+                fmt, f"image/{fmt.lower()}" if fmt else
+                "application/octet-stream"
+            )
+            return mime, body[pos:]
+        if major >= 3 and fid == b"APIC" and len(body) >= 4:
+            enc = body[0]
+            m_end = body.find(b"\x00", 1)
+            if m_end < 0:
+                continue
+            mime = body[1:m_end].decode("latin-1")
+            pos = _skip_terminated(body, m_end + 2, enc)  # +1 pic type
+            return mime or "application/octet-stream", body[pos:]
+    return None
 
 
 def mp3_tag_text(data: bytes) -> str:
@@ -544,6 +598,7 @@ def make_simple_mp3(
     xing: bool = False,
     id3_bytes: int = 0,
     tags: dict | None = None,
+    picture: tuple[str, bytes] | None = None,
 ) -> bytes:
     """Structurally valid Layer III GAIN-CARRIER frames — NOT an audio
     encoder: every granule is the all-zero spectrum real encoders emit
@@ -560,7 +615,9 @@ def make_simple_mp3(
     the skip; ``id3_bytes`` prepends a minimal ID3v2 tag of that body
     size; ``tags`` (r13) writes REAL ID3v2.4 UTF-8 text frames
     (title/artist/album/year/genre/track) into that tag —
-    :func:`mp3_tags` reads them back, the D1 metadata roundtrip."""
+    :func:`mp3_tags` reads them back, the D1 metadata roundtrip;
+    ``picture`` = (mime, bytes) adds an APIC frame (front cover,
+    empty description) for :func:`mp3_album_art`."""
     g = np.asarray(gains, dtype=np.int64)
     if g.ndim == 1:
         g = np.repeat(g[:, None], nch, axis=1)
@@ -630,8 +687,17 @@ def make_simple_mp3(
         return header + body + b"\x00" * (frame_len - 4 - len(body))
 
     out = bytearray()
-    if id3_bytes or tags:
+    if id3_bytes or tags or picture:
         frames_b = b""
+        if picture:
+            mime, img = picture
+            body = (b"\x00" + mime.encode("latin-1") + b"\x00"
+                    + b"\x03" + b"\x00" + bytes(img))  # front cover
+            n = len(body)
+            frames_b += b"APIC" + bytes([
+                (n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                (n >> 7) & 0x7F, n & 0x7F,
+            ]) + b"\x00\x00" + body
         if tags:
             rev = {v: k for k, v in _ID3_KEYS_V3.items() if k != "year"}
             rev["year"] = b"TDRC"  # the v2.4 timestamp frame

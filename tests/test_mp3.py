@@ -328,3 +328,65 @@ def test_crc_frames_offset_side_info():
     m2, f2 = mp3_frame_table(bytes(out))
     assert m2["crc"] and m2["n_frames"] == meta["n_frames"]
     assert np.array_equal(mp3_gain_envelope(bytes(out)), g)
+
+
+def test_album_art_feeds_image_dedup(spark):
+    """APIC/PIC extraction composes into the X55 image path: the SAME
+    cover in differently-tagged MP3s collapses under dedup_images over
+    the extracted art; a different cover survives. Art extraction is
+    structural — the audio walk and gain code are unaffected."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.functions.mp3 import (
+        mp3_album_art,
+    )
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        dedup_images,
+    )
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        encode_bmp,
+    )
+
+    def cover(seed):
+        px = ((np.arange(32)[:, None] * 13 + np.arange(32)[None, :] * 7
+               + seed * 40) % 256).astype(np.uint8)
+        return encode_bmp(np.stack([px, px, px], axis=-1))
+
+    g = _gains()
+    rows = [
+        (1, bytearray(make_simple_mp3(
+            g, tags={"title": "A"}, picture=("image/bmp", cover(0))))),
+        (2, bytearray(make_simple_mp3(
+            g, tags={"title": "B (retag)"},
+            picture=("image/bmp", cover(0))))),
+        (3, bytearray(make_simple_mp3(
+            g, picture=("image/bmp", cover(5))))),
+        (4, bytearray(make_simple_mp3(g))),  # no art
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def art(batches):
+        import pandas as pd
+
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                got = mp3_album_art(bytes(payload))
+                if got is not None:
+                    out.append((int(mid), got[1]))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    arts = media.mapInPandas(art, schema)
+    kept = sorted(
+        r.media_id for r in dedup_images(arts, max_hamming=2).collect()
+    )
+    assert kept == [1, 3]
+    # the envelope still reads through the APIC-carrying tag
+    assert np.array_equal(
+        mp3_gain_envelope(bytes(rows[0][1])), g
+    )
