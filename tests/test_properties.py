@@ -431,3 +431,97 @@ def test_bpe_tokens_reassemble_property(hist, n_merges):
     ranks = {m: i for i, m in enumerate(merges)}
     for word, _f in hist + [("zgx", 1), ("aaaaaaaaaa", 1)]:
         assert "".join(bpe_encode_word(word, ranks)) == word + EOW
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=2, max_size=64).filter(
+        lambda g: len(g) % 2 == 0
+    ),
+    st.sampled_from([44100, 48000, 32000, 22050, 16000, 8000]),
+    st.integers(0, 60),
+    st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_mp3_gain_roundtrip_property(gains, rate, id3_pad, xing):
+    """r13 MP3 writer↔parser: ANY gain sequence in the 8-bit field
+    roundtrips exactly through real Layer III side info, regardless of
+    sample-rate family (MPEG-1/LSF/2.5), ID3 padding, or a Xing
+    header frame."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.mp3 import (
+        make_simple_mp3,
+        mp3_frame_table,
+        mp3_gain_envelope,
+    )
+
+    g = np.asarray(gains, dtype=np.int64)
+    blob = make_simple_mp3(
+        g, sample_rate=rate, id3_bytes=id3_pad, xing=xing
+    )
+    meta, frames = mp3_frame_table(blob)
+    assert meta["sample_rate"] == rate and meta["has_xing"] == xing
+    assert np.array_equal(mp3_gain_envelope(blob), g)
+    # frame table tiles the audio region exactly
+    for (o1, l1), (o2, _) in zip(frames, frames[1:]):
+        assert o1 + l1 == o2
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "conversion"]),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FF
+                ),
+                min_size=0,
+                max_size=80,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_warc_record_roundtrip_property(recs, gz):
+    """r13 WARC writer↔parser: arbitrary unicode text bodies (incl.
+    CRLF-bearing ones — Content-Length framing, not sentinel scanning)
+    survive the record walk byte-exactly, gzip members transparent."""
+    from oracle_vectorsearch_example_spark.sources.warc import (
+        make_simple_warc,
+        parse_warc,
+    )
+
+    records = [
+        {"warc_type": t, "target_uri": f"http://p.test/{i}", "text": txt}
+        for i, (t, txt) in enumerate(recs)
+    ]
+    blob = make_simple_warc(records, gzip_members=gz)
+    back = parse_warc(blob)
+    assert len(back) == len(records)
+    for rec, got in zip(records, back):
+        assert got["warc_type"] == rec["warc_type"]
+        assert got["body"] == rec["text"].encode("utf-8")
+
+
+@given(st.lists(st.integers(0, (1 << 40) - 1), min_size=1, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_ebml_vint_roundtrip_property(vals):
+    """r13 EBML varints: the writer's shortest-form size coding decodes
+    to the same value at every width the reader supports (the
+    all-ones/unknown-size reservation honored)."""
+    from oracle_vectorsearch_example_spark.functions.ebml import (
+        _enc_size,
+        _read_vint,
+    )
+
+    blob = b"".join(_enc_size(v) for v in vals)
+    pos = 0
+    out = []
+    while pos < len(blob):
+        v, n = _read_vint(blob, pos, keep_marker=False)
+        out.append(v)
+        pos += n
+    assert out == vals
