@@ -12,6 +12,7 @@ from oracle_vectorsearch_example_spark.sources.txn import (
     merge_rows,
 )
 from oracle_vectorsearch_example_spark.sources.warc import (
+    iter_warc,
     make_simple_warc,
     parse_warc,
     read_warc,
@@ -19,6 +20,7 @@ from oracle_vectorsearch_example_spark.sources.warc import (
 )
 
 __all__ = [
+    "iter_warc",
     "make_simple_warc",
     "parse_warc",
     "read_warc",

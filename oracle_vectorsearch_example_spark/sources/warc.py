@@ -29,9 +29,11 @@ Crawl layout):
 Scale shape: ``read_warc`` is ``binaryFile`` → Arrow-batched
 ``mapInPandas`` — one task per shard, records never shuffle, text
 extraction is map-side; the 1000-executor story is "point it at the
-bucket". (Per-shard memory holds one decompressed shard — the Common
-Crawl convention of ~1 GB gzip members; for bigger monoliths, split
-upstream.)
+bucket". Member-per-record shards stream through ``iter_warc`` one
+gzip member at a time with consumed bytes dropped, so per-task DECODE
+memory tracks the largest record, not the ~4-5× decompressed shard
+(the compressed shard bytes themselves arrive as one binaryFile row —
+the Common Crawl ~1 GB convention bounds that side).
 
 Reference anchor: the reference's directory-object ingest
 (01_pdf_to_vector.sql:111-116) is this operator's single-machine
@@ -48,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
+    "iter_warc",
     "make_simple_warc",
     "parse_warc",
     "read_warc",
@@ -55,41 +58,77 @@ __all__ = [
 ]
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream; plain data
-    passes through untouched."""
+def _iter_chunks(data: bytes):
+    """Yield decompressed chunks of a shard ONE GZIP MEMBER AT A TIME
+    (plain data yields once). The spec's record-per-member layout —
+    what Common Crawl actually publishes — therefore never holds more
+    than one record's decompressed bytes beyond the current parse
+    window, which is the property that matters at 100 TB (a ~1 GB .gz
+    shard expands ~4-5×; whole-shard decompression would size the
+    executor to the worst shard instead of the worst RECORD)."""
     if data[:2] != b"\x1f\x8b":
-        return data
-    out = bytearray()
+        yield data
+        return
     pos = 0
     n = len(data)
     while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out += d.decompress(data[pos:])
+        yield d.decompress(data[pos:])
         pos = n - len(d.unused_data)
-    return bytes(out)
 
 
 def parse_warc(data: bytes) -> list[dict]:
     """All records of one WARC/WET shard as dicts: ``warc_type``,
     ``target_uri``, ``warc_date``, ``record_id``, ``content_type``,
     ``body`` (exact Content-Length bytes). Gzip (member-wise or whole)
-    is transparent. Raises ValueError when the stream carries no WARC
-    version line."""
-    data = _gunzip_members(bytes(data))
+    is transparent — member-per-record shards decompress one member at
+    a time (see ``_iter_chunks``). Raises ValueError when the stream
+    carries no WARC version line."""
+    return list(iter_warc(data))
+
+
+
+def iter_warc(data: bytes):
+    """Generator form of :func:`parse_warc`: records stream out as
+    each gzip member decompresses and consumed bytes are dropped, so
+    peak memory tracks the largest RECORD, not the decompressed shard
+    (the 100 TB property for member-per-record .warc.gz layouts).
+    ``warc_record_rows`` consumes this directly."""
+    chunks = _iter_chunks(bytes(data))
+    buf = bytearray()
     pos = 0
-    n = len(data)
-    out: list[dict] = []
-    while pos < n:
+    n_out = 0
+
+    def fill(k: int) -> bool:
+        """Grow ``buf`` to at least ``k`` bytes; False at stream end."""
+        while len(buf) < k:
+            try:
+                buf.extend(next(chunks))
+            except StopIteration:
+                return False
+        return True
+
+    def find_nl(start: int) -> int:
+        while True:
+            i = buf.find(b"\n", start)
+            if i >= 0:
+                return i
+            if not fill(len(buf) + 1):
+                return -1
+
+    while True:
+        if pos > (1 << 20):  # drop consumed bytes
+            del buf[:pos]
+            pos = 0
         # tolerate inter-record CRLFs
-        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+        while fill(pos + 1) and buf[pos] in (0x0D, 0x0A):
             pos += 1
-        if pos >= n:
+        if pos >= len(buf):
             break
-        eol = data.find(b"\n", pos)
+        eol = find_nl(pos)
         if eol < 0:
             break
-        version = data[pos:eol].strip()
+        version = bytes(buf[pos:eol]).strip()
         if not version.startswith(b"WARC/"):
             raise ValueError(
                 f"not a WARC record at offset {pos} "
@@ -97,11 +136,11 @@ def parse_warc(data: bytes) -> list[dict]:
             )
         pos = eol + 1
         headers: dict[str, str] = {}
-        while pos < n:
-            eol = data.find(b"\n", pos)
+        while True:
+            eol = find_nl(pos)
             if eol < 0:
                 raise ValueError("WARC headers truncated")
-            line = data[pos:eol].rstrip(b"\r")
+            line = bytes(buf[pos:eol]).rstrip(b"\r")
             pos = eol + 1
             if not line:
                 break
@@ -115,21 +154,21 @@ def parse_warc(data: bytes) -> list[dict]:
             raise ValueError(
                 "WARC record without a numeric Content-Length"
             ) from e
-        body = data[pos:pos + length]
-        if len(body) != length:
+        if not fill(pos + length):
             raise ValueError("WARC body truncated vs Content-Length")
+        body = bytes(buf[pos:pos + length])
         pos += length
-        out.append({
+        n_out += 1
+        yield {
             "warc_type": headers.get("warc-type", ""),
             "target_uri": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
             "record_id": headers.get("warc-record-id"),
             "content_type": headers.get("content-type"),
             "body": body,
-        })
-    if not out:
+        }
+    if n_out == 0:
         raise ValueError("no WARC records found")
-    return out
 
 
 def _http_split(body: bytes) -> tuple[int | None, bytes]:
@@ -165,7 +204,7 @@ def warc_record_rows(
     )
 
     rows = []
-    for r in parse_warc(data):
+    for r in iter_warc(data):
         if r["warc_type"] not in keep_types:
             continue
         status = None

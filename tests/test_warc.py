@@ -111,3 +111,39 @@ def test_wet_rows_feed_dedup(spark):
     )
     kept = exact_dedup(df, text_col="text", id_col="doc_id")
     assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2]
+
+
+def test_iter_warc_streams_members():
+    """iter_warc yields records as gzip members decompress and drops
+    consumed bytes: after the first next(), only a prefix of the
+    shard's members has been decompressed (peak memory tracks the
+    record, not the shard — the 100 TB property)."""
+    from oracle_vectorsearch_example_spark.sources.warc import iter_warc
+
+    big = [{"warc_type": "conversion",
+            "target_uri": f"http://big.test/{i}",
+            "text": f"body {i} " * 5000}
+           for i in range(30)]
+    blob = make_simple_warc(big, gzip_members=True)
+
+    calls = []
+    import zlib as _z
+
+    orig = _z.decompressobj
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    _z.decompressobj = counting
+    try:
+        it = iter_warc(blob)
+        first = next(it)
+        early = len(calls)
+        rest = list(it)
+    finally:
+        _z.decompressobj = orig
+    assert first["target_uri"] == "http://big.test/0"
+    assert len(rest) == 29
+    assert early <= 3, f"decompressed {early} members before first record"
+    assert len(calls) == 30
