@@ -147,3 +147,48 @@ def test_iter_warc_streams_members():
     assert len(rest) == 29
     assert early <= 3, f"decompressed {early} members before first record"
     assert len(calls) == 30
+
+
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """Streaming shard arrival (the production crawl shape): a
+    binaryFile readStream over the shard directory, each micro-batch
+    through read_warc(files_df=) inside foreachBatch — the availableNow
+    result equals the batch read exactly."""
+    d = tmp_path / "stream_shards"
+    d.mkdir()
+    for s in range(4):
+        (d / f"shard-{s}.warc.gz").write_bytes(
+            make_simple_warc(_recs(3, base=s * 3), gzip_members=True)
+        )
+
+    batch = sorted(
+        (r.target_uri, r.warc_type, r.text)
+        for r in read_warc(spark, str(d)).collect()
+    )
+
+    got = []
+
+    def sink(b, _bid):
+        got.extend(
+            (r.target_uri, r.warc_type, r.text)
+            for r in read_warc(
+                b.sparkSession, files_df=b.select("path", "content")
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(str(d))
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == batch and len(batch) == 4 * 6
