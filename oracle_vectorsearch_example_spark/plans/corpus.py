@@ -1019,3 +1019,57 @@ class IncrementalCorpus:
         return hash_split(
             gated, self.split_weights, id_col=self.id_col, seed=self.seed
         )
+
+
+def corpus_from_warc(
+    spark: SparkSession,
+    path: str | None = None,
+    files_df: DataFrame | None = None,
+    keep_types: tuple[str, ...] = ("response", "conversion"),
+    min_status: int | None = 200,
+    max_status: int | None = 299,
+    **corpus_kwargs,
+) -> dict[str, DataFrame]:
+    """Crawl shards → curated training corpus in one call (r13): the
+    X60 WARC/WET source feeding :func:`build_training_corpus` — the
+    end-to-end shape of a real pretraining data pipeline ("point it at
+    the bucket of .warc.gz, get documents/packs/stats tables").
+
+    Rows from :func:`~..sources.warc.read_warc` become corpus docs:
+    ``doc_id`` = non-negative 62-bit xxhash of (shard, record_id) — a
+    pure function of the record's identity, so re-runs and layout
+    changes assign identical ids; ``target_uri`` rides along as the
+    ``url`` column (``url_col='url'`` wiring for the X48 domain
+    blocklist is the caller's choice); non-2xx responses drop by
+    default (``min_status``/``max_status``; WET conversion records
+    have no status and always pass); unparseable shards' NULL marker
+    rows drop here — loudly countable upstream via ``read_warc``
+    itself. Every gate/knob of :func:`build_training_corpus` applies
+    unchanged via ``**corpus_kwargs``."""
+    from oracle_vectorsearch_example_spark.sources.warc import read_warc
+
+    rows = read_warc(
+        spark, path=path, files_df=files_df, keep_types=keep_types
+    )
+    docs = rows.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    if min_status is not None:
+        docs = docs.filter(
+            F.col("http_status").isNull()
+            | (F.col("http_status") >= min_status)
+        )
+    if max_status is not None:
+        docs = docs.filter(
+            F.col("http_status").isNull()
+            | (F.col("http_status") <= max_status)
+        )
+    docs = docs.select(
+        F.pmod(
+            F.xxhash64(F.col("shard"), F.col("record_id")),
+            F.lit(1 << 62),
+        ).alias("doc_id"),
+        F.col("text"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date"),
+        F.col("warc_type"),
+    )
+    return build_training_corpus(docs, **corpus_kwargs)

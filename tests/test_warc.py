@@ -192,3 +192,52 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == batch and len(batch) == 4 * 6
+
+
+def test_corpus_from_warc_end_to_end(spark, tmp_path):
+    """Crawl shards → curated corpus in one call: dedup + splits run
+    over WARC-derived docs; ids are a pure function of record
+    identity (re-read gives identical ids); non-2xx responses drop."""
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        corpus_from_warc,
+    )
+
+    words = ("alpha beryl cedar delta ember fjord glyph harbor iris "
+             "jasper kudzu lumen marble nectar onyx prism quartz "
+             "rustle sonnet tundra umber velvet willow xenon yonder "
+             "zephyr basalt copper dynamo ember").split()
+    recs = []
+    for i in range(12):
+        body = " ".join(
+            words[(i * 5 + j * 3) % len(words)] + str((i * 7 + j) % 97)
+            for j in range(30)
+        )
+        recs.append({
+            "warc_type": "response",
+            "record_id": f"<urn:uuid:page-{i:04d}>",
+            "target_uri": f"http://site{i % 4}.test/p/{i}",
+            "html": f"<html><body><p>{body}</p></body></html>",
+        })
+    # an exact duplicate of page 0 under a new identity: the corpus
+    # builder's dedup gate must collapse it
+    recs.append(dict(recs[0],
+                     record_id="<urn:uuid:page-copy>",
+                     target_uri="http://mirror.test/copy"))
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "s0.warc.gz").write_bytes(
+        make_simple_warc(recs, gzip_members=True)
+    )
+
+    out = corpus_from_warc(
+        spark, str(d), split_weights={"train": 0.8, "val": 0.2}
+    )
+    docs = out["documents"].collect()
+    assert len(docs) == 12  # 12 distinct pages; the mirror copy deduped
+    assert all(0 <= r.doc_id < (1 << 62) for r in docs)
+    # identical ids on a re-read (pure function of record identity)
+    out2 = corpus_from_warc(spark, str(d))
+    assert sorted(r.doc_id for r in out2["documents"].collect()) == \
+        sorted(r.doc_id for r in docs)
+    stats = {r.split: r.n_docs for r in out["stats"].collect()}
+    assert sum(stats.values()) == 12
