@@ -250,6 +250,13 @@ def _has_dht(frame: bytes) -> bool:
     while pos + 4 <= n:
         if frame[pos] != 0xFF:
             return False  # lost sync — let the real decoder complain
+        # consume 0xFF fill bytes (legal T.81 §B.1.1.2 padding before
+        # any marker): without this a fill run reads as marker==0xFF
+        # and the walk desyncs on a bogus segment length (ADVICE r13)
+        while pos + 4 <= n and frame[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            return False
         marker = frame[pos + 1]
         if marker == 0xC4:
             return True
@@ -657,6 +664,8 @@ def _strip_dht(jpeg: bytes) -> bytes:
     while pos < len(jpeg):
         if jpeg[pos] != 0xFF:
             raise ValueError("JPEG marker walk lost sync")
+        while pos + 2 < len(jpeg) and jpeg[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker (T.81 §B.1.1.2)
         marker = jpeg[pos + 1]
         if marker == 0xDA:  # SOS: keep the rest verbatim
             out += jpeg[pos:]

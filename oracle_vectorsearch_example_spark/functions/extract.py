@@ -150,7 +150,12 @@ def detect_format(data: bytes) -> str:
         and data[0] == 0xFF
         and (data[1] & 0xE0) == 0xE0
         and (data[1] >> 3) & 3 != 1  # not the reserved version id
+        and (data[1] >> 1) & 3 == 1  # Layer III only — mirrors
+        # _parse_header's accept set (ADVICE r13: Layer I/II headers
+        # must fall through to text/binary, not classify as 'mp3' and
+        # then swallow the payload as unparseable)
         and (data[2] >> 4) & 0xF not in (0, 15)  # real bitrate index
+        and (data[2] >> 2) & 3 != 3  # real sample-rate index
     ):
         # MPEG audio (r13): sniffed BEFORE the text fallback — an
         # ID3v2 header is valid UTF-8 ("ID3...") and must not read as

@@ -141,31 +141,72 @@ def _skip_id3v2(data: bytes) -> int:
     return 10 + size + (10 if data[5] & 0x10 else 0)
 
 
-def _parse_header(h: bytes) -> dict | None:
+# Layer I/II bitrate columns of the public ISO 11172-3 header table —
+# STRUCTURAL constants (frame-length arithmetic only), used solely to
+# CONFIRM a gated sync candidate during the scan; the gated DSP tables
+# (subband allocation) remain absent and Layer I/II stays rejected by
+# name (see honesty-gate discipline in BASELINE.md).
+_BITRATE_L1_V1 = [0, 32, 64, 96, 128, 160, 192, 224, 256,
+                  288, 320, 352, 384, 416, 448]
+_BITRATE_L2_V1 = [0, 32, 48, 56, 64, 80, 96, 112, 128,
+                  160, 192, 224, 256, 320, 384]
+_BITRATE_L1_V2 = [0, 32, 48, 56, 64, 80, 96, 112, 128,
+                  144, 160, 176, 192, 224, 256]
+
+
+def _parse_header(h: bytes, on_gated: str = "raise") -> dict | None:
     """Decode a 4-byte frame header; None when not a sync word. Layer
     I/II, free format, and reserved fields reject BY NAME (they are
     real MPEG audio this repo cannot decode — distinct from 'not MPEG
-    audio at all')."""
+    audio at all'). ``on_gated='info'`` (the sync-scan mode, ADVICE
+    r13) returns ``{'gated': exc, 'frame_len': int | None}`` for those
+    headers instead of raising, with the frame length computed from
+    the public structural tables so the scan can confirm-or-skip a
+    gated candidate exactly like a Layer III one — raising mid-scan
+    aborted junk-prefixed Layer III files on false gated syncs."""
     if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
         return None
     version = (h[1] >> 3) & 3
     layer = (h[1] >> 1) & 3
     if version == 1:
         return None  # reserved version id → treat as sync noise
+    if layer == 0:
+        return None  # reserved layer
     if layer in (2, 3):  # 3 = Layer I, 2 = Layer II
-        raise NotImplementedError(
+        exc = NotImplementedError(
             f"MPEG audio Layer {'I' if layer == 3 else 'II'} needs the "
             "Layer I/II subband allocation tables (only the Layer III "
             "structural walk is implemented)"
         )
-    if layer == 0:
-        return None  # reserved layer
+        if on_gated == "raise":
+            raise exc
+        br_idx = (h[2] >> 4) & 0xF
+        sr_idx = (h[2] >> 2) & 3
+        if br_idx == 15 or sr_idx == 3:
+            return None  # invalid fields → sync noise
+        if br_idx == 0:
+            return {"gated": exc, "frame_len": None}  # free format
+        rate = _RATES[version][sr_idx]
+        pad = (h[2] >> 1) & 1
+        v1 = version == 3
+        if layer == 3:  # Layer I: slots are 4 bytes
+            br = (_BITRATE_L1_V1 if v1 else _BITRATE_L1_V2)[br_idx]
+            flen = (12 * br * 1000 // rate + pad) * 4
+        else:  # Layer II: 1152 samples at every version
+            br = (_BITRATE_L2_V1 if v1 else _BITRATE_V2)[br_idx]
+            flen = 144 * br * 1000 // rate + pad
+        return {"gated": exc, "frame_len": flen}
     br_idx = (h[2] >> 4) & 0xF
     if br_idx == 0:
-        raise NotImplementedError(
+        exc = NotImplementedError(
             "free-format MPEG audio (bitrate index 0) needs frame-length "
             "discovery by sync scan; fixed-bitrate Layer III only"
         )
+        if on_gated == "raise":
+            raise exc
+        if (h[2] >> 2) & 3 == 3:
+            return None  # reserved sample-rate index → sync noise
+        return {"gated": exc, "frame_len": None}
     if br_idx == 15:
         return None  # invalid index → sync noise
     sr_idx = (h[2] >> 2) & 3
@@ -209,29 +250,46 @@ def mp3_frame_table(data: bytes) -> tuple[dict, list[tuple[int, int]]]:
     pos = _skip_id3v2(data)
     n = len(data)
     first = None
+    gated_exc: NotImplementedError | None = None
+    scan_start = pos
     # sync scan: a real MPEG stream syncs within a few hundred bytes of
-    # the tag end; bound the scan so arbitrary binaries fail fast
+    # the tag end; bound the scan so arbitrary binaries fail fast.
+    # Gated headers (Layer I/II, free format) must not ABORT the scan —
+    # a false 0xFF-Ex sync with those bit patterns inside leading junk
+    # is near-certain over a 64 KB window (ADVICE r13); they are
+    # remembered (when CONFIRMED by their structural frame length) and
+    # raised by name only if no decodable Layer III stream follows.
     limit = min(n - 4, pos + 65536)
     while pos <= limit:
-        hd = _parse_header(data[pos:pos + 4])
+        hd = _parse_header(data[pos:pos + 4], on_gated="info")
         if hd is not None:
             # require the NEXT frame to sync too (or stream end): a
             # lone 0xFFEx inside random bytes is not an MP3. Any MPEG
-            # header counts as confirmation — a Layer I/II header at
-            # the step point still proves this is an MPEG stream
-            nxt = pos + hd["frame_len"]
-            try:
+            # header counts as confirmation — a gated header at the
+            # step point still proves this is an MPEG stream
+            flen = hd["frame_len"]
+            if flen is None:
+                # free format: frame length is undiscoverable here —
+                # trust it only when it leads the stream (right after
+                # the ID3 tag), where "this is MPEG audio" is credible
+                confirmed = pos == scan_start
+            else:
+                nxt = pos + flen
                 confirmed = (
                     nxt + 4 > n
-                    or _parse_header(data[nxt:nxt + 4]) is not None
+                    or _parse_header(data[nxt:nxt + 4], on_gated="info")
+                    is not None
                 )
-            except NotImplementedError:
-                confirmed = True
             if confirmed:
-                first = (pos, hd)
-                break
+                if "gated" not in hd:
+                    first = (pos, hd)
+                    break
+                if gated_exc is None:
+                    gated_exc = hd["gated"]
         pos += 1
     if first is None:
+        if gated_exc is not None:
+            raise gated_exc  # the stream IS MPEG audio, a gated kind
         raise ValueError("no MPEG-1/2 Layer III frame sync found")
 
     pos, hd0 = first
@@ -239,9 +297,12 @@ def mp3_frame_table(data: bytes) -> tuple[dict, list[tuple[int, int]]]:
     bitrates = set()
     xing = False
     while pos + 4 <= n:
-        hd = _parse_header(data[pos:pos + 4])
-        if hd is None:
-            break  # trailing tag/garbage ends the walk
+        # 'info' mode: trailing garbage landing on a frame boundary
+        # with gated bit patterns ends the walk like any other
+        # non-continuation — it must not abort the file (ADVICE r13)
+        hd = _parse_header(data[pos:pos + 4], on_gated="info")
+        if hd is None or "gated" in hd:
+            break  # trailing tag/garbage or a spliced stream ends the walk
         if hd["sample_rate"] != hd0["sample_rate"] or hd["nch"] != hd0["nch"]:
             break  # a different stream spliced on — stop at the seam
         if pos + hd["frame_len"] > n:

@@ -83,23 +83,61 @@ def test_id3_and_xing_are_transparent():
     assert mp3_gain_code(tagged) == mp3_gain_code(plain)
 
 
+def _gated_stream(layer: int, n_frames: int = 8) -> bytes:
+    """A structurally honest MPEG-1 Layer I/II stream (32 kbps,
+    44.1 kHz, mono): headers whose PUBLIC-table frame length tiles the
+    stream exactly, zero payloads — the shape a real gated file has,
+    which the sync scan must confirm and then reject by name."""
+    if layer == 2:  # Layer II: 144*32000//44100 = 104-byte frames
+        hdr, flen = bytes([0xFF, 0xFD, 0x10, 0xC0]), 104
+    else:  # Layer I: (12*32000//44100)*4 = 32-byte frames
+        hdr, flen = bytes([0xFF, 0xFF, 0x10, 0xC0]), 32
+    return (hdr + bytes(flen - 4)) * n_frames
+
+
 def test_named_gates_and_no_evidence():
     g = _gains()
-    blob = bytearray(make_simple_mp3(g))
-    # Layer II: header layer bits 10 (byte1 bit2:1 = 0b10 at bits 1-2)
-    l2 = bytes([blob[0], (blob[1] & ~0x06) | (2 << 1)]) + bytes(blob[2:])
+    # honest full gated streams raise BY NAME (confirmed first frame
+    # is Layer I/II — the ADVICE r13 contract)
     with pytest.raises(NotImplementedError, match="Layer II"):
-        mp3_frame_table(l2)
-    l1 = bytes([blob[0], (blob[1] & ~0x06) | (3 << 1)]) + bytes(blob[2:])
+        mp3_frame_table(_gated_stream(2))
     with pytest.raises(NotImplementedError, match="Layer I"):
-        mp3_frame_table(l1)
-    free = bytes(blob[:2]) + bytes([blob[2] & 0x0F]) + bytes(blob[3:])
+        mp3_frame_table(_gated_stream(1))
+    # free format: every header's bitrate index zeroed (a real
+    # free-format file is free-format throughout)
+    blob = bytearray(make_simple_mp3(g))
+    _, frames = mp3_frame_table(bytes(blob))
+    for off, _ in frames:
+        blob[off + 2] &= 0x0F
     with pytest.raises(NotImplementedError, match="free-format"):
-        mp3_frame_table(free)
+        mp3_frame_table(bytes(blob))
     with pytest.raises(ValueError, match="no MPEG"):
         mp3_frame_table(b"not audio at all" * 10)
     # < 64 granules carries no evidence → NULL code, like afp's rule
     assert mp3_gain_code(make_simple_mp3(_gains(32))) is None
+
+
+def test_sync_scan_survives_gated_false_syncs():
+    """ADVICE r13 regression: leading junk containing false 0xFF-Ex
+    syncs with Layer I/II or free-format bit patterns must not abort
+    the scan (the documented 'tolerates leading junk' contract); same
+    for trailing garbage landing on a frame boundary."""
+    g = _gains()
+    blob = make_simple_mp3(g)
+    junk = (
+        b"\x00\x12\xff\xf4\x00\x07"  # the ADVICE repro: Layer II bits
+        + b"\x99" * 40
+        + b"\xff\xe2\x00\x00"  # free-format Layer III bits
+        + b"\xff\xfd\x10\xc0"  # a REAL-shaped Layer II header mid-junk
+    )
+    meta, frames = mp3_frame_table(junk + blob)
+    assert meta["n_frames"] == len(g) // 2
+    assert frames[0][0] == len(junk)
+    assert np.array_equal(mp3_gain_envelope(junk + blob), g)
+    # trailing gated-pattern garbage ends the walk, never raises
+    tail = blob + b"\xff\xf4\x10\xc0" + b"\x00" * 100
+    meta2, _ = mp3_frame_table(tail)
+    assert meta2["n_frames"] == meta["n_frames"]
 
 
 def test_gain_code_robustness_boundary():
@@ -269,6 +307,13 @@ def test_extract_text_dispatches_mp3():
     # a text document that merely STARTS with "ID3" stays text
     doc = b"ID3 tags are a metadata container for MP3 files." * 4
     assert detect_format(doc) == "text"
+    # ADVICE r13: the raw-sync sniff mirrors _parse_header's accept
+    # set — Layer I/II and reserved-sample-rate headers must NOT
+    # classify as 'mp3' (they would then be swallowed as unparseable)
+    assert detect_format(b"\xff\xf4\x10\xc0" + bytes(100)) == "binary"
+    assert detect_format(b"\xff\xfe\x10\xc0" + bytes(100)) == "binary"
+    assert detect_format(b"\xff\xfb\x1c\xc0" + bytes(100)) == "binary"
+    assert detect_format(bare[:2] + bare[2:]) == "mp3"  # L III intact
 
 
 def test_incremental_mp3_dedup_matches_full(spark, tmp_path):

@@ -406,3 +406,31 @@ def test_ensure_dht_ignores_ffc4_in_payloads():
     assert _has_dht(fixed)
     got = decode_jpeg_pixels(fixed)
     assert got.shape == frame.shape
+
+
+def test_dht_walk_skips_fill_bytes():
+    """0xFF fill bytes are legal T.81 §B.1.1.2 padding before any
+    marker (ADVICE r13): a fill run made marker==0xFF read a bogus
+    segment length, desyncing the walk — a frame with a real DHT
+    after padding then got a SECOND DHT injected."""
+    from oracle_vectorsearch_example_spark.functions.avi import (
+        _ensure_dht,
+        _has_dht,
+        _strip_dht,
+    )
+    from oracle_vectorsearch_example_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    frame = _px(4, h=16, w=16)
+    full = encode_jpeg(frame, quality=90)
+    padded = full[:2] + b"\xff" * 5 + full[2:]
+    assert _has_dht(padded)  # the ADVICE repro: fill before a real DHT
+    assert padded == _ensure_dht(padded)  # no double injection
+    stripped = _strip_dht(padded)  # fill must not desync the strip walk
+    assert not _has_dht(stripped)
+    refill = stripped[:2] + b"\xff" * 3 + stripped[2:]
+    assert not _has_dht(refill)
+    got = decode_jpeg_pixels(_ensure_dht(stripped))
+    assert got.shape == frame.shape
