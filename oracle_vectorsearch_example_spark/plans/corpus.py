@@ -1028,6 +1028,7 @@ def corpus_from_warc(
     keep_types: tuple[str, ...] = ("response", "conversion"),
     min_status: int | None = 200,
     max_status: int | None = 299,
+    drop_truncated: bool = False,
     **corpus_kwargs,
 ) -> dict[str, DataFrame]:
     """Crawl shards → curated training corpus in one call (r13): the
@@ -1044,7 +1045,10 @@ def corpus_from_warc(
     default (``min_status``/``max_status``; WET conversion records
     have no status and always pass); unparseable shards' NULL marker
     rows drop here — loudly countable upstream via ``read_warc``
-    itself. Every gate/knob of :func:`build_training_corpus` applies
+    itself. The WARC-Truncated reason rides along as the ``truncated``
+    column (r14: clipped documents are countable in the corpus);
+    ``drop_truncated=True`` excludes them from curation entirely.
+    Every gate/knob of :func:`build_training_corpus` applies
     unchanged via ``**corpus_kwargs``."""
     from oracle_vectorsearch_example_spark.sources.warc import read_warc
 
@@ -1052,6 +1056,8 @@ def corpus_from_warc(
         spark, path=path, files_df=files_df, keep_types=keep_types
     )
     docs = rows.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    if drop_truncated:
+        docs = docs.filter(F.col("truncated").isNull())
     if min_status is not None:
         docs = docs.filter(
             F.col("http_status").isNull()
@@ -1071,5 +1077,6 @@ def corpus_from_warc(
         F.col("target_uri").alias("url"),
         F.col("warc_date"),
         F.col("warc_type"),
+        F.col("truncated"),
     )
     return build_training_corpus(docs, **corpus_kwargs)
