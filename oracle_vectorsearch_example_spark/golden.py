@@ -8962,31 +8962,34 @@ def q_pca_embed(spark, sf):
 # r13 window (judge r12 #3, list verbatim): unseat the 40 fresh r12
 # passes and the 10 now-witnessed rows-only entries; seat the stalest
 # r09-witnessed oracle-paired goldens with the new r13 goldens at head.
+# r14 window (judge r13 #3): all 48 r13 seats passed and roll off;
+# seat (a) `extract_text_audio_tags` — the single never-driver-
+# witnessed golden (WITNESS.md 194/195) — and (b) the new r14 golden
+# `warc_http_encodings` (judge r13 #2) at head, then (c) ALL 46
+# r10-witnessed goldens (the stalest tier after r13 cleared the r09s:
+# the remaining 18 TPC-H queries + the r10 operator block), then (d)
+# two r11-stalest family-diverse fills (audio-fp + text-sketch) to
+# reach 50. After this round every golden is driver-witnessed and max
+# staleness is r11.
 _PRIORITY = [
-    # (a) the r13 adds (never witnessed; all oracle-paired — MP3/MP4
-    # container doors, judge r12 #4/#5)
-    "mp3_gain_code", "mp3_neardup", "mp4_audio_fp", "mp4_frame_meta",
-    "extract_text_mp3", "warc_extract",
-    # (b) the two r12-errored seats, re-run first with their array
-    # outputs serialized + COUNT-shaped oracles (judge r12 #1/#2)
-    "bpe_tokens", "pca_embed",
-    # (c) ALL 38 r09-witnessed oracle-paired goldens (WITNESS.md
-    # stalest tier), alphabetical
-    "chunker_conformance", "collapse_chunks", "exact_dedup",
-    "explode_words", "filter_agg", "filtered_topk",
-    "flagship_search_ivf", "gopher_repetition", "gopher_rules",
-    "grounding", "hash_split", "image_decode", "image_phash",
-    "ivf_add_search", "ivf_materialized", "join_agg", "json_shred",
-    "minhash_lsh", "nb_pareto", "nb_quality", "neardup_clusters",
-    "phash_neardup", "ppl_buckets", "profile_table",
-    "prototype_prune", "scan_region", "semdedup_exact",
-    "simhash_neardup", "stratified_sample", "stream_interval_join",
-    "strings", "text_stats", "union_all", "url_canon",
-    "vector_distances", "vector_topk_exact", "window_funcs",
-    "winnow_fingerprints",
-    # (d) r10-stalest fills: the tpch family head (the judge-named
-    # block)
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
+    # (a) the last never-witnessed golden (judge r13 #3)
+    "extract_text_audio_tags",
+    # (b) the r14 add: HTTP chunked/content-coding decode in WARC
+    "warc_http_encodings",
+    # (c) ALL 46 r10-witnessed goldens, alphabetical
+    "anti_join", "arrays", "audio_fp", "audio_neardup",
+    "boilerplate_removal", "chunk_ids", "contamination_report",
+    "count_distinct", "cross_join", "dates", "except_all_keys",
+    "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",
+    "left_join_zero_orders", "multimodal_features", "percentile_gate",
+    "pii_redact", "pivot", "projection", "range_join", "rollup",
+    "salted_join_agg", "semi_join", "topic_stats", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22", "unicode_nfc", "video_neardup",
+    # (d) r11-stalest fills, family-diverse
+    "audio_fp_l2", "bloom_words",
 ]
 
 
