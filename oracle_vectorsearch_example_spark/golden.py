@@ -3606,6 +3606,54 @@ def q_warc_http_encodings(spark, sf):
     )
 
 
+_WET_ROUNDTRIP_SQL = """
+    SELECT doc_id,
+           'conversion' AS warc_type,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' body '
+             || CAST(doc_id * 13 % 997 AS VARCHAR) AS text
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@golden("wet_roundtrip", _WET_ROUNDTRIP_SQL)
+def q_wet_roundtrip(spark, sf):
+    """WET sink → source roundtrip (r14): the curated corpus exports
+    as spec-layout WET shards (`write_wet`: conversion records, one
+    gzip member each, one shard per task) and `read_warc` ingests its
+    own output back to the identical (url, text) set — the
+    interchange loop a real pipeline runs when it re-publishes a
+    cleaned crawl. 8-shard fan-in so the roundtrip crosses real
+    partition boundaries; the oracle replays the text relationally —
+    encode→compress→decompress→parse hash-pinned both ways."""
+    from oracle_vectorsearch_example_spark.sources.warc import (
+        read_warc,
+        write_wet,
+    )
+
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("http://corpus.test/"), F.col("doc_id")
+            ).alias("url"),
+            F.concat(
+                F.lit("Doc "), F.col("doc_id"), F.lit(" body "),
+                (F.col("doc_id") * 13 % 997).cast("string"),
+            ).alias("text"),
+        )
+    )
+    shards = write_wet(docs, id_col="doc_id", n_shards=8)
+    rows = read_warc(spark, files_df=shards)
+    return rows.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("warc_type"),
+        F.col("text"),
+    )
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -8974,8 +9022,9 @@ def q_pca_embed(spark, sf):
 _PRIORITY = [
     # (a) the last never-witnessed golden (judge r13 #3)
     "extract_text_audio_tags",
-    # (b) the r14 add: HTTP chunked/content-coding decode in WARC
-    "warc_http_encodings",
+    # (b) the r14 adds: HTTP chunked/content-coding decode in WARC +
+    # the WET sink roundtrip
+    "warc_http_encodings", "wet_roundtrip",
     # (c) ALL 46 r10-witnessed goldens, alphabetical
     "anti_join", "arrays", "audio_fp", "audio_neardup",
     "boilerplate_removal", "chunk_ids", "contamination_report",
@@ -8988,8 +9037,9 @@ _PRIORITY = [
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
     "tpch_q21", "tpch_q22", "unicode_nfc", "video_neardup",
-    # (d) r11-stalest fills, family-diverse
-    "audio_fp_l2", "bloom_words",
+    # (d) r11-stalest fill (bloom_words yielded its seat to the
+    # second r14 add; its family keeps the r11 witness)
+    "audio_fp_l2",
 ]
 
 

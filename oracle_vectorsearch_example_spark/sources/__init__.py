@@ -17,6 +17,7 @@ from oracle_vectorsearch_example_spark.sources.warc import (
     parse_warc,
     read_warc,
     warc_record_rows,
+    write_wet,
 )
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "parse_warc",
     "read_warc",
     "warc_record_rows",
+    "write_wet",
     "TABLES",
     "read_table",
     "read_binary_files",

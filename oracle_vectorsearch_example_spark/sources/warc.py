@@ -55,6 +55,7 @@ __all__ = [
     "parse_warc",
     "read_warc",
     "warc_record_rows",
+    "write_wet",
 ]
 
 
@@ -425,6 +426,88 @@ def read_warc(
                 yield pd.DataFrame(out, columns=cols)
 
     return files_df.mapInPandas(run, schema)
+
+
+def write_wet(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = None,
+    id_col: str | None = None,
+    n_shards: int | None = None,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Curated corpus → WET shards (r14): the EXPORT side of the X60
+    source — docs become ISO 28500 ``conversion`` records, one gzip
+    member each (the spec's record-at-time layout ``read_warc``
+    ingests), one shard per task. Returns a ``(path, content)``
+    DataFrame so any sink persists it (a Warehouse binary table,
+    ``df.write``, a foreachBatch stream sink); round-tripping through
+    :func:`read_warc` yields the same (url, text) set — hash-pinned by
+    the ``wet_roundtrip`` golden.
+
+    Scale shape: one pass, map-side record encoding; the only shuffle
+    is the explicit ``repartition(n_shards)`` fan-in when requested
+    (text payloads move ONCE, into their shard). Peak task memory is
+    the COMPRESSED shard (members append to one buffer as batches
+    stream through), not the decompressed text. ``id_col`` (when
+    given) derives a deterministic ``WARC-Record-ID`` from the doc id;
+    otherwise records are numbered within their shard. ``date_col``
+    fills WARC-Date (else the fixed fixture epoch — deterministic
+    output for goldens)."""
+    from pyspark.sql import types as T
+
+    if n_shards is not None:
+        df = df.repartition(n_shards)
+    cols = [url_col, text_col]
+    if date_col is not None:
+        cols.append(date_col)
+    if id_col is not None:
+        cols.append(id_col)
+    src = df.select(*cols)
+
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf = bytearray()
+        seq = 0
+        for b in batches:
+            recs = []
+            for row in b.itertuples(index=False):
+                rec = {
+                    "warc_type": "conversion",
+                    "target_uri": getattr(row, url_col),
+                    "text": getattr(row, text_col) or "",
+                }
+                if date_col is not None:
+                    rec["warc_date"] = getattr(row, date_col)
+                if id_col is not None:
+                    rec["record_id"] = (
+                        f"<urn:doc:{getattr(row, id_col)}>"
+                    )
+                else:
+                    rec["record_id"] = (
+                        f"<urn:uuid:wet-{pid:05d}-{seq:08d}>"
+                    )
+                seq += 1
+                recs.append(rec)
+            if recs:
+                buf += make_simple_warc(recs, gzip_members=gzip_members)
+        if buf:
+            yield pd.DataFrame(
+                [(f"part-{pid:05d}.warc.wet.gz"
+                  if gzip_members else f"part-{pid:05d}.warc.wet",
+                  bytes(buf))],
+                columns=["path", "content"],
+            )
+
+    return src.mapInPandas(run, schema)
 
 
 def make_simple_warc(

@@ -339,6 +339,34 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     assert sorted(got) == batch and len(batch) == 4 * 6
 
 
+def test_write_wet_roundtrip(spark):
+    """write_wet → read_warc closes the interchange loop: the same
+    (url, text) set comes back through real shard bytes; record ids
+    derive deterministically from id_col; plain and gzip-member
+    layouts both roundtrip."""
+    from oracle_vectorsearch_example_spark.sources.warc import write_wet
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "concat('http://t/', id) AS url",
+        "concat('body text ', id * 3 % 17) AS text",
+    )
+    for gz in (True, False):
+        shards = write_wet(docs, id_col="doc_id", n_shards=4,
+                           gzip_members=gz)
+        files = shards.collect()
+        assert 1 <= len(files) <= 4
+        ext = ".warc.wet.gz" if gz else ".warc.wet"
+        assert all(f.path.endswith(ext) for f in files)
+        back = read_warc(spark, files_df=shards).collect()
+        assert len(back) == 100
+        assert all(r.warc_type == "conversion" for r in back)
+        assert all(r.record_id.startswith("<urn:doc:") for r in back)
+        got = sorted((r.target_uri, r.text) for r in back)
+        want = sorted((r.url, r.text) for r in docs.collect())
+        assert got == want
+
+
 def test_corpus_from_warc_end_to_end(spark, tmp_path):
     """Crawl shards → curated corpus in one call: dedup + splits run
     over WARC-derived docs; ids are a pure function of record
