@@ -3531,7 +3531,11 @@ _WARC_HTTP_ENC_SQL = """
            CASE WHEN doc_id % 4 = 0 THEN 'length' END AS truncated,
            CASE WHEN doc_id % 6 = 5 THEN NULL
                 ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' says '
-                  || CAST(doc_id * 7 % 100 AS VARCHAR) || '.' END AS text
+                  || CAST(doc_id * 7 % 100 AS VARCHAR) || '.'
+                  || CASE WHEN doc_id % 6 = 0
+                          THEN ' Привет ' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END
+                END AS text
     FROM documents WHERE doc_id < 180
 """
 
@@ -3546,9 +3550,11 @@ def q_warc_http_encodings(spark, sf):
     br; coded payloads must yield the SAME text as identity, br
     rejects BY NAME into a null-text row with identity preserved
     (status column NULL marks the rejection). WARC-Truncated rides
-    its own column (judge r13 #6) on every 4th doc. The oracle
-    replays all of it relationally — de-framing + decoding + null
-    posture hash-pinned. Reference anchor: 01_pdf_to_vector.sql:111-116
+    its own column (judge r13 #6) on every 4th doc; identity rows
+    are cp1251 pages whose DECLARED charset must steer the decode
+    (the latin-1 fallback would emit silent mojibake). The oracle
+    replays all of it relationally — de-framing + decoding + charset
+    + null posture hash-pinned. Reference anchor: 01_pdf_to_vector.sql:111-116
     (opaque bytes must become text, never silent garbage)."""
     from pyspark.sql import types as T
 
@@ -3578,14 +3584,22 @@ def q_warc_http_encodings(spark, sf):
             out = []
             for did in b["doc_id"]:
                 did = int(did)
+                # identity rows additionally pin the charset path: a
+                # cp1251 page whose declared charset must steer the
+                # decode (latin-1 fallback would emit mojibake)
+                extra, cs = "", {}
+                if did % 6 == 0:
+                    extra = f" Привет {did}"
+                    cs = {"charset": "windows-1251"}
                 rec = {
                     "warc_type": "response",
                     "target_uri": f"http://corpus.test/{did}",
                     "html": (
                         f"<html><body><p>Doc {did} says "
-                        f"{did * 7 % 100}.</p></body></html>"
+                        f"{did * 7 % 100}.{extra}</p></body></html>"
                     ),
                     **encs[did % 6],
+                    **cs,
                 }
                 if did % 4 == 0:
                     rec["truncated"] = "length"

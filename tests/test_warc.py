@@ -199,6 +199,55 @@ def test_http_content_codings():
     assert warc_record_rows(blob)[0][6] is None
 
 
+def test_declared_charset_honored():
+    """r14: the HTTP Content-Type charset declaration steers the text
+    decode — a cp1251/euc-kr page previously fell to the latin-1
+    fallback and extracted as silent mojibake; a LYING declaration
+    still falls back instead of erroring."""
+    ru = "Привет мир это тест"
+    ko = "안녕하세요 세계"
+    for text, cs in ((ru, "windows-1251"), (ko, "euc-kr")):
+        rec = {
+            "warc_type": "response",
+            "target_uri": "http://t/cs",
+            "html": f"<html><body><p>{text}</p></body></html>",
+            "charset": cs,
+        }
+        rows = warc_record_rows(make_simple_warc([rec]))
+        assert rows[0][6] == text, cs
+    # lying declaration (payload is utf-8, header says utf-8-impossible
+    # bytes under euc-kr) → strict decode fails → latin-1 fallback,
+    # never an exception
+    body = "<html><body><p>Ünïcødé page.</p></body></html>".encode()
+    raw = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=euc-kr\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body
+    )
+    blob = make_simple_warc([{
+        "warc_type": "response", "target_uri": "http://t/lie",
+        "body": raw, "content_type": "application/http",
+    }])
+    rows = warc_record_rows(blob)
+    assert rows[0][6] is not None and "page." in rows[0][6]
+    # unknown charset name → LookupError path → latin-1 fallback
+    page = b"<html><body><p>Plain ascii body.</p></body></html>"
+    rows = warc_record_rows(
+        make_simple_warc([{
+            "warc_type": "response", "target_uri": "http://t/ascii",
+            "body": (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=bogus-enc\r\n"
+                b"Content-Length: " + str(len(page)).encode()
+                + b"\r\n\r\n" + page
+            ),
+            "content_type": "application/http",
+        }])
+    )
+    assert rows[0][6] == "Plain ascii body."
+
+
 def test_truncated_and_record_types():
     """Judge r13 #6: WARC-Truncated surfaces as a column (clipped
     documents are countable) and warcinfo/request/metadata/revisit
