@@ -525,3 +525,55 @@ def test_ebml_vint_roundtrip_property(vals):
         out.append(v)
         pos += n
     assert out == vals
+
+
+@given(
+    st.binary(min_size=0, max_size=5000),
+    st.lists(st.integers(1, 200), min_size=1, max_size=20),
+)
+@settings(max_examples=150, deadline=None)
+def test_http_dechunk_roundtrip_property(payload, cuts):
+    """r14 chunked framing: any payload split into arbitrary chunk
+    sizes (chunk extensions included on some) de-frames back to the
+    exact payload bytes."""
+    from oracle_vectorsearch_example_spark.sources.warc import _dechunk
+
+    framed = bytearray()
+    pos = 0
+    i = 0
+    while pos < len(payload):
+        size = min(cuts[i % len(cuts)], len(payload) - pos)
+        ext = b";q=fuzz" if i % 3 == 0 else b""
+        framed += b"%x" % size + ext + b"\r\n"
+        framed += payload[pos:pos + size] + b"\r\n"
+        pos += size
+        i += 1
+    framed += b"0\r\n\r\ntrailer: ignored\r\n"
+    assert _dechunk(bytes(framed)) == payload
+
+
+@given(
+    st.text(min_size=0, max_size=2000),
+    st.sampled_from(["gzip", "deflate", "deflate-raw", None]),
+    st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_http_coded_response_roundtrip_property(text, ce, chunked):
+    """r14 content codings: any text through any supported coding x
+    framing combination comes back byte-identical from _http_split."""
+    from oracle_vectorsearch_example_spark.sources.warc import (
+        _http_split,
+        make_simple_warc,
+        parse_warc,
+    )
+
+    rec = {"warc_type": "response", "target_uri": "http://p.test/x",
+           "html": text}
+    if ce:
+        rec["content_encoding"] = ce
+    if chunked:
+        rec["transfer_encoding"] = "chunked"
+    body = parse_warc(make_simple_warc([rec]))[0]["body"]
+    status, payload, charset = _http_split(body)
+    assert status == 200
+    assert payload == text.encode("utf-8")
