@@ -81,6 +81,14 @@ def _iter_chunks(data: bytes):
     next member (the tail of the last feed past member end) is capped
     by the member's own size: total bytes fed ≤ 2 × shard bytes, CPU
     flat per member regardless of member count."""
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        # Common Crawl publishes some products as .warc.zst — reject
+        # BY NAME (no zstd codec in this environment) instead of the
+        # misleading "not a WARC record"
+        raise NotImplementedError(
+            "zstd-compressed WARC shard (.warc.zst): no zstd codec "
+            "available here; recompress to gzip members or plain WARC"
+        )
     if data[:2] != b"\x1f\x8b":
         yield data
         return

@@ -199,6 +199,13 @@ def test_http_content_codings():
     assert warc_record_rows(blob)[0][6] is None
 
 
+def test_zstd_shard_rejects_by_name():
+    """A .warc.zst shard (a real Common Crawl product format) rejects
+    BY NAME instead of the misleading 'not a WARC record'."""
+    with pytest.raises(NotImplementedError, match="zstd"):
+        parse_warc(b"\x28\xb5\x2f\xfd" + b"\x00" * 64)
+
+
 def test_declared_charset_honored():
     """r14: the HTTP Content-Type charset declaration steers the text
     decode — a cp1251/euc-kr page previously fell to the latin-1
