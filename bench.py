@@ -1950,6 +1950,8 @@ def main():
 
         def _crawl_shards(ids_df):
             def gen(batches):
+                import random as _random
+
                 import pandas as _pd
 
                 from oracle_vectorsearch_example_spark.sources.warc import (
@@ -1965,13 +1967,19 @@ def main():
                             gid = sid * 200 + i
                             # every 10th page mirrors the previous one
                             src = gid - 1 if gid % 10 == 9 else gid
-                            # interleave stopwords so the Gopher
-                            # stopword rule has honest signal to pass
+                            # per-doc seeded words: distinct docs are
+                            # genuinely distinct (a formulaic body made
+                            # docs repeat every ~6k ids and dedup
+                            # collapsed 99% — a degenerate workload);
+                            # mirrors reproduce exactly via the seed.
+                            # Stopwords interleave so the Gopher
+                            # stopword rule has honest signal to pass.
+                            rng = _random.Random(src)
                             body = " ".join(
                                 ("the " if j % 5 == 0 else
                                  "and " if j % 5 == 2 else "")
-                                + _VOCAB[(src * 5 + j * 3) % len(_VOCAB)]
-                                + str((src * 7 + j) % 997)
+                                + _VOCAB[rng.randrange(len(_VOCAB))]
+                                + str(rng.randrange(100000))
                                 for j in range(40)
                             )
                             recs.append({
