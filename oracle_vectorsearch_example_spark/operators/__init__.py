@@ -114,6 +114,7 @@ from oracle_vectorsearch_example_spark.operators.video import (
 )
 from oracle_vectorsearch_example_spark.operators.urls import (
     canonical_url,
+    surt_key,
     domain_stats,
     url_dedup,
     url_domain,
@@ -256,6 +257,7 @@ __all__ = [
     "dsir_scores",
     "dsir_sample",
     "canonical_url",
+    "surt_key",
     "url_domain",
     "url_dedup",
     "domain_stats",

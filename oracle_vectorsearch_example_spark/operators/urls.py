@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "url_domain", "url_dedup", "domain_stats"]
+__all__ = [
+    "canonical_url",
+    "domain_stats",
+    "surt_key",
+    "url_dedup",
+    "url_domain",
+]
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -67,6 +73,29 @@ def canonical_url(url: Column | str) -> Column:
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(canon)
+
+
+def surt_key(url: Column | str) -> Column:
+    """The SURT-form index key of an absolute URL — the CDX ``urlkey``
+    convention (Sort-friendly URI Reordering Transform, the public
+    Common Crawl / Wayback index layout): canonicalize
+    (:func:`canonical_url`), drop the scheme, reverse the host on dots
+    comma-joined with a leading ``www.`` label stripped, then ``)`` +
+    path[?query] — ``https://www.example.org/a?b=1`` →
+    ``org,example)/a?b=1``. Reversed hosts make one SORT co-locate
+    every capture under a domain (and its subdomains as a prefix
+    range), which is what lets a 100 TB index answer "all of
+    example.org" with a partition-prunable range scan instead of a
+    full pass. NULL when the URL does not canonicalize. Pure column
+    expressions — map-side codegen, no UDF, DuckDB-replayable."""
+    canon = canonical_url(url)
+    auth = F.regexp_extract(canon, _AUTH_RE, 1)
+    host = F.regexp_replace(auth, "^www\\.", "")
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    rest = F.regexp_replace(canon, _REST_RE, "")
+    return F.when(
+        canon.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat(rev, F.lit(")"), rest))
 
 
 def url_domain(url: Column | str) -> Column:

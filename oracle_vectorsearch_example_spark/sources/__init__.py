@@ -16,6 +16,9 @@ from oracle_vectorsearch_example_spark.sources.warc import (
     make_simple_warc,
     parse_warc,
     read_warc,
+    read_warc_ranges,
+    warc_cdx,
+    warc_cdx_rows,
     warc_record_rows,
     write_wet,
 )
@@ -25,6 +28,9 @@ __all__ = [
     "make_simple_warc",
     "parse_warc",
     "read_warc",
+    "read_warc_ranges",
+    "warc_cdx",
+    "warc_cdx_rows",
     "warc_record_rows",
     "write_wet",
     "TABLES",

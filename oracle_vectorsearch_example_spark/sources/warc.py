@@ -54,6 +54,9 @@ __all__ = [
     "make_simple_warc",
     "parse_warc",
     "read_warc",
+    "read_warc_ranges",
+    "warc_cdx",
+    "warc_cdx_rows",
     "warc_record_rows",
     "write_wet",
 ]
@@ -63,8 +66,13 @@ _FEED_MAX = 1 << 20  # 1 MiB ceiling per decompressobj feed
 
 
 def _iter_chunks(data: bytes):
-    """Yield decompressed chunks of a shard ONE GZIP MEMBER AT A TIME
-    (plain data yields once). The spec's record-per-member layout —
+    """Yield ``(chunk, comp_start, comp_end, compressed)`` — the
+    decompressed bytes of a shard ONE GZIP MEMBER AT A TIME plus the
+    member's COMPRESSED byte range in the shard (plain data yields once
+    as ``(data, 0, len, False)``). The byte ranges are what CDX
+    indexing addresses: a ``[comp_start, comp_end)`` slice of a
+    member-per-record shard is a standalone ``.gz`` WARC record, the
+    unit a ranged GET re-fetches. The spec's record-per-member layout —
     what Common Crawl actually publishes — therefore never holds more
     than one record's decompressed bytes beyond the current parse
     window, which is the property that matters at 100 TB (a ~1 GB .gz
@@ -90,7 +98,7 @@ def _iter_chunks(data: bytes):
             "available here; recompress to gzip members or plain WARC"
         )
     if data[:2] != b"\x1f\x8b":
-        yield data
+        yield data, 0, len(data), False
         return
     mv = memoryview(data)
     pos = 0
@@ -109,8 +117,9 @@ def _iter_chunks(data: bytes):
         # exact compressed end of this member: unused_data is the tail
         # of the final feed past the member trailer (≤ one feed, NOT
         # the rest of the shard)
+        start = pos
         pos = fed - len(d.unused_data)
-        yield b"".join(parts)
+        yield b"".join(parts), start, pos, True
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -124,25 +133,57 @@ def parse_warc(data: bytes) -> list[dict]:
 
 
 
-def iter_warc(data: bytes):
+def iter_warc(data: bytes, with_offsets: bool = False):
     """Generator form of :func:`parse_warc`: records stream out as
     each gzip member decompresses and consumed bytes are dropped, so
     peak memory tracks the largest RECORD, not the decompressed shard
     (the 100 TB property for member-per-record .warc.gz layouts).
-    ``warc_record_rows`` consumes this directly."""
+    ``warc_record_rows`` consumes this directly.
+
+    ``with_offsets=True`` adds ``offset`` / ``length`` / ``compressed``
+    keys — the record's re-fetchable byte range in the SHARD (the CDX
+    address): for gzip-member shards the containing member's compressed
+    range (a standalone ``.gz`` slice; the Common Crawl layout makes it
+    one record), for plain shards the record's own byte range. A
+    whole-file-gzip shard degenerates to one member spanning the file —
+    every record shares that range and random access means re-reading
+    the shard, which is exactly why the spec recommends (and Common
+    Crawl uses) record-per-member; the range stays honest either way
+    because a range fetch + re-parse + record-id filter always lands on
+    the record."""
     chunks = _iter_chunks(bytes(data))
     buf = bytearray()
     pos = 0
+    abs_base = 0    # absolute decompressed offset of buf[0]
+    decomp_off = 0  # absolute decompressed offset of the next chunk
+    # (decomp_start, decomp_end, comp_start, comp_end, compressed)
+    # per chunk appended to buf; consumed entries pop off the front
+    spans: list[tuple[int, int, int, int, bool]] = []
     n_out = 0
 
     def fill(k: int) -> bool:
         """Grow ``buf`` to at least ``k`` bytes; False at stream end."""
+        nonlocal decomp_off
         while len(buf) < k:
             try:
-                buf.extend(next(chunks))
+                chunk, c0, c1, comp = next(chunks)
             except StopIteration:
                 return False
+            spans.append(
+                (decomp_off, decomp_off + len(chunk), c0, c1, comp)
+            )
+            decomp_off += len(chunk)
+            buf.extend(chunk)
         return True
+
+    def span_of(a: int) -> tuple[int, int, int, int, bool]:
+        """The chunk span containing absolute decompressed offset
+        ``a``; fully-consumed predecessors drop off as a side effect
+        (bounded state — the list never outgrows the chunks alive in
+        one parse window)."""
+        while len(spans) > 1 and spans[0][1] <= a:
+            spans.pop(0)
+        return spans[0]
 
     def find_nl(start: int) -> int:
         while True:
@@ -155,12 +196,14 @@ def iter_warc(data: bytes):
     while True:
         if pos > (1 << 20):  # drop consumed bytes
             del buf[:pos]
+            abs_base += pos
             pos = 0
         # tolerate inter-record CRLFs
         while fill(pos + 1) and buf[pos] in (0x0D, 0x0A):
             pos += 1
         if pos >= len(buf):
             break
+        rec_start = abs_base + pos
         eol = find_nl(pos)
         if eol < 0:
             break
@@ -195,7 +238,7 @@ def iter_warc(data: bytes):
         body = bytes(buf[pos:pos + length])
         pos += length
         n_out += 1
-        yield {
+        rec = {
             "warc_type": headers.get("warc-type", ""),
             "target_uri": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
@@ -207,6 +250,19 @@ def iter_warc(data: bytes):
             "truncated": headers.get("warc-truncated"),
             "body": body,
         }
+        if with_offsets:
+            # crawler-written digest rides along verbatim when present
+            # (Common Crawl stamps WARC-Payload-Digest on responses);
+            # the CDX layer computes one only for records without it
+            rec["payload_digest"] = headers.get("warc-payload-digest")
+            _, _, c0, c1, comp = span_of(rec_start)
+            if comp:
+                rec["offset"], rec["length"] = c0, c1 - c0
+            else:
+                rec["offset"] = rec_start
+                rec["length"] = abs_base + pos - rec_start
+            rec["compressed"] = comp
+        yield rec
     if n_out == 0:
         raise ValueError("no WARC records found")
 
@@ -246,20 +302,17 @@ def _dechunk(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def _http_split(body: bytes) -> tuple[int | None, bytes, str | None]:
-    """(status_code, payload, charset) from an HTTP response block;
-    (None, body, None) when the body is not HTTP. Real Common Crawl
-    ``response`` records routinely carry ``Transfer-Encoding:
-    chunked`` framing and ``Content-Encoding: gzip``/``deflate``
-    payloads (judge r13 #2) — both are undone here so bytes become
-    text downstream instead of silently extracting to garbage;
-    ``br``/``zstd``/unknown codings raise ValueError BY NAME (the
-    caller turns that into a null-marker row, never silence).
-    ``charset`` is the Content-Type declaration (r14): without it a
-    non-UTF-8 page (cp1251/euc-kr/shift_jis — common in older crawls)
-    falls to the latin-1 fallback and decodes to silent mojibake."""
+def _split_head(
+    body: bytes,
+) -> tuple[int | None, dict[bytes, bytes], bytes]:
+    """(status_code, lowercased headers, raw stored payload) from an
+    HTTP response block, WITHOUT undoing any framing or coding —
+    ``(None, {}, body)`` when the body is not HTTP. The raw payload is
+    what CDX digests address (the bytes as stored in the archive,
+    Common Crawl's WARC-Payload-Digest convention); :func:`_http_split`
+    layers the decode on top for the text path."""
     if not body.startswith(b"HTTP/"):
-        return None, body, None
+        return None, {}, body
     head, sep, payload = body.partition(b"\r\n\r\n")
     if not sep:
         head, sep, payload = body.partition(b"\n\n")
@@ -272,6 +325,27 @@ def _http_split(body: bytes) -> tuple[int | None, bytes, str | None]:
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
         headers[k.strip().lower()] = v.strip()
+    return status, headers, payload
+
+
+def _http_split(
+    body: bytes,
+) -> tuple[int | None, bytes, str | None, str | None]:
+    """(status_code, payload, charset, mime) from an HTTP response
+    block; (None, body, None, None) when the body is not HTTP. Real
+    Common Crawl ``response`` records routinely carry
+    ``Transfer-Encoding: chunked`` framing and ``Content-Encoding:
+    gzip``/``deflate`` payloads (judge r13 #2) — both are undone here
+    so bytes become text downstream instead of silently extracting to
+    garbage; ``br``/``zstd``/unknown codings raise ValueError BY NAME
+    (the caller turns that into a null-marker row, never silence).
+    ``charset`` is the Content-Type declaration (r14): without it a
+    non-UTF-8 page (cp1251/euc-kr/shift_jis — common in older crawls)
+    falls to the latin-1 fallback and decodes to silent mojibake.
+    ``mime`` is the Content-Type's media type alone (the CDX column)."""
+    status, headers, payload = _split_head(body)
+    if status is None and not headers:
+        return None, body, None, None
     # Transfer-Encoding first (it frames the wire bytes), then
     # Content-Encoding (it codes the entity) — RFC 9110 §6.4 layering
     te = headers.get(b"transfer-encoding", b"").lower()
@@ -306,7 +380,11 @@ def _http_split(body: bytes) -> tuple[int | None, bytes, str | None]:
         cs = ctype.lower().split(b"charset=", 1)[1]
         cs = cs.split(b";", 1)[0].strip().strip(b'"\'')
         charset = cs.decode("latin-1") or None
-    return status, payload, charset
+    mime = (
+        ctype.split(b";", 1)[0].strip().lower().decode("latin-1")
+        or None
+    )
+    return status, payload, charset, mime
 
 
 def warc_record_rows(
@@ -346,7 +424,7 @@ def warc_record_rows(
         bad_coding = False
         if r["warc_type"] == "response":
             try:
-                status, payload, charset = _http_split(payload)
+                status, payload, charset, _ = _http_split(payload)
             except (ValueError, zlib.error):
                 if strict:
                     raise
@@ -448,6 +526,245 @@ def read_warc(
                 yield pd.DataFrame(out, columns=cols)
 
     return files_df.mapInPandas(run, schema)
+
+
+def warc_cdx_rows(
+    data: bytes,
+    keep_types: tuple[str, ...] = ("response", "conversion"),
+) -> list[tuple]:
+    """CDX index rows for one shard: ``(record_id, warc_type,
+    target_uri, warc_date, http_status, mime, digest, offset, length,
+    compressed)``. Pure structure — HTTP heads are split for status and
+    media type but payloads are NEVER de-framed or content-decoded
+    (indexing must not pay extraction cost), and ``digest`` is the
+    crawler's ``WARC-Payload-Digest`` verbatim when stamped (the Common
+    Crawl convention) else ``sha1:<base32>`` over the STORED payload
+    bytes — the as-archived identity, the key CDX deduplication and
+    ``revisit`` resolution use. ``offset``/``length`` address the
+    record's re-fetchable byte range (see :func:`iter_warc`)."""
+    import base64
+    import hashlib
+
+    rows = []
+    for r in iter_warc(data, with_offsets=True):
+        if r["warc_type"] not in keep_types:
+            continue
+        status = None
+        mime = r["content_type"]
+        payload = r["body"]
+        if r["warc_type"] == "response":
+            status, headers, payload = _split_head(r["body"])
+            ct = headers.get(b"content-type", b"")
+            mime = (
+                ct.split(b";", 1)[0].strip().lower().decode("latin-1")
+                or None
+            )
+        elif mime:
+            mime = mime.split(";", 1)[0].strip().lower() or None
+        digest = r.get("payload_digest")
+        if not digest:
+            digest = "sha1:" + base64.b32encode(
+                hashlib.sha1(payload).digest()
+            ).decode("ascii")
+        rows.append((
+            r["record_id"], r["warc_type"], r["target_uri"],
+            r["warc_date"], status, mime, digest,
+            r["offset"], r["length"], r["compressed"],
+        ))
+    return rows
+
+
+def warc_cdx(
+    spark: SparkSession,
+    path: str | None = None,
+    files_df: DataFrame | None = None,
+    keep_types: tuple[str, ...] = ("response", "conversion"),
+    on_error: str = "null",
+) -> DataFrame:
+    """CDX index over a directory of WARC/WET shards — the Common
+    Crawl companion artifact (``cdx-*.gz`` / ``cluster.idx``) that
+    makes a 100 TB archive RANDOM-ACCESS: one skinny row per record
+    ``(shard, record_id, warc_type, target_uri, urlkey, ts,
+    http_status, mime, digest, offset, length, compressed)``, where
+    ``(shard, offset, length)`` is the ranged-GET address
+    :func:`read_warc_ranges` re-fetches and ``urlkey`` is the frozen
+    SURT form (:func:`~..operators.urls.surt_key` — reversed-host
+    canonical key, so one sort co-locates all captures of a domain).
+    ``ts`` is the 14-digit CDX timestamp from WARC-Date.
+
+    Scale shape: same as :func:`read_warc` — ``binaryFile`` →
+    Arrow-batched ``mapInPandas``, one task per shard, no payload
+    extraction, no shuffle; urlkey/ts are JVM-side column expressions
+    on the skinny index rows. The index is ~100 bytes/record vs ~1 MB
+    pages — build once, then selective re-extraction never rescans."""
+    if on_error not in ("null", "raise"):
+        raise ValueError("on_error must be 'null' or 'raise'")
+    if (path is None) == (files_df is None):
+        raise ValueError("pass exactly one of path= or files_df=")
+    if files_df is None:
+        from oracle_vectorsearch_example_spark.sources.io import (
+            read_binary_files,
+        )
+
+        files_df = read_binary_files(spark, path).select("path", "content")
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.operators.urls import surt_key
+
+    schema = T.StructType([
+        T.StructField("shard", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("compressed", T.BooleanType()),
+    ])
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for shard, content in zip(b["path"], b["content"]):
+                out = []
+                try:
+                    for row in warc_cdx_rows(
+                        bytes(content), keep_types=keep_types
+                    ):
+                        out.append((shard,) + row)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    out.append((shard,) + (None,) * (len(cols) - 1))
+                yield pd.DataFrame(out, columns=cols)
+
+    idx = files_df.mapInPandas(run, schema)
+    return idx.select(
+        "shard", "record_id", "warc_type", "target_uri",
+        surt_key("target_uri").alias("urlkey"),
+        F.substring(
+            F.regexp_replace("warc_date", "[^0-9]", ""), 1, 14
+        ).alias("ts"),
+        "http_status", "mime", "digest",
+        "offset", "length", "compressed",
+    )
+
+
+def read_warc_ranges(
+    spark: SparkSession,
+    ranges_df: DataFrame,
+    path: str | None = None,
+    files_df: DataFrame | None = None,
+    keep_types: tuple[str, ...] = (
+        "response", "conversion", "revisit", "request", "metadata",
+        "warcinfo",
+    ),
+    on_error: str = "null",
+) -> DataFrame:
+    """Selective re-extraction by CDX address: ``ranges_df`` rows
+    ``(shard, record_id, offset, length)`` — typically a filtered
+    slice of :func:`warc_cdx` output — come back as full
+    :func:`read_warc`-schema rows WITHOUT rescanning the archive's
+    other records: each ``[offset, offset+length)`` slice of a shard
+    is a standalone WARC fragment (a whole gzip member, or a plain
+    record range), re-parsed alone; when a slice holds several records
+    (whole-file-gzip degenerate layout) the requested ``record_id``
+    picks the record (NULL record_id keeps the whole slice).
+
+    Scale shape: the selection aggregates to one skinny
+    ``(shard, [ranges])`` row per shard and BROADCASTS onto the
+    ``binaryFile`` scan — shard payloads never shuffle, untouched
+    shards prune out via the inner join, and each task decodes ONLY
+    the requested members (a 0.1% selection decompresses 0.1% of the
+    archive). On an object store the same addresses drive true ranged
+    GETs — feed the fetched slices in as ``files_df`` with synthetic
+    one-member shards and offsets rebased to 0; the addressing
+    contract is identical. The selection is broadcast BY CONTRACT
+    (it is "the records you want back" — bounded by the caller the
+    way query frames are); a corpus-sized re-read is ``read_warc``."""
+    if on_error not in ("null", "raise"):
+        raise ValueError("on_error must be 'null' or 'raise'")
+    if (path is None) == (files_df is None):
+        raise ValueError("pass exactly one of path= or files_df=")
+    if files_df is None:
+        from oracle_vectorsearch_example_spark.sources.io import (
+            read_binary_files,
+        )
+
+        files_df = read_binary_files(spark, path).select("path", "content")
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    # one row per distinct member range, carrying every requested id
+    # inside it (several records can share a degenerate whole-file
+    # member) — each member is sliced and decoded ONCE
+    sel = (
+        ranges_df
+        .select("shard", "record_id", "offset", "length")
+        .groupBy("shard", "offset", "length")
+        .agg(F.collect_set("record_id").alias("ids"))
+        .groupBy("shard")
+        .agg(
+            F.collect_list(F.struct("offset", "length", "ids"))
+            .alias("wants")
+        )
+    )
+    joined = (
+        files_df
+        .join(F.broadcast(sel), files_df["path"] == sel["shard"], "inner")
+        .select("path", "content", "wants")
+    )
+
+    schema = T.StructType([
+        T.StructField("shard", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("truncated", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for shard, content, wants in zip(
+                b["path"], b["content"], b["wants"]
+            ):
+                data = bytes(content)
+                out = []
+                for w in wants:
+                    off, ln = int(w["offset"]), int(w["length"])
+                    # Arrow materializes the list column as a numpy
+                    # array — no bool() on it
+                    wids = w["ids"]
+                    ids = {
+                        i for i in (
+                            [] if wids is None else list(wids)
+                        ) if i is not None
+                    }
+                    try:
+                        for row in warc_record_rows(
+                            data[off:off + ln], keep_types=keep_types,
+                            strict=on_error == "raise",
+                        ):
+                            if ids and row[0] not in ids:
+                                continue
+                            out.append((shard,) + row)
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        out.append((shard,) + (None,) * (len(cols) - 1))
+                yield pd.DataFrame(out, columns=cols)
+
+    return joined.mapInPandas(run, schema)
 
 
 def write_wet(

@@ -574,6 +574,7 @@ def test_http_coded_response_roundtrip_property(text, ce, chunked):
     if chunked:
         rec["transfer_encoding"] = "chunked"
     body = parse_warc(make_simple_warc([rec]))[0]["body"]
-    status, payload, charset = _http_split(body)
+    status, payload, charset, mime = _http_split(body)
     assert status == 200
     assert payload == text.encode("utf-8")
+    assert mime == "text/html"

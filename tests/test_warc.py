@@ -487,3 +487,179 @@ def test_corpus_from_warc_end_to_end(spark, tmp_path):
     # drop_truncated excludes clipped docs from curation entirely
     out3 = corpus_from_warc(spark, str(d), drop_truncated=True)
     assert len(out3["documents"].collect()) == 12
+
+
+# ---------------------------------------------------------------- r14 CDX
+
+
+def _cdx_import():
+    from oracle_vectorsearch_example_spark.sources.warc import (
+        read_warc_ranges,
+        warc_cdx,
+        warc_cdx_rows,
+    )
+    return warc_cdx_rows, warc_cdx, read_warc_ranges
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_cdx_rows_offsets_and_digests(gz):
+    """CDX rows address real byte ranges: every (offset, length) slice
+    re-parses standalone to the record it indexes; gzip members tile
+    the shard exactly; digests are sha1-b32 of the STORED payload (or
+    the crawler's WARC-Payload-Digest verbatim when stamped)."""
+    import base64
+    import hashlib
+
+    warc_cdx_rows, _, _ = _cdx_import()
+    blob = make_simple_warc(_recs(4), gzip_members=gz)
+    rows = warc_cdx_rows(blob)
+    assert len(rows) == 8  # warcinfo dropped by keep_types
+    for rid, wt, uri, dt, status, mime, digest, off, ln, comp in rows:
+        assert comp == gz
+        back = warc_record_rows(blob[off:off + ln])
+        assert any(b[0] == rid for b in back)
+        assert digest.startswith("sha1:")
+        assert mime == ("text/html" if wt == "response" else "text/plain")
+        assert status == (200 if wt == "response" else None)
+    if gz:
+        # members tile the compressed shard with the warcinfo member
+        # as the only gap (it is not indexed)
+        spans = sorted((r[7], r[7] + r[8]) for r in rows)
+        assert spans[-1][1] == len(blob)
+        assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+    # digest = sha1 over stored payload bytes
+    rec = parse_warc(blob)[1]
+    payload = rec["body"].partition(b"\r\n\r\n")[2]
+    want = "sha1:" + base64.b32encode(
+        hashlib.sha1(payload).digest()
+    ).decode()
+    assert rows[0][6] == want
+    # crawler-stamped digest rides through verbatim
+    stamped = make_simple_warc(_recs(1)).replace(
+        b"WARC-Type: response\r\n",
+        b"WARC-Type: response\r\nWARC-Payload-Digest: sha1:STAMPED\r\n",
+    )
+    assert warc_cdx_rows(stamped)[0][6] == "sha1:STAMPED"
+
+
+def test_cdx_whole_gzip_degenerate():
+    """Whole-file gzip (no member-per-record layout): every record
+    shares the single member's (0, len, True) address — the honest
+    answer (random access degenerates to re-reading the shard), and
+    the range + record_id filter still lands on each record."""
+    import zlib
+
+    warc_cdx_rows, _, _ = _cdx_import()
+    plain = make_simple_warc(_recs(3))
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    wb = co.compress(plain) + co.flush()
+    rows = warc_cdx_rows(wb)
+    assert len(rows) == 6
+    assert {(r[7], r[8], r[9]) for r in rows} == {(0, len(wb), True)}
+
+
+def test_warc_cdx_distributed(spark, tmp_path):
+    """warc_cdx over shard files: skinny index rows with SURT urlkey +
+    CDX-14 timestamp, one task per shard (no Exchange before the
+    mapInPandas), corrupt shard → named NULL marker row."""
+    _, warc_cdx, _ = _cdx_import()
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s in range(2):
+        recs = [{
+            "warc_type": "response",
+            "target_uri":
+                f"https://www.site{s}.example.com/p/{i}?b=2&a=1",
+            "warc_date": "2024-03-05T06:07:08Z",
+            "html": f"<html><body>s{s} p{i}</body></html>",
+        } for i in range(5)]
+        (d / f"s{s}.warc.gz").write_bytes(
+            make_simple_warc(recs, gzip_members=True)
+        )
+    (d / "bad.warc.gz").write_bytes(b"\x1f\x8bnope")
+
+    idx = warc_cdx(spark, str(d))
+    rows = idx.collect()
+    good = [r for r in rows if r.record_id is not None]
+    bad = [r for r in rows if r.record_id is None]
+    assert len(good) == 10 and len(bad) == 1
+    r = next(
+        r for r in good
+        if r.target_uri == "https://www.site1.example.com/p/3?b=2&a=1"
+    )
+    assert r.urlkey == "com,example,site1)/p/3?a=1&b=2"
+    assert r.ts == "20240305060708"
+    assert r.mime == "text/html" and r.http_status == 200
+    assert r.compressed and r.length > 0
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("MapInPandas")[0]
+
+
+def test_read_warc_ranges_selective(spark, tmp_path):
+    """CDX → filter → ranged re-read: only the selected records come
+    back (correct text through the full HTTP+D1 path), shard payloads
+    never shuffle (broadcast join on the aggregated selection), and a
+    whole-gzip shard's shared range resolves per record_id."""
+    import zlib
+
+    _, warc_cdx, read_warc_ranges = _cdx_import()
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s in range(3):
+        recs = [{
+            "warc_type": "response",
+            "target_uri": f"http://t.test/{s * 10 + i}",
+            "html": f"<html><body>doc {s * 10 + i} says "
+                    f"{(s * 10 + i) * 7 % 100}.</body></html>",
+        } for i in range(8)]
+        (d / f"s{s}.warc.gz").write_bytes(
+            make_simple_warc(recs, gzip_members=True)
+        )
+    # shard 3: whole-file gzip — all records share one member
+    plain = make_simple_warc([{
+        "warc_type": "response",
+        "target_uri": f"http://t.test/{90 + i}",
+        "html": f"<html><body>doc {90 + i} says "
+                f"{(90 + i) * 7 % 100}.</body></html>",
+    } for i in range(4)])
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    (d / "whole.warc.gz").write_bytes(co.compress(plain) + co.flush())
+
+    idx = warc_cdx(spark, str(d))
+    doc = F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+    sel = idx.filter(doc % 3 == 0)
+    got = read_warc_ranges(spark, sel, path=str(d))
+    want_ids = sorted(
+        int(r.target_uri.rsplit("/", 1)[1]) for r in sel.collect()
+    )
+    got_rows = got.collect()
+    assert sorted(
+        int(r.target_uri.rsplit("/", 1)[1]) for r in got_rows
+    ) == want_ids
+    by_id = {int(r.target_uri.rsplit("/", 1)[1]): r for r in got_rows}
+    assert by_id[21].text == "doc 21 says 47."
+    assert by_id[90].text == "doc 90 says 30."  # whole-gzip shard
+    # payload side feeds the join without an Exchange (broadcast build)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    payload_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in payload_side.split("BroadcastHashJoin")[1]
+
+
+def test_surt_key_cases(spark):
+    """Frozen SURT spec: canonicalize, drop scheme, reverse host with
+    one leading www. stripped, ')' separator; NULL propagates."""
+    from oracle_vectorsearch_example_spark.operators.urls import surt_key
+
+    cases = [
+        ("https://www.Example.ORG:443/a/b/?utm_x=1&z=2#f",
+         "org,example)/a/b?z=2"),
+        ("http://sub.www.net/", "net,www,sub)/"),
+        ("http://x.com", "com,x)/"),
+        ("no-scheme.example", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in cases], "u string"
+    ).select(surt_key("u").alias("k"))
+    assert [r.k for r in df.collect()] == [w for _, w in cases]
