@@ -1920,6 +1920,36 @@ def main():
             "n_shards": 1, "records_per_shard": 20_000,
             "shard_mb_compressed": shard_mb, "gzip_members": True,
         }
+        # CDX indexing at the same geometry (r14): walk all 20k
+        # members, no payload extraction — the index build should run
+        # well under the extracting read above; then re-fetch a 1%
+        # selection by (offset, length), which must decode ~1% of the
+        # members, not rescan the shard.
+        from oracle_vectorsearch_example_spark.sources.warc import (
+            read_warc_ranges,
+            warc_cdx,
+        )
+
+        cdx = warc_cdx(spark, files_df=cc_shard).localCheckpoint()
+        run_entry(
+            "warc_cdx_1x20k",
+            lambda: _execute(warc_cdx(spark, files_df=cc_shard)),
+        )
+        sel = cdx.filter(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long") % 100 == 0
+        )
+        n_sel = sel.count()
+        run_entry(
+            "warc_fetch_1pct",
+            lambda: _execute(
+                read_warc_ranges(spark, sel, files_df=cc_shard)
+            ),
+        )
+        extras["warc_cdx_1x20k"] = {
+            "n_records": 20_000, "fetch_selection": int(n_sel),
+        }
+        cdx.unpersist()
         cc_shard.unpersist()
     except Exception as e:  # noqa: BLE001
         results.setdefault(

@@ -3668,6 +3668,184 @@ def q_wet_roundtrip(spark, sf):
     )
 
 
+_WARC_CDX_SQL = """
+    SELECT doc_id,
+           'test,corpus,d' || CAST(doc_id % 23 AS VARCHAR)
+             || ')/page/' || CAST(doc_id AS VARCHAR)
+             || '?a=1&b=2' AS urlkey,
+           '20' || CAST(20 + doc_id % 5 AS VARCHAR)
+             || lpad(CAST(1 + doc_id % 9 AS VARCHAR), 2, '0')
+             || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+             || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') AS ts,
+           CASE WHEN doc_id % 5 = 4 THEN 'text/plain'
+                ELSE 'text/html' END AS mime,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE CAST(200 AS INTEGER) END AS http_status,
+           (doc_id // 10) % 2 = 1 AS compressed
+    FROM documents WHERE doc_id < 180
+"""
+
+
+@golden("warc_cdx", _WARC_CDX_SQL)
+def q_warc_cdx(spark, sf):
+    """CDX indexing over WARC shards (r14) — the Common Crawl
+    companion artifact that makes a 100 TB archive random-access:
+    docs pack 10-per-shard (odd shards gzip-per-member, the spec
+    layout), `warc_cdx` walks the members WITHOUT extracting
+    payloads and emits skinny index rows; the oracle replays the
+    SURT urlkey (reversed host, www-stripped, sorted query), the
+    CDX-14 timestamp from WARC-Date, media type, status, and the
+    member-layout flag relationally. Every 5th doc is a WET
+    conversion record (text/plain, no HTTP status) so both record
+    families index through one walk. Offsets/digests are pinned by
+    the `warc_cdx_fetch` roundtrip + pytest (zlib-dependent bytes
+    have no SQL replay). Scale shape: one task per shard, no
+    Exchange before the mapInPandas, urlkey/ts are JVM-side column
+    expressions. Reference anchor: 01_pdf_to_vector.sql:111-116
+    (directory objects become addressable rows)."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.sources.warc import warc_cdx
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 180)
+    groups = (
+        docs.select("doc_id")
+        .groupBy((F.col("doc_id") / 10).cast("long").alias("shard_id"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def write_shards(batches):
+        from oracle_vectorsearch_example_spark.sources.warc import (
+            make_simple_warc,
+        )
+
+        for b in batches:
+            out = []
+            for sid, ids in zip(b["shard_id"], b["ids"]):
+                sid = int(sid)
+                recs = []
+                for did in ids:
+                    did = int(did)
+                    date = (
+                        f"20{20 + did % 5}-{1 + did % 9:02d}-"
+                        f"{1 + did % 28:02d}T{did % 24:02d}:"
+                        f"{did % 60:02d}:{did * 7 % 60:02d}Z"
+                    )
+                    uri = (
+                        f"https://www.d{did % 23}.corpus.test"
+                        f"/page/{did}?b=2&a=1"
+                    )
+                    if did % 5 == 4:
+                        recs.append({
+                            "warc_type": "conversion",
+                            "target_uri": uri, "warc_date": date,
+                            "text": f"wet body {did}",
+                        })
+                    else:
+                        recs.append({
+                            "warc_type": "response",
+                            "target_uri": uri, "warc_date": date,
+                            "html": (
+                                f"<html><body>doc {did}</body></html>"
+                            ),
+                        })
+                out.append((
+                    f"mem://cdx/{sid:04d}.warc",
+                    make_simple_warc(recs, gzip_members=sid % 2 == 1),
+                ))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = groups.mapInPandas(write_shards, schema)
+    idx = warc_cdx(spark, files_df=files)
+    return idx.select(
+        F.regexp_extract("target_uri", r"/page/(\d+)\?", 1)
+        .cast("long").alias("doc_id"),
+        "urlkey", "ts", "mime", "http_status", "compressed",
+    )
+
+
+_WARC_CDX_FETCH_SQL = """
+    SELECT doc_id,
+           CAST(200 AS INTEGER) AS http_status,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' says '
+             || CAST(doc_id * 7 % 100 AS VARCHAR) || '.' AS text
+    FROM documents WHERE doc_id < 150 AND doc_id % 3 = 0
+"""
+
+
+@golden("warc_cdx_fetch", _WARC_CDX_FETCH_SQL)
+def q_warc_cdx_fetch(spark, sf):
+    """CDX-addressed selective re-extraction (r14): index 15 shards
+    of 10 gzip members each, keep every 3rd record's CDX row, and
+    `read_warc_ranges` re-fetches EXACTLY those — each (offset,
+    length) slice decompresses as a standalone member and the full
+    HTTP+D1 text path runs on just the selection (a 0.1% re-read
+    decodes 0.1% of the archive). The oracle replays the selected
+    texts relationally, which hash-pins the offset/length addressing
+    end-to-end — a wrong byte range cannot produce the right page.
+    Scale shape: the selection aggregates per shard and BROADCASTS
+    onto the binaryFile scan (plan-asserted in tests/test_warc.py) —
+    shard payloads never shuffle, unselected shards prune out."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.sources.warc import (
+        read_warc_ranges,
+        warc_cdx,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    groups = (
+        docs.select("doc_id")
+        .groupBy((F.col("doc_id") / 10).cast("long").alias("shard_id"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def write_shards(batches):
+        from oracle_vectorsearch_example_spark.sources.warc import (
+            make_simple_warc,
+        )
+
+        for b in batches:
+            out = []
+            for sid, ids in zip(b["shard_id"], b["ids"]):
+                sid = int(sid)
+                recs = [{
+                    "warc_type": "response",
+                    "target_uri": f"http://corpus.test/{int(did)}",
+                    "html": (
+                        f"<html><body><p>Doc {int(did)} says "
+                        f"{int(did) * 7 % 100}.</p></body></html>"
+                    ),
+                } for did in ids]
+                out.append((
+                    f"mem://fetch/{sid:04d}.warc.gz",
+                    make_simple_warc(recs, gzip_members=True),
+                ))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = groups.mapInPandas(write_shards, schema)
+    idx = warc_cdx(spark, files_df=files)
+    doc = F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+    sel = idx.filter(doc % 3 == 0)
+    rows = read_warc_ranges(spark, sel, files_df=files)
+    return rows.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("http_status"),
+        F.col("text"),
+    )
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -9033,14 +9211,24 @@ def q_pca_embed(spark, sf):
 # two r11-stalest family-diverse fills (audio-fp + text-sketch) to
 # reach 50. After this round every golden is driver-witnessed and max
 # staleness is r11.
+# r14 mid-round amendment: the CDX pair (`warc_cdx`,
+# `warc_cdx_fetch`) landed after the window above was seated — new
+# goldens take head seats (standing precedent). The two seats come
+# from the audio-fp family, which holds THREE window seats
+# (`audio_fp`, `audio_fp_l2`, `audio_neardup`): the r11-stalest fill
+# `audio_fp_l2` and the r10 `audio_fp` yield; `audio_neardup` stays
+# and drives the same fingerprint path, so the family keeps a fresh
+# r14 witness while no other family loses coverage.
 _PRIORITY = [
     # (a) the last never-witnessed golden (judge r13 #3)
     "extract_text_audio_tags",
-    # (b) the r14 adds: HTTP chunked/content-coding decode in WARC +
-    # the WET sink roundtrip
-    "warc_http_encodings", "wet_roundtrip",
-    # (c) ALL 46 r10-witnessed goldens, alphabetical
-    "anti_join", "arrays", "audio_fp", "audio_neardup",
+    # (b) the r14 adds: HTTP chunked/content-coding decode in WARC,
+    # the WET sink roundtrip, CDX indexing + ranged re-extraction
+    "warc_http_encodings", "wet_roundtrip", "warc_cdx",
+    "warc_cdx_fetch",
+    # (c) the r10-witnessed tier, alphabetical (audio_fp yielded its
+    # seat to the CDX pair; audio_neardup carries the family)
+    "anti_join", "arrays", "audio_neardup",
     "boilerplate_removal", "chunk_ids", "contamination_report",
     "count_distinct", "cross_join", "dates", "except_all_keys",
     "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",
@@ -9051,9 +9239,6 @@ _PRIORITY = [
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
     "tpch_q21", "tpch_q22", "unicode_nfc", "video_neardup",
-    # (d) r11-stalest fill (bloom_words yielded its seat to the
-    # second r14 add; its family keeps the r11 witness)
-    "audio_fp_l2",
 ]
 
 

@@ -71,11 +71,12 @@ def test_driver_window_composition():
     assert names[:50] == prio
     must_record = {
         # r14 allocation (judge r13 #3): the one never-driver-witnessed
-        # golden, the two new r14 goldens (HTTP codings + WET
-        # roundtrip), and the r10-stale tier heads (the remaining TPC-H
-        # block + r10 operator reps).
+        # golden, the four new r14 goldens (HTTP codings + WET
+        # roundtrip + the CDX pair), and the r10-stale tier heads (the
+        # remaining TPC-H block + r10 operator reps).
         "extract_text_audio_tags", "warc_http_encodings",
-        "wet_roundtrip", "anti_join", "video_neardup", "jpeg_decode",
+        "wet_roundtrip", "warc_cdx", "warc_cdx_fetch",
+        "anti_join", "video_neardup", "jpeg_decode",
         "tpch_q5", "tpch_q22", "pii_redact", "multimodal_features",
     }
     outside = must_record - set(prio)
