@@ -3846,6 +3846,86 @@ def q_warc_cdx_fetch(spark, sf):
     )
 
 
+_CDX_DEDUP_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS n_captures,
+           CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS n_urls
+    FROM documents WHERE doc_id < 150 AND doc_id % 4 <> 3
+"""
+
+
+@golden("cdx_dedup", _CDX_DEDUP_SQL)
+def q_cdx_dedup(spark, sf):
+    """Digest-level crawl dedup (r14) — Common Crawl's own capture-
+    resolution step, run on the CDX index WITHOUT touching payloads:
+    every 4th doc re-publishes the previous doc's exact page under a
+    different URL (a mirror — identical stored payload, identical
+    sha1 digest), `cdx_dedup` keeps the EARLIEST capture per digest
+    (WARC-Date ascends with doc_id, so the original wins) and counts
+    captures + distinct URLs. The oracle replays survivors and both
+    counts relationally — the digest grouping, min-struct winner
+    pick, and frequency signals hash-pinned. Scale shape: ONE
+    group-by over ~100-byte index rows; page bytes never move."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.sources.warc import (
+        cdx_dedup,
+        warc_cdx,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    groups = (
+        docs.select("doc_id")
+        .groupBy((F.col("doc_id") / 10).cast("long").alias("shard_id"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def write_shards(batches):
+        from oracle_vectorsearch_example_spark.sources.warc import (
+            make_simple_warc,
+        )
+
+        for b in batches:
+            out = []
+            for sid, ids in zip(b["shard_id"], b["ids"]):
+                sid = int(sid)
+                recs = []
+                for did in ids:
+                    did = int(did)
+                    # every 4th doc mirrors the previous page exactly
+                    src = did - 1 if did % 4 == 3 else did
+                    recs.append({
+                        "warc_type": "response",
+                        "target_uri": f"http://m{did % 7}.test/{did}",
+                        "warc_date": (
+                            f"2024-01-01T00:{did // 60:02d}:"
+                            f"{did % 60:02d}Z"
+                        ),
+                        "html": (
+                            f"<html><body><p>Doc {src} says "
+                            f"{src * 7 % 100}.</p></body></html>"
+                        ),
+                    })
+                out.append((
+                    f"mem://dedup/{sid:04d}.warc.gz",
+                    make_simple_warc(recs, gzip_members=True),
+                ))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = groups.mapInPandas(write_shards, schema)
+    kept = cdx_dedup(warc_cdx(spark, files_df=files))
+    return kept.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("n_captures"),
+        F.col("n_urls"),
+    )
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -9223,12 +9303,15 @@ _PRIORITY = [
     # (a) the last never-witnessed golden (judge r13 #3)
     "extract_text_audio_tags",
     # (b) the r14 adds: HTTP chunked/content-coding decode in WARC,
-    # the WET sink roundtrip, CDX indexing + ranged re-extraction
+    # the WET sink roundtrip, CDX indexing + ranged re-extraction +
+    # digest-level crawl dedup
     "warc_http_encodings", "wet_roundtrip", "warc_cdx",
-    "warc_cdx_fetch",
+    "warc_cdx_fetch", "cdx_dedup",
     # (c) the r10-witnessed tier, alphabetical (audio_fp yielded its
-    # seat to the CDX pair; audio_neardup carries the family)
-    "anti_join", "arrays", "audio_neardup",
+    # seat to the CDX pair — audio_neardup carries that family;
+    # arrays yielded to cdx_dedup — array_hof holds the scalar-array
+    # family's r12 witness)
+    "anti_join", "audio_neardup",
     "boilerplate_removal", "chunk_ids", "contamination_report",
     "count_distinct", "cross_join", "dates", "except_all_keys",
     "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",

@@ -12,6 +12,7 @@ from oracle_vectorsearch_example_spark.sources.txn import (
     merge_rows,
 )
 from oracle_vectorsearch_example_spark.sources.warc import (
+    cdx_dedup,
     iter_warc,
     make_simple_warc,
     parse_warc,
@@ -24,6 +25,7 @@ from oracle_vectorsearch_example_spark.sources.warc import (
 )
 
 __all__ = [
+    "cdx_dedup",
     "iter_warc",
     "make_simple_warc",
     "parse_warc",

@@ -663,3 +663,58 @@ def test_surt_key_cases(spark):
         [(u,) for u, _ in cases], "u string"
     ).select(surt_key("u").alias("k"))
     assert [r.k for r in df.collect()] == [w for _, w in cases]
+
+
+def test_cdx_dedup_revisit_groups_with_original(spark):
+    """cdx_dedup: a revisit record's crawler-stamped payload digest
+    lands it in its original's group (no special casing), the earliest
+    capture wins deterministically, and NULL-digest marker rows drop."""
+    from oracle_vectorsearch_example_spark.sources.warc import (
+        cdx_dedup,
+        warc_cdx,
+    )
+
+    blob = make_simple_warc([
+        {"warc_type": "response", "target_uri": "http://a.test/1",
+         "warc_date": "2024-01-01T00:00:01Z",
+         "html": "<html><body>original</body></html>"},
+        {"warc_type": "response", "target_uri": "http://b.test/2",
+         "warc_date": "2024-01-01T00:00:02Z",
+         "html": "<html><body>unrelated</body></html>"},
+    ], gzip_members=True)
+    # stamp a revisit of record 1: digest copied from the cdx of the
+    # original (what a crawler writes instead of re-storing the page)
+    idx0 = warc_cdx(
+        spark,
+        files_df=spark.createDataFrame(
+            [("mem://s0", bytearray(blob))], "path string, content binary"
+        ),
+    )
+    orig = idx0.filter(F.col("target_uri") == "http://a.test/1").first()
+    # plain layout so the header splice below lands in cleartext
+    revisit = make_simple_warc([{
+        "warc_type": "revisit", "target_uri": "http://mirror.test/1",
+        "warc_date": "2024-02-02T00:00:00Z", "body": b"",
+    }]).replace(
+        b"WARC-Type: revisit\r\n",
+        b"WARC-Type: revisit\r\nWARC-Payload-Digest: "
+        + orig.digest.encode() + b"\r\n",
+    )
+    files = spark.createDataFrame(
+        [("mem://s0", bytearray(blob)),
+         ("mem://s1", bytearray(revisit)),
+         ("mem://bad", bytearray(b"\x1f\x8bnope"))],
+        "path string, content binary",
+    )
+    idx = warc_cdx(
+        spark, files_df=files,
+        keep_types=("response", "conversion", "revisit"),
+    )
+    kept = cdx_dedup(idx).collect()
+    assert len(kept) == 2  # null-digest marker row dropped
+    by_uri = {r.target_uri: r for r in kept}
+    assert set(by_uri) == {"http://a.test/1", "http://b.test/2"}
+    winner = by_uri["http://a.test/1"]
+    assert winner.n_captures == 2 and winner.n_urls == 2
+    assert winner.warc_type == "response"  # earliest capture wins
+    assert by_uri["http://b.test/2"].n_captures == 1
