@@ -15,12 +15,14 @@ from oracle_vectorsearch_example_spark.sources.warc import (
     cdx_dedup,
     iter_warc,
     make_simple_warc,
+    parse_cdxj,
     parse_warc,
     read_warc,
     read_warc_ranges,
     warc_cdx,
     warc_cdx_rows,
     warc_record_rows,
+    write_cdxj,
     write_wet,
 )
 
@@ -28,12 +30,14 @@ __all__ = [
     "cdx_dedup",
     "iter_warc",
     "make_simple_warc",
+    "parse_cdxj",
     "parse_warc",
     "read_warc",
     "read_warc_ranges",
     "warc_cdx",
     "warc_cdx_rows",
     "warc_record_rows",
+    "write_cdxj",
     "write_wet",
     "TABLES",
     "read_table",

@@ -53,12 +53,14 @@ __all__ = [
     "cdx_dedup",
     "iter_warc",
     "make_simple_warc",
+    "parse_cdxj",
     "parse_warc",
     "read_warc",
     "read_warc_ranges",
     "warc_cdx",
     "warc_cdx_rows",
     "warc_record_rows",
+    "write_cdxj",
     "write_wet",
 ]
 
@@ -809,6 +811,158 @@ def read_warc_ranges(
                 yield pd.DataFrame(out, columns=cols)
 
     return joined.mapInPandas(run, schema)
+
+
+def write_cdxj(
+    idx: DataFrame,
+    n_shards: int | None = None,
+    gzip_shards: bool = True,
+) -> DataFrame:
+    """Publish a CDX index the way Common Crawl does (``cdx-*.gz`` +
+    ``cluster.idx``): range-partition by ``(urlkey, ts)`` and sort
+    within each shard, then emit one CDXJ text shard per task —
+    ``<urlkey> <ts> {json}`` lines (url, digest, mime, status, offset,
+    length, filename keys, fixed order) — as ``(path, first_key,
+    n_records, content)`` rows. ``first_key`` is the shard's smallest
+    ``urlkey ts`` — collecting just ``(path, first_key)`` IS the
+    cluster index: because shards are globally range-partitioned, a
+    domain prefix query ("everything under org,example)") binary-
+    searches the first_keys and opens only the shards whose range can
+    hold the prefix. That secondary index is what turns a 100 TB
+    archive's index into a laptop-sized routing table.
+
+    Scale shape: ONE shuffle (the ``repartitionByRange`` the layout
+    is), map-side sort + encode, peak task memory = one compressed
+    shard. NULL urlkeys (non-canonicalizable URIs) sort first and stay
+    queryable by scan."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    cols = [
+        "urlkey", "ts", "target_uri", "digest", "mime",
+        "http_status", "offset", "length", "shard",
+    ]
+    src = idx.select(*cols)
+    if n_shards is not None:
+        src = src.repartitionByRange(n_shards, "urlkey", "ts")
+    else:
+        src = src.repartitionByRange("urlkey", "ts")
+    src = src.sortWithinPartitions("urlkey", "ts")
+
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("first_key", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        lines = []
+        first_key = None
+        for b in batches:
+            for r in b.itertuples(index=False):
+                key = f"{r.urlkey or ''} {r.ts or ''}"
+                if first_key is None:
+                    first_key = key
+                blob = _json.dumps({
+                    "url": r.target_uri,
+                    "digest": r.digest,
+                    "mime": r.mime,
+                    "status": (
+                        None if pd.isna(r.http_status)
+                        else int(r.http_status)
+                    ),
+                    "offset": (
+                        None if pd.isna(r.offset) else int(r.offset)
+                    ),
+                    "length": (
+                        None if pd.isna(r.length) else int(r.length)
+                    ),
+                    "filename": r.shard,
+                }, sort_keys=False, separators=(", ", ": "))
+                lines.append(f"{key} {blob}")
+        if not lines:
+            return
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        name = f"cdx-{pid:05d}"
+        if gzip_shards:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            payload = co.compress(payload) + co.flush()
+            payload = payload[:4] + struct.pack("<I", 0) + payload[8:]
+            name += ".gz"
+        yield pd.DataFrame(
+            [(name, first_key, len(lines), payload)],
+            columns=["path", "first_key", "n_records", "content"],
+        )
+
+    return src.mapInPandas(run, schema)
+
+
+def parse_cdxj(shards: DataFrame) -> DataFrame:
+    """CDXJ shards (``write_cdxj`` output or any ``(path, content)``
+    text-shard frame) back to index rows — the read side of the
+    published-index interchange. Decompression + line split are one
+    Arrow pass; field extraction is pure column expressions
+    (``from_json`` on the JSON tail, split on the two leading
+    space-delimited keys), so the parse stays JVM-side after the
+    gunzip. Columns mirror :func:`warc_cdx` (minus the layout flag):
+    ``urlkey ts target_uri digest mime http_status offset length
+    shard``."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    line_schema = T.StructType([
+        T.StructField("line", T.StringType()),
+    ])
+
+    def to_lines(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for content in b["content"]:
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = zlib.decompressobj(
+                        16 + zlib.MAX_WBITS
+                    ).decompress(data)
+                text = data.decode("utf-8")
+                yield pd.DataFrame(
+                    {"line": [ln for ln in text.split("\n") if ln]}
+                )
+
+    lines = shards.select("content").mapInPandas(to_lines, line_schema)
+    js = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("filename", T.StringType()),
+    ])
+    parsed = lines.select(
+        F.regexp_extract("line", r"^(\S*) (\S*) ", 1).alias("urlkey"),
+        F.regexp_extract("line", r"^(\S*) (\S*) ", 2).alias("ts"),
+        F.from_json(
+            F.regexp_replace("line", r"^\S* \S* ", ""), js
+        ).alias("j"),
+    )
+    return parsed.select(
+        F.when(F.col("urlkey") == "", None)
+        .otherwise(F.col("urlkey")).alias("urlkey"),
+        F.when(F.col("ts") == "", None).otherwise(F.col("ts"))
+        .alias("ts"),
+        F.col("j.url").alias("target_uri"),
+        "j.digest", "j.mime",
+        F.col("j.status").alias("http_status"),
+        "j.offset", "j.length",
+        F.col("j.filename").alias("shard"),
+    )
 
 
 def write_wet(

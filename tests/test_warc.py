@@ -718,3 +718,71 @@ def test_cdx_dedup_revisit_groups_with_original(spark):
     assert winner.n_captures == 2 and winner.n_urls == 2
     assert winner.warc_type == "response"  # earliest capture wins
     assert by_uri["http://b.test/2"].n_captures == 1
+
+
+def test_write_cdxj_layout_and_parse(spark, tmp_path):
+    """write_cdxj publishes the Common Crawl index layout: shards are
+    globally range-partitioned on (urlkey, ts) and sorted within, the
+    first_key column is the cluster.idx routing table (a domain prefix
+    opens only the shards whose range can hold it), parse_cdxj
+    roundtrips exactly, NULL urlkeys survive, and plain (gzip_shards=
+    False) output is the same text."""
+    import zlib
+
+    from oracle_vectorsearch_example_spark.sources.warc import (
+        parse_cdxj,
+        warc_cdx,
+        write_cdxj,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s in range(6):
+        recs = [{
+            "warc_type": "response",
+            "target_uri":
+                f"http://h{(s * 10 + i) % 17}.test/p/{s * 10 + i}",
+            "warc_date": f"2024-01-01T00:00:{(s * 10 + i) % 60:02d}Z",
+            "html": f"<html><body>p{s * 10 + i}</body></html>",
+        } for i in range(10)]
+        # one non-canonicalizable URI → NULL urlkey, sorts first
+        if s == 0:
+            recs[0]["target_uri"] = "urn:not-a-url:0"
+        (d / f"s{s}.warc.gz").write_bytes(
+            make_simple_warc(recs, gzip_members=True)
+        )
+    idx = warc_cdx(spark, str(d))
+    pub = write_cdxj(idx, n_shards=3).localCheckpoint()
+    shards = pub.collect()
+    assert sum(r.n_records for r in shards) == 60
+    # global range contract: within-shard sorted, ranges disjoint
+    prev_max = None
+    for r in sorted(shards, key=lambda r: r.first_key):
+        text = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(
+            bytes(r.content)
+        ).decode()
+        # no strip(): a NULL-urlkey line legitimately starts with the
+        # empty key's leading space
+        keys = [
+            " ".join(ln.split(" ", 2)[:2])
+            for ln in text.split("\n") if ln
+        ]
+        assert keys == sorted(keys)
+        assert keys[0] == r.first_key
+        if prev_max is not None:
+            assert keys[0] >= prev_max
+        prev_max = keys[-1]
+    # exact roundtrip, including the NULL-urlkey row
+    back = parse_cdxj(pub)
+    cols = [
+        "urlkey", "ts", "target_uri", "digest", "mime",
+        "http_status", "offset", "length", "shard",
+    ]
+    a = {tuple(r[c] for c in cols) for r in back.collect()}
+    b = {tuple(r[c] for c in cols) for r in idx.collect()}
+    assert a == b
+    assert any(r[0] is None and r[2] == "urn:not-a-url:0" for r in a)
+    # plain shards: same lines, uncompressed
+    plain = write_cdxj(idx, n_shards=3, gzip_shards=False)
+    a2 = {tuple(r[c] for c in cols) for r in parse_cdxj(plain).collect()}
+    assert a2 == b
