@@ -4010,6 +4010,57 @@ def q_cdxj_roundtrip(spark, sf):
     )
 
 
+_WDS_ROUNDTRIP_SQL = """
+    SELECT doc_id,
+           'Caption for doc ' || CAST(doc_id AS VARCHAR) AS caption,
+           CAST(doc_id % 10 AS INTEGER) AS label
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@golden("wds_roundtrip", _WDS_ROUNDTRIP_SQL)
+def q_wds_roundtrip(spark, sf):
+    """WebDataset interchange roundtrip (r14): the tar-shard format
+    multimodal training data actually ships in — each doc becomes a
+    sample (``<key>.txt`` caption + ``<key>.cls`` label, adjacent
+    ustar members), `write_webdataset` packs one deterministic shard
+    per task across an 8-way fan-in, and `read_webdataset` regroups
+    samples map-side by the contiguous-run rule. The oracle replays
+    caption and label relationally — member encode → tar grammar →
+    sample grouping → map-column extraction hash-pinned both ways.
+    Scale shape: one repartition moves each sample once; read is one
+    task per shard, no shuffle (plan-asserted in tests/test_wds.py).
+    Reference anchor: 01_pdf_to_vector.sql:111-116 (a directory of
+    binary docs becomes rows; a tar shard is that directory
+    serialized)."""
+    from oracle_vectorsearch_example_spark.sources.wds import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.format_string("%06d", F.col("doc_id")).alias("key"),
+            F.concat(
+                F.lit("Caption for doc "), F.col("doc_id")
+            ).alias("caption"),
+            (F.col("doc_id") % 10).cast("string").alias("label"),
+        )
+    )
+    shards = write_webdataset(
+        docs, key_col="key",
+        ext_cols={"caption": "txt", "label": "cls"}, n_shards=8,
+    )
+    back = read_webdataset(spark, files_df=shards)
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.col("exts")["txt"].cast("string").alias("caption"),
+        F.col("exts")["cls"].cast("string").cast("int").alias("label"),
+    )
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -9391,15 +9442,18 @@ _PRIORITY = [
     # digest-level crawl dedup
     "warc_http_encodings", "wet_roundtrip", "warc_cdx",
     "warc_cdx_fetch", "cdx_dedup", "cdxj_roundtrip",
+    "wds_roundtrip",
     # (c) the r10-witnessed tier, alphabetical (audio_fp yielded its
     # seat to the CDX pair — audio_neardup carries that family;
     # arrays yielded to cdx_dedup — array_hof holds the scalar-array
     # family's r12 witness; dates yielded to cdxj_roundtrip — the
     # scalar-expr family is witnessed via strings r13 / math r11;
-    # the three deferred r10 seats head the r15 roll list)
+    # cross_join yielded to wds_roundtrip — the join family is
+    # witnessed via join_agg r13 plus the seated anti_join/semi_join;
+    # the four deferred r10 seats head the r15 roll list)
     "anti_join", "audio_neardup",
     "boilerplate_removal", "chunk_ids", "contamination_report",
-    "count_distinct", "cross_join", "except_all_keys",
+    "count_distinct", "except_all_keys",
     "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",
     "left_join_zero_orders", "multimodal_features", "percentile_gate",
     "pii_redact", "pivot", "projection", "range_join", "rollup",

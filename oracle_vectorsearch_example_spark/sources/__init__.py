@@ -11,6 +11,14 @@ from oracle_vectorsearch_example_spark.sources.txn import (
     Warehouse,
     merge_rows,
 )
+from oracle_vectorsearch_example_spark.sources.wds import (
+    iter_tar,
+    make_tar,
+    read_tar_members,
+    read_webdataset,
+    wds_samples,
+    write_webdataset,
+)
 from oracle_vectorsearch_example_spark.sources.warc import (
     cdx_dedup,
     iter_warc,
@@ -39,6 +47,12 @@ __all__ = [
     "warc_record_rows",
     "write_cdxj",
     "write_wet",
+    "iter_tar",
+    "make_tar",
+    "read_tar_members",
+    "read_webdataset",
+    "wds_samples",
+    "write_webdataset",
     "TABLES",
     "read_table",
     "read_binary_files",

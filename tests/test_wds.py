@@ -1,0 +1,198 @@
+"""WebDataset tar-shard source/sink (r14): tar grammar against the
+stdlib writer (ustar prefix split, pax path override, GNU longname),
+sample grouping, the distributed reader, write→read roundtrip, and
+composition into the image-dedup operators."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_vectorsearch_example_spark.sources.wds import (
+    iter_tar,
+    make_tar,
+    read_tar_members,
+    read_webdataset,
+    wds_samples,
+    write_webdataset,
+)
+
+
+@pytest.mark.parametrize("fmt,longname", [
+    (tarfile.USTAR_FORMAT, "b" * 80 + "/" + "c" * 60 + ".txt"),
+    (tarfile.PAX_FORMAT, "b" * 140 + ".txt"),
+    (tarfile.GNU_FORMAT, "b" * 140 + ".txt"),
+])
+def test_iter_tar_reads_stdlib_dialects(fmt, longname):
+    """Our walker reads all three tar dialects the stdlib writes —
+    ustar prefix splitting, pax `path=` overrides, GNU L longnames —
+    and (offset, length) address member data exactly."""
+    bio = io.BytesIO()
+    tf = tarfile.open(fileobj=bio, mode="w", format=fmt)
+    for n, d in [("a/0001.jpg", b"IMG"), ("a/0001.txt", b"TXT"),
+                 (longname, b"LONG")]:
+        ti = tarfile.TarInfo(n)
+        ti.size = len(d)
+        tf.addfile(ti, io.BytesIO(d))
+    tf.close()
+    raw = bio.getvalue()
+    ms = list(iter_tar(raw))
+    assert [m["name"] for m in ms] == ["a/0001.jpg", "a/0001.txt",
+                                       longname]
+    assert [m["content"] for m in ms] == [b"IMG", b"TXT", b"LONG"]
+    for m in ms:
+        assert raw[m["offset"]:m["offset"] + m["length"]] == m["content"]
+    # header-only walk yields the same addresses without the bytes
+    meta = list(iter_tar(raw, with_content=False))
+    assert [(m["name"], m["offset"], m["length"]) for m in meta] == \
+        [(m["name"], m["offset"], m["length"]) for m in ms]
+    assert all("content" not in m for m in meta)
+
+
+def test_make_tar_stdlib_readable_and_deterministic():
+    members = [("000000.jpg", b"\xff\xd8JPEG"), ("000000.txt", b"cap"),
+               ("x" * 150 + ".txt", b"long")]
+    blob = make_tar(members)
+    assert blob == make_tar(members)  # byte-deterministic
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+
+
+def test_wds_sample_grouping_rules():
+    """First-dot key rule (multi-part extensions stay whole, directory
+    part rides the key), contiguous-run grouping, recurring key starts
+    a NEW sample, gzip whole-shard transparency, zstd named reject."""
+    blob = make_tar([
+        ("d/000.jpg", b"i0"), ("d/000.txt", b"t0"),
+        ("d/000.seg.png", b"s0"),
+        ("d/001.jpg", b"i1"), ("d/001.txt", b"t1"),
+        ("d/000.jpg", b"i0b"),
+    ])
+    samples = wds_samples(blob)
+    assert [k for k, _ in samples] == ["d/000", "d/001", "d/000"]
+    assert samples[0][1] == {"jpg": b"i0", "txt": b"t0",
+                             "seg.png": b"s0"}
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    gz = co.compress(blob) + co.flush()
+    assert wds_samples(gz) == samples
+    with pytest.raises(NotImplementedError, match="zstd"):
+        wds_samples(b"\x28\xb5\x2f\xfd" + b"\0" * 64)
+    with pytest.raises(NotImplementedError, match="sparse"):
+        bad = bytearray(make_tar([("s.bin", b"x")]))
+        bad[156] = ord("S")  # forge a GNU sparse typeflag
+        list(iter_tar(bytes(bad)))
+
+
+def test_read_webdataset_distributed(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s in range(3):
+        members = []
+        for i in range(4):
+            k = f"{s:03d}{i:03d}"
+            members += [(f"{k}.txt", f"caption {s}-{i}".encode()),
+                        (f"{k}.cls", str(i % 2).encode())]
+        (d / f"shard-{s}.tar").write_bytes(make_tar(members))
+    (d / "broken.tar").write_bytes(b"\x1f\x8bnot gzip at all")
+
+    df = read_webdataset(spark, str(d))
+    rows = df.collect()
+    good = [r for r in rows if r.key is not None]
+    bad = [r for r in rows if r.key is None]
+    assert len(good) == 12 and len(bad) == 1
+    r = next(r for r in good if r.key == "001002")
+    assert bytes(r.exts["txt"]) == b"caption 1-2"
+    assert set(r.exts) == {"txt", "cls"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("MapInPandas")[0]
+    with pytest.raises(Exception):
+        read_webdataset(spark, str(d), on_error="raise").collect()
+
+
+def test_read_tar_members_header_only(spark, tmp_path):
+    """with_content=False walks headers alone; addresses slice the
+    shard file to the exact member bytes (the tar twin of the CDX
+    random-access contract)."""
+    d = tmp_path / "t"
+    d.mkdir()
+    members = [(f"{i:04d}.bin", bytes([i]) * (100 + i))
+               for i in range(20)]
+    (d / "s.tar").write_bytes(make_tar(members))
+    idx = read_tar_members(spark, str(d), with_content=False)
+    rows = idx.collect()
+    assert len(rows) == 20 and "content" not in idx.columns
+    raw = (d / "s.tar").read_bytes()
+    for r in rows:
+        i = int(r.name.split(".")[0])
+        assert raw[r.offset:r.offset + r.length] == bytes([i]) * (100 + i)
+
+
+def test_write_read_roundtrip(spark):
+    """write_webdataset(ext_cols) → read_webdataset reproduces every
+    sample; the exts_col path re-publishes a read dataset verbatim."""
+    docs = spark.range(37).select(
+        F.format_string("%06d", F.col("id")).alias("key"),
+        F.concat(F.lit("caption "), F.col("id")).alias("caption"),
+        F.to_json(F.struct(F.col("id"))).alias("meta"),
+    )
+    shards = write_webdataset(
+        docs, key_col="key",
+        ext_cols={"caption": "txt", "meta": "json"}, n_shards=4,
+    ).localCheckpoint()
+    assert shards.count() <= 4
+    back = read_webdataset(spark, files_df=shards)
+    got = {
+        r.key: (bytes(r.exts["txt"]), bytes(r.exts["json"]))
+        for r in back.collect()
+    }
+    assert len(got) == 37
+    assert got["000011"][0] == b"caption 11"
+    # republish from the read shape (exts_col) and read again
+    shards2 = write_webdataset(
+        back, key_col="key", exts_col="exts", n_shards=2,
+    )
+    back2 = read_webdataset(spark, files_df=shards2)
+    got2 = {
+        r.key: (bytes(r.exts["txt"]), bytes(r.exts["json"]))
+        for r in back2.collect()
+    }
+    assert got2 == got
+
+
+def test_wds_feeds_image_dedup(spark):
+    """Composition: a WebDataset of BMP images flows into dedup_images
+    — mirrored pixels collapse, the shard/key identity survives."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        dedup_images,
+    )
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    patterns = [
+        rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        for _ in range(4)
+    ]
+    members = []
+    for i in range(8):  # 4 distinct textured images, each twice
+        members.append((f"{i:03d}.bmp", encode_bmp(patterns[i % 4])))
+        members.append((f"{i:03d}.txt", f"img {i}".encode()))
+    files = spark.createDataFrame(
+        [("mem://s0.tar", bytearray(make_tar(members)))],
+        "path string, content binary",
+    )
+    ds = read_webdataset(spark, files_df=files)
+    imgs = ds.select(
+        F.regexp_extract("key", r"(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("exts")["bmp"].alias("payload"),
+    )
+    kept = dedup_images(imgs, payload_col="payload", id_col="doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 3]
