@@ -1080,3 +1080,74 @@ def corpus_from_warc(
         F.col("truncated"),
     )
     return build_training_corpus(docs, **corpus_kwargs)
+
+
+def curate_webdataset(
+    spark: SparkSession,
+    path: str | None = None,
+    files_df: DataFrame | None = None,
+    caption_ext: str = "txt",
+    image_ext: str | None = None,
+    image_max_hamming: int = 6,
+    **corpus_kwargs,
+) -> dict[str, DataFrame]:
+    """WebDataset shards → curated multimodal corpus in one call
+    (r14): the X68 tar-shard source feeding
+    :func:`build_training_corpus`, with an OPTIONAL image-dedup gate
+    in front — the (image, caption) curation shape of the public
+    LAION/DataComp pipelines: perceptually duplicated images drop
+    FIRST (X2 pHash machinery over ``exts[image_ext]``, exact bytes
+    being the hamming-0 special case), then captions run the full
+    text gate stack (dedup, quality, gopher, contamination, split —
+    every knob of :func:`build_training_corpus` via
+    ``**corpus_kwargs``), so the published ``stats`` table reflects
+    the WHOLE pipeline and ``documents`` is consistent with it.
+
+    ``doc_id`` = non-negative 62-bit xxhash of (shard, key) — stable
+    across re-reads; NULL-key marker rows (corrupt shards) drop here,
+    countable upstream via :func:`~..sources.wds.read_webdataset`.
+    Returns the corpus tables plus ``samples``: the surviving rows
+    WITH their binary members intact (``exts`` map), ready for
+    :func:`~..sources.wds.write_webdataset` — ingest → curate →
+    re-publish is one composition.
+
+    Scale shape: the image gate moves payloads ZERO times (pHash is
+    map-side; survivors come back as an id-only semi join); sample
+    payloads shuffle at most ONCE (the final id semi join selecting
+    surviving samples); caption gates ride the corpus build's
+    documented shapes."""
+    from oracle_vectorsearch_example_spark.sources.wds import (
+        read_webdataset,
+    )
+
+    samples = read_webdataset(spark, path=path, files_df=files_df)
+    samples = samples.filter(F.col("key").isNotNull()).select(
+        F.pmod(
+            F.xxhash64(F.col("shard"), F.col("key")), F.lit(1 << 62)
+        ).alias("doc_id"),
+        "shard", "key", "exts",
+    )
+    docs = samples.select(
+        "doc_id", "shard", "key",
+        F.col("exts").getItem(caption_ext).cast("string").alias("text"),
+    ).filter(F.col("text").isNotNull() & (F.length("text") > 0))
+
+    if image_ext is not None:
+        from oracle_vectorsearch_example_spark.functions.phash import (
+            dedup_images,
+        )
+
+        imgs = samples.select(
+            "doc_id", F.col("exts").getItem(image_ext).alias("__img")
+        ).filter(F.col("__img").isNotNull())
+        keep = dedup_images(
+            imgs, payload_col="__img", id_col="doc_id",
+            max_hamming=image_max_hamming,
+        ).select("doc_id")
+        docs = docs.join(keep, "doc_id", "left_semi")
+
+    out = build_training_corpus(docs, **corpus_kwargs)
+    out["samples"] = samples.join(
+        out["documents"].select("doc_id"), "doc_id", "left_semi"
+    )
+    return out

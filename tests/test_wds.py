@@ -196,3 +196,139 @@ def test_wds_feeds_image_dedup(spark):
     )
     kept = dedup_images(imgs, payload_col="payload", id_col="doc_id")
     assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 3]
+
+
+def test_curate_webdataset_composition(spark):
+    """WDS shards → curate_webdataset: duplicate images drop via the
+    pHash gate FIRST, duplicate captions via the text dedup gate, the
+    surviving `samples` keep their binary members, and re-publishing
+    them through write_webdataset → read_webdataset yields the same
+    sample set (ingest → curate → re-publish is one composition)."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.operators.multimodal import (
+        encode_bmp,
+    )
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        curate_webdataset,
+    )
+
+    vocab = (
+        "amber basalt cedar dynamo ember fjord garnet harbor iris "
+        "jasper kestrel lumen marble nectar onyx prism quartz rustle "
+        "sonnet tundra"
+    ).split()
+
+    def cap_words(seed):
+        # per-doc seeded words: distinct captions are GENUINELY
+        # distinct (formulaic one-token differences would legitimately
+        # collapse under the minhash near-dup gate); mirrors
+        # reproduce exactly via the seed
+        r = np.random.default_rng(1000 + seed)
+        return " ".join(
+            vocab[r.integers(len(vocab))] + str(r.integers(10000))
+            for _ in range(25)
+        )
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        encode_bmp(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8))
+        for _ in range(14)  # 14 distinct noise patterns
+    ]
+    members = []
+    for i in range(16):
+        # docs 12-13 mirror the IMAGES of docs 0-1 (fresh captions);
+        # docs 14-15 mirror the CAPTIONS of docs 0-1 (fresh images)
+        img = imgs[i] if i < 12 else (
+            imgs[i - 12] if i < 14 else imgs[i - 2]
+        )
+        cap = cap_words(i if i < 14 else i - 14)
+        members.append((f"{i:04d}.bmp", img))
+        members.append((f"{i:04d}.txt", cap.encode()))
+    files = spark.createDataFrame(
+        [("mem://c0.tar", bytearray(make_tar(members)))],
+        "path string, content binary",
+    )
+    out = curate_webdataset(
+        spark, files_df=files, caption_ext="txt", image_ext="bmp",
+        split_weights=None,
+    )
+    kept_keys = sorted(
+        int(r.key) for r in out["samples"].select("key").collect()
+    )
+    # winners are keep-min over the 62-bit (shard, key) hash ids, so
+    # replay the gate cascade over the same ids: image mirrors
+    # {0,12}/{1,13} resolve first, then caption mirrors {0,14}/{1,15}
+    # among the image survivors
+    ids = {
+        int(r.key): r.doc_id
+        for r in spark.createDataFrame(
+            [("mem://c0.tar", f"{i:04d}") for i in range(16)],
+            "shard string, key string",
+        ).select(
+            "key",
+            F.pmod(
+                F.xxhash64("shard", "key"), F.lit(1 << 62)
+            ).alias("doc_id"),
+        ).collect()
+    }
+    alive = set(range(16))
+    for grp in ({0, 12}, {1, 13}):  # image gate first
+        alive -= grp - {min(grp, key=ids.get)}
+    for grp in ({0, 14}, {1, 15}):  # then the text dedup gate
+        g = grp & alive
+        if len(g) > 1:
+            alive -= g - {min(g, key=ids.get)}
+    assert kept_keys == sorted(alive)
+    assert set(range(2, 12)) <= set(kept_keys)
+    # every surviving sample still carries both members
+    r = out["samples"].filter(F.col("key") == "0003").first()
+    assert set(r.exts) == {"bmp", "txt"}
+    # re-publish and read back: identical sample set
+    shards2 = write_webdataset(
+        out["samples"], key_col="key", exts_col="exts", n_shards=2,
+    )
+    back = read_webdataset(spark, files_df=shards2)
+    assert sorted(int(r.key) for r in back.collect()) == kept_keys
+
+
+def test_streaming_wds_ingest_matches_batch(spark, tmp_path):
+    """Streaming shard arrival: binaryFile readStream + foreachBatch
+    through read_webdataset(files_df=) — availableNow equals batch."""
+    d = tmp_path / "wds_stream"
+    d.mkdir()
+    for s in range(3):
+        members = []
+        for i in range(5):
+            k = f"{s:02d}{i:02d}"
+            members += [(f"{k}.txt", f"cap {s}/{i}".encode())]
+        (d / f"shard-{s}.tar").write_bytes(make_tar(members))
+
+    batch = sorted(
+        (r.key, bytes(r.exts["txt"]))
+        for r in read_webdataset(spark, str(d)).collect()
+    )
+    got = []
+
+    def sink(b, _bid):
+        got.extend(
+            (r.key, bytes(r.exts["txt"]))
+            for r in read_webdataset(
+                b.sparkSession, files_df=b.select("path", "content")
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(str(d))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == batch and len(batch) == 15
