@@ -15,6 +15,7 @@ from oracle_vectorsearch_example_spark.sources.wds import (
     iter_tar,
     make_tar,
     read_tar_members,
+    read_tar_ranges,
     read_webdataset,
     wds_samples,
     write_webdataset,
@@ -50,6 +51,7 @@ __all__ = [
     "iter_tar",
     "make_tar",
     "read_tar_members",
+    "read_tar_ranges",
     "read_webdataset",
     "wds_samples",
     "write_webdataset",

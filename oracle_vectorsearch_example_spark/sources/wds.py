@@ -43,6 +43,7 @@ __all__ = [
     "iter_tar",
     "make_tar",
     "read_tar_members",
+    "read_tar_ranges",
     "read_webdataset",
     "wds_samples",
     "write_webdataset",
@@ -244,6 +245,85 @@ def read_tar_members(
                 yield pd.DataFrame(out, columns=cols)
 
     return files_df.mapInPandas(run, schema)
+
+
+def read_tar_ranges(
+    spark: SparkSession,
+    ranges_df: DataFrame,
+    path: str | None = None,
+    files_df: DataFrame | None = None,
+) -> DataFrame:
+    """Selective member fetch by tar address — the tar twin of
+    :func:`~.warc.read_warc_ranges`: ``ranges_df`` rows ``(shard,
+    name, offset, length)`` (typically a filtered
+    ``read_tar_members(with_content=False)`` index) come back as
+    ``(shard, name, content)`` without walking the archive's other
+    members — a tar member's data IS the ``[offset, offset+length)``
+    slice, so the fetch is pure slicing (no headers re-parsed, no
+    decompression; plain-tar members are raw ranges by design, which
+    is exactly why WebDataset ships uncompressed).
+
+    Scale shape: the selection aggregates to one skinny row per shard
+    and BROADCASTS onto the ``binaryFile`` scan — shard payloads never
+    shuffle, unselected shards prune out via the inner join; on an
+    object store the same (offset, length) pairs drive true ranged
+    GETs. Broadcast BY CONTRACT (the selection is "the members you
+    want back", bounded by the caller)."""
+    if (path is None) == (files_df is None):
+        raise ValueError("pass exactly one of path= or files_df=")
+    if files_df is None:
+        from oracle_vectorsearch_example_spark.sources.io import (
+            read_binary_files,
+        )
+
+        files_df = read_binary_files(spark, path).select("path", "content")
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    sel = (
+        ranges_df
+        .select("shard", "name", "offset", "length")
+        .groupBy("shard")
+        .agg(
+            F.collect_list(F.struct("name", "offset", "length"))
+            .alias("wants")
+        )
+    )
+    joined = (
+        files_df
+        .join(F.broadcast(sel), files_df["path"] == sel["shard"], "inner")
+        .select("path", "content", "wants")
+    )
+    schema = T.StructType([
+        T.StructField("shard", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for shard, content, wants in zip(
+                b["path"], b["content"], b["wants"]
+            ):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    # gzip shards lose range addressability — the
+                    # index was built over the DECOMPRESSED stream
+                    data = zlib.decompressobj(
+                        16 + zlib.MAX_WBITS
+                    ).decompress(data)
+                out = [
+                    (shard, w["name"],
+                     data[int(w["offset"]):
+                          int(w["offset"]) + int(w["length"])])
+                    for w in wants
+                ]
+                yield pd.DataFrame(
+                    out, columns=["shard", "name", "content"]
+                )
+
+    return joined.mapInPandas(run, schema)
 
 
 def read_webdataset(

@@ -332,3 +332,33 @@ def test_streaming_wds_ingest_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == batch and len(batch) == 15
+
+
+def test_read_tar_ranges_selective(spark, tmp_path):
+    """Index (header-only) → filter → ranged fetch: only the selected
+    members come back, byte-exact, shard payloads never shuffle
+    (broadcast build side)."""
+    from oracle_vectorsearch_example_spark.sources.wds import (
+        read_tar_members,
+        read_tar_ranges,
+    )
+
+    d = tmp_path / "t"
+    d.mkdir()
+    for s in range(3):
+        members = [(f"{s:02d}{i:02d}.bin", bytes([s * 16 + i]) * (64 + i))
+                   for i in range(10)]
+        (d / f"s{s}.tar").write_bytes(make_tar(members))
+    idx = read_tar_members(spark, str(d), with_content=False)
+    sel = idx.filter(
+        F.regexp_extract("name", r"(\d+)\.bin", 1).cast("int") % 4 == 0
+    )
+    got = read_tar_ranges(spark, sel, path=str(d))
+    rows = got.collect()
+    assert len(rows) == sel.count()
+    for r in rows:
+        v = int(r.name[:4], 10)
+        s, i = v // 100, v % 100
+        assert bytes(r.content) == bytes([s * 16 + i]) * (64 + i)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
