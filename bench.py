@@ -2111,6 +2111,100 @@ def main():
             "wds_roundtrip_50k", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- multimodal curation end-to-end at 20k samples (r14): BMP
+    # image + seeded caption per sample, 10% image mirrors + 5%
+    # caption mirrors; curate_webdataset runs the pHash image gate
+    # then the text gate stack. Survivors pin the semantics.
+    try:
+        from pyspark.sql import types as T
+
+        from oracle_vectorsearch_example_spark.plans.corpus import (
+            curate_webdataset,
+        )
+
+        _CW_VOCAB = (
+            "amber basalt cedar dynamo ember fjord garnet harbor iris "
+            "jasper kestrel lumen marble nectar onyx prism quartz "
+            "rustle sonnet tundra"
+        ).split()
+
+        def _wds_shards(ids_df):
+            def gen(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                from oracle_vectorsearch_example_spark.operators.multimodal import (  # noqa: E501
+                    encode_bmp,
+                )
+                from oracle_vectorsearch_example_spark.sources.wds import (
+                    make_tar,
+                )
+
+                for b in batches:
+                    out = []
+                    for sid in b["shard_id"]:
+                        sid = int(sid)
+                        members = []
+                        for i in range(2000):
+                            gid = sid * 2000 + i
+                            # every 10th image mirrors the previous
+                            # doc's (pairs {8,9}/{18,19} mod 20);
+                            # every 20th-at-13 mirrors the previous
+                            # CAPTION (pair {12,13} — disjoint from
+                            # the image pairs, so both gates do
+                            # visible, non-interacting work)
+                            img_src = gid - 1 if gid % 10 == 9 else gid
+                            cap_src = gid - 1 if gid % 20 == 13 else gid
+                            r = _np.random.default_rng(img_src)
+                            img = encode_bmp(
+                                r.integers(0, 255, (16, 16, 3))
+                                .astype(_np.uint8)
+                            )
+                            rc = _np.random.default_rng(10**9 + cap_src)
+                            cap = " ".join(
+                                _CW_VOCAB[rc.integers(len(_CW_VOCAB))]
+                                + str(rc.integers(100000))
+                                for _ in range(30)
+                            )
+                            members.append((f"{gid:08d}.bmp", img))
+                            members.append(
+                                (f"{gid:08d}.txt", cap.encode())
+                            )
+                        out.append((
+                            f"mem://wds/{sid:05d}.tar",
+                            bytearray(make_tar(members)),
+                        ))
+                    yield _pd.DataFrame(
+                        out, columns=["path", "content"]
+                    )
+
+            schema = T.StructType([
+                T.StructField("path", T.StringType()),
+                T.StructField("content", T.BinaryType()),
+            ])
+            return ids_df.mapInPandas(gen, schema)
+
+        cw_files = _wds_shards(
+            spark.range(10).select(F.col("id").alias("shard_id"))
+        ).localCheckpoint()
+        t0 = time.time()
+        cw = curate_webdataset(
+            spark, files_df=cw_files, caption_ext="txt",
+            image_ext="bmp", split_weights=None,
+        )
+        n_kept = cw["samples"].count()
+        cw_wall = round(time.time() - t0, 3)
+        results["curate_wds_20k"] = cw_wall
+        extras["curate_wds_20k"] = {
+            "n_samples": 20_000, "n_shards": 10,
+            "survivors": int(n_kept),
+        }
+        cw_files.unpersist()
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "curate_wds_20k", {"err": str(e).splitlines()[0][:200]}
+        )
+
     # --- MP4/ISO-BMFF container walk at 2k clips (r13, judge r12 #5):
     # the AVI bench's geometry muxed as MP4 — same frame pHash path,
     # fourth container through one dispatch.
