@@ -4061,6 +4061,82 @@ def q_wds_roundtrip(spark, sf):
     )
 
 
+_ZIP_EXTRACT_SQL = """
+    SELECT doc_id,
+           'Document ' || CAST(doc_id AS VARCHAR) || ' says '
+             || CAST(doc_id * 7 % 100 AS VARCHAR) || '.' AS xtext
+    FROM documents WHERE doc_id < 120
+"""
+
+
+@golden("zip_extract", _ZIP_EXTRACT_SQL)
+def q_zip_extract(spark, sf):
+    """ZIP archive ingestion → D1 extraction (r14) — the reference's
+    OWN scenario in archive form: 01_pdf_to_vector.sql:111-116 turns
+    a directory object of documents into rows; a zip of those
+    documents is that directory serialized, and `read_zip_members`
+    (central-directory walk, local records addressable) feeds each
+    member through the same extract dispatch. Docs pack 10-per-
+    archive as REAL DOCX bytes (stdlib-valid zip-in-zip:
+    make_simple_docx members inside the archive); the oracle replays
+    the extracted text relationally — central directory → member
+    decode → OOXML parse → normalization hash-pinned. Scale shape:
+    one task per archive, members never shuffle, extraction
+    map-side."""
+    from pyspark.sql import types as T
+
+    from oracle_vectorsearch_example_spark.sources.zips import (
+        read_zip_members,
+    )
+
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    groups = (
+        docs.select("doc_id")
+        .groupBy((F.col("doc_id") / 10).cast("long").alias("shard_id"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def write_archives(batches):
+        from oracle_vectorsearch_example_spark.functions.extract import (
+            make_simple_docx,
+        )
+        from oracle_vectorsearch_example_spark.sources.zips import (
+            make_zip,
+        )
+
+        for b in batches:
+            out = []
+            for sid, ids in zip(b["shard_id"], b["ids"]):
+                members = [(
+                    f"docs/{int(did):06d}.docx",
+                    make_simple_docx(
+                        f"Document {int(did)} says "
+                        f"{int(did) * 7 % 100}."
+                    ),
+                ) for did in ids]
+                out.append((
+                    f"mem://zip/{int(sid):04d}.zip",
+                    make_zip(members),
+                ))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    files = groups.mapInPandas(write_archives, schema)
+    rows = read_zip_members(spark, files_df=files)
+    from oracle_vectorsearch_example_spark.functions.extract import (
+        extract_text,
+    )
+
+    return rows.select(
+        F.regexp_extract("name", r"/(\d+)\.docx$", 1)
+        .cast("long").alias("doc_id"),
+        extract_text(F.col("content")).alias("xtext"),
+    )
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -9442,7 +9518,7 @@ _PRIORITY = [
     # digest-level crawl dedup
     "warc_http_encodings", "wet_roundtrip", "warc_cdx",
     "warc_cdx_fetch", "cdx_dedup", "cdxj_roundtrip",
-    "wds_roundtrip",
+    "wds_roundtrip", "zip_extract",
     # (c) the r10-witnessed tier, alphabetical (audio_fp yielded its
     # seat to the CDX pair — audio_neardup carries that family;
     # arrays yielded to cdx_dedup — array_hof holds the scalar-array
@@ -9450,10 +9526,12 @@ _PRIORITY = [
     # scalar-expr family is witnessed via strings r13 / math r11;
     # cross_join yielded to wds_roundtrip — the join family is
     # witnessed via join_agg r13 plus the seated anti_join/semi_join;
-    # the four deferred r10 seats head the r15 roll list)
+    # except_all_keys yielded to zip_extract — the set-op family is
+    # witnessed via except_keys/intersect_keys r12; the five
+    # deferred r10 seats head the r15 roll list)
     "anti_join", "audio_neardup",
     "boilerplate_removal", "chunk_ids", "contamination_report",
-    "count_distinct", "except_all_keys",
+    "count_distinct",
     "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",
     "left_join_zero_orders", "multimodal_features", "percentile_gate",
     "pii_redact", "pivot", "projection", "range_join", "rollup",

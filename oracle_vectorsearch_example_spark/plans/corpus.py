@@ -1115,7 +1115,11 @@ def curate_webdataset(
     map-side; survivors come back as an id-only semi join); sample
     payloads shuffle at most ONCE (the final id semi join selecting
     surviving samples); caption gates ride the corpus build's
-    documented shapes."""
+    documented shapes. Note that Spark re-executes the shard SCAN for
+    each consuming action (the image gate, the text build's actions,
+    the final join) — at archive scale, hand in a checkpointed
+    ``files_df`` or first materialize the :func:`read_webdataset`
+    output to a Warehouse binary table so the tar parse runs once."""
     from oracle_vectorsearch_example_spark.sources.wds import (
         read_webdataset,
     )

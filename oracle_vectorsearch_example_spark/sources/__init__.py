@@ -11,6 +11,12 @@ from oracle_vectorsearch_example_spark.sources.txn import (
     Warehouse,
     merge_rows,
 )
+from oracle_vectorsearch_example_spark.sources.zips import (
+    iter_zip,
+    make_zip,
+    read_zip_members,
+    read_zip_ranges,
+)
 from oracle_vectorsearch_example_spark.sources.wds import (
     iter_tar,
     make_tar,
@@ -55,6 +61,10 @@ __all__ = [
     "read_webdataset",
     "wds_samples",
     "write_webdataset",
+    "iter_zip",
+    "make_zip",
+    "read_zip_members",
+    "read_zip_ranges",
     "TABLES",
     "read_table",
     "read_binary_files",
