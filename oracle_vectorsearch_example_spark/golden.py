@@ -4137,6 +4137,63 @@ def q_zip_extract(spark, sf):
     )
 
 
+_TFRECORD_ROUNDTRIP_SQL = """
+    SELECT doc_id,
+           'Caption for doc ' || CAST(doc_id AS VARCHAR) AS caption,
+           CAST(doc_id % 9 AS BIGINT) AS label,
+           CAST(doc_id AS DOUBLE) / 4 AS score
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@golden("tfrecord_roundtrip", _TFRECORD_ROUNDTRIP_SQL)
+def q_tfrecord_roundtrip(spark, sf):
+    """TFRecord interchange roundtrip (r14) — the TensorFlow
+    ecosystem's shard format: each doc becomes a tf.train.Example
+    (bytes caption + int64 label + float score), `write_tfrecord`
+    frames them with REAL masked-CRC32C (Castagnoli vectors pinned in
+    tests) across an 8-shard fan-in, and `read_tfrecord` walks the
+    frames back into typed columns. The oracle replays all three
+    features relationally — protobuf encode → CRC framing → walk →
+    decode hash-pinned both ways (scores are quarter-steps, exact in
+    float32, so the float path carries no tolerance). Scale shape:
+    one task per shard both directions, records never shuffle."""
+    from oracle_vectorsearch_example_spark.sources.tfrecord import (
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id"),
+            F.concat(
+                F.lit("Caption for doc "), F.col("doc_id")
+            ).alias("caption"),
+            (F.col("doc_id") % 9).alias("label"),
+            (F.col("doc_id").cast("float") / 4).alias("score"),
+        )
+    )
+    shards = write_tfrecord(
+        docs,
+        {"doc_id": "int64", "caption": "bytes", "label": "int64",
+         "score": "float"},
+        n_shards=8,
+    )
+    back = read_tfrecord(
+        spark, files_df=shards,
+        features={"doc_id": "int64", "caption": "bytes",
+                  "label": "int64", "score": "float"},
+    )
+    return back.select(
+        F.element_at("doc_id", 1).alias("doc_id"),
+        F.element_at("caption", 1).cast("string").alias("caption"),
+        F.element_at("label", 1).alias("label"),
+        F.element_at("score", 1).cast("double").alias("score"),
+    )
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -9518,7 +9575,7 @@ _PRIORITY = [
     # digest-level crawl dedup
     "warc_http_encodings", "wet_roundtrip", "warc_cdx",
     "warc_cdx_fetch", "cdx_dedup", "cdxj_roundtrip",
-    "wds_roundtrip", "zip_extract",
+    "wds_roundtrip", "zip_extract", "tfrecord_roundtrip",
     # (c) the r10-witnessed tier, alphabetical (audio_fp yielded its
     # seat to the CDX pair — audio_neardup carries that family;
     # arrays yielded to cdx_dedup — array_hof holds the scalar-array
@@ -9527,14 +9584,16 @@ _PRIORITY = [
     # cross_join yielded to wds_roundtrip — the join family is
     # witnessed via join_agg r13 plus the seated anti_join/semi_join;
     # except_all_keys yielded to zip_extract — the set-op family is
-    # witnessed via except_keys/intersect_keys r12; the five
-    # deferred r10 seats head the r15 roll list)
+    # witnessed via except_keys/intersect_keys r12; rollup yielded
+    # to tfrecord_roundtrip — grouping_sets keeps the multi-group
+    # agg family seated this window and cube holds its r11 witness;
+    # the six deferred r10 seats head the r15 roll list)
     "anti_join", "audio_neardup",
     "boilerplate_removal", "chunk_ids", "contamination_report",
     "count_distinct",
     "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",
     "left_join_zero_orders", "multimodal_features", "percentile_gate",
-    "pii_redact", "pivot", "projection", "range_join", "rollup",
+    "pii_redact", "pivot", "projection", "range_join",
     "salted_join_agg", "semi_join", "topic_stats", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
