@@ -172,9 +172,12 @@ def iter_warc(data: bytes, with_offsets: bool = False):
                 chunk, c0, c1, comp = next(chunks)
             except StopIteration:
                 return False
-            spans.append(
-                (decomp_off, decomp_off + len(chunk), c0, c1, comp)
-            )
+            if with_offsets:
+                # span tracking only when addresses are asked for —
+                # the plain read keeps its flat memory profile
+                spans.append(
+                    (decomp_off, decomp_off + len(chunk), c0, c1, comp)
+                )
             decomp_off += len(chunk)
             buf.extend(chunk)
         return True
