@@ -2111,6 +2111,55 @@ def main():
             "wds_roundtrip_50k", {"err": str(e).splitlines()[0][:200]}
         )
 
+    # --- TFRecord interchange at 50k records (r14): protobuf encode
+    # + masked-CRC32C framing both ways. The verified read is the
+    # headline (the honest default); extras record the write wall and
+    # the unverified read so the per-byte Python CRC cost is visible,
+    # not hidden.
+    try:
+        from oracle_vectorsearch_example_spark.sources.tfrecord import (
+            read_tfrecord,
+            write_tfrecord,
+        )
+
+        tfr_docs = spark.range(50_000).select(
+            F.concat(
+                F.lit("caption for sample "), F.col("id"),
+                F.lit(" with a handful of filler words riding along"),
+            ).alias("caption"),
+            (F.col("id") % 1000).alias("label"),
+            (F.col("id").cast("float") / 4).alias("score"),
+        )
+        t0 = time.time()
+        tfr_shards = write_tfrecord(
+            tfr_docs,
+            {"caption": "bytes", "label": "int64", "score": "float"},
+            n_shards=10,
+        ).localCheckpoint()
+        tfr_write = round(time.time() - t0, 3)
+        spec = {"caption": "bytes", "label": "int64", "score": "float"}
+        run_entry(
+            "tfrecord_roundtrip_50k",
+            lambda: _execute(
+                read_tfrecord(spark, files_df=tfr_shards, features=spec)
+            ),
+        )
+        t0 = time.time()
+        _execute(read_tfrecord(
+            spark, files_df=tfr_shards, features=spec, verify_crc=False
+        ))
+        tfr_noverify = round(time.time() - t0, 3)
+        extras["tfrecord_roundtrip_50k"] = {
+            "n_records": 50_000, "n_shards": 10,
+            "write_s": tfr_write, "read_noverify_s": tfr_noverify,
+        }
+        tfr_shards.unpersist()
+    except Exception as e:  # noqa: BLE001
+        results.setdefault(
+            "tfrecord_roundtrip_50k",
+            {"err": str(e).splitlines()[0][:200]},
+        )
+
     # --- multimodal curation end-to-end at 20k samples (r14): BMP
     # image + seeded caption per sample, 10% image mirrors + 5%
     # caption mirrors; curate_webdataset runs the pHash image gate

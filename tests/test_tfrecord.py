@@ -127,3 +127,63 @@ def test_corrupt_shard_posture(spark):
     assert marks[0].shard == "mem://bad"
     with pytest.raises(Exception, match="CRC"):
         read_tfrecord(spark, files_df=files, on_error="raise").collect()
+
+
+def test_verify_crc_off_reads_same(spark):
+    shard = make_tfrecord(
+        [encode_example({"x": i, "t": f"v{i}"}) for i in range(20)]
+    )
+    files = spark.createDataFrame(
+        [("mem://s", bytearray(shard))], "path string, content binary"
+    )
+    spec = {"x": "int64", "t": "bytes"}
+    a = sorted(
+        (r.x[0], bytes(r.t[0]))
+        for r in read_tfrecord(
+            spark, files_df=files, features=spec
+        ).collect()
+    )
+    b = sorted(
+        (r.x[0], bytes(r.t[0]))
+        for r in read_tfrecord(
+            spark, files_df=files, features=spec, verify_crc=False
+        ).collect()
+    )
+    assert a == b and len(a) == 20
+
+
+def test_streaming_tfrecord_ingest_matches_batch(spark, tmp_path):
+    """binaryFile readStream + foreachBatch through
+    read_tfrecord(files_df=) — availableNow equals batch."""
+    d = tmp_path / "tfr_stream"
+    d.mkdir()
+    for s in range(3):
+        recs = [encode_example({"k": s * 10 + i}) for i in range(5)]
+        (d / f"part-{s}.tfrecord").write_bytes(make_tfrecord(recs))
+    spec = {"k": "int64"}
+    batch = sorted(
+        r.k[0]
+        for r in read_tfrecord(spark, str(d), features=spec).collect()
+    )
+    got = []
+
+    def sink(b, _bid):
+        got.extend(
+            r.k[0] for r in read_tfrecord(
+                b.sparkSession, files_df=b.select("path", "content"),
+                features=spec,
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .load(str(d))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == batch and len(batch) == 15

@@ -140,3 +140,41 @@ def test_zip_members_feed_extract(spark):
     assert len(rows) == 6
     by_name = {r.name: r.text for r in rows}
     assert by_name["docs/003.docx"] == "Document 3 says 21."
+
+
+def test_streaming_zip_ingest_matches_batch(spark, tmp_path):
+    """binaryFile readStream + foreachBatch through
+    read_zip_members(files_df=) — availableNow equals batch."""
+    d = tmp_path / "zip_stream"
+    d.mkdir()
+    for s in range(3):
+        (d / f"a{s}.zip").write_bytes(make_zip(
+            [(f"{s:02d}{i:02d}.txt", f"m {s}/{i}".encode())
+             for i in range(5)]
+        ))
+    batch = sorted(
+        (r.name, bytes(r.content))
+        for r in read_zip_members(spark, str(d)).collect()
+    )
+    got = []
+
+    def sink(b, _bid):
+        got.extend(
+            (r.name, bytes(r.content))
+            for r in read_zip_members(
+                b.sparkSession, files_df=b.select("path", "content")
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .load(str(d))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == batch and len(batch) == 15
