@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "cdx_dedup",
+    "cdxj_prefix_scan",
     "iter_warc",
     "make_simple_warc",
     "parse_cdxj",
@@ -904,6 +905,44 @@ def write_cdxj(
         )
 
     return src.mapInPandas(run, schema)
+
+
+def cdxj_prefix_scan(
+    shards: DataFrame,
+    prefix: str,
+) -> DataFrame:
+    """Answer "everything under this SURT prefix" from a PUBLISHED
+    index by actually USING the cluster routing: because
+    :func:`write_cdxj` shards are globally range-partitioned on
+    ``(urlkey, ts)``, a shard can hold prefix matches ONLY if its
+    ``first_key`` starts at-or-before the prefix range and the NEXT
+    shard's ``first_key`` hasn't already passed it — so the skinny
+    ``(path, first_key)`` routing table prunes the shard set with one
+    window over ~one row per shard, and just the candidate shards
+    gunzip and parse (a domain query against a 100 TB archive's index
+    touches kilobytes of routing plus the few shards in range).
+    Returns :func:`parse_cdxj` rows filtered to
+    ``urlkey LIKE '<prefix>%'``. Example prefix: ``"org,example)"``
+    (a registered domain and all its paths), or ``"org,example,"``
+    (its subdomains too)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # upper bound of the prefix range: any key that still starts with
+    # the prefix sorts < prefix + chr(0x10FFFF)
+    hi = prefix + "\U0010ffff"
+    w = Window.orderBy("first_key")
+    routed = shards.withColumn(
+        "__next_first", F.lead("first_key").over(w)
+    )
+    candidates = routed.filter(
+        (F.col("__next_first").isNull()
+         | (F.col("__next_first") >= F.lit(prefix)))
+        & (F.col("first_key") <= F.lit(hi))
+    ).drop("__next_first")
+    return parse_cdxj(candidates).filter(
+        F.col("urlkey").startswith(prefix)
+    )
 
 
 def parse_cdxj(shards: DataFrame) -> DataFrame:
