@@ -4194,6 +4194,54 @@ def q_tfrecord_roundtrip(spark, sf):
     )
 
 
+_ARROW_ROUNDTRIP_SQL = """
+    SELECT doc_id,
+           'Text for doc ' || CAST(doc_id AS VARCHAR) AS text,
+           CAST(doc_id AS DOUBLE) / 2 AS v0
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@golden("arrow_roundtrip", _ARROW_ROUNDTRIP_SQL)
+def q_arrow_roundtrip(spark, sf):
+    """Arrow IPC interchange roundtrip (r14) — the format the Arrow
+    ecosystem (and the Hugging Face datasets cache) ships shards in:
+    docs with a text column and an embedding-shaped double array
+    serialize through `write_arrow_ipc` (FILE dialect, 6-shard
+    fan-in) and come back through `read_arrow_ipc`, whose Spark
+    schema resolves on the driver from the first shard's own IPC
+    schema message. The oracle replays text and the array's first
+    element relationally (half-steps, exact in doubles) — serialize →
+    footer/schema → batch decode → Arrow-pandas bridge hash-pinned
+    both ways. Scale shape: one task per shard both directions,
+    batches never touch per-row Python."""
+    from oracle_vectorsearch_example_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id"),
+            F.concat(
+                F.lit("Text for doc "), F.col("doc_id")
+            ).alias("text"),
+            F.array(
+                (F.col("doc_id").cast("double") / 2),
+                F.col("doc_id").cast("double"),
+            ).alias("v"),
+        )
+    )
+    shards = write_arrow_ipc(docs, n_shards=6)
+    back = read_arrow_ipc(spark, files_df=shards)
+    return back.select(
+        "doc_id", "text",
+        F.element_at("v", 1).alias("v0"),
+    )
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -9576,6 +9624,7 @@ _PRIORITY = [
     "warc_http_encodings", "wet_roundtrip", "warc_cdx",
     "warc_cdx_fetch", "cdx_dedup", "cdxj_roundtrip",
     "wds_roundtrip", "zip_extract", "tfrecord_roundtrip",
+    "arrow_roundtrip",
     # (c) the r10-witnessed tier, alphabetical (audio_fp yielded its
     # seat to the CDX pair — audio_neardup carries that family;
     # arrays yielded to cdx_dedup — array_hof holds the scalar-array
@@ -9587,13 +9636,15 @@ _PRIORITY = [
     # witnessed via except_keys/intersect_keys r12; rollup yielded
     # to tfrecord_roundtrip — grouping_sets keeps the multi-group
     # agg family seated this window and cube holds its r11 witness;
-    # the six deferred r10 seats head the r15 roll list)
+    # projection yielded to arrow_roundtrip — the P-family is
+    # witnessed via filter_agg/scan_region r13; the seven deferred
+    # r10 seats head the r15 roll list)
     "anti_join", "audio_neardup",
     "boilerplate_removal", "chunk_ids", "contamination_report",
     "count_distinct",
     "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",
     "left_join_zero_orders", "multimodal_features", "percentile_gate",
-    "pii_redact", "pivot", "projection", "range_join",
+    "pii_redact", "pivot", "range_join",
     "salted_join_agg", "semi_join", "topic_stats", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
