@@ -1155,3 +1155,51 @@ def curate_webdataset(
         out["documents"].select("doc_id"), "doc_id", "left_semi"
     )
     return out
+
+
+def corpus_from_arrow(
+    spark: SparkSession,
+    path: str | None = None,
+    files_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str | None = None,
+    **corpus_kwargs,
+) -> dict[str, DataFrame]:
+    """Arrow IPC shards → curated training corpus in one call (r14):
+    the X71 source (the Hugging Face ``datasets`` cache layout)
+    feeding :func:`build_training_corpus` — "point it at the dataset
+    directory, get documents/packs/stats". ``text_col`` names the
+    document column; ``id_col`` reuses the dataset's own id when it
+    has one, otherwise ``doc_id`` derives as the non-negative 62-bit
+    xxhash of (shard, text) — stable across re-reads of the same
+    shards. Every other shard column rides through into the corpus
+    untouched (metadata the gates and reports can use). All
+    :func:`build_training_corpus` gates/knobs apply via
+    ``**corpus_kwargs``."""
+    from oracle_vectorsearch_example_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+    )
+
+    rows = read_arrow_ipc(spark, path=path, files_df=files_df)
+    if text_col not in rows.columns:
+        raise ValueError(
+            f"text_col {text_col!r} not in shard columns "
+            f"{rows.columns}"
+        )
+    docs = rows.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    )
+    if id_col is not None:
+        docs = docs.withColumnRenamed(id_col, "doc_id") \
+            if id_col != "doc_id" else docs
+    else:
+        docs = docs.withColumn(
+            "doc_id",
+            F.pmod(
+                F.xxhash64(F.col("shard"), F.col(text_col)),
+                F.lit(1 << 62),
+            ),
+        )
+    if text_col != "text":
+        docs = docs.withColumnRenamed(text_col, "text")
+    return build_training_corpus(docs, **corpus_kwargs)

@@ -94,3 +94,42 @@ def test_corrupt_shard_posture(spark):
         read_arrow_ipc(
             spark, files_df=files, on_error="raise"
         ).collect()
+
+
+def test_corpus_from_arrow_composition(spark):
+    """Arrow shards (the HF cache shape) → curated corpus in one
+    call: exact-duplicate texts collapse, ids stay the dataset's own
+    when given."""
+    import numpy as np
+
+    from oracle_vectorsearch_example_spark.plans.corpus import (
+        corpus_from_arrow,
+    )
+
+    vocab = ("amber basalt cedar dynamo ember fjord garnet harbor "
+             "iris jasper").split()
+
+    def body(seed):
+        r = np.random.default_rng(seed)
+        return " ".join(
+            vocab[r.integers(len(vocab))] + str(r.integers(10000))
+            for _ in range(25)
+        )
+
+    rows = []
+    for i in range(40):
+        src = i - 1 if i % 8 == 7 else i  # every 8th mirrors previous
+        rows.append({"rid": i, "text": body(src)})
+    tbl = pa.table({
+        "rid": [r["rid"] for r in rows],
+        "text": [r["text"] for r in rows],
+    })
+    files = spark.createDataFrame(
+        [("mem://ds-00000.arrow", bytearray(_shard(tbl)))],
+        "path string, content binary",
+    )
+    out = corpus_from_arrow(
+        spark, files_df=files, id_col="rid", split_weights=None,
+    )
+    kept = sorted(r.doc_id for r in out["documents"].collect())
+    assert kept == [i for i in range(40) if i % 8 != 7]
