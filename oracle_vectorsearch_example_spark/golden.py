@@ -4242,6 +4242,51 @@ def q_arrow_roundtrip(spark, sf):
     )
 
 
+_AVRO_ROUNDTRIP_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 6 THEN NULL
+                ELSE 'Text for doc ' || CAST(doc_id AS VARCHAR)
+                END AS text,
+           CAST(doc_id AS DOUBLE) / 4 AS score
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@golden("avro_roundtrip", _AVRO_ROUNDTRIP_SQL)
+def q_avro_roundtrip(spark, sf):
+    """Avro OCF interchange roundtrip (r14) — the Kafka-archive /
+    data-lake shard format: docs serialize through `write_avro`
+    (record schema derived from the DataFrame's own — nullable text
+    becomes a ['null','string'] union; deflate codec; 6-shard
+    fan-in) and come back through `read_avro` (header-JSON schema
+    resolution on the driver, zigzag varints spec-table-pinned in
+    tests, sync-marked blocks). The oracle replays text (with the
+    null-union rows) and the quarter-step score relationally —
+    encode → header/metadata grammar → block framing → schema-driven
+    decode hash-pinned both ways. Scale shape: one task per shard
+    both directions, blocks decode map-side."""
+    from oracle_vectorsearch_example_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id"),
+            F.when(
+                F.col("doc_id") % 7 != 6,
+                F.concat(F.lit("Text for doc "), F.col("doc_id")),
+            ).alias("text"),
+            (F.col("doc_id").cast("double") / 4).alias("score"),
+        )
+    )
+    shards = write_avro(docs, codec="deflate", n_shards=6)
+    back = read_avro(spark, files_df=shards)
+    return back.select("doc_id", "text", "score")
+
+
 _EXTRACT_AUDIO_TAGS_SQL = """
     SELECT doc_id,
            CASE doc_id % 9 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
@@ -9624,7 +9669,7 @@ _PRIORITY = [
     "warc_http_encodings", "wet_roundtrip", "warc_cdx",
     "warc_cdx_fetch", "cdx_dedup", "cdxj_roundtrip",
     "wds_roundtrip", "zip_extract", "tfrecord_roundtrip",
-    "arrow_roundtrip",
+    "arrow_roundtrip", "avro_roundtrip",
     # (c) the r10-witnessed tier, alphabetical (audio_fp yielded its
     # seat to the CDX pair — audio_neardup carries that family;
     # arrays yielded to cdx_dedup — array_hof holds the scalar-array
@@ -9637,13 +9682,15 @@ _PRIORITY = [
     # to tfrecord_roundtrip — grouping_sets keeps the multi-group
     # agg family seated this window and cube holds its r11 witness;
     # projection yielded to arrow_roundtrip — the P-family is
-    # witnessed via filter_agg/scan_region r13; the seven deferred
-    # r10 seats head the r15 roll list)
+    # witnessed via filter_agg/scan_region r13; percentile_gate
+    # yielded to avro_roundtrip — the percentile family is witnessed
+    # via percentiles r11 + histogram r12; the eight deferred r10
+    # seats head the r15 roll list)
     "anti_join", "audio_neardup",
     "boilerplate_removal", "chunk_ids", "contamination_report",
     "count_distinct",
     "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",
-    "left_join_zero_orders", "multimodal_features", "percentile_gate",
+    "left_join_zero_orders", "multimodal_features",
     "pii_redact", "pivot", "range_join",
     "salted_join_agg", "semi_join", "topic_stats", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",

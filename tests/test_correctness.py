@@ -71,14 +71,14 @@ def test_driver_window_composition():
     assert names[:50] == prio
     must_record = {
         # r14 allocation (judge r13 #3): the one never-driver-witnessed
-        # golden, the ten new r14 goldens (HTTP codings, WET
+        # golden, the twelve new r14 goldens (HTTP codings, WET
         # roundtrip, the CDX pair, digest dedup, CDXJ publishing,
         # WebDataset roundtrip, zip extraction), and the r10-stale
         # tier heads (the remaining TPC-H block + r10 operator reps).
         "extract_text_audio_tags", "warc_http_encodings",
         "wet_roundtrip", "warc_cdx", "warc_cdx_fetch", "cdx_dedup",
         "cdxj_roundtrip", "wds_roundtrip", "zip_extract",
-        "tfrecord_roundtrip", "arrow_roundtrip",
+        "tfrecord_roundtrip", "arrow_roundtrip", "avro_roundtrip",
         "anti_join", "video_neardup", "jpeg_decode",
         "tpch_q5", "tpch_q22", "pii_redact", "multimodal_features",
     }
