@@ -425,21 +425,32 @@ def afp_df(
     cols = [f.name for f in fields]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        n_codes = len(cols) - 1
         for b in batches:
-            out = []
-            for mid, payload in zip(b[id_col], b[payload_col]):
+            codes: list[list] = [[] for _ in range(n_codes)]
+            for payload in b[payload_col]:
                 try:
                     pcm, bps = _decode_pcm(bytes(payload))
-                    row = (mid, afp_from_samples(pcm))
+                    row = (afp_from_samples(pcm),)
                     if l2_col is not None:
                         wide = pcm >> (bps - 16) if bps > 16 else pcm
                         row += (afp_from_samples(wide, energy="l2"),)
                 except Exception:
                     if on_error == "raise":
                         raise
-                    row = (mid,) + (None,) * (len(cols) - 1)
-                out.append(row)
-            yield pd.DataFrame(out, columns=cols)
+                    row = (None,) * n_codes
+                for j in range(n_codes):
+                    codes[j].append(row[j])
+            # object dtype, NOT a tuple-list frame: one None in the batch
+            # (decode failure OR a sub-64-sample clip) made pandas infer
+            # float64 for the whole column, silently rounding 63-bit codes
+            # past float64's 53-bit mantissa — the corrupted value depended
+            # on which rows shared a batch (partition layout). Object ints
+            # cross Arrow exactly.
+            frame = {cols[0]: b[id_col].to_numpy()}
+            for j in range(n_codes):
+                frame[cols[j + 1]] = pd.Series(codes[j], dtype=object)
+            yield pd.DataFrame(frame)
 
     return media.select(id_col, payload_col).mapInPandas(run, schema)
 

@@ -597,16 +597,26 @@ def mp3_gain_code_df(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
-            for mid, payload in zip(b[id_col], b[payload_col]):
+            codes = []
+            for payload in b[payload_col]:
                 try:
                     code = mp3_gain_code(bytes(payload))
                 except Exception:
                     if on_error == "raise":
                         raise
                     code = None
-                out.append((mid, code))
-            yield pd.DataFrame(out, columns=[id_col, out_col])
+                codes.append(code)
+            # object dtype, NOT a tuple-list frame: one None in the batch
+            # made pandas infer float64 for the whole column, silently
+            # rounding 63-bit codes past float64's 53-bit mantissa — the
+            # corrupted value depended on which rows shared a batch
+            # (partition layout). Object ints cross Arrow exactly.
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    out_col: pd.Series(codes, dtype=object),
+                }
+            )
 
     return media.select(id_col, payload_col).mapInPandas(run, schema)
 

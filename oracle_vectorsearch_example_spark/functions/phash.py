@@ -225,16 +225,26 @@ def phash_df(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for b in batches:
-            out = []
-            for mid, payload in zip(b[id_col], b[payload_col]):
+            hashes = []
+            for payload in b[payload_col]:
                 try:
                     px = decode_image_pixels(bytes(payload))
-                    out.append((mid, phash_from_pixels(px)))
+                    hashes.append(phash_from_pixels(px))
                 except Exception:
                     if on_error == "raise":
                         raise
-                    out.append((mid, None))
-            yield pd.DataFrame(out, columns=[id_col, out_col])
+                    hashes.append(None)
+            # object dtype, NOT a tuple-list frame: one None in the batch
+            # made pandas infer float64 for the whole column, silently
+            # rounding 63-bit hashes past float64's 53-bit mantissa — the
+            # corrupted value depended on which rows shared a batch
+            # (partition layout). Object ints cross Arrow exactly.
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    out_col: pd.Series(hashes, dtype=object),
+                }
+            )
 
     return media.select(id_col, payload_col).mapInPandas(run, schema)
 

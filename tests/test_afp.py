@@ -526,3 +526,24 @@ def test_mov_audio_track_dedup(spark):
 
     with pytest.raises(NotImplementedError, match="mp4a"):
         mov_audio_pcm(bytes(mov).replace(b"twos", b"mp4a"))
+
+
+def test_afp_exact_in_mixed_null_batch(spark):
+    """One undecodable payload in a batch must not corrupt the other
+    rows' 63-bit codes (tuple-list float64 inference — see the mp3/phash
+    twins); covers both the afp and the l2 column of the dual-code
+    pass. repartition(1) forces one Arrow batch."""
+    from oracle_vectorsearch_example_spark.functions.afp import (
+        afp_from_samples,
+    )
+
+    x = ((np.arange(4096) * 31) % 4001 - 2000).astype(np.int64)
+    want_l1 = afp_from_samples(x)
+    want_l2 = afp_from_samples(x, energy="l2")
+    assert want_l1 > (1 << 53) or want_l2 > (1 << 53)
+    df = spark.createDataFrame(
+        [(1, _wav(x)), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    ).repartition(1)
+    rows = {r.media_id: (r.afp, r.afp_l2) for r in afp_df(df, l2_col="afp_l2").collect()}
+    assert rows == {1: (want_l1, want_l2), 2: (None, None)}

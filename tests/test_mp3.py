@@ -435,3 +435,21 @@ def test_album_art_feeds_image_dedup(spark):
     assert np.array_equal(
         mp3_gain_envelope(bytes(rows[0][1])), g
     )
+
+
+def test_gain_code_exact_in_mixed_null_batch(spark):
+    """A batch mixing a failing payload with 63-bit codes must keep the
+    codes EXACT: the old tuple-list pd.DataFrame let pandas infer
+    float64 for the column (53-bit mantissa), so the value a row hashed
+    to depended on which rows shared its Arrow batch — layout-dependent
+    silent corruption. repartition(1) forces every row into ONE batch."""
+    g = _gains()
+    blob = bytes(make_simple_mp3(g))
+    want = mp3_gain_code(blob)
+    assert want > (1 << 53)  # only then does float64 rounding bite
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not audio"))],
+        "media_id long, payload binary",
+    ).repartition(1)
+    got = {r.media_id: r.mp3_gain_code for r in mp3_gain_code_df(media).collect()}
+    assert got == {1: want, 2: None}

@@ -292,3 +292,25 @@ def test_cross_format_image_dedup_r12(spark):
     # 1≡2≡3 (same pixels, three containers), 5≡6 (same solid color,
     # two containers), 4 distinct
     assert kept == [1, 4, 5]
+
+
+def test_phash_exact_in_mixed_null_batch(spark):
+    """One undecodable payload in a batch must not corrupt the other
+    rows' 63-bit hashes: the old tuple-list pd.DataFrame inferred
+    float64 (53-bit mantissa) for the column once any None appeared, so
+    hashes silently rounded depending on partition layout.
+    repartition(1) forces every row into one Arrow batch."""
+    from oracle_vectorsearch_example_spark.functions.phash import (
+        phash_from_pixels,
+    )
+    from oracle_vectorsearch_example_spark.operators.multimodal import encode_bmp
+
+    px = _pattern_px(40, 40, seed=1)
+    want = phash_from_pixels(px)
+    assert want > (1 << 53)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px))), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    ).repartition(1)
+    got = {r.media_id: r.phash for r in phash_df(df).collect()}
+    assert got == {1: want, 2: None}
