@@ -52,7 +52,7 @@ def dedup_incremental(
     bands: int = 4,
     shingle_n: int = 3,
     checkpoint_dir: str | None = None,
-    small_graph_edges: int = 1 << 18,
+    small_graph_edges: int = 1 << 21,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a new batch into the dedup state.
 
@@ -66,6 +66,11 @@ def dedup_incremental(
     ``clusters'.filter(id == component_id)`` (:func:`survivors`).
     Ids must be globally unique across batches (caller contract, same as
     ``IvfIndex.add``)."""
+    # checkpoint the batch band table: it feeds BOTH the edge graph below
+    # (via a self-join) and the caller's state write — without this the
+    # batch signature (shingle explode + md5 + 16-min aggregate) computed
+    # once into the closure's checkpoint and AGAIN at commit time. O(batch)
+    # rows (4 per doc), same values either way.
     new_bands = minhash_band_table(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n
     )
@@ -159,7 +164,7 @@ class IncrementalDedup:
         num_hashes: int = 16,
         bands: int = 4,
         shingle_n: int = 3,
-        small_graph_edges: int = 1 << 18,
+        small_graph_edges: int = 1 << 21,
         compact_every: int | None = None,
         expire_keep_last: int = 10,
     ):
@@ -398,7 +403,7 @@ def media_dedup_incremental(
     n_blocks: int | None = None,
     signature: str = "phash",
     checkpoint_dir: str | None = None,
-    small_graph_edges: int = 1 << 18,
+    small_graph_edges: int = 1 << 21,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold a new MEDIA batch into 63-bit-signature dedup state — the
     X55+/X57 sibling of :func:`dedup_incremental` (same contract, same
@@ -453,7 +458,13 @@ def media_dedup_incremental(
         )
 
     dual = signature == "afp_dual"
-    hashes = _hash_media(signature, new_media, payload_col, id_col)
+    # checkpoint the skinny (id, code[, code2]) frame: it feeds the band
+    # table (written to state at commit), the new-new pair join and the
+    # dual-code attach, and each of those is a separate action — lazily,
+    # the DECODE pass (the expensive part, and the thing this module
+    # promises runs exactly once per payload) re-executed per action.
+    # O(batch) longs; values unchanged.
+    hashes = _hash_media(signature, new_media, payload_col, id_col).repartition(1).localCheckpoint()
     new_bands = phash_band_table(
         hashes,
         id_col=id_col,
@@ -568,7 +579,7 @@ def image_dedup_incremental(
     max_hamming: int = 6,
     n_blocks: int | None = None,
     checkpoint_dir: str | None = None,
-    small_graph_edges: int = 1 << 18,
+    small_graph_edges: int = 1 << 21,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`media_dedup_incremental` with ``signature='phash'`` —
     the image entry point."""
@@ -615,7 +626,7 @@ class IncrementalMediaDedup(IncrementalDedup):
         max_hamming: int = 6,
         n_blocks: int | None | str = "auto",
         signature: str = "phash",
-        small_graph_edges: int = 1 << 18,
+        small_graph_edges: int = 1 << 21,
         compact_every: int | None = None,
         expire_keep_last: int = 10,
         manku_auto_at: int | None = None,
@@ -830,7 +841,7 @@ class IncrementalImageDedup(IncrementalMediaDedup):
         id_col: str = "media_id",
         max_hamming: int = 6,
         n_blocks: int | None | str = "auto",
-        small_graph_edges: int = 1 << 18,
+        small_graph_edges: int = 1 << 21,
         compact_every: int | None = None,
         expire_keep_last: int = 10,
         manku_auto_at: int | None = None,

@@ -423,7 +423,13 @@ def mrl_topk_search(
         base_id=base_id, base_vec="__cv", query_id=query_id,
         query_vec="__cq", exclude_self=exclude_self,
     ).select(query_id, base_id)
-    full = cand.join(base.select(base_id, base_vec), base_id).join(
+    # candidates are Q·k·oversample rows — BROADCAST them explicitly:
+    # size estimates after a window top-k are unknown, so the planner
+    # was picking a sort-merge join that shuffled AND sorted the whole
+    # base table by id just to attach this tiny frame (r14 opt: plan
+    # showed Exchange+Sort on the 4M side; with the broadcast the base
+    # is scanned in place, stage-2 wall collapses into the scan).
+    full = base.select(base_id, base_vec).join(F.broadcast(cand), base_id).join(
         F.broadcast(queries.select(query_id, query_vec)), query_id
     )
     scored = full.withColumn(

@@ -242,12 +242,30 @@ class Warehouse:
             raise ValueError(f"tables both written and dropped: {sorted(overlap)}")
         head = self.current_version()
         version = (head or 0) + 1
-        # 1. write data dirs for the new version — not yet visible
+        # 1. write data dirs for the new version — not yet visible.
+        # Independent tables write CONCURRENTLY (guide §2.6: Spark's
+        # scheduler happily runs several jobs at once; a commit of 2-4
+        # small tables was paying each job's scheduling latency serially,
+        # and the tail tasks of one write leave executors idle for the
+        # next). Atomicity is unchanged — nothing is visible until the
+        # single manifest create below.
         written = {
             name: f"{self._DATA}/{name}/v{version}" for name in tables
         }
-        for name, df in tables.items():
+        if len(tables) == 1:
+            ((name, df),) = tables.items()
             df.write.mode("overwrite").parquet(f"{self.root}/{written[name]}")
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write(item):
+                name, df = item
+                df.write.mode("overwrite").parquet(f"{self.root}/{written[name]}")
+
+            with ThreadPoolExecutor(max_workers=min(4, len(tables))) as pool:
+                # list() drains the iterator so the first raised exception
+                # propagates (a failed write must fail the commit)
+                list(pool.map(_write, tables.items()))
         # 2. publish: carry forward unchanged tables, claim the version file
         for _ in range(max_retries):
             parent = {} if head is None else self.snapshot(head)
