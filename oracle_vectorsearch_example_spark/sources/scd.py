@@ -123,25 +123,41 @@ def scd2_apply(
 
     same = in_cur & in_src & ~differs
     missing_kept = in_cur & ~in_src & F.lit(not close_missing)
-    keep_cur = j.filter(same | missing_kept).select(
-        *biz, VALID_FROM, VALID_TO, IS_CURRENT
+    # ONE pass over the joined frame (r14 opt): the old three
+    # filter+select branches unioned three subtrees that each re-executed
+    # the full-outer join (exchanges are reused, join operators are not —
+    # the 2M-row join ran 3×). Each joined row now conditionally emits its
+    # 0-2 output rows (a changed key emits close AND insert) as a struct
+    # array, nulls compacted, exploded — same rows, one join execution.
+    row_keep = F.struct(
+        *[F.col(c).alias(c) for c in biz],
+        F.col(VALID_FROM).alias(VALID_FROM),
+        F.col(VALID_TO).alias(VALID_TO),
+        F.col(IS_CURRENT).alias(IS_CURRENT),
     )
-    close_now = j.filter(
-        in_cur & ((in_src & differs) | (F.lit(close_missing) & ~in_src))
-    ).select(
-        *biz,
-        VALID_FROM,
+    row_close = F.struct(
+        *[F.col(c).alias(c) for c in biz],
+        F.col(VALID_FROM).alias(VALID_FROM),
         F.lit(batch_id).cast("bigint").alias(VALID_TO),
         F.lit(False).alias(IS_CURRENT),
     )
-    insert_now = j.filter(in_src & (~in_cur | differs)).select(
+    row_insert = F.struct(
         *[F.col(f"__s_{c}").alias(c) for c in biz],
         F.lit(batch_id).cast("bigint").alias(VALID_FROM),
         F.lit(None).cast("bigint").alias(VALID_TO),
         F.lit(True).alias(IS_CURRENT),
     )
-    return (
-        closed.unionByName(keep_cur)
-        .unionByName(close_now)
-        .unionByName(insert_now.select(*closed.columns))
+    emitted = F.array_compact(
+        F.array(
+            F.when(same | missing_kept, row_keep),
+            F.when(
+                in_cur & ((in_src & differs) | (F.lit(close_missing) & ~in_src)),
+                row_close,
+            ),
+            F.when(in_src & (~in_cur | differs), row_insert),
+        )
     )
+    out = j.select(F.explode(emitted).alias("__r")).select(
+        *[F.col(f"__r.{c}").alias(c) for c in closed.columns]
+    )
+    return closed.unionByName(out)
