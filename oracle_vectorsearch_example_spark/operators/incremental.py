@@ -244,6 +244,14 @@ class IncrementalDedup:
         every later ingest must match exactly (raises otherwise)."""
         name = f"{self.prefix}_params"
         mine = dict(self.params, text_col=self.text_col, id_col=self.id_col)
+        # one Spark read+collect per ingest added ~0.3-0.5 s of pure
+        # overhead at cadence; the params table is immutable once
+        # committed (nothing in this class rewrites or drops it), so a
+        # successful validation holds for the instance's lifetime.
+        # Memoized only on the MATCH path — the creation path must keep
+        # returning the frame until a commit actually publishes it.
+        if getattr(self, "_params_ok", False):
+            return None
         if name in self.wh.tables():
             stored = self.wh.read(name).collect()[0].asDict()
             if {k: stored[k] for k in mine} != mine:
@@ -252,6 +260,7 @@ class IncrementalDedup:
                     f"{stored}, not {mine}; incremental joins across "
                     "mismatched MinHash parameters are meaningless"
                 )
+            self._params_ok = True
             return None
         spark = self.wh.spark
         return spark.createDataFrame(
@@ -754,6 +763,8 @@ class IncrementalMediaDedup(IncrementalDedup):
         auto crossover then governs future ingests like any auto
         warehouse. Every other mismatch still refuses loudly."""
         name = f"{self.prefix}_params"
+        if getattr(self, "_params_ok", False):
+            return None  # validated once — params are immutable after commit
         if self.params["n_blocks"] == -2 and name in self.wh.tables():
             stored = self.wh.read(name).collect()[0].asDict()
             mine = dict(

@@ -68,6 +68,17 @@ def profile_table(
     sketch memory, ±~2% (tolerance-checked, never hashed)."""
     cols = columns or df.columns
     fields = {f.name: f.dataType for f in df.schema.fields}
+    # the multi-distinct Expand multiplies rows ×(distinct-cols + 1)
+    # BEFORE the partial aggregate, so a source that offers fewer splits
+    # than cores (one small parquet file — the local degenerate case)
+    # serializes the whole expansion onto 1-2 tasks (r14 opt: measured
+    # 6 s single-task vs ~1 s spread). Round-robin to full parallelism
+    # when that happens; with splits ≥ cores (any real table) it's a
+    # no-op, so the 100 TB path never pays the extra shuffle.
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, cores // 2):
+        df = df.repartition(cores)
     aggs = [F.count(F.lit(1)).alias("__n")]
     per_col: list[str] = []
     # internal aliases are positional (__nulls_0, …) so arbitrary source
