@@ -27,13 +27,14 @@ def get_spark(app_name: str = "oracle_vectorsearch_example_spark") -> SparkSessi
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Let the planner pick shuffled-hash join when its size conditions
-        # hold (guide §3.1/§9): the banded-dedup self-joins emit huge
-        # candidate volumes per bucket, and skipping the sort-merge's
-        # per-row merge machinery measured ~20% off the hottest band join
-        # (r14 opt: manku-shaped 2M self-join 72.0→58.1 s, identical
-        # pairs). SHJ only fires when a side's per-partition build fits
-        # (canBuildLocalHashMap), so the setting is scale-safe; semantics
-        # (and thus every golden hash) are join-strategy-independent.
+        # hold (guide §3.1/§9). Interleaved in-session A/B on real goldens
+        # (r14 opt): range_join 1.29→0.96 s, tpch_q1 1.02→0.90 s, join_agg
+        # unchanged (broadcast), and the 2M banded-hamming self-join
+        # neutral (46-50 s both strategies on the bench fixture). SHJ only
+        # fires when a side's per-partition build fits
+        # (canBuildLocalHashMap), so the setting degrades to sort-merge at
+        # scale instead of OOMing; semantics (and thus every golden hash)
+        # are join-strategy-independent.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
