@@ -3158,7 +3158,7 @@ def main():
     ]
     f12 = {k: results.get(k) for k in frozen12}
     f12_ok = [v for v in f12.values() if isinstance(v, (int, float))]
-    print(json.dumps({
+    trailer = {
         "metric": "frozen12_wall",
         "value": round(sum(f12_ok), 3),
         "unit": "sec",
@@ -3167,7 +3167,30 @@ def main():
         "errors": n_err,
         "entries": len(results),
         "sf": sf,
-    }))
+    }
+    # r15 (judge r14 next-round #1a): the driver records only the LAST
+    # ~2000 chars of stdout and parses the last JSON line, so the full
+    # `queries` map above — which rides the (truncated) FIRST line —
+    # never reached PERF's per-query comparison (per_query was empty in
+    # r13 AND r14). Pack per-query timings into THIS line too,
+    # cost-sorted so anything that must be dropped to stay inside the
+    # tail window is a cheap sub-second entry, frozen-12 always
+    # included. Existing keys above are unchanged; compact separators +
+    # 3-significant-digit rounding keep ~90 of the ~105 entries inside
+    # the budget. The complete full-precision map still prints on the
+    # first line (and bench methodology/timings are untouched).
+    _sig3 = lambda v: float(f"{v:.3g}")  # noqa: E731
+    ranked = sorted(ok, key=lambda q: (q not in frozen12, -ok[q], q))
+    qcompact: dict[str, float] = {}
+    budget = 1900
+    for q in ranked:
+        qcompact[q] = _sig3(ok[q])
+        trailer["queries"] = qcompact
+        if len(json.dumps(trailer, separators=(",", ":"))) > budget:
+            del qcompact[q]
+            break
+    trailer["queries"] = qcompact
+    print(json.dumps(trailer, separators=(",", ":")))
     spark.stop()
 
 

@@ -51,6 +51,28 @@ def _fmt_min_max(col: F.Column, dtype) -> tuple:
     return F.lit(None).cast("string"), F.lit(None).cast("string")
 
 
+def _estimate_splits(spark, files: list[str]) -> int:
+    """Scan-split estimate from file sizes (driver-side stats on the ≤
+    handful of files the caller already knows is small): a few BIG files
+    still offer ceil(size / maxPartitionBytes) splits each, and
+    repartitioning such a table would add the full-table shuffle the
+    heuristic exists to avoid. Errors fall back to one split per file."""
+    try:
+        jvm = spark.sparkContext._jvm
+        max_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            total += max(1, -(-size // max(1, max_bytes)))
+        return total
+    except Exception:
+        return len(files)
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact: bool = True
 ) -> DataFrame:
@@ -73,11 +95,20 @@ def profile_table(
     # than cores (one small parquet file — the local degenerate case)
     # serializes the whole expansion onto 1-2 tasks (r14 opt: measured
     # 6 s single-task vs ~1 s spread). Round-robin to full parallelism
-    # when that happens; with splits ≥ cores (any real table) it's a
-    # no-op, so the 100 TB path never pays the extra shuffle.
+    # when that happens; with enough input files (any real table) it's a
+    # no-op, so the 100 TB path never pays the extra shuffle. The probe
+    # is inputFiles() — driver-side scan metadata — NOT rdd
+    # .getNumPartitions(), which materializes the physical plan and
+    # under AQE can eagerly execute upstream shuffle stages of a derived
+    # frame just to read a number (r15, ADVICE r14). A derived frame
+    # that has been shuffled is already at ~shuffle.partitions
+    # parallelism, so repartitioning it again is at worst a cheap no-op
+    # on a small frame.
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, cores // 2):
+    thresh = max(2, cores // 2)
+    files = df.inputFiles()
+    if len(files) < thresh and _estimate_splits(spark, files) < thresh:
         df = df.repartition(cores)
     aggs = [F.count(F.lit(1)).alias("__n")]
     per_col: list[str] = []

@@ -149,6 +149,13 @@ class Warehouse:
         self._fs = self._hpath(self.root).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
+        # published manifests are WRITE-ONCE (atomic create-if-absent,
+        # never overwritten; expire() only deletes), so a parsed manifest
+        # is valid for the lifetime of this handle — memoizing is
+        # consistent by construction and removes a metadata read per
+        # snapshot()/read()/tables() call (r15 opt, guide §5 driver
+        # discipline: an ingest was paying ~8 manifest reads)
+        self._manifest_cache: dict[int, dict] = {}
 
     # ------------------------------------------------------------ log I/O
     def _log_dir(self) -> str:
@@ -172,22 +179,40 @@ class Warehouse:
         return sorted(out)
 
     def _read_manifest(self, version: int) -> dict:
-        # wholetext scan: one row with the whole file; works on any Hadoop FS.
+        # Manifests are a few hundred bytes of JSON: read them with the
+        # Hadoop FS client directly instead of a whole Spark job
+        # (spark.read.text(...).collect() cost one job — ~0.1-0.3 s of
+        # scheduling — PER metadata lookup, and an ingest does several;
+        # r15 opt, guide §5: metadata work belongs on the driver, not in
+        # a distributed scan of a 300-byte file). Works on any Hadoop FS
+        # (same client the publish path uses).
         # Existence-check first so an expired/never-written version surfaces
-        # as a clear error, not an opaque Hadoop FileNotFound from the scan
+        # as a clear error, not an opaque Hadoop FileNotFound from the read
         # (a committer that lost the publish race re-reads snapshot(head)
         # and must not crash confusingly if expire() ran concurrently —
         # see expire()'s coordination note).
-        if not self._fs.exists(self._hpath(self._manifest_path(version))):
+        cached = self._manifest_cache.get(version)
+        if cached is not None:
+            return cached
+        p = self._hpath(self._manifest_path(version))
+        if not self._fs.exists(p):
             raise LookupError(
                 f"manifest for version {version} does not exist — either it "
                 f"was never committed or it was expired by expire(); "
                 f"current versions: {self._list_versions()}"
             )
-        row = self.spark.read.text(
-            self._manifest_path(version), wholetext=True
-        ).collect()[0]
-        return json.loads(row[0])
+        stream = self._fs.open(p)
+        try:
+            # JVM-side drain (py4j copies byte[] args by value, so a
+            # Python-side read(buf) loop would never see the bytes)
+            text = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+            manifest = json.loads(text)
+        finally:
+            stream.close()
+        self._manifest_cache[version] = manifest
+        return manifest
 
     def _publish(self, version: int, manifest: dict) -> bool:
         """Atomically create manifest ``version``; False if it already exists."""
@@ -278,6 +303,7 @@ class Warehouse:
                 "tables": merged,
             }
             if self._publish(version, manifest):
+                self._manifest_cache[version] = manifest
                 return version
             # lost the race: rebase on the new head. Data dirs are keyed by
             # OUR version number, so a retry must rewrite them under the new
@@ -416,6 +442,9 @@ class Warehouse:
         expired = versions[:-keep_last]
         for v in expired:
             self._fs.delete(self._hpath(self._manifest_path(v)), False)
+            # keep the memo honest: time travel to an expired version
+            # must fail through THIS handle too, not serve stale cache
+            self._manifest_cache.pop(v, None)
         return expired
 
     def vacuum(self) -> list[str]:
