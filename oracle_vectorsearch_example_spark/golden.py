@@ -9660,43 +9660,36 @@ def q_pca_embed(spark, sf):
 # `audio_fp_l2` and the r10 `audio_fp` yield; `audio_neardup` stays
 # and drives the same fingerprint path, so the family keeps a fresh
 # r14 witness while no other family loses coverage.
+# r15 window (judge r14 #8): all 50 r14 seats passed and roll off;
+# after the r14 WITNESS regen every golden is ever-witnessed (0 never).
+# Seat (a) the eight deferred r10 seats (the standing head of this
+# round's roll list), (b) the goldens whose operator paths this
+# optimization round touched — the Arrow search/IVF/BQ rewrites, the
+# warehouse manifest read, profile's split heuristic, the incremental
+# checkpoint changes — plus the r14-touched scd2_merge / langid /
+# text_stats / profile_table the judge asked kept in-window, so the
+# DRIVER (not only the builder's sweep) certifies the optimized paths,
+# then (c) the stalest r11 tier alphabetically to fill 50 (the 22
+# remaining r11 entries — math … zorder_keys — head the r16 roll list).
 _PRIORITY = [
-    # (a) the last never-witnessed golden (judge r13 #3)
-    "extract_text_audio_tags",
-    # (b) the r14 adds: HTTP chunked/content-coding decode in WARC,
-    # the WET sink roundtrip, CDX indexing + ranged re-extraction +
-    # digest-level crawl dedup
-    "warc_http_encodings", "wet_roundtrip", "warc_cdx",
-    "warc_cdx_fetch", "cdx_dedup", "cdxj_roundtrip",
-    "wds_roundtrip", "zip_extract", "tfrecord_roundtrip",
-    "arrow_roundtrip", "avro_roundtrip",
-    # (c) the r10-witnessed tier, alphabetical (audio_fp yielded its
-    # seat to the CDX pair — audio_neardup carries that family;
-    # arrays yielded to cdx_dedup — array_hof holds the scalar-array
-    # family's r12 witness; dates yielded to cdxj_roundtrip — the
-    # scalar-expr family is witnessed via strings r13 / math r11;
-    # cross_join yielded to wds_roundtrip — the join family is
-    # witnessed via join_agg r13 plus the seated anti_join/semi_join;
-    # except_all_keys yielded to zip_extract — the set-op family is
-    # witnessed via except_keys/intersect_keys r12; rollup yielded
-    # to tfrecord_roundtrip — grouping_sets keeps the multi-group
-    # agg family seated this window and cube holds its r11 witness;
-    # projection yielded to arrow_roundtrip — the P-family is
-    # witnessed via filter_agg/scan_region r13; percentile_gate
-    # yielded to avro_roundtrip — the percentile family is witnessed
-    # via percentiles r11 + histogram r12; the eight deferred r10
-    # seats head the r15 roll list)
-    "anti_join", "audio_neardup",
-    "boilerplate_removal", "chunk_ids", "contamination_report",
-    "count_distinct",
-    "fk_violations", "grouping_sets", "jpeg_decode", "langid_pruned",
-    "left_join_zero_orders", "multimodal_features",
-    "pii_redact", "pivot", "range_join",
-    "salted_join_agg", "semi_join", "topic_stats", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q21", "tpch_q22", "unicode_nfc", "video_neardup",
+    # (a) deferred r10 seats
+    "arrays", "audio_fp", "cross_join", "dates", "except_all_keys",
+    "percentile_gate", "projection", "rollup",
+    # (b) r15-optimized paths + judge-pinned r14-touched goldens
+    "vector_topk_exact", "filtered_topk", "mrl_topk",
+    "ivf_materialized", "ivf_search_df", "ivf_add_search",
+    "bq_topk", "sq8_topk", "profile_table", "dedup_incremental",
+    "flagship_search", "flagship_search_ivf", "neardup_clusters",
+    "scd2_merge", "langid", "text_stats",
+    # (c) stalest r11 tier, alphabetical fill to 50
+    "audio_fp_l2", "audio_neardup_dual", "bloom_words", "bm25_topk",
+    "chunker_cjk", "cms_words", "collect_sorted_words",
+    "corpus_filter", "ctx_snippet", "cube", "dataset_mix",
+    "det_shuffle", "dsir_scores", "embed_double",
+    "embedding_neardup", "fuzzy_pairs", "gif_frames",
+    "gopher_repetition_arrow", "grouped_split", "hard_negatives",
+    "hnsw_exhaustive", "hybrid_rrf", "intersect_all_keys",
+    "ivf_exhaustive", "jaccard_neardup", "json_get",
 ]
 
 

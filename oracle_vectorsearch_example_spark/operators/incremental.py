@@ -713,10 +713,23 @@ class IncrementalMediaDedup(IncrementalDedup):
         if self.params["n_blocks"] != -2:
             return self.params["n_blocks"]
         name = f"{self.prefix}_banding"
-        if name not in self.wh.tables():
+        snap = self.wh.snapshot()
+        if name not in snap:
             return None
+        # memo keyed on the table's DATA DIR (r15, guide §5 driver
+        # discipline): data dirs are write-once, so the same dir always
+        # holds the same one-row content — consistent by construction
+        # across commits that leave the banding table untouched. Without
+        # this every ingest paid a one-row parquet-read job just to
+        # learn the scheme it already knew.
+        key = snap[name]
+        cached = getattr(self, "_banding_memo", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         v = self.wh.read(name).collect()[0]["n_blocks_effective"]
-        return None if v == -1 else int(v)
+        out = None if v == -1 else int(v)
+        self._banding_memo = (key, out)
+        return out
 
     def _auto_pick(self) -> int | None:
         """Auto heuristic (r12, judge r11 #5): plain pigeonhole below

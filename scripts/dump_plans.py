@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for declared golden queries to plans/r14/.
+"""Dump .explain("formatted") for declared golden queries.
 
 Usage: python scripts/dump_plans.py <suffix> [query ...]
-  suffix: "before" or "after" — filename becomes plans/r14/<query>_<suffix>.txt
-Defaults to the frozen-12 bench queries when no names given.
+  suffix: "before" or "after" — filename becomes
+  plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (round dir defaults
+  to r15). Defaults to the frozen-12 bench queries when no names given.
 """
 
 from __future__ import annotations
@@ -29,7 +30,11 @@ def main():
 
     spark = get_spark("dump_plans")
     qs = e.queries()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf)

@@ -189,3 +189,19 @@ def test_optimize_compacts_files_content_identical(spark, tmp_path):
     wh.expire(keep_last=1)
     removed = wh.vacuum()
     assert any(f"t/v{v1}" in r for r in removed)
+
+
+def test_manifest_memo_cross_handle_visibility(spark, wh, tmp_path):
+    """r15: manifests are memoized per handle (write-once), which must
+    not hide NEW commits from other handles — version resolution always
+    re-lists the log."""
+    from oracle_vectorsearch_example_spark.sources.txn import Warehouse
+
+    wh.commit({"t": _df(spark, [(1, "x")])})
+    other = Warehouse(spark, wh.root)
+    assert other.read("t").count() == 1
+    wh.commit({"t": _df(spark, [(1, "x"), (2, "y")])})
+    # other handle cached manifest v1 only; head resolution sees v2
+    assert other.read("t").count() == 2
+    # memo returns the same parsed dict for a re-read of the same version
+    assert other._read_manifest(1) is other._read_manifest(1)
